@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_connector_lance_spark import registry as _registry
+from flink_connector_lance_spark.session import get_spark
+
+# Headline set: one per operator family — scan/filter/agg/join/window/knn/dedup.
+HEADLINE = [
+    "tpch_q1",
+    "filter_comparisons",
+    "agg_groupby_full",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "window_latest_order",
+    "events_tumbling_window",
+    "flagship_category_count",
+    "knn_cosine",
+    "knn_l2_filtered",
+    "dedup_minhash_lsh",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="fcls-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = _registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footer caches with a trivial action.
+    qs[names[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # noop sink materializes every output column (count() would let
+        # Catalyst prune the projection and under-report scan cost).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

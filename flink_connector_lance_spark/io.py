@@ -1,0 +1,62 @@
+"""Test-corpus table loading.
+
+The driver's synthetic tables (TESTDATA.md) are one parquet file per table
+under ``/root/testdata/sf*/``. ``load_tables`` reads them as DataFrames and
+registers temp views so the delegated-SQL surface (SURVEY.md §2.6) runs
+through ``spark.sql``.
+
+Scale note: ``spark.read.parquet`` gives us columnar scans with predicate
+pushdown + column pruning from Catalyst; at 100 TB these would be
+directory-partitioned datasets and everything here still applies.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import TABLE_NAMES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    """Normalize physical quirks of the corpus to engine types.
+
+    events.ts is TIMESTAMP(NANOS) in parquet; Spark (with
+    ``spark.sql.legacy.parquet.nanosAsLong``) surfaces it as a ns epoch
+    LongType — convert to a µs TimestampType (matches DuckDB's
+    ``ts::TIMESTAMP`` truncation).
+    """
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
+                register_views: bool = True) -> dict[str, DataFrame]:
+    """Load all corpus tables; optionally register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
