@@ -1,0 +1,124 @@
+"""Approximate nearest-neighbor scale paths.
+
+The reference delegates ANN to Lance's native IVF/PQ/HNSW indexes
+(ref LanceIndexBuilder.java:117-179, LanceVectorSearch.java:146-163).
+Without the native library we provide the two classic distributed ANN
+strategies as pure DataFrame plans:
+
+- ``lsh``: random-hyperplane signatures -> bucket equi-filter. Signature
+  computation is a projection (no shuffle); candidate selection is a
+  partition-local filter; only the candidate top-k merge crosses the
+  wire. Multi-probe (hamming-1 buckets) trades recall for candidates.
+- ``ivf_coarse``: coarse quantizer from per-label centroids (at scale:
+  k-means centroids broadcast to executors), probe the nearest
+  ``nprobes`` cells, exact search inside probed cells only.
+
+Both mirror what Lance's IVF does conceptually: prune the search space
+to a small number of cells, then exact-score the survivors.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions import vector as V
+
+
+def make_planes(num_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (shared with oracles)."""
+    return [
+        [round(math.sin(31.0 * (p + 1) + i) * 0.7, 6) for i in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_signature(vector_col, planes: Sequence[Sequence[float]]) -> Column:
+    """Bit p of the signature = 1 iff dot(v, plane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = V.dot_product(vector_col, plane)
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def query_signature(q: Sequence[float], planes: Sequence[Sequence[float]]) -> int:
+    sig = 0
+    for p, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(q, plane)) > 0:
+            sig |= 1 << p
+    return sig
+
+
+def probe_signatures(q: Sequence[float], planes: Sequence[Sequence[float]],
+                     multiprobe: bool = True) -> list[int]:
+    """Query bucket + (optionally) all hamming-1 neighbor buckets."""
+    qs = query_signature(q, planes)
+    out = [qs]
+    if multiprobe:
+        out += [qs ^ (1 << p) for p in range(len(planes))]
+    return sorted(set(out))
+
+
+def lsh_knn(
+    df: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    metric: str = "l2",
+    planes: Sequence[Sequence[float]] | None = None,
+    multiprobe: bool = True,
+    tiebreak_cols: Sequence[str] = (),
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ANN top-k: filter to the query's (multi-probe) LSH buckets, then
+    exact top-k among candidates."""
+    from .knn import knn
+
+    planes = planes if planes is not None else make_planes(dim=len(query))
+    probes = probe_signatures(query, planes, multiprobe)
+    candidates = df.filter(lsh_signature(vector_col, planes).isin(probes))
+    return knn(candidates, vector_col, query, k=k, metric=metric,
+               tiebreak_cols=tiebreak_cols, round_digits=round_digits)
+
+
+def centroids_by(df: DataFrame, vector_col: str, cell_col: str) -> DataFrame:
+    """Per-cell mean vector via posexplode + two-level aggregation.
+
+    Shuffle profile: one partial+final agg on (cell, pos) — fully
+    map-side combinable — then a tiny (cells x dim) relation collapsed
+    per cell. At 100 TB this is the standard distributed centroid step."""
+    pe = df.select(F.col(cell_col), F.posexplode(F.col(vector_col)).alias("pos", "val"))
+    per_dim = pe.groupBy(cell_col, "pos").agg(F.avg("val").alias("c"))
+    return per_dim.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def ivf_coarse_knn(
+    df: DataFrame,
+    vector_col: str,
+    cell_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobes: int = 2,
+    tiebreak_cols: Sequence[str] = (),
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF-style coarse search: probe the nprobes nearest cells, exact
+    L2 top-k within them (ref IVF semantics, LanceIndexBuilder.java:125-138;
+    nprobes default ref config/LanceOptions.java:215-219)."""
+    from .knn import knn
+
+    q = V.validate_query_vector(query)
+    cent = centroids_by(df, vector_col, cell_col)
+    d2 = F.round(V.l2_distance("centroid", q), 6)
+    chosen = cent.select(F.col(cell_col), d2.alias("cd")).orderBy("cd", cell_col).limit(nprobes)
+    candidates = df.join(F.broadcast(chosen.select(cell_col)), on=cell_col, how="left_semi")
+    return knn(candidates, vector_col, q, k=k, metric="l2",
+               tiebreak_cols=tiebreak_cols, round_digits=round_digits)

@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Catalyst column expressions over a text column —
+no Python UDFs — so they run inside whole-stage codegen and scale
+linearly with partitions (no shuffle at all for per-document features).
+
+Cross-engine determinism: token hashing uses the first 8/15 hex chars of
+md5 (identical in Spark and DuckDB); positional ops use 1-based indices
+to match DuckDB's indexed lambdas (Spark's `transform` index is 0-based,
+we add 1).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Fixed marker-word profiles for the n-gram/stopword language-ID heuristic.
+# (The corpus is synthetic word salad; the *mechanism* — per-language marker
+# frequency scoring with deterministic argmax — is what this implements.)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "data", "table"],
+    "es": ["el", "la", "los", "datos"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "des"],
+    "zh": ["de5", "shi4", "he2", "zai4"],
+}
+STOPWORDS = ["the", "a", "of", "and"]
+
+
+def tokens(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def token_hash64(tok: Column) -> Column:
+    """60-bit deterministic token hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def token_hash32(tok: Column) -> Column:
+    """32-bit deterministic token hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def marker_count(text_col, markers: list[str]) -> Column:
+    return F.size(F.filter(tokens(text_col), lambda t: t.isin(*markers)))
+
+
+def avg_token_len(text_col) -> Column:
+    ts = tokens(text_col)
+    total = F.aggregate(F.transform(ts, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v)
+    return total.cast("double") / F.size(ts)
+
+
+def type_token_ratio(text_col) -> Column:
+    ts = tokens(text_col)
+    return F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+
+
+def stopword_ratio(text_col, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    ts = tokens(text_col)
+    return F.size(F.filter(ts, lambda t: t.isin(*sw))).cast("double") / F.size(ts)
+
+
+def quality_score(text_col) -> Column:
+    """Composite quality heuristic: length saturation + lexical diversity
+    + stopword balance. Range [0, 1]."""
+    n = token_count(text_col).cast("double")
+    length_part = F.least(F.lit(1.0), n / F.lit(100.0))
+    return (
+        length_part * 0.5
+        + type_token_ratio(text_col) * 0.3
+        + (F.lit(1.0) - stopword_ratio(text_col)) * 0.2
+    )
+
+
+def lang_scores(text_col, profiles: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    prof = profiles or LANG_PROFILES
+    return {lang: marker_count(text_col, markers) for lang, markers in prof.items()}
+
+
+def lang_id(text_col, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Deterministic argmax over marker scores: first language (in profile
+    order) whose score >= every other score."""
+    prof = profiles or LANG_PROFILES
+    scores = lang_scores(text_col, prof)
+    langs = list(prof)
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(lang))
+        expr = branch if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[0]))
+
+
+def fingerprint(text_col) -> Column:
+    """Position-weighted rolling document fingerprint:
+    sum_i hash32(w_i) * i  (i 1-based), as BIGINT."""
+    ts = tokens(text_col)
+    weighted = F.transform(ts, lambda t, i: token_hash32(t) * (i + F.lit(1)).cast("long"))
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def simhash(text_col, bits: int = 60) -> Column:
+    """SimHash over token 60-bit hashes, computed without explode:
+    for each bit j, majority-vote over tokens; set bit j if the vote > 0.
+
+    Stays entirely in array expressions (aggregate over transform), so
+    per-document cost is O(tokens * bits) inside codegen and the operator
+    needs no shuffle."""
+    ts = tokens(text_col)
+    hs = F.transform(ts, lambda t: token_hash64(t))
+    def _vote(mask: int):
+        # closure (not a default arg): pyspark infers lambda arity, and a
+        # default parameter would be mistaken for the array-index argument
+        return lambda a, h: a + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hs, F.lit(0), _vote(1 << j))
+        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out

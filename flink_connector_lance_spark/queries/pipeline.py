@@ -1,1 +1,296 @@
-"""placeholder — populated in this round."""
+"""Training-data pipeline queries: dedup family, text analysis, multimodal
+plumbing — each a first-class oracle-checked operator (SURVEY.md §7.1 M10).
+
+All signatures/hashes are md5-hex based so DuckDB reproduces them exactly;
+indexed lambdas are 1-based on the DuckDB side and (i+1) on the Spark side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import text as T
+from ..registry import register
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+_WS = "string_split(text, ' ')"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(ws)-2), "
+    "i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))"
+)
+_H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
+_H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
+
+_NUM_HASHES, _BANDS = 16, 4
+_SIMHASH_BITS, _MAX_HAMMING = 32, 6
+
+
+def _minhash_sig_sql() -> str:
+    exprs = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{h}~'||x)), 'min') AS mh{h}"
+        for h in range(_NUM_HASHES)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM "
+        f"(SELECT doc_id, {_WS} AS ws FROM documents)),\n"
+        f"sig AS (SELECT doc_id, {exprs} FROM sh)"
+    )
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, list_transform({_WS}, "
+        f"w -> {_H60.format(x='w')}) AS hs FROM documents),\n"
+        f"sig AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sig FROM tok)"
+    )
+
+
+# --- dedup family ------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    GROUP BY 1
+    """,
+    doc="Exact dedup by content digest over a corpus with duplicates "
+        "(doubled input); keep-lowest-id policy. One digest shuffle, "
+        "map-side combinable.",
+)
+def dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d.unionByName(d), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_sig_sql() + f""",
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(mh{4*b}||mh{4*b+1}||mh{4*b+2}||mh{4*b+3}) AS key FROM sig"
+            for b in range(_BANDS)
+        )}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash(16) + LSH(4 bands x 4 rows) candidate pairs via equi-join "
+        "on band keys — the O(candidates) near-dup path for 100 TB corpora.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "text", "doc_id", _NUM_HASHES, _BANDS)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM
+                (SELECT doc_id, {_WS} AS ws FROM documents)),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS inter
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE round(inter / (na + nb - inter), 6) >= 0.2
+    """,
+    doc="Exact word-3-gram Jaccard >= 0.2 over inverted-index candidate "
+        "pairs (equi-join on shingle, never a cross product).",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2)
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql() + f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_MAX_HAMMING}
+    """,
+    doc="SimHash(32-bit) near-dup pairs within hamming distance 6; "
+        "signatures computed shuffle-free in codegen.",
+)
+def dedup_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = D.simhash_pairs(d, "text", "doc_id", _SIMHASH_BITS, _MAX_HAMMING)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(a.embedding::DOUBLE[], (x,i) -> x * b.embedding[i]))
+                     / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], (x,i) -> x * x)))
+                        * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], (x,i) -> x * x)))), 6)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.4
+    """,
+    doc="Embedding cosine near-dup pairs (>= 0.4). All-pairs baseline; "
+        "scale path buckets via operators.ann.lsh_signature first.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(e, "embedding", "vec_id", threshold=0.4)
+
+
+# --- text analysis -----------------------------------------------------------
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(ws) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_measured,
+           round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws), 6)
+               AS avg_token_len,
+           round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr,
+           round(CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                 / len(ws), 6) AS stop_ratio
+    FROM (SELECT doc_id, text, {_WS} AS ws FROM documents)
+    """,
+    doc="Per-document token/char statistics, type-token ratio, stopword "
+        "ratio — pure codegen projections, no shuffle.",
+)
+def text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(T.avg_token_len("text"), 6).alias("avg_token_len"),
+        F.round(T.type_token_ratio("text"), 6).alias("ttr"),
+        F.round(T.stopword_ratio("text"), 6).alias("stop_ratio"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           round(least(1.0, len(ws) / 100.0) * 0.5
+                 + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
+                 + (1.0 - CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                          / len(ws)) * 0.2, 6) AS quality
+    FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+    """,
+    doc="Composite quality score: length saturation + lexical diversity + "
+        "stopword balance.",
+)
+def text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+
+
+@register(
+    "text_langid",
+    oracle=(
+        lambda: (
+            "WITH scored AS (SELECT doc_id, lang, "
+            + ", ".join(
+                f"len(list_filter(ws, x -> x IN ({', '.join(repr(m) for m in markers)}))) AS s_{lang}"
+                for lang, markers in T.LANG_PROFILES.items()
+            )
+            + f" FROM (SELECT doc_id, lang, {_WS} AS ws FROM documents))\n"
+            + "SELECT doc_id, lang AS declared, CASE "
+            + " ".join(
+                "WHEN "
+                + " AND ".join(
+                    f"s_{lang} >= s_{other}" for other in T.LANG_PROFILES if other != lang
+                )
+                + f" THEN '{lang}'"
+                for lang in T.LANG_PROFILES
+            )
+            + f" ELSE '{next(iter(T.LANG_PROFILES))}' END AS predicted FROM scored"
+        )
+    )(),
+    doc="Marker-frequency language-ID heuristic with deterministic argmax "
+        "(profile order tiebreak).",
+)
+def text_langid(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared"),
+        T.lang_id("text").alias("predicted"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(ws, (w, i) -> {_H32.format(x='w')} * i)) AS BIGINT)
+               AS fingerprint
+    FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+    """,
+    doc="Position-weighted rolling document fingerprint over 32-bit md5 "
+        "token hashes.",
+)
+def text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS digest
+    FROM documents
+    """,
+    doc="Binary media-table metadata (length + sha256) computed JVM-side "
+        "over opaque payload columns (operators.multimodal.to_media_table).",
+)
+def multimodal_metadata(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = M.to_media_table(d.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload")
+    return media.select("media_id", "byte_len", "digest")
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=(
+        lambda: (
+            "SELECT doc_id AS media_id, list_value("
+            + ", ".join(
+                "round(((('0x'||substr(md5(text), {p1}, 2))::BIGINT * 256 + "
+                "('0x'||substr(md5(text), {p2}, 2))::BIGINT) % 1000) / 1000.0, 6)".format(
+                    p1=2 * (i % 16) + 1, p2=2 * ((i + 1) % 16) + 1
+                )
+                for i in range(8)
+            )
+            + ") AS features FROM documents"
+        )
+    )(),
+    doc="Arrow-batched mapInPandas decode plumbing with the deterministic "
+        "fake decoder (real decode stubbed: no media libs in container; "
+        "operators.multimodal.decode_image).",
+)
+def multimodal_decode_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = M.to_media_table(d.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload")
+    feats = M.extract_features(media, dim=8, fake=True)
+    return feats.select("media_id", "features")

@@ -1,1 +1,86 @@
-"""placeholder — populated in this round."""
+"""ANN scale-path queries: LSH-bucketed and IVF-coarse approximate search.
+
+These are the distributed stand-ins for the reference's native Lance ANN
+indexes (ref LanceIndexBuilder.java, vector.nprobes default 20 ->
+nprobes=2 here against 10 cells — same probe ratio).
+"""
+
+from __future__ import annotations
+
+from ..io import load_table
+from ..operators import ann as A
+from ..registry import register
+from .knn import _L2, _QSQL, QVEC
+
+_PLANES = A.make_planes(num_planes=4, dim=64)
+
+
+def _planes_sql() -> str:
+    return ", ".join(
+        "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[] AS p" + str(p)
+        for p, plane in enumerate(_PLANES)
+    )
+
+
+def _sig_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(embedding::DOUBLE[], (x,i) -> x * p{p}[i])) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(len(_PLANES))
+    )
+
+
+@register(
+    "ann_lsh",
+    oracle=(
+        lambda: f"""
+    WITH qv AS (SELECT {_QSQL} AS q, {_planes_sql()})
+    SELECT vec_id, _distance FROM (
+        SELECT vec_id, {_L2} AS _distance, ({_sig_sql()}) AS sig
+        FROM embeddings, qv)
+    WHERE sig IN ({", ".join(str(s) for s in A.probe_signatures(QVEC, _PLANES))})
+    ORDER BY _distance, vec_id
+    LIMIT 10
+    """
+    )(),
+    doc="ANN via random-hyperplane LSH: 4-bit signature (projection only, "
+        "no shuffle), multi-probe hamming-1 buckets, exact top-k among "
+        "candidates (operators.ann.lsh_knn).",
+)
+def ann_lsh(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return A.lsh_knn(e, "embedding", QVEC, k=10, metric="l2", planes=_PLANES,
+                     multiprobe=True, tiebreak_cols=["vec_id"],
+                     round_digits=6).select("vec_id", "_distance")
+
+
+@register(
+    "ann_ivf_coarse",
+    oracle=f"""
+    WITH qv AS (SELECT {_QSQL} AS q),
+    cent AS (
+        SELECT label, list(c ORDER BY i) AS centroid FROM (
+            SELECT label, i.i AS i, avg(embedding[i.i]) AS c
+            FROM embeddings, generate_series(1, 64) i(i)
+            GROUP BY label, i.i)
+        GROUP BY label),
+    centd AS (
+        SELECT label,
+               round(sqrt(list_sum(list_transform(centroid::DOUBLE[],
+                     (x,i) -> (x - q[i]) * (x - q[i])))), 6) AS cd
+        FROM cent, qv),
+    chosen AS (SELECT label FROM centd ORDER BY cd, label LIMIT 2)
+    SELECT vec_id, _distance FROM (
+        SELECT e.vec_id, {_L2} AS _distance
+        FROM embeddings e JOIN chosen USING (label), qv)
+    ORDER BY _distance, vec_id
+    LIMIT 10
+    """,
+    doc="IVF-style coarse quantizer: per-cell centroids (posexplode + "
+        "two-level partial agg), probe 2 nearest cells, exact L2 top-k "
+        "inside probed cells (operators.ann.ivf_coarse_knn).",
+)
+def ann_ivf_coarse(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return A.ivf_coarse_knn(e, "embedding", "label", QVEC, k=10, nprobes=2,
+                            tiebreak_cols=["vec_id"], round_digits=6).select("vec_id", "_distance")
