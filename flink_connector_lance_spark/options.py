@@ -1,0 +1,172 @@
+"""Engine option surface — parity with the reference's de-facto API
+contract (ref config/LanceOptions.java, defaults and validation rules
+:719-780 — positive batch sizes, limit >= 0, num_bits 1..16, positive
+IVF/HNSW parameters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class WriteMode(str, Enum):
+    """ref config/LanceOptions.java:264-286."""
+
+    APPEND = "append"
+    OVERWRITE = "overwrite"
+
+    @classmethod
+    def parse(cls, s: "str | WriteMode") -> "WriteMode":
+        if isinstance(s, WriteMode):
+            return s
+        try:
+            return cls(s.lower())
+        except ValueError:
+            raise ValueError(f"unknown write mode {s!r}; expected append|overwrite") from None
+
+
+class DistanceMetric(str, Enum):
+    """ref config/LanceOptions.java:323-346."""
+
+    L2 = "l2"
+    COSINE = "cosine"
+    DOT = "dot"
+
+    @classmethod
+    def parse(cls, s: "str | DistanceMetric") -> "DistanceMetric":
+        if isinstance(s, DistanceMetric):
+            return s
+        try:
+            return cls(s.lower())
+        except ValueError:
+            raise ValueError(f"unknown metric {s!r}; expected l2|cosine|dot") from None
+
+
+class IndexType(str, Enum):
+    """ref config/LanceOptions.java / LanceIndexBuilder.java:125-166."""
+
+    IVF_PQ = "ivf_pq"
+    IVF_HNSW_PQ = "ivf_hnsw_pq"
+    IVF_FLAT = "ivf_flat"
+
+    @classmethod
+    def parse(cls, s: "str | IndexType") -> "IndexType":
+        if isinstance(s, IndexType):
+            return s
+        try:
+            return cls(s.lower())
+        except ValueError:
+            raise ValueError(f"unknown index type {s!r}") from None
+
+
+@dataclass
+class DatasetOptions:
+    """All reference options with their defaults (ref config/LanceOptions.java):
+
+    path (:45-49, required) | read.batch-size=1024 (:56-60) |
+    read.limit (:65-69) | read.columns (:74-78) | read.filter (:83-87) |
+    write.batch-size=1024 (:94-98) | write.mode=append (:103-107) |
+    write.max-rows-per-file=1000000 (:112-116) | index.* (:123-190) |
+    vector.* (:197-237) | default-database/warehouse (:244-257).
+    """
+
+    path: str = ""
+    read_batch_size: int = 1024
+    read_limit: int | None = None
+    read_columns: list[str] | None = None
+    read_filter: str | None = None
+    write_batch_size: int = 1024
+    write_mode: WriteMode = WriteMode.APPEND
+    write_max_rows_per_file: int = 1_000_000
+    index_type: IndexType = IndexType.IVF_PQ
+    index_column: str | None = None
+    index_num_partitions: int = 256
+    index_num_sub_vectors: int | None = None
+    index_num_bits: int = 8
+    index_max_level: int = 7
+    index_m: int = 16
+    index_ef_construction: int = 100
+    vector_column: str | None = None
+    vector_metric: DistanceMetric = DistanceMetric.L2
+    vector_nprobes: int = 20
+    vector_ef: int = 100
+    vector_refine_factor: int | None = None
+    default_database: str = "default"
+    warehouse: str | None = None
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.write_mode = WriteMode.parse(self.write_mode)
+        self.vector_metric = DistanceMetric.parse(self.vector_metric)
+        self.index_type = IndexType.parse(self.index_type)
+        self.validate()
+
+    def validate(self) -> None:
+        """ref config/LanceOptions.java:719-780."""
+        if self.read_batch_size <= 0:
+            raise ValueError("read.batch-size must be positive")
+        if self.write_batch_size <= 0:
+            raise ValueError("write.batch-size must be positive")
+        if self.read_limit is not None and self.read_limit < 0:
+            raise ValueError("read.limit must be >= 0")
+        if self.write_max_rows_per_file <= 0:
+            raise ValueError("write.max-rows-per-file must be positive")
+        if not (1 <= self.index_num_bits <= 16):
+            raise ValueError("index.num-bits must be in [1, 16]")
+        for name in ("index_num_partitions", "index_max_level", "index_m",
+                     "index_ef_construction", "vector_nprobes", "vector_ef"):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"{name} must be positive")
+        if self.index_num_sub_vectors is not None and self.index_num_sub_vectors <= 0:
+            raise ValueError("index.num-sub-vectors must be positive")
+        if self.vector_refine_factor is not None and self.vector_refine_factor <= 0:
+            raise ValueError("vector.refine-factor must be positive")
+
+    @classmethod
+    def from_dict(cls, opts: dict) -> "DatasetOptions":
+        """Build from a 'connector options'-style string map
+        (ref table/LanceDynamicTableFactory.java:204-236)."""
+        key_map = {
+            "path": "path",
+            "read.batch-size": "read_batch_size",
+            "read.limit": "read_limit",
+            "read.columns": "read_columns",
+            "read.filter": "read_filter",
+            "write.batch-size": "write_batch_size",
+            "write.mode": "write_mode",
+            "write.max-rows-per-file": "write_max_rows_per_file",
+            "index.type": "index_type",
+            "index.column": "index_column",
+            "index.num-partitions": "index_num_partitions",
+            "index.num-sub-vectors": "index_num_sub_vectors",
+            "index.num-bits": "index_num_bits",
+            "index.max-level": "index_max_level",
+            "index.m": "index_m",
+            "index.ef-construction": "index_ef_construction",
+            "vector.column": "vector_column",
+            "vector.metric": "vector_metric",
+            "vector.nprobes": "vector_nprobes",
+            "vector.ef": "vector_ef",
+            "vector.refine-factor": "vector_refine_factor",
+            "default-database": "default_database",
+            "warehouse": "warehouse",
+        }
+        ints = {"read_batch_size", "read_limit", "write_batch_size",
+                "write_max_rows_per_file", "index_num_partitions",
+                "index_num_sub_vectors", "index_num_bits", "index_max_level",
+                "index_m", "index_ef_construction", "vector_nprobes",
+                "vector_ef", "vector_refine_factor"}
+        kwargs: dict = {}
+        extra: dict = {}
+        for k, v in opts.items():
+            if k in key_map:
+                attr = key_map[k]
+                if attr in ints and v is not None:
+                    v = int(v)
+                elif attr == "read_columns" and isinstance(v, str):
+                    v = [c.strip() for c in v.split(",") if c.strip()]
+                kwargs[attr] = v
+            else:
+                extra[k] = v
+        return cls(extra=extra, **kwargs)

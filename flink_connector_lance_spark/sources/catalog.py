@@ -1,0 +1,138 @@
+"""Filesystem warehouse catalog (ref table/LanceCatalog.java).
+
+Path layout ``warehouse/database/table`` with table detection by
+``_versions/`` (ref :397, :492-493). Mirrors the reference's surface and
+its refusals:
+
+- create/drop/list/exists for databases (ref :224-361) and tables
+  (ref :379-593); rename via filesystem move (ref Files.move, :560-578);
+- schema inference on ``get_table`` from the dataset's own schema
+  (ref :428-436);
+- ALTER TABLE rejected (ref :582-593); partitions / stored functions /
+  statistics unsupported (ref :595-728 — stats are UNKNOWN by design);
+- ``register_table`` binds a table into the Spark session as a temp view
+  so the full delegated-SQL surface runs over it (SURVEY.md §2.1-S9).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import fragments as FR
+from .reader import read_dataset
+
+
+class CatalogError(RuntimeError):
+    pass
+
+
+class Unsupported(CatalogError):
+    """Operations the reference explicitly refuses."""
+
+
+class DatasetCatalog:
+    def __init__(self, warehouse: str, default_database: str = "default"):
+        self.warehouse = warehouse
+        self.default_database = default_database
+        os.makedirs(os.path.join(warehouse, default_database), exist_ok=True)
+
+    # -- databases (ref LanceCatalog.java:224-361) --------------------------
+
+    def _db_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, db)
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(self._db_path(d))
+        )
+
+    def database_exists(self, db: str) -> bool:
+        return os.path.isdir(self._db_path(db))
+
+    def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
+        if self.database_exists(db):
+            if ignore_if_exists:
+                return
+            raise CatalogError(f"database already exists: {db}")
+        os.makedirs(self._db_path(db))
+
+    def drop_database(self, db: str, ignore_if_not_exists: bool = False,
+                      cascade: bool = False) -> None:
+        if not self.database_exists(db):
+            if ignore_if_not_exists:
+                return
+            raise CatalogError(f"database does not exist: {db}")
+        if self.list_tables(db) and not cascade:
+            raise CatalogError(f"database not empty: {db}")
+        shutil.rmtree(self._db_path(db))
+
+    # -- tables (ref LanceCatalog.java:379-593) -----------------------------
+
+    def _table_path(self, db: str, table: str) -> str:
+        return os.path.join(self.warehouse, db, table)
+
+    def list_tables(self, db: str | None = None) -> list[str]:
+        db = db or self.default_database
+        if not self.database_exists(db):
+            raise CatalogError(f"database does not exist: {db}")
+        return sorted(
+            t for t in os.listdir(self._db_path(db))
+            if FR.is_dataset(self._table_path(db, t))
+        )
+
+    def table_exists(self, db: str, table: str) -> bool:
+        return FR.is_dataset(self._table_path(db, table))
+
+    def table_location(self, db: str, table: str) -> str:
+        return self._table_path(db, table)
+
+    def drop_table(self, db: str, table: str, ignore_if_not_exists: bool = False) -> None:
+        if not self.table_exists(db, table):
+            if ignore_if_not_exists:
+                return
+            raise CatalogError(f"table does not exist: {db}.{table}")
+        shutil.rmtree(self._table_path(db, table))
+
+    def rename_table(self, db: str, table: str, new_name: str) -> None:
+        """Filesystem move (ref LanceCatalog.java:560-578)."""
+        if not self.table_exists(db, table):
+            raise CatalogError(f"table does not exist: {db}.{table}")
+        dst = self._table_path(db, new_name)
+        if os.path.exists(dst):
+            raise CatalogError(f"table already exists: {db}.{new_name}")
+        shutil.move(self._table_path(db, table), dst)
+
+    def get_table(self, spark: SparkSession, db: str, table: str,
+                  version: int | None = None) -> DataFrame:
+        """Schema inferred from the dataset itself (ref :428-436)."""
+        if not self.table_exists(db, table):
+            raise CatalogError(f"table does not exist: {db}.{table}")
+        return read_dataset(spark, self._table_path(db, table), version=version)
+
+    def register_table(self, spark: SparkSession, db: str, table: str,
+                       view_name: str | None = None) -> DataFrame:
+        df = self.get_table(spark, db, table)
+        df.createOrReplaceTempView(view_name or table)
+        return df
+
+    # -- explicit refusals, matching the reference --------------------------
+
+    def alter_table(self, *_args, **_kwargs):
+        raise Unsupported("ALTER TABLE is not supported (ref LanceCatalog.java:582-593)")
+
+    def create_function(self, *_args, **_kwargs):
+        raise Unsupported(
+            "stored functions are not supported; register session-scope UDTFs "
+            "instead (ref LanceCatalog.java:648-678)"
+        )
+
+    def get_table_statistics(self, *_args, **_kwargs):
+        """ref LanceCatalog.java:683-704 — statistics are UNKNOWN."""
+        return None
+
+    def list_partitions(self, *_args, **_kwargs):
+        raise Unsupported("partitions are not supported (ref LanceCatalog.java:595-646)")

@@ -1,0 +1,145 @@
+"""Fragment/manifest model of a versioned columnar dataset.
+
+Mirrors the reference's data model (SURVEY.md §1.1): a table is a
+directory of immutable fragment files plus ``_versions/*.manifest``
+(table detection is by ``_versions/`` — ref table/LanceCatalog.java:397,
+:492-493); a fragment is the unit of parallelism (one fragment == one
+input split — ref LanceSplit.java:31-68: splitNumber/fragmentId/path/
+rowCount); writes create fragments then atomically commit a new version
+(``FragmentOperation.Append``/``Overwrite`` — ref LanceSink.java:163-189).
+
+Two backends share this model:
+
+- **lance** (import-gated): the real Lance format via the ``lance``
+  Python package (same Rust core the reference binds over JNI). Not
+  present in this container — every entry point degrades with a clear
+  ``LanceUnavailableError``.
+- **local emulation**: fragments are parquet files; the manifest is a
+  JSON file per version with atomic O_EXCL commit + retry on version
+  conflict. This exercises the exact architecture the Lance path needs
+  (executor-side fragment production, driver-side single-winner commit —
+  SURVEY.md §7.2) and is what tests/benches run on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass
+
+try:  # pragma: no cover - exercised only where lance is installed
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+class LanceUnavailableError(RuntimeError):
+    def __init__(self, what: str = "this operation"):
+        super().__init__(
+            f"{what} requires the native 'lance' package, which is not "
+            "installed in this environment; the parquet-fragment emulation "
+            "backend (format='fragmented-parquet') provides the same API"
+        )
+
+
+@dataclass(frozen=True)
+class FragmentInfo:
+    """ref LanceSplit.java:31-68 (splitNumber == position in manifest)."""
+
+    fragment_id: int
+    file: str  # relative to dataset root
+    row_count: int
+
+
+@dataclass
+class Manifest:
+    version: int
+    fragments: list[FragmentInfo]
+
+    @property
+    def row_count(self) -> int:
+        return sum(f.row_count for f in self.fragments)
+
+
+VERSIONS_DIR = "_versions"
+DATA_DIR = "data"
+
+
+def is_dataset(path: str) -> bool:
+    """Table detection by _versions/ (ref table/LanceCatalog.java:492-493)."""
+    return os.path.isdir(os.path.join(path, VERSIONS_DIR))
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, VERSIONS_DIR, f"{version}.manifest.json")
+
+
+def latest_version(root: str) -> int | None:
+    vdir = os.path.join(root, VERSIONS_DIR)
+    if not os.path.isdir(vdir):
+        return None
+    versions = [
+        int(name.split(".")[0])
+        for name in os.listdir(vdir)
+        if name.endswith(".manifest.json")
+    ]
+    return max(versions) if versions else None
+
+
+def read_manifest(root: str, version: int | None = None) -> Manifest:
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"not a dataset (no {VERSIONS_DIR}/): {root}")
+    with open(_manifest_path(root, v)) as fh:
+        raw = json.load(fh)
+    return Manifest(
+        version=raw["version"],
+        fragments=[FragmentInfo(**f) for f in raw["fragments"]],
+    )
+
+
+def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
+           max_retries: int = 20) -> Manifest:
+    """Atomically commit a new dataset version.
+
+    The commit is the transaction boundary (ref LanceSink.java:163-189):
+    ``append`` extends the previous fragment list, ``overwrite`` replaces
+    it. Single-winner semantics via O_EXCL manifest creation with retry
+    on version conflict — the driver-side commit protocol that the
+    reference avoids by serializing writers (SURVEY.md §7.2)."""
+    os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
+    for _ in range(max_retries):
+        prev_v = latest_version(root)
+        if mode == "overwrite" or prev_v is None:
+            fragments = list(new_fragments)
+        else:
+            prev = read_manifest(root, prev_v)
+            base = len(prev.fragments)
+            fragments = prev.fragments + [
+                FragmentInfo(base + i, f.file, f.row_count)
+                for i, f in enumerate(new_fragments)
+            ]
+        next_v = 0 if prev_v is None else prev_v + 1
+        manifest = Manifest(version=next_v, fragments=fragments)
+        payload = json.dumps(
+            {"version": next_v, "fragments": [asdict(f) for f in manifest.fragments]}
+        )
+        try:
+            fd = os.open(_manifest_path(root, next_v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # another writer won this version; re-read and retry
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return manifest
+    raise RuntimeError(f"commit conflict: gave up after {max_retries} retries at {root}")
+
+
+def new_fragment_name() -> str:
+    return f"frag-{uuid.uuid4().hex}.parquet"
+
+
+def fragment_paths(root: str, manifest: Manifest) -> list[str]:
+    return [os.path.join(root, f.file) for f in manifest.fragments]

@@ -1,0 +1,116 @@
+"""Dataset reader — the engine's analog of the reference scan surface
+(ref LanceSource.java:147-283, LanceInputFormat.java:100-198).
+
+``read_dataset(spark, path, ...)`` returns a DataFrame with the
+reference's pushdown surface applied: column pruning (§2.2), filter
+forwarding (§2.3), limit (§2.4), version pinning (MVCC read).
+
+Execution model — deliberately NOT the reference's:
+
+- The reference degrades to a single subtask whenever a filter or limit
+  is present (ref LanceSource.java:156-170). Here every fragment scans in
+  parallel with the filter applied per-fragment and limits planned as
+  per-partition early exit + global limit (Catalyst ``CollectLimit``).
+- Fragment == input partition: we hand Spark the explicit fragment file
+  list, so task count tracks the manifest exactly (one task per fragment
+  file, subject to Spark's split packing for small fragments — the
+  right behavior at 100 TB where tiny-fragment coalescing matters).
+- Filters arrive either as DataFrame ``Column``s (preferred — Catalyst
+  pushes them into the parquet scan) or as the reference-style SQL
+  filter string (``read.filter`` option — ref config/LanceOptions.java:83-87)
+  which is applied via ``F.expr`` and *still* pushed down by Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..options import DatasetOptions
+from . import fragments as FR
+
+
+def read_dataset(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    filter: "Column | str | None" = None,
+    limit: int | None = None,
+    version: int | None = None,
+    options: DatasetOptions | None = None,
+) -> DataFrame:
+    opts = options or DatasetOptions(path=path)
+    if FR.HAVE_LANCE:  # pragma: no cover - native path, not in container
+        return _read_lance(spark, path, columns, filter, limit, version, opts)
+    return _read_local(spark, path, columns, filter, limit, version, opts)
+
+
+def _apply_pushdowns(df: DataFrame, columns, filter, limit, opts: DatasetOptions) -> DataFrame:
+    # configured read.filter composes by AND with the query filter
+    # (ref table/LanceDynamicTableSource.java:350-363)
+    if opts.read_filter:
+        df = df.filter(F.expr(opts.read_filter))
+    if filter is not None:
+        df = df.filter(F.expr(filter) if isinstance(filter, str) else filter)
+    cols = columns or opts.read_columns
+    if cols:
+        df = df.select(*cols)
+    lim = limit if limit is not None else opts.read_limit
+    if lim is not None:
+        df = df.limit(lim)  # limit 0 is valid (ref LanceOptions.java:725-728)
+    return df
+
+
+def _read_local(spark, path, columns, filter, limit, version, opts) -> DataFrame:
+    manifest = FR.read_manifest(path, version)
+    files = FR.fragment_paths(path, manifest)
+    if not files:
+        raise FileNotFoundError(f"dataset {path} (v{manifest.version}) has no fragments")
+    df = spark.read.parquet(*files)
+    return _apply_pushdowns(df, columns, filter, limit, opts)
+
+
+def _read_lance(spark, path, columns, filter, limit, version, opts) -> DataFrame:  # pragma: no cover
+    """Native path: driver lists fragments (metadata-only), executors scan
+    their fragment via the lance Python API inside mapInArrow — one task
+    per fragment, Arrow end-to-end (SURVEY.md §1.1 Spark mapping)."""
+    import lance
+
+    from ..types import arrow_schema_to_spark
+
+    ds = lance.dataset(path, version=version)
+    frag_ids = [f.fragment_id for f in ds.get_fragments()]
+    schema = arrow_schema_to_spark(ds.schema)
+    cols = columns or opts.read_columns
+    filt = filter if isinstance(filter, str) else None
+
+    def scan(iterator):
+        import lance as _lance
+
+        dset = _lance.dataset(path, version=version)
+        for pdf in iterator:
+            for fid in pdf["fragment_id"]:
+                frag = dset.get_fragment(int(fid))
+                for batch in frag.to_batches(columns=cols, filter=filt,
+                                             batch_size=opts.read_batch_size):
+                    yield batch
+
+    import pandas as pd
+
+    seed = spark.createDataFrame(pd.DataFrame({"fragment_id": frag_ids})).repartition(
+        max(len(frag_ids), 1), "fragment_id"
+    )
+    out_schema = schema if not cols else type(schema)([schema[c] for c in cols])
+    df = seed.mapInArrow(scan, schema=out_schema)
+    # residual filter / limit still applied engine-side for correctness
+    return _apply_pushdowns(df, None, None if filt else filter, limit, opts)
+
+
+def count_rows(path: str, version: int | None = None) -> int:
+    """COUNT(*) fast path from fragment metadata without scanning data
+    (ref fragment.countRows analog — LanceInputFormat.java:117)."""
+    if FR.HAVE_LANCE:  # pragma: no cover
+        import lance
+
+        return lance.dataset(path, version=version).count_rows()
+    return FR.read_manifest(path, version).row_count

@@ -1,0 +1,120 @@
+"""Dataset writer — executor-side fragment production + driver-side
+single-winner commit.
+
+The reference buffers rows per subtask and commits a version per flush
+(ref LanceSink.java:133-199), which serializes writers on the manifest.
+Here the write is two-phase, the shape a 100 TB cluster needs
+(SURVEY.md §3.2 Spark equivalent):
+
+1. executors write fragment files in parallel into a staging area
+   (plain ``df.write.parquet`` — Spark's committer gives atomic task
+   output), honoring ``write.max-rows-per-file``
+   (ref config/LanceOptions.java:112-116) via
+   ``spark.sql.files.maxRecordsPerFile``;
+2. the driver promotes staged files to ``data/`` and commits ONE new
+   manifest version (``append`` | ``overwrite`` —
+   ref LanceSink.java:163-190) with O_EXCL conflict retry.
+
+Overwrite replaces the fragment list in the new version instead of
+pre-deleting the directory (the reference deletes the dataset dir first —
+ref LanceSink.java:123-127 — losing MVCC history; we keep old versions
+readable)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+
+from ..options import DatasetOptions, WriteMode
+from . import fragments as FR
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    mode: "str | WriteMode" = WriteMode.APPEND,
+    options: DatasetOptions | None = None,
+) -> FR.Manifest:
+    opts = options or DatasetOptions(path=path)
+    mode = WriteMode.parse(mode)
+    if FR.HAVE_LANCE:  # pragma: no cover - native path, not in container
+        return _write_lance(df, path, mode, opts)
+    return _write_local(df, path, mode, opts)
+
+
+def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions) -> FR.Manifest:
+    data_dir = os.path.join(path, FR.DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    stage = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    try:
+        (
+            df.write.option("maxRecordsPerFile", opts.write_max_rows_per_file)
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        new_fragments: list[FR.FragmentInfo] = []
+        for i, name in enumerate(sorted(os.listdir(stage))):
+            if not name.endswith(".parquet"):
+                continue
+            frag_name = FR.new_fragment_name()
+            src = os.path.join(stage, name)
+            rows = pq.read_metadata(src).num_rows  # footer only, no data read
+            shutil.move(src, os.path.join(data_dir, frag_name))
+            new_fragments.append(
+                FR.FragmentInfo(i, os.path.join(FR.DATA_DIR, frag_name), rows)
+            )
+        return FR.commit(path, new_fragments, mode=mode.value)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _write_lance(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions) -> FR.Manifest:  # pragma: no cover
+    """Native path: per-partition ``lance.fragment.LanceFragment.create``
+    on executors (returns serialized FragmentMetadata), single
+    ``lance.LanceOperation.Append/Overwrite`` commit on the driver."""
+    import json
+
+    import lance
+    from lance.fragment import write_fragments
+
+    from ..types import spark_schema_to_arrow
+
+    schema = spark_schema_to_arrow(df.schema)
+
+    def produce(iterator):
+        import pandas as pd
+        import pyarrow as pa
+
+        batches = [pa.RecordBatch.from_pandas(pdf, schema=schema) for pdf in iterator]
+        if batches:
+            frags = write_fragments(
+                pa.Table.from_batches(batches, schema=schema),
+                path,
+                max_rows_per_file=opts.write_max_rows_per_file,
+            )
+            yield pd.DataFrame({"frag": [json.dumps([f.to_json() for f in frags])]})
+        else:
+            yield pd.DataFrame({"frag": []})
+
+    metas = df.mapInPandas(produce, schema="frag string").collect()
+    frag_metas = [
+        lance.fragment.FragmentMetadata.from_json(j)
+        for row in metas
+        for j in json.loads(row.frag)
+    ]
+    if mode is WriteMode.OVERWRITE:
+        op = lance.LanceOperation.Overwrite(schema, frag_metas)
+        read_version = 0
+    else:
+        ds = lance.dataset(path)
+        op = lance.LanceOperation.Append(frag_metas)
+        read_version = ds.version
+    lance.LanceDataset.commit(path, op, read_version=read_version)
+    ds = lance.dataset(path)
+    return FR.Manifest(version=ds.version, fragments=[
+        FR.FragmentInfo(f.fragment_id, "", f.count_rows()) for f in ds.get_fragments()
+    ])

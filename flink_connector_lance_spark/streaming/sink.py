@@ -1,0 +1,65 @@
+"""Structured Streaming sink with epoch-idempotent commits.
+
+The reference's sink is unbounded-capable and achieves exactly-once by
+flushing its buffer on every checkpoint (ref LanceSink.java:234-239,
+insert-only changelog ref table/LanceDynamicTableSink.java:52-56). The
+Spark-native equivalent (SURVEY.md §7.1 M9) is ``foreachBatch``: each
+micro-batch commits ONE dataset version, and a persisted epoch ledger
+makes re-delivered batches (after failure/restart) no-ops, so
+at-least-once delivery + idempotent commit = exactly-once output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from ..options import DatasetOptions, WriteMode
+from ..sources import fragments as FR
+from ..sources.writer import write_dataset
+
+EPOCHS_DIR = "_epochs"
+
+
+def _epoch_marker(path: str, epoch_id: int) -> str:
+    return os.path.join(path, EPOCHS_DIR, f"{epoch_id}.json")
+
+
+def epoch_committed(path: str, epoch_id: int) -> bool:
+    return os.path.exists(_epoch_marker(path, epoch_id))
+
+
+def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
+                 options: DatasetOptions | None = None) -> FR.Manifest | None:
+    """Idempotent per-epoch append: skip if this epoch already committed
+    (exactly-once under foreachBatch's at-least-once redelivery)."""
+    if epoch_committed(path, epoch_id):
+        return None
+    manifest = write_dataset(batch_df, path, mode=WriteMode.APPEND, options=options)
+    os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
+    marker = _epoch_marker(path, epoch_id)
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"epoch": epoch_id, "version": manifest.version}, fh)
+    os.replace(marker + ".tmp", marker)
+    return manifest
+
+
+def stream_write_dataset(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    options: DatasetOptions | None = None,
+    trigger_available_now: bool = False,
+):
+    """``writeStream.foreachBatch`` wiring: one version per micro-batch
+    (insert-only, matching the reference's changelog declaration)."""
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda bdf, eid: commit_epoch(bdf, eid, path, options))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
