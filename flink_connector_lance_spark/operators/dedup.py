@@ -28,17 +28,34 @@ from pyspark.sql import Column, DataFrame
 from . import text as T
 
 
-def shingles(text_col, k: int = 3) -> Column:
-    """Distinct word k-grams. 1-based ws[i] indexing mirrors the DuckDB
-    oracle; trailing incomplete shingles are dropped."""
-    ts = T.tokens(text_col)
-    n = F.size(ts)
+def shingles_of(ws: Column, k: int = 3) -> Column:
+    """Distinct word k-grams over an already-materialized token array.
+
+    Pass an *attribute* (a real column), not the split expression —
+    otherwise codegen re-splits the text for every element access and the
+    operator degrades to O(tokens^2) per row."""
+    n = F.size(ws)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     gram = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(T.tokens(text_col), (i + j + 1).cast("int")) for j in range(k)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]),
     )
     return F.array_distinct(gram)
+
+
+def with_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """(id, shingles) in two stacked projections: tokens materialize in the
+    first, shingles in the second. Catalyst's CollapseProject keeps
+    multiply-referenced non-cheap expressions un-inlined, so each is
+    computed exactly once per row."""
+    toks = df.select(F.col(id_col), T.tokens(text_col).alias("__ws"))
+    return toks.select(F.col(id_col), shingles_of(F.col("__ws"), k).alias(out_col))
+
+
+def shingles(text_col, k: int = 3) -> Column:
+    """Expression form (single use only — see with_shingles for hot paths)."""
+    return shingles_of(T.tokens(text_col), k)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
@@ -82,7 +99,8 @@ def minhash_lsh_pairs(
     are the join on band keys and the final distinct — both on candidate
     volume, not corpus volume."""
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col), *minhash_signature(shingles(text_col, shingle_k), num_hashes))
+    sh = with_shingles(df, text_col, id_col, shingle_k)
+    sig = sh.select(F.col(id_col), *minhash_signature(F.col("shingles"), num_hashes))
     band_structs = []
     for b in range(bands):
         parts = [F.col(f"mh{h}") for h in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -109,10 +127,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from an inverted-index
     equi-join on shingles (never the cross product)."""
-    sh = df.select(
+    sh = with_shingles(df, text_col, id_col, shingle_k).select(
         F.col(id_col),
-        F.explode(shingles(text_col, shingle_k)).alias("sh"),
-        F.size(shingles(text_col, shingle_k)).alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+        F.size("shingles").alias("n_sh"),
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -146,12 +164,17 @@ def simhash_pairs(
     pigeonhole any pair within the radius shares an exact chunk — and
     equi-join on chunks; the all-pairs form here is the correctness
     baseline on the signature table only (n rows, not n^2 texts)."""
-    sig = df.select(F.col(id_col), T.simhash(text_col, bits).alias("sig"))
-    a = sig.alias("a")
+    hs = df.select(
+        F.col(id_col),
+        F.transform(T.tokens(text_col), lambda t: T.token_hash64(t)).alias("__hs"),
+    )
+    sig = hs.select(F.col(id_col), T.simhash_of(F.col("__hs"), bits).alias("sig"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = sig.repartition(n_parts, id_col).alias("a")
     b = sig.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -173,9 +196,13 @@ def embedding_cosine_pairs(
     operators.ann.lsh_signature and join bucket-to-bucket."""
     from ..functions import vector as V
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
+    # parallelism of a broadcast nested-loop join == left-side partitions;
+    # force an explicit count (exempt from AQE byte-based coalescing) so the
+    # O(n^2/2) similarity arithmetic spreads across all cores
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va")).repartition(n_parts, "id_a")
     b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"),
                    lambda x, y: x * y),

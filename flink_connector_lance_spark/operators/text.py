@@ -112,15 +112,14 @@ def fingerprint(text_col) -> Column:
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
-def simhash(text_col, bits: int = 60) -> Column:
-    """SimHash over token 60-bit hashes, computed without explode:
+def simhash_of(hs: Column, bits: int = 60) -> Column:
+    """SimHash over an already-materialized token-hash array column:
     for each bit j, majority-vote over tokens; set bit j if the vote > 0.
 
     Stays entirely in array expressions (aggregate over transform), so
     per-document cost is O(tokens * bits) inside codegen and the operator
-    needs no shuffle."""
-    ts = tokens(text_col)
-    hs = F.transform(ts, lambda t: token_hash64(t))
+    needs no shuffle. Pass a real column (see dedup.with_shingles note):
+    the hash array is referenced ``bits`` times and must not be re-inlined."""
     def _vote(mask: int):
         # closure (not a default arg): pyspark infers lambda arity, and a
         # default parameter would be mistaken for the array-index argument
@@ -131,3 +130,8 @@ def simhash(text_col, bits: int = 60) -> Column:
         vote = F.aggregate(hs, F.lit(0), _vote(1 << j))
         out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash(text_col, bits: int = 60) -> Column:
+    """Expression form of SimHash (single-use contexts only)."""
+    return simhash_of(F.transform(tokens(text_col), lambda t: token_hash64(t)), bits)

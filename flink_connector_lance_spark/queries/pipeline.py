@@ -89,7 +89,10 @@ def dedup_exact(spark, sf_dir):
         "on band keys — the O(candidates) near-dup path for 100 TB corpora.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    # repartition before the signature stage: md5 minhashing is CPU-dense
+    # and the corpus arrives in few file partitions locally; on a cluster
+    # this spreads signature work across all cores before the band join
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return D.minhash_lsh_pairs(d, "text", "doc_id", _NUM_HASHES, _BANDS)
 
 
@@ -112,7 +115,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         "pairs (equi-join on shingle, never a cross product).",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2)
 
 
@@ -128,7 +131,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "signatures computed shuffle-free in codegen.",
 )
 def dedup_simhash(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
     out = D.simhash_pairs(d, "text", "doc_id", _SIMHASH_BITS, _MAX_HAMMING)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 

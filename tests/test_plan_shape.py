@@ -1,0 +1,61 @@
+"""Physical-plan shape assertions — the scale contract, not just results.
+
+These pin the properties that matter at 100 TB: filters and projections
+reach the parquet scan, small dims broadcast, ORDER BY+LIMIT compiles to
+TakeOrdered (per-partition top-k), and aggregates are partial+final
+(never the reference's single-task degradation)."""
+
+from __future__ import annotations
+
+from flink_connector_lance_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_pruned_at_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_project")
+    assert "ReadSchema" in plan
+    # only the 3 needed columns of lineitem's 11 reach the scan
+    read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_comparisons")
+    # the plan string truncates the PushedFilters list; the DataFilters
+    # entries prove the predicates reached the scan node
+    pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert pushed.startswith("PushedFilters: [IsNotNull(")
+    assert "DataFilters: [isnotnull(l_quantity" in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast_dims")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_is_partial_final(spark, sf_dir):
+    # contra ref LanceSource.java:156-170 single-subtask degradation:
+    # two HashAggregate nodes (partial + final) around the exchange
+    plan = _plan(spark, sf_dir, "agg_groupby_full")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # '*(n)' markers = whole-stage-codegen spans (AQE prints the final
+    # formatted tree lazily, so check the codegen markers instead)
+    plan = _plan(spark, sf_dir, "filter_comparisons")
+    assert "*(1)" in plan
