@@ -66,6 +66,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .queries import core, knn, pipeline, sources_q, vector_ann  # noqa: F401
+    from .queries import core, extended, knn, pipeline, sources_q, vector_ann  # noqa: F401
 
     _LOADED = True
