@@ -168,7 +168,10 @@ def compose(accepted: list[str], configured: str | None = None) -> str | None:
     (ref table/LanceDynamicTableSource.java:350-363)."""
     parts = list(accepted)
     if configured:
-        parts.append(f"({configured})")
+        parts.append(configured)
     if not parts:
         return None
-    return " AND ".join(f"({p})" if not p.startswith("(") else p for p in parts)
+    # every part is wrapped unconditionally: a compiled top-level OR is
+    # exactly "(a) OR (b)", which starts with "(" but is NOT fully
+    # parenthesized — joining it unwrapped would rebind as a OR (b AND c)
+    return " AND ".join(f"({p})" for p in parts)

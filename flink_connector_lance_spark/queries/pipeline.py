@@ -277,7 +277,7 @@ def multimodal_metadata(spark, sf_dir):
     "multimodal_decode_features",
     oracle=(
         lambda: (
-            "SELECT doc_id AS media_id, list_value("
+            "SELECT doc_id AS media_id, '[' || array_to_string(list_transform(list_value("
             + ", ".join(
                 "round(((('0x'||substr(md5(text), {p1}, 2))::BIGINT * 256 + "
                 "('0x'||substr(md5(text), {p2}, 2))::BIGINT) % 1000) / 1000.0, 6)".format(
@@ -285,15 +285,24 @@ def multimodal_metadata(spark, sf_dir):
                 )
                 for i in range(8)
             )
-            + ") AS features FROM documents"
+            + "), x -> printf('%.6f', x)), ',') || ']' AS features FROM documents"
         )
     )(),
     doc="Arrow-batched mapInPandas decode plumbing with the deterministic "
         "fake decoder (real decode stubbed: no media libs in container; "
-        "operators.multimodal.decode_image).",
+        "operators.multimodal.decode_image). Output serializes the feature "
+        "vector to a fixed-format string so the oracle harness can sort and "
+        "hash it (array columns are unhashable driver-side).",
 )
 def multimodal_decode_features(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     media = M.to_media_table(d.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload")
     feats = M.extract_features(media, dim=8, fake=True)
-    return feats.select("media_id", "features")
+    # %.6f fixed-format (not to_json): both engines format the same double
+    # with the same printf semantics, so the strings match byte-for-byte
+    features_str = F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform("features", lambda x: F.format_string("%.6f", x))),
+        F.lit("]"),
+    )
+    return feats.select("media_id", features_str.alias("features"))
