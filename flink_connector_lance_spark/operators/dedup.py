@@ -124,14 +124,31 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from an inverted-index
-    equi-join on shingles (never the cross product)."""
+    equi-join on shingles (never the cross product).
+
+    ``max_doc_freq`` is the hot-shingle skew guard: shingles appearing in
+    more than that many documents are dropped from the inverted index
+    before the self-join (standard inverted-index pruning). Without it, a
+    single stopword shingle shared by millions of docs makes the join key
+    explode quadratically. The hot list is tiny by construction, so it
+    broadcasts; pruned shingles still count toward each document's
+    shingle-set size (the Jaccard denominator), only the intersection is
+    computed over the pruned index."""
     sh = with_shingles(df, text_col, id_col, shingle_k).select(
         F.col(id_col),
         F.explode("shingles").alias("sh"),
         F.size("shingles").alias("n_sh"),
     )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -150,6 +167,27 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def simhash_chunks(sig: Column, bits: int, max_hamming: int) -> list[Column]:
+    """Pigeonhole chunking: split a ``bits``-wide signature into
+    ``max_hamming + 1`` contiguous bit ranges. Any two signatures within
+    hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    chunks, so they agree EXACTLY on at least one — banding is lossless."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(bits, n_chunks)
+    out, start = [], 0
+    for c in range(n_chunks):
+        size = base + (1 if c < rem else 0)
+        mask = (1 << size) - 1
+        out.append(
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.shiftright(sig, start).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+        )
+        start += size
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
@@ -157,31 +195,60 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+    """Near-dup pairs by SimHash hamming distance, via pigeonhole banding.
 
-    Local/test path: all-pairs on the (tiny) signature relation. Scale
-    path (100 TB): band the signature into (max_hamming+1) chunks — by
-    pigeonhole any pair within the radius shares an exact chunk — and
-    equi-join on chunks; the all-pairs form here is the correctness
-    baseline on the signature table only (n rows, not n^2 texts)."""
+    The signature is split into ``max_hamming + 1`` bit chunks; by
+    pigeonhole, any pair within the hamming radius matches exactly on at
+    least one chunk, so candidates come from an equi-join on
+    (chunk_idx, chunk_bits) — O(candidates), never the all-pairs cross
+    product — and the exact hamming filter runs on candidates only.
+    Results are identical to the all-pairs formulation (banding is
+    lossless for this radius), so the oracle stays the exact definition."""
     hs = df.select(
         F.col(id_col),
         F.transform(T.tokens(text_col), lambda t: T.token_hash64(t)).alias("__hs"),
     )
     sig = hs.select(F.col(id_col), T.simhash_of(F.col("__hs"), bits).alias("sig"))
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    a = sig.repartition(n_parts, id_col).alias("a")
-    b = sig.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
-        a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(F.array(*simhash_chunks(F.col("sig"), bits, max_hamming))).alias("c"),
+    ).select(id_col, "sig", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
+        # a pair within the radius can share several chunks — dedupe before
+        # the (cheap) exact filter; sig_a/sig_b are functionally dependent
+        # on the ids so distinct() keys on the pair
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _cosine(va: Column, vb: Column) -> Column:
+    from ..functions import vector as V
+
+    dot = F.aggregate(
+        F.zip_with(va.cast("array<double>"), vb.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return F.round(dot / (V.norm(va) * V.norm(vb)), 6)
 
 
 def embedding_cosine_pairs(
@@ -189,26 +256,48 @@ def embedding_cosine_pairs(
     vector_col: str,
     id_col: str,
     threshold: float = 0.9,
+    planes=None,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine similarity >= threshold.
 
-    All-pairs with a<b locally; at 100 TB pre-bucket with
-    operators.ann.lsh_signature and join bucket-to-bucket."""
-    from ..functions import vector as V
+    With ``planes`` (a list of random hyperplanes, see
+    operators.ann.make_planes): the 100 TB path — candidates are pairs
+    whose LSH signatures are within hamming distance 1 (side A explodes
+    its probe buckets {sig} ∪ ham-1(sig); side B keeps its exact sig; the
+    join is an equi-join on the bucket id), then the exact cosine filter
+    runs on candidates only. Candidate selection is probabilistic-recall
+    by construction (standard LSH semantics, like MinHash banding); the
+    paired oracle mirrors the identical bucketing so results match
+    exactly. Without ``planes``: exact all-pairs — O(n^2), small inputs
+    only."""
+    if planes is None:
+        # parallelism of a broadcast nested-loop join == left-side
+        # partitions; force an explicit count (exempt from AQE byte-based
+        # coalescing) so the O(n^2/2) arithmetic spreads across all cores
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va")).repartition(n_parts, "id_a")
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        sim = _cosine(F.col("va"), F.col("vb"))
+        return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(F.col("cosine") >= threshold)
 
-    # parallelism of a broadcast nested-loop join == left-side partitions;
-    # force an explicit count (exempt from AQE byte-based coalescing) so the
-    # O(n^2/2) similarity arithmetic spreads across all cores
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va")).repartition(n_parts, "id_a")
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"),
-                   lambda x, y: x * y),
-        F.lit(0.0), lambda acc, v: acc + v,
+    from . import ann as A
+
+    sigd = df.select(
+        F.col(id_col),
+        F.col(vector_col),
+        A.lsh_signature(F.col(vector_col), planes).alias("sig"),
     )
-    na = V.norm(F.col("va"))
-    nb = V.norm(F.col("vb"))
-    sim = F.round(dot / (na * nb), 6)
+    # single-sided multiprobe: bucket(a) ∋ sig(b)  <=>  hamming(sig_a, sig_b) <= 1;
+    # probe values are distinct, so each colliding pair joins exactly once
+    probes = F.array(F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))])
+    a = sigd.select(
+        F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = sigd.select(
+        F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"), F.col("sig").alias("bucket")
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = _cosine(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(F.col("cosine") >= threshold)

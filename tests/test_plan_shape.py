@@ -54,6 +54,18 @@ def test_agg_is_partial_final(spark, sf_dir):
     assert "Exchange" in plan
 
 
+def test_simhash_banding_is_equi_join(spark, sf_dir):
+    # pigeonhole banding: candidates via equi-join on (chunk_idx, chunk_bits),
+    # never the O(n^2) broadcast nested-loop of the all-pairs formulation
+    plan = _plan(spark, sf_dir, "dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_cosine_is_bucketed_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # '*(n)' markers = whole-stage-codegen spans (AQE prints the final
     # formatted tree lazily, so check the codegen markers instead)
