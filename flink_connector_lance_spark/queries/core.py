@@ -247,37 +247,39 @@ def agg_sum_int(spark, sf_dir):
 
 
 @register(
-    "agg_empty_global",
+    "agg_empty_semantics",
     oracle="""
-    SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+    SELECT 'global' AS kind, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
            round(avg(l_quantity), 4) AS avg_qty, max(l_returnflag) AS max_flag
     FROM lineitem WHERE l_quantity < 0
+    UNION ALL
+    SELECT concat('grp_', l_returnflag) AS kind, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty, round(avg(l_quantity), 4) AS avg_qty,
+           max(l_returnflag) AS max_flag
+    FROM lineitem WHERE l_quantity < 0 GROUP BY l_returnflag
     """,
-    doc="Global aggregate over empty input: COUNT=0, SUM/AVG/MAX NULL "
-        "(ref AggregateExecutor.java:216-244).",
+    doc="Empty-input aggregate semantics, both shapes in one result: global "
+        "aggregate over empty input -> single row (COUNT=0, SUM/AVG/MAX "
+        "NULL, ref AggregateExecutor.java:216-244); GROUP BY over empty "
+        "input -> contributes zero rows (ref AggregateExecutorTest.java:371-384).",
 )
-def agg_empty_global(spark, sf_dir):
+def agg_empty_semantics(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 0)
-    return li.agg(
+    aggs = [
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.max("l_returnflag").alias("max_flag"),
+    ]
+    glob = li.agg(*aggs).select(F.lit("global").alias("kind"), "cnt", "sum_qty", "avg_qty", "max_flag")
+    grouped = (
+        li.groupBy("l_returnflag").agg(*aggs)
+        .select(
+            F.concat(F.lit("grp_"), F.col("l_returnflag")).alias("kind"),
+            "cnt", "sum_qty", "avg_qty", "max_flag",
+        )
     )
-
-
-@register(
-    "agg_empty_groupby",
-    oracle="""
-    SELECT l_returnflag, count(*) AS cnt
-    FROM lineitem WHERE l_quantity < 0 GROUP BY l_returnflag
-    """,
-    doc="GROUP BY over empty input -> empty result "
-        "(ref AggregateExecutorTest.java:371-384).",
-)
-def agg_empty_groupby(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 0)
-    return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+    return glob.unionAll(grouped)
 
 
 @register(
@@ -465,23 +467,12 @@ def join_anti_semi(spark, sf_dir):
 
 
 @register(
-    "setop_union_distinct",
+    "setop_union_intersect_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
-    """,
-    doc="UNION (distinct) set operation.",
-)
-def setop_union_distinct(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@register(
-    "setop_intersect_except",
-    oracle="""
+    SELECT 'union' AS kind, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
     SELECT 'both' AS kind, nationkey FROM (
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT SELECT s_nationkey FROM supplier)
@@ -490,14 +481,16 @@ def setop_union_distinct(spark, sf_dir):
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT SELECT s_nationkey FROM supplier)
     """,
-    doc="INTERSECT + EXCEPT set operations.",
+    doc="All three set operations in one tagged result: UNION (distinct), "
+        "INTERSECT, EXCEPT (delegated surface, §2.6).",
 )
-def setop_intersect_except(spark, sf_dir):
+def setop_union_intersect_except(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    union = c.union(s).distinct().select(F.lit("union").alias("kind"), "nationkey")
     both = c.intersect(s).select(F.lit("both").alias("kind"), "nationkey")
     cust_only = c.subtract(s).select(F.lit("cust_only").alias("kind"), "nationkey")
-    return both.unionAll(cust_only)
+    return union.unionAll(both).unionAll(cust_only)
 
 
 @register(

@@ -66,13 +66,25 @@ def knn_cosine(spark, sf_dir):
 
 @register(
     "knn_dot",
-    oracle=_oracle(_NEGDOT),
-    doc="Exact KNN, dot metric (negated dot product; smaller = closer).",
+    oracle=f"""
+    WITH qv AS (SELECT {_QSQL} AS q)
+    SELECT vec_id, _distance, round(1.0 / (1.0 + _distance), 6) AS similarity
+    FROM (
+        SELECT vec_id, {_NEGDOT} AS _distance
+        FROM embeddings, qv
+    )
+    ORDER BY _distance, vec_id
+    LIMIT 10
+    """,
+    doc="Exact KNN, dot metric (negated dot product; smaller = closer) "
+        "plus the similarity score 1/(1+d) of ref "
+        "LanceVectorSearch.java:420-426 as a trailing column.",
 )
 def knn_dot(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    return knn(e, "embedding", QVEC, k=10, metric="dot",
-               tiebreak_cols=["vec_id"], round_digits=6).select("vec_id", "_distance")
+    out = knn(e, "embedding", QVEC, k=10, metric="dot",
+              tiebreak_cols=["vec_id"], round_digits=6, with_similarity=True)
+    return out.select("vec_id", "_distance", F.round("similarity", 6).alias("similarity"))
 
 
 @register(
@@ -86,27 +98,6 @@ def knn_l2_filtered(spark, sf_dir):
     return knn(e, "embedding", QVEC, k=10, metric="l2",
                filter=F.col("label").isin(1, 3, 5),
                tiebreak_cols=["vec_id"], round_digits=6).select("vec_id", "_distance", "label")
-
-
-@register(
-    "knn_similarity",
-    oracle=f"""
-    WITH qv AS (SELECT {_QSQL} AS q)
-    SELECT vec_id, _distance, round(1.0 / (1.0 + _distance), 6) AS similarity
-    FROM (
-        SELECT vec_id, {_COS} AS _distance
-        FROM embeddings, qv
-    )
-    ORDER BY _distance, vec_id
-    LIMIT 10
-    """,
-    doc="KNN + similarity score 1/(1+d) (ref LanceVectorSearch.java:420-426).",
-)
-def knn_similarity(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
-    out = knn(e, "embedding", QVEC, k=10, metric="cosine",
-              tiebreak_cols=["vec_id"], round_digits=6, with_similarity=True)
-    return out.select("vec_id", "_distance", F.round("similarity", 6).alias("similarity"))
 
 
 @register(

@@ -76,6 +76,35 @@ def source_version_travel(spark, sf_dir):
 
 
 @register(
+    "source_format_api",
+    oracle="""
+    SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE n_chars > 150
+    GROUP BY lang
+    """,
+    doc="spark.read.format('lance') / df.write.format('lance') — the "
+        "registered PySpark DataSource (sources/datasource.py; ref "
+        "table/LanceDynamicTableFactory.java:52-237 + SPI registration): "
+        "format write (per-task Arrow fragment + driver manifest commit), "
+        "format read (one partition per fragment) with the n_chars "
+        "predicate pushed through pushFilters into the fragment scan.",
+)
+def source_format_api(spark, sf_dir):
+    from ..sources.datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    d = load_table(spark, sf_dir, "documents")
+    path = _workdir("formatapi", sf_dir)
+    d.write.format("lance").mode("overwrite").save(path)
+    return (
+        spark.read.format("lance").load(path)
+        .filter(F.col("n_chars") > 150)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@register(
     "source_pushdown_read",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents

@@ -61,11 +61,19 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 
+# The external correctness driver checks AT MOST 50 registered queries, in
+# registration order (round 1: registry had 52, CORRECTNESS_r01 recorded
+# exactly the first 50 and silently dropped the last two). Keep the registry
+# at <= 50 entries (tests/test_registry_budget.py pins this) and import the
+# most load-bearing modules first so any overflow costs the least evidence.
+DRIVER_QUERY_CAP = 50
+
+
 def _ensure_loaded() -> None:
     """Import all query modules (they self-register on import)."""
     global _LOADED
     if _LOADED:
         return
-    from .queries import core, extended, knn, pipeline, sources_q, vector_ann  # noqa: F401
+    from .queries import core, knn, vector_ann, sources_q, pipeline, extended  # noqa: F401
 
     _LOADED = True

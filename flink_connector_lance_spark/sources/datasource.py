@@ -1,0 +1,257 @@
+"""PySpark DataSource registration: ``spark.read.format("lance")`` /
+``df.write.format("lance")`` over the versioned fragment dataset layer.
+
+This is the engine's analog of the reference's factory/DDL surface
+(ref table/LanceDynamicTableFactory.java:52-237 and its SPI registration
+at src/main/resources/META-INF/services/...Factory:1-2): after
+``register_lance_datasource(spark)`` (the ``spark.dataSource.register``
+call SURVEY.md §7.1 M1 promised), the format name ``lance`` resolves to
+this class for both reads and writes.
+
+Execution model (Spark-first, not the reference's):
+
+- **Read**: one ``InputPartition`` per fragment (ref LanceSplit.java:31-68
+  — splitNumber/fragmentId/path/rowCount), scanned on executors as Arrow
+  record batches (columnar end-to-end; the reference pivots to row objects,
+  SURVEY.md §1.1). Filter pushdown uses Spark 4.1's typed
+  ``DataSourceReader.pushFilters`` bridge: accepted predicates become
+  pyarrow dataset expressions evaluated inside the fragment scan (parquet
+  row-group + page pruning); unsupported predicates stay in the plan, so
+  correctness never depends on acceptance (same partial-acceptance contract
+  as ref table/LanceDynamicTableSource.java:177-193).
+- **Write**: two-phase commit at cluster scale — each task streams its
+  Arrow batches into one fragment file (``DataSourceArrowWriter``, no row
+  pivot), the driver's ``commit()`` publishes ONE new manifest version
+  (append | overwrite — ref LanceSink.java:163-190) with O_EXCL conflict
+  retry; ``abort()`` removes orphaned fragments. Fragments written by
+  failed/aborted tasks are invisible by construction because only the
+  manifest names live fragments.
+
+Options: ``path`` (required), ``version`` (read time travel),
+``read.batch-size`` (ref config/LanceOptions.java:56-60).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterable, Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from . import fragments as FR
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+FORMAT_NAME = "lance"
+DEFAULT_BATCH_SIZE = 1024  # ref config/LanceOptions.java:56-60
+
+
+@dataclass
+class FragmentPartition(InputPartition):
+    """One fragment == one input split (ref LanceSplit.java:31-68)."""
+
+    fragment_id: int
+    file: str
+    row_count: int
+
+
+@dataclass
+class FragmentCommitMessage(WriterCommitMessage):
+    file: str | None  # relative to dataset root; None = empty task
+    row_count: int
+
+
+def _filter_to_arrow(f: Filter):
+    """Translate one typed Spark filter into a pyarrow dataset expression.
+
+    Returns None for anything not convertible — the partial-acceptance
+    contract: rejected filters stay in Spark's plan and are re-applied
+    engine-side (ref table/LanceDynamicTableSource.java:177-193; IN is
+    accepted here unlike the reference's :263-264, because pyarrow
+    evaluates it natively)."""
+    import pyarrow.compute as pc
+
+    def col(attr):
+        if len(attr) != 1:  # nested references stay residual
+            return None
+        return pc.field(attr[0])
+
+    if isinstance(f, EqualTo):
+        c = col(f.attribute)
+        return None if c is None else c == f.value
+    if isinstance(f, Not) and isinstance(f.child, EqualTo):
+        c = col(f.child.attribute)
+        return None if c is None else c != f.child.value
+    if isinstance(f, GreaterThan):
+        c = col(f.attribute)
+        return None if c is None else c > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        c = col(f.attribute)
+        return None if c is None else c >= f.value
+    if isinstance(f, LessThan):
+        c = col(f.attribute)
+        return None if c is None else c < f.value
+    if isinstance(f, LessThanOrEqual):
+        c = col(f.attribute)
+        return None if c is None else c <= f.value
+    if isinstance(f, In):
+        c = col(f.attribute)
+        return None if c is None else c.isin(list(f.value))
+    if isinstance(f, IsNull):
+        c = col(f.attribute)
+        return None if c is None else c.is_null()
+    if isinstance(f, IsNotNull):
+        c = col(f.attribute)
+        return None if c is None else ~c.is_null()
+    return None
+
+
+class LanceDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("lance datasource requires a 'path' option")
+        v = options.get("version")
+        self._version = int(v) if v is not None else None
+        self._batch_size = int(options.get("read.batch-size", DEFAULT_BATCH_SIZE))
+        # typed Filter dataclasses are picklable; converted to pyarrow
+        # expressions lazily on the executor (expressions don't need to
+        # survive the driver->executor hop)
+        self._pushed: List[Filter] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        residual = []
+        for f in filters:
+            if _filter_to_arrow(f) is not None:
+                self._pushed.append(f)
+            else:
+                residual.append(f)
+        return residual
+
+    def partitions(self) -> List[FragmentPartition]:
+        manifest = FR.read_manifest(self._path, self._version)
+        return [
+            FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)
+            for f in manifest.fragments
+        ]
+
+    def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.dataset as pads
+
+        expr = None
+        for f in self._pushed:
+            e = _filter_to_arrow(f)
+            expr = e if expr is None else (expr & e)
+        dset = pads.dataset(partition.file, format="parquet")
+        scanner = dset.scanner(filter=expr, batch_size=self._batch_size)
+        yield from scanner.to_batches()
+
+
+class LanceDataSourceWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("lance datasource requires a 'path' option")
+        self._mode = "overwrite" if overwrite else "append"
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
+        """Runs on executors: stream this task's batches into one fragment."""
+        import pyarrow.parquet as pq
+
+        data_dir = os.path.join(self._path, FR.DATA_DIR)
+        os.makedirs(data_dir, exist_ok=True)
+        frag_name = FR.new_fragment_name()
+        out = os.path.join(data_dir, frag_name)
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            if os.path.exists(out):
+                os.remove(out)
+            return FragmentCommitMessage(file=None, row_count=0)
+        return FragmentCommitMessage(file=os.path.join(FR.DATA_DIR, frag_name), row_count=rows)
+
+    def commit(self, messages: List[FragmentCommitMessage]) -> None:
+        """Runs on the driver: single-winner manifest commit."""
+        frags = [
+            FR.FragmentInfo(i, m.file, m.row_count)
+            for i, m in enumerate(m for m in messages if m is not None and m.file)
+        ]
+        FR.commit(self._path, frags, mode=self._mode)
+
+    def abort(self, messages: List[FragmentCommitMessage]) -> None:
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self._path, m.file))
+                except OSError:
+                    pass
+
+
+class LanceDataSource(DataSource):
+    """``spark.read.format("lance")`` / ``df.write.format("lance")``
+    (ref table/LanceDynamicTableFactory.java:52-237)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+
+        from ..types import arrow_schema_to_spark
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lance datasource requires a 'path' option")
+        v = self.options.get("version")
+        manifest = FR.read_manifest(path, int(v) if v is not None else None)
+        if not manifest.fragments:
+            raise FileNotFoundError(f"dataset {path} (v{manifest.version}) has no fragments")
+        # schema from the first fragment's footer: metadata-only read
+        first = os.path.join(path, manifest.fragments[0].file)
+        return arrow_schema_to_spark(pq.read_schema(first))
+
+    def reader(self, schema: StructType) -> LanceDataSourceReader:
+        return LanceDataSourceReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> LanceDataSourceWriter:
+        return LanceDataSourceWriter(dict(self.options), overwrite)
+
+
+def register_lance_datasource(spark) -> None:
+    """Idempotent ``spark.dataSource.register`` (SURVEY.md §7.1 M1).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    conf, default false in Spark 4.1): a reader implementing
+    ``pushFilters`` hard-fails without it, and plain sessions — like the
+    external driver's — don't set it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LanceDataSource)

@@ -1,0 +1,94 @@
+"""PySpark DataSource surface: spark.read.format("lance") /
+df.write.format("lance") over the fragment dataset layer
+(ref table/LanceDynamicTableFactory.java:52-237)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_connector_lance_spark.sources import fragments as FR
+from flink_connector_lance_spark.sources.datasource import register_lance_datasource
+
+
+@pytest.fixture()
+def registered(spark):
+    register_lance_datasource(spark)
+    return spark
+
+
+def _sample(spark):
+    return spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("grp"),
+        F.concat(F.lit("row-"), F.col("id")).alias("name"),
+    )
+
+
+def test_format_write_then_read_roundtrip(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "ds")
+    _sample(spark).write.format("lance").mode("overwrite").save(path)
+    assert FR.is_dataset(path)
+    out = spark.read.format("lance").load(path)
+    assert out.count() == 100
+    assert set(out.columns) == {"id", "grp", "name"}
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(100))
+
+
+def test_format_append_creates_new_version(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "ds")
+    _sample(spark).write.format("lance").mode("overwrite").save(path)
+    _sample(spark).filter(F.col("grp") == 0).write.format("lance").mode("append").save(path)
+    assert FR.latest_version(path) == 1
+    assert spark.read.format("lance").load(path).count() == 120
+    # time travel back to v0
+    v0 = spark.read.format("lance").option("version", "0").load(path)
+    assert v0.count() == 100
+
+
+def test_format_read_filter_pushdown_prunes_rows(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "ds")
+    _sample(spark).repartition(4).write.format("lance").mode("overwrite").save(path)
+    out = spark.read.format("lance").load(path).filter(
+        (F.col("grp") == 2) & (F.col("id") >= 50)
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.grp == 2 and r.id >= 50 for r in rows)
+    # unsupported predicates must stay residual and still be correct
+    out2 = spark.read.format("lance").load(path).filter("id % 7 = 0")
+    assert out2.count() == len([i for i in range(100) if i % 7 == 0])
+
+
+def test_fragments_map_to_partitions(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "ds")
+    _sample(spark).repartition(4).write.format("lance").mode("overwrite").save(path)
+    manifest = FR.read_manifest(path)
+    assert len(manifest.fragments) == 4
+    # one Spark task per fragment
+    df = spark.read.format("lance").load(path)
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_empty_tasks_produce_no_fragments(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "ds")
+    # 8 partitions, only a few non-empty
+    _sample(spark).filter(F.col("id") < 3).repartition(8).write.format(
+        "lance"
+    ).mode("overwrite").save(path)
+    manifest = FR.read_manifest(path)
+    assert sum(f.row_count for f in manifest.fragments) == 3
+    assert all(f.row_count > 0 for f in manifest.fragments)
+    # no orphan files beyond the manifest
+    data_files = {
+        os.path.join(FR.DATA_DIR, n)
+        for n in os.listdir(os.path.join(path, FR.DATA_DIR))
+    }
+    assert {f.file for f in manifest.fragments} == data_files
