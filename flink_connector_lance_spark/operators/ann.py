@@ -54,13 +54,37 @@ def query_signature(q: Sequence[float], planes: Sequence[Sequence[float]]) -> in
 
 
 def probe_signatures(q: Sequence[float], planes: Sequence[Sequence[float]],
-                     multiprobe: bool = True) -> list[int]:
-    """Query bucket + (optionally) all hamming-1 neighbor buckets."""
+                     multiprobe: bool = True, nprobes: int | None = None) -> list[int]:
+    """Query bucket + (optionally) all hamming-1 neighbor buckets.
+
+    ``nprobes`` caps how many buckets are probed (ref vector.nprobes,
+    config/LanceOptions.java:215-219, threaded into every native query at
+    LanceVectorSearch.java:146-163): the exact bucket first, then ham-1
+    neighbors in plane order — fewer probes = fewer candidates = faster,
+    lower recall."""
     qs = query_signature(q, planes)
     out = [qs]
     if multiprobe:
         out += [qs ^ (1 << p) for p in range(len(planes))]
-    return sorted(set(out))
+    deduped = list(dict.fromkeys(out))  # preserve probe priority order
+    if nprobes is not None:
+        if nprobes <= 0:
+            raise ValueError("nprobes must be positive")
+        deduped = deduped[:nprobes]
+    return deduped
+
+
+def lsh_candidates(
+    df: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    multiprobe: bool = True,
+    nprobes: int | None = None,
+) -> DataFrame:
+    """The candidate set an LSH search scores: rows in the probed buckets."""
+    probes = probe_signatures(query, planes, multiprobe, nprobes=nprobes)
+    return df.filter(lsh_signature(vector_col, planes).isin(probes))
 
 
 def lsh_knn(
@@ -71,16 +95,35 @@ def lsh_knn(
     metric: str = "l2",
     planes: Sequence[Sequence[float]] | None = None,
     multiprobe: bool = True,
+    nprobes: int | None = None,
+    refine_factor: int | None = None,
     tiebreak_cols: Sequence[str] = (),
     round_digits: int | None = None,
+    options=None,
 ) -> DataFrame:
     """ANN top-k: filter to the query's (multi-probe) LSH buckets, then
-    exact top-k among candidates."""
+    exact top-k among candidates.
+
+    Search-time knobs (ref config/LanceOptions.java:215-237, threaded as
+    in LanceVectorSearch.java:146-163; defaults resolved from
+    ``options: DatasetOptions`` when given):
+    - ``nprobes`` caps probed buckets (see probe_signatures);
+    - ``refine_factor`` over-fetches k*refine_factor candidates by a
+      coarse (2-decimal) distance, then re-ranks them exactly — the
+      read-wider-then-refine contract of Lance's refine stage."""
     from .knn import knn
 
+    if options is not None:
+        nprobes = nprobes if nprobes is not None else options.vector_nprobes
+        refine_factor = (refine_factor if refine_factor is not None
+                         else options.vector_refine_factor)
     planes = planes if planes is not None else make_planes(dim=len(query))
-    probes = probe_signatures(query, planes, multiprobe)
-    candidates = df.filter(lsh_signature(vector_col, planes).isin(probes))
+    candidates = lsh_candidates(df, vector_col, query, planes, multiprobe, nprobes)
+    if refine_factor is not None and refine_factor > 1:
+        coarse = knn(candidates, vector_col, query, k=k * refine_factor, metric=metric,
+                     tiebreak_cols=tiebreak_cols, round_digits=2,
+                     distance_col="_coarse")
+        candidates = coarse.drop("_coarse")
     return knn(candidates, vector_col, query, k=k, metric=metric,
                tiebreak_cols=tiebreak_cols, round_digits=round_digits)
 
@@ -106,15 +149,21 @@ def ivf_coarse_knn(
     cell_col: str,
     query: Sequence[float],
     k: int = 10,
-    nprobes: int = 2,
+    nprobes: int | None = 2,
     tiebreak_cols: Sequence[str] = (),
     round_digits: int | None = None,
+    options=None,
 ) -> DataFrame:
     """IVF-style coarse search: probe the nprobes nearest cells, exact
     L2 top-k within them (ref IVF semantics, LanceIndexBuilder.java:125-138;
-    nprobes default ref config/LanceOptions.java:215-219)."""
+    nprobes default ref config/LanceOptions.java:215-219 — resolved from
+    ``options: DatasetOptions.vector_nprobes`` when given)."""
     from .knn import knn
 
+    if nprobes is None:
+        nprobes = options.vector_nprobes if options is not None else 2
+    if nprobes <= 0:
+        raise ValueError("nprobes must be positive")
     q = V.validate_query_vector(query)
     cent = centroids_by(df, vector_col, cell_col)
     d2 = F.round(V.l2_distance("centroid", q), 6)

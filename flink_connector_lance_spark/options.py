@@ -60,6 +60,69 @@ class IndexType(str, Enum):
             raise ValueError(f"unknown index type {s!r}") from None
 
 
+S3_SCHEMES = ("s3://", "s3a://", "s3n://")
+
+
+def is_s3_path(path: str) -> bool:
+    """Path-scheme detection (ref table/LanceCatalogS3Test.java:165-355
+    unit surface; the reference routes s3:// warehouses to the S3-backed
+    catalog, everything else to the local filesystem)."""
+    return path.lower().startswith(S3_SCHEMES)
+
+
+@dataclass
+class S3Options:
+    """Catalog S3 credentials/endpoint options with the reference's
+    defaults (ref table/LanceCatalogFactory.java:77-111): s3-access-key,
+    s3-secret-key, s3-region, s3-endpoint, s3-virtual-hosted-style=true,
+    s3-allow-http=false."""
+
+    access_key: str | None = None
+    secret_key: str | None = None
+    region: str | None = None
+    endpoint: str | None = None
+    virtual_hosted_style: bool = True
+    allow_http: bool = False
+
+    KEYS = {
+        "s3-access-key": "access_key",
+        "s3-secret-key": "secret_key",
+        "s3-region": "region",
+        "s3-endpoint": "endpoint",
+        "s3-virtual-hosted-style": "virtual_hosted_style",
+        "s3-allow-http": "allow_http",
+    }
+
+    @classmethod
+    def from_dict(cls, opts: dict) -> "S3Options | None":
+        """Build from connector-style keys; None when no s3-* key present."""
+        kwargs = {}
+        for k, attr in cls.KEYS.items():
+            if k in opts and opts[k] is not None:
+                v = opts[k]
+                if attr in ("virtual_hosted_style", "allow_http") and isinstance(v, str):
+                    v = v.strip().lower() in ("true", "1", "yes")
+                kwargs[attr] = v
+        return cls(**kwargs) if kwargs else None
+
+    def to_storage_options(self) -> dict:
+        """Map to the aws_* storage-option names the Lance native layer
+        consumes (ref table/LanceCatalogFactory.java:148-176 mapping,
+        applied at table/LanceCatalog.java:743-773)."""
+        out: dict = {}
+        if self.access_key:
+            out["aws_access_key_id"] = self.access_key
+        if self.secret_key:
+            out["aws_secret_access_key"] = self.secret_key
+        if self.region:
+            out["aws_region"] = self.region
+        if self.endpoint:
+            out["aws_endpoint"] = self.endpoint
+        out["virtual_hosted_style_request"] = str(self.virtual_hosted_style).lower()
+        out["allow_http"] = str(self.allow_http).lower()
+        return out
+
+
 @dataclass
 class DatasetOptions:
     """All reference options with their defaults (ref config/LanceOptions.java):
@@ -94,6 +157,7 @@ class DatasetOptions:
     vector_refine_factor: int | None = None
     default_database: str = "default"
     warehouse: str | None = None
+    s3: "S3Options | None" = None
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -167,6 +231,8 @@ class DatasetOptions:
                 elif attr == "read_columns" and isinstance(v, str):
                     v = [c.strip() for c in v.split(",") if c.strip()]
                 kwargs[attr] = v
+            elif k in S3Options.KEYS:
+                pass  # collected below
             else:
                 extra[k] = v
-        return cls(extra=extra, **kwargs)
+        return cls(extra=extra, s3=S3Options.from_dict(opts), **kwargs)

@@ -21,6 +21,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..options import S3Options, is_s3_path
 from . import fragments as FR
 from .reader import read_dataset
 
@@ -34,10 +35,34 @@ class Unsupported(CatalogError):
 
 
 class DatasetCatalog:
-    def __init__(self, warehouse: str, default_database: str = "default"):
+    """Warehouse catalog over a local directory or an S3 URI.
+
+    S3 warehouses (``s3://`` / ``s3a://`` / ``s3n://`` — scheme detection
+    mirrored from ref table/LanceCatalogS3Test.java) carry the mapped
+    ``aws_*`` storage options (ref table/LanceCatalogFactory.java:148-176,
+    applied at table/LanceCatalog.java:743-773) for the native Lance
+    layer; the emulated parquet backend is filesystem-only, so S3 data
+    operations degrade with a clear error rather than mis-resolving
+    paths."""
+
+    def __init__(self, warehouse: str, default_database: str = "default",
+                 s3: S3Options | None = None):
         self.warehouse = warehouse
         self.default_database = default_database
-        os.makedirs(os.path.join(warehouse, default_database), exist_ok=True)
+        self.s3 = s3
+        self.is_remote = is_s3_path(warehouse)
+        self.storage_options = (s3 or S3Options()).to_storage_options() if self.is_remote else {}
+        if not self.is_remote:
+            os.makedirs(os.path.join(warehouse, default_database), exist_ok=True)
+
+    def _require_local(self, op: str) -> None:
+        if self.is_remote:
+            raise Unsupported(
+                f"{op} on an S3 warehouse requires the native lance backend; "
+                "the emulated parquet backend is filesystem-only "
+                "(storage options are mapped and ready: "
+                f"{sorted(self.storage_options)})"
+            )
 
     # -- databases (ref LanceCatalog.java:224-361) --------------------------
 
@@ -45,15 +70,18 @@ class DatasetCatalog:
         return os.path.join(self.warehouse, db)
 
     def list_databases(self) -> list[str]:
+        self._require_local("list_databases")
         return sorted(
             d for d in os.listdir(self.warehouse)
             if os.path.isdir(self._db_path(d))
         )
 
     def database_exists(self, db: str) -> bool:
+        self._require_local("database_exists")
         return os.path.isdir(self._db_path(db))
 
     def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
+        self._require_local("create_database")
         if self.database_exists(db):
             if ignore_if_exists:
                 return
@@ -62,6 +90,7 @@ class DatasetCatalog:
 
     def drop_database(self, db: str, ignore_if_not_exists: bool = False,
                       cascade: bool = False) -> None:
+        self._require_local("drop_database")
         if not self.database_exists(db):
             if ignore_if_not_exists:
                 return
@@ -76,6 +105,7 @@ class DatasetCatalog:
         return os.path.join(self.warehouse, db, table)
 
     def list_tables(self, db: str | None = None) -> list[str]:
+        self._require_local("list_tables")
         db = db or self.default_database
         if not self.database_exists(db):
             raise CatalogError(f"database does not exist: {db}")
@@ -85,12 +115,14 @@ class DatasetCatalog:
         )
 
     def table_exists(self, db: str, table: str) -> bool:
+        self._require_local("table_exists")
         return FR.is_dataset(self._table_path(db, table))
 
     def table_location(self, db: str, table: str) -> str:
         return self._table_path(db, table)
 
     def drop_table(self, db: str, table: str, ignore_if_not_exists: bool = False) -> None:
+        self._require_local("drop_table")
         if not self.table_exists(db, table):
             if ignore_if_not_exists:
                 return
@@ -99,6 +131,7 @@ class DatasetCatalog:
 
     def rename_table(self, db: str, table: str, new_name: str) -> None:
         """Filesystem move (ref LanceCatalog.java:560-578)."""
+        self._require_local("rename_table")
         if not self.table_exists(db, table):
             raise CatalogError(f"table does not exist: {db}.{table}")
         dst = self._table_path(db, new_name)

@@ -58,6 +58,14 @@ class FragmentInfo:
 class Manifest:
     version: int
     fragments: list[FragmentInfo]
+    # commit metadata recorded atomically WITH the version (e.g. the
+    # streaming epoch id): readers can decide idempotency from the manifest
+    # chain alone, closing the marker-after-commit crash window
+    meta: dict = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.meta is None:
+            self.meta = {}
 
     @property
     def row_count(self) -> int:
@@ -78,13 +86,17 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def latest_version(root: str) -> int | None:
+    """Highest manifest version. Recognizes both the emulated naming
+    (``N.manifest.json``) and the native Lance naming (``N.manifest`` —
+    the convention of the reference's checked-in fixtures,
+    test-data/lance-db1/_versions/1.manifest)."""
     vdir = os.path.join(root, VERSIONS_DIR)
     if not os.path.isdir(vdir):
         return None
     versions = [
         int(name.split(".")[0])
         for name in os.listdir(vdir)
-        if name.endswith(".manifest.json")
+        if name.endswith(".manifest.json") or name.endswith(".manifest")
     ]
     return max(versions) if versions else None
 
@@ -93,23 +105,30 @@ def read_manifest(root: str, version: int | None = None) -> Manifest:
     v = latest_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"not a dataset (no {VERSIONS_DIR}/): {root}")
-    with open(_manifest_path(root, v)) as fh:
+    path = _manifest_path(root, v)
+    if not os.path.exists(path) and os.path.exists(path.removesuffix(".json")):
+        # native Lance binary manifest: layout-compatible but needs the lib
+        raise LanceUnavailableError(f"reading native manifest {v}.manifest")
+    with open(path) as fh:
         raw = json.load(fh)
     return Manifest(
         version=raw["version"],
         fragments=[FragmentInfo(**f) for f in raw["fragments"]],
+        meta=raw.get("meta", {}),
     )
 
 
 def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
-           max_retries: int = 20) -> Manifest:
+           max_retries: int = 20, meta: dict | None = None) -> Manifest:
     """Atomically commit a new dataset version.
 
     The commit is the transaction boundary (ref LanceSink.java:163-189):
     ``append`` extends the previous fragment list, ``overwrite`` replaces
     it. Single-winner semantics via O_EXCL manifest creation with retry
     on version conflict — the driver-side commit protocol that the
-    reference avoids by serializing writers (SURVEY.md §7.2)."""
+    reference avoids by serializing writers (SURVEY.md §7.2).
+    ``meta`` rides inside the same atomic manifest write (used for
+    streaming epoch idempotency)."""
     os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
     for _ in range(max_retries):
         prev_v = latest_version(root)
@@ -123,9 +142,10 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
                 for i, f in enumerate(new_fragments)
             ]
         next_v = 0 if prev_v is None else prev_v + 1
-        manifest = Manifest(version=next_v, fragments=fragments)
+        manifest = Manifest(version=next_v, fragments=fragments, meta=dict(meta or {}))
         payload = json.dumps(
-            {"version": next_v, "fragments": [asdict(f) for f in manifest.fragments]}
+            {"version": next_v, "fragments": [asdict(f) for f in manifest.fragments],
+             "meta": manifest.meta}
         )
         try:
             fd = os.open(_manifest_path(root, next_v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -38,15 +38,17 @@ def write_dataset(
     path: str,
     mode: "str | WriteMode" = WriteMode.APPEND,
     options: DatasetOptions | None = None,
+    commit_meta: dict | None = None,
 ) -> FR.Manifest:
     opts = options or DatasetOptions(path=path)
     mode = WriteMode.parse(mode)
     if FR.HAVE_LANCE:  # pragma: no cover - native path, not in container
         return _write_lance(df, path, mode, opts)
-    return _write_local(df, path, mode, opts)
+    return _write_local(df, path, mode, opts, commit_meta)
 
 
-def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions) -> FR.Manifest:
+def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions,
+                 commit_meta: dict | None = None) -> FR.Manifest:
     data_dir = os.path.join(path, FR.DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     stage = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
@@ -67,7 +69,7 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
             new_fragments.append(
                 FR.FragmentInfo(i, os.path.join(FR.DATA_DIR, frag_name), rows)
             )
-        return FR.commit(path, new_fragments, mode=mode.value)
+        return FR.commit(path, new_fragments, mode=mode.value, meta=commit_meta)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

@@ -21,6 +21,7 @@ from ..sources import fragments as FR
 from ..sources.writer import write_dataset
 
 EPOCHS_DIR = "_epochs"
+EPOCH_META_KEY = "stream_epoch"
 
 
 def _epoch_marker(path: str, epoch_id: int) -> str:
@@ -28,16 +29,37 @@ def _epoch_marker(path: str, epoch_id: int) -> str:
 
 
 def epoch_committed(path: str, epoch_id: int) -> bool:
-    return os.path.exists(_epoch_marker(path, epoch_id))
+    """True iff this epoch's rows are already in a committed version.
+
+    The authoritative record is the epoch id INSIDE the manifest (written
+    atomically with the version commit — no crash window); the ``_epochs``
+    marker file is only a fast path that avoids walking the manifest
+    chain on the common no-redelivery case."""
+    if os.path.exists(_epoch_marker(path, epoch_id)):
+        return True
+    v = FR.latest_version(path)
+    while v is not None and v >= 0:
+        try:
+            m = FR.read_manifest(path, v)
+        except FileNotFoundError:
+            break
+        if m.meta.get(EPOCH_META_KEY) == epoch_id:
+            return True
+        v -= 1
+    return False
 
 
 def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
                  options: DatasetOptions | None = None) -> FR.Manifest | None:
     """Idempotent per-epoch append: skip if this epoch already committed
-    (exactly-once under foreachBatch's at-least-once redelivery)."""
+    (exactly-once under foreachBatch's at-least-once redelivery). The
+    epoch id is part of the manifest commit itself, so a crash after the
+    commit but before the marker write cannot cause a duplicate append —
+    the redelivered epoch finds itself in the manifest chain."""
     if epoch_committed(path, epoch_id):
         return None
-    manifest = write_dataset(batch_df, path, mode=WriteMode.APPEND, options=options)
+    manifest = write_dataset(batch_df, path, mode=WriteMode.APPEND, options=options,
+                             commit_meta={EPOCH_META_KEY: epoch_id})
     os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
     marker = _epoch_marker(path, epoch_id)
     with open(marker + ".tmp", "w") as fh:
