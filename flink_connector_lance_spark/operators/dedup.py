@@ -226,19 +226,16 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
-        # a pair within the radius can share several chunks — dedupe before
-        # the (cheap) exact filter; sig_a/sig_b are functionally dependent
-        # on the ids so distinct() keys on the pair
+        # exact hamming filter BEFORE the dedupe: the filter is a cheap
+        # codegen expression over the (large) candidate stream, so the
+        # distinct shuffle only carries true near-dup pairs — candidates
+        # sharing several chunks collapse there
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return cand
 
 
 def _cosine(va: Column, vb: Column) -> Column:
@@ -249,6 +246,20 @@ def _cosine(va: Column, vb: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v,
     )
     return F.round(dot / (V.norm(va) * V.norm(vb)), 6)
+
+
+def _dot_chain(va: Column, vb: Column, dim: int) -> Column:
+    """Fixed-width dot product as an element_at chain.
+
+    Higher-order functions (zip_with/aggregate) are CodegenFallback in
+    Spark — interpreted per element, ~10x slower per pair than the
+    unrolled chain, which whole-stage codegen JITs. Summation is
+    left-to-right exactly like aggregate()/DuckDB list_sum, so results
+    are bit-identical."""
+    out = F.element_at(va, 1) * F.element_at(vb, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(va, i) * F.element_at(vb, i)
+    return out
 
 
 def embedding_cosine_pairs(
@@ -283,21 +294,41 @@ def embedding_cosine_pairs(
 
     from . import ann as A
 
+    dim = len(planes[0])
+    # hoist everything per-ROW out of the pair loop: the double cast and
+    # the norm are computed once per vector (n evaluations), so each of
+    # the O(candidates) pairs pays exactly one codegen'd dot-chain — the
+    # hoisting is FP-referentially-transparent (same ops, same order), so
+    # results stay bit-identical to the per-pair formulation the oracle uses
+    vd = F.col(vector_col).cast("array<double>")
     sigd = df.select(
         F.col(id_col),
-        F.col(vector_col),
+        vd.alias("vd"),
         A.lsh_signature(F.col(vector_col), planes).alias("sig"),
+    ).select(
+        F.col(id_col), F.col("vd"),
+        F.sqrt(_dot_chain(F.col("vd"), F.col("vd"), dim)).alias("nrm"),
+        F.col("sig"),
     )
     # single-sided multiprobe: bucket(a) ∋ sig(b)  <=>  hamming(sig_a, sig_b) <= 1;
     # probe values are distinct, so each colliding pair joins exactly once
     probes = F.array(F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))])
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # round-robin repartition of the probe side: with the bucket relation
+    # broadcast, the candidate fan-out (and its cosine arithmetic) runs at
+    # the probe side's parallelism — without this, a corpus read from a
+    # handful of parquet files does all pair scoring on one or two cores
     a = sigd.select(
-        F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"),
+        F.col(id_col).alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"),
         F.explode(probes).alias("bucket"),
-    )
+    ).repartition(n_parts)
     b = sigd.select(
-        F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"), F.col("sig").alias("bucket")
+        F.col(id_col).alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"),
+        F.col("sig").alias("bucket"),
     )
+    # no broadcast hint: locally Catalyst broadcasts the small bucket
+    # relation (parallelism = probe-side partitions); at corpus scale AQE
+    # demotes to a shuffled equi-join on bucket — never a nested loop
     pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
-    sim = _cosine(F.col("va"), F.col("vb"))
+    sim = F.round(_dot_chain(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6)
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(F.col("cosine") >= threshold)

@@ -26,7 +26,11 @@ _H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
 _H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
 
 _NUM_HASHES, _BANDS = 16, 4
-_SIMHASH_BITS, _MAX_HAMMING = 32, 6
+# radius 3 on 32 bits: 4 pigeonhole chunks of 8 bits. Radius 6 flagged 13%
+# of ALL random pairs on this corpus (16k pairs at sf0.01) — useless as a
+# near-dup signal and quadratic-ish in candidates; radius 3 keeps banding
+# selective (256-value chunks) and the pair set meaningfully "near".
+_SIMHASH_BITS, _MAX_HAMMING = 32, 3
 
 
 def _minhash_sig_sql() -> str:
@@ -136,8 +140,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= {_MAX_HAMMING}
     """,
-    doc="SimHash(32-bit) near-dup pairs within hamming distance 6 via "
-        "pigeonhole banding (7 chunk equi-join, lossless for the radius) — "
+    doc="SimHash(32-bit) near-dup pairs within hamming distance 3 via "
+        "pigeonhole banding (4 chunk equi-join, lossless for the radius) — "
         "the oracle keeps the exact all-pairs definition because banded "
         "results are identical; signatures computed shuffle-free in codegen.",
 )
