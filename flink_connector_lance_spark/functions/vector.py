@@ -46,15 +46,46 @@ def _as_double(col) -> Column:
     return c.cast("array<double>")
 
 
-def dot_product(col, q: Sequence[float] | Column) -> Column:
+def dot_product_hof(col, q: Sequence[float] | Column) -> Column:
+    """zip_with/aggregate dot — compact expression tree, interpreted
+    (CodegenFallback). Use when MANY dots appear in one projection (e.g.
+    one per LSH plane): the unrolled chain form would multiply past
+    janino's 64 KB method limit and knock the whole stage out of codegen,
+    which is strictly worse than one small interpreted expression."""
     qc = vec_literal(q) if not isinstance(q, Column) else q
     prods = F.zip_with(_as_double(col), qc, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(col) -> Column:
+def dot_product(col, q: Sequence[float] | Column) -> Column:
+    """Dot against a query. When the query is a literal Python sequence
+    (the KNN hot path — dimension known at plan time), the product-sum is
+    an unrolled element_at chain: zip_with/aggregate are CodegenFallback
+    (interpreted per element), the chain JITs in whole-stage codegen.
+    Summation stays left-to-right, so both forms are bit-identical
+    (0.0 + x == x exactly in IEEE754 for the aggregate's seed). Only for
+    a FEW distances per projection — see dot_product_hof for the
+    many-dots case."""
+    if not isinstance(q, Column):
+        c = _as_double(col)
+        out: Column = F.element_at(c, 1) * float(q[0])
+        for i in range(1, len(q)):
+            out = out + F.element_at(c, i + 1) * float(q[i])
+        return out
+    return dot_product_hof(col, q)
+
+
+def norm(col, dim: int | None = None) -> Column:
+    """Vector L2 norm. With ``dim`` known, unrolled for codegen (bit-
+    identical to the aggregate form — same op order)."""
+    c = _as_double(col)
+    if dim is not None:
+        acc: Column = F.element_at(c, 1) * F.element_at(c, 1)
+        for i in range(2, dim + 1):
+            acc = acc + F.element_at(c, i) * F.element_at(c, i)
+        return F.sqrt(acc)
     sq = F.aggregate(
-        F.zip_with(_as_double(col), _as_double(col), lambda x, y: x * y),
+        F.zip_with(c, c, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -62,14 +93,36 @@ def norm(col) -> Column:
 
 
 def l2_distance(col, q: Sequence[float] | Column) -> Column:
-    qc = vec_literal(q) if not isinstance(q, Column) else q
-    diff2 = F.zip_with(_as_double(col), qc, lambda x, y: (x - y) * (x - y))
+    if not isinstance(q, Column):
+        # unrolled codegen chain (see dot_product)
+        c = _as_double(col)
+
+        def term(i: int) -> Column:
+            d = F.element_at(c, i + 1) - float(q[i])
+            return d * d
+
+        acc = term(0)
+        for i in range(1, len(q)):
+            acc = acc + term(i)
+        return F.sqrt(acc)
+    diff2 = F.zip_with(_as_double(col), q, lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
 
 
+def _literal_norm(q: Sequence[float]) -> Column:
+    # mirrors norm()'s float op order over the literal (sqrt of
+    # left-to-right sum of squares) so plans stay bit-compatible with the
+    # Column overload rather than folding a Python-computed constant
+    acc: Column = F.lit(float(q[0])) * float(q[0])
+    for i in range(1, len(q)):
+        acc = acc + F.lit(float(q[i])) * float(q[i])
+    return F.sqrt(acc)
+
+
 def cosine_distance(col, q: Sequence[float] | Column) -> Column:
-    qc = vec_literal(q) if not isinstance(q, Column) else q
-    return F.lit(1.0) - dot_product(col, qc) / (norm(col) * norm(qc))
+    if not isinstance(q, Column):
+        return F.lit(1.0) - dot_product(col, q) / (norm(col, dim=len(q)) * _literal_norm(q))
+    return F.lit(1.0) - dot_product(col, q) / (norm(col) * norm(q))
 
 
 def dot_distance(col, q: Sequence[float] | Column) -> Column:

@@ -37,10 +37,14 @@ def make_planes(num_planes: int = 4, dim: int = 64) -> list[list[float]]:
 
 
 def lsh_signature(vector_col, planes: Sequence[Sequence[float]]) -> Column:
-    """Bit p of the signature = 1 iff dot(v, plane_p) > 0."""
+    """Bit p of the signature = 1 iff dot(v, plane_p) > 0.
+
+    Uses the compact HOF dot on purpose: one dot per plane in a single
+    projection — unrolled chains here exceed janino's 64 KB method limit
+    and drop the whole stage out of codegen (see functions.vector)."""
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        dot = V.dot_product(vector_col, plane)
+        dot = V.dot_product_hof(vector_col, plane)
         sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
 
