@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -166,6 +167,42 @@ class LanceDataSourceReader(DataSourceReader):
         yield from scanner.to_batches()
 
 
+def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
+    """Executor side: stream one task's Arrow batches into one fragment
+    file. Fragments are invisible until a manifest names them."""
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(path, FR.DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    frag_name = FR.new_fragment_name()
+    out = os.path.join(data_dir, frag_name)
+    writer = None
+    rows = 0
+    try:
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(out, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if rows == 0:
+        if os.path.exists(out):
+            os.remove(out)
+        return FragmentCommitMessage(file=None, row_count=0)
+    return FragmentCommitMessage(file=os.path.join(FR.DATA_DIR, frag_name), row_count=rows)
+
+
+def _drop_fragments(path: str, messages) -> None:
+    for m in messages:
+        if m is not None and m.file:
+            try:
+                os.remove(os.path.join(path, m.file))
+            except OSError:
+                pass
+
+
 class LanceDataSourceWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
         self._path = options.get("path")
@@ -174,29 +211,7 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         self._mode = "overwrite" if overwrite else "append"
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
-        """Runs on executors: stream this task's batches into one fragment."""
-        import pyarrow.parquet as pq
-
-        data_dir = os.path.join(self._path, FR.DATA_DIR)
-        os.makedirs(data_dir, exist_ok=True)
-        frag_name = FR.new_fragment_name()
-        out = os.path.join(data_dir, frag_name)
-        writer = None
-        rows = 0
-        try:
-            for batch in iterator:
-                if writer is None:
-                    writer = pq.ParquetWriter(out, batch.schema)
-                writer.write_batch(batch)
-                rows += batch.num_rows
-        finally:
-            if writer is not None:
-                writer.close()
-        if rows == 0:
-            if os.path.exists(out):
-                os.remove(out)
-            return FragmentCommitMessage(file=None, row_count=0)
-        return FragmentCommitMessage(file=os.path.join(FR.DATA_DIR, frag_name), row_count=rows)
+        return _write_fragment(self._path, iterator)
 
     def commit(self, messages: List[FragmentCommitMessage]) -> None:
         """Runs on the driver: single-winner manifest commit."""
@@ -207,12 +222,44 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         FR.commit(self._path, frags, mode=self._mode)
 
     def abort(self, messages: List[FragmentCommitMessage]) -> None:
-        for m in messages:
-            if m is not None and m.file:
-                try:
-                    os.remove(os.path.join(self._path, m.file))
-                except OSError:
-                    pass
+        _drop_fragments(self._path, messages)
+
+
+class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("lance")`` — one dataset version per
+    micro-batch, exactly-once.
+
+    The reference's sink is unbounded-capable via buffer-flush-on-
+    checkpoint (ref LanceSink.java:133-140, 234-239, insert-only
+    changelog ref table/LanceDynamicTableSink.java:52-56). Here each
+    micro-batch appends ONE manifest version tagged with the batch id in
+    the commit metadata itself, so a redelivered batch (restart between
+    sink commit and checkpoint write-ahead) is detected from the
+    manifest chain and its orphaned fragments are dropped — idempotent
+    commit + at-least-once delivery = exactly-once output."""
+
+    EPOCH_KEY = "stream_epoch"
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("lance datasource requires a 'path' option")
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
+        return _write_fragment(self._path, iterator)
+
+    def commit(self, messages: List[FragmentCommitMessage], batchId: int) -> None:
+        if FR.meta_value_committed(self._path, self.EPOCH_KEY, batchId):
+            _drop_fragments(self._path, messages)  # redelivery: orphans only
+            return
+        frags = [
+            FR.FragmentInfo(i, m.file, m.row_count)
+            for i, m in enumerate(m for m in messages if m is not None and m.file)
+        ]
+        FR.commit(self._path, frags, mode="append", meta={self.EPOCH_KEY: batchId})
+
+    def abort(self, messages: List[FragmentCommitMessage], batchId: int) -> None:
+        _drop_fragments(self._path, messages)
 
 
 class LanceDataSource(DataSource):
@@ -244,6 +291,9 @@ class LanceDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceDataSourceWriter:
         return LanceDataSourceWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> LanceDataSourceStreamWriter:
+        return LanceDataSourceStreamWriter(dict(self.options))
 
 
 def register_lance_datasource(spark) -> None:

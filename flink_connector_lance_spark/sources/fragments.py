@@ -157,6 +157,23 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
     raise RuntimeError(f"commit conflict: gave up after {max_retries} retries at {root}")
 
 
+def meta_value_committed(root: str, key: str, value) -> bool:
+    """True iff any committed manifest carries ``meta[key] == value`` —
+    the authoritative idempotency check for epoch-tagged commits (the
+    meta rides inside the atomic manifest write, so there is no
+    marker-after-commit crash window)."""
+    v = latest_version(root)
+    while v is not None and v >= 0:
+        try:
+            m = read_manifest(root, v)
+        except FileNotFoundError:
+            break
+        if m.meta.get(key) == value:
+            return True
+        v -= 1
+    return False
+
+
 def new_fragment_name() -> str:
     return f"frag-{uuid.uuid4().hex}.parquet"
 

@@ -37,16 +37,7 @@ def epoch_committed(path: str, epoch_id: int) -> bool:
     chain on the common no-redelivery case."""
     if os.path.exists(_epoch_marker(path, epoch_id)):
         return True
-    v = FR.latest_version(path)
-    while v is not None and v >= 0:
-        try:
-            m = FR.read_manifest(path, v)
-        except FileNotFoundError:
-            break
-        if m.meta.get(EPOCH_META_KEY) == epoch_id:
-            return True
-        v -= 1
-    return False
+    return FR.meta_value_committed(path, EPOCH_META_KEY, epoch_id)
 
 
 def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,

@@ -92,3 +92,70 @@ def test_empty_tasks_produce_no_fragments(registered, tmp_path):
         for n in os.listdir(os.path.join(path, FR.DATA_DIR))
     }
     assert {f.file for f in manifest.fragments} == data_files
+
+
+def test_stream_write_format_lance(registered, tmp_path):
+    """writeStream.format('lance'): one version per micro-batch,
+    exactly-once via the stream_epoch commit metadata."""
+    import pyspark.sql.functions as F
+
+    spark = registered
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(50).select("id", (F.col("id") % 3).alias("g")).write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id bigint, g bigint").parquet(src)
+            .writeStream.format("lance")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert FR.is_dataset(out)
+    first = spark.read.format("lance").load(out)
+    assert first.count() == 50
+    m0 = FR.read_manifest(out)
+    assert m0.meta.get("stream_epoch") == 0
+
+    # more data arrives; the next run appends a new epoch-tagged version
+    spark.range(50, 80).select("id", (F.col("id") % 3).alias("g")).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert spark.read.format("lance").load(out).count() == 80
+    assert FR.read_manifest(out).meta.get("stream_epoch") == 1
+    # no duplicate rows on either path
+    assert spark.read.format("lance").load(out).select("id").distinct().count() == 80
+
+
+def test_stream_writer_redelivered_epoch_is_noop(registered, tmp_path):
+    from flink_connector_lance_spark.sources.datasource import (
+        LanceDataSourceStreamWriter,
+    )
+
+    spark = registered
+    path = str(tmp_path / "ds")
+    _sample(spark).write.format("lance").mode("overwrite").save(path)
+    before = FR.read_manifest(path)
+
+    # simulate an executor having written a fragment for an already-
+    # committed epoch (restart window): commit must drop it, not append
+    w = LanceDataSourceStreamWriter({"path": path})
+    import pyarrow as pa
+
+    msg = w.write(iter([pa.RecordBatch.from_pydict({"id": [1, 2]})]))
+    w.commit([msg], batchId=0)          # first delivery: committed
+    mid = FR.read_manifest(path)
+    assert mid.version == before.version + 1 and mid.meta["stream_epoch"] == 0
+
+    msg2 = w.write(iter([pa.RecordBatch.from_pydict({"id": [1, 2]})]))
+    w.commit([msg2], batchId=0)         # redelivery: no-op + orphan cleanup
+    after = FR.read_manifest(path)
+    assert after.version == mid.version
+    assert not os.path.exists(os.path.join(path, msg2.file))
