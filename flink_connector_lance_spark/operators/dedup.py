@@ -238,6 +238,57 @@ def simhash_pairs(
     return cand
 
 
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate clustering: connected components over a near-dup pair
+    relation, labeling every vertex with the SMALLEST id reachable from
+    it (the canonical keep-id of its duplicate cluster).
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes min(own label, neighbors' labels) via an equi-join on the edge
+    list, stopping when a round changes nothing. This is the standard
+    shuffle-based CC for data too big for one machine (GraphX/GraphFrames
+    run the same plan); rounds needed = component diameter, and near-dup
+    clusters are shallow (dozens of docs), so it converges in a handful
+    of rounds. Each round is one shuffle join + one aggregate; the
+    convergence check is a driver-side count on the CHANGED set only.
+
+    ``vertices``: one row per ``id_col``; ``pairs``: (id_a, id_b)
+    undirected near-dup edges (e.g. minhash_lsh_pairs output)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    )
+    labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.vid)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
+            .select(
+                "vid",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("new_comp"),
+                F.col("comp"),
+            )
+        )
+        # localCheckpoint truncates the growing iterative lineage so each
+        # round's plan stays O(1); without it Catalyst re-analyzes a plan
+        # that doubles per round
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_comp") != F.col("comp")).limit(1).count()
+        labels = updated.select("vid", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))
+
+
 def _cosine(va: Column, vb: Column) -> Column:
     from ..functions import vector as V
 

@@ -201,6 +201,48 @@ def dedup_embedding_cosine(spark, sf_dir):
                                     planes=_COS_PLANES)
 
 
+@register(
+    "dedup_components",
+    # the shared minhash CTE opens with "WITH "; the cc CTE below is
+    # recursive, and DuckDB requires RECURSIVE on the whole WITH clause
+    oracle=_minhash_sig_sql().replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(mh{4*b}||mh{4*b+1}||mh{4*b+2}||mh{4*b+3}) AS key FROM sig"
+            for b in range(_BANDS)
+        )}
+    ),
+    prs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    cc AS (
+        SELECT doc_id AS id, doc_id AS comp FROM documents
+        UNION
+        SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+    )
+    SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+    FROM cc GROUP BY id
+    """,
+    doc="Duplicate clustering: connected components over the MinHash-LSH "
+        "candidate pairs, labeling every document with the smallest "
+        "doc_id reachable from it (its cluster's canonical keep-id). "
+        "Spark runs iterative min-label propagation (one equi-join + "
+        "aggregate per round, rounds = component diameter — "
+        "operators.dedup.connected_components); the oracle computes the "
+        "same fixpoint with a recursive CTE.",
+)
+def dedup_components(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", _NUM_HASHES, _BANDS)
+    return D.connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+
+
 # --- text analysis -----------------------------------------------------------
 
 @register(
@@ -213,11 +255,17 @@ def dedup_embedding_cosine(spark, sf_dir):
                AS avg_token_len,
            round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr,
            round(CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE)
-                 / len(ws), 6) AS stop_ratio
+                 / len(ws), 6) AS stop_ratio,
+           round(least(1.0, len(ws) / 100.0) * 0.5
+                 + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
+                 + (1.0 - CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                          / len(ws)) * 0.2, 6) AS quality
     FROM (SELECT doc_id, text, {_WS} AS ws FROM documents)
     """,
     doc="Per-document token/char statistics, type-token ratio, stopword "
-        "ratio — pure codegen projections, no shuffle.",
+        "ratio, plus the composite quality score (length saturation + "
+        "lexical diversity + stopword balance) — pure codegen "
+        "projections, no shuffle (operators.text.quality_score).",
 )
 def text_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -228,25 +276,8 @@ def text_stats(spark, sf_dir):
         F.round(T.avg_token_len("text"), 6).alias("avg_token_len"),
         F.round(T.type_token_ratio("text"), 6).alias("ttr"),
         F.round(T.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(T.quality_score("text"), 6).alias("quality"),
     )
-
-
-@register(
-    "text_quality",
-    oracle=f"""
-    SELECT doc_id,
-           round(least(1.0, len(ws) / 100.0) * 0.5
-                 + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
-                 + (1.0 - CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE)
-                          / len(ws)) * 0.2, 6) AS quality
-    FROM (SELECT doc_id, {_WS} AS ws FROM documents)
-    """,
-    doc="Composite quality score: length saturation + lexical diversity + "
-        "stopword balance.",
-)
-def text_quality(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
 
 
 @register(

@@ -77,3 +77,27 @@ def test_hot_shingle_guard_keeps_legit_overlap(spark):
     pairs = {(r.id_a, r.id_b) for r in out}
     assert (1, 2) in pairs
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_connected_components_labels_clusters(spark):
+    import pyspark.sql.functions as F
+
+    vertices = spark.range(10).select(F.col("id"))
+    # components: {0,1,2,3} (chain), {5,6} — 4,7,8,9 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r.id: r.component for r in
+           D.connected_components(vertices, pairs, id_col="id").collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    import pyspark.sql.functions as F
+
+    n = 12
+    vertices = spark.range(n).select(F.col("id"))
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    out = {r.id: r.component for r in
+           D.connected_components(vertices, pairs, id_col="id", max_iterations=30).collect()}
+    assert all(c == 0 for c in out.values())
