@@ -57,6 +57,10 @@ def dot_product_hof(col, q: Sequence[float] | Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _dbl_sql(name: str) -> str:
+    return f"CAST(`{name}` AS ARRAY<DOUBLE>)"
+
+
 def dot_product(col, q: Sequence[float] | Column) -> Column:
     """Dot against a query. When the query is a literal Python sequence
     (the KNN hot path — dimension known at plan time), the product-sum is
@@ -65,8 +69,18 @@ def dot_product(col, q: Sequence[float] | Column) -> Column:
     Summation stays left-to-right, so both forms are bit-identical
     (0.0 + x == x exactly in IEEE754 for the aggregate's seed). Only for
     a FEW distances per projection — see dot_product_hof for the
-    many-dots case."""
+    many-dots case.
+
+    The chain is assembled as ONE SQL string parsed by a single F.expr
+    call: building it node-by-node costs a py4j round-trip per term
+    (~1 s of driver time per 64-dim distance), the parse costs one."""
     if not isinstance(q, Column):
+        if isinstance(col, str):
+            c = _dbl_sql(col)
+            sql = " + ".join(
+                f"element_at({c}, {i + 1}) * {float(v)!r}" for i, v in enumerate(q)
+            )
+            return F.expr(sql)
         c = _as_double(col)
         out: Column = F.element_at(c, 1) * float(q[0])
         for i in range(1, len(q)):
@@ -77,7 +91,12 @@ def dot_product(col, q: Sequence[float] | Column) -> Column:
 
 def norm(col, dim: int | None = None) -> Column:
     """Vector L2 norm. With ``dim`` known, unrolled for codegen (bit-
-    identical to the aggregate form — same op order)."""
+    identical to the aggregate form — same op order), built as one
+    F.expr parse (see dot_product)."""
+    if dim is not None and isinstance(col, str):
+        c = _dbl_sql(col)
+        sql = " + ".join(f"element_at({c}, {i}) * element_at({c}, {i})" for i in range(1, dim + 1))
+        return F.sqrt(F.expr(sql))
     c = _as_double(col)
     if dim is not None:
         acc: Column = F.element_at(c, 1) * F.element_at(c, 1)
@@ -94,7 +113,14 @@ def norm(col, dim: int | None = None) -> Column:
 
 def l2_distance(col, q: Sequence[float] | Column) -> Column:
     if not isinstance(q, Column):
-        # unrolled codegen chain (see dot_product)
+        # unrolled codegen chain in one F.expr parse (see dot_product)
+        if isinstance(col, str):
+            c = _dbl_sql(col)
+            sql = " + ".join(
+                f"(element_at({c}, {i + 1}) - {float(v)!r}) * (element_at({c}, {i + 1}) - {float(v)!r})"
+                for i, v in enumerate(q)
+            )
+            return F.sqrt(F.expr(sql))
         c = _as_double(col)
 
         def term(i: int) -> Column:
@@ -110,13 +136,13 @@ def l2_distance(col, q: Sequence[float] | Column) -> Column:
 
 
 def _literal_norm(q: Sequence[float]) -> Column:
-    # mirrors norm()'s float op order over the literal (sqrt of
-    # left-to-right sum of squares) so plans stay bit-compatible with the
-    # Column overload rather than folding a Python-computed constant
-    acc: Column = F.lit(float(q[0])) * float(q[0])
-    for i in range(1, len(q)):
-        acc = acc + F.lit(float(q[i])) * float(q[i])
-    return F.sqrt(acc)
+    # the query norm is a pure constant; Python computes the identical
+    # IEEE754 left-to-right sum-of-squares Catalyst would constant-fold,
+    # so folding it driver-side is bit-identical and saves the tree
+    acc = 0.0
+    for v in q:
+        acc += float(v) * float(v)
+    return F.lit(math.sqrt(acc))
 
 
 def cosine_distance(col, q: Sequence[float] | Column) -> Column:

@@ -299,18 +299,18 @@ def _cosine(va: Column, vb: Column) -> Column:
     return F.round(dot / (V.norm(va) * V.norm(vb)), 6)
 
 
-def _dot_chain(va: Column, vb: Column, dim: int) -> Column:
-    """Fixed-width dot product as an element_at chain.
+def _dot_chain(va: str, vb: str, dim: int) -> Column:
+    """Fixed-width dot product of two (already double-typed) array
+    columns as an element_at chain, parsed in one F.expr call.
 
     Higher-order functions (zip_with/aggregate) are CodegenFallback in
     Spark — interpreted per element, ~10x slower per pair than the
     unrolled chain, which whole-stage codegen JITs. Summation is
     left-to-right exactly like aggregate()/DuckDB list_sum, so results
     are bit-identical."""
-    out = F.element_at(va, 1) * F.element_at(vb, 1)
-    for i in range(2, dim + 1):
-        out = out + F.element_at(va, i) * F.element_at(vb, i)
-    return out
+    return F.expr(" + ".join(
+        f"element_at(`{va}`, {i}) * element_at(`{vb}`, {i})" for i in range(1, dim + 1)
+    ))
 
 
 def embedding_cosine_pairs(
@@ -358,7 +358,7 @@ def embedding_cosine_pairs(
         A.lsh_signature(F.col(vector_col), planes).alias("sig"),
     ).select(
         F.col(id_col), F.col("vd"),
-        F.sqrt(_dot_chain(F.col("vd"), F.col("vd"), dim)).alias("nrm"),
+        F.sqrt(_dot_chain("vd", "vd", dim)).alias("nrm"),
         F.col("sig"),
     )
     # single-sided multiprobe: bucket(a) ∋ sig(b)  <=>  hamming(sig_a, sig_b) <= 1;
@@ -381,5 +381,5 @@ def embedding_cosine_pairs(
     # relation (parallelism = probe-side partitions); at corpus scale AQE
     # demotes to a shuffled equi-join on bucket — never a nested loop
     pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(_dot_chain(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6)
+    sim = F.round(_dot_chain("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(F.col("cosine") >= threshold)
