@@ -1,22 +1,40 @@
 """ANN index builder (ref LanceIndexBuilder.java).
 
-Wraps ``lance.dataset(...).create_index`` for IVF_PQ / IVF_HNSW_PQ /
-IVF_FLAT with the reference's parameter surface and validation
-(ref :125-179, defaults ref config/LanceOptions.java:123-190), returning
-an ``IndexBuildResult{success, duration, error}`` (ref :380-435).
+Two backends behind one ``build_index`` surface, mirroring the dataset
+layer's design:
 
-The native library is import-gated; without it, ``build_index`` validates
-everything and then reports a failed result naming the missing dependency
-(parameter validation itself is fully testable).
+- **native** (import-gated): ``lance.dataset(...).create_index`` for
+  IVF_PQ / IVF_HNSW_PQ / IVF_FLAT with the reference's parameter set and
+  validation (ref :125-179, defaults ref config/LanceOptions.java:123-190).
+- **emulated** (always available): a real IVF index over the
+  parquet-fragment backend — distributed Lloyd k-means builds
+  ``index.num-partitions`` centroids, every row's cell assignment is
+  persisted columnar, and ``ivf_index_knn`` answers queries by probing
+  the ``nprobes`` nearest cells only (centroid select is driver-side on
+  a tiny relation; candidate fetch is a parquet scan with the cell
+  filter pushed down + a broadcast semi-join). This is the same
+  prune-then-exact-score shape Lance's IVF uses, expressed as DataFrame
+  plans.
+
+Both return ``IndexBuildResult{success, duration, error}`` (ref :380-435).
+On-disk layout (emulated): ``<dataset>/_indexes/<column>/ivf/`` with
+``centroids.parquet``, ``assignments.parquet``, ``index_meta.json``.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 import time
 from dataclasses import dataclass
 
+import pyspark.sql.functions as F
+
 from .options import DatasetOptions, DistanceMetric, IndexType
 from .sources import fragments as FR
+
+INDEXES_DIR = "_indexes"
 
 
 @dataclass
@@ -37,6 +55,103 @@ def validate_index_params(opts: DatasetOptions, column: str, schema_names: list[
         raise ValueError(f"index column {column!r} not in dataset schema {schema_names}")
 
 
+def _index_dir(path: str, column: str) -> str:
+    return os.path.join(path, INDEXES_DIR, column, "ivf")
+
+
+def has_index(path: str, column: str) -> bool:
+    return os.path.exists(os.path.join(_index_dir(path, column), "index_meta.json"))
+
+
+def _pair_l2_sql(a: str, b: str, dim: int) -> F.Column:
+    """Codegen L2 between two array columns, one F.expr parse."""
+    return F.sqrt(F.expr(" + ".join(
+        f"(element_at(`{a}`, {i}) - element_at(`{b}`, {i})) * "
+        f"(element_at(`{a}`, {i}) - element_at(`{b}`, {i}))"
+        for i in range(1, dim + 1)
+    )))
+
+
+def _assign_cells(vecs, cents, dim: int):
+    """Nearest-centroid assignment: rows x broadcast(centroids) -> argmin.
+
+    One shuffle-free broadcast join producing n*k scored pairs, then a
+    max_by-style argmin per row — the standard distributed Lloyd step."""
+    pairs = vecs.crossJoin(F.broadcast(cents))
+    d = _pair_l2_sql("vd", "centroid", dim)
+    scored = pairs.select("rid", "vd", "cell", d.alias("d"))
+    # argmin via min over (d, cell) structs — struct ordering is
+    # lexicographic, so ties break on the lowest cell id, deterministically
+    return (
+        scored.groupBy("rid")
+        .agg(F.min(F.struct("d", "cell")).alias("best"), F.first("vd").alias("vd"))
+        .select("rid", "vd", F.col("best.cell").alias("cell"))
+    )
+
+
+def _emulated_ivf_build(spark, path: str, column: str, id_col: str,
+                        opts: DatasetOptions, metric: DistanceMetric,
+                        replace: bool, iterations: int = 4) -> None:
+    from .sources.reader import read_dataset
+
+    idx_dir = _index_dir(path, column)
+    if has_index(path, column) and not replace:
+        # ref LanceIndexBuilder.java:173-179 replace flag semantics
+        raise ValueError(f"index on {column!r} already exists; pass replace=True")
+    df = read_dataset(spark, path)
+    validate_index_params(opts, column, df.columns)
+    vecs = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(column).cast("array<double>").alias("vd"),
+    ).localCheckpoint(eager=True)
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("cannot index an empty dataset")
+    first = vecs.select("vd").first()
+    dim = len(first.vd)
+    k = min(opts.index_num_partitions, n)
+
+    # deterministic init: the k lowest-id vectors seed the centroids
+    from pyspark.sql import Window
+
+    cents = (
+        vecs.orderBy("rid").limit(k)
+        .select((F.row_number().over(Window.orderBy("rid")) - 1).alias("cell"),
+                F.col("vd").alias("centroid"))
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = _assign_cells(vecs, cents, dim)
+        # centroid update: per-(cell, dim) mean via posexplode — fully
+        # map-side-combinable partial aggregation (operators.ann shape)
+        pe = assigned.select("cell", F.posexplode("vd").alias("pos", "val"))
+        per_dim = pe.groupBy("cell", "pos").agg(F.avg("val").alias("c"))
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                        lambda s: s["c"]).alias("centroid")
+        ).localCheckpoint(eager=True)
+
+    final = _assign_cells(vecs, cents, dim)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.makedirs(idx_dir, exist_ok=True)
+    cents.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids.parquet"))
+    final.select(F.col("rid").alias(id_col), "cell").write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "assignments.parquet")
+    )
+    meta = {
+        "index_type": "ivf_flat_emulated",
+        "column": column,
+        "id_col": id_col,
+        "metric": metric.value,
+        "num_partitions": k,
+        "dim": dim,
+        "dataset_version": FR.latest_version(path),
+    }
+    tmp = os.path.join(idx_dir, "index_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(idx_dir, "index_meta.json"))
+
+
 def build_index(
     path: str,
     column: str,
@@ -44,34 +159,83 @@ def build_index(
     metric: "str | DistanceMetric" = DistanceMetric.L2,
     replace: bool = False,
     options: DatasetOptions | None = None,
+    spark=None,
+    id_col: str = "id",
 ) -> IndexBuildResult:
+    """Build an ANN index. Native lance when present; otherwise the
+    emulated IVF build (requires ``spark`` + ``id_col``)."""
     opts = options or DatasetOptions(path=path)
     itype = IndexType.parse(index_type)
     metric = DistanceMetric.parse(metric)
     start = time.perf_counter()
     try:
-        if not FR.HAVE_LANCE:
-            raise FR.LanceUnavailableError("ANN index building")
-        import lance  # pragma: no cover - native path
+        if FR.HAVE_LANCE:  # pragma: no cover - native path, not in container
+            import lance
 
-        ds = lance.dataset(path)  # pragma: no cover
-        validate_index_params(opts, column, ds.schema.names)  # pragma: no cover
-        kwargs = {  # pragma: no cover
-            "num_partitions": opts.index_num_partitions,
-            "replace": replace,
-            "metric": metric.value,
-        }
-        if itype in (IndexType.IVF_PQ, IndexType.IVF_HNSW_PQ):  # pragma: no cover
-            kwargs["num_sub_vectors"] = opts.index_num_sub_vectors or 16
-            kwargs["num_bits"] = opts.index_num_bits
-        if itype is IndexType.IVF_HNSW_PQ:  # pragma: no cover
-            kwargs["m"] = opts.index_m
-            kwargs["ef_construction"] = opts.index_ef_construction
-        ds.create_index(  # pragma: no cover
-            column, index_type=itype.value.upper(), **kwargs
-        )
-        return IndexBuildResult(  # pragma: no cover
-            True, time.perf_counter() - start, None, itype, column
-        )
+            ds = lance.dataset(path)
+            validate_index_params(opts, column, ds.schema.names)
+            kwargs = {
+                "num_partitions": opts.index_num_partitions,
+                "replace": replace,
+                "metric": metric.value,
+            }
+            if itype in (IndexType.IVF_PQ, IndexType.IVF_HNSW_PQ):
+                kwargs["num_sub_vectors"] = opts.index_num_sub_vectors or 16
+                kwargs["num_bits"] = opts.index_num_bits
+            if itype is IndexType.IVF_HNSW_PQ:
+                kwargs["m"] = opts.index_m
+                kwargs["ef_construction"] = opts.index_ef_construction
+            ds.create_index(column, index_type=itype.value.upper(), **kwargs)
+            return IndexBuildResult(True, time.perf_counter() - start, None, itype, column)
+        if spark is None:
+            raise FR.LanceUnavailableError(
+                "native ANN index building (pass spark= for the emulated IVF build)"
+            )
+        _emulated_ivf_build(spark, path, column, id_col, opts, metric, replace)
+        return IndexBuildResult(True, time.perf_counter() - start, None, itype, column)
     except Exception as e:  # noqa: BLE001 - result object carries the error (ref :380-435)
         return IndexBuildResult(False, time.perf_counter() - start, str(e), itype, column)
+
+
+def ivf_index_knn(
+    spark,
+    path: str,
+    column: str,
+    query,
+    k: int = 10,
+    nprobes: int | None = None,
+    options: DatasetOptions | None = None,
+    tiebreak_cols=(),
+    round_digits: int | None = None,
+):
+    """Indexed ANN search over the emulated IVF index: pick the nprobes
+    nearest centroids (driver-side on a k_cells-row relation), fetch ONLY
+    rows assigned to probed cells (cell filter pushed into the
+    assignments parquet scan, broadcast semi-join into the dataset),
+    exact top-k on the survivors — the reference's search shape
+    (ref LanceVectorSearch.java:146-201) without the native library."""
+    from .functions import vector as V
+    from .operators.knn import knn
+    from .sources.reader import read_dataset
+
+    if not has_index(path, column):
+        raise FileNotFoundError(f"no IVF index on {path}:{column}; build_index first")
+    idx_dir = _index_dir(path, column)
+    with open(os.path.join(idx_dir, "index_meta.json")) as fh:
+        meta = json.load(fh)
+    opts = options or DatasetOptions(path=path)
+    nprobes = nprobes if nprobes is not None else opts.vector_nprobes
+    q = V.validate_query_vector(query)
+
+    cents = spark.read.parquet(os.path.join(idx_dir, "centroids.parquet"))
+    chosen = (
+        cents.select("cell", V.l2_distance("centroid", [float(v) for v in q]).alias("cd"))
+        .orderBy("cd", "cell").limit(nprobes).select("cell")
+    )
+    assigns = spark.read.parquet(os.path.join(idx_dir, "assignments.parquet"))
+    probe_ids = assigns.join(F.broadcast(chosen), on="cell", how="left_semi")
+    id_col = meta["id_col"]
+    df = read_dataset(spark, path)
+    candidates = df.join(F.broadcast(probe_ids.select(id_col)), on=id_col, how="left_semi")
+    return knn(candidates, column, q, k=k, metric=meta.get("metric", "l2"),
+               tiebreak_cols=tiebreak_cols, round_digits=round_digits)

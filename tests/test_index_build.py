@@ -1,0 +1,87 @@
+"""Emulated IVF index: build (distributed Lloyd k-means, persisted
+centroids + assignments), indexed search (probe nprobes cells only),
+replace-flag semantics, and exactness when probing every cell."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_connector_lance_spark.index import (
+    build_index,
+    has_index,
+    ivf_index_knn,
+)
+from flink_connector_lance_spark.io import load_table
+from flink_connector_lance_spark.operators.knn import knn
+from flink_connector_lance_spark.options import DatasetOptions
+from flink_connector_lance_spark.queries.knn import QVEC
+from flink_connector_lance_spark.sources.writer import write_dataset
+
+
+@pytest.fixture(scope="module")
+def indexed_ds(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "emb")
+    e = load_table(spark, sf_dir, "embeddings")
+    write_dataset(e, path, mode="overwrite")
+    opts = DatasetOptions(path=path, index_num_partitions=8)
+    res = build_index(path, "embedding", "ivf_flat", spark=spark,
+                      id_col="vec_id", options=opts)
+    assert res.success, res.error
+    return path
+
+
+def test_index_layout_on_disk(indexed_ds):
+    path = indexed_ds
+    assert has_index(path, "embedding")
+    base = os.path.join(path, "_indexes", "embedding", "ivf")
+    assert os.path.exists(os.path.join(base, "centroids.parquet"))
+    assert os.path.exists(os.path.join(base, "assignments.parquet"))
+    assert os.path.exists(os.path.join(base, "index_meta.json"))
+
+
+def test_replace_flag_semantics(spark, indexed_ds):
+    # ref LanceIndexBuilder.java:173-179: existing index + replace=False -> error
+    res = build_index(indexed_ds, "embedding", "ivf_flat", spark=spark, id_col="vec_id")
+    assert not res.success and "replace=True" in res.error
+    res2 = build_index(indexed_ds, "embedding", "ivf_flat", spark=spark,
+                       id_col="vec_id", replace=True,
+                       options=DatasetOptions(path=indexed_ds, index_num_partitions=8))
+    assert res2.success, res2.error
+
+
+def test_missing_column_fails_cleanly(spark, indexed_ds):
+    res = build_index(indexed_ds, "no_such_col", "ivf_flat", spark=spark,
+                      id_col="vec_id", replace=True)
+    assert not res.success and "no_such_col" in res.error
+
+
+def test_indexed_search_prunes_and_full_probe_is_exact(spark, sf_dir, indexed_ds):
+    path = indexed_ds
+    # probing ALL cells must reproduce the exact brute-force top-k
+    exact = knn(load_table(spark, sf_dir, "embeddings"), "embedding", QVEC,
+                k=10, metric="l2", tiebreak_cols=["vec_id"], round_digits=6)
+    exact_ids = [r.vec_id for r in exact.select("vec_id").collect()]
+    full = ivf_index_knn(spark, path, "embedding", QVEC, k=10, nprobes=8,
+                         tiebreak_cols=["vec_id"], round_digits=6)
+    assert [r.vec_id for r in full.select("vec_id").collect()] == exact_ids
+    # probing 1 cell returns k rows from a strict candidate subset
+    one = ivf_index_knn(spark, path, "embedding", QVEC, k=10, nprobes=1,
+                        tiebreak_cols=["vec_id"], round_digits=6)
+    rows = one.collect()
+    assert len(rows) == 10
+    ds = [r._distance for r in rows]
+    assert ds == sorted(ds)
+
+
+def test_assignments_cover_every_row(spark, sf_dir, indexed_ds):
+    assigns = spark.read.parquet(
+        os.path.join(indexed_ds, "_indexes", "embedding", "ivf", "assignments.parquet")
+    )
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert assigns.count() == n
+    assert assigns.select("vec_id").distinct().count() == n
+    n_cells = assigns.select("cell").distinct().count()
+    assert 1 < n_cells <= 8
