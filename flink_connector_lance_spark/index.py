@@ -134,9 +134,13 @@ def _emulated_ivf_build(spark, path: str, column: str, id_col: str,
     shutil.rmtree(idx_dir, ignore_errors=True)
     os.makedirs(idx_dir, exist_ok=True)
     cents.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids.parquet"))
-    final.select(F.col("rid").alias(id_col), "cell").write.mode("overwrite").parquet(
-        os.path.join(idx_dir, "assignments.parquet")
-    )
+    # partitionBy(cell): probing nprobes cells reads ONLY those cells'
+    # files (static partition pruning) — at scale the un-probed ~99% of
+    # the assignment index is never touched, mirroring how Lance's IVF
+    # only opens the probed partitions' row-id lists
+    final.select(F.col("rid").alias(id_col), "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(idx_dir, "assignments.parquet"))
     meta = {
         "index_type": "ivf_flat_emulated",
         "column": column,
@@ -228,14 +232,23 @@ def ivf_index_knn(
     q = V.validate_query_vector(query)
 
     cents = spark.read.parquet(os.path.join(idx_dir, "centroids.parquet"))
-    chosen = (
-        cents.select("cell", V.l2_distance("centroid", [float(v) for v in q]).alias("cd"))
-        .orderBy("cd", "cell").limit(nprobes).select("cell")
-    )
+    # centroid selection is driver-side over a num_partitions-row relation
+    # (ref: Lance scans the centroid table in-process too); the chosen
+    # cell ids are a handful of ints, so collecting them turns the probe
+    # into a static partition filter on the cell-partitioned assignments —
+    # only the probed cells' files are ever read
+    chosen = [
+        r.cell
+        for r in cents.select(
+            "cell", V.l2_distance("centroid", [float(v) for v in q]).alias("cd")
+        ).orderBy("cd", "cell").limit(nprobes).collect()
+    ]
     assigns = spark.read.parquet(os.path.join(idx_dir, "assignments.parquet"))
-    probe_ids = assigns.join(F.broadcast(chosen), on="cell", how="left_semi")
+    probe_ids = assigns.filter(F.col("cell").isin(chosen))
     id_col = meta["id_col"]
     df = read_dataset(spark, path)
-    candidates = df.join(F.broadcast(probe_ids.select(id_col)), on=id_col, how="left_semi")
+    # no broadcast hint: probed ids can be a few % of the dataset — far too
+    # big to broadcast at 100 TB. AQE broadcasts when it IS small.
+    candidates = df.join(probe_ids.select(id_col), on=id_col, how="left_semi")
     return knn(candidates, column, q, k=k, metric=meta.get("metric", "l2"),
                tiebreak_cols=tiebreak_cols, round_digits=round_digits)

@@ -85,3 +85,16 @@ def test_assignments_cover_every_row(spark, sf_dir, indexed_ds):
     assert assigns.select("vec_id").distinct().count() == n
     n_cells = assigns.select("cell").distinct().count()
     assert 1 < n_cells <= 8
+
+def test_probe_scan_prunes_partitions(spark, indexed_ds):
+    """The nprobes cell filter must reach the cell-partitioned assignments
+    scan as a partition filter — at scale, un-probed cells are never read."""
+    import flink_connector_lance_spark.index as IX
+
+    import re
+
+    df = ivf_index_knn(spark, indexed_ds, "embedding", QVEC, k=5, nprobes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in f for f in filters), plan
+    assert "BroadcastNestedLoopJoin" not in plan
