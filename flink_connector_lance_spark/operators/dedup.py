@@ -346,40 +346,40 @@ def embedding_cosine_pairs(
     from . import ann as A
 
     dim = len(planes[0])
-    # hoist everything per-ROW out of the pair loop: the double cast and
-    # the norm are computed once per vector (n evaluations), so each of
-    # the O(candidates) pairs pays exactly one codegen'd dot-chain — the
-    # hoisting is FP-referentially-transparent (same ops, same order), so
-    # results stay bit-identical to the per-pair formulation the oracle uses
-    vd = F.col(vector_col).cast("array<double>")
-    sigd = df.select(
-        F.col(id_col),
-        vd.alias("vd"),
-        A.lsh_signature(F.col(vector_col), planes).alias("sig"),
-    ).select(
-        F.col(id_col), F.col("vd"),
-        F.sqrt(_dot_chain("vd", "vd", dim)).alias("nrm"),
-        F.col("sig"),
-    )
+    # SKINNY candidate generation: the probe fan-out and the bucket join
+    # carry only (id, bucket) — 16 bytes/row — never the vectors. A
+    # 64-dim double vector is ~512 bytes; carrying two of them through an
+    # exploded multiprobe join multiplies the shuffled/streamed volume by
+    # ~60x (measured: 37.5M candidates = ~37 GB wide vs ~0.6 GB skinny).
+    sig = df.select(F.col(id_col), A.lsh_signature(F.col(vector_col), planes).alias("sig"))
     # single-sided multiprobe: bucket(a) ∋ sig(b)  <=>  hamming(sig_a, sig_b) <= 1;
     # probe values are distinct, so each colliding pair joins exactly once
     probes = F.array(F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))])
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     # round-robin repartition of the probe side: with the bucket relation
-    # broadcast, the candidate fan-out (and its cosine arithmetic) runs at
-    # the probe side's parallelism — without this, a corpus read from a
-    # handful of parquet files does all pair scoring on one or two cores
-    a = sigd.select(
-        F.col(id_col).alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"),
-        F.explode(probes).alias("bucket"),
-    ).repartition(n_parts)
-    b = sigd.select(
-        F.col(id_col).alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"),
-        F.col("sig").alias("bucket"),
+    # broadcast, the candidate fan-out runs at the probe side's
+    # parallelism — without this, a corpus read from a handful of parquet
+    # files generates all candidates on one or two cores
+    a = sig.select(F.col(id_col).alias("id_a"), F.explode(probes).alias("bucket")).repartition(n_parts)
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("bucket"))
+    # no broadcast hint on the bucket join: locally Catalyst broadcasts
+    # the small side; at corpus scale AQE demotes to a shuffled equi-join
+    # on bucket — never a nested loop
+    cand = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    # attach vectors AFTER candidate generation, by id — a uniformly
+    # distributed key (no bucket skew). Norms are computed once per row
+    # (n evaluations, not per pair); the hoisting is FP-referentially-
+    # transparent (same ops, same order), so results stay bit-identical
+    # to the per-pair formulation the oracle uses.
+    vd = F.col(vector_col).cast("array<double>")
+    vecs = df.select(F.col(id_col).alias("__vid"), vd.alias("vd")).select(
+        "__vid", "vd", F.sqrt(_dot_chain("vd", "vd", dim)).alias("nrm")
     )
-    # no broadcast hint: locally Catalyst broadcasts the small bucket
-    # relation (parallelism = probe-side partitions); at corpus scale AQE
-    # demotes to a shuffled equi-join on bucket — never a nested loop
-    pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        cand.join(vecs.select(F.col("__vid"), F.col("vd").alias("va"), F.col("nrm").alias("na")),
+                  cand.id_a == F.col("__vid")).drop("__vid")
+        .join(vecs.select(F.col("__vid"), F.col("vd").alias("vb"), F.col("nrm").alias("nb")),
+              F.col("id_b") == F.col("__vid")).drop("__vid")
+    )
     sim = F.round(_dot_chain("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(F.col("cosine") >= threshold)

@@ -153,7 +153,14 @@ def dedup_simhash(spark, sf_dir):
 
 from ..operators import ann as _A  # noqa: E402  (planes shared with the oracle)
 
-_COS_PLANES = _A.make_planes(num_planes=8, dim=64)
+# The oracle embeds plane literals for the CORRECTNESS corpus (sf0.01,
+# 500 vectors): auto_num_planes(500) == 8. The Spark side auto-sizes from
+# the actual corpus so bench/stress runs at larger sf keep bucket
+# occupancy (and thus candidate volume per row) constant — the 100 TB
+# contract. tests/test_dedup_operators.py pins the 500->8 equality so a
+# formula change can't silently desync the oracle.
+_COS_DIM = 64
+_COS_PLANES = _A.make_planes(num_planes=_A.auto_num_planes(500), dim=_COS_DIM)
 
 
 def _cos_planes_sql() -> str:
@@ -197,8 +204,9 @@ def _cos_sig_sql(tbl: str) -> str:
 )
 def dedup_embedding_cosine(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
+    planes = _A.make_planes(_A.auto_num_planes(e.count()), dim=_COS_DIM)
     return D.embedding_cosine_pairs(e, "embedding", "vec_id", threshold=0.4,
-                                    planes=_COS_PLANES)
+                                    planes=planes)
 
 
 @register(

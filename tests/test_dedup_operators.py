@@ -101,3 +101,64 @@ def test_connected_components_deep_chain_converges(spark):
     out = {r.id: r.component for r in
            D.connected_components(vertices, pairs, id_col="id", max_iterations=30).collect()}
     assert all(c == 0 for c in out.values())
+
+
+def test_auto_num_planes_pins_oracle_width_and_scales():
+    """auto_num_planes(500) == 8 keeps the Spark side in sync with the
+    dedup_embedding_cosine oracle, whose plane literals are generated for
+    the sf0.01 corpus (500 vectors). Width must grow with the corpus so
+    bucket occupancy — and with it candidate volume per row — stays flat."""
+    from flink_connector_lance_spark.operators.ann import auto_num_planes
+
+    assert auto_num_planes(500) == 8
+    assert auto_num_planes(0) == 8
+    assert auto_num_planes(20_000) == 10
+    assert auto_num_planes(1_000_000) == 15
+    assert auto_num_planes(10**12) == 24  # capped
+    widths = [auto_num_planes(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert widths == sorted(widths)
+
+
+def test_make_planes_prefix_property_and_spread():
+    """Fixed seed: a narrower plane set is a prefix of a wider one (so
+    auto-widening never perturbs the shared low bits), and Gaussian rows
+    are decorrelated (the sin-lattice planes they replace collapsed the
+    test corpus into 16 of 256 buckets)."""
+    from flink_connector_lance_spark.operators.ann import make_planes
+
+    p8 = make_planes(8, 64)
+    p12 = make_planes(12, 64)
+    assert p12[:8] == p8
+    # crude decorrelation check: no two planes nearly parallel
+    import math
+
+    for i in range(8):
+        for j in range(i + 1, 8):
+            dot = sum(a * b for a, b in zip(p8[i], p8[j]))
+            ni = math.sqrt(sum(a * a for a in p8[i]))
+            nj = math.sqrt(sum(a * a for a in p8[j]))
+            assert abs(dot / (ni * nj)) < 0.5
+
+
+def test_embedding_cosine_skinny_join_recovers_near_dups(spark):
+    """Bucketed candidates + post-candidate vector attach must find
+    near-identical vectors (signatures agree on every bit, so recall for
+    true near-dups does not depend on plane count)."""
+    from flink_connector_lance_spark.operators.ann import make_planes
+
+    rows = []
+    for i in range(40):
+        base = [((i * 37 + j * 11) % 17 - 8) / 8.0 for j in range(8)]
+        rows.append((i * 2, base))
+        rows.append((i * 2 + 1, [x + 0.0005 for x in base]))  # near-dup twin
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = D.embedding_cosine_pairs(df, "v", "id", threshold=0.999,
+                                   planes=make_planes(8, 8))
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    expected = {(i * 2, i * 2 + 1) for i in range(40)}
+    # ham<=1 multiprobe: twins may still straddle >1 plane when the base
+    # vector sits near several plane boundaries — require high recall,
+    # not perfection
+    assert len(got & expected) >= 36
+    # anything extra must carry a cosine the operator itself certified
+    assert all(r.cosine >= 0.999 for r in out.collect())
