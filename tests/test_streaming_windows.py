@@ -1,0 +1,101 @@
+"""Watermarked window semantics over a real stream: late data beyond the
+watermark is dropped, closed windows emit exactly once (append mode), and
+open windows stay unemitted.
+
+Two availableNow runs share one checkpoint (same harness as the stateful
+test): run 1 establishes the watermark, run 2 delivers a late row plus
+new on-time rows and must (a) drop the late row from its closed window,
+(b) emit the next window once the watermark passes it, (c) hold back the
+still-open window.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_connector_lance_spark.streaming.windows import session_windows, windowed_counts
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2026, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path, spark):
+    d = str(tmp_path / "in")
+    (
+        spark.createDataFrame(
+            [("a", _ts(1)), ("a", _ts(2)), ("b", _ts(3)), ("a", _ts(8))],
+            "k string, ts timestamp",
+        ).write.mode("overwrite").parquet(d)
+    )
+    return d, str(tmp_path / "ckpt")
+
+
+def _run(spark, src_dir, ckpt, emitted):
+    def fold(batch_df, epoch_id):
+        emitted.extend(
+            (r.window_start.minute, r.window_end.minute, r.k, r.events)
+            for r in batch_df.collect()
+        )
+
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(src_dir)
+    q = (
+        windowed_counts(stream, "ts", window="5 minutes", watermark="2 minutes", keys=["k"])
+        .writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_late_data_dropped_and_windows_emit_once(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    emitted: list = []
+    # run 1: max event time 10:08 -> watermark 10:06 at run end; the
+    # [10:00,10:05) window may emit here or at the start of run 2
+    _run(spark, src, ckpt, emitted)
+
+    # run 2 delivers: a LATE row (10:04 < watermark 10:06, its window is
+    # closed -> must be dropped), an on-time row for the open [10:05,10:10)
+    # window, and a fresh row at 10:20 that advances the watermark to
+    # 10:18, closing [10:05,10:10)
+    (
+        spark.createDataFrame(
+            [("a", _ts(4)), ("b", _ts(7)), ("a", _ts(20))],
+            "k string, ts timestamp",
+        ).write.mode("append").parquet(src)
+    )
+    _run(spark, src, ckpt, emitted)
+
+    results = {(w0, w1, k): n for (w0, w1, k, n) in emitted}
+    # each closed window emitted exactly once across both runs
+    assert len(emitted) == len(results)
+    # late 10:04 row NOT counted: window [10:00,10:05) keeps a=2
+    assert results[(0, 5, "a")] == 2
+    assert results[(0, 5, "b")] == 1
+    # [10:05,10:10): the on-time 10:07 row IS counted alongside run 1's 10:08
+    assert results[(5, 10, "a")] == 1
+    assert results[(5, 10, "b")] == 1
+    # [10:20,10:25) is still open (watermark 10:18) -> not emitted
+    assert (20, 25, "a") not in results
+
+
+def test_session_windows_merge_within_gap(spark):
+    # batch-mode semantics of the same helper: rows <= gap apart merge;
+    # a > gap silence splits the session
+    df = spark.createDataFrame(
+        [("u1", _ts(0)), ("u1", _ts(2)), ("u1", _ts(3)),
+         ("u1", _ts(30)), ("u2", _ts(1))],
+        "k string, ts timestamp",
+    )
+    out = {
+        (r.k, r.window_start.minute): r.events
+        for r in session_windows(df, "ts", gap="5 minutes", keys=["k"]).collect()
+    }
+    assert out == {("u1", 0): 3, ("u1", 30): 1, ("u2", 1): 1}

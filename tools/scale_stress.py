@@ -1,0 +1,102 @@
+"""Scale-stress harness: measure how the scale-sensitive operators behave
+when the corpus grows 10x, as direct evidence for the 100 TB design goal.
+
+Usage (each step is a separate process so timings are not contaminated —
+never run anything else Spark-sized on the box concurrently):
+
+    python tools/scale_stress.py gen      # synthesize the 10x corpus
+    python tools/scale_stress.py run      # time queries at 1x vs 10x
+
+``gen`` replicates the sf0.1 documents/embeddings tables 10x with
+realistic duplicate structure: ~10% of replica groups stay exact copies
+(duplicate clusters of size 10), the rest get unique perturbations —
+so dedup operators see both true clusters and a large distinct mass,
+not a degenerate dup-bomb.
+
+Reading the ratios: a clean operator lands near the data growth ONLY if
+its *output* also grows linearly. The dup-cluster construction makes
+pair outputs grow ~45x per cluster (10 copies -> C(10,2) pairs), so
+pair-producing dedup queries are expected somewhat above 10/10 = 1.0x
+per-row cost; what the harness guards against is the quadratic cliff
+(the all-pairs 34.9x regression this caught in round 2).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from flink_connector_lance_spark.io import load_table  # noqa: E402
+from flink_connector_lance_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/stress/sf1x10"
+REPL = 10
+QUERIES = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_lsh",
+    "ann_ivf_coarse", "knn_cosine", "text_stats", "text_fingerprint",
+]
+
+
+def gen() -> None:
+    spark = get_spark(app_name="stress-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    reps = spark.range(REPL).withColumnRenamed("id", "rep")
+    d = load_table(spark, BASE, "documents")
+    docs10 = (
+        d.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 10 != 0) & (F.col("rep") > 0),
+                F.concat("text", F.lit(" variant "), F.col("rep").cast("string"),
+                         F.lit("-"), F.col("doc_id").cast("string")),
+            ).otherwise(F.col("text")),
+        )
+        .drop("rep")
+    )
+    docs10.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+    e = load_table(spark, BASE, "embeddings")
+    emb10 = (
+        e.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x, i: x + (F.col("rep") * 0.001) * ((i % 3) - 1)),
+        )
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+        .drop("rep")
+    )
+    emb10.repartition(16).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+    print("rows:", spark.read.parquet(f"{OUT}/documents.parquet").count(),
+          spark.read.parquet(f"{OUT}/embeddings.parquet").count())
+    spark.stop()
+
+
+def run() -> None:
+    from flink_connector_lance_spark import registry
+
+    spark = get_spark(app_name="stress-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    out: dict[str, dict[str, float]] = {}
+    for sf_dir, tag in [(BASE, "x1"), (OUT, "x10")]:
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out.setdefault(name, {})[tag] = round(time.perf_counter() - t0, 2)
+    for v in out.values():
+        v["ratio"] = round(v["x10"] / v["x1"], 1)
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    {"gen": gen, "run": run}[sys.argv[1]]()
