@@ -38,7 +38,9 @@ def _normalize(df: DataFrame) -> DataFrame:
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+            # integer division — float division of ~1e18 ns loses µs precision
+            # (double mantissa is 53 bits), which skews µs-level arithmetic
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ..functions import vector as V
 
@@ -61,3 +61,62 @@ def knn(
     if with_similarity:
         out = out.withColumn("similarity", V.similarity(F.col(distance_col)))
     return out
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vector_col: str,
+    k: int,
+    metric: str = "l2",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vector_col: str | None = None,
+    distance_col: str = "_distance",
+    round_digits: int | None = 6,
+    salt_partitions: int = 16,
+) -> DataFrame:
+    """Batch similarity search: top-``k`` corpus neighbors for EVERY query
+    row — the many-query generalization of ``knn`` (a training-data
+    pipeline primitive: retrieval eval sets, hard-negative mining,
+    embedding-space joins).
+
+    Scale shape: the (small) query set broadcasts; distances are computed
+    map-side on the corpus partitions (JVM ``zip_with``/``aggregate`` — the
+    query vector is data here, not a literal, so unrolled chains don't
+    apply); only a skinny (query_id, corpus_id, distance) row survives to
+    the shuffle. Top-k is two-stage — stage 1 ranks within
+    (query, salt-of-corpus-id) buckets so no single reducer sees more than
+    ~n/salt_partitions candidates of one query, stage 2 ranks the
+    ≤ salt_partitions*k survivors per query. Ordering ties break on
+    corpus id, so results are deterministic.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    qv = query_vector_col or vector_col
+    q = queries.select(
+        F.col(query_id),
+        F.col(qv).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vector_col).cast("array<double>").alias("__cv"),
+    )
+    dist = V.distance(F.col("__cv"), F.col("__qv"), metric)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    skinny = (
+        c.crossJoin(F.broadcast(q))
+        .select(F.col(query_id), F.col(corpus_id), dist.alias(distance_col))
+    )
+    w1 = Window.partitionBy(
+        F.col(query_id), F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(salt_partitions))
+    ).orderBy(F.asc(distance_col), F.asc(corpus_id))
+    w2 = Window.partitionBy(F.col(query_id)).orderBy(F.asc(distance_col), F.asc(corpus_id))
+    return (
+        skinny.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

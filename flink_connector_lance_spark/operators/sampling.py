@@ -1,0 +1,62 @@
+"""Deterministic hash-based dataset splitting (train/val/test).
+
+Beyond-reference operator (SURVEY.md §7.1 M10): every large-scale
+training-data pipeline needs a reproducible, engine-independent split.
+Random sampling (``df.sample``) is neither stable across runs nor
+reproducible outside Spark; hashing the row id is both.
+
+The bucket is the first 16 bits of ``md5(id || ':' || salt)`` modulo the
+total weight — md5 of a UTF-8 string is identical in every engine
+(Spark, DuckDB, Python), so the assignment is portable and the split can
+be re-derived by any downstream system. A salt change re-deals the whole
+split; ids are otherwise sticky (adding documents never moves existing
+ones between splits).
+
+Scale: pure codegen projection — no shuffle, no state, trivially
+parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def hash_bucket(id_col: str | Column, n_buckets: int, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5(id || ':' || salt)."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    hex16 = F.substring(F.md5(F.concat(col.cast("string"), F.lit(":" + salt))), 1, 4)
+    return (F.conv(hex16, 16, 10).cast("long") % n_buckets).alias("bucket")
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 8), ("val", 1), ("test", 1)),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label with weights ``splits`` (integer
+    proportions), deterministically by ``hash_bucket(id_col)``.
+
+    "Stratified" in the fingerprint sense: because the hash is uniform and
+    independent of every feature column, each stratum of the data (language,
+    source, label, ...) receives the same expected proportions without a
+    per-stratum pass — verify with a groupBy(stratum, split) count.
+    """
+    weights = [w for _, w in splits]
+    if any(w <= 0 for w in weights):
+        raise ValueError("split weights must be positive")
+    total = sum(weights)
+    b = hash_bucket(id_col, total, salt)
+    expr: Column | None = None
+    lo = 0
+    for name, w in splits:
+        cond = b < F.lit(lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.withColumn(split_col, expr)

@@ -83,39 +83,28 @@ def filter_comparisons(spark, sf_dir):
 
 
 @register(
-    "filter_boolean",
-    oracle="""
-    SELECT o_orderkey
-    FROM orders
-    WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 50000.0)
-       OR (o_orderpriority = '1-URGENT' AND o_totalprice >= 400000.0)
-    """,
-    doc="AND/OR/NOT composition (ref LanceDynamicTableSource.java:235-246).",
-)
-def filter_boolean(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.filter(
-        (~((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") < 50000.0)))
-        | ((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") >= 400000.0))
-    ).select("o_orderkey")
-
-
-@register(
-    "filter_null_like",
+    "filter_bool_null_like",
     oracle="""
     SELECT o_orderkey,
            CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END AS is_open
     FROM orders
-    WHERE o_orderpriority LIKE '%URGENT'
+    WHERE (NOT (o_orderstatus = 'F' OR o_totalprice < 50000.0)
+           OR (o_orderpriority = '1-URGENT' AND o_totalprice >= 400000.0))
+      AND o_orderpriority LIKE '%URGENT'
       AND nullif(o_orderstatus, 'P') IS NOT NULL
     """,
-    doc="IS [NOT] NULL + LIKE predicates (ref LanceDynamicTableSource.java:248-262).",
+    doc="AND/OR/NOT composition + IS [NOT] NULL + LIKE in one predicate tree "
+        "(ref LanceDynamicTableSource.java:235-262).",
 )
-def filter_null_like(spark, sf_dir):
+def filter_bool_null_like(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.filter(
-            F.col("o_orderpriority").like("%URGENT")
+            (
+                (~((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") < 50000.0)))
+                | ((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") >= 400000.0))
+            )
+            & F.col("o_orderpriority").like("%URGENT")
             & F.nullif(F.col("o_orderstatus"), F.lit("P")).isNotNull()
         )
         .select(
@@ -171,29 +160,22 @@ def topk_orderby_limit(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
-    "agg_count_star",
-    oracle="SELECT count(*) AS cnt FROM lineitem",
-    doc="COUNT(*) (ref AggregateExecutor.java:102-106). Candidate for "
-        "metadata-only fast path at scale.",
-)
-def agg_count_star(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@register(
     "agg_counts_distinct",
     oracle="""
-    SELECT count(o_custkey) AS cnt_col,
+    SELECT count(*) AS cnt_star,
+           count(o_custkey) AS cnt_col,
            count(DISTINCT o_custkey) AS cnt_distinct,
            count(DISTINCT o_orderstatus) AS cnt_status
     FROM orders
     """,
-    doc="COUNT(col) non-null + exact COUNT DISTINCT "
-        "(ref AggregateExecutor.java:107-123).",
+    doc="COUNT(*) + COUNT(col) non-null + exact COUNT DISTINCT "
+        "(ref AggregateExecutor.java:102-123). COUNT(*) is a candidate for "
+        "the metadata-only fast path at scale (see source_count_star_fast).",
 )
 def agg_counts_distinct(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.agg(
+        F.count(F.lit(1)).alias("cnt_star"),
         F.count("o_custkey").alias("cnt_col"),
         F.countDistinct("o_custkey").alias("cnt_distinct"),
         F.countDistinct("o_orderstatus").alias("cnt_status"),

@@ -12,7 +12,7 @@ import math
 import pyspark.sql.functions as F
 
 from ..io import load_table
-from ..operators.knn import knn
+from ..operators.knn import knn, knn_join
 from ..registry import register
 
 # Deterministic 64-dim query vector (embedding dim of the corpus).
@@ -42,15 +42,43 @@ def _oracle(dist_expr: str, where: str = "", k: int = 10, extra_cols: str = "") 
 
 
 @register(
-    "knn_l2",
-    oracle=_oracle(_L2),
-    doc="Exact KNN, L2 metric, k=10 (ref LanceVectorSearch.java:121-210; "
-        "TakeOrdered per-partition top-k, no global sort).",
+    "knn_l2_dot",
+    oracle=f"""
+    WITH qv AS (SELECT {_QSQL} AS q),
+    l2_top AS (
+        SELECT vec_id, _distance
+        FROM (SELECT vec_id, {_L2} AS _distance FROM embeddings, qv)
+        ORDER BY _distance, vec_id LIMIT 10
+    ),
+    dot_top AS (
+        SELECT vec_id, _distance
+        FROM (SELECT vec_id, {_NEGDOT} AS _distance FROM embeddings, qv)
+        ORDER BY _distance, vec_id LIMIT 10
+    )
+    SELECT 'l2' AS metric, vec_id, _distance,
+           round(1.0 / (1.0 + _distance), 6) AS similarity
+    FROM l2_top
+    UNION ALL
+    SELECT 'dot' AS metric, vec_id, _distance,
+           round(1.0 / (1.0 + _distance), 6) AS similarity
+    FROM dot_top
+    """,
+    doc="Exact KNN, L2 + dot metrics in one tagged result, k=10 each "
+        "(ref LanceVectorSearch.java:121-210; config/LanceOptions.java:323-346). "
+        "Dot is the negated dot product (smaller = closer); similarity is the "
+        "1/(1+d) score of ref LanceVectorSearch.java:420-426. Each branch "
+        "compiles to TakeOrdered (per-partition top-k, no global sort).",
 )
-def knn_l2(spark, sf_dir):
+def knn_l2_dot(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    return knn(e, "embedding", QVEC, k=10, metric="l2",
-               tiebreak_cols=["vec_id"], round_digits=6).select("vec_id", "_distance")
+    out = []
+    for metric in ("l2", "dot"):
+        top = knn(e, "embedding", QVEC, k=10, metric=metric,
+                  tiebreak_cols=["vec_id"], round_digits=6, with_similarity=True)
+        out.append(top.select(
+            F.lit(metric).alias("metric"), "vec_id", "_distance",
+            F.round("similarity", 6).alias("similarity")))
+    return out[0].unionAll(out[1])
 
 
 @register(
@@ -65,26 +93,45 @@ def knn_cosine(spark, sf_dir):
 
 
 @register(
-    "knn_dot",
-    oracle=f"""
-    WITH qv AS (SELECT {_QSQL} AS q)
-    SELECT vec_id, _distance, round(1.0 / (1.0 + _distance), 6) AS similarity
-    FROM (
-        SELECT vec_id, {_NEGDOT} AS _distance
-        FROM embeddings, qv
+    "knn_join_batch",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id >= 5
+    ),
+    d AS (
+        SELECT q.query_id, c.vec_id,
+               round(sqrt(list_sum(list_transform(c.cv,
+                   (x, i) -> (x - q.qv[i]) * (x - q.qv[i])))), 6) AS _distance
+        FROM q, c
+    ),
+    r AS (
+        SELECT query_id, vec_id, _distance,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY _distance, vec_id) AS rn
+        FROM d
     )
-    ORDER BY _distance, vec_id
-    LIMIT 10
+    SELECT query_id, vec_id, _distance FROM r WHERE rn <= 3
     """,
-    doc="Exact KNN, dot metric (negated dot product; smaller = closer) "
-        "plus the similarity score 1/(1+d) of ref "
-        "LanceVectorSearch.java:420-426 as a trailing column.",
+    doc="Batch similarity search (k-NN join): top-3 corpus neighbors for "
+        "each of 5 query vectors in ONE distributed plan — queries "
+        "broadcast, distances map-side, two-stage salted top-k "
+        "(operators.knn.knn_join). The many-query path a retrieval-eval "
+        "or hard-negative-mining pipeline uses at scale.",
 )
-def knn_dot(spark, sf_dir):
+def knn_join_batch(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    out = knn(e, "embedding", QVEC, k=10, metric="dot",
-              tiebreak_cols=["vec_id"], round_digits=6, with_similarity=True)
-    return out.select("vec_id", "_distance", F.round("similarity", 6).alias("similarity"))
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    return knn_join(corpus, queries, "embedding", k=3, metric="l2").select(
+        "query_id", "vec_id", "_distance"
+    )
 
 
 @register(

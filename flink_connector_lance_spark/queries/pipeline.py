@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from ..io import load_table
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import sampling as S
 from ..operators import text as T
 from ..registry import register
 
@@ -289,10 +290,10 @@ def text_stats(spark, sf_dir):
 
 
 @register(
-    "text_langid",
+    "text_langid_fingerprint",
     oracle=(
         lambda: (
-            "WITH scored AS (SELECT doc_id, lang, "
+            "WITH scored AS (SELECT doc_id, lang, ws, "
             + ", ".join(
                 f"len(list_filter(ws, x -> x IN ({', '.join(repr(m) for m in markers)}))) AS s_{lang}"
                 for lang, markers in T.LANG_PROFILES.items()
@@ -307,35 +308,59 @@ def text_stats(spark, sf_dir):
                 + f" THEN '{lang}'"
                 for lang in T.LANG_PROFILES
             )
-            + f" ELSE '{next(iter(T.LANG_PROFILES))}' END AS predicted FROM scored"
+            + f" ELSE '{next(iter(T.LANG_PROFILES))}' END AS predicted, "
+            + f"CAST(list_sum(list_transform(ws, (w, i) -> {_H32.format(x='w')} * i)) AS BIGINT)"
+            + " AS fingerprint FROM scored"
         )
     )(),
-    doc="Marker-frequency language-ID heuristic with deterministic argmax "
-        "(profile order tiebreak).",
+    doc="Marker-frequency language-ID heuristic (deterministic argmax, "
+        "profile-order tiebreak) + position-weighted rolling document "
+        "fingerprint over 32-bit md5 token hashes — one zero-shuffle "
+        "codegen projection.",
 )
-def text_langid(spark, sf_dir):
+def text_langid_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.col("lang").alias("declared"),
         T.lang_id("text").alias("predicted"),
+        T.fingerprint("text").alias("fingerprint"),
     )
 
 
+# --- dataset splitting -------------------------------------------------------
+
 @register(
-    "text_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(list_sum(list_transform(ws, (w, i) -> {_H32.format(x='w')} * i)) AS BIGINT)
-               AS fingerprint
-    FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+    "train_split_stratified",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':split'), 1, 4))::UBIGINT % 10
+                   AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS cnt,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM assigned
+    GROUP BY lang, split
     """,
-    doc="Position-weighted rolling document fingerprint over 32-bit md5 "
-        "token hashes.",
+    doc="Deterministic 80/10/10 train/val/test split via md5-bucket hashing "
+        "(engine-portable, sticky under appends — operators.sampling."
+        "stratified_split), verified stratified: per-language counts and "
+        "mean doc length per split. Pure codegen projection + one "
+        "partial+final aggregate; no shuffle before the groupBy.",
 )
-def text_fingerprint(spark, sf_dir):
+def train_split_stratified(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+    s = S.stratified_split(d, "doc_id")
+    return s.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
 
 
 # --- multimodal plumbing -----------------------------------------------------

@@ -74,6 +74,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .queries import core, knn, vector_ann, sources_q, pipeline, extended  # noqa: F401
+    from .queries import core, knn, vector_ann, sources_q, pipeline, extended, temporal_q  # noqa: F401
 
     _LOADED = True

@@ -15,7 +15,7 @@ MUST_PRODUCE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "knn_l2",
+    "knn_l2_dot",
     "knn_cosine",
     "knn_l2_filtered",
     "ann_lsh",

@@ -66,6 +66,30 @@ def test_embedding_cosine_is_bucketed_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_join_is_single_shuffle_window_not_range_join(spark, sf_dir):
+    # union+window formulation: one Exchange on the key + a Window/Sort —
+    # never a range-predicate join (BroadcastNestedLoopJoin over time)
+    plan = _plan(spark, sf_dir, "events_asof_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_banded_equi_join(spark, sf_dir):
+    # banded buckets make the interval join an equi-join on (key, bucket)
+    plan = _plan(spark, sf_dir, "events_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_broadcasts_queries(spark, sf_dir):
+    # the query set must ship to the corpus (broadcast cross of a tiny
+    # side), never a shuffle of the corpus against the queries
+    plan = _plan(spark, sf_dir, "knn_join_batch")
+    assert "BroadcastNestedLoopJoin" in plan  # the intended tiny-side cross
+    assert "SortMergeJoin" not in plan
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # '*(n)' markers = whole-stage-codegen spans (AQE prints the final
     # formatted tree lazily, so check the codegen markers instead)

@@ -1,0 +1,118 @@
+"""Unit tests for the temporal joins and the hash split — hand-built
+frames with known answers (ties, no-match rows, window edges), plus the
+stickiness/portability properties the operators promise."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pyspark.sql.functions as F
+
+from flink_connector_lance_spark.operators.knn import knn, knn_join
+from flink_connector_lance_spark.operators.sampling import hash_bucket, stratified_split
+from flink_connector_lance_spark.operators.temporal import asof_join, range_join_pairs
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_prior_and_nulls_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "p1"),
+         (1, _ts("2024-01-01 12:00:00"), "p2"),
+         (2, _ts("2024-01-01 09:00:00"), "p3")],  # no click for user 2
+        "user int, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 100),
+         (1, _ts("2024-01-01 11:59:59"), 101),
+         (1, _ts("2024-01-01 13:00:00"), 102)],  # after every purchase
+        "user int, ts timestamp, click_id int",
+    )
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
+                    right_cols=["click_id"])
+    got = {r["pid"]: r["click_id"] for r in out.collect()}
+    assert got == {"p1": 100, "p2": 101, "p3": None}
+
+
+def test_asof_join_exact_timestamp_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "p")], "user int, ts timestamp, pid string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 7)], "user int, ts timestamp, click_id int")
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
+                    right_cols=["click_id"])
+    assert out.collect()[0]["click_id"] == 7
+
+
+def test_asof_join_rejects_column_clash(spark):
+    df = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], "user int, ts timestamp")
+    try:
+        asof_join(df, df, on=["user"], left_ts="ts", right_ts="ts", right_cols=["ts"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "clash" in str(e)
+
+
+def test_range_join_window_edges(spark):
+    base = _ts("2024-01-01 00:00:00")
+    rows = [(1, base, 0),
+            (1, base + dt.timedelta(seconds=60), 1),    # exactly at window edge
+            (1, base + dt.timedelta(seconds=61), 2),    # outside from id 0
+            (2, base + dt.timedelta(seconds=30), 3)]    # other key
+    df = spark.createDataFrame(rows, "user int, ts timestamp, id int")
+    pairs = range_join_pairs(df, "user", "ts", "id", window_us=60_000_000)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # (0,1): gap=60s inclusive; (1,2): gap=1s; (0,2): 61s excluded; key 2 alone
+    assert got == {(0, 1), (1, 2)}
+
+
+def test_hash_bucket_matches_reference_md5(spark):
+    # portability contract: bucket == int(md5(f"{id}:split")[:4], 16) % 10
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got = {r["doc_id"]: r["b"] for r in
+           df.select("doc_id", hash_bucket("doc_id", 10).alias("b")).collect()}
+    for i in range(200):
+        expect = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:4], 16) % 10
+        assert got[i] == expect
+
+
+def test_stratified_split_weights_and_stickiness(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = stratified_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.07 < counts["val"] / 5000 < 0.13
+    assert 0.07 < counts["test"] / 5000 < 0.13
+    # appending rows never moves existing ids between splits
+    bigger = stratified_split(
+        spark.createDataFrame([(i,) for i in range(10000)], "doc_id long"), "doc_id")
+    small = {r["doc_id"]: r["split"] for r in out.collect()}
+    big = {r["doc_id"]: r["split"] for r in bigger.collect()}
+    assert all(big[i] == small[i] for i in range(5000))
+
+
+def test_knn_join_matches_per_query_knn(spark):
+    import math
+    corpus = spark.createDataFrame(
+        [(i, [math.sin(i + j) for j in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.1] * 8), (200, [0.9] * 8)],
+        "query_id long, embedding array<double>",
+    )
+    joined = knn_join(corpus, queries, "embedding", k=5, metric="l2")
+    by_q = {}
+    for r in joined.collect():
+        by_q.setdefault(r["query_id"], []).append((r["_distance"], r["vec_id"]))
+    assert set(by_q) == {100, 200}
+    for qid, qvec in [(100, [0.1] * 8), (200, [0.9] * 8)]:
+        single = knn(corpus, "embedding", qvec, k=5, metric="l2",
+                     tiebreak_cols=["vec_id"], round_digits=6)
+        expect = [(r["_distance"], r["vec_id"]) for r in single.collect()]
+        assert sorted(by_q[qid]) == sorted(expect), f"query {qid}"

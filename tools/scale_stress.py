@@ -40,7 +40,9 @@ REPL = 10
 QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding_cosine", "ann_lsh",
-    "ann_ivf_coarse", "knn_cosine", "text_stats", "text_fingerprint",
+    "ann_ivf_coarse", "knn_cosine", "text_stats", "text_langid_fingerprint",
+    "events_asof_attribution", "events_range_join", "knn_join_batch",
+    "train_split_stratified",
 ]
 
 
@@ -75,8 +77,22 @@ def gen() -> None:
         .drop("rep")
     )
     emb10.repartition(16).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+    # events: replicas get DISTINCT user ids (10x users at the same per-user
+    # event density) so temporal-join outputs grow linearly with the data —
+    # replicating onto the same users would densify the timeline and grow
+    # in-band pair outputs quadratically, measuring the data not the plan
+    ev = load_table(spark, BASE, "events")
+    ev10 = (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 10_000_000)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * 1_000)
+        .withColumn("ts", F.timestamp_micros(F.unix_micros("ts") + F.col("rep")))
+        .drop("rep")
+    )
+    ev10.repartition(16).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
     print("rows:", spark.read.parquet(f"{OUT}/documents.parquet").count(),
-          spark.read.parquet(f"{OUT}/embeddings.parquet").count())
+          spark.read.parquet(f"{OUT}/embeddings.parquet").count(),
+          spark.read.parquet(f"{OUT}/events.parquet").count())
     spark.stop()
 
 
