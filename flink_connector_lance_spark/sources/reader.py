@@ -40,7 +40,7 @@ def read_dataset(
     options: DatasetOptions | None = None,
 ) -> DataFrame:
     opts = options or DatasetOptions(path=path)
-    if FR.HAVE_LANCE:  # pragma: no cover - native path, not in container
+    if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         return _read_lance(spark, path, columns, filter, limit, version, opts)
     return _read_local(spark, path, columns, filter, limit, version, opts)
 
@@ -70,7 +70,7 @@ def _read_local(spark, path, columns, filter, limit, version, opts) -> DataFrame
     return _apply_pushdowns(df, columns, filter, limit, opts)
 
 
-def _read_lance(spark, path, columns, filter, limit, version, opts) -> DataFrame:  # pragma: no cover
+def _read_lance(spark, path, columns, filter, limit, version, opts) -> DataFrame:
     """Native path: driver lists fragments (metadata-only), executors scan
     their fragment via the lance Python API inside mapInArrow — one task
     per fragment, Arrow end-to-end (SURVEY.md §1.1 Spark mapping)."""
@@ -88,8 +88,8 @@ def _read_lance(spark, path, columns, filter, limit, version, opts) -> DataFrame
         import lance as _lance
 
         dset = _lance.dataset(path, version=version)
-        for pdf in iterator:
-            for fid in pdf["fragment_id"]:
+        for arrow_batch in iterator:  # mapInArrow yields pyarrow.RecordBatch
+            for fid in arrow_batch.column("fragment_id").to_pylist():
                 frag = dset.get_fragment(int(fid))
                 for batch in frag.to_batches(columns=cols, filter=filt,
                                              batch_size=opts.read_batch_size):
@@ -109,7 +109,7 @@ def _read_lance(spark, path, columns, filter, limit, version, opts) -> DataFrame
 def count_rows(path: str, version: int | None = None) -> int:
     """COUNT(*) fast path from fragment metadata without scanning data
     (ref fragment.countRows analog — LanceInputFormat.java:117)."""
-    if FR.HAVE_LANCE:  # pragma: no cover
+    if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         import lance
 
         return lance.dataset(path, version=version).count_rows()

@@ -1,0 +1,83 @@
+"""Drive the native-lance read/write twins against the in-test fake
+``lance`` (tests/fixtures/lance.py) so the executor-side plumbing —
+mapInArrow fragment fan-out, Arrow schema bridging, per-partition
+fragment production, driver single-commit — executes for real instead of
+sitting dead behind ``HAVE_LANCE``.
+
+The fake implements only the pylance API calls the twins make; these
+tests verify the twins' own logic (argument flow, batch iteration,
+version accounting), not lance itself.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+import flink_connector_lance_spark.sources.fragments as FR
+from flink_connector_lance_spark.sources.reader import count_rows, read_dataset
+from flink_connector_lance_spark.sources.writer import write_dataset
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture()
+def fake_lance(spark, monkeypatch):
+    """Make ``import lance`` resolve to the fake, on the driver AND in
+    Spark's Python workers, and flip the HAVE_LANCE gate."""
+    monkeypatch.syspath_prepend(FIXTURES)
+    # the twins' closures import lance inside executors
+    spark.sparkContext.addPyFile(os.path.join(FIXTURES, "lance.py"))
+    monkeypatch.setattr(FR, "HAVE_LANCE", True)
+    yield
+    sys.modules.pop("lance", None)
+    sys.modules.pop("lance.fragment", None)
+
+
+def test_native_write_then_read_roundtrip(fake_lance, spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = spark.range(100).selectExpr("id", "id % 5 AS label", "CAST(id * 1.5 AS DOUBLE) AS v")
+    write_dataset(df, path, mode="overwrite")
+    assert count_rows(path) == 100
+
+    back = read_dataset(spark, path)
+    assert back.count() == 100
+    assert {r["label"] for r in back.select("label").distinct().collect()} == set(range(5))
+
+
+def test_native_append_adds_a_version(fake_lance, spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = spark.range(10).selectExpr("id", "id % 2 AS label", "CAST(id AS DOUBLE) AS v")
+    write_dataset(df, path, mode="overwrite")
+    write_dataset(df, path, mode="append")
+    assert count_rows(path) == 20
+    # MVCC: version 1 still reads the pre-append rows
+    assert read_dataset(spark, path, version=1).count() == 10
+
+
+def test_native_read_pushdowns_flow_to_fragments(fake_lance, spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = spark.range(50).selectExpr("id", "id % 5 AS label", "CAST(id AS DOUBLE) AS v")
+    write_dataset(df, path, mode="overwrite")
+
+    out = read_dataset(spark, path, columns=["id", "label"], filter="label >= 2", limit=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert set(rows[0].asDict()) == {"id", "label"}
+    assert all(r["label"] >= 2 for r in rows)
+
+
+def test_native_write_respects_max_rows_per_file(fake_lance, spark, tmp_path):
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    path = str(tmp_path / "ds")
+    df = spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(1)
+    write_dataset(df, path, mode="overwrite",
+                  options=DatasetOptions(path=path, write_max_rows_per_file=30))
+    import lance  # the fake, via syspath_prepend
+
+    frags = lance.dataset(path).get_fragments()
+    assert len(frags) == 4  # 30+30+30+10
+    assert max(f.count_rows() for f in frags) <= 30
