@@ -41,18 +41,25 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join: each left row gains the values of
-    ``right_cols`` from the latest right row with the same ``on`` keys and
-    ``right_ts <= left_ts`` (NULLs when no such row exists — LEFT semantics,
-    matching ANSI/DuckDB ``ASOF LEFT JOIN``).
+    """As-of join: each left row gains the values of ``right_cols`` from
+    the nearest right row with the same ``on`` keys — the latest with
+    ``right_ts <= left_ts`` (``direction="backward"``, the default,
+    matching ANSI/DuckDB ``ASOF LEFT JOIN``) or the earliest with
+    ``right_ts >= left_ts`` (``direction="forward"``). NULLs when no such
+    row exists (LEFT semantics). ``tolerance_us`` additionally nulls out
+    matches farther than that many microseconds from the left timestamp
+    (pandas ``merge_asof`` tolerance semantics).
 
     ``right_cols`` must not clash with left column names (pre-alias the
     right side). Ties on the timestamp are resolved right-before-left
-    (equal timestamps match) and, among equal right timestamps, by the
-    first of ``right_cols`` ascending — deterministic on both engines
-    when that column is a unique id.
+    (equal timestamps match); among equal right timestamps the first of
+    ``right_cols`` breaks the tie deterministically.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     on = list(on)
     clash = set(right_cols) & set(left.columns)
     if clash:
@@ -65,6 +72,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in carry],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
     )
     r_side = right.select(
         *on,
@@ -72,22 +80,40 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *carry,
+        F.col(right_ts).alias("__r_ts"),
     )
     # One shuffle: repartition+sort by key over the interleaved timeline.
-    # Right rows sort before left rows at equal timestamps (__is_left asc)
-    # so an exact-timestamp right row is visible to its left row.
+    # backward walks time ascending, forward descending; either way right
+    # rows sort before left rows at equal timestamps (__is_left asc) so an
+    # exact-timestamp right row is visible to its left row.
+    ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("__ts"), F.asc("__is_left"), F.asc(carry[0]))
+        .orderBy(ts_order, F.asc("__is_left"), F.asc(carry[0]))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill = [*carry, "__r_ts"]
     filled = l_side.unionByName(r_side).select(
         *on,
         *payload,
+        "__ts",
         "__is_left",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill],
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    out = filled.filter(F.col("__is_left") == 1)
+    if tolerance_us is not None:
+        within = (
+            F.abs(F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__r_ts")))
+            <= F.lit(tolerance_us)
+        )
+        out = out.select(
+            *on,
+            *payload,
+            *[F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c) for c in carry],
+        )
+    else:
+        out = out.select(*on, *payload, *carry)
+    return out
 
 
 def range_join_pairs(

@@ -68,6 +68,29 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the stream counterpart of the batch
+    ``dedup.exact_dedup`` (same keys-define-identity semantics).
+
+    With ``time_col`` set, uses ``dropDuplicatesWithinWatermark``: state
+    for a key is evicted once the watermark passes its event time +
+    watermark delay, so executor state is bounded by the watermark horizon
+    — the ONLY formulation that survives an unbounded stream. Duplicates
+    arriving within the horizon are dropped; later ones are by definition
+    late data. Without ``time_col`` plain ``dropDuplicates`` keeps state
+    forever (exact, but unbounded — batch or short streams only).
+    """
+    if time_col is None:
+        return stream_df.dropDuplicates(list(keys))
+    wm = stream_df.withWatermark(time_col, watermark)
+    return wm.dropDuplicatesWithinWatermark(list(keys))
+
+
 def session_windows(
     stream_df: DataFrame,
     time_col: str,

@@ -86,6 +86,42 @@ def test_late_data_dropped_and_windows_emit_once(spark, stream_dirs):
     assert (20, 25, "a") not in results
 
 
+def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
+    from flink_connector_lance_spark.streaming.windows import dedup_stream
+
+    src = str(tmp_path / "in")
+    (
+        spark.createDataFrame(
+            [(1, _ts(1)), (1, _ts(2)), (2, _ts(2)), (1, _ts(3)), (3, _ts(4))],
+            "id long, ts timestamp",
+        ).write.mode("overwrite").parquet(src)
+    )
+    seen: list = []
+
+    def fold(batch_df, epoch_id):
+        seen.extend(r.id for r in batch_df.collect())
+
+    stream = spark.readStream.schema("id long, ts timestamp").parquet(src)
+    q = (
+        dedup_stream(stream, keys=["id"], time_col="ts", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # duplicates of id=1 inside the watermark horizon collapse to one row
+    assert sorted(seen) == [1, 2, 3]
+
+
+def test_dedup_stream_batch_mode_without_time_col(spark):
+    from flink_connector_lance_spark.streaming.windows import dedup_stream
+
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "id long, v string")
+    assert dedup_stream(df, keys=["id"]).count() == 2
+
+
 def test_session_windows_merge_within_gap(spark):
     # batch-mode semantics of the same helper: rows <= gap apart merge;
     # a > gap silence splits the session

@@ -47,6 +47,52 @@ def test_asof_join_exact_timestamp_matches(spark):
     assert out.collect()[0]["click_id"] == 7
 
 
+def test_asof_join_forward_picks_earliest_following(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "p1"),
+         (1, _ts("2024-01-01 14:00:00"), "p2")],  # nothing after -> NULL
+        "user int, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 1),     # before p1: ignored forward
+         (1, _ts("2024-01-01 10:30:00"), 2),
+         (1, _ts("2024-01-01 11:00:00"), 3)],
+        "user int, ts timestamp, click_id int",
+    )
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
+                    right_cols=["click_id"], direction="forward")
+    got = {r["pid"]: r["click_id"] for r in out.collect()}
+    assert got == {"p1": 2, "p2": None}
+
+
+def test_asof_join_tolerance_nulls_distant_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "near"),
+         (1, _ts("2024-01-01 20:00:00"), "far")],
+        "user int, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:59:00"), 5)],
+        "user int, ts timestamp, click_id int",
+    )
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts",
+                    right_cols=["click_id"], tolerance_us=3600 * 1_000_000)
+    got = {r["pid"]: r["click_id"] for r in out.collect()}
+    assert got == {"near": 5, "far": None}  # 10h gap exceeds the 1h tolerance
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    df = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"), 0)],
+                               "user int, ts timestamp, x int")
+    try:
+        asof_join(df, df.select("user", "ts", F.col("x").alias("y")),
+                  on=["user"], left_ts="ts", right_ts="ts",
+                  right_cols=["y"], direction="nearest")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "direction" in str(e)
+
+
 def test_asof_join_rejects_column_clash(spark):
     df = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], "user int, ts timestamp")
     try:
