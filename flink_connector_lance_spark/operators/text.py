@@ -135,3 +135,26 @@ def simhash_of(hs: Column, bits: int = 60) -> Column:
 def simhash(text_col, bits: int = 60) -> Column:
     """Expression form of SimHash (single-use contexts only)."""
     return simhash_of(F.transform(tokens(text_col), lambda t: token_hash64(t)), bits)
+
+
+def top_tokens(df, text_col: str, k: int = 100, min_len: int = 1):
+    """Corpus-level heavy hitters: the ``k`` most frequent tokens and their
+    counts — vocabulary profiling for a training corpus (stopword lists,
+    tokenizer sanity, boilerplate detection).
+
+    Scale shape: explode -> partial+final count aggregate (map-side
+    combine collapses each partition's token multiset before the shuffle,
+    so shuffle volume is O(distinct tokens per partition), not O(tokens))
+    -> TakeOrdered top-k. Token-frequency skew ("the") is absorbed by the
+    partial aggregate — the hot key arrives at its reducer as ONE partial
+    count per map partition.
+    """
+    tok = F.explode(tokens(text_col)).alias("token")
+    return (
+        df.select(tok)
+        .filter(F.length("token") >= min_len)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )

@@ -47,36 +47,55 @@ def source_count_star_fast(spark, sf_dir):
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-           round(sum(l_extendedprice), 2) AS sum_price
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(DISTINCT l_partkey) AS exact_parts
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     doc="ROLLUP grouping sets — beyond the reference, which rejects >1 "
         "grouping set (ref table/LanceDynamicTableSource.java:406-408); "
-        "Spark expands grouping sets inside the partial aggregate.",
+        "Spark expands grouping sets inside the partial aggregate. Includes "
+        "exact COUNT DISTINCT per grouping set (ref AggregateExecutor "
+        "HashSet path :115-123); the 100 TB variant "
+        "approx_count_distinct(HLL) is asserted separately in tests (not "
+        "hash-comparable by design).",
 )
 def agg_rollup(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
 
 
 @register(
-    "agg_cube_approx_distinct",
+    "doc_length_quantiles",
     oracle="""
-    SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
-    FROM lineitem GROUP BY l_returnflag
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
     """,
-    doc="Exact COUNT DISTINCT per group (ref AggregateExecutor HashSet "
-        "path :115-123). The 100 TB variant approx_count_distinct(HLL) is "
-        "asserted separately in tests (not hash-comparable by design).",
+    doc="Exact interpolated percentiles of document length per language — "
+        "the corpus-profiling aggregate every training-data pipeline runs "
+        "before setting length filters. Spark `percentile` matches DuckDB "
+        "quantile_cont (linear interpolation). The 100 TB path is "
+        "percentile_approx (t-digest sketch, mergeable map-side) — asserted "
+        "separately in tests, not hash-comparable by design.",
 )
-def agg_cube_approx_distinct(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts")
+def doc_length_quantiles(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
     )
 
 
