@@ -68,6 +68,42 @@ def windowed_counts(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pairs where
+    ``right_ts - left_ts`` lies in ``[lower_s, upper_s]`` seconds — the
+    streaming counterpart of the batch ``temporal.range_join_pairs`` (and
+    of Flink's interval join, the shape the reference's host runtime
+    executes for delegated stream SQL).
+
+    Both sides carry watermarks and the join predicate bounds event time
+    in BOTH directions, which is exactly what Structured Streaming needs
+    to evict state: a buffered left row can be dropped once the watermark
+    passes ``left_ts + upper_s``. Without the bounds the join would
+    buffer both streams forever. Works identically on batch frames
+    (watermarks are no-ops there).
+
+    Column names must be disjoint apart from ``on`` (pre-alias a side).
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    cond = (
+        (l_wm[on] == r_wm[on])
+        & (rt >= lt + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return l_wm.join(r_wm, cond, "inner").drop(r_wm[on])
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: Sequence[str],

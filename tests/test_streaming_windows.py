@@ -115,6 +115,57 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     assert sorted(seen) == [1, 2, 3]
 
 
+def test_interval_join_stream_pairs_within_bounds(spark, tmp_path):
+    from flink_connector_lance_spark.streaming.windows import interval_join_stream
+
+    clicks = str(tmp_path / "clicks")
+    buys = str(tmp_path / "buys")
+    (
+        spark.createDataFrame(
+            [(1, _ts(0), 100), (1, _ts(9), 101), (2, _ts(0), 102)],
+            "user long, cts timestamp, click long",
+        ).write.mode("overwrite").parquet(clicks)
+    )
+    (
+        spark.createDataFrame(
+            # u1 10:05 pairs with click 100 (gap 5m, within [0,8m]);
+            # click 101 is AFTER the purchase (gap -4m, excluded);
+            # u2 10:30 is 30m after click 102 (beyond upper bound)
+            [(1, _ts(5), 200), (2, _ts(30), 201)],
+            "user long, bts timestamp, buy long",
+        ).write.mode("overwrite").parquet(buys)
+    )
+    got: list = []
+
+    def fold(batch_df, epoch_id):
+        got.extend((r.click, r.buy) for r in batch_df.collect())
+
+    cs = spark.readStream.schema("user long, cts timestamp, click long").parquet(clicks)
+    bs = spark.readStream.schema("user long, bts timestamp, buy long").parquet(buys)
+    q = (
+        interval_join_stream(cs, bs, on="user", left_ts="cts", right_ts="bts",
+                             lower_s=0, upper_s=480)
+        .writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(100, 200)]
+
+
+def test_interval_join_batch_mode_same_semantics(spark):
+    from flink_connector_lance_spark.streaming.windows import interval_join_stream
+
+    l = spark.createDataFrame([(1, _ts(0), 10)], "user long, cts timestamp, click long")
+    r = spark.createDataFrame(
+        [(1, _ts(3), 20), (1, _ts(20), 21)], "user long, bts timestamp, buy long")
+    out = interval_join_stream(l, r, on="user", left_ts="cts", right_ts="bts",
+                               lower_s=0, upper_s=300)
+    assert [(x.click, x.buy) for x in out.collect()] == [(10, 20)]
+
+
 def test_dedup_stream_batch_mode_without_time_col(spark):
     from flink_connector_lance_spark.streaming.windows import dedup_stream
 
