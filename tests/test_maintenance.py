@@ -1,0 +1,86 @@
+"""Version-delta incremental reads and fragment compaction over the
+emulated fragment backend."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_connector_lance_spark.options import DatasetOptions
+from flink_connector_lance_spark.sources.fragments import read_manifest
+from flink_connector_lance_spark.sources.maintenance import compact_dataset, read_version_delta
+from flink_connector_lance_spark.sources.reader import read_dataset
+from flink_connector_lance_spark.sources.writer import write_dataset
+
+
+def _ds(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id % 3 AS label")
+
+
+def test_version_delta_reads_only_appended_rows(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    m1 = write_dataset(_ds(spark, 0, 100), path, mode="overwrite")
+    m2 = write_dataset(_ds(spark, 100, 130), path, mode="append")
+    delta = read_version_delta(spark, path, from_version=m1.version, to_version=m2.version)
+    ids = sorted(r["id"] for r in delta.collect())
+    assert ids == list(range(100, 130))
+    # same-version delta is empty but keeps the schema
+    empty = read_version_delta(spark, path, from_version=m2.version)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "label"]
+
+
+def test_version_delta_rejects_backwards_range(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    m1 = write_dataset(_ds(spark, 0, 10), path, mode="overwrite")
+    m2 = write_dataset(_ds(spark, 10, 20), path, mode="append")
+    try:
+        read_version_delta(spark, path, from_version=m2.version, to_version=m1.version)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "precedes" in str(e)
+
+
+def test_compaction_merges_runts_and_preserves_data_and_history(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    # many tiny fragments: 200 rows at <=20 rows/file -> >= 10 runts
+    write_dataset(
+        _ds(spark, 0, 200).repartition(1), path, mode="overwrite",
+        options=DatasetOptions(path=path, write_max_rows_per_file=20),
+    )
+    before = read_manifest(path)
+    assert len(before.fragments) >= 10
+
+    after = compact_dataset(spark, path, target_rows_per_fragment=100)
+    assert after.version == before.version + 1
+    assert len(after.fragments) < len(before.fragments)
+    assert after.row_count == 200
+    assert after.meta["compaction"]["merged"] == len(before.fragments)
+
+    # data identical through the normal read path
+    ids = sorted(r["id"] for r in read_dataset(spark, path).collect())
+    assert ids == list(range(200))
+    # MVCC: the pre-compaction version still reads the old fragment files
+    old = read_dataset(spark, path, version=before.version)
+    assert old.count() == 200
+
+
+def test_compaction_noop_when_fragments_are_healthy(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    write_dataset(_ds(spark, 0, 100).coalesce(1), path, mode="overwrite")
+    m = read_manifest(path)
+    out = compact_dataset(spark, path, target_rows_per_fragment=50)
+    assert out.version == m.version  # unchanged, no empty commit
+
+
+def test_compaction_counts_match_groupby(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    write_dataset(
+        _ds(spark, 0, 90).repartition(1), path, mode="overwrite",
+        options=DatasetOptions(path=path, write_max_rows_per_file=10),
+    )
+    compact_dataset(spark, path, target_rows_per_fragment=45)
+    counts = {
+        r["label"]: r["n"]
+        for r in read_dataset(spark, path).groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {0: 30, 1: 30, 2: 30}
