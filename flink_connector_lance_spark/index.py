@@ -173,7 +173,7 @@ def build_index(
     metric = DistanceMetric.parse(metric)
     start = time.perf_counter()
     try:
-        if FR.HAVE_LANCE:  # pragma: no cover - native path, not in container
+        if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
             import lance
 
             ds = lance.dataset(path)

@@ -123,6 +123,12 @@ class _Dataset:
     def count_rows(self) -> int:
         return sum(f._rows for f in self._frags)
 
+    def create_index(self, column: str, index_type: str | None = None, **kwargs):
+        """Records the call (pylance builds natively here); tests assert
+        the parameter routing of index.build_index."""
+        with open(os.path.join(self._root, "_fake_index.json"), "w") as f:
+            json.dump({"column": column, "index_type": index_type, **kwargs}, f)
+
 
 def dataset(path: str, version: int | None = None) -> _Dataset:
     return _Dataset(path, version)

@@ -69,6 +69,42 @@ def test_native_read_pushdowns_flow_to_fragments(fake_lance, spark, tmp_path):
     assert all(r["label"] >= 2 for r in rows)
 
 
+def test_native_index_build_routes_params_per_type(fake_lance, spark, tmp_path):
+    import json
+
+    from flink_connector_lance_spark.index import build_index
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    path = str(tmp_path / "ds")
+    df = spark.range(20).selectExpr("id", "array(CAST(id AS DOUBLE), 1.0d) AS emb")
+    write_dataset(df, path, mode="overwrite")
+
+    res = build_index(path, "emb", "ivf_pq",
+                      options=DatasetOptions(path=path, index_num_partitions=8))
+    assert res.success, res.error
+    rec = json.load(open(f"{path}/_fake_index.json"))
+    assert rec["index_type"] == "IVF_PQ"
+    assert rec["num_partitions"] == 8
+    assert "num_sub_vectors" in rec and "num_bits" in rec
+    assert "m" not in rec  # HNSW-only knob must not leak into IVF_PQ
+
+    res = build_index(path, "emb", "ivf_hnsw_pq", replace=True)
+    assert res.success, res.error
+    rec = json.load(open(f"{path}/_fake_index.json"))
+    assert rec["index_type"] == "IVF_HNSW_PQ"
+    assert "m" in rec and "ef_construction" in rec
+
+
+def test_native_index_build_reports_bad_column_as_failure(fake_lance, spark, tmp_path):
+    from flink_connector_lance_spark.index import build_index
+
+    path = str(tmp_path / "ds")
+    write_dataset(spark.range(5).selectExpr("id"), path, mode="overwrite")
+    res = build_index(path, "no_such_col", "ivf_flat")
+    assert not res.success
+    assert "not in dataset schema" in res.error
+
+
 def test_native_write_respects_max_rows_per_file(fake_lance, spark, tmp_path):
     from flink_connector_lance_spark.options import DatasetOptions
 
