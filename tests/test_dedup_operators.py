@@ -162,3 +162,23 @@ def test_embedding_cosine_skinny_join_recovers_near_dups(spark):
     assert len(got & expected) >= 36
     # anything extra must carry a cosine the operator itself certified
     assert all(r.cosine >= 0.999 for r in out.collect())
+
+
+def test_prefix_filter_equals_naive_inverted_index(spark, sf_dir):
+    """The PPJoin prefix optimization must be lossless: identical pairs
+    and jaccard values as the naive all-postings join, on the real
+    corpus, with and without the hot-shingle cap."""
+    from flink_connector_lance_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    for cap in (None, 50):
+        fast = D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3,
+                                     threshold=0.2, max_doc_freq=cap,
+                                     prefix_filter=True)
+        naive = D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3,
+                                      threshold=0.2, max_doc_freq=cap,
+                                      prefix_filter=False)
+        got = {(r.id_a, r.id_b): r.jaccard for r in fast.collect()}
+        want = {(r.id_a, r.id_b): r.jaccard for r in naive.collect()}
+        assert got == want, f"cap={cap}: prefix filter changed results"
+        assert len(want) > 0  # non-vacuous: the corpus has near-dup pairs
