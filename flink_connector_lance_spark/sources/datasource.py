@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -262,6 +263,70 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         _drop_fragments(self._path, messages)
 
 
+class LanceDataSourceStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("lance")`` — tail the manifest chain.
+
+    The streaming-source half of the reference's connector story
+    (ref LanceSource.java is bounded-only; this is a strict superset):
+    each committed dataset version is an offset, each micro-batch reads
+    exactly the fragments that appeared between the last processed
+    version and the current latest — the incremental-consumption
+    primitive (same file-set-delta semantics as
+    ``maintenance.read_version_delta``), with replay governed by Spark's
+    offset log, so a restarted query resumes from its checkpointed
+    version. One fragment == one input partition, scanned as Arrow
+    batches like the batch reader.
+
+    Assumes append-style commits (micro-batch sinks, write_dataset
+    append): an overwrite/compaction commit re-lists surviving files and
+    only NEW files are emitted, so compaction does not re-deliver rows it
+    merely rewrote — but a true overwrite's replacement data IS new data
+    and streams through.
+
+    Option ``stream.start-version``: first version (exclusive) to
+    consume from; default -1 streams the dataset from genesis.
+    """
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("lance datasource requires a 'path' option")
+        self._batch_size = int(options.get("read.batch-size", DEFAULT_BATCH_SIZE))
+        self._start = int(options.get("stream.start-version", -1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        v = FR.latest_version(self._path)
+        return {"version": self._start if v is None else max(v, self._start)}
+
+    def partitions(self, start: dict, end: dict) -> List[FragmentPartition]:
+        sv, ev = start["version"], end["version"]
+        if ev <= sv:
+            return []
+        known: set[str] = set()
+        if sv >= 0:
+            known = {f.file for f in FR.read_manifest(self._path, sv).fragments}
+        m = FR.read_manifest(self._path, ev)
+        return [
+            FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)
+            for f in m.fragments
+            if f.file not in known
+        ]
+
+    def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(partition.file, format="parquet")
+        yield from dset.scanner(batch_size=self._batch_size).to_batches()
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint offset log; the source keeps
+        # no state of its own (manifests are immutable)
+        pass
+
+
 class LanceDataSource(DataSource):
     """``spark.read.format("lance")`` / ``df.write.format("lance")``
     (ref table/LanceDynamicTableFactory.java:52-237)."""
@@ -294,6 +359,9 @@ class LanceDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> LanceDataSourceStreamWriter:
         return LanceDataSourceStreamWriter(dict(self.options))
+
+    def streamReader(self, schema: StructType) -> LanceDataSourceStreamReader:
+        return LanceDataSourceStreamReader(dict(self.options))
 
 
 def register_lance_datasource(spark) -> None:

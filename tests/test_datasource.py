@@ -159,3 +159,46 @@ def test_stream_writer_redelivered_epoch_is_noop(registered, tmp_path):
     after = FR.read_manifest(path)
     assert after.version == mid.version
     assert not os.path.exists(os.path.join(path, msg2.file))
+
+
+def test_stream_read_tails_appended_versions(registered, tmp_path):
+    """readStream.format('lance'): version = offset; each micro-batch
+    delivers exactly the fragments added since the checkpointed version,
+    across query restarts."""
+    import time
+
+    spark = registered
+    path = str(tmp_path / "ds")
+    _sample(spark).write.format("lance").option("path", path).mode("overwrite").save()
+
+    seen: list = []
+
+    def fold(batch_df, epoch_id):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    def run_until(expected_total, timeout_s=90):
+        q = (
+            spark.readStream.format("lance").option("path", path).load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_s
+            while len(seen) < expected_total and time.time() < deadline:
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run_until(100)
+    assert sorted(seen) == list(range(100))
+
+    # append while the stream is DOWN; the restarted query resumes from
+    # the checkpointed version and delivers only the new rows
+    spark.range(100, 130).selectExpr(
+        "id", "id % 5 AS grp", "concat('row-', id) AS name"
+    ).write.format("lance").option("path", path).mode("append").save()
+    run_until(130)
+    assert sorted(seen) == list(range(130))
+    assert len(seen) == 130  # no re-delivery of the first version
