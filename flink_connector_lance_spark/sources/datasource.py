@@ -18,7 +18,11 @@ Execution model (Spark-first, not the reference's):
   pyarrow dataset expressions evaluated inside the fragment scan (parquet
   row-group + page pruning); unsupported predicates stay in the plan, so
   correctness never depends on acceptance (same partial-acceptance contract
-  as ref table/LanceDynamicTableSource.java:177-193).
+  as ref table/LanceDynamicTableSource.java:177-193). Pushed filters are
+  additionally tested against per-fragment zone maps in the manifest
+  (``FragmentInfo.stats``) so provably-empty fragments are skipped at
+  planning time — whole tasks never scheduled, the data-skipping step the
+  reference cannot do (its stats are hard-coded UNKNOWN).
 - **Write**: two-phase commit at cluster scale — each task streams its
   Arrow batches into one fragment file (``DataSourceArrowWriter``, no row
   pivot), the driver's ``commit()`` publishes ONE new manifest version
@@ -80,6 +84,7 @@ class FragmentPartition(InputPartition):
 class FragmentCommitMessage(WriterCommitMessage):
     file: str | None  # relative to dataset root; None = empty task
     row_count: int
+    stats: dict | None = None  # per-column zone map (footer-derived)
 
 
 def _filter_to_arrow(f: Filter):
@@ -127,6 +132,60 @@ def _filter_to_arrow(f: Filter):
     return None
 
 
+def _fragment_may_match(stats: dict | None, row_count: int, f: Filter) -> bool:
+    """Zone-map test: can ANY row of a fragment satisfy this filter?
+
+    Conservative by construction — returns True (keep the fragment)
+    whenever stats are absent, the column is untracked, the bound types
+    are incomparable with the literal, or the filter shape is unknown.
+    Pruning is planning-time data skipping on manifest stats; the pushed
+    filter is still evaluated inside the scan, so a too-lax answer costs
+    only IO, never correctness."""
+    if not stats:
+        return True
+
+    def col_stats(attribute):
+        if len(attribute) != 1:
+            return None
+        s = stats.get(attribute[0])
+        return s if s and s.get("min") is not None and s.get("max") is not None else None
+
+    try:
+        if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
+            s = col_stats(f.attribute)
+            if s is None or f.value is None:
+                return True
+            if isinstance(f, EqualTo):
+                return s["min"] <= f.value <= s["max"]
+            if isinstance(f, GreaterThan):
+                return s["max"] > f.value
+            if isinstance(f, GreaterThanOrEqual):
+                return s["max"] >= f.value
+            if isinstance(f, LessThan):
+                return s["min"] < f.value
+            return s["min"] <= f.value  # LessThanOrEqual
+        if isinstance(f, In):
+            s = col_stats(f.attribute)
+            if s is None:
+                return True
+            return any(
+                v is not None and s["min"] <= v <= s["max"] for v in f.value
+            ) or any(v is None for v in f.value)
+        if isinstance(f, IsNull):
+            s = stats.get(f.attribute[0]) if len(f.attribute) == 1 else None
+            if s is None or s.get("null_count") is None:
+                return True
+            return s["null_count"] > 0
+        if isinstance(f, IsNotNull):
+            s = stats.get(f.attribute[0]) if len(f.attribute) == 1 else None
+            if s is None or s.get("null_count") is None:
+                return True
+            return s["null_count"] < row_count
+    except TypeError:
+        return True  # e.g. str bound vs int literal — cannot decide, keep
+    return True
+
+
 class LanceDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self._path = options.get("path")
@@ -150,15 +209,23 @@ class LanceDataSourceReader(DataSourceReader):
         return residual
 
     def partitions(self) -> List[FragmentPartition]:
+        """One split per fragment, minus fragments the manifest zone maps
+        prove empty under the pushed filters (planning-time data
+        skipping — no task is ever scheduled for a skipped fragment).
+        An empty result is fine: the Python data source worker turns it
+        into a single ``None`` partition and ``read`` emits nothing."""
         manifest = FR.read_manifest(self._path, self._version)
         return [
             FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)
             for f in manifest.fragments
+            if all(_fragment_may_match(f.stats, f.row_count, p) for p in self._pushed)
         ]
 
-    def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+    def read(self, partition: "FragmentPartition | None") -> Iterator["pa.RecordBatch"]:
         import pyarrow.dataset as pads
 
+        if partition is None:  # every fragment was pruned
+            return
         expr = None
         for f in self._pushed:
             e = _filter_to_arrow(f)
@@ -192,7 +259,11 @@ def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"]) -> Fragment
         if os.path.exists(out):
             os.remove(out)
         return FragmentCommitMessage(file=None, row_count=0)
-    return FragmentCommitMessage(file=os.path.join(FR.DATA_DIR, frag_name), row_count=rows)
+    return FragmentCommitMessage(
+        file=os.path.join(FR.DATA_DIR, frag_name),
+        row_count=rows,
+        stats=FR.parquet_fragment_stats(out),
+    )
 
 
 def _drop_fragments(path: str, messages) -> None:
@@ -217,7 +288,7 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
     def commit(self, messages: List[FragmentCommitMessage]) -> None:
         """Runs on the driver: single-winner manifest commit."""
         frags = [
-            FR.FragmentInfo(i, m.file, m.row_count)
+            FR.FragmentInfo(i, m.file, m.row_count, m.stats)
             for i, m in enumerate(m for m in messages if m is not None and m.file)
         ]
         FR.commit(self._path, frags, mode=self._mode)
@@ -254,7 +325,7 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
             _drop_fragments(self._path, messages)  # redelivery: orphans only
             return
         frags = [
-            FR.FragmentInfo(i, m.file, m.row_count)
+            FR.FragmentInfo(i, m.file, m.row_count, m.stats)
             for i, m in enumerate(m for m in messages if m is not None and m.file)
         ]
         FR.commit(self._path, frags, mode="append", meta={self.EPOCH_KEY: batchId})

@@ -47,11 +47,22 @@ class LanceUnavailableError(RuntimeError):
 
 @dataclass(frozen=True)
 class FragmentInfo:
-    """ref LanceSplit.java:31-68 (splitNumber == position in manifest)."""
+    """ref LanceSplit.java:31-68 (splitNumber == position in manifest).
+
+    ``stats`` is an optional per-column zone map collected from the
+    fragment's parquet footer at write time:
+    ``{col: {"min": v, "max": v, "null_count": n | None}}``. The
+    reference carries no statistics at all (hard-coded UNKNOWN —
+    ref table/LanceCatalog.java:683-704); at 100 TB scale, manifest-level
+    zone maps let the planner drop whole fragments before any task is
+    scheduled (data skipping), which is strictly cheaper than parquet
+    row-group pruning inside an already-running task. Absent/None stats
+    (old manifests, non-primitive columns) simply disable pruning."""
 
     fragment_id: int
     file: str  # relative to dataset root
     row_count: int
+    stats: dict | None = None
 
 
 @dataclass
@@ -138,7 +149,7 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
             prev = read_manifest(root, prev_v)
             base = len(prev.fragments)
             fragments = prev.fragments + [
-                FragmentInfo(base + i, f.file, f.row_count)
+                FragmentInfo(base + i, f.file, f.row_count, f.stats)
                 for i, f in enumerate(new_fragments)
             ]
         next_v = 0 if prev_v is None else prev_v + 1
@@ -172,6 +183,50 @@ def meta_value_committed(root: str, key: str, value) -> bool:
             return True
         v -= 1
     return False
+
+
+def parquet_fragment_stats(file_path: str) -> dict | None:
+    """Per-column zone map from a parquet footer (metadata-only read).
+
+    Aggregates row-group statistics into fragment-level
+    ``{col: {"min", "max", "null_count"}}``. Only JSON-safe primitive
+    bounds (int/float/str/bool) are kept — parquet bound truncation for
+    long strings is conservative in the safe direction (stored min <=
+    true min, stored max >= true max), so pruning on them is sound.
+    Columns with any row group missing min/max are omitted entirely;
+    ``null_count`` is None when any row group doesn't record it."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(file_path)
+    acc: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:  # nested fields stay unpruned
+                continue
+            s = col.statistics
+            if (
+                s is None
+                or not s.has_min_max
+                or not isinstance(s.min, (bool, int, float, str))
+                or not isinstance(s.max, (bool, int, float, str))
+            ):
+                dropped.add(name)
+                acc.pop(name, None)
+                continue
+            cur = acc.setdefault(name, {"min": s.min, "max": s.max, "null_count": 0})
+            if s.min < cur["min"]:
+                cur["min"] = s.min
+            if s.max > cur["max"]:
+                cur["max"] = s.max
+            if cur["null_count"] is not None:
+                cur["null_count"] = (
+                    cur["null_count"] + s.null_count if s.has_null_count else None
+                )
+    return acc or None
 
 
 def new_fragment_name() -> str:

@@ -65,9 +65,10 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
             frag_name = FR.new_fragment_name()
             src = os.path.join(stage, name)
             rows = pq.read_metadata(src).num_rows  # footer only, no data read
+            stats = FR.parquet_fragment_stats(src)  # zone map, footer only
             shutil.move(src, os.path.join(data_dir, frag_name))
             new_fragments.append(
-                FR.FragmentInfo(i, os.path.join(FR.DATA_DIR, frag_name), rows)
+                FR.FragmentInfo(i, os.path.join(FR.DATA_DIR, frag_name), rows, stats)
             )
         return FR.commit(path, new_fragments, mode=mode.value, meta=commit_meta)
     finally:

@@ -161,6 +161,94 @@ def test_stream_writer_redelivered_epoch_is_noop(registered, tmp_path):
     assert not os.path.exists(os.path.join(path, msg2.file))
 
 
+def test_zone_map_prunes_fragments_at_planning_time(registered, tmp_path):
+    """Manifest zone maps: range-disjoint fragments are dropped by
+    partitions() before any task is scheduled, and results stay exact."""
+    from flink_connector_lance_spark.sources.datasource import (
+        EqualTo,
+        GreaterThan,
+        IsNull,
+        LanceDataSourceReader,
+    )
+
+    spark = registered
+    path = str(tmp_path / "ds")
+    # 4 range-disjoint fragments on id: [0,25) [25,50) [50,75) [75,100)
+    _sample(spark).repartitionByRange(4, "id").write.format("lance").mode(
+        "overwrite"
+    ).save(path)
+    manifest = FR.read_manifest(path)
+    assert len(manifest.fragments) == 4
+    assert all(f.stats and "id" in f.stats for f in manifest.fragments)
+
+    def planned(filters):
+        r = LanceDataSourceReader({"path": path})
+        r.pushFilters(list(filters))
+        return r.partitions()
+
+    assert len(planned([])) == 4
+    assert len(planned([EqualTo(("id",), 30)])) == 1
+    assert len(planned([GreaterThan(("id",), 74)])) == 1
+    assert len(planned([EqualTo(("id",), 1000)])) == 0  # all pruned
+    assert len(planned([IsNull(("id",))])) == 0  # null_count == 0 everywhere
+    # string zone maps prune too (name is row-<id>, lexicographic ranges)
+    assert len(planned([EqualTo(("name",), "row-99")])) < 4
+
+    # end-to-end: pruned plans still return exact answers, incl. all-pruned
+    df = spark.read.format("lance").load(path)
+    assert df.filter(F.col("id") == 30).count() == 1
+    assert df.filter(F.col("id") == 1000).count() == 0
+    assert df.filter(F.col("id").isNull()).count() == 0
+
+
+def test_zone_map_pruning_is_conservative():
+    """Unit: _fragment_may_match keeps fragments whenever it cannot
+    decide (missing stats, unknown column, incomparable types)."""
+    from flink_connector_lance_spark.sources.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        LessThan,
+        LessThanOrEqual,
+        _fragment_may_match,
+    )
+
+    s = {"x": {"min": 10, "max": 20, "null_count": 0}}
+    assert _fragment_may_match(None, 5, EqualTo(("x",), 1))  # no stats
+    assert _fragment_may_match(s, 5, EqualTo(("y",), 1))  # untracked col
+    assert _fragment_may_match(s, 5, EqualTo(("x",), "str"))  # type mismatch
+    assert _fragment_may_match(s, 5, EqualTo(("a", "b"), 1))  # nested ref
+    assert not _fragment_may_match(s, 5, EqualTo(("x",), 9))
+    assert not _fragment_may_match(s, 5, LessThan(("x",), 10))
+    assert _fragment_may_match(s, 5, LessThanOrEqual(("x",), 10))
+    assert not _fragment_may_match(s, 5, GreaterThanOrEqual(("x",), 21))
+    assert _fragment_may_match(s, 5, In(("x",), (1, 15)))
+    assert not _fragment_may_match(s, 5, In(("x",), (1, 2)))
+    assert _fragment_may_match(s, 5, IsNotNull(("x",)))
+    # all-null column: IsNotNull prunes
+    s2 = {"x": {"min": 1, "max": 1, "null_count": 5}}
+    assert not _fragment_may_match(s2, 5, IsNotNull(("x",)))
+
+
+def test_old_manifest_without_stats_still_reads(registered, tmp_path):
+    """Manifests written before zone maps (no 'stats' key) load and scan."""
+    import json
+
+    spark = registered
+    path = str(tmp_path / "ds")
+    _sample(spark).write.format("lance").mode("overwrite").save(path)
+    mpath = os.path.join(path, FR.VERSIONS_DIR, "0.manifest.json")
+    with open(mpath) as fh:
+        raw = json.load(fh)
+    for f in raw["fragments"]:
+        f.pop("stats", None)
+    with open(mpath, "w") as fh:
+        json.dump(raw, fh)
+    df = spark.read.format("lance").load(path)
+    assert df.filter(F.col("id") < 10).count() == 10  # pruning disabled, not broken
+
+
 def test_stream_read_tails_appended_versions(registered, tmp_path):
     """readStream.format('lance'): version = offset; each micro-batch
     delivers exactly the fragments added since the checkpointed version,
