@@ -92,10 +92,13 @@ def compact_dataset(
             frag_name = FR.new_fragment_name()
             src = os.path.join(stage, name)
             rows = pq.read_metadata(src).num_rows  # footer only
+            stats = FR.parquet_fragment_stats(src)
             shutil.move(src, os.path.join(data_dir, frag_name))
-            merged.append(FR.FragmentInfo(0, os.path.join(FR.DATA_DIR, frag_name), rows))
+            merged.append(
+                FR.FragmentInfo(0, os.path.join(FR.DATA_DIR, frag_name), rows, stats)
+            )
         fragments = [
-            FR.FragmentInfo(i, f.file, f.row_count)
+            FR.FragmentInfo(i, f.file, f.row_count, f.stats)
             for i, f in enumerate(keep + merged)
         ]
         return FR.commit(

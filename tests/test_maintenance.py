@@ -62,6 +62,10 @@ def test_compaction_merges_runts_and_preserves_data_and_history(spark, tmp_path)
     # MVCC: the pre-compaction version still reads the old fragment files
     old = read_dataset(spark, path, version=before.version)
     assert old.count() == 200
+    # zone maps recomputed for merged fragments (data skipping survives)
+    assert all(f.stats and "id" in f.stats for f in after.fragments)
+    assert min(f.stats["id"]["min"] for f in after.fragments) == 0
+    assert max(f.stats["id"]["max"] for f in after.fragments) == 199
 
 
 def test_compaction_noop_when_fragments_are_healthy(spark, tmp_path):
