@@ -242,6 +242,77 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def cross_corpus_overlap(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, overlap) for every
+    training document containing >= ``threshold`` of an eval document's
+    word ``shingle_k``-grams (containment w.r.t. the EVAL side — the
+    standard contamination definition, asymmetric on purpose: a long
+    training doc that embeds a whole eval item must be flagged even
+    though its Jaccard to the item is tiny).
+
+    Plan shape for 100 TB train vs small eval: both sides explode to
+    (id, shingle) postings and equi-join on the shingle; the eval side is
+    broadcast (eval corpora are MBs against a TB-scale train side), so
+    the train postings stream map-side with no shuffle — the only
+    shuffle is the (train_id, eval_id) count aggregation over matches,
+    which is bounded by true overlaps, not corpus size. ``max_doc_freq``
+    prunes hot shingles from the TRAIN postings exactly like
+    ngram_jaccard_pairs (the denominator stays the eval doc's full
+    shingle count, so pruning only ever under-reports overlap — it never
+    creates a false positive)."""
+    t_posts = with_shingles(train_df, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("train_id"), F.explode("shingles").alias("sh")
+    )
+    if max_doc_freq is not None:
+        hot = (
+            t_posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        t_posts = t_posts.join(F.broadcast(hot), on="sh", how="left_anti")
+    e_posts = with_shingles(eval_df, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("eval_id"),
+        F.explode("shingles").alias("sh"),
+        F.size("shingles").alias("n_eval"),
+    )
+    inter = (
+        t_posts.join(F.broadcast(e_posts), on="sh")
+        .groupBy("train_id", "eval_id", "n_eval")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn("overlap", F.round(F.col("inter") / F.col("n_eval"), 6))
+        .filter(F.col("overlap") >= threshold)
+        .select("train_id", "eval_id", "overlap")
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Training corpus minus contaminated documents: a left-anti join of
+    ``train_df`` against the flagged ids from ``cross_corpus_overlap``.
+    The flagged set is tiny (true contamination), so it broadcasts."""
+    flagged = cross_corpus_overlap(
+        train_df, eval_df, text_col, id_col, shingle_k, threshold, max_doc_freq
+    ).select(F.col("train_id").alias(id_col)).distinct()
+    return train_df.join(F.broadcast(flagged), on=id_col, how="left_anti")
+
+
 def simhash_chunks(sig: Column, bits: int, max_hamming: int) -> list[Column]:
     """Pigeonhole chunking: split a ``bits``-wide signature into
     ``max_hamming + 1`` contiguous bit ranges. Any two signatures within

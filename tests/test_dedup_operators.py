@@ -182,3 +182,80 @@ def test_prefix_filter_equals_naive_inverted_index(spark, sf_dir):
         want = {(r.id_a, r.id_b): r.jaccard for r in naive.collect()}
         assert got == want, f"cap={cap}: prefix filter changed results"
         assert len(want) > 0  # non-vacuous: the corpus has near-dup pairs
+
+
+def test_cross_corpus_decontamination_matches_oracle(spark):
+    """cross_corpus_overlap: containment-vs-eval flags planted
+    contamination, matches a DuckDB oracle exactly, and the plan
+    broadcasts the eval side (no cartesian/nested-loop join)."""
+    import duckdb
+
+    from flink_connector_lance_spark.operators.dedup import (
+        cross_corpus_overlap,
+        decontaminate,
+    )
+
+    from .oracle_check import compare_spark_duckdb
+
+    eval_rows = [
+        (101, "the quick brown fox jumps over the lazy dog today"),
+        (102, "pack my box with five dozen liquor jugs again now"),
+        (103, "sphinx of black quartz judge my vow before dawn breaks"),
+    ]
+    clean = [
+        (i, f"document number {i} talks about topic{i % 7} and topic{i % 5} at length")
+        for i in range(1, 18)
+    ]
+    contaminated = [
+        # train doc 18 embeds eval 101 verbatim inside longer text
+        (18, "some preamble text here " + eval_rows[0][1] + " and a closing remark"),
+        # train doc 19 contains most of eval 102 (high containment)
+        (19, "intro pack my box with five dozen liquor jugs outro words"),
+    ]
+    train = spark.createDataFrame(clean + contaminated, ["doc_id", "text"])
+    evald = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+
+    out = cross_corpus_overlap(train, evald, "text", "doc_id", shingle_k=3, threshold=0.5)
+    flagged = {r.train_id for r in out.collect()}
+    assert flagged == {18, 19}
+
+    con = duckdb.connect()
+    con.register("train_t", train.toPandas())
+    con.register("eval_t", evald.toPandas())
+    shingles = (
+        "list_distinct(list_transform(generate_series(1, len(ws)-2), "
+        "i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))"
+    )
+    oracle = f"""
+    WITH tsh AS (
+        SELECT doc_id AS train_id, unnest(s) AS sh FROM
+        (SELECT doc_id, {shingles} AS s FROM
+         (SELECT doc_id, string_split(text, ' ') AS ws FROM train_t))),
+    esh AS (
+        SELECT doc_id AS eval_id, len(s) AS n_eval, unnest(s) AS sh FROM
+        (SELECT doc_id, {shingles} AS s FROM
+         (SELECT doc_id, string_split(text, ' ') AS ws FROM eval_t))),
+    m AS (SELECT train_id, eval_id, n_eval, count(*) AS inter
+          FROM tsh JOIN esh USING (sh) GROUP BY 1, 2, 3)
+    SELECT train_id, eval_id, round(inter / n_eval, 6) AS overlap
+    FROM m WHERE round(inter / n_eval, 6) >= 0.5
+    """
+    ok, msg = compare_spark_duckdb(out, con, oracle)
+    assert ok, msg
+
+    # decontaminate drops exactly the flagged ids
+    kept = {r.doc_id for r in decontaminate(
+        train, evald, "text", "doc_id", shingle_k=3, threshold=0.5).collect()}
+    assert kept == {r[0] for r in clean}
+
+    # plan shape: eval side broadcast, never a cartesian / nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # hot-shingle guard only ever under-reports (no new rows)
+    guarded = cross_corpus_overlap(
+        train, evald, "text", "doc_id", shingle_k=3, threshold=0.5, max_doc_freq=2
+    )
+    g = {(r.train_id, r.eval_id) for r in guarded.collect()}
+    assert g <= {(r.train_id, r.eval_id) for r in out.collect()}
