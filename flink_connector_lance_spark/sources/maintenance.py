@@ -19,6 +19,10 @@ to the native one.
   the defragmentation pass that keeps scan task counts sane: thousands
   of micro-batch appends otherwise mean thousands of tiny input splits
   per query.
+
+- ``vacuum_dataset`` is the matching garbage collector: retain the last
+  N versions, delete older manifests and any fragment file no retained
+  version references (crash-safe deletion order: manifests before data).
 """
 
 from __future__ import annotations
@@ -55,6 +59,59 @@ def read_version_delta(
             raise FileNotFoundError(f"dataset {path} has no fragments at v{m_to.version}")
         return spark.read.parquet(any_file).limit(0)
     return spark.read.parquet(*new_files)
+
+
+def vacuum_dataset(
+    path: str,
+    keep_versions: int = 2,
+    dry_run: bool = False,
+) -> dict:
+    """MVCC garbage collection: drop manifests older than the newest
+    ``keep_versions`` and delete fragment files no retained version
+    references. Without this, compaction/appends accrete files forever —
+    at 100 TB the dead-file volume quickly exceeds the live table.
+
+    Deletion order is crash-safe: old manifests are removed FIRST, then
+    unreferenced data files — a crash mid-vacuum can only leave orphaned
+    (invisible) data files, never a manifest pointing at deleted data.
+    Readers of retained versions are unaffected (their file sets are
+    untouched); readers pinned to a vacuumed version fail fast on the
+    missing manifest, the same contract as Lance's own cleanup.
+
+    Returns ``{"kept_versions": [...], "dropped_versions": n,
+    "deleted_files": n, "reclaimed_bytes": n}``; ``dry_run`` reports
+    without deleting."""
+    latest = FR.latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"not a dataset (no {FR.VERSIONS_DIR}/): {path}")
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    all_versions = sorted(
+        int(name.split(".")[0])
+        for name in os.listdir(os.path.join(path, FR.VERSIONS_DIR))
+        if name.endswith(".manifest.json")
+    )
+    kept = all_versions[-keep_versions:]
+    dropped = [v for v in all_versions if v not in kept]
+    live = {f.file for v in kept for f in FR.read_manifest(path, v).fragments}
+    data_dir = os.path.join(path, FR.DATA_DIR)
+    dead = [
+        os.path.join(FR.DATA_DIR, name)
+        for name in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
+        if os.path.join(FR.DATA_DIR, name) not in live
+    ]
+    reclaimed = sum(os.path.getsize(os.path.join(path, f)) for f in dead)
+    if not dry_run:
+        for v in dropped:  # manifests first: see crash-safety note above
+            os.remove(os.path.join(path, FR.VERSIONS_DIR, f"{v}.manifest.json"))
+        for f in dead:
+            os.remove(os.path.join(path, f))
+    return {
+        "kept_versions": kept,
+        "dropped_versions": len(dropped),
+        "deleted_files": len(dead),
+        "reclaimed_bytes": reclaimed,
+    }
 
 
 def compact_dataset(

@@ -88,3 +88,45 @@ def test_compaction_counts_match_groupby(spark, tmp_path):
         for r in read_dataset(spark, path).groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert counts == {0: 30, 1: 30, 2: 30}
+
+
+def test_vacuum_reclaims_dead_fragments_keeps_live_versions(spark, tmp_path):
+    import os
+
+    from flink_connector_lance_spark.sources.fragments import DATA_DIR, VERSIONS_DIR
+    from flink_connector_lance_spark.sources.maintenance import vacuum_dataset
+
+    path = str(tmp_path / "ds")
+    write_dataset(_ds(spark, 0, 50), path, mode="overwrite")   # v0
+    write_dataset(_ds(spark, 50, 80), path, mode="append")     # v1
+    write_dataset(_ds(spark, 0, 30), path, mode="overwrite")   # v2: v0/v1 files dead
+    write_dataset(_ds(spark, 30, 40), path, mode="append")     # v3
+
+    report = vacuum_dataset(path, keep_versions=2, dry_run=True)
+    assert report["kept_versions"] == [2, 3]
+    assert report["dropped_versions"] == 2
+    assert report["deleted_files"] > 0
+    # dry run deleted nothing
+    assert read_manifest(path, 0).row_count == 50
+
+    report = vacuum_dataset(path, keep_versions=2)
+    # retained versions still read correctly
+    assert read_dataset(spark, path, version=2).count() == 30
+    assert read_dataset(spark, path).count() == 40
+    # vacuumed versions are gone; data dir holds exactly the live files
+    assert not os.path.exists(os.path.join(path, VERSIONS_DIR, "0.manifest.json"))
+    live = {f.file for v in (2, 3) for f in read_manifest(path, v).fragments}
+    on_disk = {os.path.join(DATA_DIR, n) for n in os.listdir(os.path.join(path, DATA_DIR))}
+    assert on_disk == live
+    assert report["reclaimed_bytes"] > 0
+
+
+def test_vacuum_keep_all_is_noop(spark, tmp_path):
+    from flink_connector_lance_spark.sources.maintenance import vacuum_dataset
+
+    path = str(tmp_path / "ds")
+    write_dataset(_ds(spark, 0, 10), path, mode="overwrite")
+    write_dataset(_ds(spark, 10, 20), path, mode="append")
+    report = vacuum_dataset(path, keep_versions=5)
+    assert report["dropped_versions"] == 0 and report["deleted_files"] == 0
+    assert read_dataset(spark, path, version=0).count() == 10
