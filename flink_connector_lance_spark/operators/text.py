@@ -80,6 +80,54 @@ def quality_score(text_col) -> Column:
     )
 
 
+def word_ngrams(ws: Column, n: int) -> Column:
+    """All (non-distinct) word n-grams over a token array; empty when the
+    document is shorter than n. The when-guard is required because Spark's
+    ``sequence(0, negative)`` counts DOWNWARD instead of returning empty."""
+    size = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repeated_ngram_fraction(text_col, n: int = 2) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an earlier
+    occurrence: 1 - distinct/total. The Gopher-style repetition filter —
+    boilerplate and degenerate (looping) generations score high. Pure
+    codegen, zero shuffle."""
+    g = word_ngrams(tokens(text_col), n)
+    total = F.size(g)
+    return F.when(total > 0,
+                  F.round(F.lit(1.0) - F.size(F.array_distinct(g)) / total, 6)
+                  ).otherwise(F.lit(0.0))
+
+
+def repeated_line_fraction(text_col) -> Column:
+    """Fraction of non-empty lines that duplicate an earlier line —
+    the repeated-line/paragraph boilerplate signal."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    total = F.size(lines)
+    return F.when(total > 0,
+                  F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / total, 6)
+                  ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(df, text_col: str, id_col: str):
+    """Per-document repetition profile: (id, repeated_line_frac,
+    repeated_2gram_frac, repeated_3gram_frac) — one codegen projection,
+    no shuffle; filter downstream on whatever thresholds the pipeline
+    uses (Gopher: drop if 2-gram repetition > 0.2)."""
+    return df.select(
+        F.col(id_col),
+        repeated_line_fraction(text_col).alias("repeated_line_frac"),
+        repeated_ngram_fraction(text_col, 2).alias("repeated_2gram_frac"),
+        repeated_ngram_fraction(text_col, 3).alias("repeated_3gram_frac"),
+    )
+
+
 def lang_scores(text_col, profiles: dict[str, list[str]] | None = None) -> dict[str, Column]:
     prof = profiles or LANG_PROFILES
     return {lang: marker_count(text_col, markers) for lang, markers in prof.items()}

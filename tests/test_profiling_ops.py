@@ -55,3 +55,30 @@ def test_approx_count_distinct_tracks_exact(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+
+
+def test_repetition_signals_values_and_plan(spark):
+    """Repetition filters: exact fractions on hand-computable docs, and
+    the projection stays a shuffle-free codegen plan."""
+    from flink_connector_lance_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 2-grams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct -> 0.6
+            (1, "a b a b a b"),
+            (2, "all unique words in this doc"),
+            (3, "x\ny\nx\n\n  \nz"),  # lines x,y,x,z -> 1 - 3/4 = 0.25
+            (4, "ab"),  # shorter than any n-gram -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs, "text", "doc_id").collect()}
+    assert out[1].repeated_2gram_frac == 0.6
+    # 3-grams of doc 1: [a b a, b a b, a b a, b a b] -> 1 - 2/4 = 0.5
+    assert out[1].repeated_3gram_frac == 0.5
+    assert out[2].repeated_2gram_frac == 0.0
+    assert out[3].repeated_line_frac == 0.25
+    assert out[4].repeated_2gram_frac == 0.0 and out[4].repeated_3gram_frac == 0.0
+
+    plan = repetition_signals(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle projection
