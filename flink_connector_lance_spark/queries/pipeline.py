@@ -35,14 +35,32 @@ _SIMHASH_BITS, _MAX_HAMMING = 32, 3
 
 
 def _minhash_sig_sql() -> str:
+    """Signature CTE mirroring operators.dedup exactly: one md5-derived
+    31-bit base hash per shingle, then the (a,b) affine family from
+    minhash_coeffs — coefficients imported, not copied, so the two
+    engines cannot drift."""
+    p = D.MINHASH_P
     exprs = ", ".join(
-        f"list_aggregate(list_transform(s, x -> md5('{h}~'||x)), 'min') AS mh{h}"
-        for h in range(_NUM_HASHES)
+        f"list_aggregate(list_transform(hv, v -> (v*{a}+{b}) % {p}), 'min') AS mh{h}"
+        for h, (a, b) in enumerate(D.minhash_coeffs(_NUM_HASHES))
     )
     return (
         f"WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM "
         f"(SELECT doc_id, {_WS} AS ws FROM documents)),\n"
-        f"sig AS (SELECT doc_id, {exprs} FROM sh)"
+        f"hvt AS (SELECT doc_id, list_transform(s, x -> {_H32.format(x='x')} % {p}) AS hv FROM sh),\n"
+        f"sig AS (SELECT doc_id, {exprs} FROM hvt)"
+    )
+
+
+def _bands_sql() -> str:
+    """Band-key CTE body: md5 over '~'-joined signature ints — matches
+    Spark's concat_ws('~', mh...) byte-for-byte."""
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig".format(
+            b=b,
+            parts="||'~'||".join(f"mh{4 * b + i}::VARCHAR" for i in range(4)),
+        )
+        for b in range(_BANDS)
     )
 
 
@@ -80,12 +98,7 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_minhash_lsh",
     oracle=_minhash_sig_sql() + f""",
-    bands AS (
-        {" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, md5(mh{4*b}||mh{4*b+1}||mh{4*b+2}||mh{4*b+3}) AS key FROM sig"
-            for b in range(_BANDS)
-        )}
-    )
+    bands AS ({_bands_sql()})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -215,12 +228,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     # the shared minhash CTE opens with "WITH "; the cc CTE below is
     # recursive, and DuckDB requires RECURSIVE on the whole WITH clause
     oracle=_minhash_sig_sql().replace("WITH ", "WITH RECURSIVE ", 1) + f""",
-    bands AS (
-        {" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, md5(mh{4*b}||mh{4*b+1}||mh{4*b+2}||mh{4*b+3}) AS key FROM sig"
-            for b in range(_BANDS)
-        )}
-    ),
+    bands AS ({_bands_sql()}),
     prs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
