@@ -211,6 +211,7 @@ def ivf_index_knn(
     options: DatasetOptions | None = None,
     tiebreak_cols=(),
     round_digits: int | None = None,
+    filter=None,
 ):
     """Indexed ANN search over the emulated IVF index: pick the nprobes
     nearest centroids (driver-side on a k_cells-row relation), fetch ONLY
@@ -250,5 +251,50 @@ def ivf_index_knn(
     # no broadcast hint: probed ids can be a few % of the dataset — far too
     # big to broadcast at 100 TB. AQE broadcasts when it IS small.
     candidates = df.join(probe_ids.select(id_col), on=id_col, how="left_semi")
+    # filtered ANN (ref LanceVectorSearch.java:166-201): the predicate
+    # narrows the probed candidate set before the exact top-k
     return knn(candidates, column, q, k=k, metric=meta.get("metric", "l2"),
-               tiebreak_cols=tiebreak_cols, round_digits=round_digits)
+               filter=filter, tiebreak_cols=tiebreak_cols, round_digits=round_digits)
+
+
+def search_dataset(
+    spark,
+    path: str,
+    column: str,
+    query,
+    k: int = 10,
+    metric: str = "l2",
+    filter=None,
+    nprobes: int | None = None,
+    use_index: bool | None = None,
+    options: DatasetOptions | None = None,
+    tiebreak_cols=(),
+    round_digits: int | None = None,
+):
+    """Unified dataset vector search: the reference's ``useIndex``
+    contract (ref LanceVectorSearch.java:146-163 — Lance takes the ANN
+    index when one exists, else scans brute force).
+
+    ``use_index=None`` auto-detects; ``False`` forces the exact
+    distributed scan (the recall baseline); ``True`` requires an index
+    and raises if absent. The indexed path reads the metric from the
+    index metadata — a caller-supplied ``metric`` that disagrees raises
+    rather than silently returning distances in the wrong space."""
+    from .operators.knn import knn
+    from .sources.reader import read_dataset
+
+    use = has_index(path, column) if use_index is None else use_index
+    if use:
+        idx_dir = _index_dir(path, column)
+        with open(os.path.join(idx_dir, "index_meta.json")) as fh:
+            meta = json.load(fh)
+        if metric and meta.get("metric", metric) != metric:
+            raise ValueError(
+                f"index on {path}:{column} was built for metric "
+                f"{meta['metric']!r}, not {metric!r} — rebuild or search brute-force"
+            )
+        return ivf_index_knn(spark, path, column, query, k=k, nprobes=nprobes,
+                             options=options, tiebreak_cols=tiebreak_cols,
+                             round_digits=round_digits, filter=filter)
+    return knn(read_dataset(spark, path), column, query, k=k, metric=metric,
+               filter=filter, tiebreak_cols=tiebreak_cols, round_digits=round_digits)

@@ -98,3 +98,55 @@ def test_probe_scan_prunes_partitions(spark, indexed_ds):
     filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("cell" in f for f in filters), plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_search_dataset_autoroutes_index_vs_brute_force(spark, sf_dir, indexed_ds):
+    """search_dataset: the reference's useIndex contract — auto-detect
+    routes through the IVF index; use_index=False is the exact baseline;
+    full-probe indexed search equals it; filtered ANN narrows candidates."""
+    from flink_connector_lance_spark.index import search_dataset
+
+    path = indexed_ds
+    exact = search_dataset(spark, path, "embedding", QVEC, k=10, metric="l2",
+                           use_index=False, tiebreak_cols=["vec_id"], round_digits=6)
+    exact_ids = [r.vec_id for r in exact.select("vec_id").collect()]
+
+    # auto-detect with every cell probed reproduces the exact result
+    auto = search_dataset(spark, path, "embedding", QVEC, k=10, metric="l2",
+                          nprobes=8, tiebreak_cols=["vec_id"], round_digits=6)
+    assert [r.vec_id for r in auto.select("vec_id").collect()] == exact_ids
+    # the auto route really is the indexed plan: the scan carries the
+    # probed-cell partition filter from the assignments relation
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+
+    # metric disagreement with the index is an error, not wrong distances
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="metric"):
+        search_dataset(spark, path, "embedding", QVEC, k=10, metric="cosine")
+
+    # filtered ANN: predicate applies before top-k (every surviving id even)
+    filt = search_dataset(spark, path, "embedding", QVEC, k=5, metric="l2",
+                          nprobes=8, filter="vec_id % 2 = 0",
+                          tiebreak_cols=["vec_id"], round_digits=6)
+    rows = filt.collect()
+    assert len(rows) == 5 and all(r.vec_id % 2 == 0 for r in rows)
+
+
+def test_search_dataset_without_index_is_brute_force(spark, sf_dir, tmp_path):
+    from flink_connector_lance_spark.index import search_dataset
+
+    path = str(tmp_path / "plain")
+    write_dataset(load_table(spark, sf_dir, "embeddings"), path, mode="overwrite")
+    out = search_dataset(spark, path, "embedding", QVEC, k=7, metric="cosine",
+                         tiebreak_cols=["vec_id"], round_digits=6)
+    rows = out.collect()
+    assert len(rows) == 7
+    ds = [r._distance for r in rows]
+    assert ds == sorted(ds)
+    # use_index=True on an un-indexed dataset fails fast
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        search_dataset(spark, path, "embedding", QVEC, use_index=True).collect()
