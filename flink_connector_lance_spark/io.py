@@ -29,18 +29,23 @@ def table_path(sf_dir: str, name: str) -> str:
 def _normalize(df: DataFrame) -> DataFrame:
     """Normalize physical quirks of the corpus to engine types.
 
-    events.ts is TIMESTAMP(NANOS) in parquet; Spark (with
-    ``spark.sql.legacy.parquet.nanosAsLong``) surfaces it as a ns epoch
-    LongType — convert to a µs TimestampType (matches DuckDB's
-    ``ts::TIMESTAMP`` truncation).
+    The corpus's physical timestamp encoding has varied across driver
+    regenerations — TIMESTAMP(NANOS) (surfaced as a ns epoch LongType via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and tz-naive ``timestamp[us]``
+    (surfaced as TIMESTAMP_NTZ by Spark 4's inference) have both appeared.
+    Normalize either to a µs TimestampType: the session timezone is pinned
+    UTC, so the NTZ→TZ cast is value-preserving and matches DuckDB's naive
+    ``ts::TIMESTAMP`` semantics.
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             # integer division — float division of ~1e18 ns loses µs precision
             # (double mantissa is 53 bits), which skews µs-level arithmetic
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
