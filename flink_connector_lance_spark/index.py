@@ -196,6 +196,19 @@ def build_index(
                 "native ANN index building (pass spark= for the emulated IVF build)"
             )
         _emulated_ivf_build(spark, path, column, id_col, opts, metric, replace)
+        if itype in (IndexType.IVF_PQ, IndexType.IVF_HNSW_PQ):
+            # the PQ half of IVF_PQ: per-sub-space codebooks + compact codes
+            # (pq.py). The HNSW graph itself is not emulated — IVF_HNSW_PQ
+            # degrades to IVF_PQ, documented; the native path above builds
+            # the real thing when lance is present.
+            from .pq import build_pq_index
+
+            build_pq_index(
+                spark, path, column, id_col=id_col,
+                num_sub_vectors=opts.index_num_sub_vectors or 16,
+                num_bits=min(opts.index_num_bits, 8),
+                metric=metric.value, replace=replace,
+            )
         return IndexBuildResult(True, time.perf_counter() - start, None, itype, column)
     except Exception as e:  # noqa: BLE001 - result object carries the error (ref :380-435)
         return IndexBuildResult(False, time.perf_counter() - start, str(e), itype, column)
@@ -279,11 +292,32 @@ def search_dataset(
     distributed scan (the recall baseline); ``True`` requires an index
     and raises if absent. The indexed path reads the metric from the
     index metadata — a caller-supplied ``metric`` that disagrees raises
-    rather than silently returning distances in the wrong space."""
+    rather than silently returning distances in the wrong space.
+
+    Routing mirrors Lance: the index type that was BUILT determines the
+    search path — PQ codes present → ADC + refine (pq.pq_search,
+    composing IVF cell pruning when the coarse index coexists); IVF only
+    → exact search in probed cells; no index → brute force."""
     from .operators.knn import knn
+    from .pq import has_pq_index, pq_search
     from .sources.reader import read_dataset
 
-    use = has_index(path, column) if use_index is None else use_index
+    use = (has_index(path, column) or has_pq_index(path, column)) if use_index is None else use_index
+    if use and has_pq_index(path, column):
+        pq_dir = os.path.join(path, INDEXES_DIR, column, "pq")
+        with open(os.path.join(pq_dir, "index_meta.json")) as fh:
+            pq_meta = json.load(fh)
+        if metric and pq_meta.get("metric", metric) != metric:
+            raise ValueError(
+                f"PQ index on {path}:{column} was built for metric "
+                f"{pq_meta['metric']!r}, not {metric!r} — rebuild or search brute-force"
+            )
+        np_ = nprobes if has_index(path, column) else None
+        refine = (options.vector_refine_factor if options is not None
+                  and options.vector_refine_factor else 10)
+        return pq_search(spark, path, column, query, k=k, refine_factor=refine,
+                         nprobes=np_, tiebreak_cols=tiebreak_cols,
+                         round_digits=round_digits, filter=filter)
     if use:
         idx_dir = _index_dir(path, column)
         with open(os.path.join(idx_dir, "index_meta.json")) as fh:

@@ -51,33 +51,50 @@ def marker_count(text_col, markers: list[str]) -> Column:
     return F.size(F.filter(tokens(text_col), lambda t: t.isin(*markers)))
 
 
-def avg_token_len(text_col) -> Column:
-    ts = tokens(text_col)
+def avg_token_len_of(ts: Column) -> Column:
+    """Over an already-materialized token array (hot-path form: pass a real
+    column so the split isn't re-inlined per reference — see with_shingles)."""
     total = F.aggregate(F.transform(ts, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v)
     return total.cast("double") / F.size(ts)
 
 
-def type_token_ratio(text_col) -> Column:
-    ts = tokens(text_col)
+def avg_token_len(text_col) -> Column:
+    return avg_token_len_of(tokens(text_col))
+
+
+def type_token_ratio_of(ts: Column) -> Column:
     return F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
 
 
-def stopword_ratio(text_col, stopwords: list[str] | None = None) -> Column:
+def type_token_ratio(text_col) -> Column:
+    return type_token_ratio_of(tokens(text_col))
+
+
+def stopword_ratio_of(ts: Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or STOPWORDS
-    ts = tokens(text_col)
     return F.size(F.filter(ts, lambda t: t.isin(*sw))).cast("double") / F.size(ts)
 
 
-def quality_score(text_col) -> Column:
-    """Composite quality heuristic: length saturation + lexical diversity
-    + stopword balance. Range [0, 1]."""
-    n = token_count(text_col).cast("double")
+def stopword_ratio(text_col, stopwords: list[str] | None = None) -> Column:
+    return stopword_ratio_of(tokens(text_col), stopwords)
+
+
+def quality_score_of(ts: Column) -> Column:
+    """Composite quality heuristic over a materialized token array:
+    length saturation + lexical diversity + stopword balance. Range [0, 1]."""
+    n = F.size(ts).cast("double")
     length_part = F.least(F.lit(1.0), n / F.lit(100.0))
     return (
         length_part * 0.5
-        + type_token_ratio(text_col) * 0.3
-        + (F.lit(1.0) - stopword_ratio(text_col)) * 0.2
+        + type_token_ratio_of(ts) * 0.3
+        + (F.lit(1.0) - stopword_ratio_of(ts)) * 0.2
     )
+
+
+def quality_score(text_col) -> Column:
+    """Expression form (single-use contexts — the hot path materializes
+    tokens once and uses quality_score_of)."""
+    return quality_score_of(tokens(text_col))
 
 
 def word_ngrams(ws: Column, n: int) -> Column:
@@ -92,39 +109,59 @@ def word_ngrams(ws: Column, n: int) -> Column:
     return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def repeated_ngram_fraction(text_col, n: int = 2) -> Column:
-    """Fraction of word n-gram occurrences that are repeats of an earlier
-    occurrence: 1 - distinct/total. The Gopher-style repetition filter —
-    boilerplate and degenerate (looping) generations score high. Pure
-    codegen, zero shuffle."""
-    g = word_ngrams(tokens(text_col), n)
+def repeated_fraction_of(g: Column) -> Column:
+    """1 - distinct/total over an already-materialized element array —
+    the repeat-share core of both Gopher-style filters. Pass a real
+    column: the expression references ``g`` twice."""
     total = F.size(g)
     return F.when(total > 0,
                   F.round(F.lit(1.0) - F.size(F.array_distinct(g)) / total, 6)
                   ).otherwise(F.lit(0.0))
 
 
+def nonempty_lines(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+
+
+def repeated_ngram_fraction(text_col, n: int = 2) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an earlier
+    occurrence: 1 - distinct/total. The Gopher-style repetition filter —
+    boilerplate and degenerate (looping) generations score high. Pure
+    codegen, zero shuffle. Expression form: single-use contexts only —
+    hot paths materialize the gram array and use repeated_fraction_of."""
+    return repeated_fraction_of(word_ngrams(tokens(text_col), n))
+
+
 def repeated_line_fraction(text_col) -> Column:
     """Fraction of non-empty lines that duplicate an earlier line —
-    the repeated-line/paragraph boilerplate signal."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
-    total = F.size(lines)
-    return F.when(total > 0,
-                  F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / total, 6)
-                  ).otherwise(F.lit(0.0))
+    the repeated-line/paragraph boilerplate signal. Expression form —
+    see repeated_ngram_fraction."""
+    return repeated_fraction_of(nonempty_lines(text_col))
 
 
 def repetition_signals(df, text_col: str, id_col: str):
     """Per-document repetition profile: (id, repeated_line_frac,
-    repeated_2gram_frac, repeated_3gram_frac) — one codegen projection,
-    no shuffle; filter downstream on whatever thresholds the pipeline
-    uses (Gopher: drop if 2-gram repetition > 0.2)."""
-    return df.select(
+    repeated_2gram_frac, repeated_3gram_frac) — stacked codegen
+    projections (tokens, then gram arrays, then fractions) so each array
+    materializes exactly once per row; no shuffle. Filter downstream on
+    whatever thresholds the pipeline uses (Gopher: drop if 2-gram
+    repetition > 0.2)."""
+    toks = df.select(
         F.col(id_col),
-        repeated_line_fraction(text_col).alias("repeated_line_frac"),
-        repeated_ngram_fraction(text_col, 2).alias("repeated_2gram_frac"),
-        repeated_ngram_fraction(text_col, 3).alias("repeated_3gram_frac"),
+        tokens(text_col).alias("__ws"),
+        nonempty_lines(text_col).alias("__lns"),
+    )
+    grams = toks.select(
+        F.col(id_col), F.col("__lns"),
+        word_ngrams(F.col("__ws"), 2).alias("__g2"),
+        word_ngrams(F.col("__ws"), 3).alias("__g3"),
+    )
+    return grams.select(
+        F.col(id_col),
+        repeated_fraction_of(F.col("__lns")).alias("repeated_line_frac"),
+        repeated_fraction_of(F.col("__g2")).alias("repeated_2gram_frac"),
+        repeated_fraction_of(F.col("__g3")).alias("repeated_3gram_frac"),
     )
 
 
@@ -183,6 +220,41 @@ def simhash_of(hs: Column, bits: int = 60) -> Column:
 def simhash(text_col, bits: int = 60) -> Column:
     """Expression form of SimHash (single-use contexts only)."""
     return simhash_of(F.transform(tokens(text_col), lambda t: token_hash64(t)), bits)
+
+
+# PII redaction patterns, applied in a fixed order (URL first: URLs contain
+# '@'-free user paths and digit runs that the later patterns would otherwise
+# chew on). Each is valid in BOTH Java regex (Spark) and RE2 (DuckDB) — no
+# lookaround, no backreferences — so an oracle can replicate the scrub
+# byte-for-byte. Redaction = regexp_replace (global in both engines).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df, text_col: str, patterns=None):
+    """Scrub PII-shaped spans (URLs, emails, IPv4s, phone-like digit runs)
+    from a text column — the anonymization pass every training-data
+    pipeline runs before release.
+
+    Sequential regexp_replace chain, entirely JVM-side regex (no Python);
+    per stage a ``n_<kind>`` count column records how many spans that
+    stage redacted (counted on the pre-replace text of THAT stage, so
+    ordering ambiguities — an IPv4 is also a phone-shaped digit run —
+    resolve identically everywhere). Zero shuffle; scales as a pure map."""
+    pats = patterns or PII_PATTERNS
+    cur = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = df
+    for kind, pat, repl in pats:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        ).withColumn(f"__red_{kind}", F.regexp_replace(cur, pat, repl))
+        cur = F.col(f"__red_{kind}")
+    out = out.withColumn("redacted", cur)
+    return out.drop(*[f"__red_{k}" for k, _, _ in pats])
 
 
 def top_tokens(df, text_col: str, k: int = 100, min_len: int = 1):

@@ -99,23 +99,5 @@ def doc_length_quantiles(spark, sf_dir):
     )
 
 
-@register(
-    "text_tokens_regex",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_tokens,
-           CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS INT)
-               AS n_unique
-    FROM documents
-    """,
-    doc="BPE-ish regex tokenization: alphabet-run tokens + vocabulary size "
-        "per document.",
-)
-def text_tokens_regex(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
-    )
+# (BPE-ish regex tokenization lives in the merged `text_stats` query —
+# one pass over the corpus computes the whole per-document text profile.)

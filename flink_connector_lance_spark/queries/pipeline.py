@@ -276,24 +276,73 @@ def dedup_components(spark, sf_dir):
            round(least(1.0, len(ws) / 100.0) * 0.5
                  + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
                  + (1.0 - CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE)
-                          / len(ws)) * 0.2, 6) AS quality
-    FROM (SELECT doc_id, text, {_WS} AS ws FROM documents)
+                          / len(ws)) * 0.2, 6) AS quality,
+           CAST(len(tre) AS INT) AS n_tokens_regex,
+           CAST(len(list_distinct(tre)) AS INT) AS n_unique_regex,
+           CASE WHEN len(lns) > 0
+                THEN round(1.0 - CAST(len(list_distinct(lns)) AS DOUBLE) / len(lns), 6)
+                ELSE 0.0 END AS repeated_line_frac,
+           CASE WHEN len(g2) > 0
+                THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                ELSE 0.0 END AS repeated_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                ELSE 0.0 END AS repeated_3gram_frac
+    FROM (
+        SELECT doc_id, text, ws,
+               regexp_extract_all(text, '[a-z0-9]+') AS tre,
+               list_filter(string_split(text, chr(10)), ln -> trim(ln) != '') AS lns,
+               list_transform(generate_series(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]) AS g2,
+               list_transform(generate_series(1, len(ws)-2),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS g3
+        FROM (SELECT doc_id, text, {_WS} AS ws FROM documents)
+    )
     """,
-    doc="Per-document token/char statistics, type-token ratio, stopword "
-        "ratio, plus the composite quality score (length saturation + "
-        "lexical diversity + stopword balance) — pure codegen "
-        "projections, no shuffle (operators.text.quality_score).",
+    doc="Per-document text-analysis profile in ONE zero-shuffle codegen "
+        "projection: token/char statistics, type-token ratio, stopword "
+        "ratio, composite quality score (operators.text.quality_score), "
+        "BPE-ish regex tokenization (alphabet-run token + vocab counts), "
+        "and the Gopher-style repetition filters (repeated-line and "
+        "repeated word-2/3-gram fractions, operators.text."
+        "repetition_signals) — the full pre-training quality-filter "
+        "feature set computed in a single pass over the corpus.",
 )
 def text_stats(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # repartition first: the per-row HOF expressions (n-gram build +
+    # array_distinct) are CPU-dense and the corpus arrives as one file
+    # partition locally — spread the work across all cores (at scale the
+    # scan already has many splits and this is a cheap no-op-ish shuffle)
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    # stacked projections: every array (tokens, regex tokens, lines,
+    # 2/3-grams) materializes exactly once per row — inlining the split
+    # into each of its many references degrades to O(tokens^2) per row
+    # (measured 8x on this query)
+    base = d.select(
+        "doc_id", "text",
+        T.tokens("text").alias("__ws"),
+        F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0).alias("__tre"),
+        T.nonempty_lines("text").alias("__lns"),
+    )
+    grams = base.select(
+        "doc_id", "text", "__ws", "__tre", "__lns",
+        T.word_ngrams(F.col("__ws"), 2).alias("__g2"),
+        T.word_ngrams(F.col("__ws"), 3).alias("__g3"),
+    )
+    ws = F.col("__ws")
+    return grams.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
+        F.size(ws).alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
-        F.round(T.avg_token_len("text"), 6).alias("avg_token_len"),
-        F.round(T.type_token_ratio("text"), 6).alias("ttr"),
-        F.round(T.stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(T.quality_score("text"), 6).alias("quality"),
+        F.round(T.avg_token_len_of(ws), 6).alias("avg_token_len"),
+        F.round(T.type_token_ratio_of(ws), 6).alias("ttr"),
+        F.round(T.stopword_ratio_of(ws), 6).alias("stop_ratio"),
+        F.round(T.quality_score_of(ws), 6).alias("quality"),
+        F.size("__tre").alias("n_tokens_regex"),
+        F.size(F.array_distinct("__tre")).alias("n_unique_regex"),
+        T.repeated_fraction_of(F.col("__lns")).alias("repeated_line_frac"),
+        T.repeated_fraction_of(F.col("__g2")).alias("repeated_2gram_frac"),
+        T.repeated_fraction_of(F.col("__g3")).alias("repeated_3gram_frac"),
     )
 
 
@@ -374,27 +423,13 @@ def train_split_stratified(spark, sf_dir):
 # --- multimodal plumbing -----------------------------------------------------
 
 @register(
-    "multimodal_metadata",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           sha256(text) AS digest
-    FROM documents
-    """,
-    doc="Binary media-table metadata (length + sha256) computed JVM-side "
-        "over opaque payload columns (operators.multimodal.to_media_table).",
-)
-def multimodal_metadata(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    media = M.to_media_table(d.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload")
-    return media.select("media_id", "byte_len", "digest")
-
-
-@register(
-    "multimodal_decode_features",
+    "multimodal_metadata_features",
     oracle=(
         lambda: (
-            "SELECT doc_id AS media_id, '[' || array_to_string(list_transform(list_value("
+            "SELECT doc_id AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+            "sha256(text) AS digest, "
+            "'[' || array_to_string(list_transform(list_value("
             + ", ".join(
                 "round(((('0x'||substr(md5(text), {p1}, 2))::BIGINT * 256 + "
                 "('0x'||substr(md5(text), {p2}, 2))::BIGINT) % 1000) / 1000.0, 6)".format(
@@ -405,21 +440,90 @@ def multimodal_metadata(spark, sf_dir):
             + "), x -> printf('%.6f', x)), ',') || ']' AS features FROM documents"
         )
     )(),
-    doc="Arrow-batched mapInPandas decode plumbing with the deterministic "
-        "fake decoder (real decode stubbed: no media libs in container; "
-        "operators.multimodal.decode_image). Output serializes the feature "
-        "vector to a fixed-format string so the oracle harness can sort and "
-        "hash it (array columns are unhashable driver-side).",
+    doc="Multimodal pipeline end-to-end: opaque binary payload -> typed "
+        "media table with JVM-side metadata (length + sha256, operators."
+        "multimodal.to_media_table — no Python in the scan path) -> "
+        "Arrow-batched mapInPandas feature extraction with the "
+        "deterministic fake decoder (real decode stubbed: no media libs "
+        "in container; operators.multimodal.decode_image). Features "
+        "serialize to a fixed %.6f string so the oracle harness can sort "
+        "and hash them (array columns are unhashable driver-side).",
 )
-def multimodal_decode_features(spark, sf_dir):
+def multimodal_metadata_features(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     media = M.to_media_table(d.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload")
     feats = M.extract_features(media, dim=8, fake=True)
-    # %.6f fixed-format (not to_json): both engines format the same double
-    # with the same printf semantics, so the strings match byte-for-byte
     features_str = F.concat(
         F.lit("["),
         F.concat_ws(",", F.transform("features", lambda x: F.format_string("%.6f", x))),
         F.lit("]"),
     )
-    return feats.select("media_id", features_str.alias("features"))
+    return feats.select("media_id", "byte_len", "digest", features_str.alias("features"))
+
+
+# PII is synthesized onto each document deterministically (the corpus is
+# PII-free word salad): one email, one IPv4, one phone, one URL, all
+# id-derived so both engines build byte-identical inputs. The operator
+# under test is the scrub itself (operators.text.redact_pii).
+_PII_SUFFIX_SPARK = (
+    " contact user{id}@example.com ip 10.1.{oct}.42 "
+    "call +1 555 123 4567 see https://ex.org/d/{id}?ref=x"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    WITH t0 AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com ip 10.1.' ||
+               (doc_id % 256) || '.42 call +1 555 123 4567 see https://ex.org/d/' ||
+               doc_id || '?ref=x' AS t
+        FROM documents),
+    t1 AS (SELECT doc_id, len(regexp_extract_all(t, 'https?://[^\\s]+')) AS n_url,
+                  regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t FROM t0),
+    t2 AS (SELECT doc_id, n_url,
+                  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+           FROM t1),
+    t3 AS (SELECT doc_id, n_url, n_email,
+                  len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+                  regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+           FROM t2),
+    t4 AS (SELECT doc_id, n_url, n_email, n_ip,
+                  len(regexp_extract_all(t, '\\+?\\d[\\d\\s().-]{6,}\\d')) AS n_phone,
+                  regexp_replace(t, '\\+?\\d[\\d\\s().-]{6,}\\d', '<PHONE>', 'g') AS t
+           FROM t3)
+    SELECT doc_id, CAST(n_url AS INT) AS n_url, CAST(n_email AS INT) AS n_email,
+           CAST(n_ip AS INT) AS n_ip, CAST(n_phone AS INT) AS n_phone,
+           md5(t) AS redacted_hash
+    FROM t4
+    """,
+    doc="PII redaction (operators.text.redact_pii): URL / email / IPv4 / "
+        "phone-shaped spans scrubbed by a fixed-order JVM-side "
+        "regexp_replace chain (patterns valid in both Java regex and RE2, "
+        "so the oracle replicates the scrub byte-for-byte), with per-kind "
+        "redaction counts and an md5 over the final redacted text. PII is "
+        "synthesized onto the (PII-free) corpus deterministically from "
+        "doc_id. Zero shuffle — pure map, linear at any corpus size.",
+)
+def text_pii_redact(spark, sf_dir):
+    # regex chains are CPU-dense: spread the single-file local corpus
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.1."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".42 call +1 555 123 4567 see https://ex.org/d/"),
+        F.col("doc_id").cast("string"), F.lit("?ref=x"),
+    )
+    red = T.redact_pii(d.select("doc_id", synth.alias("t")), "t")
+    return red.select(
+        "doc_id",
+        F.col("n_url").cast("int").alias("n_url"),
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.md5("redacted").alias("redacted_hash"),
+    )

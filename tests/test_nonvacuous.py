@@ -21,7 +21,9 @@ MUST_PRODUCE = [
     "ann_lsh",
     "ann_ivf_coarse",
     "text_stats",
-    "multimodal_decode_features",
+    "multimodal_metadata_features",
+    "ann_ivf_pq",
+    "text_pii_redact",
 ]
 
 

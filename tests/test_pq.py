@@ -1,0 +1,126 @@
+"""Emulated IVF_PQ index: codebook training, code encoding, ADC search,
+IVF composition, and search_dataset routing."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from flink_connector_lance_spark import pq
+from flink_connector_lance_spark.index import build_index, has_index
+from flink_connector_lance_spark.index import search_dataset
+from flink_connector_lance_spark.io import load_table
+from flink_connector_lance_spark.operators.knn import knn
+from flink_connector_lance_spark.queries.knn import QVEC
+from flink_connector_lance_spark.sources.writer import write_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(spark, sf_dir):
+    path = os.path.join(tempfile.gettempdir(), "fcls_test_pq_ds")
+    shutil.rmtree(path, ignore_errors=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    write_dataset(e, path, mode="overwrite")
+    yield path, e
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _ensure_ivf_pq(spark, path):
+    if not (has_index(path, "embedding") and pq.has_pq_index(path, "embedding")):
+        res = build_index(path, "embedding", index_type="ivf_pq", spark=spark,
+                          id_col="vec_id", replace=True)
+        assert res.success, res.error
+
+
+def test_build_writes_codebooks_and_codes(spark, dataset):
+    path, e = dataset
+    meta = pq.build_pq_index(spark, path, "embedding", id_col="vec_id",
+                             num_sub_vectors=8, num_bits=4, replace=True)
+    assert meta["num_sub_vectors"] == 8 and meta["dim"] == 64
+    idx = os.path.join(path, "_indexes", "embedding", "pq")
+    books = spark.read.parquet(os.path.join(idx, "codebooks.parquet"))
+    # 8 sub-spaces x up to 16 codes, centroids of sub-dim 8
+    assert books.count() == 8 * 16
+    first = books.first()
+    assert len(first.centroid) == 8
+    codes = spark.read.parquet(os.path.join(idx, "codes.parquet"))
+    assert codes.count() == e.count()
+    row = codes.first()
+    assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
+
+
+def test_adc_refine_matches_exact_topk(spark, dataset):
+    path, e = dataset
+    pq.build_pq_index(spark, path, "embedding", id_col="vec_id",
+                      num_sub_vectors=16, num_bits=8, iterations=2, replace=True)
+    exact = knn(e, "embedding", QVEC, k=10, tiebreak_cols=["vec_id"],
+                round_digits=6).select("vec_id", "_distance").collect()
+    got = pq.pq_search(spark, path, "embedding", QVEC, k=10, refine_factor=10,
+                       tiebreak_cols=["vec_id"], round_digits=6
+                       ).select("vec_id", "_distance").collect()
+    assert [(r.vec_id, r._distance) for r in got] == \
+        [(r.vec_id, r._distance) for r in exact]
+
+
+def test_refine_window_caps_candidate_fetch(spark, dataset):
+    path, _ = dataset
+    _ensure_ivf_pq(spark, path)
+    # refine_factor=1: at most k rows are fetched for the exact re-rank
+    out = pq.pq_search(spark, path, "embedding", QVEC, k=5, refine_factor=1,
+                       tiebreak_cols=["vec_id"])
+    assert out.count() == 5
+
+
+def test_build_index_ivf_pq_builds_both_halves(spark, dataset):
+    path, _ = dataset
+    res = build_index(path, "embedding", index_type="ivf_pq", spark=spark,
+                      id_col="vec_id", replace=True)
+    assert res.success, res.error
+    assert has_index(path, "embedding")        # IVF coarse half
+    assert pq.has_pq_index(path, "embedding")  # PQ half
+    meta = json.load(open(os.path.join(path, "_indexes", "embedding", "pq",
+                                       "index_meta.json")))
+    # reference defaults: 16 sub-vectors x 8 bits (config/LanceOptions.java)
+    assert meta["num_sub_vectors"] == 16 and meta["num_bits"] == 8
+
+
+def test_search_dataset_routes_to_pq_and_composes_ivf(spark, dataset):
+    path, e = dataset
+    _ensure_ivf_pq(spark, path)
+    # both halves exist: search_dataset must take the PQ path
+    got = search_dataset(spark, path, "embedding", QVEC, k=10,
+                         tiebreak_cols=["vec_id"], round_digits=6
+                         ).select("vec_id", "_distance").collect()
+    exact = knn(e, "embedding", QVEC, k=10, tiebreak_cols=["vec_id"],
+                round_digits=6).select("vec_id", "_distance").collect()
+    assert [(r.vec_id, r._distance) for r in got] == \
+        [(r.vec_id, r._distance) for r in exact]
+    # nprobes restricts the ADC scan to probed cells: few probes can
+    # legitimately surface fewer than k candidates; probing every cell
+    # recovers the unpruned result exactly
+    pruned = pq.pq_search(spark, path, "embedding", QVEC, k=10, refine_factor=10,
+                          nprobes=4, tiebreak_cols=["vec_id"])
+    assert 0 < pruned.count() <= 10
+    all_cells = pq.pq_search(spark, path, "embedding", QVEC, k=10, refine_factor=10,
+                             nprobes=10**6, tiebreak_cols=["vec_id"], round_digits=6
+                             ).select("vec_id", "_distance").collect()
+    assert [(r.vec_id, r._distance) for r in all_cells] == \
+        [(r.vec_id, r._distance) for r in exact]
+
+
+def test_metric_mismatch_raises(spark, dataset):
+    path, _ = dataset
+    _ensure_ivf_pq(spark, path)
+    with pytest.raises(ValueError, match="metric"):
+        search_dataset(spark, path, "embedding", QVEC, k=5, metric="cosine")
+
+
+def test_query_dim_mismatch_raises(spark, dataset):
+    path, _ = dataset
+    _ensure_ivf_pq(spark, path)
+    with pytest.raises(ValueError, match="dim"):
+        pq.pq_search(spark, path, "embedding", [1.0, 2.0], k=5)
