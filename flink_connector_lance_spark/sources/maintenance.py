@@ -114,6 +114,23 @@ def vacuum_dataset(
     }
 
 
+def _promote_staged(path: str, stage: str) -> list[FR.FragmentInfo]:
+    """Move executor-written staging files into the data dir as fragments
+    (zone maps recomputed from each file's footer — metadata-only read)."""
+    data_dir = os.path.join(path, FR.DATA_DIR)
+    out: list[FR.FragmentInfo] = []
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        frag_name = FR.new_fragment_name()
+        src = os.path.join(stage, name)
+        rows = pq.read_metadata(src).num_rows  # footer only
+        stats = FR.parquet_fragment_stats(src)
+        shutil.move(src, os.path.join(data_dir, frag_name))
+        out.append(FR.FragmentInfo(0, os.path.join(FR.DATA_DIR, frag_name), rows, stats))
+    return out
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
@@ -134,7 +151,6 @@ def compact_dataset(
     # executors rewrite the runt rows into target-sized files in a staging
     # dir; the driver promotes them and commits one new version
     stage = os.path.join(path, f"_compact-{uuid.uuid4().hex}")
-    data_dir = os.path.join(path, FR.DATA_DIR)
     try:
         (
             spark.read.parquet(*[os.path.join(path, f.file) for f in small])
@@ -142,18 +158,7 @@ def compact_dataset(
             .mode("overwrite")
             .parquet(stage)
         )
-        merged: list[FR.FragmentInfo] = []
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            frag_name = FR.new_fragment_name()
-            src = os.path.join(stage, name)
-            rows = pq.read_metadata(src).num_rows  # footer only
-            stats = FR.parquet_fragment_stats(src)
-            shutil.move(src, os.path.join(data_dir, frag_name))
-            merged.append(
-                FR.FragmentInfo(0, os.path.join(FR.DATA_DIR, frag_name), rows, stats)
-            )
+        merged = _promote_staged(path, stage)
         fragments = [
             FR.FragmentInfo(i, f.file, f.row_count, f.stats)
             for i, f in enumerate(keep + merged)
@@ -164,6 +169,105 @@ def compact_dataset(
             mode="overwrite",
             meta={"compaction": {"merged": len(small), "into": len(merged),
                                  "base_version": manifest.version}},
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _zorder_key(df: DataFrame, by: list[str], stats_min_max: dict, bits: int = 8):
+    """Morton (Z-order) key: each column linearly bucketed into 2**bits
+    cells using the MANIFEST zone maps for min/max (no extra pass over the
+    data), then bit-interleaved. A pure projection — the only shuffle in a
+    Z-order rewrite is the range partition on the key itself.
+
+    Linear bucketing (vs rank bucketing) keeps the key computation
+    shuffle-free and is the standard approximation when a value histogram
+    isn't maintained; heavily skewed columns get fewer effective cells,
+    which degrades clustering quality, not correctness."""
+    import pyspark.sql.functions as F
+
+    cells = (1 << bits) - 1
+    buckets = []
+    for c in by:
+        lo, hi = stats_min_max[c]
+        span = (hi - lo) or 1
+        b = F.least(
+            F.lit(cells),
+            F.greatest(F.lit(0), ((F.col(c) - F.lit(lo)) * cells / F.lit(span)).cast("long")),
+        )
+        buckets.append(b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * len(buckets) + j)
+    return z
+
+
+def cluster_dataset(
+    spark: SparkSession,
+    path: str,
+    by: list[str],
+    target_rows_per_fragment: int = 1_000_000,
+    zorder: bool = False,
+) -> FR.Manifest:
+    """Rewrite the dataset with rows range-clustered on ``by`` so the
+    per-fragment zone maps become SELECTIVE — the OPTIMIZE/ZORDER-style
+    data-layout pass that turns manifest stats into real data skipping.
+
+    After clustering, a pushed filter on a clustered column prunes to the
+    few fragments whose [min, max] covers the predicate instead of
+    scanning everything (sources/datasource.py skips pruned fragments at
+    planning time — no task scheduled). At 100 TB this is the difference
+    between a point-range query touching ~1/N of the table and touching
+    all of it; the rewrite itself is one range-exchange + local sort
+    (``repartitionByRange`` samples the key distribution, so skew splits
+    across fragments instead of hot-spotting one).
+
+    ``zorder=True`` interleaves the bucketed bits of MULTIPLE columns
+    (Morton order) so filters on ANY prefix-free subset of ``by`` retain
+    skipping power, at the cost of weaker single-column locality.
+    Commits a new MVCC version; old versions keep reading the old layout.
+    """
+    manifest = FR.read_manifest(path)
+    if not manifest.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments to cluster")
+    if not by:
+        raise ValueError("cluster_dataset requires at least one column")
+    total = sum(f.row_count for f in manifest.fragments)
+    n_frags = max(1, -(-total // target_rows_per_fragment))
+    df = spark.read.parquet(*[os.path.join(path, f.file) for f in manifest.fragments])
+
+    if zorder and len(by) >= 2:
+        mm: dict[str, tuple] = {}
+        for c in by:
+            mins = [f.stats[c]["min"] for f in manifest.fragments
+                    if f.stats and f.stats.get(c, {}).get("min") is not None]
+            maxs = [f.stats[c]["max"] for f in manifest.fragments
+                    if f.stats and f.stats.get(c, {}).get("max") is not None]
+            if not mins or not maxs:
+                raise ValueError(f"no zone-map stats for z-order column {c!r}")
+            mm[c] = (min(mins), max(maxs))
+        keyed = df.withColumn("__z", _zorder_key(df, by, mm))
+        out = (keyed.repartitionByRange(n_frags, "__z")
+               .sortWithinPartitions("__z").drop("__z"))
+        layout = {"zorder": by}
+    else:
+        out = df.repartitionByRange(n_frags, *by).sortWithinPartitions(*by)
+        layout = {"cluster_by": by}
+
+    stage = os.path.join(path, f"_cluster-{uuid.uuid4().hex}")
+    try:
+        (out.write.option("maxRecordsPerFile", target_rows_per_fragment)
+            .mode("overwrite").parquet(stage))
+        new_frags = _promote_staged(path, stage)
+        fragments = [
+            FR.FragmentInfo(i, f.file, f.row_count, f.stats)
+            for i, f in enumerate(new_frags)
+        ]
+        return FR.commit(
+            path, fragments, mode="overwrite",
+            meta={"clustering": {**layout, "base_version": manifest.version}},
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)

@@ -1,0 +1,91 @@
+"""Data-layout clustering (cluster_dataset): sort/Z-order rewrites that
+make the manifest zone maps selective, so pushed filters prune fragments."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_connector_lance_spark.io import load_table
+from flink_connector_lance_spark.sources import fragments as FR
+from flink_connector_lance_spark.sources.datasource import (
+    GreaterThan,
+    LanceDataSourceReader,
+    LessThan,
+    register_lance_datasource,
+)
+from flink_connector_lance_spark.sources.maintenance import cluster_dataset
+
+
+@pytest.fixture()
+def registered(spark):
+    register_lance_datasource(spark)
+    return spark
+
+
+def _planned(path, filters):
+    r = LanceDataSourceReader({"path": path})
+    r.pushFilters(list(filters))
+    return r.partitions()
+
+
+def test_cluster_by_makes_zone_maps_selective(registered, tmp_path, sf_dir):
+    spark = registered
+    path = str(tmp_path / "ds")
+    # write documents UN-clustered w.r.t. n_chars (doc_id order), 8 fragments:
+    # every fragment spans nearly the full n_chars range -> no pruning
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    n = d.count()
+    per_frag = -(-n // 8)
+    d.repartitionByRange(8, "doc_id").write.format("lance").mode("overwrite").save(path)
+    assert len(FR.read_manifest(path).fragments) == 8
+    narrow = [GreaterThan(("n_chars",), 100), LessThan(("n_chars",), 120)]
+    before = len(_planned(path, narrow))
+    assert before == 8  # random layout: every fragment may match
+
+    m = cluster_dataset(spark, path, by=["n_chars"], target_rows_per_fragment=per_frag)
+    assert m.meta["clustering"]["cluster_by"] == ["n_chars"]
+    assert sum(f.row_count for f in m.fragments) == n  # rewrite preserves rows
+    after = len(_planned(path, narrow))
+    assert after <= 2, f"clustered layout should prune to <=2 fragments, got {after}"
+
+    # results identical pre/post (old version still readable: MVCC)
+    df = spark.read.format("lance").load(path)
+    got = df.filter((F.col("n_chars") > 100) & (F.col("n_chars") < 120)).count()
+    want = d.filter((F.col("n_chars") > 100) & (F.col("n_chars") < 120)).count()
+    assert got == want
+    prev = spark.read.format("lance").option("version", m.version - 1).load(path)
+    assert prev.count() == n
+
+
+def test_zorder_prunes_on_both_columns(registered, tmp_path, sf_dir):
+    spark = registered
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = d.count()
+    d.repartitionByRange(8, "doc_id").write.format("lance").mode("overwrite").save(path)
+    # doc_id-ordered layout: n_chars zone maps are mostly unselective
+    before_nchars = len(_planned(path, [LessThan(("n_chars",), 60)]))
+
+    m = cluster_dataset(spark, path, by=["doc_id", "n_chars"],
+                        target_rows_per_fragment=-(-n // 8), zorder=True)
+    assert m.meta["clustering"]["zorder"] == ["doc_id", "n_chars"]
+    assert sum(f.row_count for f in m.fragments) == n
+    # after z-order BOTH single-column range filters prune fragments
+    frags = len(m.fragments)
+    assert len(_planned(path, [LessThan(("doc_id",), 20)])) < frags
+    after_nchars = len(_planned(path, [LessThan(("n_chars",), 60)]))
+    assert after_nchars < frags and after_nchars <= before_nchars
+    # and results stay exact
+    df = spark.read.format("lance").load(path)
+    assert df.filter(F.col("n_chars") < 60).count() == \
+        d.filter(F.col("n_chars") < 60).count()
+
+
+def test_cluster_requires_columns_and_fragments(registered, tmp_path, sf_dir):
+    spark = registered
+    path = str(tmp_path / "ds")
+    load_table(spark, sf_dir, "documents").limit(10).write.format("lance").mode(
+        "overwrite").save(path)
+    with pytest.raises(ValueError, match="column"):
+        cluster_dataset(spark, path, by=[])
