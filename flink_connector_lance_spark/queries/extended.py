@@ -20,27 +20,9 @@ from ..io import load_table
 from ..registry import register
 
 
-@register(
-    "source_count_star_fast",
-    oracle="SELECT count(*) AS cnt FROM documents",
-    doc="COUNT(*) from fragment metadata — no data scan (manifest row "
-        "counts; ref fragment.countRows analog LanceInputFormat.java:117).",
-)
-def source_count_star_fast(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
-
-    from ..sources.reader import count_rows
-    from ..sources.writer import write_dataset
-
-    d = load_table(spark, sf_dir, "documents")
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), "fcls_datasets", f"cntfast-{sf}-{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
-    write_dataset(d, path, mode="overwrite")
-    n = count_rows(path)  # metadata-only: manifest sum, zero data IO
-    return spark.createDataFrame([(n,)], "cnt bigint")
+# (The COUNT(*)-from-manifest-metadata fast path is gated inside the
+# merged `source_version_travel` query — its v1_meta row must hash-match
+# the scan count of the same version.)
 
 
 @register(

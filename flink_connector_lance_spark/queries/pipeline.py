@@ -420,6 +420,39 @@ def train_split_stratified(spark, sf_dir):
     )
 
 
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 8 AS shard
+        FROM documents),
+    packed AS (
+        SELECT shard, doc_id, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+                           - n_tok) / 512.0) AS BIGINT) AS bin
+        FROM toks)
+    SELECT shard, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_id, max(doc_id) AS last_id
+    FROM packed GROUP BY shard, bin
+    """,
+    doc="Sequence packing (operators.packing): documents assigned to "
+        "512-token training bins by sharded greedy-contiguous packing — "
+        "deterministic md5 shard, per-shard prefix sum, bin = "
+        "floor(preceding_tokens/budget). ONE window exchange on the shard "
+        "key (a global ordered window would serialize the corpus through "
+        "one reducer; sharding bounds each partition to corpus/n_shards "
+        "and packs all shards in parallel — the 100 TB shape). Output is "
+        "the per-bin manifest a training loader consumes.",
+)
+def pack_sequences(spark, sf_dir):
+    from ..operators import packing as P
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.token_count("text").alias("n_tok"))
+    return P.pack_stats(toks, "doc_id", "n_tok", budget=512, n_shards=8)
+
+
 # --- multimodal plumbing -----------------------------------------------------
 
 @register(

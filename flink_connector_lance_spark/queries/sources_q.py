@@ -56,12 +56,22 @@ def source_roundtrip_agg(spark, sf_dir):
     SELECT 'v1' AS version,
            (SELECT count(*) FROM documents)
            + (SELECT count(*) FROM documents WHERE lang = 'en') AS cnt
+    UNION ALL
+    SELECT 'v1_meta' AS version,
+           (SELECT count(*) FROM documents)
+           + (SELECT count(*) FROM documents WHERE lang = 'en') AS cnt
     """,
     doc="MVCC version travel: overwrite-commit v0, append-commit v1, read "
         "both pinned versions (sources/fragments.py manifest versions; "
-        "ref FragmentOperation.Append/Overwrite, LanceSink.java:163-189).",
+        "ref FragmentOperation.Append/Overwrite, LanceSink.java:163-189). "
+        "The v1_meta row is COUNT(*) from fragment metadata only — the "
+        "manifest row-count sum, zero data IO (ref fragment.countRows "
+        "analog, LanceInputFormat.java:117) — and must agree with the "
+        "scan count of the same version.",
 )
 def source_version_travel(spark, sf_dir):
+    from ..sources.reader import count_rows
+
     d = load_table(spark, sf_dir, "documents")
     path = _workdir("versions", sf_dir)
     write_dataset(d, path, mode="overwrite")
@@ -72,7 +82,8 @@ def source_version_travel(spark, sf_dir):
     v1 = read_dataset(spark, path, version=1).agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit("v1").alias("version"), "cnt"
     )
-    return v0.unionAll(v1)
+    meta = spark.createDataFrame([("v1_meta", count_rows(path))], "version string, cnt bigint")
+    return v0.unionAll(v1).unionAll(meta)
 
 
 @register(

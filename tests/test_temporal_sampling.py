@@ -162,3 +162,41 @@ def test_knn_join_matches_per_query_knn(spark):
                      tiebreak_cols=["vec_id"], round_digits=6)
         expect = [(r["_distance"], r["vec_id"]) for r in single.collect()]
         assert sorted(by_q[qid]) == sorted(expect), f"query {qid}"
+
+
+def test_pack_bins_contiguous_semantics(spark):
+    from flink_connector_lance_spark.operators.packing import pack_bins, pack_stats
+
+    # single shard (n_shards=1): packing order is plain id order
+    d = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id long, n_tok long")
+    packed = pack_bins(d, "doc_id", "n_tok", budget=250, n_shards=1)
+    rows = {r.doc_id: r.bin for r in packed.collect()}
+    # cumsum-exclusive / 250: docs 0,1,2 -> bin 0 (0,100,200), 3,4 -> bin 1
+    # (300,400), 5,6,7 -> bin 2 (500,600,700), 8,9 -> bin 3
+    assert rows == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+
+    stats = pack_stats(d, "doc_id", "n_tok", budget=250, n_shards=1)
+    by_bin = {r.bin: r for r in stats.collect()}
+    assert by_bin[0].n_docs == 3 and by_bin[0].bin_tokens == 300
+    assert by_bin[0].first_id == 0 and by_bin[0].last_id == 2
+    # every doc lands in exactly one bin
+    assert sum(r.n_docs for r in by_bin.values()) == 10
+
+
+def test_pack_bins_shards_are_deterministic_and_bounded(spark):
+    from flink_connector_lance_spark.operators.packing import pack_bins
+
+    d = spark.createDataFrame([(i, 10) for i in range(500)], "doc_id long, n_tok long")
+    a = {(r.doc_id): (r.shard, r.bin) for r in
+         pack_bins(d, "doc_id", "n_tok", budget=100, n_shards=8).collect()}
+    b = {(r.doc_id): (r.shard, r.bin) for r in
+         pack_bins(d, "doc_id", "n_tok", budget=100, n_shards=8).collect()}
+    assert a == b  # deterministic
+    assert all(0 <= s < 8 for s, _ in a.values())
+    # appending documents never reassigns existing ids to other shards
+    bigger = spark.createDataFrame([(i, 10) for i in range(1000)],
+                                   "doc_id long, n_tok long")
+    c = {r.doc_id: r.shard for r in
+         pack_bins(bigger, "doc_id", "n_tok", budget=100, n_shards=8).collect()}
+    assert all(c[i] == a[i][0] for i in range(500))
