@@ -17,6 +17,10 @@ from flink_connector_lance_spark import registry as _registry
 from flink_connector_lance_spark.session import get_spark
 
 # Headline set: one per operator family — scan/filter/agg/join/window/knn/dedup.
+# The first 12 are the round-1/2 set (kept stable for cross-round
+# comparability); the tail was appended in round 3 as those operator
+# families landed. ann_ivf_pq's first iteration builds the PQ index
+# (cached per process); best-of-2 records the steady-state indexed search.
 HEADLINE = [
     "tpch_q1",
     "filter_comparisons",
@@ -30,6 +34,9 @@ HEADLINE = [
     "knn_l2_filtered",
     "dedup_minhash_lsh",
     "text_stats",
+    "ann_ivf_pq",
+    "text_pii_redact",
+    "pack_sequences",
 ]
 
 

@@ -258,14 +258,17 @@ def pq_search(
         probe_ids = assigns.filter(F.col("cell").isin(chosen)).select(id_col)
         codes = codes.join(probe_ids, on=id_col, how="left_semi")
 
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[s]]),
-            F.element_at("codes", s + 1) + 1,
+    # ONE SQL parse for the whole ADC sum: building m k-entry literal
+    # arrays node-by-node costs a py4j round-trip per literal (~2 s of
+    # driver time at 16x256), the parse costs one (see functions.vector
+    # dot_product for the same pattern)
+    adc_sql = " + ".join(
+        "element_at(array({vals}), element_at(`codes`, {idx}) + 1)".format(
+            vals=", ".join(f"{float(v)!r}D" for v in lut[s]), idx=s + 1
         )
-        adc = term if adc is None else adc + term
-    approx = codes.select(F.col(id_col), F.sqrt(adc).alias("_adc"))
+        for s in range(m)
+    )
+    approx = codes.select(F.col(id_col), F.sqrt(F.expr(adc_sql)).alias("_adc"))
     r = max(k * refine_factor, k)
     cand = approx.orderBy(F.asc("_adc"), F.asc(id_col)).limit(r)
 

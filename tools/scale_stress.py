@@ -43,6 +43,10 @@ QUERIES = [
     "ann_ivf_coarse", "knn_cosine", "text_stats", "text_langid_fingerprint",
     "events_asof_attribution", "events_range_join", "knn_join_batch",
     "train_split_stratified",
+    # round-3 operators. ann_ivf_pq's first call per sf dir BUILDS the PQ
+    # index (codebook k-means), so its ratio measures build scaling, not
+    # steady-state search — read it as the index-build row.
+    "ann_ivf_pq", "text_pii_redact", "pack_sequences",
 ]
 
 
