@@ -95,3 +95,41 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     # formatted tree lazily, so check the codegen markers instead)
     plan = _plan(spark, sf_dir, "filter_comparisons")
     assert "*(1)" in plan
+
+
+def test_pq_adc_search_is_takeordered_over_skinny_codes(spark, sf_dir):
+    # ADC candidate selection: TakeOrdered over the codes relation (per-
+    # partition top-R), never a global sort; the candidate fetch is a
+    # semi-join, never a nested loop
+    import os
+    import shutil
+    import tempfile
+
+    from flink_connector_lance_spark import pq
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.queries.knn import QVEC
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    path = os.path.join(tempfile.gettempdir(), "fcls_planshape_pq")
+    if not pq.has_pq_index(path, "embedding"):
+        shutil.rmtree(path, ignore_errors=True)
+        e = load_table(spark, sf_dir, "embeddings")
+        write_dataset(e, path, mode="overwrite")
+        pq.build_pq_index(spark, path, "embedding", id_col="vec_id",
+                          num_sub_vectors=8, num_bits=4, iterations=1)
+    df = pq.pq_search(spark, path, "embedding", QVEC, k=10, refine_factor=10,
+                      tiebreak_cols=["vec_id"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    # sharded packing: the window exchange on shard is the ONLY wide
+    # dependency before the per-bin aggregate (which reuses the shard
+    # partitioning); a global ordered window would show a singlepartition
+    # exchange
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
