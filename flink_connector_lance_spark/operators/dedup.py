@@ -467,6 +467,38 @@ def connected_components(
     return labels.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))
 
 
+def resolve_duplicates(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Pick the canonical survivor of every duplicate cluster — the
+    resolution step after clustering (connected_components): keep the
+    highest-``quality_col`` member (ties and the no-quality case fall
+    back to the lowest id, the reference keep-policy of exact_dedup).
+
+    Output: every doc with its ``component`` and a ``keep`` flag.
+    Plan: one broadcast-or-shuffle equi-join on id + one max-of-struct
+    aggregate per component (map-side combinable — the same shape as
+    exact_dedup's digest groupBy), then a skinny (component, winner)
+    join back. No windows over the full corpus, no per-cluster state."""
+    joined = docs.join(components, on=id_col)
+    if quality_col is None:
+        winner = joined.groupBy("component").agg(F.min(id_col).alias("__keep_id"))
+    else:
+        # argmax quality, argmin id on ties: max of (quality, -id) structs
+        winner = joined.groupBy("component").agg(
+            F.max(F.struct(F.col(quality_col).alias("q"),
+                           (-F.col(id_col)).alias("negid"))).alias("best")
+        ).select("component", (-F.col("best.negid")).alias("__keep_id"))
+    return (
+        joined.join(winner, on="component")
+        .withColumn("keep", F.col(id_col) == F.col("__keep_id"))
+        .drop("__keep_id")
+    )
+
+
 def _cosine(va: Column, vb: Column) -> Column:
     from ..functions import vector as V
 

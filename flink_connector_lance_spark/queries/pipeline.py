@@ -498,12 +498,6 @@ def multimodal_metadata_features(spark, sf_dir):
 # PII-free word salad): one email, one IPv4, one phone, one URL, all
 # id-derived so both engines build byte-identical inputs. The operator
 # under test is the scrub itself (operators.text.redact_pii).
-_PII_SUFFIX_SPARK = (
-    " contact user{id}@example.com ip 10.1.{oct}.42 "
-    "call +1 555 123 4567 see https://ex.org/d/{id}?ref=x"
-)
-
-
 @register(
     "text_pii_redact",
     oracle="""

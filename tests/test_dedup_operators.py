@@ -259,3 +259,36 @@ def test_cross_corpus_decontamination_matches_oracle(spark):
     )
     g = {(r.train_id, r.eval_id) for r in guarded.collect()}
     assert g <= {(r.train_id, r.eval_id) for r in out.collect()}
+
+
+def test_resolve_duplicates_keeps_best_quality_per_cluster(spark):
+    from flink_connector_lance_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.7), (4, 0.7), (10, 0.1)],
+        "doc_id long, quality double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (10, 10)], "doc_id long, component long"
+    )
+    out = {r.doc_id: (r.keep, r.component) for r in
+           resolve_duplicates(docs, comps, quality_col="quality").collect()}
+    assert out[1] == (True, 1)    # best quality in cluster 1
+    assert out[2] == (False, 1)
+    assert out[3] == (True, 3)    # quality tie 3 vs 4 -> lowest id wins
+    assert out[4] == (False, 3)
+    assert out[10] == (True, 10)  # singleton keeps itself
+    # exactly one survivor per component
+    kept = [d for d, (k, _) in out.items() if k]
+    assert len(kept) == 3
+
+
+def test_resolve_duplicates_without_quality_keeps_lowest_id(spark):
+    from flink_connector_lance_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    comps = spark.createDataFrame(
+        [(5, 5), (6, 5), (7, 5)], "doc_id long, component long"
+    )
+    out = {r.doc_id: r.keep for r in resolve_duplicates(docs, comps).collect()}
+    assert out == {5: True, 6: False, 7: False}
