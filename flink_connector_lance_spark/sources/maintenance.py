@@ -174,6 +174,76 @@ def compact_dataset(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> FR.Manifest:
+    """Row-level DELETE as copy-on-write: rewrite ONLY the fragments that
+    contain matching rows; untouched fragments carry over byte-identical
+    (same files) into the new MVCC version. Old versions keep reading the
+    pre-delete data — time travel across a delete works.
+
+    Beyond the reference (its sink is insert-only,
+    ref table/LanceDynamicTableSink.java:52-56), but table stakes for a
+    training-data engine: takedown/PII-removal passes delete tiny row
+    fractions of huge tables, and rewriting 100 TB to drop 0.01% of rows
+    is a non-starter.
+
+    Scale shape: ONE pruned scan finds the affected fragments —
+    ``input_file_name()`` aggregated under the pushed predicate, so
+    Catalyst's parquet row-group stats (and, for filter shapes the zone
+    maps understand, planning-time fragment pruning) bound the search to
+    candidate fragments. Each affected fragment is rewritten with the
+    negated predicate by executors; the driver commits one new version.
+
+    ``predicate``: a Column or SQL-string boolean expression (rows
+    matching it are deleted)."""
+    import pyspark.sql.functions as F
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    manifest = FR.read_manifest(path)
+    if not manifest.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments")
+    by_abs = {os.path.join(path, f.file): f for f in manifest.fragments}
+
+    # one scan, predicate pushed: which files hold matching rows?
+    df = spark.read.parquet(*by_abs.keys())
+    affected_files = {
+        r.f for r in df.filter(pred)
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    # input_file_name returns URIs (file:///...); normalize to local paths
+    from urllib.parse import unquote, urlparse
+
+    affected = {
+        unquote(urlparse(f).path) if "://" in f or f.startswith("file:") else f
+        for f in affected_files
+    }
+    if not affected:
+        return manifest  # nothing matched: no new version
+
+    keep = [f for abs_p, f in by_abs.items() if abs_p not in affected]
+    stage = os.path.join(path, f"_delete-{uuid.uuid4().hex}")
+    try:
+        rewritten: list[FR.FragmentInfo] = []
+        survivors = spark.read.parquet(*sorted(affected)).filter(~pred)
+        if survivors.limit(1).count() > 0:
+            survivors.write.mode("overwrite").parquet(stage)
+            rewritten = _promote_staged(path, stage)
+        fragments = [
+            FR.FragmentInfo(i, f.file, f.row_count, f.stats)
+            for i, f in enumerate(keep + rewritten)
+        ]
+        return FR.commit(
+            path, fragments, mode="overwrite",
+            meta={"delete": {"rewrote": len(affected),
+                             "base_version": manifest.version}},
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _zorder_key(df: DataFrame, by: list[str], stats_min_max: dict, bits: int = 8):
     """Morton (Z-order) key: each column linearly bucketed into 2**bits
     cells using the MANIFEST zone maps for min/max (no extra pass over the

@@ -89,3 +89,43 @@ def test_cluster_requires_columns_and_fragments(registered, tmp_path, sf_dir):
         "overwrite").save(path)
     with pytest.raises(ValueError, match="column"):
         cluster_dataset(spark, path, by=[])
+
+
+def test_delete_rows_copy_on_write(registered, tmp_path, sf_dir):
+    import os
+
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    spark = registered
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    n = d.count()
+    # range-disjoint fragments on doc_id so the delete touches a subset
+    d.repartitionByRange(4, "doc_id").write.format("lance").mode("overwrite").save(path)
+    m0 = FR.read_manifest(path)
+    victims = d.filter("doc_id < 10").count()
+    assert 0 < victims < n
+
+    m1 = delete_rows(spark, path, "doc_id < 10")
+    assert m1.version == m0.version + 1
+    assert sum(f.row_count for f in m1.fragments) == n - victims
+    # untouched fragments carry over as the SAME files (true copy-on-write)
+    old_files = {f.file for f in m0.fragments}
+    kept = [f for f in m1.fragments if f.file in old_files]
+    assert len(kept) >= 2, "range-disjoint fragments without matches must survive as-is"
+
+    df = spark.read.format("lance").load(path)
+    assert df.count() == n - victims
+    assert df.filter("doc_id < 10").count() == 0
+    # time travel across the delete still sees the old rows
+    prev = spark.read.format("lance").option("version", m0.version).load(path)
+    assert prev.count() == n
+
+    # deleting nothing is a no-op: no new version
+    m2 = delete_rows(spark, path, "doc_id < 0")
+    assert m2.version == m1.version
+
+    # deleting everything in the remaining matched fragments works too
+    m3 = delete_rows(spark, path, "doc_id >= 0")
+    assert m3.version == m1.version + 1
+    assert sum(f.row_count for f in m3.fragments) == 0 or not m3.fragments
