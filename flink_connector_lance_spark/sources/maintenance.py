@@ -244,6 +244,83 @@ def delete_rows(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def merge_rows(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+) -> FR.Manifest:
+    """MERGE (upsert) by key in ONE atomic commit: rows whose ``key``
+    appears in ``updates`` are replaced, new keys are inserted.
+
+    Copy-on-write like delete_rows: a pushed semi-join scan finds the
+    fragments holding updated keys; each is rewritten with its survivors
+    (anti-join against the update keys); the update rows land as fresh
+    fragments; untouched fragments carry over byte-identical. Everything
+    becomes visible in a single manifest commit — a reader sees either
+    the pre-merge or the post-merge table, never a delete-without-insert
+    intermediate (the reason this is not delete_rows + append).
+
+    At 100 TB the semi/anti joins are ordinary shuffle joins on the key
+    (AQE broadcasts when the update set is small) and the rewrite volume
+    is bounded by the affected fragments, not the table."""
+    import pyspark.sql.functions as F
+    from urllib.parse import unquote, urlparse
+
+    manifest = FR.read_manifest(path)
+    if not manifest.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments")
+    by_abs = {os.path.join(path, f.file): f for f in manifest.fragments}
+    keys = updates.select(key).distinct()
+
+    df = spark.read.parquet(*by_abs.keys())
+    # capture the file name AT the scan: input_file_name() evaluates to ''
+    # once a shuffle (the semi-join) has moved the row off its input split
+    with_file = df.withColumn("__f", F.input_file_name())
+    affected_files = {
+        r.f for r in with_file.join(keys, on=key, how="left_semi")
+        .select(F.col("__f").alias("f")).distinct().collect()
+    }
+    affected = {
+        unquote(urlparse(f).path) if "://" in f or f.startswith("file:") else f
+        for f in affected_files
+    }
+
+    keep = [f for abs_p, f in by_abs.items() if abs_p not in affected]
+    stage_sur = os.path.join(path, f"_merge-sur-{uuid.uuid4().hex}")
+    stage_upd = os.path.join(path, f"_merge-upd-{uuid.uuid4().hex}")
+    try:
+        rewritten: list[FR.FragmentInfo] = []
+        if affected:
+            survivors = (
+                spark.read.parquet(*sorted(affected))
+                .join(keys, on=key, how="left_anti")
+            )
+            if survivors.limit(1).count() > 0:
+                survivors.write.mode("overwrite").parquet(stage_sur)
+                rewritten = _promote_staged(path, stage_sur)
+        # schema enforcement: align column ORDER and TYPES with the dataset
+        # (mixed physical parquet types across fragments would break later
+        # reads — the dataset schema is the contract, like any MERGE)
+        aligned = updates.select(
+            *[F.col(c).cast(df.schema[c].dataType) for c in df.columns]
+        )
+        aligned.write.mode("overwrite").parquet(stage_upd)
+        inserted = _promote_staged(path, stage_upd)
+        fragments = [
+            FR.FragmentInfo(i, f.file, f.row_count, f.stats)
+            for i, f in enumerate(keep + rewritten + inserted)
+        ]
+        return FR.commit(
+            path, fragments, mode="overwrite",
+            meta={"merge": {"rewrote": len(affected), "key": key,
+                            "base_version": manifest.version}},
+        )
+    finally:
+        shutil.rmtree(stage_sur, ignore_errors=True)
+        shutil.rmtree(stage_upd, ignore_errors=True)
+
+
 def _zorder_key(df: DataFrame, by: list[str], stats_min_max: dict, bits: int = 8):
     """Morton (Z-order) key: each column linearly bucketed into 2**bits
     cells using the MANIFEST zone maps for min/max (no extra pass over the

@@ -129,3 +129,44 @@ def test_delete_rows_copy_on_write(registered, tmp_path, sf_dir):
     m3 = delete_rows(spark, path, "doc_id >= 0")
     assert m3.version == m1.version + 1
     assert sum(f.row_count for f in m3.fragments) == 0 or not m3.fragments
+
+
+def test_merge_rows_upserts_in_one_commit(registered, tmp_path, sf_dir):
+    from flink_connector_lance_spark.sources.maintenance import merge_rows
+
+    spark = registered
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    n = d.count()
+    d.repartitionByRange(4, "doc_id").write.format("lance").mode("overwrite").save(path)
+    m0 = FR.read_manifest(path)
+
+    # update 5 existing keys (new n_chars) + insert 3 brand-new keys
+    updates = spark.createDataFrame(
+        [(i, -1, "xx") for i in range(5)] +
+        [(10_000 + i, -2, "yy") for i in range(3)],
+        "doc_id long, n_chars int, lang string",
+    )
+    m1 = merge_rows(spark, path, updates, key="doc_id")
+    assert m1.version == m0.version + 1
+    assert sum(f.row_count for f in m1.fragments) == n + 3
+
+    df = spark.read.format("lance").load(path)
+    assert df.count() == n + 3
+    assert df.filter("doc_id < 5").agg({"n_chars": "max"}).first()[0] == -1  # updated
+    assert df.filter("doc_id >= 10000").count() == 3                         # inserted
+    assert df.filter("lang = 'xx'").count() == 5
+    # untouched fragments carried over as the same files
+    old_files = {f.file for f in m0.fragments}
+    assert any(f.file in old_files for f in m1.fragments)
+    # old version untouched (atomic swap, no intermediate state)
+    prev = spark.read.format("lance").option("version", m0.version).load(path)
+    assert prev.count() == n and prev.filter("lang = 'xx'").count() == 0
+
+    # merging only-new keys = pure insert, still one commit
+    m2 = merge_rows(spark, path,
+                    spark.createDataFrame([(20_000, 7, "zz")],
+                                          "doc_id long, n_chars int, lang string"),
+                    key="doc_id")
+    assert m2.version == m1.version + 1
+    assert spark.read.format("lance").load(path).count() == n + 4
