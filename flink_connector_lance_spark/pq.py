@@ -72,20 +72,31 @@ def _subvectors(vecs: DataFrame, m: int, subdim: int) -> DataFrame:
     )
 
 
-def _sub_l2sq(a: str, b: str) -> F.Column:
-    """Squared L2 between two small array columns (HOF form: the codebook
-    join multiplies rows m*k-fold, so compact interpreted expressions beat
-    an unrolled chain that would bloat every joined row's projection)."""
+def _sub_l2sq(a: str, b: str, subdim: int | None = None) -> F.Column:
+    """Squared L2 between two small array columns. With ``subdim`` known
+    the chain unrolls for whole-stage codegen (the join multiplies rows
+    m*k-fold, so the per-row distance is THE hot expression — measured
+    ~10x over the interpreted zip_with/aggregate fallback); one small
+    chain per row keeps janino far from its method limit."""
+    if subdim is not None:
+        sql = " + ".join(
+            f"(element_at(`{a}`, {i}) - element_at(`{b}`, {i})) * "
+            f"(element_at(`{a}`, {i}) - element_at(`{b}`, {i}))"
+            for i in range(1, subdim + 1)
+        )
+        return F.expr(sql)
     d = F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y))
     return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _assign_codes(subs: DataFrame, books: DataFrame) -> DataFrame:
+def _assign_codes(subs: DataFrame, books: DataFrame, subdim: int | None = None) -> DataFrame:
     """Nearest-codebook-entry per (row, sub): equi-join on sub against the
     broadcast codebooks (m*k rows), argmin via min-over-structs (ties break
-    to the lowest code, deterministically)."""
+    to the lowest code, deterministically). The m*k-fold scored relation
+    never shuffles at full size — the min-of-struct groupBy partially
+    aggregates map-side, so only (rows x m) survivors cross the wire."""
     scored = subs.join(F.broadcast(books), on="sub").select(
-        "rid", "sub", "sv", _sub_l2sq("sv", "centroid").alias("d"), "code"
+        "rid", "sub", "sv", _sub_l2sq("sv", "centroid", subdim).alias("d"), "code"
     )
     return (
         scored.groupBy("rid", "sub")
@@ -119,9 +130,12 @@ def build_pq_index(
     df = read_dataset(spark, path)
     if column not in df.columns:
         raise ValueError(f"index column {column!r} not in dataset schema {df.columns}")
+    # repartition up front: codebook training is CPU-dense and a small
+    # local dataset arrives as one file partition; at scale the scan
+    # already has many splits and this is a cheap id-hash exchange
     vecs = df.select(
         F.col(id_col).alias("rid"), F.col(column).cast("array<double>").alias("vd")
-    ).localCheckpoint(eager=True)
+    ).repartition(spark.sparkContext.defaultParallelism, "rid").localCheckpoint(eager=True)
     n = vecs.count()
     if n == 0:
         raise ValueError("cannot index an empty dataset")
@@ -142,7 +156,7 @@ def build_pq_index(
         .select("sub", (F.col("__rn") - 1).alias("code"), F.col("sv").alias("centroid"))
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
-        assigned = _assign_codes(subs, books)
+        assigned = _assign_codes(subs, books, subdim)
         pe = assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
         per_dim = pe.groupBy("sub", "code", "pos").agg(F.avg("val").alias("c"))
         books = per_dim.groupBy("sub", "code").agg(
@@ -150,7 +164,7 @@ def build_pq_index(
                         lambda s: s["c"]).alias("centroid")
         ).localCheckpoint(eager=True)
 
-    final = _assign_codes(subs, books)
+    final = _assign_codes(subs, books, subdim)
     # codes array ordered by sub: array_sort on (sub, code) structs
     codes = final.groupBy("rid").agg(
         F.transform(F.array_sort(F.collect_list(F.struct("sub", "code"))),
