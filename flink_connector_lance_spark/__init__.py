@@ -17,8 +17,13 @@ Architecture (see SURVEY.md for the full blueprint):
                    (ref ``LanceSource.java`` / ``LanceSink.java`` / ``LanceCatalog.java``);
                    the native ``lance`` package is import-gated, with a
                    parquet-fragment emulation used for tests.
-- ``operators``  — KNN vector search, dedup family, text analysis, ANN,
+- ``operators``  — KNN vector search, dedup family (+ duplicate
+                   resolution), text analysis + PII redaction, ANN,
+                   temporal joins, sampling/splits, sequence packing,
                    multimodal column plumbing.
+- ``index``/``pq`` — ANN index build + search: native lance when present,
+                   else emulated IVF (distributed k-means) and IVF_PQ
+                   (per-sub-space codebooks, ADC + refine).
 - ``functions``  — column-expression helpers (vector distances, hashing).
 - ``streaming``  — Structured Streaming sinks (epoch-idempotent commits).
 
