@@ -214,6 +214,31 @@ def build_index(
         return IndexBuildResult(False, time.perf_counter() - start, str(e), itype, column)
 
 
+def split_by_index_coverage(path: str, indexed_version: int) -> tuple[list[str], list[str]]:
+    """Partition the CURRENT manifest's fragment files into (covered,
+    uncovered) by an index built at ``indexed_version``.
+
+    A fragment file present in both manifests is fully covered (fragments
+    are immutable); a file added since — appends, compaction output,
+    delete/merge survivors — holds rows the index has never seen. Indexed
+    search must brute-force exactly the uncovered tail and union it with
+    the indexed candidates (Lance's unindexed-fraction contract: an index
+    never goes silently stale, it just covers less until rebuilt).
+    Deleted rows need no handling: their ids simply match nothing.
+
+    If the indexed version's manifest was vacuumed, every current file is
+    conservatively uncovered — the search degrades to exact brute force,
+    trading speed for correctness."""
+    current = FR.read_manifest(path)
+    try:
+        at_build = {f.file for f in FR.read_manifest(path, indexed_version).fragments}
+    except FileNotFoundError:
+        at_build = set()
+    covered = [os.path.join(path, f.file) for f in current.fragments if f.file in at_build]
+    uncovered = [os.path.join(path, f.file) for f in current.fragments if f.file not in at_build]
+    return covered, uncovered
+
+
 def ivf_index_knn(
     spark,
     path: str,
@@ -260,10 +285,22 @@ def ivf_index_knn(
     assigns = spark.read.parquet(os.path.join(idx_dir, "assignments.parquet"))
     probe_ids = assigns.filter(F.col("cell").isin(chosen))
     id_col = meta["id_col"]
+    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
     df = read_dataset(spark, path)
-    # no broadcast hint: probed ids can be a few % of the dataset — far too
-    # big to broadcast at 100 TB. AQE broadcasts when it IS small.
-    candidates = df.join(probe_ids.select(id_col), on=id_col, how="left_semi")
+    if not covered:
+        candidates = df  # index covers nothing current: exact brute force
+    else:
+        # no broadcast hint: probed ids can be a few % of the dataset — far
+        # too big to broadcast at 100 TB. AQE broadcasts when it IS small.
+        candidates = spark.read.parquet(*covered).select(*df.columns).join(
+            probe_ids.select(id_col), on=id_col, how="left_semi"
+        )
+        if uncovered:
+            # unindexed tail (rows appended/rewritten since the build):
+            # exact-scored in full and unioned with the probed candidates
+            candidates = candidates.unionByName(
+                spark.read.parquet(*uncovered).select(*df.columns)
+            )
     # filtered ANN (ref LanceVectorSearch.java:166-201): the predicate
     # narrows the probed candidate set before the exact top-k
     return knn(candidates, column, q, k=k, metric=meta.get("metric", "l2"),

@@ -286,7 +286,24 @@ def pq_search(
     r = max(k * refine_factor, k)
     cand = approx.orderBy(F.asc("_adc"), F.asc(id_col)).limit(r)
 
+    from .index import split_by_index_coverage
+
+    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
     df = read_dataset(spark, path)
-    survivors = df.join(cand.select(id_col), on=id_col, how="left_semi")
+    if not covered:
+        survivors = df  # stale beyond recognition: exact brute force
+    else:
+        # candidate fetch ONLY from index-covered files (an id rewritten
+        # into an uncovered file would otherwise be fetched twice)
+        survivors = spark.read.parquet(*covered).select(*df.columns).join(
+            cand.select(id_col), on=id_col, how="left_semi"
+        )
+        if uncovered:
+            # unindexed tail: exact-scored in full (Lance's
+            # unindexed-fraction contract — appends are searchable
+            # immediately, the index just covers less until rebuilt)
+            survivors = survivors.unionByName(
+                spark.read.parquet(*uncovered).select(*df.columns)
+            )
     return knn(survivors, column, q, k=k, metric=meta.get("metric", "l2"),
                filter=filter, tiebreak_cols=tiebreak_cols, round_digits=round_digits)

@@ -124,3 +124,47 @@ def test_query_dim_mismatch_raises(spark, dataset):
     _ensure_ivf_pq(spark, path)
     with pytest.raises(ValueError, match="dim"):
         pq.pq_search(spark, path, "embedding", [1.0, 2.0], k=5)
+
+
+def test_index_survives_appends_and_deletes(spark, sf_dir):
+    """Staleness contract: rows appended after the index build are still
+    found (unindexed-tail scan); deleted rows vanish from results; the
+    index keeps accelerating the covered fraction."""
+    import pyspark.sql.functions as F
+
+    from flink_connector_lance_spark.index import ivf_index_knn, split_by_index_coverage
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    path = os.path.join(tempfile.gettempdir(), "fcls_pq_stale")
+    shutil.rmtree(path, ignore_errors=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    write_dataset(e, path, mode="overwrite")
+    build_index(path, "embedding", index_type="ivf_pq", spark=spark,
+                id_col="vec_id", replace=True)
+    meta = json.load(open(os.path.join(path, "_indexes", "embedding", "pq",
+                                       "index_meta.json")))
+
+    # append a synthetic row that is the exact query vector: it MUST be
+    # the new top-1 even though the index has never seen it
+    probe = spark.createDataFrame(
+        [(999_999, [float(v) for v in QVEC], 0)],
+        "vec_id long, embedding array<double>, label int",
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    write_dataset(probe, path, mode="append")
+
+    covered, uncovered = split_by_index_coverage(path, meta["dataset_version"])
+    assert covered and uncovered, "append must create an unindexed tail"
+
+    top_pq = pq.pq_search(spark, path, "embedding", QVEC, k=3, refine_factor=10,
+                          tiebreak_cols=["vec_id"]).select("vec_id").collect()
+    assert top_pq[0].vec_id == 999_999
+    top_ivf = ivf_index_knn(spark, path, "embedding", QVEC, k=3, nprobes=4,
+                            tiebreak_cols=["vec_id"]).select("vec_id").collect()
+    assert top_ivf[0].vec_id == 999_999
+
+    # delete it again: it must disappear without an index rebuild
+    delete_rows(spark, path, "vec_id = 999999")
+    after = pq.pq_search(spark, path, "embedding", QVEC, k=3, refine_factor=10,
+                         tiebreak_cols=["vec_id"]).select("vec_id").collect()
+    assert all(r.vec_id != 999_999 for r in after)
+    shutil.rmtree(path, ignore_errors=True)
