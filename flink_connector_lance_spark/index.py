@@ -307,6 +307,45 @@ def ivf_index_knn(
                filter=filter, tiebreak_cols=tiebreak_cols, round_digits=round_digits)
 
 
+def refresh_index(
+    path: str,
+    column: str,
+    spark=None,
+    id_col: str = "id",
+    max_uncovered_fraction: float = 0.2,
+    options: DatasetOptions | None = None,
+) -> "IndexBuildResult | None":
+    """Rebuild the index when the unindexed tail has grown past
+    ``max_uncovered_fraction`` of the table's rows — the maintenance
+    counterpart of the staleness-aware search: the tail is always
+    CORRECT (exact-scanned), this bounds how much of every query pays
+    the brute-force price. Returns None when the index is fresh enough."""
+    import json as _json
+
+    meta_p = None
+    for kind in ("pq", "ivf"):
+        p = os.path.join(path, INDEXES_DIR, column, kind, "index_meta.json")
+        if os.path.exists(p):
+            meta_p = p
+            break
+    if meta_p is None:
+        raise FileNotFoundError(f"no index on {path}:{column}")
+    with open(meta_p) as fh:
+        meta = _json.load(fh)
+    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
+    manifest = FR.read_manifest(path)
+    rows_by_file = {os.path.join(path, f.file): f.row_count for f in manifest.fragments}
+    total = sum(rows_by_file.values()) or 1
+    stale = sum(rows_by_file[f] for f in uncovered)
+    if stale / total <= max_uncovered_fraction:
+        return None
+    itype = IndexType.IVF_PQ if meta.get("index_type", "").startswith("ivf_pq") \
+        else IndexType.IVF_FLAT
+    return build_index(path, column, index_type=itype,
+                       metric=meta.get("metric", "l2"), replace=True,
+                       options=options, spark=spark, id_col=meta.get("id_col", id_col))
+
+
 def search_dataset(
     spark,
     path: str,

@@ -61,6 +61,29 @@ def read_version_delta(
     return spark.read.parquet(*new_files)
 
 
+def _index_pinned_versions(path: str) -> set[int]:
+    """Dataset versions referenced by on-disk ANN index metadata
+    (``_indexes/<col>/{ivf,pq}/index_meta.json``)."""
+    import json
+
+    pinned: set[int] = set()
+    idx_root = os.path.join(path, "_indexes")
+    if not os.path.isdir(idx_root):
+        return pinned
+    for col in os.listdir(idx_root):
+        for kind in ("ivf", "pq"):
+            meta_p = os.path.join(idx_root, col, kind, "index_meta.json")
+            if os.path.exists(meta_p):
+                try:
+                    with open(meta_p) as fh:
+                        v = json.load(fh).get("dataset_version")
+                    if isinstance(v, int):
+                        pinned.add(v)
+                except (OSError, ValueError):
+                    continue
+    return pinned
+
+
 def vacuum_dataset(
     path: str,
     keep_versions: int = 2,
@@ -92,6 +115,11 @@ def vacuum_dataset(
         if name.endswith(".manifest.json")
     )
     kept = all_versions[-keep_versions:]
+    # pin manifests an ANN index was built against: index staleness
+    # handling (index.split_by_index_coverage) diffs the current file set
+    # against the build-time manifest — vacuuming it away degrades every
+    # indexed search to brute force
+    kept = sorted(set(kept) | (_index_pinned_versions(path) & set(all_versions)))
     dropped = [v for v in all_versions if v not in kept]
     live = {f.file for v in kept for f in FR.read_manifest(path, v).fragments}
     data_dir = os.path.join(path, FR.DATA_DIR)

@@ -168,3 +168,42 @@ def test_index_survives_appends_and_deletes(spark, sf_dir):
                          tiebreak_cols=["vec_id"]).select("vec_id").collect()
     assert all(r.vec_id != 999_999 for r in after)
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_vacuum_pins_index_manifest_and_refresh_rebuilds(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from flink_connector_lance_spark.index import refresh_index, split_by_index_coverage
+    from flink_connector_lance_spark.sources.maintenance import vacuum_dataset
+
+    path = os.path.join(tempfile.gettempdir(), "fcls_pq_vacuum")
+    shutil.rmtree(path, ignore_errors=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    write_dataset(e, path, mode="overwrite")                      # v0
+    build_index(path, "embedding", index_type="ivf_pq", spark=spark,
+                id_col="vec_id", replace=True)                     # indexed @ v0
+    n = e.count()
+    small = e.limit(20).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    write_dataset(small, path, mode="append")                      # v1
+    write_dataset(small.withColumn("vec_id", F.col("vec_id") + 1_000_000),
+                  path, mode="append")                             # v2
+
+    # vacuum keep_versions=1 would normally drop v0/v1 — the indexed
+    # manifest (v0) must be pinned so coverage survives
+    res = vacuum_dataset(path, keep_versions=1)
+    assert 0 in res["kept_versions"]
+    covered, uncovered = split_by_index_coverage(path, 0)
+    assert covered, "index coverage must survive vacuum"
+    assert uncovered, "appended fragments are the unindexed tail"
+
+    # fresh enough at 40-row tail / n+40 total only if fraction <= 0.2 is
+    # false here (40/(n+40) small for sf0.01's 500 rows -> ~0.074): None
+    assert refresh_index(path, "embedding", spark=spark) is None
+    # with a strict threshold the rebuild triggers and covers everything
+    res2 = refresh_index(path, "embedding", spark=spark, max_uncovered_fraction=0.01)
+    assert res2 is not None and res2.success, res2 and res2.error
+    covered2, uncovered2 = split_by_index_coverage(
+        path, __import__("json").load(open(os.path.join(
+            path, "_indexes", "embedding", "pq", "index_meta.json")))["dataset_version"])
+    assert not uncovered2
+    shutil.rmtree(path, ignore_errors=True)
