@@ -61,6 +61,50 @@ def read_version_delta(
     return spark.read.parquet(*new_files)
 
 
+def table_statistics(path: str, version: int | None = None) -> dict:
+    """Real table statistics from manifest metadata — zero data IO.
+
+    The reference hard-codes UNKNOWN statistics (ref
+    table/LanceCatalog.java:683-704), leaving its planner blind; our
+    manifests already carry per-fragment row counts and zone maps, so row
+    count, byte size, and merged per-column min/max/null_count come from
+    a metadata-only read. At 100 TB these numbers feed broadcast-join
+    and partition-count decisions that a stats-blind planner guesses at.
+
+    Returns ``{"version", "num_fragments", "num_rows", "size_bytes",
+    "columns": {col: {"min", "max", "null_count"}}}`` (a column appears
+    only if every fragment tracked it; null_count is None if any
+    fragment didn't record one)."""
+    manifest = FR.read_manifest(path, version)
+    num_rows = sum(f.row_count for f in manifest.fragments)
+    size = 0
+    for f in manifest.fragments:
+        p = os.path.join(path, f.file)
+        if os.path.exists(p):
+            size += os.path.getsize(p)
+    cols: dict = {}
+    tracked: set | None = None
+    for f in manifest.fragments:
+        names = set(f.stats or {})
+        tracked = names if tracked is None else (tracked & names)
+    for c in sorted(tracked or set()):
+        mins = [f.stats[c].get("min") for f in manifest.fragments]
+        maxs = [f.stats[c].get("max") for f in manifest.fragments]
+        nulls = [f.stats[c].get("null_count") for f in manifest.fragments]
+        cols[c] = {
+            "min": min((v for v in mins if v is not None), default=None),
+            "max": max((v for v in maxs if v is not None), default=None),
+            "null_count": sum(nulls) if all(v is not None for v in nulls) else None,
+        }
+    return {
+        "version": manifest.version,
+        "num_fragments": len(manifest.fragments),
+        "num_rows": num_rows,
+        "size_bytes": size,
+        "columns": cols,
+    }
+
+
 def _index_pinned_versions(path: str) -> set[int]:
     """Dataset versions referenced by on-disk ANN index metadata
     (``_indexes/<col>/{ivf,pq}/index_meta.json``)."""

@@ -130,3 +130,26 @@ def test_vacuum_keep_all_is_noop(spark, tmp_path):
     report = vacuum_dataset(path, keep_versions=5)
     assert report["dropped_versions"] == 0 and report["deleted_files"] == 0
     assert read_dataset(spark, path, version=0).count() == 10
+
+
+def test_table_statistics_from_manifest_metadata(spark, sf_dir, tmp_path):
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.sources.maintenance import table_statistics
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    n = d.count()
+    write_dataset(d.repartition(4), path, mode="overwrite")
+
+    stats = table_statistics(path)
+    assert stats["num_rows"] == n
+    assert stats["num_fragments"] == 4
+    assert stats["size_bytes"] > 0
+    ids = stats["columns"]["doc_id"]
+    lo, hi = d.agg({"doc_id": "min"}).first()[0], d.agg({"doc_id": "max"}).first()[0]
+    assert ids["min"] == lo and ids["max"] == hi and ids["null_count"] == 0
+    # version pinning: stats of an old version reflect that version
+    write_dataset(d.limit(10), path, mode="append")
+    assert table_statistics(path)["num_rows"] == n + 10
+    assert table_statistics(path, version=0)["num_rows"] == n
