@@ -103,12 +103,13 @@ def extract_features(media_df: DataFrame, dim: int = 8, fake: bool = True,
     )
 
 
-def frame_sample_plan(media_df: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(media_df: DataFrame, every_n: int = 10,
+                      bytes_per_frame: int = 4096) -> DataFrame:
     """Video frame-sampling *plan* shape: one row per sampled frame index.
 
     The decode itself is stubbed; the explode/partition arithmetic —
-    which is the part Spark owns — is real: frames = byte_len/4096
-    heuristic, sampled every ``every_n``."""
-    n_frames = F.greatest((F.col("byte_len") / 4096).cast("long"), F.lit(1))
+    which is the part Spark owns — is real: frames =
+    byte_len/bytes_per_frame heuristic, sampled every ``every_n``."""
+    n_frames = F.greatest((F.col("byte_len") / bytes_per_frame).cast("long"), F.lit(1))
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return media_df.select("media_id", F.explode(idx).alias("frame_idx"))

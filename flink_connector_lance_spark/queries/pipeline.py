@@ -470,7 +470,9 @@ def pack_sequences(spark, sf_dir):
                 )
                 for i in range(8)
             )
-            + "), x -> printf('%.6f', x)), ',') || ']' AS features FROM documents"
+            + "), x -> printf('%.6f', x)), ',') || ']' AS features, "
+            "CAST(len(generate_series(0, greatest(octet_length(encode(text)) // 64, 1)"
+            " - 1, 3)) AS BIGINT) AS n_sampled_frames FROM documents"
         )
     )(),
     doc="Multimodal pipeline end-to-end: opaque binary payload -> typed "
@@ -478,7 +480,9 @@ def pack_sequences(spark, sf_dir):
         "multimodal.to_media_table — no Python in the scan path) -> "
         "Arrow-batched mapInPandas feature extraction with the "
         "deterministic fake decoder (real decode stubbed: no media libs "
-        "in container; operators.multimodal.decode_image). Features "
+        "in container; operators.multimodal.decode_image) -> frame-sample "
+        "plan (explode per sampled frame index, operators.multimodal."
+        "frame_sample_plan) re-aggregated per media row. Features "
         "serialize to a fixed %.6f string so the oracle harness can sort "
         "and hash them (array columns are unhashable driver-side).",
 )
@@ -491,7 +495,16 @@ def multimodal_metadata_features(spark, sf_dir):
         F.concat_ws(",", F.transform("features", lambda x: F.format_string("%.6f", x))),
         F.lit("]"),
     )
-    return feats.select("media_id", "byte_len", "digest", features_str.alias("features"))
+    # frame-sampling: small frame size so the synthetic payloads span
+    # multiple frames and the sampled count actually varies per document
+    frames = (
+        M.frame_sample_plan(media, every_n=3, bytes_per_frame=64)
+        .groupBy("media_id").agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+    )
+    return feats.join(frames, on="media_id").select(
+        "media_id", "byte_len", "digest", features_str.alias("features"),
+        "n_sampled_frames",
+    )
 
 
 # PII is synthesized onto each document deterministically (the corpus is
