@@ -194,11 +194,21 @@ def build_pq_index(
     return meta
 
 
+# element_at(<LUT literal>, code+1) must stay in-bounds and positionally
+# correct even when Lloyd updates drop empty clusters (code ids then have
+# gaps): the LUT is indexed by ACTUAL code value, gaps filled with a
+# never-wins sentinel. Finite (not inf) so the repr embeds as a plain SQL
+# double literal; any sum containing it still sorts after every real code.
+_LUT_GAP = 1.7976931348623157e308
+
+
 def _adc_lut(books: list, q: list[float], m: int, subdim: int) -> list[list[float]]:
     """Driver-side asymmetric-distance lookup table:
     lut[sub][code] = squared L2 between the query's sub-vector and the
-    codebook centroid. m*k floats — microseconds to build, embedded as
-    literals so the per-row cost is m array lookups."""
+    codebook centroid, indexed by code VALUE (length max_code+1 per sub,
+    gaps from dropped empty clusters filled with ``_LUT_GAP``). m*k floats
+    — microseconds to build, embedded as literals so the per-row cost is
+    m array lookups."""
     lut: dict[int, dict[int, float]] = {}
     for row in books:
         qs = q[row.sub * subdim:(row.sub + 1) * subdim]
@@ -207,7 +217,7 @@ def _adc_lut(books: list, q: list[float], m: int, subdim: int) -> list[list[floa
             d += (x - y) * (x - y)
         lut.setdefault(row.sub, {})[row.code] = d
     return [
-        [lut[s][c] for c in sorted(lut[s])]
+        [lut[s].get(c, _LUT_GAP) for c in range(max(lut[s]) + 1)]
         for s in sorted(lut)
     ]
 

@@ -274,6 +274,10 @@ def delete_rows(
     import pyspark.sql.functions as F
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # abspath: input_file_name() yields absolute URIs, so a relative
+    # dataset path would never intersect and the DELETE would no-op
+    # (and executor-side stage writes would resolve against the JVM cwd)
+    path = os.path.abspath(path)
     manifest = FR.read_manifest(path)
     if not manifest.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments")
@@ -299,7 +303,11 @@ def delete_rows(
     stage = os.path.join(path, f"_delete-{uuid.uuid4().hex}")
     try:
         rewritten: list[FR.FragmentInfo] = []
-        survivors = spark.read.parquet(*sorted(affected)).filter(~pred)
+        # SQL DELETE three-valued logic: delete rows where pred is TRUE;
+        # rows where it evaluates NULL survive (~pred alone would drop them)
+        survivors = spark.read.parquet(*sorted(affected)).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
         if survivors.limit(1).count() > 0:
             survivors.write.mode("overwrite").parquet(stage)
             rewritten = _promote_staged(path, stage)
@@ -339,11 +347,20 @@ def merge_rows(
     import pyspark.sql.functions as F
     from urllib.parse import unquote, urlparse
 
+    path = os.path.abspath(path)  # same relative-path contract as delete_rows
     manifest = FR.read_manifest(path)
     if not manifest.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments")
     by_abs = {os.path.join(path, f.file): f for f in manifest.fragments}
     keys = updates.select(key).distinct()
+    # upsert contract: one row per key — duplicate keys in the update set
+    # would all be inserted, silently violating the post-merge invariant
+    n_upd, n_keys = updates.count(), keys.count()
+    if n_upd != n_keys:
+        raise ValueError(
+            f"updates contain duplicate {key!r} values "
+            f"({n_upd} rows, {n_keys} distinct keys); deduplicate first"
+        )
 
     df = spark.read.parquet(*by_abs.keys())
     # capture the file name AT the scan: input_file_name() evaluates to ''

@@ -132,6 +132,63 @@ def test_vacuum_keep_all_is_noop(spark, tmp_path):
     assert read_dataset(spark, path, version=0).count() == 10
 
 
+def test_delete_rows_null_predicate_keeps_null_rows(spark, tmp_path):
+    """DELETE three-valued logic: rows where the predicate evaluates NULL
+    are NOT deleted (only TRUE rows are) — ~pred alone would drop them."""
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    rows = [(0, "en"), (1, "de"), (2, None), (3, "de"), (4, None), (5, "fr")]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    path = str(tmp_path / "ds")
+    write_dataset(df.coalesce(1), path, mode="overwrite")
+
+    m = delete_rows(spark, path, "lang = 'de'")
+    out = read_dataset(spark, path)
+    assert sum(f.row_count for f in m.fragments) == 4
+    assert out.filter("lang IS NULL").count() == 2
+    assert out.filter("lang = 'de'").count() == 0
+    assert {r.id for r in out.collect()} == {0, 2, 4, 5}
+
+
+def test_delete_and_merge_accept_relative_paths(spark, tmp_path, monkeypatch):
+    """A relative dataset path must not silently no-op: affected-fragment
+    detection compares absolute input_file_name() URIs against manifest
+    paths, so the path is abspath-normalized at entry."""
+    from flink_connector_lance_spark.sources.maintenance import delete_rows, merge_rows
+
+    monkeypatch.chdir(tmp_path)
+    df = spark.range(0, 20).selectExpr("id", "id % 3 AS label")
+    write_dataset(df.coalesce(1), str(tmp_path / "ds_rel"), mode="overwrite")
+
+    m1 = delete_rows(spark, "ds_rel", "id < 5")
+    assert sum(f.row_count for f in m1.fragments) == 15
+
+    updates = spark.createDataFrame([(5, 99), (100, 1)], "id long, label long")
+    m2 = merge_rows(spark, "ds_rel", updates, key="id")
+    assert sum(f.row_count for f in m2.fragments) == 16
+    out = read_dataset(spark, str(tmp_path / "ds_rel"))
+    assert out.filter("id = 5").first().label == 99
+    assert out.filter("id = 100").count() == 1
+
+
+def test_merge_rows_rejects_duplicate_update_keys(spark, tmp_path):
+    """Upsert contract: one row per key in the update set; duplicates
+    would all be inserted, silently breaking one-row-per-key."""
+    import pytest
+
+    from flink_connector_lance_spark.sources.maintenance import merge_rows
+
+    df = spark.range(0, 10).selectExpr("id", "id AS label")
+    path = str(tmp_path / "ds")
+    write_dataset(df, path, mode="overwrite")
+    dup = spark.createDataFrame([(1, 7), (1, 8)], "id long, label long")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_rows(spark, path, dup, key="id")
+    # dataset untouched: no new version, no rows changed
+    assert read_manifest(path).version == 0
+    assert read_dataset(spark, path).count() == 10
+
+
 def test_table_statistics_from_manifest_metadata(spark, sf_dir, tmp_path):
     from flink_connector_lance_spark.io import load_table
     from flink_connector_lance_spark.sources.maintenance import table_statistics

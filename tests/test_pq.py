@@ -207,3 +207,36 @@ def test_vacuum_pins_index_manifest_and_refresh_rebuilds(spark, sf_dir):
             path, "_indexes", "embedding", "pq", "index_meta.json")))["dataset_version"])
     assert not uncovered2
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_adc_lut_survives_dropped_codebook_entries(spark, tmp_path):
+    """Lloyd updates drop codebook entries that become empty, leaving
+    non-contiguous code ids; the ADC LUT must be indexed by code VALUE,
+    not compressed positionally (which mis-addresses or overruns)."""
+    import pyspark.sql.functions as F
+
+    base = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0], [20.0, 20.0, 20.0, 20.0]]
+    # 3 distinct vectors spread over 20 rows; the first 8 rows seed k=8
+    # codes, duplicates collapse on assignment -> surviving codes have gaps
+    pat = [0, 0, 1, 0, 2, 0, 0, 0] + [i % 3 for i in range(12)]
+    rows = [(i, base[pat[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    path = str(tmp_path / "ds")
+    write_dataset(df, path, mode="overwrite")
+
+    pq.build_pq_index(spark, path, "embedding", id_col="id",
+                      num_sub_vectors=2, num_bits=3, iterations=2, replace=True)
+    books = spark.read.parquet(
+        os.path.join(path, "_indexes", "embedding", "pq", "codebooks.parquet"))
+    per_sub = books.groupBy("sub").agg(
+        F.max("code").alias("mx"), F.count(F.lit(1)).alias("n")).collect()
+    assert any(r.mx + 1 > r.n for r in per_sub), \
+        "setup should produce non-contiguous code ids"
+
+    got = pq.pq_search(spark, path, "embedding", [0.0, 0.0, 0.0, 0.0],
+                       k=5, refine_factor=2, tiebreak_cols=["id"]).collect()
+    want = knn(df, "embedding", [0.0, 0.0, 0.0, 0.0], k=5,
+               tiebreak_cols=["id"]).collect()
+    assert [r.id for r in got] == [r.id for r in want]
+    assert [round(r._distance, 6) for r in got] == \
+        [round(r._distance, 6) for r in want]
