@@ -117,6 +117,15 @@ def dedup_minhash_lsh(spark, sf_dir):
 _MAX_SHINGLE_DF = 100
 
 
+# benchmark-decontamination branch of dedup_ngram_jaccard: the eval set is
+# a deterministic slice of the corpus truncated to its first 30 words (an
+# "eval item extracted from a training doc"), so every source doc contains
+# ~100% of its item's shingles — true contamination by construction
+_DECON_EVAL_MOD = 41
+_DECON_EVAL_WORDS = 30
+_DECON_THRESHOLD = 0.5
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -129,21 +138,67 @@ _MAX_SHINGLE_DF = 100
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
                count(*) AS inter
         FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4)
-    SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
-    FROM pairs
-    WHERE round(inter / (na + nb - inter), 6) >= 0.2
+        GROUP BY 1, 2, 3, 4),
+    ev AS (SELECT doc_id, array_to_string(ws[1:{_DECON_EVAL_WORDS}], ' ') AS text
+           FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+           WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    esh AS (SELECT doc_id, {_SHINGLES} AS s FROM
+            (SELECT doc_id, {_WS} AS ws FROM ev)),
+    ee AS (SELECT doc_id AS eval_id, len(s) AS n_eval, unnest(s) AS sh FROM esh),
+    te AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM sh),
+    contam AS (
+        SELECT train_id, eval_id, round(count(*) / n_eval, 6) AS overlap
+        FROM te JOIN ee USING (sh)
+        GROUP BY train_id, eval_id, n_eval
+        HAVING round(count(*) / n_eval, 6) >= {_DECON_THRESHOLD})
+    SELECT 'pair' AS kind, id_a, id_b,
+           round(inter / (na + nb - inter), 6) AS jaccard
+    FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.2
+    UNION ALL
+    SELECT 'contam' AS kind, train_id AS id_a, eval_id AS id_b,
+           overlap AS jaccard FROM contam
+    UNION ALL
+    SELECT 'decon_kept' AS kind,
+           (SELECT count(*) FROM documents)
+           - (SELECT count(DISTINCT train_id) FROM contam) AS id_a,
+           CAST(-1 AS BIGINT) AS id_b, 0.0 AS jaccard
     """,
     doc="Word-3-gram Jaccard >= 0.2 over inverted-index candidate pairs "
         "(equi-join on shingle, never a cross product), with a "
         f"document-frequency cap ({_MAX_SHINGLE_DF}) dropping hot shingles "
         "before the self-join — the skew guard that keeps a stopword "
-        "shingle from exploding the join at corpus scale.",
+        "shingle from exploding the join at corpus scale. PLUS benchmark "
+        "decontamination ('contam' rows): asymmetric containment of an "
+        "eval set (truncated doc prefixes) in the training corpus via "
+        "cross_corpus_overlap (eval side broadcast, train postings "
+        "map-side), and a 'decon_kept' row with the post-decontaminate "
+        "corpus size (anti-join against flagged train ids).",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2,
-                                 max_doc_freq=_MAX_SHINGLE_DF)
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2,
+                                  max_doc_freq=_MAX_SHINGLE_DF)
+    ev = (
+        d.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("doc_id",
+                F.array_join(F.slice(T.tokens("text"), 1, _DECON_EVAL_WORDS), " ")
+                .alias("text"))
+    )
+    contam = D.cross_corpus_overlap(d, ev, "text", "doc_id", shingle_k=3,
+                                    threshold=_DECON_THRESHOLD)
+    kept = D.decontaminate(d, ev, "text", "doc_id", shingle_k=3,
+                           threshold=_DECON_THRESHOLD).count()
+    return (
+        pairs.select(F.lit("pair").alias("kind"), "id_a", "id_b", "jaccard")
+        .unionByName(contam.select(
+            F.lit("contam").alias("kind"),
+            F.col("train_id").alias("id_a"),
+            F.col("eval_id").alias("id_b"),
+            F.col("overlap").alias("jaccard")))
+        .unionByName(spark.createDataFrame(
+            [("decon_kept", kept, -1, 0.0)],
+            "kind string, id_a long, id_b long, jaccard double"))
+    )
 
 
 @register(

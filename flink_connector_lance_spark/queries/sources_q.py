@@ -51,39 +51,93 @@ def source_roundtrip_agg(spark, sf_dir):
 @register(
     "source_version_travel",
     oracle="""
-    SELECT 'v0' AS version, count(*) AS cnt FROM documents
-    UNION ALL
-    SELECT 'v1' AS version,
-           (SELECT count(*) FROM documents)
-           + (SELECT count(*) FROM documents WHERE lang = 'en') AS cnt
-    UNION ALL
-    SELECT 'v1_meta' AS version,
-           (SELECT count(*) FROM documents)
-           + (SELECT count(*) FROM documents WHERE lang = 'en') AS cnt
+    WITH appended AS (
+        SELECT doc_id + 10000000 AS doc_id, text, CAST(NULL AS VARCHAR) AS lang,
+               source, n_chars FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT doc_id + 20000000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE lang = 'de'
+    ),
+    v1 AS (SELECT * FROM documents UNION ALL SELECT * FROM appended),
+    deleted AS (SELECT * FROM v1 WHERE lang IS NULL OR lang <> 'de'),
+    upd AS (SELECT doc_id, text, 'xx' AS lang, source, n_chars * 2 + 1 AS n_chars
+            FROM documents WHERE doc_id % 5 = 0),
+    merged AS (
+        SELECT * FROM deleted WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        UNION ALL SELECT * FROM upd
+    )
+    SELECT 'v0' AS stage, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+    UNION ALL SELECT 'v1', count(*), CAST(sum(n_chars) AS BIGINT) FROM v1
+    UNION ALL SELECT 'v1_meta', count(*), CAST(0 AS BIGINT) FROM v1
+    UNION ALL SELECT 'compacted', count(*), CAST(sum(n_chars) AS BIGINT) FROM v1
+    UNION ALL SELECT 'deleted', count(*), CAST(sum(n_chars) AS BIGINT) FROM deleted
+    UNION ALL SELECT 'merged', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
+    UNION ALL SELECT 'vacuumed', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
     """,
-    doc="MVCC version travel: overwrite-commit v0, append-commit v1, read "
-        "both pinned versions (sources/fragments.py manifest versions; "
-        "ref FragmentOperation.Append/Overwrite, LanceSink.java:163-189). "
-        "The v1_meta row is COUNT(*) from fragment metadata only — the "
-        "manifest row-count sum, zero data IO (ref fragment.countRows "
-        "analog, LanceInputFormat.java:117) — and must agree with the "
-        "scan count of the same version.",
+    doc="Full MVCC maintenance lifecycle under the hash gate: overwrite v0, "
+        "append v1 (en copies with NULL lang + de copies, ONE fragment so "
+        "the later DELETE rewrite must preserve NULL-predicate rows), "
+        "metadata-only COUNT(*) (v1_meta; ref LanceInputFormat.java:117 "
+        "analog), compact_dataset (merge runts, rows unchanged), "
+        "delete_rows `lang = 'de'` (three-valued logic: NULL-lang rows "
+        "survive), merge_rows upsert of every 5th doc (n_chars*2+1, lang 'xx') "
+        "plus re-insert of deleted upserted keys, then vacuum_dataset "
+        "keep_versions=1 and a post-vacuum read. Each stage's (count, "
+        "sum_chars) is reproduced relationally by the DuckDB oracle "
+        "(sources/maintenance.py; ref LanceSink.java:163-189 commit model).",
 )
 def source_version_travel(spark, sf_dir):
+    from ..sources.maintenance import (
+        compact_dataset,
+        delete_rows,
+        merge_rows,
+        vacuum_dataset,
+    )
     from ..sources.reader import count_rows
 
     d = load_table(spark, sf_dir, "documents")
     path = _workdir("versions", sf_dir)
-    write_dataset(d, path, mode="overwrite")
-    write_dataset(d.filter(F.col("lang") == "en"), path, mode="append")
-    v0 = read_dataset(spark, path, version=0).agg(F.count(F.lit(1)).alias("cnt")).select(
-        F.lit("v0").alias("version"), "cnt"
+    write_dataset(d, path, mode="overwrite")  # v0
+    appended = (
+        d.filter(F.col("lang") == "en")
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn("lang", F.lit(None).cast("string"))
+        .unionByName(
+            d.filter(F.col("lang") == "de")
+            .withColumn("doc_id", F.col("doc_id") + 20_000_000)
+        )
     )
-    v1 = read_dataset(spark, path, version=1).agg(F.count(F.lit(1)).alias("cnt")).select(
-        F.lit("v1").alias("version"), "cnt"
+    # ONE appended fragment mixing deletable ('de') and NULL-lang rows:
+    # the DELETE below must rewrite it and keep the NULL rows
+    write_dataset(appended.coalesce(1), path, mode="append")  # v1
+
+    # stages mutate the dataset (vacuum deletes old files), so each
+    # snapshot is collected eagerly — one metadata-sized agg row per stage
+    def snap(tag: str, version: int | None = None, zero_sum: bool = False):
+        r = (
+            read_dataset(spark, path, version=version)
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("s"))
+            .first()
+        )
+        return (tag, r.cnt, 0 if zero_sum else r.s)
+
+    rows = [snap("v0", version=0), snap("v1", version=1)]
+    rows.append(("v1_meta", count_rows(path, version=1), 0))
+    compact_dataset(spark, path, target_rows_per_fragment=1_000_000)
+    rows.append(snap("compacted"))
+    delete_rows(spark, path, "lang = 'de'")
+    rows.append(snap("deleted"))
+    upd = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("lang", F.lit("xx"))
+        .withColumn("n_chars", F.col("n_chars") * 2 + 1)
     )
-    meta = spark.createDataFrame([("v1_meta", count_rows(path))], "version string, cnt bigint")
-    return v0.unionAll(v1).unionAll(meta)
+    merge_rows(spark, path, upd, key="doc_id")
+    rows.append(snap("merged"))
+    vacuum_dataset(path, keep_versions=1)
+    rows.append(snap("vacuumed"))
+    return spark.createDataFrame(rows, "stage string, cnt bigint, sum_chars bigint")
 
 
 @register(
