@@ -8,27 +8,40 @@ Improvements over the reference (SURVEY.md §7.0.4):
 - output schema is the *actual* dataset schema + ``_distance`` (derived in
   ``analyze()`` from the parquet footer), not a hard-coded 4-column row
   (ref :68-70, :344-356);
-- the searcher cache is keyed on (path, column) exactly like the
-  reference (ref :113-136);
+- the searcher cache is keyed on (path, column) like the reference
+  (ref :113-136) but LRU-bounded (``_CACHE_MAX``) — the reference's
+  per-process map grows without bound;
 - optional trailing ``nprobes`` / ``ef`` / ``refine_factor`` arguments —
   the search-time knobs of ref config/LanceOptions.java:215-237 that the
   reference threads into every native query
-  (ref LanceVectorSearch.java:146-163) — prune the candidate set via LSH
-  bucketing before exact scoring.
+  (ref LanceVectorSearch.java:146-163).
 
-Scale posture: the per-search state is (a) a float64 matrix of ONLY the
-vector column, decoded zero-copy from Arrow (never ``to_pylist``), and
-(b) the Arrow table kept columnar; only the k winning rows are ever
-materialized to Python objects (``table.take``). That bounds the Python
-heap at matrix + Arrow buffers, not n * row-width Python objects. This is
-still the single-process searcher the reference ships — parity by design
-(ref opens one JNI searcher per (path, column)); for corpus-scale exact
-search use the distributed ``operators.knn.knn``, which handles the same
-query as a TakeOrdered plan over all executors.
+Scale posture — two routes, chosen per (path, column) exactly like the
+reference picks indexed vs flat search:
+
+- **indexed** (fragment dataset with an on-disk PQ index, matching
+  metric): the worker holds ONLY the PQ state — codes (num_sub_vectors
+  bytes/row), ids, codebook LUT slabs — never the vectors. Search is
+  numpy ADC over the codes, top k*refine candidates, then an exact
+  re-rank that reads JUST the candidate rows from the fragment files
+  via a pushed id-IN filter (parquet row-group pruning). Rows appended
+  after the index build (the unindexed tail, see
+  index.split_by_index_coverage) are exact-scored from the tail files
+  only — same staleness contract as pq_search. Per-row worker memory is
+  the 16x-compressed code, so a corpus whose vectors would OOM the
+  worker still searches.
+- **flat** (plain parquet, no index, or metric mismatch): the original
+  in-process scan — a float64 matrix of ONLY the vector column decoded
+  zero-copy from Arrow, rows materialized solely via ``table.take`` of
+  the k winners. This is the reference's own JNI-searcher shape and the
+  correct small-input fallback.
 """
 
 from __future__ import annotations
 
+import json
+import os
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -39,7 +52,49 @@ from pyspark.sql.types import DoubleType, StructType
 
 from .operators.ann import make_planes
 
-_CACHE: dict[tuple[str, str], tuple] = {}
+# LRU over per-(path, column, kind) searcher state. 4 keeps the common
+# one-or-two-datasets worker hot while bounding the flat route's Arrow
+# tables (the unbounded map was the one reachable scale-killer here).
+_CACHE_MAX = 4
+_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+
+def _cache_put(key: tuple, value: tuple) -> None:
+    _CACHE[key] = value
+    _CACHE.move_to_end(key)
+    while len(_CACHE) > _CACHE_MAX:
+        _CACHE.popitem(last=False)
+
+
+def _cache_get(key: tuple):
+    if key in _CACHE:
+        _CACHE.move_to_end(key)
+        return _CACHE[key]
+    return None
+
+
+def _is_fragment_dataset(path: str) -> bool:
+    from .sources import fragments as FR
+
+    return os.path.isdir(os.path.join(path, FR.VERSIONS_DIR))
+
+
+def _dataset_files(path: str) -> list[str]:
+    """Parquet files behind ``path``: manifest fragments for a versioned
+    dataset, the path itself for plain parquet."""
+    if _is_fragment_dataset(path):
+        from .sources import fragments as FR
+
+        m = FR.read_manifest(path)
+        return [os.path.join(path, f.file) for f in m.fragments]
+    return [path]
+
+
+def _read_schema(path: str):
+    files = _dataset_files(path)
+    if not files:
+        raise FileNotFoundError(f"dataset {path} has no fragments")
+    return pq.read_schema(files[0])
 
 
 def _vector_matrix(table, column: str) -> np.ndarray:
@@ -54,15 +109,68 @@ def _vector_matrix(table, column: str) -> np.ndarray:
     return flat.reshape(n, dim)
 
 
-def _load(path: str, column: str):
-    key = (path, column)
-    if key not in _CACHE:
-        table = pq.read_table(path)  # columnar; rows materialize only via take()
+def _read_filtered(files: list[str], columns: list[str] | None, id_col: str,
+                   ids: np.ndarray | None):
+    """Read ``columns`` of the rows whose ``id_col`` is in ``ids`` (or all
+    rows when ids is None) — parquet row-group statistics prune non-matching
+    groups, so the read is O(matching groups), not O(dataset)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(files, format="parquet")
+    flt = pads.field(id_col).isin(ids.tolist()) if ids is not None else None
+    return ds.to_table(columns=columns, filter=flt)
+
+
+def _load_flat(path: str, column: str):
+    key = (path, column, "flat")
+    hit = _cache_get(key)
+    if hit is None:
+        import pyarrow.dataset as pads
+
+        files = _dataset_files(path)
+        table = pads.dataset(files, format="parquet").to_table()
         mat = _vector_matrix(table, column)
         planes = make_planes(num_planes=8, dim=mat.shape[1] if mat.size else 0)
         sigs = _row_signatures(mat, planes)
-        _CACHE[key] = (table, mat, planes, sigs)
-    return _CACHE[key]
+        hit = (table, mat, planes, sigs)
+        _cache_put(key, hit)
+    return hit
+
+
+def _load_pq(path: str, column: str):
+    """PQ searcher state: (meta, ids (n,), codes (n, m) uint8, lut_base
+    (m, max_code+1, subdim) float64 centroid slabs). ~(m + 8) bytes/row —
+    the 16x compression that keeps a worker alive at corpus scale.
+
+    The cache key includes the index metadata mtime, so a rebuilt index
+    (new codes/codebooks on disk) invalidates the cached state; dataset
+    appends don't touch the index files and keep the entry valid (the
+    unindexed tail is re-derived per search in _eval_indexed)."""
+    from .pq import _pq_dir
+
+    idx = _pq_dir(path, column)
+    meta_path = os.path.join(idx, "index_meta.json")
+    key = (path, column, "pq", os.stat(meta_path).st_mtime_ns)
+    hit = _cache_get(key)
+    if hit is None:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        m = meta["num_sub_vectors"]
+        subdim = meta["dim"] // m
+        books = pq.read_table(os.path.join(idx, "codebooks.parquet")).to_pylist()
+        max_code = max(r["code"] for r in books)
+        # centroid slab indexed by ACTUAL code value; gap rows (codes
+        # dropped by Lloyd updates) stay NaN -> ADC inf -> never win
+        cents = np.full((m, max_code + 1, subdim), np.nan, dtype=np.float64)
+        for r in books:
+            cents[r["sub"], r["code"], :] = r["centroid"]
+        ct = pq.read_table(os.path.join(idx, "codes.parquet"))
+        ids = ct.column(meta["id_col"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        carr = ct.column("codes").combine_chunks()
+        codes = carr.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), m).astype(np.uint8)
+        hit = (meta, ids, codes, cents)
+        _cache_put(key, hit)
+    return hit
 
 
 def _row_signatures(mat: np.ndarray, planes) -> np.ndarray:
@@ -88,14 +196,28 @@ def _distances(mat: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def uses_indexed_route(path: str, column: str, metric: str = "l2") -> bool:
+    """True when eval() will search through the on-disk PQ index instead
+    of materializing the table in the worker."""
+    from .pq import has_pq_index
+
+    if not (_is_fragment_dataset(path) and has_pq_index(path, column)):
+        return False
+    from .pq import _pq_dir
+
+    with open(os.path.join(_pq_dir(path, column), "index_meta.json")) as fh:
+        meta = json.load(fh)
+    return meta.get("metric", "l2") == metric.lower()
+
+
 def candidate_indices(path: str, column: str, query, nprobes: int | None = None,
                       ef: int | None = None) -> np.ndarray:
-    """Row indices the search will score — the observable effect of the
-    search-time knobs. ``nprobes`` caps probed LSH buckets (exact bucket
-    first, then hamming-1 neighbors in plane order); ``ef`` bounds the
-    candidate pool (HNSW's dynamic-list analog, floor at nothing here —
+    """Row indices the flat-route search will score — the observable effect
+    of the search-time knobs. ``nprobes`` caps probed LSH buckets (exact
+    bucket first, then hamming-1 neighbors in plane order); ``ef`` bounds
+    the candidate pool (HNSW's dynamic-list analog, floor at nothing here —
     callers pass max(ef, k)). No knobs -> every row."""
-    table, mat, planes, sigs = _load(path, column)
+    table, mat, planes, sigs = _load_flat(path, column)
     if nprobes is None and ef is None:
         return np.arange(mat.shape[0])
     q = np.asarray([float(v) for v in query], dtype=np.float64)
@@ -108,6 +230,82 @@ def candidate_indices(path: str, column: str, query, nprobes: int | None = None,
     return cand
 
 
+def _eval_indexed(path: str, column: str, q: np.ndarray, k: int, metric: str,
+                  nprobes: int | None, ef: int | None,
+                  refine_factor: int | None) -> Iterator[tuple]:
+    """ADC over the PQ codes + exact refine reading ONLY candidate rows.
+    Mirrors pq.pq_search's plan in-process (ref refine-factor,
+    config/LanceOptions.java:232-237)."""
+    from .index import split_by_index_coverage
+
+    meta, ids, codes, cents = _load_pq(path, column)
+    # coverage re-derived per search (metadata-only): appends since the
+    # index build land in `uncovered` and are exact-scored below
+    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
+    m = meta["num_sub_vectors"]
+    subdim = meta["dim"] // m
+    id_col = meta["id_col"]
+    if q.shape[0] != meta["dim"]:
+        raise ValueError(f"query dim {q.shape[0]} != indexed dim {meta['dim']}")
+
+    # lut[s, c] = ||q_s - centroid(s, c)||^2; NaN gap rows -> inf
+    qs = q.reshape(m, subdim)
+    lut = ((cents - qs[:, None, :]) ** 2).sum(axis=2)
+    lut = np.where(np.isnan(lut), np.inf, lut)
+    adc = np.sqrt(lut[np.arange(m)[None, :], codes].sum(axis=1))
+
+    if nprobes is not None:
+        # IVF composition: restrict the ADC scan to the nprobes cells
+        # nearest the query (same pruning as pq_search's probed cells)
+        from .index import _index_dir, has_index
+
+        if has_index(path, column):
+            it = pq.read_table(os.path.join(_index_dir(path, column), "centroids.parquet"))
+            cmat = np.asarray(it.column("centroid").to_pylist(), dtype=np.float64)
+            cells = it.column("cell").to_numpy(zero_copy_only=False)
+            order = np.lexsort((cells, ((cmat - q) ** 2).sum(axis=1)))
+            chosen = set(cells[order[: int(nprobes)]].tolist())
+            at = pq.read_table(os.path.join(_index_dir(path, column), "assignments.parquet"))
+            a_ids = at.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            a_cell = at.column("cell").to_numpy(zero_copy_only=False)
+            probe_ids = a_ids[np.isin(a_cell, list(chosen))]
+            adc = np.where(np.isin(ids, probe_ids), adc, np.inf)
+
+    rf = int(refine_factor) if refine_factor is not None else 10
+    r = max(k * max(rf, 1), k)
+    if ef is not None:
+        r = max(min(r, int(ef)), k)
+    order = np.lexsort((ids, adc))[:r]
+    cand_ids = ids[order]
+
+    parts_ids, parts_d = [], []
+    if covered:
+        cand_tbl = _read_filtered(covered, [id_col, column], id_col, cand_ids)
+        parts_ids.append(cand_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        parts_d.append(_distances(_vector_matrix(cand_tbl, column), q, metric))
+        if uncovered:
+            # unindexed tail: exact-scored in full (appends are searchable
+            # immediately; the index just covers less until refreshed)
+            tail = _read_filtered(uncovered, [id_col, column], id_col, None)
+            parts_ids.append(tail.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+            parts_d.append(_distances(_vector_matrix(tail, column), q, metric))
+    else:
+        # stale beyond recognition (no build-time file survives): exact
+        # brute force over the whole dataset, same contract as pq_search
+        full = _read_filtered(_dataset_files(path), [id_col, column], id_col, None)
+        parts_ids.append(full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        parts_d.append(_distances(_vector_matrix(full, column), q, metric))
+    all_ids = np.concatenate(parts_ids)
+    all_d = np.round(np.concatenate(parts_d), 6)
+    top = np.lexsort((all_ids, all_d))[:k]
+    win_ids, win_d = all_ids[top], all_d[top]
+
+    rows_tbl = _read_filtered(_dataset_files(path), None, id_col, win_ids)
+    by_id = {row[id_col]: row for row in rows_tbl.to_pylist()}  # k rows only
+    for i, dist in zip(win_ids.tolist(), win_d.tolist()):
+        yield tuple(by_id[i].values()) + (float(dist),)
+
+
 class VectorSearchUDTF:
     """Yields the dataset rows nearest to the query vector + _distance."""
 
@@ -116,7 +314,7 @@ class VectorSearchUDTF:
         from pyspark.sql.functions import AnalyzeResult
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        schema = from_arrow_schema(pq.read_schema(path.value))
+        schema = from_arrow_schema(_read_schema(path.value))
         out = StructType(schema.fields).add("_distance", DoubleType())
         return AnalyzeResult(schema=out)
 
@@ -126,8 +324,12 @@ class VectorSearchUDTF:
         q = np.asarray([float(v) for v in query], dtype=np.float64)
         if q.size == 0 or not np.all(np.isfinite(q)):
             raise ValueError("query vector must be non-empty and finite")
-        table, mat, planes, sigs = _load(path, column)
         k = int(k)
+        if uses_indexed_route(path, column, metric):
+            yield from _eval_indexed(path, column, q, k, metric,
+                                     nprobes, ef, refine_factor)
+            return
+        table, mat, planes, sigs = _load_flat(path, column)
         eff_ef = None if ef is None else max(int(ef), k)
         cand = candidate_indices(path, column, q, nprobes, eff_ef)
         d = np.round(_distances(mat[cand], q, metric), 6)

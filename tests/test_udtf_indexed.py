@@ -1,0 +1,100 @@
+"""vector_search UDTF routing: PQ-indexed datasets search through the
+on-disk index (codes + codebooks in the worker, candidate rows fetched by
+a pushed id filter) instead of materializing the table; the searcher
+cache is LRU-bounded."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as papq
+import pytest
+
+from flink_connector_lance_spark import pq, udtf
+from flink_connector_lance_spark.io import load_table
+from flink_connector_lance_spark.operators.knn import knn
+from flink_connector_lance_spark.queries.knn import QVEC
+from flink_connector_lance_spark.sources.writer import write_dataset
+
+
+@pytest.fixture(scope="module")
+def indexed_ds(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("udtf") / "ds")
+    e = load_table(spark, sf_dir, "embeddings")
+    write_dataset(e, path, mode="overwrite")
+    pq.build_pq_index(spark, path, "embedding", id_col="vec_id",
+                      num_sub_vectors=16, num_bits=8, iterations=2, replace=True)
+    return path, e
+
+
+def test_indexed_route_detected(indexed_ds, sf_dir):
+    path, _ = indexed_ds
+    assert udtf.uses_indexed_route(path, "embedding", "l2")
+    # metric mismatch -> flat fallback; plain parquet -> flat
+    assert not udtf.uses_indexed_route(path, "embedding", "cosine")
+    assert not udtf.uses_indexed_route(f"{sf_dir}/embeddings.parquet", "embedding", "l2")
+
+
+def test_indexed_eval_matches_exact_topk(indexed_ds):
+    path, e = indexed_ds
+    got = list(udtf.VectorSearchUDTF().eval(path, "embedding", QVEC, 10, "l2",
+                                            refine_factor=20))
+    want = knn(e, "embedding", QVEC, k=10, tiebreak_cols=["vec_id"],
+               round_digits=6).collect()
+    cols = e.columns
+    vec_i = cols.index("vec_id")
+    assert [r[vec_i] for r in got] == [r.vec_id for r in want]
+    assert [round(r[-1], 6) for r in got] == [round(r._distance, 6) for r in want]
+    # worker state is the PQ index, not the table: the cache entry for the
+    # indexed key holds codes, and no flat entry was created for the path
+    assert any(k[0] == path and k[2] == "pq" for k in udtf._CACHE)
+    assert not any(k[0] == path and k[2] == "flat" for k in udtf._CACHE)
+
+
+def test_indexed_eval_scores_unindexed_tail(indexed_ds, spark):
+    path, e = indexed_ds
+    # append a synthetic exact-match row AFTER the index build: it is in
+    # no indexed file, so only the tail brute-force can find it
+    new = spark.createDataFrame(
+        [(999_999, [float(v) for v in QVEC], 0)],
+        "vec_id long, embedding array<float>, label int")
+    write_dataset(new.select(*e.columns), path, mode="append")
+    got = list(udtf.VectorSearchUDTF().eval(path, "embedding", QVEC, 1, "l2"))
+    vec_i = e.columns.index("vec_id")
+    assert got[0][vec_i] == 999_999
+    assert got[0][-1] == 0.0
+
+
+def test_udtf_sql_end_to_end_on_indexed_dataset(indexed_ds, spark):
+    path, e = indexed_ds
+    udtf.register_vector_search(spark)
+    qarr = "array(" + ", ".join(f"double({v})" for v in QVEC) + ")"
+    rows = spark.sql(f"""
+        SELECT vec_id, round(_distance, 6) AS d
+        FROM vector_search('{path}', 'embedding', {qarr}, 5, 'l2', NULL, NULL, 20)
+    """).collect()
+    want = knn(e.unionByName(spark.createDataFrame(
+        [(999_999, [float(v) for v in QVEC], 0)],
+        "vec_id long, embedding array<float>, label int").select(*e.columns)),
+        "embedding", QVEC, k=5, tiebreak_cols=["vec_id"], round_digits=6).collect()
+    assert [r.vec_id for r in rows] == [r.vec_id for r in want]
+
+
+def test_searcher_cache_is_lru_bounded(tmp_path):
+    udtf._CACHE.clear()
+    for i in range(udtf._CACHE_MAX + 3):
+        p = str(tmp_path / f"t{i}.parquet")
+        papq.write_table(pa.table({
+            "id": pa.array([0, 1], pa.int64()),
+            "v": pa.array([[0.0, 1.0], [1.0, 0.0]], pa.list_(pa.float64())),
+        }), p)
+        udtf._load_flat(p, "v")
+    assert len(udtf._CACHE) == udtf._CACHE_MAX
+    # most-recently-used entries survive
+    last = str(tmp_path / f"t{udtf._CACHE_MAX + 2}.parquet")
+    assert (last, "v", "flat") in udtf._CACHE
+    hit = udtf._load_flat(last, "v")
+    assert isinstance(hit[1], np.ndarray)
+    assert os.path.exists(last)
