@@ -148,6 +148,8 @@ def vacuum_dataset(
     Returns ``{"kept_versions": [...], "dropped_versions": n,
     "deleted_files": n, "reclaimed_bytes": n}``; ``dry_run`` reports
     without deleting."""
+    if FR.HAVE_LANCE and not dry_run:  # native path (fake lance in tests)
+        return _vacuum_lance(path)
     latest = FR.latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"not a dataset (no {FR.VERSIONS_DIR}/): {path}")
@@ -273,6 +275,8 @@ def delete_rows(
     matching it are deleted)."""
     import pyspark.sql.functions as F
 
+    if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
+        return _delete_lance(path, predicate)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     # abspath: input_file_name() yields absolute URIs, so a relative
     # dataset path would never intersect and the DELETE would no-op
@@ -347,6 +351,8 @@ def merge_rows(
     import pyspark.sql.functions as F
     from urllib.parse import unquote, urlparse
 
+    if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
+        return _merge_lance(path, updates, key)
     path = os.path.abspath(path)  # same relative-path contract as delete_rows
     manifest = FR.read_manifest(path)
     if not manifest.fragments:
@@ -408,6 +414,65 @@ def merge_rows(
     finally:
         shutil.rmtree(stage_sur, ignore_errors=True)
         shutil.rmtree(stage_upd, ignore_errors=True)
+
+
+def _native_manifest(path: str) -> FR.Manifest:
+    import lance
+
+    ds = lance.dataset(path)
+    return FR.Manifest(version=ds.version, fragments=[
+        FR.FragmentInfo(f.fragment_id, "", f.count_rows()) for f in ds.get_fragments()
+    ])
+
+
+def _delete_lance(path: str, predicate) -> FR.Manifest:
+    """Native twin: pylance ``dataset.delete(expr)`` — Lance's own
+    row-level delete (deletion vectors + one commit); the engine only
+    forwards the SQL predicate (ref commit model LanceSink.java:163-189)."""
+    import lance
+
+    if not isinstance(predicate, str):
+        raise TypeError("native delete requires a SQL string predicate")
+    lance.dataset(path).delete(predicate)
+    return _native_manifest(path)
+
+
+def _merge_lance(path: str, updates: DataFrame, key: str) -> FR.Manifest:
+    """Native twin: pylance ``merge_insert(key).when_matched_update_all()
+    .when_not_matched_insert_all().execute(arrow)`` — the engine ships the
+    update rows as ONE Arrow table and Lance commits the upsert atomically."""
+    import lance
+
+    n_upd = updates.count()
+    n_keys = updates.select(key).distinct().count()
+    if n_upd != n_keys:
+        raise ValueError(
+            f"updates contain duplicate {key!r} values "
+            f"({n_upd} rows, {n_keys} distinct keys); deduplicate first"
+        )
+    (
+        lance.dataset(path)
+        .merge_insert(key)
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute(updates.toArrow())
+    )
+    return _native_manifest(path)
+
+
+def _vacuum_lance(path: str) -> dict:
+    """Native twin: pylance ``cleanup_old_versions`` (time-based retention
+    is Lance's contract; the emulated keep-N knob maps to 'latest only')."""
+    import lance
+
+    ds = lance.dataset(path)
+    stats = ds.cleanup_old_versions()
+    return {
+        "kept_versions": [lance.dataset(path).version],
+        "dropped_versions": int(getattr(stats, "old_versions", 0)),
+        "deleted_files": int(getattr(stats, "old_versions", 0)),
+        "reclaimed_bytes": int(getattr(stats, "bytes_removed", 0)),
+    }
 
 
 def _zorder_key(df: DataFrame, by: list[str], stats_min_max: dict, bits: int = 8):

@@ -97,15 +97,34 @@ def _sql_filter(expr: str):
             "<": f < lit, "<=": f <= lit, "<>": f != lit}[op]
 
 
+def _log_op(path: str, entry: dict) -> None:
+    """Append to the op log tests assert against (what a real dataset
+    would have been asked to do)."""
+    p = os.path.join(path, "_fake_ops.json")
+    ops = json.load(open(p)) if os.path.exists(p) else []
+    ops.append(entry)
+    with open(p, "w") as f:
+        json.dump(ops, f)
+
+
+def _resolve(versions: list[dict], version: int | None) -> dict:
+    if version is None:
+        return versions[-1]
+    for v in versions:
+        if v["v"] == version:
+            return v
+    raise ValueError(f"version {version} not found (cleaned up?)")
+
+
 class _Dataset:
     def __init__(self, path: str, version: int | None = None):
         m = _load_manifest(path)
-        versions = m["versions"]
-        self.version = version if version is not None else len(versions)
+        entry = _resolve(m["versions"], version)
+        self.version = entry["v"]
         self._root = path
         self._frags = [
             _Fragment(path, i, f["file"], f["rows"])
-            for i, f in enumerate(versions[self.version - 1])
+            for i, f in enumerate(entry["frags"])
         ]
 
     @property
@@ -128,6 +147,100 @@ class _Dataset:
         the parameter routing of index.build_index."""
         with open(os.path.join(self._root, "_fake_index.json"), "w") as f:
             json.dump({"column": column, "index_type": index_type, **kwargs}, f)
+
+    def _commit_frags(self, frags: list[dict]) -> None:
+        m = _load_manifest(self._root)
+        m["versions"].append({"v": m["versions"][-1]["v"] + 1, "frags": frags})
+        with open(_manifest_path(self._root), "w") as f:
+            json.dump(m, f)
+
+    def delete(self, predicate: str) -> None:
+        """pylance ``dataset.delete(expr)``: row-level delete committing a
+        new version."""
+        out = []
+        for fr in self._frags:
+            t = pq.read_table(os.path.join(self._root, fr._file))
+            kept = t.filter(~_sql_filter(predicate))
+            if kept.num_rows == t.num_rows:
+                out.append({"file": fr._file, "rows": fr._rows})
+            elif kept.num_rows > 0:
+                name = f"data/{uuid.uuid4().hex}.parquet"
+                pq.write_table(kept, os.path.join(self._root, name))
+                out.append({"file": name, "rows": kept.num_rows})
+        self._commit_frags(out)
+        _log_op(self._root, {"op": "delete", "predicate": predicate,
+                             "read_version": self.version})
+
+    def merge_insert(self, on: str) -> "_MergeInsert":
+        return _MergeInsert(self, on)
+
+    def cleanup_old_versions(self, older_than=None, delete_unverified=False):
+        """pylance ``cleanup_old_versions``: drop all versions but the
+        newest, delete data files only the dropped versions referenced."""
+        m = _load_manifest(self._root)
+        keep = m["versions"][-1]
+        dropped = [v for v in m["versions"] if v["v"] != keep["v"]]
+        live = {f["file"] for f in keep["frags"]}
+        dead = {f["file"] for v in dropped for f in v["frags"]} - live
+        removed_bytes = 0
+        for rel in dead:
+            p = os.path.join(self._root, rel)
+            if os.path.exists(p):
+                removed_bytes += os.path.getsize(p)
+                os.remove(p)
+        m["versions"] = [keep]
+        with open(_manifest_path(self._root), "w") as f:
+            json.dump(m, f)
+        _log_op(self._root, {"op": "cleanup_old_versions",
+                             "old_versions": len(dropped),
+                             "delete_unverified": bool(delete_unverified)})
+        return types.SimpleNamespace(bytes_removed=removed_bytes,
+                                     old_versions=len(dropped))
+
+
+class _MergeInsert:
+    """Builder mirroring pylance's merge_insert chain; tests assert the
+    clauses the twin enabled."""
+
+    def __init__(self, ds: _Dataset, on: str):
+        self._ds = ds
+        self._on = on
+        self._update_matched = False
+        self._insert_unmatched = False
+
+    def when_matched_update_all(self) -> "_MergeInsert":
+        self._update_matched = True
+        return self
+
+    def when_not_matched_insert_all(self) -> "_MergeInsert":
+        self._insert_unmatched = True
+        return self
+
+    def execute(self, table: pa.Table) -> None:
+        import pyarrow.compute as pc
+
+        ds = self._ds
+        keys = table.column(self._on)
+        out = []
+        for fr in ds._frags:
+            t = pq.read_table(os.path.join(ds._root, fr._file))
+            survivors = t.filter(pc.invert(pc.is_in(t.column(self._on), value_set=keys)))
+            if survivors.num_rows == t.num_rows:
+                out.append({"file": fr._file, "rows": fr._rows})
+            elif survivors.num_rows > 0:
+                name = f"data/{uuid.uuid4().hex}.parquet"
+                pq.write_table(survivors, os.path.join(ds._root, name))
+                out.append({"file": name, "rows": survivors.num_rows})
+        name = f"data/{uuid.uuid4().hex}.parquet"
+        schema = pq.read_schema(os.path.join(ds._root, ds._frags[0]._file))
+        pq.write_table(table.select(schema.names).cast(schema), os.path.join(ds._root, name))
+        out.append({"file": name, "rows": table.num_rows})
+        ds._commit_frags(out)
+        _log_op(ds._root, {"op": "merge_insert", "on": self._on,
+                           "when_matched_update_all": self._update_matched,
+                           "when_not_matched_insert_all": self._insert_unmatched,
+                           "update_rows": table.num_rows,
+                           "read_version": ds.version})
 
 
 def dataset(path: str, version: int | None = None) -> _Dataset:
@@ -153,11 +266,12 @@ class LanceDataset:
             m = _load_manifest(path)
         else:
             m = {"versions": []}
+        next_v = m["versions"][-1]["v"] + 1 if m["versions"] else 1
         if isinstance(op, LanceOperation.Append):
-            base = m["versions"][-1] if m["versions"] else []
-            m["versions"].append(base + frags)
+            base = m["versions"][-1]["frags"] if m["versions"] else []
+            m["versions"].append({"v": next_v, "frags": base + frags})
         else:
-            m["versions"].append(frags)
+            m["versions"].append({"v": next_v, "frags": frags})
         with open(_manifest_path(path), "w") as f:
             json.dump(m, f)
 

@@ -117,3 +117,79 @@ def test_native_write_respects_max_rows_per_file(fake_lance, spark, tmp_path):
     frags = lance.dataset(path).get_fragments()
     assert len(frags) == 4  # 30+30+30+10
     assert max(f.count_rows() for f in frags) <= 30
+
+
+def test_native_delete_twin_issues_dataset_delete(fake_lance, spark, tmp_path):
+    import json
+
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    path = str(tmp_path / "ds")
+    df = spark.range(50).selectExpr("id", "id % 5 AS label")
+    write_dataset(df, path, mode="overwrite")
+
+    m = delete_rows(spark, path, "label = 1")
+    assert sum(f.row_count for f in m.fragments) == 40
+    assert count_rows(path) == 40
+    ops = json.load(open(f"{path}/_fake_ops.json"))
+    assert ops[-1]["op"] == "delete" and ops[-1]["predicate"] == "label = 1"
+    # MVCC: pre-delete version still readable
+    assert read_dataset(spark, path, version=m.version - 1).count() == 50
+    # native delete requires a SQL string (no Column translation layer)
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    with _pt.raises(TypeError, match="SQL string"):
+        delete_rows(spark, path, F.col("label") == 2)
+
+
+def test_native_merge_twin_issues_merge_insert(fake_lance, spark, tmp_path):
+    import json
+
+    from flink_connector_lance_spark.sources.maintenance import merge_rows
+
+    path = str(tmp_path / "ds")
+    df = spark.range(20).selectExpr("id", "id AS label")
+    write_dataset(df, path, mode="overwrite")
+
+    updates = spark.createDataFrame([(3, 100), (4, 100), (77, 100)], "id long, label long")
+    m = merge_rows(spark, path, updates, key="id")
+    assert sum(f.row_count for f in m.fragments) == 21  # 2 updated, 1 inserted
+    ops = json.load(open(f"{path}/_fake_ops.json"))
+    assert ops[-1]["op"] == "merge_insert" and ops[-1]["on"] == "id"
+    assert ops[-1]["when_matched_update_all"] and ops[-1]["when_not_matched_insert_all"]
+    assert ops[-1]["update_rows"] == 3
+    back = read_dataset(spark, path)
+    assert back.filter("label = 100").count() == 3
+    assert back.count() == 21
+
+    # duplicate update keys refused BEFORE any native call
+    import pytest as _pt
+
+    dup = spark.createDataFrame([(1, 5), (1, 6)], "id long, label long")
+    with _pt.raises(ValueError, match="duplicate"):
+        merge_rows(spark, path, dup, key="id")
+
+
+def test_native_vacuum_twin_issues_cleanup(fake_lance, spark, tmp_path):
+    import json
+
+    from flink_connector_lance_spark.sources.maintenance import vacuum_dataset
+
+    path = str(tmp_path / "ds")
+    df = spark.range(30).selectExpr("id", "id % 3 AS label")
+    write_dataset(df, path, mode="overwrite")
+    write_dataset(df.limit(5), path, mode="append")
+    write_dataset(df, path, mode="overwrite")  # v1/v2 files now dead
+
+    rep = vacuum_dataset(path, keep_versions=1)
+    assert rep["dropped_versions"] == 2
+    assert rep["reclaimed_bytes"] > 0
+    ops = json.load(open(f"{path}/_fake_ops.json"))
+    assert ops[-1]["op"] == "cleanup_old_versions"
+    # latest version still reads; vacuumed versions are gone
+    assert count_rows(path) == 30
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        read_dataset(spark, path, version=1).count()
