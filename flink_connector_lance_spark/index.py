@@ -196,11 +196,23 @@ def build_index(
                 "native ANN index building (pass spark= for the emulated IVF build)"
             )
         _emulated_ivf_build(spark, path, column, id_col, opts, metric, replace)
+        if itype is IndexType.IVF_HNSW_PQ:
+            # the HNSW graph is not emulated (README "Index types" matrix):
+            # the emulated build degrades to IVF_PQ — same recall contract
+            # via nprobes/refine, vector.ef honored as a candidate-pool
+            # bound rather than HNSW traversal dynamics. The native path
+            # above builds the real graph (ref LanceIndexBuilder.java:140-157).
+            import warnings
+
+            warnings.warn(
+                "IVF_HNSW_PQ: emulated backend degrades to IVF_PQ "
+                "(no HNSW graph; native lance builds the real one)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if itype in (IndexType.IVF_PQ, IndexType.IVF_HNSW_PQ):
             # the PQ half of IVF_PQ: per-sub-space codebooks + compact codes
-            # (pq.py). The HNSW graph itself is not emulated — IVF_HNSW_PQ
-            # degrades to IVF_PQ, documented; the native path above builds
-            # the real thing when lance is present.
+            # (pq.py)
             from .pq import build_pq_index
 
             build_pq_index(
@@ -355,6 +367,7 @@ def search_dataset(
     metric: str = "l2",
     filter=None,
     nprobes: int | None = None,
+    ef: int | None = None,
     use_index: bool | None = None,
     options: DatasetOptions | None = None,
     tiebreak_cols=(),
@@ -391,8 +404,11 @@ def search_dataset(
         np_ = nprobes if has_index(path, column) else None
         refine = (options.vector_refine_factor if options is not None
                   and options.vector_refine_factor else 10)
+        # vector.ef bounds the ADC candidate pool on the DataFrame path
+        # too (ref config/LanceOptions.java:224-228)
+        eff = ef if ef is not None else (options.vector_ef if options is not None else None)
         return pq_search(spark, path, column, query, k=k, refine_factor=refine,
-                         nprobes=np_, tiebreak_cols=tiebreak_cols,
+                         nprobes=np_, ef=eff, tiebreak_cols=tiebreak_cols,
                          round_digits=round_digits, filter=filter)
     if use:
         idx_dir = _index_dir(path, column)

@@ -121,6 +121,37 @@ def lsh_candidates(
     return df.filter(lsh_signature(vector_col, planes).isin(probes))
 
 
+def lsh_candidate_pool(
+    df: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    multiprobe: bool = True,
+    nprobes: int | None = None,
+    ef: int | None = None,
+    k: int = 1,
+    metric: str = "l2",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The candidate pool an LSH search exact-scores: rows in the probed
+    buckets, optionally bounded to the ``max(ef, k)`` coarse-nearest —
+    ``vector.ef`` as the candidate-pool cap, HNSW's dynamic-list analog
+    (ref config/LanceOptions.java:224-228, threaded at
+    LanceVectorSearch.java:146-163). The cap is a distributed TakeOrdered
+    on a 2-decimal coarse distance, so larger ef = wider pool = better
+    recall at linear extra cost, exactly the native knob's contract."""
+    cand = lsh_candidates(df, vector_col, query, planes, multiprobe, nprobes)
+    if ef is not None:
+        from .knn import knn
+
+        if ef <= 0:
+            raise ValueError("ef must be positive")
+        cand = knn(cand, vector_col, query, k=max(int(ef), k), metric=metric,
+                   tiebreak_cols=tiebreak_cols, round_digits=2,
+                   distance_col="_coarse").drop("_coarse")
+    return cand
+
+
 def lsh_knn(
     df: DataFrame,
     vector_col: str,
@@ -130,6 +161,7 @@ def lsh_knn(
     planes: Sequence[Sequence[float]] | None = None,
     multiprobe: bool = True,
     nprobes: int | None = None,
+    ef: int | None = None,
     refine_factor: int | None = None,
     tiebreak_cols: Sequence[str] = (),
     round_digits: int | None = None,
@@ -142,6 +174,7 @@ def lsh_knn(
     in LanceVectorSearch.java:146-163; defaults resolved from
     ``options: DatasetOptions`` when given):
     - ``nprobes`` caps probed buckets (see probe_signatures);
+    - ``ef`` bounds the candidate pool (see lsh_candidate_pool);
     - ``refine_factor`` over-fetches k*refine_factor candidates by a
       coarse (2-decimal) distance, then re-ranks them exactly — the
       read-wider-then-refine contract of Lance's refine stage."""
@@ -149,10 +182,12 @@ def lsh_knn(
 
     if options is not None:
         nprobes = nprobes if nprobes is not None else options.vector_nprobes
+        ef = ef if ef is not None else options.vector_ef
         refine_factor = (refine_factor if refine_factor is not None
                          else options.vector_refine_factor)
     planes = planes if planes is not None else make_planes(dim=len(query))
-    candidates = lsh_candidates(df, vector_col, query, planes, multiprobe, nprobes)
+    candidates = lsh_candidate_pool(df, vector_col, query, planes, multiprobe,
+                                    nprobes, ef, k, metric, tiebreak_cols)
     if refine_factor is not None and refine_factor > 1:
         coarse = knn(candidates, vector_col, query, k=k * refine_factor, metric=metric,
                      tiebreak_cols=tiebreak_cols, round_digits=2,

@@ -230,6 +230,7 @@ def pq_search(
     k: int = 10,
     refine_factor: int = 10,
     nprobes: int | None = None,
+    ef: int | None = None,
     tiebreak_cols: Sequence[str] = (),
     round_digits: int | None = None,
     filter=None,
@@ -241,9 +242,11 @@ def pq_search(
     distance is a codegen sum of m literal-array lookups; candidate
     selection is TakeOrderedAndProject (per-partition top-R, driver merges
     P*R); ONLY the R = k*refine_factor candidate rows are fetched from the
-    dataset (semi-join) for the exact re-rank. With ``nprobes`` and a
-    co-existing IVF index, the ADC scan first prunes to the probed cells
-    (IVF_PQ composition)."""
+    dataset (semi-join) for the exact re-rank — ``ef`` bounds R from above
+    (``vector.ef`` as the candidate-pool cap, ref
+    config/LanceOptions.java:224-228). With ``nprobes`` and a co-existing
+    IVF index, the ADC scan first prunes to the probed cells (IVF_PQ
+    composition)."""
     from .operators.knn import knn
     from .sources.reader import read_dataset
 
@@ -294,6 +297,10 @@ def pq_search(
     )
     approx = codes.select(F.col(id_col), F.sqrt(F.expr(adc_sql)).alias("_adc"))
     r = max(k * refine_factor, k)
+    if ef is not None:
+        if ef <= 0:
+            raise ValueError("ef must be positive")
+        r = max(min(r, int(ef)), k)
     cand = approx.orderBy(F.asc("_adc"), F.asc(id_col)).limit(r)
 
     from .index import split_by_index_coverage

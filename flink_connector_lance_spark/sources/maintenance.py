@@ -188,21 +188,36 @@ def vacuum_dataset(
     }
 
 
+def _promote_one(stage: str, data_dir: str, name: str) -> tuple[str, int, dict]:
+    frag_name = FR.new_fragment_name()
+    src = os.path.join(stage, name)
+    rows = pq.read_metadata(src).num_rows  # footer only
+    stats = FR.parquet_fragment_stats(src)
+    shutil.move(src, os.path.join(data_dir, frag_name))
+    return frag_name, rows, stats
+
+
 def _promote_staged(path: str, stage: str) -> list[FR.FragmentInfo]:
     """Move executor-written staging files into the data dir as fragments
-    (zone maps recomputed from each file's footer — metadata-only read)."""
+    (zone maps recomputed from each file's footer — metadata-only read).
+
+    Promotion is thread-pooled: each file costs a footer read + rename,
+    which is driver-side O(files) — serial, ~10^5 micro-batch fragments
+    would stall the commit on round-trip latency (worst on object
+    stores). Fragment ids stay deterministic (sorted staging-file name
+    order) regardless of completion order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     data_dir = os.path.join(path, FR.DATA_DIR)
-    out: list[FR.FragmentInfo] = []
-    for name in sorted(os.listdir(stage)):
-        if not name.endswith(".parquet"):
-            continue
-        frag_name = FR.new_fragment_name()
-        src = os.path.join(stage, name)
-        rows = pq.read_metadata(src).num_rows  # footer only
-        stats = FR.parquet_fragment_stats(src)
-        shutil.move(src, os.path.join(data_dir, frag_name))
-        out.append(FR.FragmentInfo(0, os.path.join(FR.DATA_DIR, frag_name), rows, stats))
-    return out
+    names = [n for n in sorted(os.listdir(stage)) if n.endswith(".parquet")]
+    if not names:
+        return []
+    with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+        results = list(ex.map(lambda n: _promote_one(stage, data_dir, n), names))
+    return [
+        FR.FragmentInfo(i, os.path.join(FR.DATA_DIR, fn), rows, stats)
+        for i, (fn, rows, stats) in enumerate(results)
+    ]
 
 
 def compact_dataset(

@@ -26,7 +26,6 @@ import os
 import shutil
 import uuid
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 
 from ..options import DatasetOptions, WriteMode
@@ -58,18 +57,11 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
             .mode("overwrite")
             .parquet(stage)
         )
-        new_fragments: list[FR.FragmentInfo] = []
-        for i, name in enumerate(sorted(os.listdir(stage))):
-            if not name.endswith(".parquet"):
-                continue
-            frag_name = FR.new_fragment_name()
-            src = os.path.join(stage, name)
-            rows = pq.read_metadata(src).num_rows  # footer only, no data read
-            stats = FR.parquet_fragment_stats(src)  # zone map, footer only
-            shutil.move(src, os.path.join(data_dir, frag_name))
-            new_fragments.append(
-                FR.FragmentInfo(i, os.path.join(FR.DATA_DIR, frag_name), rows, stats)
-            )
+        # thread-pooled footer-read + rename per staged file (driver-side
+        # O(files) otherwise — see maintenance._promote_staged)
+        from .maintenance import _promote_staged
+
+        new_fragments = _promote_staged(path, stage)
         return FR.commit(path, new_fragments, mode=mode.value, meta=commit_meta)
     finally:
         shutil.rmtree(stage, ignore_errors=True)

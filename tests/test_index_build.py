@@ -150,3 +150,48 @@ def test_search_dataset_without_index_is_brute_force(spark, sf_dir, tmp_path):
 
     with _pt.raises(FileNotFoundError):
         search_dataset(spark, path, "embedding", QVEC, use_index=True).collect()
+
+
+def test_ivf_hnsw_pq_emulation_warns_and_degrades_to_ivf_pq(spark, sf_dir, tmp_path):
+    """The emulated backend has no HNSW graph: IVF_HNSW_PQ builds the
+    IVF_PQ halves and pins a RuntimeWarning naming the degradation (the
+    native lance path builds the real graph — README 'Index types')."""
+    import warnings
+
+    from flink_connector_lance_spark import pq as pqmod
+    from flink_connector_lance_spark.index import build_index, has_index
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    path = str(tmp_path / "ds")
+    write_dataset(load_table(spark, sf_dir, "embeddings"), path, mode="overwrite")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = build_index(path, "embedding", index_type="ivf_hnsw_pq",
+                          spark=spark, id_col="vec_id", replace=True)
+    assert res.success, res.error
+    degr = [w for w in caught if issubclass(w.category, RuntimeWarning)
+            and "degrades to IVF_PQ" in str(w.message)]
+    assert degr, "degradation warning must be emitted"
+    assert has_index(path, "embedding") and pqmod.has_pq_index(path, "embedding")
+
+
+def test_promotion_ids_deterministic_across_many_fragments(spark, tmp_path):
+    """Thread-pooled staged-fragment promotion keeps fragment ids in
+    sorted staging-file order regardless of completion order."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.fragments import read_manifest
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    path = str(tmp_path / "ds")
+    df = spark.range(0, 3000).selectExpr("id", "id % 7 AS label").coalesce(1)
+    write_dataset(df, path, mode="overwrite",
+                  options=DatasetOptions(path=path, write_max_rows_per_file=50))
+    m = read_manifest(path)
+    assert len(m.fragments) == 60
+    assert [f.fragment_id for f in m.fragments] == list(range(60))
+    assert sum(f.row_count for f in m.fragments) == 3000
+    # coalesce(1) + maxRecordsPerFile splits sequentially: sorted staging
+    # order preserves the global id order, so zone maps stay monotonic
+    mins = [f.stats["id"]["min"] for f in m.fragments]
+    assert mins == sorted(mins)

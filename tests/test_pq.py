@@ -240,3 +240,26 @@ def test_adc_lut_survives_dropped_codebook_entries(spark, tmp_path):
     assert [r.id for r in got] == [r.id for r in want]
     assert [round(r._distance, 6) for r in got] == \
         [round(r._distance, 6) for r in want]
+
+
+def test_pq_search_ef_bounds_candidate_pool(spark, dataset):
+    """vector.ef caps the ADC refine pool on the DataFrame path: with
+    ef=k the pool is exactly the ADC top-k, regardless of refine_factor —
+    so a huge refine_factor with ef=k must equal refine_factor=1."""
+    path, e = dataset
+    _ensure_ivf_pq(spark, path)
+    narrow = pq.pq_search(spark, path, "embedding", QVEC, k=10,
+                          refine_factor=50, ef=10, tiebreak_cols=["vec_id"])
+    base = pq.pq_search(spark, path, "embedding", QVEC, k=10,
+                        refine_factor=1, tiebreak_cols=["vec_id"])
+    assert [r.vec_id for r in narrow.collect()] == [r.vec_id for r in base.collect()]
+    with pytest.raises(ValueError):
+        pq.pq_search(spark, path, "embedding", QVEC, k=5, ef=-1)
+    # search_dataset resolves ef from DatasetOptions
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    via_opts = search_dataset(
+        spark, path, "embedding", QVEC, k=10,
+        options=DatasetOptions(path=path, vector_ef=10, vector_refine_factor=50),
+        tiebreak_cols=["vec_id"])
+    assert [r.vec_id for r in via_opts.collect()] == [r.vec_id for r in base.collect()]

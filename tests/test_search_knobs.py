@@ -96,3 +96,29 @@ def test_udtf_sql_accepts_knobs(spark, sf_dir):
         f"SELECT vec_id FROM vector_search('{path}', 'embedding', {qarr}, 5, 'l2', 9, 10000, 4)"
     ).collect()
     assert len(base) == 5 and len(knobbed) == 5
+
+
+def test_lsh_ef_bounds_candidate_pool(embeddings):
+    planes = A.make_planes(num_planes=8, dim=64)
+    full = A.lsh_candidate_pool(embeddings, "embedding", QUERY, planes).count()
+    capped = A.lsh_candidate_pool(embeddings, "embedding", QUERY, planes,
+                                  ef=7, tiebreak_cols=["vec_id"]).count()
+    assert capped == 7 < full
+    with pytest.raises(ValueError):
+        A.lsh_candidate_pool(embeddings, "embedding", QUERY, planes, ef=0)
+    # ef wider than the pool: results identical to the uncapped search
+    plain = A.lsh_knn(embeddings, "embedding", QUERY, k=5, planes=planes,
+                      tiebreak_cols=["vec_id"], round_digits=6)
+    wide = A.lsh_knn(embeddings, "embedding", QUERY, k=5, planes=planes,
+                     ef=100_000, tiebreak_cols=["vec_id"], round_digits=6)
+    assert [r.vec_id for r in wide.collect()] == [r.vec_id for r in plain.collect()]
+
+
+def test_lsh_ef_resolves_from_options(embeddings):
+    planes = A.make_planes(num_planes=8, dim=64)
+    opts = DatasetOptions(path="/x", vector_ef=6)
+    via_opts = A.lsh_knn(embeddings, "embedding", QUERY, k=5, planes=planes,
+                         tiebreak_cols=["vec_id"], round_digits=6, options=opts)
+    explicit = A.lsh_knn(embeddings, "embedding", QUERY, k=5, planes=planes,
+                         ef=6, tiebreak_cols=["vec_id"], round_digits=6)
+    assert [r.vec_id for r in via_opts.collect()] == [r.vec_id for r in explicit.collect()]
