@@ -109,6 +109,15 @@ def knn_join(
         c.crossJoin(F.broadcast(q))
         .select(F.col(query_id), F.col(corpus_id), dist.alias(distance_col))
     )
+    return _topk_per_query(skinny, query_id, corpus_id, distance_col, k, salt_partitions)
+
+
+def _topk_per_query(skinny: DataFrame, query_id: str, corpus_id: str,
+                    distance_col: str, k: int, salt_partitions: int) -> DataFrame:
+    """Two-stage salted top-k over a skinny (query, corpus, distance)
+    relation: stage 1 ranks within (query, salt-of-corpus-id) so no
+    single reducer sees more than ~n/salt candidates of one query,
+    stage 2 ranks the <= salt*k survivors. Ties break on corpus id."""
     w1 = Window.partitionBy(
         F.col(query_id), F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(salt_partitions))
     ).orderBy(F.asc(distance_col), F.asc(corpus_id))
@@ -120,3 +129,60 @@ def knn_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def knn_join_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vector_col: str,
+    k: int,
+    planes,
+    metric: str = "l2",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vector_col: str | None = None,
+    distance_col: str = "_distance",
+    round_digits: int | None = 6,
+    salt_partitions: int = 16,
+) -> DataFrame:
+    """Corpus-vs-corpus k-NN join: top-``k`` neighbors per query when the
+    QUERY side is also large (hard-negative mining, corpus-vs-corpus
+    retrieval) — ``knn_join`` broadcasts the query set, which is right for
+    eval sets and wrong at corpus scale.
+
+    Plan shape (the dedup.embedding_cosine_pairs skinny-candidate shape,
+    operators/dedup.py): both sides compute an LSH signature as a pure
+    projection; queries explode to their probe buckets (exact + hamming-1,
+    multiprobe recall); candidates come from a SHUFFLED equi-join on the
+    bucket id carrying only (id, bucket) — no broadcast of either side, no
+    nested loop, and the vectors are attached AFTER candidate generation
+    by id (a uniformly distributed key). Exact distances are computed on
+    candidates only, then the same two-stage salted top-k as ``knn_join``.
+    Recall is probabilistic-LSH by construction; ``planes`` width trades
+    recall for candidate volume (operators.ann.auto_num_planes)."""
+    from . import ann as A
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    qv = query_vector_col or vector_col
+    qsig = queries.select(
+        F.col(query_id), A.lsh_signature(F.col(qv), planes).alias("sig")
+    )
+    probes = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))]
+    )
+    # skinny fan-out: (query_id, bucket) only — probe values are distinct,
+    # so a pair within hamming-1 joins exactly once
+    qprobe = qsig.select(F.col(query_id), F.explode(probes).alias("bucket"))
+    csig = corpus.select(
+        F.col(corpus_id), A.lsh_signature(F.col(vector_col), planes).alias("bucket")
+    )
+    cand = qprobe.join(csig, on="bucket").select(query_id, corpus_id)
+    qvecs = queries.select(F.col(query_id), F.col(qv).cast("array<double>").alias("__qv"))
+    cvecs = corpus.select(F.col(corpus_id), F.col(vector_col).cast("array<double>").alias("__cv"))
+    scored = cand.join(qvecs, on=query_id).join(cvecs, on=corpus_id)
+    dist = V.distance(F.col("__cv"), F.col("__qv"), metric)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    skinny = scored.select(F.col(query_id), F.col(corpus_id), dist.alias(distance_col))
+    return _topk_per_query(skinny, query_id, corpus_id, distance_col, k, salt_partitions)

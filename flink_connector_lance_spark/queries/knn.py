@@ -92,16 +92,41 @@ def knn_cosine(spark, sf_dir):
                tiebreak_cols=["vec_id"], round_digits=6).select("vec_id", "_distance")
 
 
+# LSH branch of knn_join_batch: large-query-side join bucketing (shared
+# plane literals with the oracle; 4 planes on the 64-dim corpus)
+from ..operators import ann as _ANN  # noqa: E402
+
+_JOIN_PLANES = _ANN.make_planes(num_planes=4, dim=64)
+
+
+def _join_planes_sql() -> str:
+    return ", ".join(
+        "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[] AS p" + str(p)
+        for p, plane in enumerate(_JOIN_PLANES)
+    )
+
+
+def _join_sig_sql(vec: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform({vec}, (x,i) -> x * p{p}[i])) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(len(_JOIN_PLANES))
+    )
+
+
 @register(
     "knn_join_batch",
-    oracle="""
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id < 5
+    oracle=f"""
+    WITH pl AS (SELECT {_join_planes_sql()}),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+               ({_join_sig_sql('embedding::DOUBLE[]')}) AS sig
+        FROM embeddings, pl WHERE vec_id < 5
     ),
     c AS (
-        SELECT vec_id, embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id >= 5
+        SELECT vec_id, embedding::DOUBLE[] AS cv,
+               ({_join_sig_sql('embedding::DOUBLE[]')}) AS sig
+        FROM embeddings, pl WHERE vec_id >= 5
     ),
     d AS (
         SELECT q.query_id, c.vec_id,
@@ -114,24 +139,59 @@ def knn_cosine(spark, sf_dir):
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY _distance, vec_id) AS rn
         FROM d
+    ),
+    probes AS (
+        SELECT query_id, unnest([sig{"".join(f", xor(sig, {1 << p})" for p in range(len(_JOIN_PLANES)))}]) AS bucket
+        FROM q
+    ),
+    lcand AS (
+        SELECT p.query_id, c.vec_id FROM probes p JOIN c ON p.bucket = c.sig
+    ),
+    ld AS (
+        SELECT lcand.query_id, lcand.vec_id,
+               round(sqrt(list_sum(list_transform(c.cv,
+                   (x, i) -> (x - q.qv[i]) * (x - q.qv[i])))), 6) AS _distance
+        FROM lcand
+        JOIN q ON lcand.query_id = q.query_id
+        JOIN c ON lcand.vec_id = c.vec_id
+    ),
+    lr AS (
+        SELECT query_id, vec_id, _distance,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY _distance, vec_id) AS rn
+        FROM ld
     )
-    SELECT query_id, vec_id, _distance FROM r WHERE rn <= 3
+    SELECT 'exact' AS kind, query_id, vec_id, _distance FROM r WHERE rn <= 3
+    UNION ALL
+    SELECT 'lsh' AS kind, query_id, vec_id, _distance FROM lr WHERE rn <= 3
     """,
-    doc="Batch similarity search (k-NN join): top-3 corpus neighbors for "
-        "each of 5 query vectors in ONE distributed plan — queries "
-        "broadcast, distances map-side, two-stage salted top-k "
-        "(operators.knn.knn_join). The many-query path a retrieval-eval "
-        "or hard-negative-mining pipeline uses at scale.",
+    doc="Batch similarity search (k-NN join) in two tagged branches: "
+        "'exact' — top-3 corpus neighbors for each of 5 query vectors, "
+        "queries broadcast, distances map-side, two-stage salted top-k "
+        "(operators.knn.knn_join) — the small-eval-set path; 'lsh' — the "
+        "same join through knn_join_lsh, the corpus-vs-corpus path: both "
+        "sides LSH-bucketed, candidates from a shuffled equi-join on the "
+        "bucket id (NO broadcast of either side — plan pinned), vectors "
+        "attached after candidate generation, exact distances on "
+        "candidates only. The oracle mirrors the identical bucketing so "
+        "both branches hash-match.",
 )
 def knn_join_batch(spark, sf_dir):
+    from ..operators.knn import knn_join_lsh
+
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.filter(F.col("vec_id") >= 5)
-    return knn_join(corpus, queries, "embedding", k=3, metric="l2").select(
-        "query_id", "vec_id", "_distance"
+    exact = knn_join(corpus, queries, "embedding", k=3, metric="l2").select(
+        F.lit("exact").alias("kind"), "query_id", "vec_id", "_distance"
     )
+    lsh = knn_join_lsh(corpus, queries, "embedding", k=3, planes=_JOIN_PLANES,
+                       metric="l2").select(
+        F.lit("lsh").alias("kind"), "query_id", "vec_id", "_distance"
+    )
+    return exact.unionByName(lsh)
 
 
 @register(

@@ -133,3 +133,30 @@ def test_pack_sequences_single_window_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pack_sequences")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_knn_join_lsh_never_broadcasts_large_sides(spark, sf_dir):
+    # corpus-vs-corpus path: with Catalyst unable to assume any side is
+    # small (broadcast disabled), the whole plan must be shuffled
+    # equi-joins — no broadcast of either side, never a nested loop
+    import pyspark.sql.functions as F
+
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.ann import make_planes
+    from flink_connector_lance_spark.operators.knn import knn_join_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = e.filter(F.col("vec_id") >= 50)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = knn_join_lsh(corpus, queries, "embedding", k=3,
+                          planes=make_planes(num_planes=4, dim=64))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
