@@ -47,6 +47,11 @@ QUERIES = [
     # index (codebook k-means), so its ratio measures build scaling, not
     # steady-state search — read it as the index-build row.
     "ann_ivf_pq", "text_pii_redact", "pack_sequences",
+    # round-4: the full maintenance lifecycle (overwrite/append/compact/
+    # DELETE/MERGE/vacuum — mutation cost, not scan cost); knn_join_batch
+    # above now also carries the LSH corpus-vs-corpus branch, and
+    # dedup_ngram_jaccard the decontamination branch.
+    "source_version_travel",
 ]
 
 
