@@ -60,3 +60,41 @@ def stratified_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += w
     return df.withColumn(split_col, expr)
+
+
+def sample_mixture(
+    df: DataFrame,
+    id_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-key downsampling — the data-MIXING knob of a
+    training pipeline ("50% of web, 100% of books, 10% of everything
+    else"): keep a row iff its md5 bucket (of ``resolution`` buckets)
+    falls below ``rate(key) * resolution``.
+
+    Same portability contract as stratified_split: the md5 bucket is
+    identical in every engine, membership is sticky under appends (new
+    rows never flip existing rows), and changing ``salt`` re-deals the
+    sample. Pure codegen projection + filter — zero shuffle, the filter
+    pushes below any downstream aggregation. Keys absent from ``rates``
+    keep ``default_rate``; a key's expected kept fraction is exact to
+    1/resolution."""
+    for kk, r in {**rates, "__default__": default_rate}.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {kk!r} must be in [0, 1], got {r}")
+    if resolution <= 0:
+        raise ValueError("resolution must be positive")
+    b = hash_bucket(id_col, resolution, salt)
+    key = F.col(key_col)
+    thresh: Column | None = None
+    for kk, r in rates.items():
+        cond = key == F.lit(kk)
+        t = F.lit(int(round(r * resolution)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default_t = F.lit(int(round(default_rate * resolution)))
+    thresh = default_t if thresh is None else thresh.otherwise(default_t)
+    return df.filter(b < thresh)

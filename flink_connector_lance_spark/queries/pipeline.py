@@ -442,16 +442,31 @@ def text_langid_fingerprint(spark, sf_dir):
 
 # --- dataset splitting -------------------------------------------------------
 
+# mixture branch: per-language keep rates (the data-mixing knob); shared
+# constants with the oracle so both engines apply identical thresholds
+_MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_RESOLUTION = 10_000
+
+
 @register(
     "train_split_stratified",
-    oracle="""
+    oracle=f"""
     WITH assigned AS (
         SELECT lang, n_chars,
                ('0x' || substring(md5(doc_id::VARCHAR || ':split'), 1, 4))::UBIGINT % 10
                    AS bucket
         FROM documents
+    ),
+    mixed AS (
+        SELECT lang, n_chars
+        FROM documents
+        WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':mix'), 1, 4))::UBIGINT
+                  % {_MIX_RESOLUTION}
+            < CASE lang {" ".join(f"WHEN '{k}' THEN {int(round(r * _MIX_RESOLUTION))}" for k, r in _MIX_RATES.items())}
+                   ELSE {int(round(_MIX_DEFAULT * _MIX_RESOLUTION))} END
     )
-    SELECT lang,
+    SELECT 'split' AS kind, lang,
            CASE WHEN bucket < 8 THEN 'train'
                 WHEN bucket < 9 THEN 'val'
                 ELSE 'test' END AS split,
@@ -459,20 +474,37 @@ def text_langid_fingerprint(spark, sf_dir):
            round(avg(n_chars), 4) AS avg_chars
     FROM assigned
     GROUP BY lang, split
+    UNION ALL
+    SELECT 'mixture' AS kind, lang, 'kept' AS split,
+           count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+    FROM mixed
+    GROUP BY lang
     """,
-    doc="Deterministic 80/10/10 train/val/test split via md5-bucket hashing "
-        "(engine-portable, sticky under appends — operators.sampling."
-        "stratified_split), verified stratified: per-language counts and "
-        "mean doc length per split. Pure codegen projection + one "
-        "partial+final aggregate; no shuffle before the groupBy.",
+    doc="Two tagged branches of deterministic md5-bucket sampling "
+        "(engine-portable, sticky under appends): 'split' — 80/10/10 "
+        "train/val/test assignment (operators.sampling.stratified_split), "
+        "verified stratified via per-language counts and mean doc length; "
+        "'mixture' — per-language weighted downsampling "
+        "(operators.sampling.sample_mixture, the data-MIXING knob: keep "
+        "50% of en, 100% of de, 25% of fr, 10% of the rest). Both are "
+        "pure codegen projections + one partial+final aggregate; no "
+        "shuffle before the groupBy.",
 )
 def train_split_stratified(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     s = S.stratified_split(d, "doc_id")
-    return s.groupBy("lang", "split").agg(
+    split_rows = s.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-    )
+    ).select(F.lit("split").alias("kind"), "lang", "split", "cnt", "avg_chars")
+    mixed = S.sample_mixture(d, "doc_id", _MIX_RATES, key_col="lang",
+                             default_rate=_MIX_DEFAULT, resolution=_MIX_RESOLUTION)
+    mix_rows = mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    ).select(F.lit("mixture").alias("kind"), "lang",
+             F.lit("kept").alias("split"), "cnt", "avg_chars")
+    return split_rows.unionByName(mix_rows)
 
 
 @register(

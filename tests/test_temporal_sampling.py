@@ -200,3 +200,41 @@ def test_pack_bins_shards_are_deterministic_and_bounded(spark):
     c = {r.doc_id: r.shard for r in
          pack_bins(bigger, "doc_id", "n_tok", budget=100, n_shards=8).collect()}
     assert all(c[i] == a[i][0] for i in range(500))
+
+
+def test_sample_mixture_deterministic_sticky_and_rate_bounded(spark, sf_dir):
+    """Mixture sampling: reproducible row-wise, sticky under appends,
+    rate 1.0 keeps everything, rate 0.0 drops everything, and kept
+    fractions land near the requested rates."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.sampling import sample_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.0}
+    kept1 = {r.doc_id for r in sample_mixture(d, "doc_id", rates, "lang").collect()}
+    kept2 = {r.doc_id for r in sample_mixture(d, "doc_id", rates, "lang").collect()}
+    assert kept1 == kept2  # deterministic
+
+    by_lang = {r.lang: r.cnt for r in
+               sample_mixture(d, "doc_id", rates, "lang")
+               .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = {r.lang: r.cnt for r in
+             d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_lang.get("de", 0) == total["de"]       # rate 1.0: all kept
+    assert "fr" not in by_lang                       # rate 0.0: none kept
+    assert by_lang.get("en", 0) < total["en"]        # rate 0.5: strict subset
+    # default_rate=0: unlisted languages dropped entirely
+    assert set(by_lang) <= set(rates)
+
+    # sticky: membership decided row-wise, so sampling a superset keeps
+    # exactly the same original rows
+    extra = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    sup = {r.doc_id for r in
+           sample_mixture(d.unionByName(extra), "doc_id", rates, "lang").collect()}
+    assert kept1 == {i for i in sup if i < 1_000_000}
+
+    with pytest.raises(ValueError, match="rate"):
+        sample_mixture(d, "doc_id", {"en": 1.5}, "lang")
