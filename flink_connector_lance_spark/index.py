@@ -258,6 +258,7 @@ def ivf_index_knn(
     query,
     k: int = 10,
     nprobes: int | None = None,
+    ef: int | None = None,
     options: DatasetOptions | None = None,
     tiebreak_cols=(),
     round_digits: int | None = None,
@@ -268,7 +269,10 @@ def ivf_index_knn(
     rows assigned to probed cells (cell filter pushed into the
     assignments parquet scan, broadcast semi-join into the dataset),
     exact top-k on the survivors — the reference's search shape
-    (ref LanceVectorSearch.java:146-201) without the native library."""
+    (ref LanceVectorSearch.java:146-201) without the native library.
+    ``ef`` bounds the scored candidate pool to the max(ef, k)
+    coarse-nearest probed rows (``vector.ef``, the same contract as
+    lsh_candidate_pool / pq_search)."""
     from .functions import vector as V
     from .operators.knn import knn
     from .sources.reader import read_dataset
@@ -313,6 +317,17 @@ def ivf_index_knn(
             candidates = candidates.unionByName(
                 spark.read.parquet(*uncovered).select(*df.columns)
             )
+    eff = ef if ef is not None else (options.vector_ef if options is not None else None)
+    if eff is not None:
+        if eff <= 0:
+            raise ValueError("ef must be positive")
+        # candidate-pool bound: keep the max(ef, k) coarse-nearest probed
+        # rows (2-decimal distance) before the exact top-k
+        candidates = knn(candidates, column, q, k=max(int(eff), k),
+                         metric=meta.get("metric", "l2"), filter=filter,
+                         tiebreak_cols=tiebreak_cols, round_digits=2,
+                         distance_col="_coarse").drop("_coarse")
+        filter = None  # already applied inside the pool selection
     # filtered ANN (ref LanceVectorSearch.java:166-201): the predicate
     # narrows the probed candidate set before the exact top-k
     return knn(candidates, column, q, k=k, metric=meta.get("metric", "l2"),
@@ -420,7 +435,7 @@ def search_dataset(
                 f"{meta['metric']!r}, not {metric!r} — rebuild or search brute-force"
             )
         return ivf_index_knn(spark, path, column, query, k=k, nprobes=nprobes,
-                             options=options, tiebreak_cols=tiebreak_cols,
+                             ef=ef, options=options, tiebreak_cols=tiebreak_cols,
                              round_digits=round_digits, filter=filter)
     return knn(read_dataset(spark, path), column, query, k=k, metric=metric,
                filter=filter, tiebreak_cols=tiebreak_cols, round_digits=round_digits)

@@ -122,3 +122,31 @@ def test_lsh_ef_resolves_from_options(embeddings):
     explicit = A.lsh_knn(embeddings, "embedding", QUERY, k=5, planes=planes,
                          ef=6, tiebreak_cols=["vec_id"], round_digits=6)
     assert [r.vec_id for r in via_opts.collect()] == [r.vec_id for r in explicit.collect()]
+
+
+def test_ivf_index_ef_bounds_candidate_pool(spark, sf_dir, tmp_path):
+    """ef on the emulated-IVF route: with ef >= probed rows results equal
+    the uncapped search; ef=k narrows the pool to the coarse top-k."""
+    from flink_connector_lance_spark.index import build_index, ivf_index_knn
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    path = str(tmp_path / "ds")
+    e = load_table(spark, sf_dir, "embeddings")
+    write_dataset(e, path, mode="overwrite")
+    res = build_index(path, "embedding", index_type="ivf_flat", spark=spark,
+                      id_col="vec_id", replace=True)
+    assert res.success, res.error
+
+    plain = ivf_index_knn(spark, path, "embedding", QUERY, k=5, nprobes=2,
+                          tiebreak_cols=["vec_id"], round_digits=6)
+    wide = ivf_index_knn(spark, path, "embedding", QUERY, k=5, nprobes=2,
+                         ef=100_000, tiebreak_cols=["vec_id"], round_digits=6)
+    assert [r.vec_id for r in wide.collect()] == [r.vec_id for r in plain.collect()]
+    # ef=k: pool narrows to the coarse top-k of the probed rows — row
+    # count matches the uncapped search (both bounded by the probed pool)
+    narrow = ivf_index_knn(spark, path, "embedding", QUERY, k=5, nprobes=2,
+                           ef=5, tiebreak_cols=["vec_id"], round_digits=6)
+    assert narrow.count() == min(5, plain.count())
+    with pytest.raises(ValueError):
+        ivf_index_knn(spark, path, "embedding", QUERY, k=5, nprobes=2, ef=0)
