@@ -335,13 +335,20 @@ def decontaminate(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    overlap: DataFrame | None = None,
 ) -> DataFrame:
     """Training corpus minus contaminated documents: a left-anti join of
     ``train_df`` against the flagged ids from ``cross_corpus_overlap``.
-    The flagged set is tiny (true contamination), so it broadcasts."""
-    flagged = cross_corpus_overlap(
-        train_df, eval_df, text_col, id_col, shingle_k, threshold, max_doc_freq
-    ).select(F.col("train_id").alias(id_col)).distinct()
+    The flagged set is tiny (true contamination), so it broadcasts.
+
+    Pass ``overlap`` (a prior ``cross_corpus_overlap`` result) when the
+    caller also reports the flagged pairs — otherwise the postings join
+    over the full train corpus runs twice."""
+    if overlap is None:
+        overlap = cross_corpus_overlap(
+            train_df, eval_df, text_col, id_col, shingle_k, threshold, max_doc_freq
+        )
+    flagged = overlap.select(F.col("train_id").alias(id_col)).distinct()
     return train_df.join(F.broadcast(flagged), on=id_col, how="left_anti")
 
 

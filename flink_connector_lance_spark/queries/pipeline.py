@@ -186,8 +186,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     contam = D.cross_corpus_overlap(d, ev, "text", "doc_id", shingle_k=3,
                                     threshold=_DECON_THRESHOLD)
-    kept = D.decontaminate(d, ev, "text", "doc_id", shingle_k=3,
-                           threshold=_DECON_THRESHOLD).count()
+    # reuse the overlap: the postings join over the train corpus runs once
+    kept = D.decontaminate(d, ev, "text", "doc_id", overlap=contam).count()
     return (
         pairs.select(F.lit("pair").alias("kind"), "id_a", "id_b", "jaccard")
         .unionByName(contam.select(
