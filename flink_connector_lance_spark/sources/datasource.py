@@ -68,6 +68,24 @@ if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
 
 FORMAT_NAME = "lance"
+
+
+def _norm_path(path: "str | None") -> "str | None":
+    """Accept file: URIs alongside plain paths (catalog-normalized
+    locations arrive as file:/x or file:///x).
+
+    Note the SQL route for catalog tables is ``LanceCatalog.
+    register_table`` (temp view): Spark 4.1's Python data source API
+    re-creates the source with EMPTY options when a ``CREATE TABLE ...
+    USING lance`` table is read, so neither OPTIONS(path ...) nor
+    LOCATION survive to the reader — the capability gap SURVEY.md §7.2
+    anticipated. The DataFrame API (``spark.read.format("lance")
+    .load(path)``) and temp views are unaffected."""
+    if path and path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    return path
 DEFAULT_BATCH_SIZE = 1024  # ref config/LanceOptions.java:56-60
 
 
@@ -188,7 +206,7 @@ def _fragment_may_match(stats: dict | None, row_count: int, f: Filter) -> bool:
 
 class LanceDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
-        self._path = options.get("path")
+        self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
         v = options.get("version")
@@ -277,7 +295,7 @@ def _drop_fragments(path: str, messages) -> None:
 
 class LanceDataSourceWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
-        self._path = options.get("path")
+        self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
         self._mode = "overwrite" if overwrite else "append"
@@ -313,7 +331,7 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
     EPOCH_KEY = "stream_epoch"
 
     def __init__(self, options: dict):
-        self._path = options.get("path")
+        self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
 
@@ -359,7 +377,7 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options: dict):
-        self._path = options.get("path")
+        self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
         self._batch_size = int(options.get("read.batch-size", DEFAULT_BATCH_SIZE))
@@ -411,7 +429,7 @@ class LanceDataSource(DataSource):
 
         from ..types import arrow_schema_to_spark
 
-        path = self.options.get("path")
+        path = _norm_path(self.options.get("path"))
         if not path:
             raise ValueError("lance datasource requires a 'path' option")
         v = self.options.get("version")
