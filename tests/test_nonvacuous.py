@@ -30,3 +30,28 @@ MUST_PRODUCE = [
 @pytest.mark.parametrize("name", MUST_PRODUCE)
 def test_produces_rows(name, spark, sf_dir):
     assert REGISTRY[name].fn(spark, sf_dir).limit(1).count() > 0, f"{name} returned 0 rows"
+
+
+# Merged queries carry multiple tagged branches; the query staying
+# non-empty doesn't prove every branch contributes. Pin per-branch
+# non-vacuity so a branch can't silently go empty.
+TAGGED_BRANCHES = {
+    "dedup_ngram_jaccard": ("kind", {"pair", "contam", "decon_kept"}),
+    "knn_join_batch": ("kind", {"exact", "lsh"}),
+    "train_split_stratified": ("kind", {"split", "mixture"}),
+    "knn_l2_dot": ("metric", {"l2", "dot"}),
+    "source_version_travel": (
+        "stage",
+        {"v0", "v1", "v1_meta", "compacted", "deleted", "merged", "vacuumed"},
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TAGGED_BRANCHES))
+def test_every_tagged_branch_produces_rows(name, spark, sf_dir):
+    col, expected = TAGGED_BRANCHES[name]
+    got = {
+        r[col]
+        for r in REGISTRY[name].fn(spark, sf_dir).select(col).distinct().collect()
+    }
+    assert expected <= got, f"{name}: missing branches {expected - got}"
