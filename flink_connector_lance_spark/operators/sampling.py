@@ -62,6 +62,56 @@ def stratified_split(
     return df.withColumn(split_col, expr)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+    skew_buckets: int | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen deterministically — the
+    per-domain / per-source cap every crawl-scale pipeline applies so one
+    hot domain can't dominate the training mixture.
+
+    Selection order is a global deterministic priority
+    ``md5(id || ':' || salt)`` (ties broken by id), so the surviving set
+    is stable across runs, engines, and appends of NEW higher-priority
+    rows only — and re-derivable by any downstream system (same md5
+    contract as stratified_split).
+
+    Scale: the naive shape is one window (rank over key, keep <= cap),
+    which funnels EVERY row of a hot key through one task — the exact
+    skew this operator exists to fight. ``skew_buckets=B`` runs the
+    two-stage equivalent: stage 1 ranks within (key, id-hash bucket) and
+    keeps ``cap`` per bucket (each task sees at most 1/B of a hot key),
+    stage 2 ranks the surviving <= B*cap rows per key. The result is
+    IDENTICAL to the one-stage rank: the global top-``cap`` by priority
+    is contained in the union of per-bucket top-``cap``s."""
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    out = df.withColumn("__pri", pri)
+    if skew_buckets is not None:
+        if skew_buckets <= 0:
+            raise ValueError("skew_buckets must be positive")
+        out = out.withColumn("__b", hash_bucket(id_col, skew_buckets, salt + "b"))
+        w1 = Window.partitionBy(key_col, "__b").orderBy("__pri", id_col)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn", "__b")
+        )
+    w = Window.partitionBy(key_col).orderBy("__pri", id_col)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__pri")
+    )
+
+
 def sample_mixture(
     df: DataFrame,
     id_col: str,

@@ -257,6 +257,106 @@ def redact_pii(df, text_col: str, patterns=None):
     return out.drop(*[f"__red_{k}" for k, _, _ in pats])
 
 
+def line_dedup(df, text_col: str, id_col: str, max_doc_freq: int = 1,
+               line_sep: str = "\n"):
+    """Corpus-level line deduplication: remove lines that appear in more
+    than ``max_doc_freq`` DISTINCT documents — the C4/CCNet-style
+    boilerplate scrub (navigation bars, cookie banners, share buttons)
+    that per-document dedup can never catch because each copy lives in a
+    different document.
+
+    Returns one row per input document:
+    ``(id_col, n_lines, n_kept_lines, cleaned)`` where ``cleaned`` is the
+    document's surviving lines re-joined in original order (empty string
+    when every line was boilerplate) and ``n_lines`` counts non-empty
+    lines before the scrub.
+
+    Scale shape (the 100 TB contract):
+    - one posexplode of non-empty lines (linear, no shuffle);
+    - doc-frequency per md5 line key as ONE partial+final aggregate —
+      map-side combine collapses each partition's line multiset, so the
+      hot boilerplate keys arrive at their reducer as one partial count
+      per map partition (frequency skew absorbed exactly like a word
+      count);
+    - the HOT key set (df > threshold) is tiny by construction —
+      boilerplate is the rare repeated tail — so the left_anti join that
+      drops hot lines broadcasts under AQE instead of reshuffling the
+      corpus;
+    - one groupBy(id) to reassemble (array_sort over (pos, line) structs —
+      no per-document window).
+    Never an all-pairs comparison anywhere.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+        )
+        .filter(F.trim("__line") != "")
+        .withColumn("__k", F.md5(F.trim("__line")))
+    )
+    hot = (
+        lines.groupBy("__k")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__k")
+    )
+    kept = lines.join(hot, "__k", "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            line_sep,
+        ).alias("cleaned"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_lines",
+        F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
+def chunk_documents(df, text_col: str, id_col: str,
+                    chunk_tokens: int = 64, stride: int = 48):
+    """Split each document into fixed-size sliding token windows — the
+    chunking pass that prepares a corpus for embedding / RAG indexing
+    (chunk k covers tokens [1 + k*stride, 1 + k*stride + chunk_tokens),
+    1-based; overlap = chunk_tokens - stride).
+
+    Returns one row per chunk:
+    ``(id_col, chunk_idx, start_token, n_chunk_tokens, chunk_hash)``
+    with ``chunk_idx`` 0-based in document order and ``chunk_hash`` the
+    md5 of the space-joined chunk text (the downstream join key to attach
+    embeddings back to chunks without re-shipping the text).
+
+    Pure codegen: tokens materialize once per row, starts are a
+    ``sequence`` literal, the only row expansion is the posexplode —
+    no shuffle at all, linear at any corpus size. Every document yields
+    at least one chunk (an empty text yields one empty chunk)."""
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    base = df.select(F.col(id_col), tokens(text_col).alias("__ws"))
+    n = F.size("__ws")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    exploded = base.select(
+        F.col(id_col),
+        F.col("__ws"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice("__ws", F.col("__start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("__start").alias("start_token"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
 def top_tokens(df, text_col: str, k: int = 100, min_len: int = 1):
     """Corpus-level heavy hitters: the ``k`` most frequent tokens and their
     counts — vocabulary profiling for a training corpus (stopword lists,

@@ -401,6 +401,25 @@ def text_stats(spark, sf_dir):
     )
 
 
+# line-dedup branch constants: the corpus is single-line word salad, so
+# multi-line bodies with KNOWN cross-document boilerplate are synthesized
+# deterministically from doc_id (same trick as text_pii_redact): a promo
+# line shared by ~1/7 of the corpus and a newsletter line shared by ALL
+# docs (both boilerplate, removed), a line shared by exactly 2 docs
+# (df == max_doc_freq boundary, kept), and a unique ref line (kept).
+_LD_MAX_DF = 2
+# chunking branch: small windows so the ~100-token synthetic docs yield
+# several overlapping chunks each (overlap = 32 - 24 = 8 tokens)
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+_LD_SYNTH_SQL = (
+    "text || chr(10) || 'promo code ' || (doc_id % 7)::VARCHAR || chr(10) || "
+    "'subscribe to our newsletter' || chr(10) || "
+    "'shared ' || (doc_id % 250)::VARCHAR || chr(10) || 'ref ' || doc_id::VARCHAR"
+)
+
+
 @register(
     "text_langid_fingerprint",
     oracle=(
@@ -410,8 +429,8 @@ def text_stats(spark, sf_dir):
                 f"len(list_filter(ws, x -> x IN ({', '.join(repr(m) for m in markers)}))) AS s_{lang}"
                 for lang, markers in T.LANG_PROFILES.items()
             )
-            + f" FROM (SELECT doc_id, lang, {_WS} AS ws FROM documents))\n"
-            + "SELECT doc_id, lang AS declared, CASE "
+            + f" FROM (SELECT doc_id, lang, {_WS} AS ws FROM documents)),\n"
+            + "langid AS (SELECT doc_id, lang AS declared, CASE "
             + " ".join(
                 "WHEN "
                 + " AND ".join(
@@ -422,22 +441,85 @@ def text_stats(spark, sf_dir):
             )
             + f" ELSE '{next(iter(T.LANG_PROFILES))}' END AS predicted, "
             + f"CAST(list_sum(list_transform(ws, (w, i) -> {_H32.format(x='w')} * i)) AS BIGINT)"
-            + " AS fingerprint FROM scored"
+            + " AS fingerprint FROM scored),\n"
+            + f"t0 AS (SELECT doc_id, {_LD_SYNTH_SQL} AS t FROM documents),\n"
+            + "ln AS (SELECT doc_id, line, pos FROM ("
+            + "SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
+            + "generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM t0"
+            + ") WHERE trim(line) != ''),\n"
+            + "hot AS (SELECT md5(trim(line)) AS k FROM ln GROUP BY 1 "
+            + f"HAVING count(DISTINCT doc_id) > {_LD_MAX_DF}),\n"
+            + "kept AS (SELECT doc_id, pos, line FROM ln "
+            + "WHERE md5(trim(line)) NOT IN (SELECT k FROM hot)),\n"
+            + "ld AS (SELECT tot.doc_id, tot.n_lines, "
+            + "coalesce(kp.n_kept, 0) AS n_kept_lines, "
+            + "md5(coalesce(kp.cleaned, '')) AS clean_hash "
+            + "FROM (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1) tot "
+            + "LEFT JOIN (SELECT doc_id, count(*) AS n_kept, "
+            + "string_agg(line, chr(10) ORDER BY pos) AS cleaned "
+            + "FROM kept GROUP BY 1) kp USING (doc_id)),\n"
+            + "ck AS (SELECT doc_id, chunk_idx, md5(array_to_string("
+            + f"list_slice(ws, start, start + {_CHUNK_TOKENS - 1}), ' ')) AS chunk_hash "
+            + "FROM (SELECT doc_id, ws, "
+            + f"unnest(generate_series(1, greatest(len(ws), 1), {_CHUNK_STRIDE})) AS start, "
+            + f"generate_subscripts(generate_series(1, greatest(len(ws), 1), {_CHUNK_STRIDE}), 1) - 1 AS chunk_idx "
+            + f"FROM (SELECT doc_id, {_WS} AS ws FROM documents))),\n"
+            + "ca AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            + "md5(string_agg(chunk_hash, '' ORDER BY chunk_idx)) AS chunks_hash "
+            + "FROM ck GROUP BY 1)\n"
+            + "SELECT langid.doc_id, declared, predicted, fingerprint, "
+            + "n_lines, n_kept_lines, clean_hash, n_chunks, chunks_hash "
+            + "FROM langid JOIN ld USING (doc_id) JOIN ca USING (doc_id)"
         )
     )(),
-    doc="Marker-frequency language-ID heuristic (deterministic argmax, "
-        "profile-order tiebreak) + position-weighted rolling document "
-        "fingerprint over 32-bit md5 token hashes — one zero-shuffle "
-        "codegen projection.",
+    doc="Per-document text-hygiene suite, three operator branches joined "
+        "on doc_id: (1) marker-frequency language-ID heuristic "
+        "(deterministic argmax, profile-order tiebreak) + "
+        "position-weighted rolling document fingerprint over 32-bit md5 "
+        "token hashes — one zero-shuffle codegen projection; (2) "
+        "corpus-level line dedup (operators.text.line_dedup): boilerplate "
+        "lines appearing in > 2 distinct docs removed (known boilerplate "
+        "synthesized deterministically from doc_id onto the single-line "
+        "corpus), per-doc kept-line counts + md5 of the reassembled text, "
+        "with the df == threshold boundary exercised by a line shared by "
+        "exactly 2 docs; (3) sliding-window chunking (operators.text."
+        "chunk_documents, 32-token windows, stride 24): per-doc chunk "
+        "count + md5 over the ordered chunk hashes pins every chunk's "
+        "content, order, and boundaries.",
 )
 def text_langid_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    base = d.select(
         "doc_id",
         F.col("lang").alias("declared"),
         T.lang_id("text").alias("predicted"),
         T.fingerprint("text").alias("fingerprint"),
     )
+    synth = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.concat(F.lit("promo code "), (F.col("doc_id") % 7).cast("string")),
+        F.lit("subscribe to our newsletter"),
+        F.concat(F.lit("shared "), (F.col("doc_id") % 250).cast("string")),
+        F.concat(F.lit("ref "), F.col("doc_id").cast("string")),
+    )
+    ld = T.line_dedup(
+        d.select("doc_id", synth.alias("t")), "t", "doc_id", max_doc_freq=_LD_MAX_DF
+    ).select("doc_id", "n_lines", "n_kept_lines", F.md5("cleaned").alias("clean_hash"))
+    ch = T.chunk_documents(d, "text", "doc_id", _CHUNK_TOKENS, _CHUNK_STRIDE)
+    ca = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_hash"))),
+                    lambda s: s["chunk_hash"],
+                ),
+            )
+        ).alias("chunks_hash"),
+    )
+    return base.join(ld, "doc_id").join(ca, "doc_id")
 
 
 # --- dataset splitting -------------------------------------------------------
@@ -447,6 +529,10 @@ def text_langid_fingerprint(spark, sf_dir):
 _MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 _MIX_DEFAULT = 0.1
 _MIX_RESOLUTION = 10_000
+
+# cap branch: at most N docs per source (the per-domain crawl cap); the
+# corpus has 25 docs per source at sf0.01, so the cap genuinely drops rows
+_CAP_PER_SOURCE = 10
 
 
 @register(
@@ -479,16 +565,31 @@ _MIX_RESOLUTION = 10_000
            count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
     FROM mixed
     GROUP BY lang
+    UNION ALL
+    SELECT 'cap' AS kind, source AS lang, 'kept' AS split,
+           count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+    FROM (SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(doc_id::VARCHAR || ':cap'), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= {_CAP_PER_SOURCE}
+    GROUP BY source
     """,
-    doc="Two tagged branches of deterministic md5-bucket sampling "
+    doc="Three tagged branches of deterministic md5-bucket sampling "
         "(engine-portable, sticky under appends): 'split' — 80/10/10 "
         "train/val/test assignment (operators.sampling.stratified_split), "
         "verified stratified via per-language counts and mean doc length; "
         "'mixture' — per-language weighted downsampling "
         "(operators.sampling.sample_mixture, the data-MIXING knob: keep "
-        "50% of en, 100% of de, 25% of fr, 10% of the rest). Both are "
-        "pure codegen projections + one partial+final aggregate; no "
-        "shuffle before the groupBy.",
+        "50% of en, 100% of de, 25% of fr, 10% of the rest); 'cap' — "
+        "per-source row cap (operators.sampling.cap_per_key, the "
+        "per-domain crawl cap: keep the 10 highest-md5-priority docs of "
+        "each source), run through the two-stage skew path "
+        "(skew_buckets=4) and checked against the oracle's one-stage "
+        "row_number definition — proving the skew-safe plan computes the "
+        "identical set. The first two are pure codegen projections + one "
+        "partial+final aggregate; the cap is bounded-fan-in windows "
+        "(each stage-1 task sees at most 1/4 of a hot key).",
 )
 def train_split_stratified(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -504,7 +605,13 @@ def train_split_stratified(spark, sf_dir):
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     ).select(F.lit("mixture").alias("kind"), "lang",
              F.lit("kept").alias("split"), "cnt", "avg_chars")
-    return split_rows.unionByName(mix_rows)
+    capped = S.cap_per_key(d, "source", "doc_id", _CAP_PER_SOURCE, skew_buckets=4)
+    cap_rows = capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    ).select(F.lit("cap").alias("kind"), F.col("source").alias("lang"),
+             F.lit("kept").alias("split"), "cnt", "avg_chars")
+    return split_rows.unionByName(mix_rows).unionByName(cap_rows)
 
 
 @register(

@@ -38,7 +38,7 @@ def test_produces_rows(name, spark, sf_dir):
 TAGGED_BRANCHES = {
     "dedup_ngram_jaccard": ("kind", {"pair", "contam", "decon_kept"}),
     "knn_join_batch": ("kind", {"exact", "lsh"}),
-    "train_split_stratified": ("kind", {"split", "mixture"}),
+    "train_split_stratified": ("kind", {"split", "mixture", "cap"}),
     "knn_l2_dot": ("metric", {"l2", "dot"}),
     "source_version_travel": (
         "stage",
@@ -55,3 +55,20 @@ def test_every_tagged_branch_produces_rows(name, spark, sf_dir):
         for r in REGISTRY[name].fn(spark, sf_dir).select(col).distinct().collect()
     }
     assert expected <= got, f"{name}: missing branches {expected - got}"
+
+
+def test_text_hygiene_branches_are_nonvacuous(spark, sf_dir):
+    """text_langid_fingerprint carries column-branches, not kind-branches:
+    the line-dedup columns must show lines actually removed AND actually
+    kept, and the chunking columns must show real multi-chunk splits —
+    otherwise the merged query passes parity while testing nothing."""
+    import pyspark.sql.functions as F
+
+    agg = REGISTRY["text_langid_fingerprint"].fn(spark, sf_dir).agg(
+        F.max(F.col("n_lines") - F.col("n_kept_lines")).alias("max_removed"),
+        F.min("n_kept_lines").alias("min_kept"),
+        F.max("n_chunks").alias("max_chunks"),
+    ).collect()[0]
+    assert agg["max_removed"] > 0, "no boilerplate line was ever removed"
+    assert agg["min_kept"] > 0, "a document lost ALL lines (unique ref line should survive)"
+    assert agg["max_chunks"] > 1, "no document produced more than one chunk"
