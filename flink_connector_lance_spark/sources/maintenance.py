@@ -348,6 +348,7 @@ def merge_rows(
     path: str,
     updates: DataFrame,
     key: str,
+    commit_meta: dict | None = None,
 ) -> FR.Manifest:
     """MERGE (upsert) by key in ONE atomic commit: rows whose ``key``
     appears in ``updates`` are replaced, new keys are inserted.
@@ -423,7 +424,8 @@ def merge_rows(
         ]
         return FR.commit(
             path, fragments, mode="overwrite",
-            meta={"merge": {"rewrote": len(affected), "key": key,
+            meta={**(commit_meta or {}),
+                  "merge": {"rewrote": len(affected), "key": key,
                             "base_version": manifest.version}},
         )
     finally:

@@ -59,6 +59,71 @@ def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
     return manifest
 
 
+def commit_epoch_upsert(batch_df: DataFrame, epoch_id: int, path: str, key: str,
+                        order_col: str | None = None) -> FR.Manifest | None:
+    """Idempotent per-epoch MERGE: upsert the micro-batch by ``key`` into
+    the dataset as ONE atomic commit (sources.maintenance.merge_rows —
+    copy-on-write, only affected fragments rewrite), skipping epochs
+    already in the manifest chain. The streaming changelog analog the
+    reference cannot express (its sink is insert-only,
+    ref table/LanceDynamicTableSink.java:52-56): a CDC/upsert stream
+    materializes to current-state-per-key instead of an append log.
+
+    ``order_col``: last-writer-wins WITHIN a micro-batch — keep the row
+    with the highest (order_col, then any-column tiebreak via row_number
+    determinism) per key before merging. Without it, duplicate keys in
+    one batch are an error (merge_rows' upsert contract).
+
+    The first epoch against a non-existent dataset degrades to a plain
+    append (there is nothing to merge into)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ..sources.maintenance import merge_rows
+
+    if epoch_committed(path, epoch_id):
+        return None
+    b = batch_df
+    if order_col is not None:
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        b = (b.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+    if not FR.is_dataset(path):
+        manifest = write_dataset(b, path, mode=WriteMode.APPEND,
+                                 commit_meta={EPOCH_META_KEY: epoch_id})
+    else:
+        manifest = merge_rows(b.sparkSession, path, b, key,
+                              commit_meta={EPOCH_META_KEY: epoch_id})
+    os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
+    marker = _epoch_marker(path, epoch_id)
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"epoch": epoch_id, "version": manifest.version}, fh)
+    os.replace(marker + ".tmp", marker)
+    return manifest
+
+
+def stream_upsert_dataset(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key: str,
+    order_col: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """``writeStream.foreachBatch`` upsert wiring: each micro-batch MERGEs
+    by ``key`` (exactly-once via the same epoch ledger as
+    stream_write_dataset) — reading the dataset always shows the latest
+    row per key, with full MVCC history across epochs."""
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda bdf, eid: commit_epoch_upsert(bdf, eid, path, key, order_col))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_write_dataset(
     stream_df: DataFrame,
     path: str,

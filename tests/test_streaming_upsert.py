@@ -1,0 +1,87 @@
+"""Streaming upsert sink: CDC-style micro-batches MERGE into the dataset
+by key with exactly-once epochs — the changelog-consuming counterpart of
+the insert-only streaming sink."""
+
+from __future__ import annotations
+
+import os
+
+from flink_connector_lance_spark.sources import fragments as FR
+from flink_connector_lance_spark.sources.reader import read_dataset
+from flink_connector_lance_spark.streaming.sink import (
+    commit_epoch_upsert,
+    stream_upsert_dataset,
+)
+
+
+def _write_batch(spark, src, name, rows):
+    spark.createDataFrame(rows, "id long, val string, seq long").coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(src, name))
+
+
+def _stream(spark, src):
+    return (spark.readStream.schema("id long, val string, seq long")
+            .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+
+
+def test_stream_upsert_materializes_latest_state_per_key(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "ds", "ck"))
+    os.makedirs(src)
+
+    _write_batch(spark, src, "b1", [(1, "a1", 1), (2, "b1", 1), (3, "c1", 1)])
+    q = stream_upsert_dataset(_stream(spark, src), out, ckpt, key="id",
+                              trigger_available_now=True)
+    q.awaitTermination(120)
+    state = {r.id: r.val for r in read_dataset(spark, out).collect()}
+    assert state == {1: "a1", 2: "b1", 3: "c1"}
+
+    # batch 2 updates key 2, inserts key 4; key 1/3 untouched
+    _write_batch(spark, src, "b2", [(2, "b2", 2), (4, "d1", 2)])
+    q2 = stream_upsert_dataset(_stream(spark, src), out, ckpt, key="id",
+                               trigger_available_now=True)
+    q2.awaitTermination(120)
+    df = read_dataset(spark, out)
+    assert {r.id: r.val for r in df.collect()} == {1: "a1", 2: "b2", 3: "c1", 4: "d1"}
+    assert df.count() == 4  # upsert, not append: one row per key
+
+    # MVCC: the pre-update version still shows the old value of key 2
+    first_v = 0
+    v0 = {r.id: r.val for r in read_dataset(spark, out, version=first_v).collect()}
+    assert v0[2] == "b1" and 4 not in v0
+
+
+def test_stream_upsert_epochs_are_idempotent(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    b = spark.createDataFrame([(1, "x", 1)], "id long, val string, seq long")
+    assert commit_epoch_upsert(b, 0, out, key="id") is not None
+    v_after = FR.latest_version(out)
+    # redelivered epoch: no new version, no data change
+    assert commit_epoch_upsert(b, 0, out, key="id") is None
+    assert FR.latest_version(out) == v_after
+    assert read_dataset(spark, out).count() == 1
+
+
+def test_stream_upsert_last_writer_wins_within_batch(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    seed = spark.createDataFrame([(1, "old", 0)], "id long, val string, seq long")
+    commit_epoch_upsert(seed, 0, out, key="id")
+    # one batch carries TWO versions of key 1: seq orders them
+    b = spark.createDataFrame([(1, "mid", 5), (1, "new", 9), (2, "z", 1)],
+                              "id long, val string, seq long")
+    commit_epoch_upsert(b, 1, out, key="id", order_col="seq")
+    state = {r.id: (r.val, r.seq) for r in read_dataset(spark, out).collect()}
+    assert state == {1: ("new", 9), 2: ("z", 1)}
+
+
+def test_stream_upsert_duplicate_keys_without_order_col_raise(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    commit_epoch_upsert(
+        spark.createDataFrame([(1, "a", 1)], "id long, val string, seq long"),
+        0, out, key="id")
+    dup = spark.createDataFrame([(1, "x", 1), (1, "y", 2)],
+                                "id long, val string, seq long")
+    try:
+        commit_epoch_upsert(dup, 1, out, key="id")
+        raise AssertionError("expected ValueError on duplicate keys")
+    except ValueError as e:
+        assert "duplicate" in str(e)
