@@ -142,6 +142,9 @@ class DatasetOptions:
     write_batch_size: int = 1024
     write_mode: WriteMode = WriteMode.APPEND
     write_max_rows_per_file: int = 1_000_000
+    # beyond-reference: opt-in append-time schema evolution (the reference
+    # sink is static-schema); mirrors Spark's mergeSchema opt-in contract
+    schema_evolution: bool = False
     index_type: IndexType = IndexType.IVF_PQ
     index_column: str | None = None
     index_num_partitions: int = 256
@@ -200,6 +203,7 @@ class DatasetOptions:
             "write.batch-size": "write_batch_size",
             "write.mode": "write_mode",
             "write.max-rows-per-file": "write_max_rows_per_file",
+            "write.schema-evolution": "schema_evolution",
             "index.type": "index_type",
             "index.column": "index_column",
             "index.num-partitions": "index_num_partitions",
@@ -228,6 +232,8 @@ class DatasetOptions:
                 attr = key_map[k]
                 if attr in ints and v is not None:
                     v = int(v)
+                elif attr == "schema_evolution" and isinstance(v, str):
+                    v = v.strip().lower() in ("true", "1", "yes")
                 elif attr == "read_columns" and isinstance(v, str):
                     v = [c.strip() for c in v.split(",") if c.strip()]
                 kwargs[attr] = v

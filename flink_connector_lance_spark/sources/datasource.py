@@ -205,13 +205,17 @@ def _fragment_may_match(stats: dict | None, row_count: int, f: Filter) -> bool:
 
 
 class LanceDataSourceReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: "StructType | None" = None):
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
         v = options.get("version")
         self._version = int(v) if v is not None else None
         self._batch_size = int(options.get("read.batch-size", DEFAULT_BATCH_SIZE))
+        # the planned Spark schema (picklable): executors align each
+        # fragment's batches to it by name, null-filling columns an older
+        # (pre-evolution) fragment doesn't carry
+        self._schema = schema
         # typed Filter dataclasses are picklable; converted to pyarrow
         # expressions lazily on the executor (expressions don't need to
         # survive the driver->executor hop)
@@ -240,6 +244,7 @@ class LanceDataSourceReader(DataSourceReader):
         ]
 
     def read(self, partition: "FragmentPartition | None") -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
         import pyarrow.dataset as pads
 
         if partition is None:  # every fragment was pruned
@@ -249,8 +254,40 @@ class LanceDataSourceReader(DataSourceReader):
             e = _filter_to_arrow(f)
             expr = e if expr is None else (expr & e)
         dset = pads.dataset(partition.file, format="parquet")
-        scanner = dset.scanner(filter=expr, batch_size=self._batch_size)
-        yield from scanner.to_batches()
+
+        target = None
+        if self._schema is not None:
+            from ..types import spark_schema_to_arrow
+
+            t = spark_schema_to_arrow(self._schema)
+            if t != dset.schema:  # pre-evolution fragment: align by name
+                target = t
+        if target is None:
+            yield from dset.scanner(filter=expr, batch_size=self._batch_size).to_batches()
+            return
+
+        # a pushed filter may reference a column this fragment predates;
+        # then the scanner can't evaluate it — align first, filter after
+        # (null-filled columns make the expression well-defined)
+        file_cols = set(dset.schema.names)
+        filter_cols = {a for f in self._pushed for a in (f.attribute or ())}
+        push_to_scanner = expr is not None and filter_cols <= file_cols
+        scanner = dset.scanner(filter=expr if push_to_scanner else None,
+                               batch_size=self._batch_size)
+        for batch in scanner.to_batches():
+            arrays = []
+            for fld in target:
+                idx = batch.schema.get_field_index(fld.name)
+                arrays.append(
+                    batch.column(idx).cast(fld.type) if idx >= 0
+                    else pa.nulls(batch.num_rows, fld.type)
+                )
+            aligned = pa.RecordBatch.from_arrays(arrays, schema=target)
+            if expr is not None and not push_to_scanner:
+                tbl = pa.Table.from_batches([aligned]).filter(expr)
+                yield from tbl.to_batches()
+            else:
+                yield aligned
 
 
 def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
@@ -434,6 +471,13 @@ class LanceDataSource(DataSource):
             raise ValueError("lance datasource requires a 'path' option")
         v = self.options.get("version")
         manifest = FR.read_manifest(path, int(v) if v is not None else None)
+        # schema evolution: the manifest's recorded schema is authoritative
+        # (pre-evolution fragments lack the newer columns)
+        sj = manifest.meta.get("schema")
+        if sj:
+            import json
+
+            return StructType.fromJson(json.loads(sj))
         if not manifest.fragments:
             raise FileNotFoundError(f"dataset {path} (v{manifest.version}) has no fragments")
         # schema from the first fragment's footer: metadata-only read
@@ -441,7 +485,7 @@ class LanceDataSource(DataSource):
         return arrow_schema_to_spark(pq.read_schema(first))
 
     def reader(self, schema: StructType) -> LanceDataSourceReader:
-        return LanceDataSourceReader(dict(self.options))
+        return LanceDataSourceReader(dict(self.options), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceDataSourceWriter:
         return LanceDataSourceWriter(dict(self.options), overwrite)

@@ -143,17 +143,24 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
     os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
     for _ in range(max_retries):
         prev_v = latest_version(root)
-        if mode == "overwrite" or prev_v is None:
+        prev = read_manifest(root, prev_v) if prev_v is not None else None
+        if mode == "overwrite" or prev is None:
             fragments = list(new_fragments)
         else:
-            prev = read_manifest(root, prev_v)
             base = len(prev.fragments)
             fragments = prev.fragments + [
                 FragmentInfo(base + i, f.file, f.row_count, f.stats)
                 for i, f in enumerate(new_fragments)
             ]
         next_v = 0 if prev_v is None else prev_v + 1
-        manifest = Manifest(version=next_v, fragments=fragments, meta=dict(meta or {}))
+        new_meta = dict(meta or {})
+        # the table schema is a table-level property: commits that don't
+        # declare one (maintenance rewrites, datasource appends) inherit
+        # the previous version's, so evolution survives compaction/DELETE/
+        # MERGE/clustering without each call site threading it through
+        if "schema" not in new_meta and prev is not None and "schema" in prev.meta:
+            new_meta["schema"] = prev.meta["schema"]
+        manifest = Manifest(version=next_v, fragments=fragments, meta=new_meta)
         payload = json.dumps(
             {"version": next_v, "fragments": [asdict(f) for f in manifest.fragments],
              "meta": manifest.meta}

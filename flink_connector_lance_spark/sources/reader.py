@@ -66,7 +66,21 @@ def _read_local(spark, path, columns, filter, limit, version, opts) -> DataFrame
     files = FR.fragment_paths(path, manifest)
     if not files:
         raise FileNotFoundError(f"dataset {path} (v{manifest.version}) has no fragments")
-    df = spark.read.parquet(*files)
+    schema_json = manifest.meta.get("schema")
+    if schema_json:
+        # schema evolution: resolve every fragment against the version's
+        # recorded table schema BY NAME — pre-evolution fragments null-fill
+        # the columns they lack. One manifest read; no mergeSchema footer
+        # sweep over the file listing at plan time (the O(files) cost that
+        # kills planning at 100 TB).
+        import json
+
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(schema_json))
+        df = spark.read.schema(st).parquet(*files)
+    else:
+        df = spark.read.parquet(*files)
     return _apply_pushdowns(df, columns, filter, limit, opts)
 
 

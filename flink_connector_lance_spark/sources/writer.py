@@ -48,6 +48,13 @@ def write_dataset(
 
 def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions,
                  commit_meta: dict | None = None) -> FR.Manifest:
+    # append-time schema contract: align the batch to the table schema
+    # (reorder / refuse / evolve per write.schema-evolution) BEFORE any
+    # fragment is produced, so fragment files never carry a surprise shape
+    if mode is WriteMode.APPEND and FR.latest_version(path) is not None:
+        from .schema_evolution import align_for_append, dataset_schema
+
+        df = align_for_append(df, dataset_schema(path), opts.schema_evolution)
     data_dir = os.path.join(path, FR.DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     stage = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
@@ -62,7 +69,12 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
         from .maintenance import _promote_staged
 
         new_fragments = _promote_staged(path, stage)
-        return FR.commit(path, new_fragments, mode=mode.value, meta=commit_meta)
+        # the (possibly evolved) schema rides in the same atomic commit;
+        # maintenance commits inherit it (FR.commit), so it is the
+        # authoritative table schema until the next evolving write
+        meta = dict(commit_meta or {})
+        meta.setdefault("schema", df.schema.json())
+        return FR.commit(path, new_fragments, mode=mode.value, meta=meta)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
