@@ -79,20 +79,53 @@ def _simhash_sql() -> str:
 
 # --- dedup family ------------------------------------------------------------
 
+_VOCAB_TOP_K = 20
+
+
 @register(
     "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    oracle=f"""
+    SELECT 'dedup' AS kind, md5(text) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS dup_count
     FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    SELECT 'vocab' AS kind, token AS content_hash,
+           CAST(rank AS BIGINT) AS keep_id, cnt AS dup_count
+    FROM (
+        SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        FROM (SELECT token, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+              GROUP BY token)
+        ORDER BY cnt DESC, token LIMIT {_VOCAB_TOP_K})
     """,
-    doc="Exact dedup by content digest over a corpus with duplicates "
-        "(doubled input); keep-lowest-id policy. One digest shuffle, "
-        "map-side combinable.",
+    doc="Two content-frequency branches: 'dedup' — exact dedup by content "
+        "digest over a corpus with duplicates (doubled input), "
+        "keep-lowest-id policy, one digest shuffle, map-side combinable; "
+        "'vocab' — corpus vocabulary heavy hitters (operators.text."
+        "top_tokens): top-20 tokens with counts and deterministic rank "
+        "(count desc, token asc tiebreak) — explode + partial+final count "
+        "aggregate + TakeOrdered, the shape that absorbs token-frequency "
+        "skew ('the') as one partial count per map partition.",
 )
 def dedup_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(d.unionByName(d), "text", "doc_id")
+    dedup = D.exact_dedup(d.unionByName(d), "text", "doc_id").select(
+        F.lit("dedup").alias("kind"), "content_hash", "keep_id", "dup_count"
+    )
+    top = T.top_tokens(d, "text", k=_VOCAB_TOP_K)
+    # rank window runs AFTER the top-k limit: 20 rows, driver-trivial
+    vocab = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+    ).select(
+        F.lit("vocab").alias("kind"),
+        F.col("token").alias("content_hash"),
+        F.col("rank").cast("long").alias("keep_id"),
+        F.col("cnt").alias("dup_count"),
+    )
+    return dedup.unionByName(vocab)
 
 
 @register(

@@ -36,6 +36,7 @@ def test_produces_rows(name, spark, sf_dir):
 # non-empty doesn't prove every branch contributes. Pin per-branch
 # non-vacuity so a branch can't silently go empty.
 TAGGED_BRANCHES = {
+    "dedup_exact": ("kind", {"dedup", "vocab"}),
     "dedup_ngram_jaccard": ("kind", {"pair", "contam", "decon_kept"}),
     "knn_join_batch": ("kind", {"exact", "lsh"}),
     "train_split_stratified": ("kind", {"split", "mixture", "cap"}),
