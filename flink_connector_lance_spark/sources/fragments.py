@@ -158,8 +158,9 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
         # declare one (maintenance rewrites, datasource appends) inherit
         # the previous version's, so evolution survives compaction/DELETE/
         # MERGE/clustering without each call site threading it through
-        if "schema" not in new_meta and prev is not None and "schema" in prev.meta:
-            new_meta["schema"] = prev.meta["schema"]
+        for inherited in ("schema", "dropped_columns"):
+            if inherited not in new_meta and prev is not None and inherited in prev.meta:
+                new_meta[inherited] = prev.meta[inherited]
         manifest = Manifest(version=next_v, fragments=fragments, meta=new_meta)
         payload = json.dumps(
             {"version": next_v, "fragments": [asdict(f) for f in manifest.fragments],

@@ -59,19 +59,36 @@ def dataset_schema(path: str, version: int | None = None) -> StructType:
     return arrow_schema_to_spark(pq.read_schema(first))
 
 
+def dropped_columns(path: str, version: int | None = None) -> list[str]:
+    """Column names dropped from this dataset (manifest-tracked): the
+    column-resurrection guard — an evolving append may not re-introduce a
+    dropped name, because old fragments still physically carry the stale
+    values and name-based resolution would silently read them back. A
+    rewriting ``add_column`` clears the name (no old fragment survives)."""
+    return list(FR.read_manifest(path, version).meta.get("dropped_columns", []))
+
+
 def align_for_append(df: DataFrame, current: StructType,
-                     allow_evolution: bool) -> DataFrame:
+                     allow_evolution: bool, dropped: list[str] | None = None) -> DataFrame:
     """Project ``df`` onto the append-compatible schema.
 
     Same column set -> reorder to the table's order (fragment files stay
     uniform). Different set -> refused unless ``allow_evolution``; then
     the output schema is the table's columns (batch-missing ones as typed
     nulls) followed by the batch's NEW columns. A column present on both
-    sides with a different type is always an error."""
+    sides with a different type is always an error, as is re-adding a
+    previously dropped column (see ``dropped_columns``)."""
     cur = {f.name: f for f in current.fields}
     inc = {f.name: f for f in df.schema.fields}
     added = [n for n in df.schema.names if n not in cur]
     missing = [n for n in current.names if n not in inc]
+    resurrected = [n for n in added if n in set(dropped or [])]
+    if resurrected:
+        raise ValueError(
+            f"cannot re-add dropped column(s) {resurrected}: old fragments still "
+            "carry the stale values and name-based resolution would read them "
+            "back; use add_column (full backfill rewrite) to re-introduce the name"
+        )
     conflicts = [
         (n, str(cur[n].dataType), str(inc[n].dataType))
         for n in current.names
@@ -91,3 +108,87 @@ def align_for_append(df: DataFrame, current: StructType,
         for n in current.names
     ] + [F.col(n) for n in added]
     return df.select(*cols)
+
+
+def drop_columns(path: str, cols: list[str]) -> FR.Manifest:
+    """Drop columns in O(1): a metadata-only commit that narrows the
+    manifest schema — NO fragment is touched, the physical bytes simply
+    become invisible to readers (both read paths resolve by the manifest
+    schema). The native twin forwards to ``lance.dataset(path)
+    .drop_columns`` (Lance's own metadata-only drop). Old versions keep
+    the column (time travel); the name is recorded in
+    ``dropped_columns`` so a later append cannot resurrect stale values."""
+    if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
+        import lance
+
+        lance.dataset(path).drop_columns(list(cols))
+        from .maintenance import _native_manifest
+
+        return _native_manifest(path)
+    if not cols:
+        raise ValueError("drop_columns requires at least one column")
+    current = dataset_schema(path)
+    manifest = FR.read_manifest(path)
+    missing = [c for c in cols if c not in current.names]
+    if missing:
+        raise ValueError(f"cannot drop non-existent column(s) {missing}; "
+                         f"table schema is {current.names}")
+    if set(cols) >= set(current.names):
+        raise ValueError("cannot drop every column of the table")
+    new_st = StructType([f for f in current.fields if f.name not in set(cols)])
+    dropped = sorted(set(manifest.meta.get("dropped_columns", [])) | set(cols))
+    return FR.commit(
+        path, [], mode="append",
+        meta={"schema": new_st.json(), "dropped_columns": dropped,
+              "drop": {"columns": list(cols), "base_version": manifest.version}},
+    )
+
+
+def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
+    """Backfill a NEW computed column over the whole table as one commit.
+
+    ``expr`` is a SQL string or Column over the existing columns. The
+    emulated backend rewrites every fragment (copy-on-write; old versions
+    keep the old shape) — correct but O(table). The native twin forwards
+    to ``lance.dataset(path).add_columns({name: expr})``, Lance's
+    column-ONLY file append that never rewrites row data — the 100 TB
+    shape, which is why this routes native whenever the library exists.
+    Re-introducing a previously dropped name is allowed HERE (unlike an
+    evolving append): the rewrite leaves no old fragment to resurrect
+    stale values from, and the name is cleared from the dropped set."""
+    if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
+        import lance
+
+        if not isinstance(expr, str):
+            raise TypeError("native add_column requires a SQL string expression")
+        lance.dataset(path).add_columns({name: expr})
+        from .maintenance import _native_manifest
+
+        return _native_manifest(path)
+    import shutil
+    import uuid
+
+    current = dataset_schema(path)
+    if name in current.names:
+        raise ValueError(f"column {name!r} already exists; table schema is {current.names}")
+    manifest = FR.read_manifest(path)
+    from .reader import read_dataset
+
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    out = read_dataset(spark, path).withColumn(name, col)
+    stage = os.path.join(path, f"_addcol-{uuid.uuid4().hex}")
+    try:
+        out.write.mode("overwrite").parquet(stage)
+        from .maintenance import _promote_staged
+
+        new_frags = _promote_staged(path, stage)
+        fragments = [FR.FragmentInfo(i, f.file, f.row_count, f.stats)
+                     for i, f in enumerate(new_frags)]
+        dropped = [d for d in manifest.meta.get("dropped_columns", []) if d != name]
+        return FR.commit(
+            path, fragments, mode="overwrite",
+            meta={"schema": out.schema.json(), "dropped_columns": dropped,
+                  "add_column": {"name": name, "base_version": manifest.version}},
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

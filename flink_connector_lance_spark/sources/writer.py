@@ -52,9 +52,10 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
     # (reorder / refuse / evolve per write.schema-evolution) BEFORE any
     # fragment is produced, so fragment files never carry a surprise shape
     if mode is WriteMode.APPEND and FR.latest_version(path) is not None:
-        from .schema_evolution import align_for_append, dataset_schema
+        from .schema_evolution import align_for_append, dataset_schema, dropped_columns
 
-        df = align_for_append(df, dataset_schema(path), opts.schema_evolution)
+        df = align_for_append(df, dataset_schema(path), opts.schema_evolution,
+                              dropped=dropped_columns(path))
     data_dir = os.path.join(path, FR.DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     stage = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
@@ -74,6 +75,12 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
         # authoritative table schema until the next evolving write
         meta = dict(commit_meta or {})
         meta.setdefault("schema", df.schema.json())
+        if mode is WriteMode.OVERWRITE:
+            # a full overwrite replaces EVERY fragment, so no stale bytes
+            # survive: clear the column-resurrection guard (maintenance
+            # overwrites keep old fragment files and must inherit it,
+            # which FR.commit does when the key is absent)
+            meta.setdefault("dropped_columns", [])
         return FR.commit(path, new_fragments, mode=mode.value, meta=meta)
     finally:
         shutil.rmtree(stage, ignore_errors=True)

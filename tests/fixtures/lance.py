@@ -174,6 +174,42 @@ class _Dataset:
     def merge_insert(self, on: str) -> "_MergeInsert":
         return _MergeInsert(self, on)
 
+    def add_columns(self, exprs: dict) -> None:
+        """pylance ``add_columns({name: sql_expr})``: backfill computed
+        columns (the real library appends column-only files; the fake
+        rewrites — tests assert behavior, not IO shape). Expressions are
+        evaluated with duckdb, standing in for pylance's datafusion."""
+        import duckdb
+
+        out = []
+        for fr in self._frags:
+            t = pq.read_table(os.path.join(self._root, fr._file))
+            sel = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
+            con = duckdb.connect()
+            con.register("t", t)
+            t2 = con.execute(f"SELECT *, {sel} FROM t").arrow()
+            con.close()
+            name = f"data/{uuid.uuid4().hex}.parquet"
+            pq.write_table(t2, os.path.join(self._root, name))
+            out.append({"file": name, "rows": t2.num_rows})
+        self._commit_frags(out)
+        _log_op(self._root, {"op": "add_columns", "exprs": dict(exprs),
+                             "read_version": self.version})
+
+    def drop_columns(self, columns: list) -> None:
+        """pylance ``drop_columns``: metadata-only in the real library;
+        the fake rewrites without the columns (same visible result)."""
+        out = []
+        for fr in self._frags:
+            t = pq.read_table(os.path.join(self._root, fr._file))
+            t2 = t.drop_columns([c for c in columns if c in t.schema.names])
+            name = f"data/{uuid.uuid4().hex}.parquet"
+            pq.write_table(t2, os.path.join(self._root, name))
+            out.append({"file": name, "rows": t2.num_rows})
+        self._commit_frags(out)
+        _log_op(self._root, {"op": "drop_columns", "columns": list(columns),
+                             "read_version": self.version})
+
     def cleanup_old_versions(self, older_than=None, delete_unverified=False):
         """pylance ``cleanup_old_versions``: drop all versions but the
         newest, delete data files only the dropped versions referenced."""

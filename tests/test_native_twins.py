@@ -193,3 +193,40 @@ def test_native_vacuum_twin_issues_cleanup(fake_lance, spark, tmp_path):
 
     with _pt.raises(Exception):
         read_dataset(spark, path, version=1).count()
+
+
+def test_native_add_column_twin_issues_add_columns(fake_lance, spark, tmp_path):
+    import json
+
+    from flink_connector_lance_spark.sources.schema_evolution import add_column
+
+    path = str(tmp_path / "ds")
+    write_dataset(spark.range(20).selectExpr("id", "id * 10 AS v"), path,
+                  mode="overwrite")
+    add_column(spark, path, "doubled", "v * 2")
+    ops = json.load(open(f"{path}/_fake_ops.json"))
+    assert ops[-1]["op"] == "add_columns"
+    assert ops[-1]["exprs"] == {"doubled": "v * 2"}
+    df = read_dataset(spark, path)
+    assert "doubled" in df.columns
+    assert {(r.id, r.doubled) for r in df.collect()} == {(i, i * 20) for i in range(20)}
+    # native add_column requires a SQL string expression
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    with _pt.raises(TypeError, match="SQL string"):
+        add_column(spark, path, "bad", F.col("v") + 1)
+
+
+def test_native_drop_columns_twin_issues_drop_columns(fake_lance, spark, tmp_path):
+    import json
+
+    from flink_connector_lance_spark.sources.schema_evolution import drop_columns
+
+    path = str(tmp_path / "ds")
+    write_dataset(spark.range(10).selectExpr("id", "id % 3 AS label", "id * 2 AS v"),
+                  path, mode="overwrite")
+    drop_columns(path, ["label"])
+    ops = json.load(open(f"{path}/_fake_ops.json"))
+    assert ops[-1]["op"] == "drop_columns" and ops[-1]["columns"] == ["label"]
+    assert read_dataset(spark, path).columns == ["id", "v"]

@@ -118,3 +118,106 @@ def test_format_path_reads_evolved_dataset(spark, tmp_path):
     assert [(r.id, r.score) for r in got] == [(10, 1.5)]
     # filter on an original column still prunes/pushes normally
     assert {r.id for r in df.filter(F.col("id") < 2).collect()} == {0, 1}
+
+
+# --- column lifecycle: drop_columns / add_column -----------------------------
+
+def test_drop_columns_is_metadata_only_and_narrows_both_read_paths(spark, tmp_path):
+    from flink_connector_lance_spark.sources.datasource import register_lance_datasource
+    from flink_connector_lance_spark.sources.schema_evolution import drop_columns
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=3)
+    files_before = sorted(f.file for f in FR.read_manifest(path).fragments)
+    v_before = FR.latest_version(path)
+    drop_columns(path, ["a"])
+    # metadata-only: same fragment files, one new version
+    assert sorted(f.file for f in FR.read_manifest(path).fragments) == files_before
+    assert FR.latest_version(path) == v_before + 1
+    assert read_dataset(spark, path).columns == ["id"]
+    assert spark.read.format("lance").option("path", path).load().columns == ["id"]
+    # time travel: the column is still there in the old version
+    assert read_dataset(spark, path, version=v_before).columns == ["id", "a"]
+
+
+def test_drop_columns_validation(spark, tmp_path):
+    from flink_connector_lance_spark.sources.schema_evolution import drop_columns
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path)
+    with pytest.raises(ValueError, match="non-existent"):
+        drop_columns(path, ["nope"])
+    with pytest.raises(ValueError, match="every column"):
+        drop_columns(path, ["id", "a"])
+    with pytest.raises(ValueError, match="at least one"):
+        drop_columns(path, [])
+
+
+def test_dropped_column_cannot_be_resurrected_by_append(spark, tmp_path):
+    from flink_connector_lance_spark.sources.schema_evolution import drop_columns
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path)
+    drop_columns(path, ["a"])
+    back = spark.createDataFrame([(50, "stale?")], "id long, a string")
+    with pytest.raises(ValueError, match="re-add dropped"):
+        write_dataset(back, path, mode="append", options=EVOLVE)
+    # the guard survives a maintenance rewrite (old fragments persist)
+    delete_rows(spark, path, F.col("id") == 0)
+    with pytest.raises(ValueError, match="re-add dropped"):
+        write_dataset(back, path, mode="append", options=EVOLVE)
+
+
+def test_add_column_backfills_and_clears_resurrection_guard(spark, tmp_path):
+    from flink_connector_lance_spark.sources.schema_evolution import (
+        add_column,
+        drop_columns,
+        dropped_columns,
+    )
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=4)  # columns: id, a (a = "v{i}")
+    drop_columns(path, ["a"])
+    assert dropped_columns(path) == ["a"]
+    # re-introduce the NAME via a rewriting backfill: old "v{i}" values
+    # must NOT resurface
+    add_column(spark, path, "a", "concat('new', cast(id as string))")
+    df = read_dataset(spark, path)
+    assert df.columns == ["id", "a"]
+    assert {r.a for r in df.collect()} == {f"new{i}" for i in range(4)}
+    assert dropped_columns(path) == []
+    # and an evolving append with 'a' works again
+    write_dataset(spark.createDataFrame([(99, "ok")], "id long, a string"),
+                  path, mode="append")
+    assert read_dataset(spark, path).filter(F.col("id") == 99).collect()[0].a == "ok"
+
+
+def test_add_column_computed_values_and_refusals(spark, tmp_path):
+    from flink_connector_lance_spark.sources.schema_evolution import add_column
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=5)
+    add_column(spark, path, "id_sq", F.col("id") * F.col("id"))
+    got = {r.id: r.id_sq for r in read_dataset(spark, path).collect()}
+    assert got == {i: i * i for i in range(5)}
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(spark, path, "id_sq", "id + 1")
+
+
+def test_full_overwrite_clears_resurrection_guard(spark, tmp_path):
+    from flink_connector_lance_spark.sources.schema_evolution import (
+        drop_columns,
+        dropped_columns,
+    )
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path)
+    drop_columns(path, ["a"])
+    # a full overwrite replaces every fragment: no stale bytes survive
+    write_dataset(spark.createDataFrame([(1, "fresh")], "id long, a string"),
+                  path, mode="overwrite")
+    assert dropped_columns(path) == []
+    write_dataset(spark.createDataFrame([(2, "more")], "id long, a string"),
+                  path, mode="append")
+    assert read_dataset(spark, path).count() == 2
