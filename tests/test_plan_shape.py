@@ -160,3 +160,47 @@ def test_knn_join_lsh_never_broadcasts_large_sides(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_chunk_documents_is_zero_shuffle(spark, sf_dir):
+    # chunking is a pure projection + one generator: no Exchange anywhere
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = chunk_documents(d, "text", "doc_id", 32, 24) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_line_dedup_never_nested_loop_and_aggregates_partial_final(spark, sf_dir):
+    # doc-frequency must be a partial+final aggregate (map-side combine
+    # absorbs boilerplate-line skew) and no join may degenerate to a
+    # nested loop / cartesian product
+    import pyspark.sql.functions as F
+
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.text import line_dedup
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws("\n", "text", F.lit("boiler")).alias("t"))
+    plan = line_dedup(d, "t", "doc_id", max_doc_freq=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cap_per_key_skew_path_bounds_fan_in(spark, sf_dir):
+    # two-stage cap: stage 1 windows over (key, bucket) so no task sees a
+    # whole hot key; the plan must contain BOTH window exchanges and no
+    # single-partition funnel
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.sampling import cap_per_key
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = cap_per_key(d, "source", "doc_id", cap=5, skew_buckets=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "SinglePartition" not in plan
