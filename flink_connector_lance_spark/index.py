@@ -308,14 +308,17 @@ def ivf_index_knn(
     else:
         # no broadcast hint: probed ids can be a few % of the dataset — far
         # too big to broadcast at 100 TB. AQE broadcasts when it IS small.
-        candidates = spark.read.parquet(*covered).select(*df.columns).join(
+        from .sources.reader import read_fragment_files
+
+        m_now = FR.read_manifest(path)
+        candidates = read_fragment_files(spark, m_now, covered).select(*df.columns).join(
             probe_ids.select(id_col), on=id_col, how="left_semi"
         )
         if uncovered:
             # unindexed tail (rows appended/rewritten since the build):
             # exact-scored in full and unioned with the probed candidates
             candidates = candidates.unionByName(
-                spark.read.parquet(*uncovered).select(*df.columns)
+                read_fragment_files(spark, m_now, uncovered).select(*df.columns)
             )
     eff = ef if ef is not None else (options.vector_ef if options is not None else None)
     if eff is not None:

@@ -312,7 +312,11 @@ def pq_search(
     else:
         # candidate fetch ONLY from index-covered files (an id rewritten
         # into an uncovered file would otherwise be fetched twice)
-        survivors = spark.read.parquet(*covered).select(*df.columns).join(
+        from .sources import fragments as FR
+        from .sources.reader import read_fragment_files
+
+        m_now = FR.read_manifest(path)
+        survivors = read_fragment_files(spark, m_now, covered).select(*df.columns).join(
             cand.select(id_col), on=id_col, how="left_semi"
         )
         if uncovered:
@@ -320,7 +324,7 @@ def pq_search(
             # unindexed-fraction contract — appends are searchable
             # immediately, the index just covers less until rebuilt)
             survivors = survivors.unionByName(
-                spark.read.parquet(*uncovered).select(*df.columns)
+                read_fragment_files(spark, m_now, uncovered).select(*df.columns)
             )
     return knn(survivors, column, q, k=k, metric=meta.get("metric", "l2"),
                filter=filter, tiebreak_cols=tiebreak_cols, round_digits=round_digits)

@@ -51,14 +51,16 @@ def read_version_delta(
         raise ValueError(
             f"to_version {m_to.version} precedes from_version {m_from.version}"
         )
+    from .reader import read_fragment_files
+
     known = {f.file for f in m_from.fragments}
     new_files = [os.path.join(path, f.file) for f in m_to.fragments if f.file not in known]
     if not new_files:
         any_file = os.path.join(path, m_to.fragments[0].file) if m_to.fragments else None
         if any_file is None:
             raise FileNotFoundError(f"dataset {path} has no fragments at v{m_to.version}")
-        return spark.read.parquet(any_file).limit(0)
-    return spark.read.parquet(*new_files)
+        return read_fragment_files(spark, m_to, [any_file]).limit(0)
+    return read_fragment_files(spark, m_to, new_files)
 
 
 def table_statistics(path: str, version: int | None = None) -> dict:
@@ -87,6 +89,14 @@ def table_statistics(path: str, version: int | None = None) -> dict:
     for f in manifest.fragments:
         names = set(f.stats or {})
         tracked = names if tracked is None else (tracked & names)
+    # schema evolution: dropped columns may still have zone maps in old
+    # fragments — stats must describe the TABLE schema, not stale bytes
+    schema_json = manifest.meta.get("schema")
+    if schema_json:
+        import json as _json
+
+        visible = {f["name"] for f in _json.loads(schema_json)["fields"]}
+        tracked = (tracked or set()) & visible
     for c in sorted(tracked or set()):
         mins = [f.stats[c].get("min") for f in manifest.fragments]
         maxs = [f.stats[c].get("max") for f in manifest.fragments]
@@ -238,11 +248,16 @@ def compact_dataset(
     keep = [f for f in manifest.fragments if f.row_count >= threshold]
 
     # executors rewrite the runt rows into target-sized files in a staging
-    # dir; the driver promotes them and commits one new version
+    # dir; the driver promotes them and commits one new version. The scan
+    # resolves against the manifest schema: mixed pre/post-evolution runts
+    # must merge into the TABLE shape, not one sampled file's shape
+    from .reader import read_fragment_files
+
     stage = os.path.join(path, f"_compact-{uuid.uuid4().hex}")
     try:
         (
-            spark.read.parquet(*[os.path.join(path, f.file) for f in small])
+            read_fragment_files(spark, manifest,
+                                [os.path.join(path, f.file) for f in small])
             .write.option("maxRecordsPerFile", target_rows_per_fragment)
             .mode("overwrite")
             .parquet(stage)
@@ -301,9 +316,12 @@ def delete_rows(
     if not manifest.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments")
     by_abs = {os.path.join(path, f.file): f for f in manifest.fragments}
+    from .reader import read_fragment_files
 
     # one scan, predicate pushed: which files hold matching rows?
-    df = spark.read.parquet(*by_abs.keys())
+    # (manifest-schema-resolved: the predicate may reference a column old
+    # fragments predate — they null-fill instead of breaking the scan)
+    df = read_fragment_files(spark, manifest, list(by_abs))
     affected_files = {
         r.f for r in df.filter(pred)
         .select(F.input_file_name().alias("f")).distinct().collect()
@@ -324,7 +342,7 @@ def delete_rows(
         rewritten: list[FR.FragmentInfo] = []
         # SQL DELETE three-valued logic: delete rows where pred is TRUE;
         # rows where it evaluates NULL survive (~pred alone would drop them)
-        survivors = spark.read.parquet(*sorted(affected)).filter(
+        survivors = read_fragment_files(spark, manifest, sorted(affected)).filter(
             ~F.coalesce(pred, F.lit(False))
         )
         if survivors.limit(1).count() > 0:
@@ -384,7 +402,9 @@ def merge_rows(
             f"({n_upd} rows, {n_keys} distinct keys); deduplicate first"
         )
 
-    df = spark.read.parquet(*by_abs.keys())
+    from .reader import read_fragment_files
+
+    df = read_fragment_files(spark, manifest, list(by_abs))
     # capture the file name AT the scan: input_file_name() evaluates to ''
     # once a shuffle (the semi-join) has moved the row off its input split
     with_file = df.withColumn("__f", F.input_file_name())
@@ -404,7 +424,7 @@ def merge_rows(
         rewritten: list[FR.FragmentInfo] = []
         if affected:
             survivors = (
-                spark.read.parquet(*sorted(affected))
+                read_fragment_files(spark, manifest, sorted(affected))
                 .join(keys, on=key, how="left_anti")
             )
             if survivors.limit(1).count() > 0:
@@ -554,7 +574,10 @@ def cluster_dataset(
         raise ValueError("cluster_dataset requires at least one column")
     total = sum(f.row_count for f in manifest.fragments)
     n_frags = max(1, -(-total // target_rows_per_fragment))
-    df = spark.read.parquet(*[os.path.join(path, f.file) for f in manifest.fragments])
+    from .reader import read_fragment_files
+
+    df = read_fragment_files(spark, manifest,
+                             [os.path.join(path, f.file) for f in manifest.fragments])
 
     if zorder and len(by) >= 2:
         mm: dict[str, tuple] = {}

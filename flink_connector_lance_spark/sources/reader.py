@@ -61,26 +61,34 @@ def _apply_pushdowns(df: DataFrame, columns, filter, limit, opts: DatasetOptions
     return df
 
 
-def _read_local(spark, path, columns, filter, limit, version, opts) -> DataFrame:
-    manifest = FR.read_manifest(path, version)
-    files = FR.fragment_paths(path, manifest)
-    if not files:
-        raise FileNotFoundError(f"dataset {path} (v{manifest.version}) has no fragments")
+def read_fragment_files(spark, manifest: "FR.Manifest", files: list[str]) -> DataFrame:
+    """Scan explicit fragment files RESOLVED AGAINST the manifest schema.
+
+    Every internal scan (reads, maintenance rewrites) must go through
+    this: after schema evolution, fragments are heterogeneous, and a raw
+    ``spark.read.parquet(files)`` samples ONE file's schema — silently
+    dropping the newer columns from every other fragment (data loss if
+    the scan feeds a rewrite). With the recorded schema, fragments
+    resolve by name and pre-evolution files null-fill. One manifest read;
+    no mergeSchema footer sweep over the file listing at plan time (the
+    O(files) cost that kills planning at 100 TB)."""
     schema_json = manifest.meta.get("schema")
     if schema_json:
-        # schema evolution: resolve every fragment against the version's
-        # recorded table schema BY NAME — pre-evolution fragments null-fill
-        # the columns they lack. One manifest read; no mergeSchema footer
-        # sweep over the file listing at plan time (the O(files) cost that
-        # kills planning at 100 TB).
         import json
 
         from pyspark.sql.types import StructType
 
         st = StructType.fromJson(json.loads(schema_json))
-        df = spark.read.schema(st).parquet(*files)
-    else:
-        df = spark.read.parquet(*files)
+        return spark.read.schema(st).parquet(*files)
+    return spark.read.parquet(*files)
+
+
+def _read_local(spark, path, columns, filter, limit, version, opts) -> DataFrame:
+    manifest = FR.read_manifest(path, version)
+    files = FR.fragment_paths(path, manifest)
+    if not files:
+        raise FileNotFoundError(f"dataset {path} (v{manifest.version}) has no fragments")
+    df = read_fragment_files(spark, manifest, files)
     return _apply_pushdowns(df, columns, filter, limit, opts)
 
 

@@ -221,3 +221,66 @@ def test_full_overwrite_clears_resurrection_guard(spark, tmp_path):
     write_dataset(spark.createDataFrame([(2, "more")], "id long, a string"),
                   path, mode="append")
     assert read_dataset(spark, path).count() == 2
+
+
+# --- maintenance over heterogeneous fragments (the data-loss guard) ----------
+
+def test_compaction_of_mixed_schema_runts_preserves_evolved_column(spark, tmp_path):
+    # pre-evolution runt + post-evolution runt compact into ONE fragment:
+    # a raw (sampled-schema) scan would silently drop 'score' from the
+    # rewrite — the table-schema-resolved scan must keep it
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=3)
+    write_dataset(spark.createDataFrame([(10, "x", 1.5)],
+                                        "id long, a string, score double"),
+                  path, mode="append", options=EVOLVE)
+    n_before = len(FR.read_manifest(path).fragments)
+    m = compact_dataset(spark, path, target_rows_per_fragment=1000,
+                        small_threshold=1000)
+    assert len(m.fragments) <= n_before  # rewrote the runts, never grew
+    df = read_dataset(spark, path)
+    assert df.columns == ["id", "a", "score"]
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[10] == 1.5 and rows[0] is None
+
+
+def test_delete_predicate_on_evolved_column_spans_old_fragments(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=3)
+    write_dataset(spark.createDataFrame([(10, "x", 9.0), (11, "y", 0.5)],
+                                        "id long, a string, score double"),
+                  path, mode="append", options=EVOLVE)
+    # predicate references the NEW column: old fragments null-fill (NULL
+    # predicate -> row survives, per SQL three-valued DELETE)
+    delete_rows(spark, path, F.col("score") > 1.0)
+    got = {r.id for r in read_dataset(spark, path).collect()}
+    assert got == {0, 1, 2, 11}
+
+
+def test_merge_on_evolved_table_aligns_updates(spark, tmp_path):
+    from flink_connector_lance_spark.sources.maintenance import merge_rows
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=3)
+    write_dataset(spark.createDataFrame([(10, "x", 1.0)],
+                                        "id long, a string, score double"),
+                  path, mode="append", options=EVOLVE)
+    upd = spark.createDataFrame([(0, "updated", 7.0), (20, "new", 8.0)],
+                                "id long, a string, score double")
+    merge_rows(spark, path, upd, "id")
+    rows = {r.id: (r.a, r.score) for r in read_dataset(spark, path).collect()}
+    assert rows[0] == ("updated", 7.0)
+    assert rows[20] == ("new", 8.0)
+    assert rows[1] == ("v1", None)  # pre-evolution row untouched, null-filled
+
+
+def test_table_statistics_exclude_dropped_columns(spark, tmp_path):
+    from flink_connector_lance_spark.sources.maintenance import table_statistics
+    from flink_connector_lance_spark.sources.schema_evolution import drop_columns
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path)
+    assert "a" in table_statistics(path)["columns"]
+    drop_columns(path, ["a"])
+    assert "a" not in table_statistics(path)["columns"]
+    assert "id" in table_statistics(path)["columns"]
