@@ -413,12 +413,13 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
     consume from; default -1 streams the dataset from genesis.
     """
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: "StructType | None" = None):
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
         self._batch_size = int(options.get("read.batch-size", DEFAULT_BATCH_SIZE))
         self._start = int(options.get("stream.start-version", -1))
+        self._schema = schema  # align pre-evolution fragments (see read)
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -442,10 +443,29 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
         import pyarrow.dataset as pads
 
         dset = pads.dataset(partition.file, format="parquet")
-        yield from dset.scanner(batch_size=self._batch_size).to_batches()
+        target = None
+        if self._schema is not None:
+            from ..types import spark_schema_to_arrow
+
+            t = spark_schema_to_arrow(self._schema)
+            if t != dset.schema:  # pre-evolution fragment: align by name
+                target = t
+        for batch in dset.scanner(batch_size=self._batch_size).to_batches():
+            if target is None:
+                yield batch
+                continue
+            arrays = []
+            for fld in target:
+                idx = batch.schema.get_field_index(fld.name)
+                arrays.append(
+                    batch.column(idx).cast(fld.type) if idx >= 0
+                    else pa.nulls(batch.num_rows, fld.type)
+                )
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint offset log; the source keeps
@@ -494,7 +514,7 @@ class LanceDataSource(DataSource):
         return LanceDataSourceStreamWriter(dict(self.options))
 
     def streamReader(self, schema: StructType) -> LanceDataSourceStreamReader:
-        return LanceDataSourceStreamReader(dict(self.options))
+        return LanceDataSourceStreamReader(dict(self.options), schema)
 
 
 def register_lance_datasource(spark) -> None:

@@ -284,3 +284,22 @@ def test_table_statistics_exclude_dropped_columns(spark, tmp_path):
     drop_columns(path, ["a"])
     assert "a" not in table_statistics(path)["columns"]
     assert "id" in table_statistics(path)["columns"]
+
+
+def test_stream_read_of_evolved_dataset_aligns_old_fragments(spark, tmp_path):
+    # readStream over a dataset that evolved mid-history: the pre-evolution
+    # fragment must stream with the evolved schema (score null-filled)
+    from flink_connector_lance_spark.sources.datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=2)
+    write_dataset(spark.createDataFrame([(10, "x", 3.5)],
+                                        "id long, a string, score double"),
+                  path, mode="append", options=EVOLVE)
+    q = (spark.readStream.format("lance").option("path", path).load()
+         .writeStream.format("memory").queryName("evolved_stream")
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(120)
+    rows = {r.id: r.score for r in spark.sql("SELECT * FROM evolved_stream").collect()}
+    assert rows == {0: None, 1: None, 10: 3.5}
