@@ -102,6 +102,67 @@ def commit_epoch_upsert(batch_df: DataFrame, epoch_id: int, path: str, key: str,
     return manifest
 
 
+def commit_epoch_dedup_append(batch_df: DataFrame, epoch_id: int, path: str,
+                              key: str) -> FR.Manifest | None:
+    """Idempotent-by-KEY ingestion: append only rows whose ``key`` is not
+    already in the dataset (first write wins, existing rows never touched)
+    — the ingestion-dedup complement to the watermarked in-flight dedup
+    (streaming/windows.dedup_stream), which cannot see keys that arrived
+    before the watermark horizon or in a previous run.
+
+    Within a batch, one row per key survives, chosen deterministically
+    (lowest md5 of the row's JSON — content-stable, not partition-order
+    luck). Against history, the batch anti-joins the dataset's KEY COLUMN
+    only — parquet column pruning makes that a single-column scan, and
+    AQE broadcasts the (tiny) batch side, so the per-epoch cost is a
+    projection scan, not a full-table read. For high-rate CDC streams
+    prefer stream_upsert_dataset (bounded work per epoch); this sink is
+    the right shape when re-delivery of previously-ingested entities is
+    occasional (backfills, crawler re-visits).
+
+    Exactly-once via the same epoch ledger as the other sinks."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    if epoch_committed(path, epoch_id):
+        return None
+    w = Window.partitionBy(key).orderBy(F.md5(F.to_json(F.struct(*batch_df.columns))))
+    b = (batch_df.withColumn("__rn", F.row_number().over(w))
+         .filter(F.col("__rn") == 1).drop("__rn"))
+    if FR.is_dataset(path):
+        from ..sources.reader import read_dataset
+
+        existing = read_dataset(path=path, spark=b.sparkSession).select(key)
+        b = b.join(existing, on=key, how="left_anti")
+    manifest = write_dataset(b, path, mode=WriteMode.APPEND,
+                             commit_meta={EPOCH_META_KEY: epoch_id})
+    os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
+    marker = _epoch_marker(path, epoch_id)
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"epoch": epoch_id, "version": manifest.version}, fh)
+    os.replace(marker + ".tmp", marker)
+    return manifest
+
+
+def stream_dedup_append_dataset(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key: str,
+    trigger_available_now: bool = False,
+):
+    """``writeStream.foreachBatch`` first-wins ingestion wiring: each
+    micro-batch appends only never-seen keys (exactly-once epochs)."""
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda bdf, eid: commit_epoch_dedup_append(bdf, eid, path, key))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_upsert_dataset(
     stream_df: DataFrame,
     path: str,

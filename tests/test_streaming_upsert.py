@@ -85,3 +85,59 @@ def test_stream_upsert_duplicate_keys_without_order_col_raise(spark, tmp_path):
         raise AssertionError("expected ValueError on duplicate keys")
     except ValueError as e:
         assert "duplicate" in str(e)
+
+
+# --- first-wins dedup-append sink -------------------------------------------
+
+def test_stream_dedup_append_first_write_wins(spark, tmp_path):
+    from flink_connector_lance_spark.streaming.sink import stream_dedup_append_dataset
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "ds", "ck"))
+    os.makedirs(src)
+    _write_batch(spark, src, "b1", [(1, "first", 1), (2, "b", 1)])
+    q = stream_dedup_append_dataset(_stream(spark, src), out, ckpt, key="id",
+                                    trigger_available_now=True)
+    q.awaitTermination(120)
+
+    # re-delivery of key 1 with different content + a new key
+    _write_batch(spark, src, "b2", [(1, "SECOND", 2), (3, "c", 2)])
+    q2 = stream_dedup_append_dataset(_stream(spark, src), out, ckpt, key="id",
+                                     trigger_available_now=True)
+    q2.awaitTermination(120)
+
+    df = read_dataset(spark, out)
+    assert df.count() == 3  # never a duplicate key
+    state = {r.id: r.val for r in df.collect()}
+    assert state == {1: "first", 2: "b", 3: "c"}  # first write won
+
+
+def test_stream_dedup_append_dedupes_within_batch_deterministically(spark, tmp_path):
+    from flink_connector_lance_spark.streaming.sink import commit_epoch_dedup_append
+
+    out = str(tmp_path / "ds")
+    b = spark.createDataFrame([(1, "x", 1), (1, "y", 2), (2, "z", 1)],
+                              "id long, val string, seq long")
+    commit_epoch_dedup_append(b, 0, out, key="id")
+    df = read_dataset(spark, out)
+    assert df.count() == 2
+    # deterministic winner: lowest md5 of the row JSON, not partition luck
+    import hashlib
+    import json as _json
+
+    cands = [{"id": 1, "val": "x", "seq": 1}, {"id": 1, "val": "y", "seq": 2}]
+    win = min(cands, key=lambda r: hashlib.md5(
+        _json.dumps(r, separators=(",", ":")).encode()).hexdigest())
+    got = {r.id: r.val for r in df.collect()}
+    assert got[1] == win["val"]
+
+
+def test_stream_dedup_append_epochs_idempotent(spark, tmp_path):
+    from flink_connector_lance_spark.sources import fragments as FR2
+    from flink_connector_lance_spark.streaming.sink import commit_epoch_dedup_append
+
+    out = str(tmp_path / "ds")
+    b = spark.createDataFrame([(1, "a", 1)], "id long, val string, seq long")
+    assert commit_epoch_dedup_append(b, 0, out, key="id") is not None
+    v = FR2.latest_version(out)
+    assert commit_epoch_dedup_append(b, 0, out, key="id") is None
+    assert FR2.latest_version(out) == v and read_dataset(spark, out).count() == 1
