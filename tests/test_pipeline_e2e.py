@@ -1,10 +1,11 @@
 """End-to-end training-data pipeline: the full chain a 100 TB corpus
 runs through, composed from this engine's operators in one flow —
 
-    load -> lang-ID filter -> quality filter -> exact dedup ->
-    near-dup clustering + canonical-survivor resolution ->
-    benchmark decontamination -> train/val/test split + mixture ->
-    sequence packing -> versioned lance dataset write + readback
+    load -> lang-ID filter -> boilerplate line scrub -> quality filter ->
+    exact dedup -> near-dup clustering + canonical-survivor resolution ->
+    benchmark decontamination -> per-source cap ->
+    train/val/test split + mixture -> sequence packing (+ a chunking
+    branch for embedding/RAG prep) -> versioned dataset write + readback
 
 Each stage's row accounting is asserted against independently computed
 expectations, so a stage that silently drops or duplicates rows fails
@@ -34,6 +35,19 @@ def test_full_training_pipeline_row_accounting(spark, sf_dir, tmp_path):
     kept_lang = with_lang.filter(F.col("lid").isin(*langs)).drop("lid")
     n1 = kept_lang.count()
     assert 0 < n1 <= n0
+
+    # 1b. boilerplate line scrub: every doc carries a synthetic shared
+    # footer; corpus-level line dedup must strip it from ALL docs while
+    # keeping the row count intact (row-preserving transform)
+    with_boiler = kept_lang.withColumn(
+        "text", F.concat_ws("\n", "text", F.lit("all rights reserved")))
+    scrubbed = T.line_dedup(with_boiler, "text", "doc_id", max_doc_freq=2)
+    assert scrubbed.count() == n1
+    assert scrubbed.filter(F.col("n_kept_lines") >= F.col("n_lines")).count() == 0
+    kept_lang = (kept_lang.drop("text")
+                 .join(scrubbed.select("doc_id", F.col("cleaned").alias("text")),
+                       on="doc_id"))
+    assert kept_lang.filter(F.col("text").contains("all rights reserved")).count() == 0
 
     # 2. quality filter: drop the low-quality tail
     scored = kept_lang.withColumn("q", T.quality_score("text"))
@@ -71,6 +85,14 @@ def test_full_training_pipeline_row_accounting(spark, sf_dir, tmp_path):
     # contaminated by construction: decontamination must drop something
     assert 0 < n5 < n4
 
+    # 5b. per-source cap: no source may dominate the cleaned corpus
+    cap = 20
+    capped = S.cap_per_key(clean, "source", "doc_id", cap=cap, skew_buckets=4)
+    n5b = capped.count()
+    assert 0 < n5b <= n5
+    assert capped.groupBy("source").count().agg(F.max("count")).first()[0] <= cap
+    clean, n5 = capped, n5b
+
     # 6. split + mixture: disjoint covering split, then weighted sampling
     split = S.stratified_split(clean, "doc_id")
     by_split = dict(split.groupBy("split").count().collect())
@@ -85,6 +107,12 @@ def test_full_training_pipeline_row_accounting(spark, sf_dir, tmp_path):
     toks = mixed.select("doc_id", T.token_count("text").alias("n_tok"))
     bins = P.pack_stats(toks, "doc_id", "n_tok", budget=512, n_shards=8)
     assert bins.agg(F.sum("n_docs")).first()[0] == n6
+
+    # 7b. chunking branch (embedding/RAG prep off the same corpus): every
+    # training doc yields at least one chunk, none is orphaned or lost
+    chunks = T.chunk_documents(mixed, "text", "doc_id", chunk_tokens=32, stride=24)
+    assert chunks.select("doc_id").distinct().count() == n6
+    assert chunks.groupBy("doc_id").count().agg(F.min("count")).first()[0] >= 1
 
     # 8. materialize as a versioned dataset and read back losslessly
     path = str(tmp_path / "corpus")
