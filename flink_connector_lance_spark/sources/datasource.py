@@ -336,9 +336,35 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
         self._mode = "overwrite" if overwrite else "append"
+        v = str(options.get("write.schema-evolution", "false")).strip().lower()
+        self._evolve = v in ("true", "1", "yes")
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
         return _write_fragment(self._path, iterator)
+
+    def _commit_schema_meta(self, frags: List[FR.FragmentInfo]) -> "dict | None":
+        """Driver-side append-time schema contract for the format path.
+
+        All of this batch's fragments share one schema (one Spark plan),
+        so ONE footer read (metadata-only) tells us the incoming shape.
+        Same contract as write_dataset: same column set commits as-is;
+        a differing set needs write.schema-evolution=true and commits
+        the evolved (union) schema in the manifest meta; type changes
+        and resurrected dropped columns always refuse — without this, a
+        mismatched format append silently poisons the dataset (hidden
+        columns, or type conflicts that only explode at read time)."""
+        import pyarrow.parquet as pq
+
+        from ..types import arrow_schema_to_spark
+        from .schema_evolution import align_check_for_commit
+
+        if not frags:
+            return None
+        incoming = arrow_schema_to_spark(
+            pq.read_schema(os.path.join(self._path, frags[0].file)))
+        if self._mode == "overwrite" or FR.latest_version(self._path) is None:
+            return {"schema": incoming.json(), "dropped_columns": []}
+        return align_check_for_commit(self._path, incoming, self._evolve)
 
     def commit(self, messages: List[FragmentCommitMessage]) -> None:
         """Runs on the driver: single-winner manifest commit."""
@@ -346,7 +372,12 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             FR.FragmentInfo(i, m.file, m.row_count, m.stats)
             for i, m in enumerate(m for m in messages if m is not None and m.file)
         ]
-        FR.commit(self._path, frags, mode=self._mode)
+        try:
+            meta = self._commit_schema_meta(frags)
+        except Exception:
+            _drop_fragments(self._path, messages)  # refuse = no orphans
+            raise
+        FR.commit(self._path, frags, mode=self._mode, meta=meta)
 
     def abort(self, messages: List[FragmentCommitMessage]) -> None:
         _drop_fragments(self._path, messages)

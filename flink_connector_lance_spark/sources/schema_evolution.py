@@ -110,6 +110,48 @@ def align_for_append(df: DataFrame, current: StructType,
     return df.select(*cols)
 
 
+def align_check_for_commit(path: str, incoming: StructType,
+                           allow_evolution: bool) -> dict:
+    """Append-time schema contract for writers that can no longer reshape
+    the data (the format("lance") path validates at COMMIT, after
+    executors already wrote fragments): verify ``incoming`` against the
+    table schema and return the commit meta to use.
+
+    Same column set -> commit under the canonical table schema (order is
+    irrelevant: reads resolve by name). A differing set needs evolution
+    opt-in and commits the union schema (table order first, new columns
+    after); type changes and resurrected dropped names always raise."""
+    current = dataset_schema(path)
+    cur = {f.name: f for f in current.fields}
+    inc = {f.name: f for f in incoming.fields}
+    conflicts = [
+        (n, str(cur[n].dataType), str(inc[n].dataType))
+        for n in current.names
+        if n in inc and cur[n].dataType != inc[n].dataType
+    ]
+    if conflicts:
+        detail = ", ".join(f"{n}: table {t} vs batch {b}" for n, t, b in conflicts)
+        raise ValueError(f"schema evolution cannot change column types ({detail})")
+    added = [n for n in incoming.names if n not in cur]
+    missing = [n for n in current.names if n not in inc]
+    resurrected = [n for n in added if n in set(dropped_columns(path))]
+    if resurrected:
+        raise ValueError(
+            f"cannot re-add dropped column(s) {resurrected}: old fragments still "
+            "carry the stale values; use add_column to re-introduce the name"
+        )
+    if not added and not missing:
+        return {"schema": current.json()}
+    if not allow_evolution:
+        raise ValueError(
+            "append schema differs from table schema "
+            f"(new columns: {added or 'none'}, missing columns: {missing or 'none'}); "
+            "set write.schema-evolution=true to evolve"
+        )
+    evolved = StructType(list(current.fields) + [inc[n] for n in added])
+    return {"schema": evolved.json()}
+
+
 def drop_columns(path: str, cols: list[str]) -> FR.Manifest:
     """Drop columns in O(1): a metadata-only commit that narrows the
     manifest schema — NO fragment is touched, the physical bytes simply

@@ -303,3 +303,52 @@ def test_stream_read_of_evolved_dataset_aligns_old_fragments(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r.id: r.score for r in spark.sql("SELECT * FROM evolved_stream").collect()}
     assert rows == {0: None, 1: None, 10: 3.5}
+
+
+# --- format("lance") write-path schema contract ------------------------------
+
+def test_format_append_refuses_mismatched_schema_and_drops_orphans(spark, tmp_path):
+    import os as _os
+
+    from flink_connector_lance_spark.sources.datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=2)
+    files_before = sorted(f.file for f in FR.read_manifest(path).fragments)
+    v_before = FR.latest_version(path)
+    bad = spark.createDataFrame([(9, "x", 1.0)], "id long, a string, score double")
+    with pytest.raises(Exception, match="schema-evolution"):
+        bad.write.format("lance").option("path", path).mode("append").save()
+    # refused append: no new version, no orphaned fragment files on disk
+    assert FR.latest_version(path) == v_before
+    data_files = sorted(
+        _os.path.join("data", n) for n in _os.listdir(_os.path.join(path, "data")))
+    assert data_files == files_before
+
+
+def test_format_append_with_evolution_option_commits_union_schema(spark, tmp_path):
+    from flink_connector_lance_spark.sources.datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=2)
+    b = spark.createDataFrame([(9, "x", 1.0)], "id long, a string, score double")
+    (b.write.format("lance").option("path", path)
+     .option("write.schema-evolution", "true").mode("append").save())
+    df = spark.read.format("lance").option("path", path).load()
+    assert df.columns == ["id", "a", "score"]
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {0: None, 1: None, 9: 1.0}
+
+
+def test_format_append_type_conflict_always_refused(spark, tmp_path):
+    from flink_connector_lance_spark.sources.datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=2)
+    bad = spark.createDataFrame([(9, 7)], "id long, a long")  # a was string
+    with pytest.raises(Exception, match="change column types"):
+        (bad.write.format("lance").option("path", path)
+         .option("write.schema-evolution", "true").mode("append").save())
