@@ -285,11 +285,19 @@ def line_dedup(df, text_col: str, id_col: str, max_doc_freq: int = 1,
     - one groupBy(id) to reassemble (array_sort over (pos, line) structs —
       no per-document window).
     Never an all-pairs comparison anywhere.
+
+    ``line_sep`` is treated as a LITERAL separator (escaped before the
+    regex split), so "|" or "." split where you'd expect. Documents with
+    no non-empty lines (empty/blank/NULL text) still return their row,
+    with n_lines = 0 and an empty ``cleaned``.
     """
+    import re
+
+    sep_re = re.escape(line_sep)
     lines = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+            F.posexplode(F.split(F.col(text_col), sep_re)).alias("__pos", "__line"),
         )
         .filter(F.trim("__line") != "")
         .withColumn("__k", F.md5(F.trim("__line")))
@@ -312,9 +320,14 @@ def line_dedup(df, text_col: str, id_col: str, max_doc_freq: int = 1,
         ).alias("cleaned"),
     )
     totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    return totals.join(per_doc, id_col, "left").select(
+    # anchor on the INPUT docs, not the exploded lines: a document whose
+    # text is empty/blank/NULL has zero non-empty lines and would silently
+    # vanish from a totals-anchored result (data loss when the caller
+    # joins the cleaned text back)
+    all_docs = df.select(id_col).distinct()
+    return all_docs.join(totals, id_col, "left").join(per_doc, id_col, "left").select(
         F.col(id_col),
-        "n_lines",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
         F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
         F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )

@@ -105,6 +105,31 @@ class FragmentCommitMessage(WriterCommitMessage):
     stats: dict | None = None  # per-column zone map (footer-derived)
 
 
+def _filter_attrs(f: Filter) -> "tuple | None":
+    """Column reference of a typed filter, unwrapping Not; None when the
+    shape is unknown (callers must then treat the filter as referencing
+    columns we cannot verify and apply it AFTER batch alignment)."""
+    if isinstance(f, Not):
+        return _filter_attrs(f.child)
+    return getattr(f, "attribute", None)
+
+
+def _align_batch(batch: "pa.RecordBatch", target: "pa.Schema") -> "pa.RecordBatch":
+    """Resolve a fragment batch against the planned schema BY NAME:
+    columns an older (pre-evolution) fragment lacks null-fill, extra
+    physical columns (dropped ones) disappear, types cast."""
+    import pyarrow as pa
+
+    arrays = []
+    for fld in target:
+        idx = batch.schema.get_field_index(fld.name)
+        arrays.append(
+            batch.column(idx).cast(fld.type) if idx >= 0
+            else pa.nulls(batch.num_rows, fld.type)
+        )
+    return pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 def _filter_to_arrow(f: Filter):
     """Translate one typed Spark filter into a pyarrow dataset expression.
 
@@ -268,21 +293,21 @@ class LanceDataSourceReader(DataSourceReader):
 
         # a pushed filter may reference a column this fragment predates;
         # then the scanner can't evaluate it — align first, filter after
-        # (null-filled columns make the expression well-defined)
+        # (null-filled columns make the expression well-defined). Not and
+        # any future wrapper shapes unwrap via _filter_attrs; a filter
+        # whose columns can't be determined conservatively goes to the
+        # post-alignment side.
         file_cols = set(dset.schema.names)
-        filter_cols = {a for f in self._pushed for a in (f.attribute or ())}
-        push_to_scanner = expr is not None and filter_cols <= file_cols
+        attrs = [_filter_attrs(f) for f in self._pushed]
+        push_to_scanner = (
+            expr is not None
+            and all(a is not None for a in attrs)
+            and {n for a in attrs for n in a} <= file_cols
+        )
         scanner = dset.scanner(filter=expr if push_to_scanner else None,
                                batch_size=self._batch_size)
         for batch in scanner.to_batches():
-            arrays = []
-            for fld in target:
-                idx = batch.schema.get_field_index(fld.name)
-                arrays.append(
-                    batch.column(idx).cast(fld.type) if idx >= 0
-                    else pa.nulls(batch.num_rows, fld.type)
-                )
-            aligned = pa.RecordBatch.from_arrays(arrays, schema=target)
+            aligned = _align_batch(batch, target)
             if expr is not None and not push_to_scanner:
                 tbl = pa.Table.from_batches([aligned]).filter(expr)
                 yield from tbl.to_batches()
@@ -330,41 +355,48 @@ def _drop_fragments(path: str, messages) -> None:
                 pass
 
 
+def _parse_evolve_option(options: dict) -> bool:
+    v = str(options.get("write.schema-evolution", "false")).strip().lower()
+    return v in ("true", "1", "yes")
+
+
+def _schema_meta_for_commit(path: str, frags: List[FR.FragmentInfo],
+                            mode: str, evolve: bool) -> "dict | None":
+    """Driver-side append-time schema contract for the format path (batch
+    AND streaming sinks — both commit executor-written fragments the
+    driver can no longer reshape).
+
+    All of one commit's fragments share one schema (one Spark plan), so
+    ONE footer read (metadata-only) tells us the incoming shape. Same
+    contract as write_dataset: same column set commits as-is; a differing
+    set needs write.schema-evolution=true and commits the evolved (union)
+    schema in the manifest meta; type changes and resurrected dropped
+    columns always refuse — without this, a mismatched format append
+    silently poisons the dataset (hidden columns, or type conflicts that
+    only explode at read time)."""
+    import pyarrow.parquet as pq
+
+    from ..types import arrow_schema_to_spark
+    from .schema_evolution import align_check_for_commit
+
+    if not frags:
+        return None
+    incoming = arrow_schema_to_spark(pq.read_schema(os.path.join(path, frags[0].file)))
+    if mode == "overwrite" or FR.latest_version(path) is None:
+        return {"schema": incoming.json(), "dropped_columns": []}
+    return align_check_for_commit(path, incoming, evolve)
+
+
 class LanceDataSourceWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
         self._mode = "overwrite" if overwrite else "append"
-        v = str(options.get("write.schema-evolution", "false")).strip().lower()
-        self._evolve = v in ("true", "1", "yes")
+        self._evolve = _parse_evolve_option(options)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
         return _write_fragment(self._path, iterator)
-
-    def _commit_schema_meta(self, frags: List[FR.FragmentInfo]) -> "dict | None":
-        """Driver-side append-time schema contract for the format path.
-
-        All of this batch's fragments share one schema (one Spark plan),
-        so ONE footer read (metadata-only) tells us the incoming shape.
-        Same contract as write_dataset: same column set commits as-is;
-        a differing set needs write.schema-evolution=true and commits
-        the evolved (union) schema in the manifest meta; type changes
-        and resurrected dropped columns always refuse — without this, a
-        mismatched format append silently poisons the dataset (hidden
-        columns, or type conflicts that only explode at read time)."""
-        import pyarrow.parquet as pq
-
-        from ..types import arrow_schema_to_spark
-        from .schema_evolution import align_check_for_commit
-
-        if not frags:
-            return None
-        incoming = arrow_schema_to_spark(
-            pq.read_schema(os.path.join(self._path, frags[0].file)))
-        if self._mode == "overwrite" or FR.latest_version(self._path) is None:
-            return {"schema": incoming.json(), "dropped_columns": []}
-        return align_check_for_commit(self._path, incoming, self._evolve)
 
     def commit(self, messages: List[FragmentCommitMessage]) -> None:
         """Runs on the driver: single-winner manifest commit."""
@@ -373,7 +405,7 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             for i, m in enumerate(m for m in messages if m is not None and m.file)
         ]
         try:
-            meta = self._commit_schema_meta(frags)
+            meta = _schema_meta_for_commit(self._path, frags, self._mode, self._evolve)
         except Exception:
             _drop_fragments(self._path, messages)  # refuse = no orphans
             raise
@@ -402,6 +434,7 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
+        self._evolve = _parse_evolve_option(options)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
         return _write_fragment(self._path, iterator)
@@ -414,7 +447,15 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
             FR.FragmentInfo(i, m.file, m.row_count, m.stats)
             for i, m in enumerate(m for m in messages if m is not None and m.file)
         ]
-        FR.commit(self._path, frags, mode="append", meta={self.EPOCH_KEY: batchId})
+        try:
+            # same append-time schema contract as the batch writer: a
+            # drifting stream must not silently poison the dataset
+            meta = _schema_meta_for_commit(self._path, frags, "append", self._evolve)
+        except Exception:
+            _drop_fragments(self._path, messages)
+            raise
+        FR.commit(self._path, frags, mode="append",
+                  meta={**(meta or {}), self.EPOCH_KEY: batchId})
 
     def abort(self, messages: List[FragmentCommitMessage], batchId: int) -> None:
         _drop_fragments(self._path, messages)
@@ -474,7 +515,6 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
-        import pyarrow as pa
         import pyarrow.dataset as pads
 
         dset = pads.dataset(partition.file, format="parquet")
@@ -486,17 +526,7 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
             if t != dset.schema:  # pre-evolution fragment: align by name
                 target = t
         for batch in dset.scanner(batch_size=self._batch_size).to_batches():
-            if target is None:
-                yield batch
-                continue
-            arrays = []
-            for fld in target:
-                idx = batch.schema.get_field_index(fld.name)
-                arrays.append(
-                    batch.column(idx).cast(fld.type) if idx >= 0
-                    else pa.nulls(batch.num_rows, fld.type)
-                )
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+            yield batch if target is None else _align_batch(batch, target)
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint offset log; the source keeps

@@ -129,6 +129,26 @@ def read_manifest(root: str, version: int | None = None) -> Manifest:
     )
 
 
+def _merge_schema_json(prev_json: str, new_json: str) -> str:
+    """Union-merge two StructType JSON payloads (field order: previous
+    schema first, then fields only the new one has). Raises on a type
+    conflict — two writers evolving the same column incompatibly must
+    fail loudly, not last-writer-wins."""
+    prev = json.loads(prev_json)
+    new = json.loads(new_json)
+    by_name = {f["name"]: f for f in prev["fields"]}
+    for f in new["fields"]:
+        cur = by_name.get(f["name"])
+        if cur is None:
+            prev["fields"].append(f)
+        elif cur.get("type") != f.get("type"):
+            raise ValueError(
+                f"conflicting concurrent schema evolution on column {f['name']!r}: "
+                f"{cur.get('type')} vs {f.get('type')}"
+            )
+    return json.dumps(prev)
+
+
 def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
            max_retries: int = 20, meta: dict | None = None) -> Manifest:
     """Atomically commit a new dataset version.
@@ -161,6 +181,15 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
         for inherited in ("schema", "dropped_columns"):
             if inherited not in new_meta and prev is not None and inherited in prev.meta:
                 new_meta[inherited] = prev.meta[inherited]
+        # concurrent evolving appends: this writer computed its schema
+        # BEFORE the O_EXCL race, so a winner's new columns would be
+        # erased if we wrote our schema verbatim — union-merge INSIDE the
+        # retry loop (prev order first). drop_columns commits carry a
+        # "drop" marker: their narrowing is authoritative, never merged.
+        if (mode == "append" and "drop" not in new_meta
+                and "schema" in (meta or {}) and prev is not None
+                and "schema" in prev.meta):
+            new_meta["schema"] = _merge_schema_json(prev.meta["schema"], meta["schema"])
         manifest = Manifest(version=next_v, fragments=fragments, meta=new_meta)
         payload = json.dumps(
             {"version": next_v, "fragments": [asdict(f) for f in manifest.fragments],

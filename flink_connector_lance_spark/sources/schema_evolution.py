@@ -160,15 +160,23 @@ def drop_columns(path: str, cols: list[str]) -> FR.Manifest:
     .drop_columns`` (Lance's own metadata-only drop). Old versions keep
     the column (time travel); the name is recorded in
     ``dropped_columns`` so a later append cannot resurrect stale values."""
+    if not cols:
+        raise ValueError("drop_columns requires at least one column")
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         import lance
 
+        # same guards as the emulated backend (against the native schema)
+        names = list(lance.dataset(path).schema.names)
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"cannot drop non-existent column(s) {missing}; "
+                             f"table schema is {names}")
+        if set(cols) >= set(names):
+            raise ValueError("cannot drop every column of the table")
         lance.dataset(path).drop_columns(list(cols))
         from .maintenance import _native_manifest
 
         return _native_manifest(path)
-    if not cols:
-        raise ValueError("drop_columns requires at least one column")
     current = dataset_schema(path)
     manifest = FR.read_manifest(path)
     missing = [c for c in cols if c not in current.names]
@@ -226,10 +234,12 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
         new_frags = _promote_staged(path, stage)
         fragments = [FR.FragmentInfo(i, f.file, f.row_count, f.stats)
                      for i, f in enumerate(new_frags)]
-        dropped = [d for d in manifest.meta.get("dropped_columns", []) if d != name]
+        # the rewrite replaces EVERY fragment, so no stale bytes survive
+        # for ANY previously dropped column — clear the whole guard, not
+        # just the re-added name
         return FR.commit(
             path, fragments, mode="overwrite",
-            meta={"schema": out.schema.json(), "dropped_columns": dropped,
+            meta={"schema": out.schema.json(), "dropped_columns": [],
                   "add_column": {"name": name, "base_version": manifest.version}},
         )
     finally:

@@ -40,6 +40,15 @@ def epoch_committed(path: str, epoch_id: int) -> bool:
     return FR.meta_value_committed(path, EPOCH_META_KEY, epoch_id)
 
 
+def _write_epoch_marker(path: str, epoch_id: int, version: int) -> None:
+    """Fast-path marker (the manifest meta is the authoritative record)."""
+    os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
+    marker = _epoch_marker(path, epoch_id)
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"epoch": epoch_id, "version": version}, fh)
+    os.replace(marker + ".tmp", marker)
+
+
 def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
                  options: DatasetOptions | None = None) -> FR.Manifest | None:
     """Idempotent per-epoch append: skip if this epoch already committed
@@ -51,11 +60,7 @@ def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
         return None
     manifest = write_dataset(batch_df, path, mode=WriteMode.APPEND, options=options,
                              commit_meta={EPOCH_META_KEY: epoch_id})
-    os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
-    marker = _epoch_marker(path, epoch_id)
-    with open(marker + ".tmp", "w") as fh:
-        json.dump({"epoch": epoch_id, "version": manifest.version}, fh)
-    os.replace(marker + ".tmp", marker)
+    _write_epoch_marker(path, epoch_id, manifest.version)
     return manifest
 
 
@@ -70,9 +75,10 @@ def commit_epoch_upsert(batch_df: DataFrame, epoch_id: int, path: str, key: str,
     materializes to current-state-per-key instead of an append log.
 
     ``order_col``: last-writer-wins WITHIN a micro-batch — keep the row
-    with the highest (order_col, then any-column tiebreak via row_number
-    determinism) per key before merging. Without it, duplicate keys in
-    one batch are an error (merge_rows' upsert contract).
+    with the highest order_col per key (order_col ties broken by the
+    lowest md5 of the row's JSON, so the winner is content-stable across
+    runs and redeliveries, never partition luck). Without it, duplicate
+    keys in one batch are an error (merge_rows' upsert contract).
 
     The first epoch against a non-existent dataset degrades to a plain
     append (there is nothing to merge into)."""
@@ -85,7 +91,10 @@ def commit_epoch_upsert(batch_df: DataFrame, epoch_id: int, path: str, key: str,
         return None
     b = batch_df
     if order_col is not None:
-        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col).desc(),
+            F.md5(F.to_json(F.struct(*batch_df.columns))),
+        )
         b = (b.withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") == 1).drop("__rn"))
     if not FR.is_dataset(path):
@@ -94,11 +103,7 @@ def commit_epoch_upsert(batch_df: DataFrame, epoch_id: int, path: str, key: str,
     else:
         manifest = merge_rows(b.sparkSession, path, b, key,
                               commit_meta={EPOCH_META_KEY: epoch_id})
-    os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
-    marker = _epoch_marker(path, epoch_id)
-    with open(marker + ".tmp", "w") as fh:
-        json.dump({"epoch": epoch_id, "version": manifest.version}, fh)
-    os.replace(marker + ".tmp", marker)
+    _write_epoch_marker(path, epoch_id, manifest.version)
     return manifest
 
 
@@ -136,11 +141,7 @@ def commit_epoch_dedup_append(batch_df: DataFrame, epoch_id: int, path: str,
         b = b.join(existing, on=key, how="left_anti")
     manifest = write_dataset(b, path, mode=WriteMode.APPEND,
                              commit_meta={EPOCH_META_KEY: epoch_id})
-    os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
-    marker = _epoch_marker(path, epoch_id)
-    with open(marker + ".tmp", "w") as fh:
-        json.dump({"epoch": epoch_id, "version": manifest.version}, fh)
-    os.replace(marker + ".tmp", marker)
+    _write_epoch_marker(path, epoch_id, manifest.version)
     return manifest
 
 

@@ -149,12 +149,14 @@ def test_stream_writer_redelivered_epoch_is_noop(registered, tmp_path):
     w = LanceDataSourceStreamWriter({"path": path})
     import pyarrow as pa
 
-    msg = w.write(iter([pa.RecordBatch.from_pydict({"id": [1, 2]})]))
+    batch = pa.RecordBatch.from_pydict(
+        {"id": [1, 2], "grp": [1, 2], "name": ["row-1", "row-2"]})
+    msg = w.write(iter([batch]))
     w.commit([msg], batchId=0)          # first delivery: committed
     mid = FR.read_manifest(path)
     assert mid.version == before.version + 1 and mid.meta["stream_epoch"] == 0
 
-    msg2 = w.write(iter([pa.RecordBatch.from_pydict({"id": [1, 2]})]))
+    msg2 = w.write(iter([batch]))
     w.commit([msg2], batchId=0)         # redelivery: no-op + orphan cleanup
     after = FR.read_manifest(path)
     assert after.version == mid.version

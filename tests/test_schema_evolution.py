@@ -352,3 +352,96 @@ def test_format_append_type_conflict_always_refused(spark, tmp_path):
     with pytest.raises(Exception, match="change column types"):
         (bad.write.format("lance").option("path", path)
          .option("write.schema-evolution", "true").mode("append").save())
+
+
+# --- review regressions ------------------------------------------------------
+
+def test_not_equal_filter_on_evolved_table(spark, tmp_path):
+    # Not(EqualTo) is a pushed filter with no .attribute of its own; the
+    # aligned read path must unwrap it instead of crashing
+    from flink_connector_lance_spark.sources.datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _seed(spark, path, n=3)
+    write_dataset(spark.createDataFrame([(10, "x", 1.5)],
+                                        "id long, a string, score double"),
+                  path, mode="append", options=EVOLVE)
+    df = spark.read.format("lance").option("path", path).load()
+    got = {r.id for r in df.filter(F.col("a") != "v0").collect()}
+    assert got == {1, 2, 10}
+    # Not over the NEW column against a pre-evolution fragment
+    got2 = {r.id for r in df.filter(F.col("score") != 1.5).collect()}
+    assert got2 == set()  # nulls don't match != in SQL semantics
+
+
+def test_stream_format_write_enforces_schema_contract(spark, tmp_path):
+    # writeStream.format("lance") must refuse a drifting micro-batch the
+    # same way the batch writer does, and honor the evolution option
+    import os as _os
+
+    from flink_connector_lance_spark.sources.datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path, src, ck1, ck2 = (str(tmp_path / d) for d in ("ds", "in", "c1", "c2"))
+    _os.makedirs(src)
+    _seed(spark, path, n=2)
+
+    spark.createDataFrame([(9, "x", 1.0)], "id long, a string, score double") \
+        .coalesce(1).write.parquet(src + "/b1")
+    stream = spark.readStream.schema("id long, a string, score double").parquet(src + "/*")
+    q = (stream.writeStream.format("lance").option("path", path)
+         .option("checkpointLocation", ck1).trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        failed = q.exception() is not None
+    except Exception:
+        failed = True
+    assert failed, "drifting stream batch must fail, not poison the dataset"
+    assert FR.latest_version(path) == 0  # nothing committed
+
+    q2 = (stream.writeStream.format("lance").option("path", path)
+          .option("write.schema-evolution", "true")
+          .option("checkpointLocation", ck2).trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    df = read_dataset(spark, path)
+    assert df.columns == ["id", "a", "score"]
+    assert {r.id: r.score for r in df.collect()} == {0: None, 1: None, 9: 1.0}
+
+
+def test_concurrent_evolving_appends_union_schemas(spark, tmp_path):
+    # writer B computed its schema before writer A's commit won the race;
+    # the commit retry loop must union, not overwrite
+    import json as _json
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path)  # schema: id, a
+    # simulate A's winning evolving commit: append with (id, a, x)
+    write_dataset(spark.createDataFrame([(50, "p", 1.0)],
+                                        "id long, a string, x double"),
+                  path, mode="append", options=EVOLVE)
+    # B commits metadata computed against the PRE-A schema (id, a, y)
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    b_schema = StructType([StructField("id", LongType()), StructField("a", StringType()),
+                           StructField("y", DoubleType())])
+    FR.commit(path, [], mode="append", meta={"schema": b_schema.json()})
+    final = _json.loads(FR.read_manifest(path).meta["schema"])
+    names = [f["name"] for f in final["fields"]]
+    assert names == ["id", "a", "x", "y"]  # A's x survived, B's y appended
+
+
+def test_concurrent_type_conflict_refused_at_commit(spark, tmp_path):
+    import pytest as _pt
+
+    path = str(tmp_path / "ds")
+    _seed(spark, path)
+    write_dataset(spark.createDataFrame([(50, "p", 1.0)],
+                                        "id long, a string, x double"),
+                  path, mode="append", options=EVOLVE)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    conflicting = StructType([StructField("x", LongType())])
+    with _pt.raises(ValueError, match="conflicting concurrent"):
+        FR.commit(path, [], mode="append", meta={"schema": conflicting.json()})

@@ -141,3 +141,25 @@ def test_stream_dedup_append_epochs_idempotent(spark, tmp_path):
     v = FR2.latest_version(out)
     assert commit_epoch_dedup_append(b, 0, out, key="id") is None
     assert FR2.latest_version(out) == v and read_dataset(spark, out).count() == 1
+
+
+def test_stream_upsert_order_col_ties_break_deterministically(spark, tmp_path):
+    from flink_connector_lance_spark.streaming.sink import commit_epoch_upsert
+
+    out = str(tmp_path / "ds")
+    commit_epoch_upsert(
+        spark.createDataFrame([(1, "seed", 0)], "id long, val string, seq long"),
+        0, out, key="id")
+    # two rows tie on seq: winner must be the lowest md5(row JSON), not
+    # partition/arrival order
+    b = spark.createDataFrame([(1, "x", 5), (1, "y", 5)],
+                              "id long, val string, seq long")
+    commit_epoch_upsert(b, 1, out, key="id", order_col="seq")
+    import hashlib
+    import json as _json
+
+    cands = [{"id": 1, "val": "x", "seq": 5}, {"id": 1, "val": "y", "seq": 5}]
+    win = min(cands, key=lambda r: hashlib.md5(
+        _json.dumps(r, separators=(",", ":")).encode()).hexdigest())
+    got = {r.id: r.val for r in read_dataset(spark, out).collect()}
+    assert got[1] == win["val"]

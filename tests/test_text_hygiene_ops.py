@@ -140,3 +140,27 @@ def test_cap_per_key_rejects_bad_params(spark):
             raise AssertionError(f"expected ValueError for {kw}")
         except ValueError:
             pass
+
+
+def test_line_dedup_keeps_empty_and_null_docs(spark):
+    # docs with no non-empty lines must still return their row (a caller
+    # joining cleaned text back would otherwise silently lose them)
+    d = spark.createDataFrame(
+        [(1, "hello\nworld"), (2, ""), (3, "  \n "), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(d, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for i in (2, 3, 4):
+        assert (out[i]["n_lines"], out[i]["n_kept_lines"], out[i]["cleaned"]) == (0, 0, "")
+    assert out[1]["cleaned"] == "hello\nworld"
+
+
+def test_line_dedup_separator_is_literal(spark):
+    # '|' is a regex metachar; the separator must be treated literally
+    d = spark.createDataFrame([(1, "alpha|beta"), (2, "beta|gamma")],
+                              "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup(d, "text", "doc_id", max_doc_freq=1, line_sep="|").collect()}
+    assert out[1]["cleaned"] == "alpha"  # 'beta' in 2 docs -> removed
+    assert out[2]["cleaned"] == "gamma"
+    assert out[1]["n_lines"] == 2
