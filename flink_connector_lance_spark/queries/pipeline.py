@@ -217,10 +217,27 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 F.array_join(F.slice(T.tokens("text"), 1, _DECON_EVAL_WORDS), " ")
                 .alias("text"))
     )
+    # persist the overlap: it feeds BOTH the 'contam' rows and the
+    # 'decon_kept' count — without it the postings join over the whole
+    # train corpus (the expensive stage) executes twice when the union is
+    # collected. persist() is lazy, so building the query (EXPLAIN,
+    # plan-shape tests) still runs zero jobs.
     contam = D.cross_corpus_overlap(d, ev, "text", "doc_id", shingle_k=3,
-                                    threshold=_DECON_THRESHOLD)
-    # reuse the overlap: the postings join over the train corpus runs once
-    kept = D.decontaminate(d, ev, "text", "doc_id", overlap=contam).count()
+                                    threshold=_DECON_THRESHOLD).persist()
+    # decon_kept = total - flagged train docs: algebraically identical to
+    # decontaminate(d, ev, overlap=contam).count() (anti-join against the
+    # flagged ids) but stays a lazy one-row aggregate instead of an eager
+    # count job at query-construction time
+    decon_row = (
+        d.agg(F.count(F.lit(1)).alias("__n"))
+        .crossJoin(contam.agg(F.count_distinct("train_id").alias("__c")))
+        .select(
+            F.lit("decon_kept").alias("kind"),
+            (F.col("__n") - F.col("__c")).cast("long").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            F.lit(0.0).alias("jaccard"),
+        )
+    )
     return (
         pairs.select(F.lit("pair").alias("kind"), "id_a", "id_b", "jaccard")
         .unionByName(contam.select(
@@ -228,9 +245,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.col("train_id").alias("id_a"),
             F.col("eval_id").alias("id_b"),
             F.col("overlap").alias("jaccard")))
-        .unionByName(spark.createDataFrame(
-            [("decon_kept", kept, -1, 0.0)],
-            "kind string, id_a long, id_b long, jaccard double"))
+        .unionByName(decon_row)
     )
 
 
@@ -573,14 +588,14 @@ _CAP_PER_SOURCE = 10
     oracle=f"""
     WITH assigned AS (
         SELECT lang, n_chars,
-               ('0x' || substring(md5(doc_id::VARCHAR || ':split'), 1, 4))::UBIGINT % 10
+               ('0x' || substring(md5(doc_id::VARCHAR || ':split'), 1, 12))::UBIGINT % 10
                    AS bucket
         FROM documents
     ),
     mixed AS (
         SELECT lang, n_chars
         FROM documents
-        WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':mix'), 1, 4))::UBIGINT
+        WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':mix'), 1, 12))::UBIGINT
                   % {_MIX_RESOLUTION}
             < CASE lang {" ".join(f"WHEN '{k}' THEN {int(round(r * _MIX_RESOLUTION))}" for k, r in _MIX_RATES.items())}
                    ELSE {int(round(_MIX_DEFAULT * _MIX_RESOLUTION))} END

@@ -158,13 +158,23 @@ def vacuum_dataset(
     Returns ``{"kept_versions": [...], "dropped_versions": n,
     "deleted_files": n, "reclaimed_bytes": n}``; ``dry_run`` reports
     without deleting."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
     if FR.HAVE_LANCE and not dry_run:  # native path (fake lance in tests)
+        # Lance's own retention is TIME-based (cleanup_old_versions), with
+        # no keep-N knob and no manifest pinning hook — silently accepting
+        # keep_versions > 1 would delete versions the caller asked to
+        # retain. Only the unambiguous mapping (latest-only) is forwarded.
+        if keep_versions != 1:
+            raise ValueError(
+                "the native lance backend supports keep_versions=1 (latest only); "
+                "for time-based retention call lance's cleanup_old_versions "
+                "with older_than directly"
+            )
         return _vacuum_lance(path)
     latest = FR.latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"not a dataset (no {FR.VERSIONS_DIR}/): {path}")
-    if keep_versions < 1:
-        raise ValueError("keep_versions must be >= 1")
     all_versions = sorted(
         int(name.split(".")[0])
         for name in os.listdir(os.path.join(path, FR.VERSIONS_DIR))
@@ -385,6 +395,17 @@ def merge_rows(
     import pyspark.sql.functions as F
     from urllib.parse import unquote, urlparse
 
+    # upsert contract: one row per key — duplicate keys in the update set
+    # would all be inserted, silently violating the post-merge invariant.
+    # ONE aggregate job (count + count_distinct in a single pass), hoisted
+    # above the backend gate so both paths share it.
+    agg = updates.agg(F.count(F.lit(1)).alias("n"),
+                      F.count_distinct(F.col(key)).alias("d")).collect()[0]
+    if agg["n"] != agg["d"]:
+        raise ValueError(
+            f"updates contain duplicate {key!r} values "
+            f"({agg['n']} rows, {agg['d']} distinct keys); deduplicate first"
+        )
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         return _merge_lance(path, updates, key)
     path = os.path.abspath(path)  # same relative-path contract as delete_rows
@@ -393,14 +414,6 @@ def merge_rows(
         raise FileNotFoundError(f"dataset {path} has no fragments")
     by_abs = {os.path.join(path, f.file): f for f in manifest.fragments}
     keys = updates.select(key).distinct()
-    # upsert contract: one row per key — duplicate keys in the update set
-    # would all be inserted, silently violating the post-merge invariant
-    n_upd, n_keys = updates.count(), keys.count()
-    if n_upd != n_keys:
-        raise ValueError(
-            f"updates contain duplicate {key!r} values "
-            f"({n_upd} rows, {n_keys} distinct keys); deduplicate first"
-        )
 
     from .reader import read_fragment_files
 
@@ -477,16 +490,10 @@ def _delete_lance(path: str, predicate) -> FR.Manifest:
 def _merge_lance(path: str, updates: DataFrame, key: str) -> FR.Manifest:
     """Native twin: pylance ``merge_insert(key).when_matched_update_all()
     .when_not_matched_insert_all().execute(arrow)`` — the engine ships the
-    update rows as ONE Arrow table and Lance commits the upsert atomically."""
+    update rows as ONE Arrow table and Lance commits the upsert atomically.
+    (Duplicate-key validation runs in merge_rows, above the backend gate.)"""
     import lance
 
-    n_upd = updates.count()
-    n_keys = updates.select(key).distinct().count()
-    if n_upd != n_keys:
-        raise ValueError(
-            f"updates contain duplicate {key!r} values "
-            f"({n_upd} rows, {n_keys} distinct keys); deduplicate first"
-        )
     (
         lance.dataset(path)
         .merge_insert(key)
@@ -498,16 +505,21 @@ def _merge_lance(path: str, updates: DataFrame, key: str) -> FR.Manifest:
 
 
 def _vacuum_lance(path: str) -> dict:
-    """Native twin: pylance ``cleanup_old_versions`` (time-based retention
-    is Lance's contract; the emulated keep-N knob maps to 'latest only')."""
+    """Native twin: pylance ``cleanup_old_versions`` with ``older_than=0``
+    — keep ONLY the latest version (the sole keep-N value forwarded; see
+    vacuum_dataset). ``deleted_files`` is not reported by pylance's
+    cleanup stats, so it is returned as -1 (unknown), never a fabricated
+    count."""
+    import datetime as _dt
+
     import lance
 
     ds = lance.dataset(path)
-    stats = ds.cleanup_old_versions()
+    stats = ds.cleanup_old_versions(older_than=_dt.timedelta(0))
     return {
         "kept_versions": [lance.dataset(path).version],
         "dropped_versions": int(getattr(stats, "old_versions", 0)),
-        "deleted_files": int(getattr(stats, "old_versions", 0)),
+        "deleted_files": -1,  # unknown: pylance reports versions + bytes only
         "reclaimed_bytes": int(getattr(stats, "bytes_removed", 0)),
     }
 

@@ -173,6 +173,29 @@ def _load_pq(path: str, column: str):
     return hit
 
 
+def _load_ivf(path: str, column: str, id_col: str):
+    """IVF probe state: (centroid matrix, cell ids, assignment ids,
+    assignment cells) — cached with the same LRU/mtime contract as the PQ
+    state. Without this, every eval() call (one per UDTF input row)
+    re-reads the O(rows) assignments table from disk."""
+    from .index import _index_dir
+
+    idx = os.path.join(_index_dir(path, column))
+    meta_path = os.path.join(idx, "index_meta.json")
+    key = (path, column, "ivf", os.stat(meta_path).st_mtime_ns)
+    hit = _cache_get(key)
+    if hit is None:
+        it = pq.read_table(os.path.join(idx, "centroids.parquet"))
+        cmat = np.asarray(it.column("centroid").to_pylist(), dtype=np.float64)
+        cells = it.column("cell").to_numpy(zero_copy_only=False)
+        at = pq.read_table(os.path.join(idx, "assignments.parquet"))
+        a_ids = at.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        a_cell = at.column("cell").to_numpy(zero_copy_only=False)
+        hit = (cmat, cells, a_ids, a_cell)
+        _cache_put(key, hit)
+    return hit
+
+
 def _row_signatures(mat: np.ndarray, planes) -> np.ndarray:
     """8-bit LSH signature per row (same hyperplanes as operators.ann)."""
     if mat.size == 0:
@@ -254,29 +277,29 @@ def _eval_indexed(path: str, column: str, q: np.ndarray, k: int, metric: str,
     lut = np.where(np.isnan(lut), np.inf, lut)
     adc = np.sqrt(lut[np.arange(m)[None, :], codes].sum(axis=1))
 
+    cand_pool_ids, cand_pool_adc = ids, adc
     if nprobes is not None:
         # IVF composition: restrict the ADC scan to the nprobes cells
-        # nearest the query (same pruning as pq_search's probed cells)
-        from .index import _index_dir, has_index
+        # nearest the query. HARD prune (drop unprobed rows), matching
+        # pq_search's left-semi join — a soft inf-mask would let unprobed
+        # rows backfill the candidate pool when the probed cells hold
+        # fewer than r rows, so nprobes would no longer bound the set.
+        from .index import has_index
 
         if has_index(path, column):
-            it = pq.read_table(os.path.join(_index_dir(path, column), "centroids.parquet"))
-            cmat = np.asarray(it.column("centroid").to_pylist(), dtype=np.float64)
-            cells = it.column("cell").to_numpy(zero_copy_only=False)
+            cmat, cells, a_ids, a_cell = _load_ivf(path, column, id_col)
             order = np.lexsort((cells, ((cmat - q) ** 2).sum(axis=1)))
-            chosen = set(cells[order[: int(nprobes)]].tolist())
-            at = pq.read_table(os.path.join(_index_dir(path, column), "assignments.parquet"))
-            a_ids = at.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            a_cell = at.column("cell").to_numpy(zero_copy_only=False)
-            probe_ids = a_ids[np.isin(a_cell, list(chosen))]
-            adc = np.where(np.isin(ids, probe_ids), adc, np.inf)
+            chosen = cells[order[: int(nprobes)]]
+            probe_ids = a_ids[np.isin(a_cell, chosen)]
+            sel = np.isin(ids, probe_ids)
+            cand_pool_ids, cand_pool_adc = ids[sel], adc[sel]
 
     rf = int(refine_factor) if refine_factor is not None else 10
     r = max(k * max(rf, 1), k)
     if ef is not None:
         r = max(min(r, int(ef)), k)
-    order = np.lexsort((ids, adc))[:r]
-    cand_ids = ids[order]
+    order = np.lexsort((cand_pool_ids, cand_pool_adc))[:r]
+    cand_ids = cand_pool_ids[order]
 
     parts_ids, parts_d = [], []
     if covered:
@@ -298,12 +321,19 @@ def _eval_indexed(path: str, column: str, q: np.ndarray, k: int, metric: str,
     all_ids = np.concatenate(parts_ids)
     all_d = np.round(np.concatenate(parts_d), 6)
     top = np.lexsort((all_ids, all_d))[:k]
-    win_ids, win_d = all_ids[top], all_d[top]
+    win_ids = all_ids[top]
 
+    # fetch the winner rows and re-score each fetched ROW from its own
+    # vector: pairing distances through an id->row dict would collapse
+    # duplicate id values and attach one vector's distance to the other's
+    # row (id uniqueness is never enforced for plain datasets)
     rows_tbl = _read_filtered(_dataset_files(path), None, id_col, win_ids)
-    by_id = {row[id_col]: row for row in rows_tbl.to_pylist()}  # k rows only
-    for i, dist in zip(win_ids.tolist(), win_d.tolist()):
-        yield tuple(by_id[i].values()) + (float(dist),)
+    row_d = np.round(_distances(_vector_matrix(rows_tbl, column), q, metric), 6)
+    rows = rows_tbl.to_pylist()
+    row_ids = rows_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    final = np.lexsort((row_ids, row_d))[:k]
+    for j in final.tolist():
+        yield tuple(rows[j].values()) + (float(row_d[j]),)
 
 
 class VectorSearchUDTF:
@@ -325,6 +355,13 @@ class VectorSearchUDTF:
         if q.size == 0 or not np.all(np.isfinite(q)):
             raise ValueError("query vector must be non-empty and finite")
         k = int(k)
+        # same knob validation as every DataFrame search path (options.
+        # validate): silently accepting ef=0 here would make the SQL route
+        # diverge from pq_search/lsh_knn's hard error
+        for knob, v in (("nprobes", nprobes), ("ef", ef),
+                        ("refine-factor", refine_factor)):
+            if v is not None and int(v) <= 0:
+                raise ValueError(f"vector.{knob} must be positive")
         if uses_indexed_route(path, column, metric):
             yield from _eval_indexed(path, column, q, k, metric,
                                      nprobes, ef, refine_factor)

@@ -116,13 +116,26 @@ def test_range_join_window_edges(spark):
 
 
 def test_hash_bucket_matches_reference_md5(spark):
-    # portability contract: bucket == int(md5(f"{id}:split")[:4], 16) % 10
+    # portability contract: bucket == int(md5(f"{id}:split")[:12], 16) % 10
+    # (48 bits: modulo bias ~n/2^48, vs 7% relative inflation at 16 bits)
     df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
     got = {r["doc_id"]: r["b"] for r in
            df.select("doc_id", hash_bucket("doc_id", 10).alias("b")).collect()}
     for i in range(200):
-        expect = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:4], 16) % 10
+        expect = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:12], 16) % 10
         assert got[i] == expect
+
+
+def test_hash_bucket_large_resolution_not_degenerate(spark):
+    # 16-bit buckets made any resolution > 65536 keep everything; 48 bits
+    # must spread across the full range
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    res = 1_000_000
+    vals = [r["b"] for r in df.select(hash_bucket("doc_id", res).alias("b")).collect()]
+    assert max(vals) > 65536  # actually uses the range beyond 16 bits
+    # rate 0.1 keeps ~10%, not 100%
+    kept = sum(1 for v in vals if v < res * 0.1)
+    assert 0.05 < kept / len(vals) < 0.15
 
 
 def test_stratified_split_weights_and_stickiness(spark):

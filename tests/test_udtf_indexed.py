@@ -75,10 +75,12 @@ def test_udtf_sql_end_to_end_on_indexed_dataset(indexed_ds, spark):
         SELECT vec_id, round(_distance, 6) AS d
         FROM vector_search('{path}', 'embedding', {qarr}, 5, 'l2', NULL, NULL, 20)
     """).collect()
-    want = knn(e.unionByName(spark.createDataFrame(
-        [(999_999, [float(v) for v in QVEC], 0)],
-        "vec_id long, embedding array<float>, label int").select(*e.columns)),
-        "embedding", QVEC, k=5, tiebreak_cols=["vec_id"], round_digits=6).collect()
+    # expected = exact k-NN over the dataset AS IT IS ON DISK (this test
+    # must not depend on whether the tail-append test ran before it)
+    from flink_connector_lance_spark.sources.reader import read_dataset
+
+    want = knn(read_dataset(spark, path), "embedding", QVEC, k=5,
+               tiebreak_cols=["vec_id"], round_digits=6).collect()
     assert [r.vec_id for r in rows] == [r.vec_id for r in want]
 
 
