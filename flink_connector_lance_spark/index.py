@@ -197,18 +197,17 @@ def build_index(
             )
         _emulated_ivf_build(spark, path, column, id_col, opts, metric, replace)
         if itype is IndexType.IVF_HNSW_PQ:
-            # the HNSW graph is not emulated (README "Index types" matrix):
-            # the emulated build degrades to IVF_PQ — same recall contract
-            # via nprobes/refine, vector.ef honored as a candidate-pool
-            # bound rather than HNSW traversal dynamics. The native path
-            # above builds the real graph (ref LanceIndexBuilder.java:140-157).
-            import warnings
+            # real per-cell HNSW graphs over the IVF cells just built
+            # (ref LanceIndexBuilder.java:140-157, params
+            # config/LanceOptions.java:166-190). Honest delta vs Lance:
+            # traversal scores raw vectors, not PQ codes (hnsw.py docstring).
+            from .hnsw import build_hnsw_index
 
-            warnings.warn(
-                "IVF_HNSW_PQ: emulated backend degrades to IVF_PQ "
-                "(no HNSW graph; native lance builds the real one)",
-                RuntimeWarning,
-                stacklevel=2,
+            build_hnsw_index(
+                spark, path, column, id_col=id_col,
+                m=opts.index_m, ef_construction=opts.index_ef_construction,
+                max_level=opts.index_max_level, metric=metric.value,
+                replace=replace,
             )
         if itype in (IndexType.IVF_PQ, IndexType.IVF_HNSW_PQ):
             # the PQ half of IVF_PQ: per-sub-space codebooks + compact codes
@@ -353,7 +352,7 @@ def refresh_index(
     import json as _json
 
     meta_p = None
-    for kind in ("pq", "ivf"):
+    for kind in ("hnsw", "pq", "ivf"):
         p = os.path.join(path, INDEXES_DIR, column, kind, "index_meta.json")
         if os.path.exists(p):
             meta_p = p
@@ -369,8 +368,13 @@ def refresh_index(
     stale = sum(rows_by_file[f] for f in uncovered)
     if stale / total <= max_uncovered_fraction:
         return None
-    itype = IndexType.IVF_PQ if meta.get("index_type", "").startswith("ivf_pq") \
-        else IndexType.IVF_FLAT
+    built = meta.get("index_type", "")
+    if built.startswith("ivf_hnsw"):
+        itype = IndexType.IVF_HNSW_PQ
+    elif built.startswith("ivf_pq"):
+        itype = IndexType.IVF_PQ
+    else:
+        itype = IndexType.IVF_FLAT
     return build_index(path, column, index_type=itype,
                        metric=meta.get("metric", "l2"), replace=True,
                        options=options, spark=spark, id_col=meta.get("id_col", id_col))
@@ -402,14 +406,32 @@ def search_dataset(
     rather than silently returning distances in the wrong space.
 
     Routing mirrors Lance: the index type that was BUILT determines the
-    search path — PQ codes present → ADC + refine (pq.pq_search,
-    composing IVF cell pruning when the coarse index coexists); IVF only
-    → exact search in probed cells; no index → brute force."""
+    search path — an HNSW graph present → ef-driven graph traversal in
+    the probed cells (hnsw.hnsw_search); else PQ codes present → ADC +
+    refine (pq.pq_search, composing IVF cell pruning when the coarse
+    index coexists); IVF only → exact search in probed cells; no index →
+    brute force."""
+    from .hnsw import has_hnsw_index, hnsw_search
     from .operators.knn import knn
     from .pq import has_pq_index, pq_search
     from .sources.reader import read_dataset
 
-    use = (has_index(path, column) or has_pq_index(path, column)) if use_index is None else use_index
+    use = (has_index(path, column) or has_pq_index(path, column)
+           or has_hnsw_index(path, column)) if use_index is None else use_index
+    if use and has_hnsw_index(path, column):
+        hnsw_dir = os.path.join(path, INDEXES_DIR, column, "hnsw")
+        with open(os.path.join(hnsw_dir, "index_meta.json")) as fh:
+            h_meta = json.load(fh)
+        if metric and h_meta.get("metric", metric) != metric:
+            raise ValueError(
+                f"HNSW index on {path}:{column} was built for metric "
+                f"{h_meta['metric']!r}, not {metric!r} — rebuild or search brute-force"
+            )
+        np_ = nprobes if has_index(path, column) else None
+        eff = ef if ef is not None else (options.vector_ef if options is not None else None)
+        return hnsw_search(spark, path, column, query, k=k, nprobes=np_, ef=eff,
+                           tiebreak_cols=tiebreak_cols, round_digits=round_digits,
+                           filter=filter)
     if use and has_pq_index(path, column):
         pq_dir = os.path.join(path, INDEXES_DIR, column, "pq")
         with open(os.path.join(pq_dir, "index_meta.json")) as fh:

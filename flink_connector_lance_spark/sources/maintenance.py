@@ -125,7 +125,7 @@ def _index_pinned_versions(path: str) -> set[int]:
     if not os.path.isdir(idx_root):
         return pinned
     for col in os.listdir(idx_root):
-        for kind in ("ivf", "pq"):
+        for kind in ("ivf", "pq", "hnsw"):
             meta_p = os.path.join(idx_root, col, kind, "index_meta.json")
             if os.path.exists(meta_p):
                 try:

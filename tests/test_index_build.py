@@ -152,13 +152,14 @@ def test_search_dataset_without_index_is_brute_force(spark, sf_dir, tmp_path):
         search_dataset(spark, path, "embedding", QVEC, use_index=True).collect()
 
 
-def test_ivf_hnsw_pq_emulation_warns_and_degrades_to_ivf_pq(spark, sf_dir, tmp_path):
-    """The emulated backend has no HNSW graph: IVF_HNSW_PQ builds the
-    IVF_PQ halves and pins a RuntimeWarning naming the degradation (the
-    native lance path builds the real graph — README 'Index types')."""
+def test_ivf_hnsw_pq_builds_all_three_halves(spark, sf_dir, tmp_path):
+    """IVF_HNSW_PQ on the emulated backend builds the full trio: IVF
+    cells + PQ codes + per-cell HNSW graphs (ref
+    LanceIndexBuilder.java:140-157) — no degradation warning anymore."""
     import warnings
 
     from flink_connector_lance_spark import pq as pqmod
+    from flink_connector_lance_spark.hnsw import has_hnsw_index
     from flink_connector_lance_spark.index import build_index, has_index
     from flink_connector_lance_spark.io import load_table
     from flink_connector_lance_spark.sources.writer import write_dataset
@@ -168,12 +169,14 @@ def test_ivf_hnsw_pq_emulation_warns_and_degrades_to_ivf_pq(spark, sf_dir, tmp_p
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         res = build_index(path, "embedding", index_type="ivf_hnsw_pq",
-                          spark=spark, id_col="vec_id", replace=True)
+                          spark=spark, id_col="vec_id", replace=True,
+                          options=DatasetOptions(path=path, index_num_partitions=4,
+                                                 index_num_sub_vectors=8,
+                                                 index_num_bits=4))
     assert res.success, res.error
-    degr = [w for w in caught if issubclass(w.category, RuntimeWarning)
-            and "degrades to IVF_PQ" in str(w.message)]
-    assert degr, "degradation warning must be emitted"
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
     assert has_index(path, "embedding") and pqmod.has_pq_index(path, "embedding")
+    assert has_hnsw_index(path, "embedding")
 
 
 def test_promotion_ids_deterministic_across_many_fragments(spark, tmp_path):
