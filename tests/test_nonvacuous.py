@@ -41,6 +41,7 @@ TAGGED_BRANCHES = {
     "knn_join_batch": ("kind", {"exact", "lsh"}),
     "train_split_stratified": ("kind", {"split", "mixture", "cap"}),
     "knn_l2_dot": ("metric", {"l2", "dot"}),
+    "ann_ivf_pq": ("branch", {"adc_refine", "hnsw"}),
     "source_version_travel": (
         "stage",
         {"v0", "v1", "v1_meta", "compacted", "deleted", "merged", "vacuumed"},
