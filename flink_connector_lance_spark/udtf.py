@@ -30,6 +30,12 @@ reference picks indexed vs flat search:
   only — same staleness contract as pq_search. Per-row worker memory is
   the 16x-compressed code, so a corpus whose vectors would OOM the
   worker still searches.
+- **hnsw** (graph index present, no PQ codes): in-process twin of
+  hnsw.hnsw_search — probe cells, ef-bounded best-first traversal per
+  cell, exact re-rank of the winners, unindexed tail exact-scored. PQ
+  outranks it here because codes are ~16 B/row while graph traversal
+  holds the probed cells' raw vectors; the distributed search_dataset
+  makes the opposite call (graph first) since executors share the slabs.
 - **flat** (plain parquet, no index, or metric mismatch): the original
   in-process scan — a float64 matrix of ONLY the vector column decoded
   zero-copy from Arrow, rows materialized solely via ``table.take`` of
@@ -233,6 +239,119 @@ def uses_indexed_route(path: str, column: str, metric: str = "l2") -> bool:
     return meta.get("metric", "l2") == metric.lower()
 
 
+def uses_hnsw_route(path: str, column: str, metric: str = "l2") -> bool:
+    """True when eval() will traverse the on-disk HNSW graph. The UDTF
+    picks the most memory-frugal index first — PQ codes (~16 B/row) beat
+    graph traversal (probed cells' raw vectors in worker memory) — so
+    this route fires only when a graph exists and PQ codes don't; the
+    distributed ``search_dataset`` makes the opposite call (graph first)
+    because executors share the vector slabs."""
+    from .hnsw import _hnsw_dir, has_hnsw_index
+
+    if uses_indexed_route(path, column, metric):
+        return False
+    if not (_is_fragment_dataset(path) and has_hnsw_index(path, column)):
+        return False
+    with open(os.path.join(_hnsw_dir(path, column), "index_meta.json")) as fh:
+        meta = json.load(fh)
+    return meta.get("metric", "l2") == metric.lower()
+
+
+def _load_hnsw(path: str, column: str):
+    """HNSW searcher state, grouped per cell:
+    {cell: (ids (n,), mat (n, dim), levels (n,), adj {(id, layer): [ids]})}
+    plus the meta dict. Same LRU/mtime cache contract as the PQ state."""
+    from .hnsw import _hnsw_dir
+
+    idx = _hnsw_dir(path, column)
+    meta_path = os.path.join(idx, "index_meta.json")
+    key = (path, column, "hnsw", os.stat(meta_path).st_mtime_ns)
+    hit = _cache_get(key)
+    if hit is None:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        gt = pq.read_table(os.path.join(idx, "graph.parquet")).to_pylist()
+        vt = pq.read_table(os.path.join(idx, "vectors.parquet"))
+        cells: dict[int, tuple] = {}
+        v_cell = vt.column("cell").to_numpy(zero_copy_only=False)
+        v_ids = vt.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v_mat = _vector_matrix(vt, "vec")
+        for c in np.unique(v_cell):
+            sel = v_cell == c
+            cells[int(c)] = [v_ids[sel], v_mat[sel], None, {}]
+        lvl: dict[int, dict[int, int]] = {}
+        for r in gt:
+            c = int(r["cell"])
+            cells[c][3][(int(r["id"]), int(r["layer"]))] = list(r["neighbors"])
+            lvl.setdefault(c, {})[int(r["id"])] = int(r["node_level"])
+        for c, state in cells.items():
+            by_id = lvl.get(c, {})
+            state[2] = np.array([by_id.get(int(i), 0) for i in state[0]],
+                                dtype=np.int64)
+        hit = (meta, {c: tuple(s) for c, s in cells.items()})
+        _cache_put(key, hit)
+    return hit
+
+
+def _eval_hnsw(path: str, column: str, q: np.ndarray, k: int, metric: str,
+               nprobes: int | None, ef: int | None) -> Iterator[tuple]:
+    """In-process twin of hnsw.hnsw_search: probe cells, traverse each
+    graph with the ef-bounded dynamic list, merge, fetch ONLY the winner
+    rows (pushed id filter), exact-score the unindexed tail."""
+    from .hnsw import _traverse_cell
+    from .index import split_by_index_coverage
+
+    meta, cells = _load_hnsw(path, column)
+    if q.shape[0] != meta["dim"]:
+        raise ValueError(f"query dim {q.shape[0]} != indexed dim {meta['dim']}")
+    id_col = meta["id_col"]
+    eff = int(ef) if ef is not None else 100
+    pool = max(eff, k)
+
+    chosen = sorted(cells)
+    if nprobes is not None and len(chosen) > int(nprobes):
+        # probe the nprobes nearest cells by IVF centroid when the coarse
+        # index exists; else by per-cell mean (derived from the slab)
+        from .index import _index_dir, has_index
+
+        if has_index(path, column):
+            it = pq.read_table(os.path.join(_index_dir(path, column),
+                                            "centroids.parquet"))
+            cmat = np.asarray(it.column("centroid").to_pylist(), dtype=np.float64)
+            cc = it.column("cell").to_numpy(zero_copy_only=False)
+        else:
+            cc = np.array(chosen)
+            cmat = np.stack([cells[c][1].mean(axis=0) for c in chosen])
+        cd = ((cmat - q) ** 2).sum(axis=1)
+        order = np.lexsort((cc, cd))[: int(nprobes)]
+        chosen = sorted(int(cc[j]) for j in order if int(cc[j]) in cells)
+
+    merged: list[tuple[int, float]] = []
+    for c in chosen:
+        ids, mat, levels, adj = cells[c]
+        merged.extend(_traverse_cell(ids, levels, adj, mat, q, pool, eff, metric))
+    merged.sort(key=lambda t: (t[1], t[0]))
+    win_ids = np.array([i for i, _ in merged[:pool]], dtype=np.int64)
+
+    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
+    parts = []
+    if covered:
+        parts.append(_read_filtered(covered, None, id_col, win_ids))
+        if uncovered:
+            parts.append(_read_filtered(uncovered, None, id_col, None))
+    else:
+        parts.append(_read_filtered(_dataset_files(path), None, id_col, None))
+    import pyarrow as pa
+
+    rows_tbl = pa.concat_tables(parts)
+    row_d = np.round(_distances(_vector_matrix(rows_tbl, column), q, metric), 6)
+    rows = rows_tbl.to_pylist()
+    row_ids = rows_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    final = np.lexsort((row_ids, row_d))[:k]
+    for j in final.tolist():
+        yield tuple(rows[j].values()) + (float(row_d[j]),)
+
+
 def candidate_indices(path: str, column: str, query, nprobes: int | None = None,
                       ef: int | None = None) -> np.ndarray:
     """Row indices the flat-route search will score — the observable effect
@@ -365,6 +484,9 @@ class VectorSearchUDTF:
         if uses_indexed_route(path, column, metric):
             yield from _eval_indexed(path, column, q, k, metric,
                                      nprobes, ef, refine_factor)
+            return
+        if uses_hnsw_route(path, column, metric):
+            yield from _eval_hnsw(path, column, q, k, metric, nprobes, ef)
             return
         table, mat, planes, sigs = _load_flat(path, column)
         eff_ef = None if ef is None else max(int(ef), k)

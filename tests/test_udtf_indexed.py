@@ -100,3 +100,64 @@ def test_searcher_cache_is_lru_bounded(tmp_path):
     hit = udtf._load_flat(last, "v")
     assert isinstance(hit[1], np.ndarray)
     assert os.path.exists(last)
+
+
+@pytest.fixture(scope="module")
+def hnsw_only_ds(spark, sf_dir, tmp_path_factory):
+    """Dataset with an HNSW graph (over IVF cells) but NO PQ codes."""
+    from flink_connector_lance_spark.hnsw import build_hnsw_index
+    from flink_connector_lance_spark.index import build_index
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    path = str(tmp_path_factory.mktemp("udtf_hnsw") / "ds")
+    e = load_table(spark, sf_dir, "embeddings")
+    write_dataset(e, path, mode="overwrite")
+    res = build_index(path, "embedding", "ivf_flat", spark=spark, id_col="vec_id",
+                      options=DatasetOptions(path=path, index_num_partitions=4))
+    assert res.success, res.error
+    build_hnsw_index(spark, path, "embedding", id_col="vec_id", m=16,
+                     ef_construction=64)
+    return path, e
+
+
+def test_hnsw_route_detected_only_without_pq(indexed_ds, hnsw_only_ds):
+    pq_path, _ = indexed_ds
+    h_path, _ = hnsw_only_ds
+    assert udtf.uses_hnsw_route(h_path, "embedding", "l2")
+    assert not udtf.uses_hnsw_route(h_path, "embedding", "cosine")
+    # PQ codes win the in-worker memory call: hnsw route must NOT fire
+    # when the indexed (PQ) route already does
+    assert not udtf.uses_hnsw_route(pq_path, "embedding", "l2")
+    assert udtf.uses_indexed_route(pq_path, "embedding", "l2")
+
+
+def test_hnsw_eval_matches_exact_topk(hnsw_only_ds):
+    path, e = hnsw_only_ds
+    got = list(udtf.VectorSearchUDTF().eval(path, "embedding", QVEC, 10, "l2",
+                                            ef=400))
+    want = knn(e, "embedding", QVEC, k=10, tiebreak_cols=["vec_id"],
+               round_digits=6).collect()
+    vec_i = e.columns.index("vec_id")
+    assert [r[vec_i] for r in got] == [r.vec_id for r in want]
+    assert [round(r[-1], 6) for r in got] == [round(r._distance, 6) for r in want]
+    # worker state is the graph, not the flat table
+    assert any(k[0] == path and k[2] == "hnsw" for k in udtf._CACHE)
+    assert not any(k[0] == path and k[2] == "flat" for k in udtf._CACHE)
+
+
+def test_hnsw_eval_nprobes_and_tail(hnsw_only_ds, spark):
+    path, e = hnsw_only_ds
+    # nprobes prunes the probed cells but still returns k ordered rows
+    got = list(udtf.VectorSearchUDTF().eval(path, "embedding", QVEC, 5, "l2",
+                                            nprobes=2, ef=50))
+    assert len(got) == 5
+    ds = [r[-1] for r in got]
+    assert ds == sorted(ds)
+    # a row appended after the build (unindexed tail) can win
+    new = spark.createDataFrame(
+        [(888_888, [float(v) for v in QVEC], 0)],
+        "vec_id long, embedding array<float>, label int")
+    write_dataset(new.select(*e.columns), path, mode="append")
+    got = list(udtf.VectorSearchUDTF().eval(path, "embedding", QVEC, 1, "l2"))
+    vec_i = e.columns.index("vec_id")
+    assert got[0][vec_i] == 888_888 and got[0][-1] == 0.0
