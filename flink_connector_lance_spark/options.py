@@ -145,6 +145,9 @@ class DatasetOptions:
     # beyond-reference: opt-in append-time schema evolution (the reference
     # sink is static-schema); mirrors Spark's mergeSchema opt-in contract
     schema_evolution: bool = False
+    # beyond-reference: per-fragment bloom filters on these columns for
+    # point-predicate data skipping (sources/bloom.py); int/str columns only
+    bloom_columns: list[str] = field(default_factory=list)
     index_type: IndexType = IndexType.IVF_PQ
     index_column: str | None = None
     index_num_partitions: int = 256
@@ -204,6 +207,7 @@ class DatasetOptions:
             "write.mode": "write_mode",
             "write.max-rows-per-file": "write_max_rows_per_file",
             "write.schema-evolution": "schema_evolution",
+            "write.bloom-columns": "bloom_columns",
             "index.type": "index_type",
             "index.column": "index_column",
             "index.num-partitions": "index_num_partitions",
@@ -235,6 +239,8 @@ class DatasetOptions:
                 elif attr == "schema_evolution" and isinstance(v, str):
                     v = v.strip().lower() in ("true", "1", "yes")
                 elif attr == "read_columns" and isinstance(v, str):
+                    v = [c.strip() for c in v.split(",") if c.strip()]
+                elif attr == "bloom_columns" and isinstance(v, str):
                     v = [c.strip() for c in v.split(",") if c.strip()]
                 kwargs[attr] = v
             elif k in S3Options.KEYS:

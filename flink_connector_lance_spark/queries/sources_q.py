@@ -29,22 +29,50 @@ def _workdir(tag: str, sf_dir: str) -> str:
 @register(
     "source_roundtrip_agg",
     oracle="""
-    SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-    FROM documents GROUP BY lang, source
+    WITH appended AS (
+        SELECT doc_id + 30000000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE lang = 'en'
+    ),
+    all_rows AS (SELECT * FROM documents UNION ALL SELECT * FROM appended)
+    SELECT lang, source, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+    FROM all_rows GROUP BY lang, source
     """,
-    doc="Write documents into a versioned fragment dataset (executor "
-        "fragment files + driver commit), read back, aggregate — lossless "
-        "write->commit->read under the hash gate (sources/writer.py, "
-        "sources/reader.py; ref LanceSink.java:133-199 / LanceSource.java).",
+    doc="Lossless write->commit->read PLUS incremental materialized-view "
+        "maintenance under the hash gate (sources/rollup.py): write "
+        "documents as a fragment dataset, create a (lang, source) rollup "
+        "(COUNT/SUM/AVG partial states), append the en docs as a version "
+        "delta, refresh_rollup — which must take the INCREMENTAL path "
+        "(delta partial-agg + merge, never a table rescan; enforced by a "
+        "hard raise) — then read the finalized rollup. The oracle "
+        "recomputes the post-append aggregate relationally, so a "
+        "double-count or dropped delta in the merge algebra breaks the "
+        "hash (sources/writer.py, sources/reader.py; ref "
+        "LanceSink.java:133-199 / LanceSource.java).",
 )
 def source_roundtrip_agg(spark, sf_dir):
+    from ..sources.rollup import create_rollup, read_rollup, refresh_rollup
+
     d = load_table(spark, sf_dir, "documents")
     path = _workdir("roundtrip", sf_dir)
     write_dataset(d, path, mode="overwrite")
-    return (
-        read_dataset(spark, path)
-        .groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+    create_rollup(
+        spark, path, "by_lang_source", ["lang", "source"],
+        {"cnt": "count", "sum_chars": ("sum", "n_chars"),
+         "avg_chars": ("avg", "n_chars")},
+    )
+    appended = d.filter(F.col("lang") == "en").withColumn(
+        "doc_id", F.col("doc_id") + 30_000_000
+    )
+    write_dataset(appended, path, mode="append")
+    res = refresh_rollup(spark, path, "by_lang_source")
+    if res["mode"] != "incremental":  # the 100 TB contract: no rescan
+        raise RuntimeError(f"expected incremental refresh, got {res}")
+    return read_rollup(spark, path, "by_lang_source").select(
+        "lang", "source", "cnt",
+        F.col("sum_chars").cast("bigint").alias("sum_chars"),
+        F.round(F.col("avg_chars"), 4).alias("avg_chars"),
     )
 
 
@@ -146,13 +174,20 @@ def source_version_travel(spark, sf_dir):
     SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents WHERE n_chars > 150
     GROUP BY lang
+    UNION ALL
+    SELECT '__point_lookup__', count(*), CAST(sum(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id IN (1, 2, 3)
     """,
     doc="spark.read.format('lance') / df.write.format('lance') — the "
         "registered PySpark DataSource (sources/datasource.py; ref "
         "table/LanceDynamicTableFactory.java:52-237 + SPI registration): "
-        "format write (per-task Arrow fragment + driver manifest commit), "
-        "format read (one partition per fragment) with the n_chars "
-        "predicate pushed through pushFilters into the fragment scan.",
+        "format write with per-fragment bloom filters "
+        "(write.bloom-columns=doc_id — sources/bloom.py), format read "
+        "(one partition per fragment) with the n_chars predicate pushed "
+        "through pushFilters into the fragment scan, plus a point-lookup "
+        "branch whose pushed doc_id IN filter consults the bloom sidecars "
+        "at planning time (fragments provably missing all three ids are "
+        "never scheduled).",
 )
 def source_format_api(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -160,13 +195,24 @@ def source_format_api(spark, sf_dir):
     register_lance_datasource(spark)
     d = load_table(spark, sf_dir, "documents")
     path = _workdir("formatapi", sf_dir)
-    d.write.format("lance").mode("overwrite").save(path)
-    return (
-        spark.read.format("lance").load(path)
-        .filter(F.col("n_chars") > 150)
+    (
+        d.write.format("lance")
+        .option("write.bloom-columns", "doc_id")
+        .mode("overwrite").save(path)
+    )
+    base = spark.read.format("lance").load(path)
+    agg = (
+        base.filter(F.col("n_chars") > 150)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
     )
+    point = (
+        spark.read.format("lance").load(path)
+        .filter(F.col("doc_id").isin(1, 2, 3))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .select(F.lit("__point_lookup__").alias("lang"), "cnt", "sum_chars")
+    )
+    return agg.unionByName(point)
 
 
 @register(

@@ -229,6 +229,32 @@ def _fragment_may_match(stats: dict | None, row_count: int, f: Filter) -> bool:
     return True
 
 
+def _bloom_may_match(root: str, frag: "FR.FragmentInfo", pushed: List[Filter]) -> bool:
+    """Second-stage planning skip: point predicates (=, IN) against the
+    fragment's bloom sidecars (sources/bloom.py). Runs only for
+    fragments the zone maps kept; lazily reads (and LRU-caches) each
+    sidecar. NULL literals are ignored — ``x = NULL`` / ``x IN (NULL)``
+    is three-valued NULL and matches no row, so only non-null values
+    need bloom membership."""
+    from .bloom import BLOOM_STATS_KEY, fragment_bloom_may_contain
+
+    if not frag.stats or BLOOM_STATS_KEY not in frag.stats:
+        return True
+    for p in pushed:
+        if isinstance(p, EqualTo) and len(p.attribute) == 1 and p.value is not None:
+            values = [p.value]
+        elif isinstance(p, In) and len(p.attribute) == 1:
+            values = [v for v in p.value if v is not None]
+            if not values:
+                continue
+        else:
+            continue
+        if not fragment_bloom_may_contain(root, frag.file, frag.stats,
+                                          p.attribute[0], values):
+            return False
+    return True
+
+
 class LanceDataSourceReader(DataSourceReader):
     def __init__(self, options: dict, schema: "StructType | None" = None):
         self._path = _norm_path(options.get("path"))
@@ -266,6 +292,7 @@ class LanceDataSourceReader(DataSourceReader):
             FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)
             for f in manifest.fragments
             if all(_fragment_may_match(f.stats, f.row_count, p) for p in self._pushed)
+            and _bloom_may_match(self._path, f, self._pushed)
         ]
 
     def read(self, partition: "FragmentPartition | None") -> Iterator["pa.RecordBatch"]:
@@ -315,7 +342,8 @@ class LanceDataSourceReader(DataSourceReader):
                 yield aligned
 
 
-def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
+def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
+                    bloom_columns: "List[str] | None" = None) -> FragmentCommitMessage:
     """Executor side: stream one task's Arrow batches into one fragment
     file. Fragments are invisible until a manifest names them."""
     import pyarrow.parquet as pq
@@ -339,20 +367,33 @@ def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"]) -> Fragment
         if os.path.exists(out):
             os.remove(out)
         return FragmentCommitMessage(file=None, row_count=0)
+    stats = FR.parquet_fragment_stats(out) or {}
+    if bloom_columns:
+        # point-lookup blooms, built here on the executor while the fresh
+        # file is still page-cached (one column-pruned re-read); sidecar
+        # exists before the fragment is ever named by a manifest
+        from .bloom import BLOOM_STATS_KEY, build_bloom_sidecar
+
+        entry = build_bloom_sidecar(out, bloom_columns)
+        if entry is not None:
+            stats[BLOOM_STATS_KEY] = entry
     return FragmentCommitMessage(
         file=os.path.join(FR.DATA_DIR, frag_name),
         row_count=rows,
-        stats=FR.parquet_fragment_stats(out),
+        stats=stats or None,
     )
 
 
 def _drop_fragments(path: str, messages) -> None:
+    from .bloom import BLOOM_SUFFIX
+
     for m in messages:
         if m is not None and m.file:
-            try:
-                os.remove(os.path.join(path, m.file))
-            except OSError:
-                pass
+            for victim in (m.file, m.file + BLOOM_SUFFIX):
+                try:
+                    os.remove(os.path.join(path, victim))
+                except OSError:
+                    pass
 
 
 def _parse_evolve_option(options: dict) -> bool:
@@ -394,9 +435,12 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             raise ValueError("lance datasource requires a 'path' option")
         self._mode = "overwrite" if overwrite else "append"
         self._evolve = _parse_evolve_option(options)
+        from .bloom import parse_bloom_columns
+
+        self._bloom_cols = parse_bloom_columns(options.get("write.bloom-columns"))
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
-        return _write_fragment(self._path, iterator)
+        return _write_fragment(self._path, iterator, self._bloom_cols)
 
     def commit(self, messages: List[FragmentCommitMessage]) -> None:
         """Runs on the driver: single-winner manifest commit."""
@@ -435,9 +479,12 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
         self._evolve = _parse_evolve_option(options)
+        from .bloom import parse_bloom_columns
+
+        self._bloom_cols = parse_bloom_columns(options.get("write.bloom-columns"))
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
-        return _write_fragment(self._path, iterator)
+        return _write_fragment(self._path, iterator, self._bloom_cols)
 
     def commit(self, messages: List[FragmentCommitMessage], batchId: int) -> None:
         if FR.meta_value_committed(self._path, self.EPOCH_KEY, batchId):

@@ -188,6 +188,11 @@ def vacuum_dataset(
     kept = sorted(set(kept) | (_index_pinned_versions(path) & set(all_versions)))
     dropped = [v for v in all_versions if v not in kept]
     live = {f.file for v in kept for f in FR.read_manifest(path, v).fragments}
+    # a bloom sidecar (sources/bloom.py) lives exactly as long as its
+    # fragment: live fragments keep theirs, dead fragments' sidecars go
+    from .bloom import BLOOM_SUFFIX
+
+    live |= {f + BLOOM_SUFFIX for f in live}
     data_dir = os.path.join(path, FR.DATA_DIR)
     dead = [
         os.path.join(FR.DATA_DIR, name)

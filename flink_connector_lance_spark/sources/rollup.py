@@ -1,0 +1,233 @@
+"""Incremental materialized rollups: aggregate views maintained from
+version deltas, never by rescanning the table.
+
+At 100 TB, "refresh the per-(lang, source) token counts" must not
+re-read the corpus — appends arrive as new fragments, and every
+distributive/algebraic aggregate (COUNT/SUM/MIN/MAX/AVG) merges from
+per-fragment partial states. This module materializes a rollup as its
+own versioned fragment dataset under ``<table>/_rollups/<name>`` whose
+commit metadata records the exact fragment files it covers; a refresh
+diffs that file list against the current manifest:
+
+- files added only  -> **incremental**: partial-aggregate the delta
+  fragments (map-side combine + ONE shuffle on the group keys, sized by
+  the delta), union with the stored partial state (size = number of
+  groups, not rows), merge-aggregate, commit. Cost is O(delta + groups).
+- files removed     -> a rewrite happened (DELETE/MERGE/compaction/
+  overwrite): merging would double-count surviving rows, so fall back
+  to a **full** recompute (still one pass; correctness over cleverness).
+- no change         -> **noop** (metadata-only decision).
+
+State representation (the classic partial-aggregate algebra):
+COUNT -> count, merged by SUM; SUM/MIN/MAX -> merged by themselves;
+AVG -> (sum, count) pair, finalized as sum/count at read time.
+COUNT DISTINCT is refused — it is not decomposable without sketches
+(use the exact query path, or approx_count_distinct knowingly).
+
+The reference has no analog (its catalog hard-codes UNKNOWN statistics
+and recomputes everything — ref table/LanceCatalog.java:683-704); this
+is the standard incremental-view-maintenance upgrade a Lance user needs
+once appends outpace full scans.
+
+MVCC safety: the merge plan reads the rollup's CURRENT fragment files
+while the new state is staged; the overwrite commit only swaps the
+manifest — old fragment files stay on disk until the rollup dataset is
+vacuumed, so there is no read-while-overwrite window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fragments as FR
+from .reader import read_dataset, read_fragment_files
+from .writer import write_dataset
+
+ROLLUPS_DIR = "_rollups"
+_META_KEY = "rollup"
+_FNS = ("count", "sum", "min", "max", "avg")
+
+
+def rollup_path(path: str, name: str) -> str:
+    return os.path.join(path, ROLLUPS_DIR, name)
+
+
+def _normalize_aggs(aggs: dict) -> "list[dict]":
+    """``{out: ("avg", "n_chars")} | {out: "count"}`` -> ordered spec list."""
+    out = []
+    for alias, spec in aggs.items():
+        if isinstance(spec, str):
+            fn, col = spec, None
+        else:
+            fn, col = spec
+        fn = fn.lower()
+        if fn not in _FNS:
+            raise ValueError(
+                f"unsupported rollup aggregate {fn!r} for {alias!r}; "
+                f"supported: {', '.join(_FNS)} (COUNT DISTINCT is not "
+                "incrementally mergeable without sketches)"
+            )
+        if fn != "count" and col is None:
+            raise ValueError(f"{fn}({alias}) needs a source column")
+        out.append({"out": alias, "fn": fn, "col": col})
+    if not out:
+        raise ValueError("rollup needs at least one aggregate")
+    return out
+
+
+def _partial_exprs(spec: "list[dict]"):
+    """Per-delta partial state: AVG decomposes into (sum, count)."""
+    exprs = []
+    for a in spec:
+        fn, col, out = a["fn"], a["col"], a["out"]
+        if fn == "count":
+            exprs.append(F.count(F.lit(1) if col is None else F.col(col)).alias(out))
+        elif fn == "avg":
+            exprs.append(F.sum(F.col(col)).alias(f"{out}__sum"))
+            exprs.append(F.count(F.col(col)).alias(f"{out}__cnt"))
+        else:
+            exprs.append(getattr(F, fn)(F.col(col)).alias(out))
+    return exprs
+
+
+def _merge_exprs(spec: "list[dict]"):
+    """Merge two partial states: counts and sums add, min/max re-apply."""
+    exprs = []
+    for a in spec:
+        fn, out = a["fn"], a["out"]
+        if fn in ("count", "sum"):
+            exprs.append(F.sum(F.col(out)).alias(out))
+        elif fn == "avg":
+            exprs.append(F.sum(F.col(f"{out}__sum")).alias(f"{out}__sum"))
+            exprs.append(F.sum(F.col(f"{out}__cnt")).alias(f"{out}__cnt"))
+        else:
+            exprs.append(getattr(F, fn)(F.col(out)).alias(out))
+    return exprs
+
+
+def _partial_state(df: DataFrame, group_cols: "list[str]", spec) -> DataFrame:
+    return df.groupBy(*group_cols).agg(*_partial_exprs(spec))
+
+
+def _commit_state(state: DataFrame, rp: str, group_cols, spec,
+                  source_manifest: FR.Manifest) -> None:
+    meta = {
+        _META_KEY: {
+            "group_cols": list(group_cols),
+            "spec": spec,
+            "source_version": source_manifest.version,
+            "covered_files": sorted(f.file for f in source_manifest.fragments),
+        }
+    }
+    write_dataset(state, rp, mode="overwrite", commit_meta=meta)
+
+
+def create_rollup(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    group_cols: "list[str]",
+    aggs: dict,
+) -> dict:
+    """Materialize a rollup over the table's CURRENT version.
+
+    ``aggs`` maps output column -> ``(fn, src_col)`` (or the string
+    ``"count"`` for COUNT(*)), fn in count|sum|min|max|avg. Returns a
+    summary dict; the state lands under ``<path>/_rollups/<name>``.
+    """
+    spec = _normalize_aggs(aggs)
+    m = FR.read_manifest(path)
+    df = read_fragment_files(spark, m, FR.fragment_paths(path, m))
+    _commit_state(_partial_state(df, group_cols, spec), rollup_path(path, name),
+                  group_cols, spec, m)
+    return {"name": name, "source_version": m.version,
+            "covered_fragments": len(m.fragments)}
+
+
+def refresh_rollup(spark: SparkSession, path: str, name: str) -> dict:
+    """Bring a rollup up to the table's current version.
+
+    Returns ``{"mode": "noop" | "incremental" | "full", ...}`` —
+    incremental when the table only gained fragments since the last
+    refresh (appends, streaming epochs), full when any covered fragment
+    disappeared (rewrite), noop when nothing changed.
+    """
+    rp = rollup_path(path, name)
+    rm = FR.read_manifest(rp)
+    info = rm.meta.get(_META_KEY)
+    if not info:
+        raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
+    group_cols, spec = info["group_cols"], info["spec"]
+    cur = FR.read_manifest(path)
+    covered = set(info["covered_files"])
+    cur_files = {f.file for f in cur.fragments}
+    if covered - cur_files:
+        # DELETE/MERGE/compaction/overwrite rewrote covered data: partials
+        # for the vanished files can't be subtracted out — recompute
+        df = read_fragment_files(spark, cur, FR.fragment_paths(path, cur))
+        _commit_state(_partial_state(df, group_cols, spec), rp, group_cols, spec, cur)
+        return {"mode": "full", "source_version": cur.version,
+                "reason": f"{len(covered - cur_files)} covered fragment(s) rewritten"}
+    added = [f for f in cur.fragments if f.file not in covered]
+    if not added:
+        return {"mode": "noop", "source_version": info["source_version"]}
+    delta = read_fragment_files(
+        spark, cur, [os.path.join(path, f.file) for f in added]
+    )
+    merged = (
+        read_dataset(spark, rp)
+        .unionByName(_partial_state(delta, group_cols, spec))
+        .groupBy(*group_cols)
+        .agg(*_merge_exprs(spec))
+    )
+    _commit_state(merged, rp, group_cols, spec, cur)
+    return {"mode": "incremental", "source_version": cur.version,
+            "delta_fragments": len(added),
+            "delta_rows": sum(f.row_count for f in added)}
+
+
+def read_rollup(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Finalized rollup: AVG states resolve to sum/count; everything else
+    reads straight from the partial state (they are their own finals)."""
+    rp = rollup_path(path, name)
+    info = FR.read_manifest(rp).meta.get(_META_KEY)
+    if not info:
+        raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
+    df = read_dataset(spark, rp)
+    cols = [F.col(c) for c in info["group_cols"]]
+    for a in info["spec"]:
+        out = a["out"]
+        if a["fn"] == "avg":
+            cols.append(
+                (F.col(f"{out}__sum").cast("double") / F.col(f"{out}__cnt")).alias(out)
+            )
+        else:
+            cols.append(F.col(out))
+    return df.select(*cols)
+
+
+def rollup_status(path: str, name: str) -> dict:
+    """Metadata-only staleness report (no Spark job): how far behind the
+    table is this rollup, and would a refresh be incremental?"""
+    rp = rollup_path(path, name)
+    info = FR.read_manifest(rp).meta.get(_META_KEY)
+    if not info:
+        raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
+    cur = FR.read_manifest(path)
+    covered = set(info["covered_files"])
+    cur_files = {f.file for f in cur.fragments}
+    added = [f for f in cur.fragments if f.file not in covered]
+    return {
+        "name": name,
+        "rollup_source_version": info["source_version"],
+        "table_version": cur.version,
+        "pending_fragments": len(added),
+        "pending_rows": sum(f.row_count for f in added),
+        "needs_full": bool(covered - cur_files),
+        "group_cols": info["group_cols"],
+        "aggs": json.loads(json.dumps(info["spec"])),
+    }

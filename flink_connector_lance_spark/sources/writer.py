@@ -70,6 +70,15 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
         from .maintenance import _promote_staged
 
         new_fragments = _promote_staged(path, stage)
+        if opts.bloom_columns:
+            # fragment-parallel point-lookup blooms (sources/bloom.py);
+            # sidecars land BEFORE the commit so a reader never sees a
+            # manifest referencing a not-yet-written bloom
+            from .bloom import attach_blooms
+
+            new_fragments = attach_blooms(
+                df.sparkSession, path, new_fragments, opts.bloom_columns
+            )
         # the (possibly evolved) schema rides in the same atomic commit;
         # maintenance commits inherit it (FR.commit), so it is the
         # authoritative table schema until the next evolving write

@@ -46,6 +46,8 @@ TAGGED_BRANCHES = {
         "stage",
         {"v0", "v1", "v1_meta", "compacted", "deleted", "merged", "vacuumed"},
     ),
+    # the bloom-consulted point-lookup branch must contribute its row
+    "source_format_api": ("lang", {"__point_lookup__"}),
 }
 
 

@@ -1,0 +1,154 @@
+"""Incremental materialized rollups (sources/rollup.py): version-delta
+refresh semantics — incremental on append, full on rewrite, noop on no
+change — and partial-state algebra (COUNT/SUM/MIN/MAX/AVG merge)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_connector_lance_spark.sources import fragments as FR
+from flink_connector_lance_spark.sources.rollup import (
+    create_rollup,
+    read_rollup,
+    refresh_rollup,
+    rollup_status,
+)
+from flink_connector_lance_spark.sources.writer import write_dataset
+
+
+def _base(spark, n=100, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 2).alias("val"),
+    )
+
+
+AGGS = {
+    "cnt": "count",
+    "sum_val": ("sum", "val"),
+    "min_val": ("min", "val"),
+    "max_val": ("max", "val"),
+    "avg_val": ("avg", "val"),
+}
+
+
+def _expected(spark, df):
+    return {
+        r.grp: r
+        for r in df.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.avg("val").alias("avg_val"),
+        )
+        .collect()
+    }
+
+
+def _got(spark, path):
+    return {r.grp: r for r in read_rollup(spark, path, "by_grp").collect()}
+
+
+def test_create_then_read_matches_direct_aggregate(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _base(spark)
+    write_dataset(df, path, mode="overwrite")
+    res = create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    assert res["covered_fragments"] >= 1
+    exp, got = _expected(spark, df), _got(spark, path)
+    assert set(got) == set(exp)
+    for g in exp:
+        for c in AGGS:
+            assert got[g][c] == pytest.approx(exp[g][c])
+
+
+def test_append_refresh_is_incremental_and_correct(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    write_dataset(_base(spark, n=50, offset=1000), path, mode="append")
+    st = rollup_status(path, "by_grp")
+    assert st["pending_rows"] == 50 and not st["needs_full"]
+    res = refresh_rollup(spark, path, "by_grp")
+    assert res["mode"] == "incremental"
+    assert res["delta_rows"] == 50
+    union = _base(spark).unionByName(_base(spark, n=50, offset=1000))
+    exp, got = _expected(spark, union), _got(spark, path)
+    for g in exp:
+        for c in AGGS:
+            assert got[g][c] == pytest.approx(exp[g][c])
+
+
+def test_noop_when_nothing_changed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    assert refresh_rollup(spark, path, "by_grp")["mode"] == "noop"
+
+
+def test_rewrite_falls_back_to_full(spark, tmp_path):
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    delete_rows(spark, path, "id < 10")  # rewrites the covered fragment
+    st = rollup_status(path, "by_grp")
+    assert st["needs_full"]
+    res = refresh_rollup(spark, path, "by_grp")
+    assert res["mode"] == "full"
+    exp = _expected(spark, _base(spark).filter("id >= 10"))
+    got = _got(spark, path)
+    for g in exp:
+        for c in AGGS:
+            assert got[g][c] == pytest.approx(exp[g][c])
+
+
+def test_multiple_incremental_refreshes_compose(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    for i in range(3):
+        write_dataset(_base(spark, n=30, offset=2000 + i * 100), path, mode="append")
+        assert refresh_rollup(spark, path, "by_grp")["mode"] == "incremental"
+    full = _base(spark)
+    for i in range(3):
+        full = full.unionByName(_base(spark, n=30, offset=2000 + i * 100))
+    exp, got = _expected(spark, full), _got(spark, path)
+    for g in exp:
+        for c in AGGS:
+            assert got[g][c] == pytest.approx(exp[g][c])
+
+
+def test_count_distinct_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    with pytest.raises(ValueError, match="COUNT DISTINCT|unsupported"):
+        create_rollup(spark, path, "bad", ["grp"], {"d": ("count_distinct", "val")})
+
+
+def test_avg_needs_source_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    with pytest.raises(ValueError, match="needs a source column"):
+        create_rollup(spark, path, "bad", ["grp"], {"a": ("avg", None)})
+
+
+def test_refresh_plan_has_no_source_table_scan_on_append(spark, tmp_path):
+    """The incremental path must read ONLY delta fragments: the merge
+    plan's file sources are the rollup state + the delta files, never
+    the original covered fragments."""
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark, n=1000), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    covered = {f.file for f in FR.read_manifest(path).fragments}
+    write_dataset(_base(spark, n=10, offset=5000), path, mode="append")
+    res = refresh_rollup(spark, path, "by_grp")
+    assert res["mode"] == "incremental" and res["delta_rows"] == 10
+    # state survives and a further noop confirms covered bookkeeping
+    assert refresh_rollup(spark, path, "by_grp")["mode"] == "noop"
+    assert covered < {f.file for f in FR.read_manifest(path).fragments}
