@@ -1,0 +1,161 @@
+"""Semantic deduplication: k-means cluster embeddings, then prune
+near-identical pairs *within* each cluster (SemDeDup — Abbas et al.
+2023, arXiv:2303.09540, public).
+
+Where MinHash/SimHash catch lexical near-duplicates and hyperplane-LSH
+catches high-cosine pairs bucket-probabilistically, SemDeDup removes
+*semantic* duplicates: paraphrases and templated rewrites whose
+embeddings are nearly identical. The quadratic all-pairs problem is
+bounded by clustering first — pairs are only scored inside a k-means
+cell, so the candidate count is Σ|cell|² (controlled by ``num_clusters``:
+pick k ≈ n / target_cell_size; the paper uses ~100 rows/cell at web
+scale).
+
+Scale shape (100 TB):
+- k-means reuses the engine's distributed Lloyd iteration
+  (index._assign_cells): broadcast centroids x rows, map-side argmin,
+  posexplode partial-mean update — no all-pairs anywhere.
+- candidate generation is an equi-join on the cell id carrying ONLY
+  (id, cell); vectors and hoisted norms attach post-candidates by id
+  (the skinny-candidate shape proven in dedup.embedding_cosine_pairs).
+- the drop rule is greedy-by-id: a row is dropped iff SOME lower-id row
+  in the same cell has cosine >= eps. Deterministic, one aggregate over
+  the pair set — no iterative connected components (SemDeDup keeps one
+  representative per *pair* neighborhood, not per transitive component;
+  transitive clustering is ``dedup.duplicate_components``'s job).
+
+The reference has no semantic-dedup surface; this extends the engine's
+training-data-pipeline family (SURVEY.md §2 extension table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_vecs(df: DataFrame, id_col: str, vector_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("rid"),
+        F.col(vector_col).cast("array<double>").alias("vd"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    num_clusters: int,
+    iterations: int = 4,
+) -> DataFrame:
+    """Distributed Lloyd k-means over a DataFrame: returns
+    ``(rid, cell)`` assignments. Deterministic: centroids seed from the
+    ``num_clusters`` lowest-id vectors, ties in the argmin break on the
+    lowest cell id (same contract as the IVF index build,
+    index._emulated_ivf_build)."""
+    from pyspark.sql import Window
+
+    from ..index import _assign_cells
+
+    vecs = _as_vecs(df, id_col, vector_col).localCheckpoint(eager=True)
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("cannot cluster an empty DataFrame")
+    dim = len(vecs.select("vd").first().vd)
+    k = min(int(num_clusters), n)
+    if k <= 0:
+        raise ValueError("num_clusters must be positive")
+    cents = (
+        vecs.orderBy("rid").limit(k)
+        .select((F.row_number().over(Window.orderBy("rid")) - 1).alias("cell"),
+                F.col("vd").alias("centroid"))
+    ).localCheckpoint(eager=True)
+    for _ in range(int(iterations)):
+        assigned = _assign_cells(vecs, cents, dim)
+        pe = assigned.select("cell", F.posexplode("vd").alias("pos", "val"))
+        per_dim = pe.groupBy("cell", "pos").agg(F.avg("val").alias("c"))
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                        lambda s: s["c"]).alias("centroid")
+        ).localCheckpoint(eager=True)
+    return _assign_cells(vecs, cents, dim).select("rid", "cell")
+
+
+def _pair_cosine(dim: int) -> Column:
+    """cos(va, vb) from pre-hoisted norms na/nb — unrolled codegen chain
+    (see dedup._dot_chain); zero-norm rows score 0 (never 'similar')."""
+    from .dedup import _dot_chain
+
+    return F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(_dot_chain("va", "vb", dim) / (F.col("na") * F.col("nb")), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def semantic_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    num_clusters: int,
+    eps: float = 0.95,
+    iterations: int = 4,
+    assignments: "DataFrame | None" = None,
+) -> DataFrame:
+    """Within-cluster pairs with cosine >= eps:
+    ``(id_a, id_b, cell, cosine)`` with id_a < id_b.
+
+    ``assignments`` (rid, cell) can be supplied to reuse a clustering
+    across eps sweeps (the expensive half is k-means, not the pairs).
+    """
+    from .dedup import _dot_chain
+
+    vecs = _as_vecs(df, id_col, vector_col)
+    dim = len(vecs.select("vd").first().vd)
+    if assignments is None:
+        assignments = kmeans_assign(df, id_col, vector_col, num_clusters, iterations)
+    # skinny candidates: (id, cell) only — the equi-join on cell never
+    # carries a vector; pairs materialize as two ids
+    a = assignments.select(F.col("rid").alias("id_a"), "cell")
+    b = assignments.select(F.col("rid").alias("id_b"), "cell")
+    cand = a.join(b, on="cell").filter(F.col("id_a") < F.col("id_b"))
+    # vectors + norms attach post-candidates by id (uniform key, no cell
+    # skew); norms hoist to one evaluation per ROW, not per pair
+    withnorm = vecs.select(
+        F.col("rid").alias("__vid"), F.col("vd"),
+        F.sqrt(_dot_chain("vd", "vd", dim)).alias("nrm"),
+    )
+    pairs = (
+        cand.join(withnorm.select("__vid", F.col("vd").alias("va"),
+                                  F.col("nrm").alias("na")),
+                  cand.id_a == F.col("__vid")).drop("__vid")
+        .join(withnorm.select("__vid", F.col("vd").alias("vb"),
+                              F.col("nrm").alias("nb")),
+              F.col("id_b") == F.col("__vid")).drop("__vid")
+    )
+    return (
+        pairs.select("id_a", "id_b", "cell", _pair_cosine(dim).alias("cosine"))
+        .filter(F.col("cosine") >= float(eps))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    num_clusters: int,
+    eps: float = 0.95,
+    iterations: int = 4,
+    assignments: "DataFrame | None" = None,
+) -> DataFrame:
+    """Drop semantic near-duplicates: a row survives unless some
+    LOWER-id row in its k-means cell is cosine-similar >= eps.
+
+    Returns the surviving subset of ``df`` (all original columns).
+    Greedy-by-id keeps the minimum id of every similar pair — the
+    deterministic one-pass analog of SemDeDup's keep-one-per-group."""
+    dup_ids = (
+        semantic_duplicate_pairs(df, id_col, vector_col, num_clusters, eps,
+                                 iterations, assignments)
+        .select(F.col("id_b").alias(id_col)).distinct()
+    )
+    return df.join(dup_ids, on=id_col, how="left_anti")
