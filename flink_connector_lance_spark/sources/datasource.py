@@ -91,11 +91,16 @@ DEFAULT_BATCH_SIZE = 1024  # ref config/LanceOptions.java:56-60
 
 @dataclass
 class FragmentPartition(InputPartition):
-    """One fragment == one input split (ref LanceSplit.java:31-68)."""
+    """One fragment == one input split (ref LanceSplit.java:31-68).
+
+    ``packed_files``: additional fragment files scanned by the SAME task
+    (split packing — ``read.max-rows-per-partition``). Empty by default:
+    the 1-fragment-1-split contract stands unless packing is opted in."""
 
     fragment_id: int
     file: str
     row_count: int
+    packed_files: tuple = ()
 
 
 @dataclass
@@ -263,6 +268,13 @@ class LanceDataSourceReader(DataSourceReader):
         v = options.get("version")
         self._version = int(v) if v is not None else None
         self._batch_size = int(options.get("read.batch-size", DEFAULT_BATCH_SIZE))
+        # split packing: opt-in task-count control for runt-fragment
+        # tables (10^5 micro-batch fragments must not mean 10^5 tasks —
+        # per-task scheduling overhead dominates tiny scans at scale)
+        p = options.get("read.max-rows-per-partition")
+        self._pack_rows = int(p) if p is not None else None
+        if self._pack_rows is not None and self._pack_rows <= 0:
+            raise ValueError("read.max-rows-per-partition must be positive")
         # the planned Spark schema (picklable): executors align each
         # fragment's batches to it by name, null-filling columns an older
         # (pre-evolution) fragment doesn't carry
@@ -288,24 +300,57 @@ class LanceDataSourceReader(DataSourceReader):
         An empty result is fine: the Python data source worker turns it
         into a single ``None`` partition and ``read`` emits nothing."""
         manifest = FR.read_manifest(self._path, self._version)
-        return [
-            FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)
+        kept = [
+            f
             for f in manifest.fragments
             if all(_fragment_may_match(f.stats, f.row_count, p) for p in self._pushed)
             and _bloom_may_match(self._path, f, self._pushed)
         ]
+        if self._pack_rows is None:
+            return [
+                FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)
+                for f in kept
+            ]
+        # greedy pack in manifest order: consecutive runt fragments share
+        # one task up to the row cap; an oversized fragment rides alone.
+        # Deterministic (manifest order), pruning-composable (packs are
+        # formed from the already-pruned survivor list).
+        packs: list[list] = []
+        cur: list = []
+        cur_rows = 0
+        for f in kept:
+            if cur and cur_rows + f.row_count > self._pack_rows:
+                packs.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(f)
+            cur_rows += f.row_count
+        if cur:
+            packs.append(cur)
+        return [
+            FragmentPartition(
+                p[0].fragment_id,
+                os.path.join(self._path, p[0].file),
+                sum(f.row_count for f in p),
+                packed_files=tuple(os.path.join(self._path, f.file) for f in p[1:]),
+            )
+            for p in packs
+        ]
 
     def read(self, partition: "FragmentPartition | None") -> Iterator["pa.RecordBatch"]:
+        if partition is None:  # every fragment was pruned
+            return
+        for file in (partition.file, *partition.packed_files):
+            yield from self._read_one(file)
+
+    def _read_one(self, file: str) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
         import pyarrow.dataset as pads
 
-        if partition is None:  # every fragment was pruned
-            return
         expr = None
         for f in self._pushed:
             e = _filter_to_arrow(f)
             expr = e if expr is None else (expr & e)
-        dset = pads.dataset(partition.file, format="parquet")
+        dset = pads.dataset(file, format="parquet")
 
         target = None
         if self._schema is not None:
@@ -530,6 +575,18 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
 
     Option ``stream.start-version``: first version (exclusive) to
     consume from; default -1 streams the dataset from genesis.
+
+    Option ``stream.max-fragments-per-batch``: rate limit (Spark's
+    ``maxFilesPerTrigger`` analog). A backfill from version 0 of a
+    long-lived table would otherwise deliver the ENTIRE history as one
+    giant micro-batch — unbounded task count and state pressure in one
+    trigger. With the cap, ``latestOffset`` advances at most to the
+    version whose cumulative new-fragment count stays within the cap
+    (always at least one version — a single version larger than the cap
+    still delivers whole, since the manifest version is the offset
+    granularity). After a checkpoint restart the first trigger may be
+    uncapped (the reader only learns the restored position when Spark
+    hands it to ``partitions``); every subsequent trigger is bounded.
     """
 
     def __init__(self, options: dict, schema: "StructType | None" = None):
@@ -539,21 +596,49 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
         self._batch_size = int(options.get("read.batch-size", DEFAULT_BATCH_SIZE))
         self._start = int(options.get("stream.start-version", -1))
         self._schema = schema  # align pre-evolution fragments (see read)
+        cap = options.get("stream.max-fragments-per-batch")
+        self._max_frags = int(cap) if cap is not None else None
+        if self._max_frags is not None and self._max_frags <= 0:
+            raise ValueError("stream.max-fragments-per-batch must be positive")
+        # consumption cursor for rate limiting: tracks the last start
+        # version Spark planned from (updated in partitions) so the next
+        # latestOffset bounds its advance relative to real progress
+        self._cursor = self._start
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
+    def _files_at(self, version: int) -> set:
+        if version < 0:
+            return set()
+        return {f.file for f in FR.read_manifest(self._path, version).fragments}
+
     def latestOffset(self) -> dict:
         v = FR.latest_version(self._path)
-        return {"version": self._start if v is None else max(v, self._start)}
+        latest = self._start if v is None else max(v, self._start)
+        if self._max_frags is None or latest <= self._cursor:
+            return {"version": latest}
+        base = self._files_at(self._cursor)
+        chosen = self._cursor
+        new_count = 0
+        for ver in range(self._cursor + 1, latest + 1):
+            new_count = len(self._files_at(ver) - base)
+            if new_count > self._max_frags and chosen > self._cursor:
+                break  # previous version was the last within budget
+            chosen = ver
+            if new_count >= self._max_frags:
+                break  # budget exactly spent (or first version overshoots)
+        return {"version": chosen}
 
     def partitions(self, start: dict, end: dict) -> List[FragmentPartition]:
         sv, ev = start["version"], end["version"]
+        # advance the rate-limit cursor to this batch's END: the next
+        # latestOffset budgets from here (budgeting from the start would
+        # count this batch's own fragments again and stall the stream)
+        self._cursor = max(self._cursor, sv, ev)
         if ev <= sv:
             return []
-        known: set[str] = set()
-        if sv >= 0:
-            known = {f.file for f in FR.read_manifest(self._path, sv).fragments}
+        known = self._files_at(sv)
         m = FR.read_manifest(self._path, ev)
         return [
             FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)

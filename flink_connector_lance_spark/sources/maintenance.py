@@ -142,6 +142,7 @@ def vacuum_dataset(
     path: str,
     keep_versions: int = 2,
     dry_run: bool = False,
+    staging_grace_seconds: int = 24 * 3600,
 ) -> dict:
     """MVCC garbage collection: drop manifests older than the newest
     ``keep_versions`` and delete fragment files no retained version
@@ -155,9 +156,16 @@ def vacuum_dataset(
     untouched); readers pinned to a vacuumed version fail fast on the
     missing manifest, the same contract as Lance's own cleanup.
 
+    Crashed writes leave ``_staging-*`` directories (write_dataset
+    stages executor output there before promotion; the finally-cleanup
+    doesn't run if the driver dies). Vacuum removes staging dirs older
+    than ``staging_grace_seconds`` (default 24 h — generous headroom for
+    an in-flight write's staging phase; a LIVE writer's staging dir is
+    always younger than its own write).
+
     Returns ``{"kept_versions": [...], "dropped_versions": n,
-    "deleted_files": n, "reclaimed_bytes": n}``; ``dry_run`` reports
-    without deleting."""
+    "deleted_files": n, "reclaimed_bytes": n, "staging_dirs_removed": n}``;
+    ``dry_run`` reports without deleting."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     if FR.HAVE_LANCE and not dry_run:  # native path (fake lance in tests)
@@ -200,16 +208,27 @@ def vacuum_dataset(
         if os.path.join(FR.DATA_DIR, name) not in live
     ]
     reclaimed = sum(os.path.getsize(os.path.join(path, f)) for f in dead)
+    import time
+
+    stale_staging = [
+        os.path.join(path, name)
+        for name in os.listdir(path)
+        if name.startswith("_staging-") and os.path.isdir(os.path.join(path, name))
+        and time.time() - os.path.getmtime(os.path.join(path, name)) > staging_grace_seconds
+    ]
     if not dry_run:
         for v in dropped:  # manifests first: see crash-safety note above
             os.remove(os.path.join(path, FR.VERSIONS_DIR, f"{v}.manifest.json"))
         for f in dead:
             os.remove(os.path.join(path, f))
+        for d in stale_staging:  # crashed-write leftovers, never referenced
+            shutil.rmtree(d, ignore_errors=True)
     return {
         "kept_versions": kept,
         "dropped_versions": len(dropped),
         "deleted_files": len(dead),
         "reclaimed_bytes": reclaimed,
+        "staging_dirs_removed": len(stale_staging),
     }
 
 
