@@ -391,3 +391,89 @@ def top_tokens(df, text_col: str, k: int = 100, min_len: int = 1):
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
     )
+
+
+# --- BM25 retrieval scoring --------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_corpus_stats(df, tokens_col: str, query_terms) -> "DataFrame":
+    """ONE-row corpus statistics for BM25: total docs ``__bm25_n``,
+    average document length ``__bm25_avgdl``, and per-query-term document
+    frequencies ``__bm25_df{i}``.
+
+    One map-combinable aggregate over the corpus — broadcast the result
+    back (it is a single row) and score documents with
+    ``bm25_score_of``. At 100 TB this is the textbook two-pass shape:
+    stats pass (tiny output) + scoring pass (zero shuffle).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("__bm25_n"),
+        F.avg(F.size(F.col(tokens_col))).alias("__bm25_avgdl"),
+    ]
+    for i, t in enumerate(query_terms):
+        aggs.append(
+            F.sum(F.array_contains(F.col(tokens_col), t).cast("int")).alias(f"__bm25_df{i}")
+        )
+    return df.agg(*aggs)
+
+
+def bm25_score_of(tokens_col: str, query_terms, k1: float = BM25_K1,
+                  b: float = BM25_B) -> Column:
+    """BM25 (Robertson/Sparck Jones, the +1-smoothed idf variant) of a
+    document against ``query_terms``, as a pure column expression over a
+    pre-split token array. Requires the ``bm25_corpus_stats`` columns in
+    scope (cross-join the 1-row stats relation first).
+
+    score = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+              · tf_t·(k1+1) / (tf_t + k1·(1 - b + b·dl/avgdl))
+
+    Arithmetic is ordered identically to the paired DuckDB oracle
+    (left-to-right term sum, same operator tree), so results are
+    bit-identical before rounding.
+    """
+    ts = F.col(tokens_col)
+    dl = F.size(ts).cast("double")
+
+    def _eq(term):
+        # closure factory, NOT a default arg: a second lambda parameter
+        # would make F.filter pass (element, index) and compare tokens
+        # against the position
+        return lambda x: x == term
+
+    score: "Column | None" = None
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter(ts, _eq(t))).cast("double")
+        dfc = F.col(f"__bm25_df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("__bm25_n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+        contrib = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("__bm25_avgdl"))
+        )
+        score = contrib if score is None else score + contrib
+    if score is None:
+        raise ValueError("bm25 needs at least one query term")
+    return score
+
+
+def bm25_search(df, text_col: str, id_col: str, query: str, k: int = 10,
+                k1: float = BM25_K1, b: float = BM25_B) -> "DataFrame":
+    """Top-k documents for a free-text query by BM25.
+
+    Tokenizes the query with the corpus tokenizer (whitespace),
+    deduplicates terms preserving first-seen order, computes corpus
+    stats (one aggregate), scores every document in a zero-shuffle
+    projection, and takes the global top-k (TakeOrdered; ties break on
+    the id for determinism). Returns ``(id, bm25)`` descending.
+    """
+    terms = list(dict.fromkeys(t for t in query.split(" ") if t))
+    if not terms:
+        raise ValueError("empty query")
+    base = df.select(F.col(id_col), tokens(text_col).alias("__bm25_ts"))
+    stats = bm25_corpus_stats(base, "__bm25_ts", terms)
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.round(bm25_score_of("__bm25_ts", terms, k1, b), 6).alias("bm25"),
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

@@ -365,9 +365,39 @@ def dedup_components(spark, sf_dir):
 
 # --- text analysis -----------------------------------------------------------
 
+# BM25 branch of text_stats: a fixed mid-frequency query scored against
+# every document; constants repr()-ed into the oracle so both engines
+# parse the IDENTICAL doubles (Python repr round-trip guarantee)
+_BM25_TERMS = ["vector", "hash", "join"]
+
+
+def _bm25_sql() -> str:
+    from ..operators.text import BM25_B as _b, BM25_K1 as _k1
+
+    k1p1, one_m_b, k1r, br = repr(_k1 + 1.0), repr(1.0 - _b), repr(_k1), repr(_b)
+    contribs = []
+    for i, t in enumerate(_BM25_TERMS):
+        tf = f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (st.n - st.df{i} + 0.5) / (st.df{i} + 0.5))"
+        contribs.append(
+            f"{idf} * ({tf} * {k1p1}) / ({tf} + {k1r} * "
+            f"({one_m_b} + {br} * CAST(len(ws) AS DOUBLE) / st.avgdl))"
+        )
+    return " + ".join(contribs)
+
+
+def _bm25_df_sql() -> str:
+    return ", ".join(
+        f"sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+
+
 @register(
     "text_stats",
     oracle=f"""
+    WITH b0 AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
+    st AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl, {_bm25_df_sql()} FROM b0)
     SELECT doc_id,
            CAST(len(ws) AS INT) AS n_tokens,
            CAST(length(text) AS INT) AS n_chars_measured,
@@ -390,7 +420,8 @@ def dedup_components(spark, sf_dir):
                 ELSE 0.0 END AS repeated_2gram_frac,
            CASE WHEN len(g3) > 0
                 THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
-                ELSE 0.0 END AS repeated_3gram_frac
+                ELSE 0.0 END AS repeated_3gram_frac,
+           round({_bm25_sql()}, 6) AS bm25
     FROM (
         SELECT doc_id, text, ws,
                regexp_extract_all(text, '[a-z0-9]+') AS tre,
@@ -398,17 +429,21 @@ def dedup_components(spark, sf_dir):
                list_transform(generate_series(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]) AS g2,
                list_transform(generate_series(1, len(ws)-2),
                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS g3
-        FROM (SELECT doc_id, text, {_WS} AS ws FROM documents)
-    )
+        FROM b0
+    ) CROSS JOIN st
     """,
     doc="Per-document text-analysis profile in ONE zero-shuffle codegen "
         "projection: token/char statistics, type-token ratio, stopword "
         "ratio, composite quality score (operators.text.quality_score), "
         "BPE-ish regex tokenization (alphabet-run token + vocab counts), "
-        "and the Gopher-style repetition filters (repeated-line and "
+        "the Gopher-style repetition filters (repeated-line and "
         "repeated word-2/3-gram fractions, operators.text."
-        "repetition_signals) — the full pre-training quality-filter "
-        "feature set computed in a single pass over the corpus.",
+        "repetition_signals), and a BM25 branch (operators.text."
+        "bm25_score_of): every document scored against a fixed "
+        "three-term query using corpus stats from ONE map-combinable "
+        "aggregate broadcast back as a single row — the full "
+        "pre-training quality-filter feature set plus retrieval scoring "
+        "computed in a single pass over the corpus.",
 )
 def text_stats(spark, sf_dir):
     # repartition first: the per-row HOF expressions (n-gram build +
@@ -427,8 +462,13 @@ def text_stats(spark, sf_dir):
         F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0).alias("__tre"),
         T.nonempty_lines("text").alias("__lns"),
     )
-    grams = base.select(
+    # BM25 corpus statistics: one map-combinable aggregate, ONE row,
+    # broadcast back — the per-doc scoring below stays a pure projection
+    bstats = T.bm25_corpus_stats(base, "__ws", _BM25_TERMS)
+    grams = base.crossJoin(F.broadcast(bstats)).select(
         "doc_id", "text", "__ws", "__tre", "__lns",
+        "__bm25_n", "__bm25_avgdl",
+        *[f"__bm25_df{i}" for i in range(len(_BM25_TERMS))],
         T.word_ngrams(F.col("__ws"), 2).alias("__g2"),
         T.word_ngrams(F.col("__ws"), 3).alias("__g3"),
     )
@@ -446,6 +486,7 @@ def text_stats(spark, sf_dir):
         T.repeated_fraction_of(F.col("__lns")).alias("repeated_line_frac"),
         T.repeated_fraction_of(F.col("__g2")).alias("repeated_2gram_frac"),
         T.repeated_fraction_of(F.col("__g3")).alias("repeated_3gram_frac"),
+        F.round(T.bm25_score_of("__ws", _BM25_TERMS), 6).alias("bm25"),
     )
 
 
