@@ -15,6 +15,14 @@ Scale shape (100 TB):
 - k-means reuses the engine's distributed Lloyd iteration
   (index._assign_cells): broadcast centroids x rows, map-side argmin,
   posexplode partial-mean update — no all-pairs anywhere.
+- cost model: assignment is n·k distance evaluations per iteration,
+  within-cell pairs are ~n·(n/k); total is minimized near k = sqrt(n)
+  (O(n^1.5) overall). Holding cell size constant (k = n/cell) makes the
+  pair stage linear but the assignment stage n²/cell — at extreme
+  scale, either accept O(n^1.5) with k ≈ sqrt(n), or assign against the
+  centroid set approximately (coarse-quantize the centroids with the
+  engine's IVF machinery) to restore near-linearity, as the published
+  SemDeDup pipeline does with ANN-assisted clustering.
 - candidate generation is an equi-join on the cell id carrying ONLY
   (id, cell); vectors and hoisted norms attach post-candidates by id
   (the skinny-candidate shape proven in dedup.embedding_cosine_pairs).

@@ -199,13 +199,23 @@ def build_bloom_sidecar(
         n = len(arr) - arr.null_count
         m, k = _params(max(1, n), bits_per_row, max_bits)
         bf = BloomFilter(m, k)
-        if kind == "int":
-            bf.add_int_array(arr.drop_null().cast("int64").to_numpy(zero_copy_only=False))
-        else:
-            for v in arr.drop_null().to_pylist():
-                bf.add(v)
+        try:
+            if kind == "int":
+                bf.add_int_array(
+                    arr.drop_null().cast("int64").to_numpy(zero_copy_only=False)
+                )
+            else:
+                for v in arr.drop_null().to_pylist():
+                    bf.add(v)
+        except Exception:
+            # e.g. uint64 values past int64 range overflow the cast: a
+            # bloom is an optimization — skip the column, never fail the
+            # WRITE that asked for it
+            continue
         payload[col] = bf.to_json()
         out_cols[col] = {"m": m, "k": k}
+    if not payload:
+        return None
     sidecar = fragment_abs_path + BLOOM_SUFFIX
     tmp = sidecar + ".tmp"
     with open(tmp, "w") as fh:

@@ -604,6 +604,9 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
         # version Spark planned from (updated in partitions) so the next
         # latestOffset bounds its advance relative to real progress
         self._cursor = self._start
+        # manifests are immutable: cache their file sets so the per-
+        # trigger rate-limit walk doesn't re-read the version chain
+        self._files_cache: dict[int, set] = {}
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -611,7 +614,11 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
     def _files_at(self, version: int) -> set:
         if version < 0:
             return set()
-        return {f.file for f in FR.read_manifest(self._path, version).fragments}
+        cached = self._files_cache.get(version)
+        if cached is None:
+            cached = {f.file for f in FR.read_manifest(self._path, version).fragments}
+            self._files_cache[version] = cached
+        return cached
 
     def latestOffset(self) -> dict:
         v = FR.latest_version(self._path)

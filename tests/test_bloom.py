@@ -124,6 +124,24 @@ def test_build_sidecar_returns_none_when_nothing_bloomable(tmp_path):
     assert not os.path.exists(f + BLOOM_SUFFIX)
 
 
+def test_build_sidecar_skips_column_on_cast_overflow(tmp_path):
+    """uint64 past int64 range overflows the canonical cast: the column
+    is skipped (no pruning), the write never fails."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "frag.parquet")
+    pq.write_table(
+        pa.table({
+            "big": pa.array([2**64 - 1, 5], type=pa.uint64()),
+            "name": ["a", "b"],
+        }),
+        f,
+    )
+    entry = build_bloom_sidecar(f, ["big", "name"])
+    assert set(entry["cols"]) == {"name"}
+
+
 # ------------------------------------------------ format("lance") path
 
 

@@ -52,7 +52,48 @@ QUERIES = [
     # above now also carries the LSH corpus-vs-corpus branch, and
     # dedup_ngram_jaccard the decontamination branch.
     "source_version_travel",
+    # round-4 additions riding existing entries: text_stats now includes
+    # the BM25 branch; source_roundtrip_agg the incremental-rollup
+    # lifecycle; source_format_api bloom-filter writes + point lookup.
+    "source_roundtrip_agg", "source_format_api",
 ]
+
+
+def _semantic_dedup(spark, sf_dir):
+    """Cell size held constant (~64 rows) as n grows — the SemDeDup
+    contract: the quadratic within-cell cost scales with n, not n^2."""
+    from flink_connector_lance_spark.operators.semantic import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = max(8, e.count() // 64)
+    return semantic_dedup(e, "vec_id", "embedding", num_clusters=k, eps=0.98,
+                          iterations=2)
+
+
+def _quantize_knn(spark, sf_dir):
+    """int8 round-trip + exact top-10 cosine over the reconstruction."""
+    from flink_connector_lance_spark.operators.knn import knn
+    from flink_connector_lance_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [0.1] * 64
+    recon = dequantize_embeddings(
+        quantize_embeddings(e, "embedding").select("vec_id", "codes", "scale"),
+        vector_col="embedding",
+    )
+    return knn(recon, "embedding", q, k=10, metric="cosine",
+               tiebreak_cols=["vec_id"], round_digits=6)
+
+
+# operators without a registry entry (not SQL-oracle-expressible / no
+# free query slot): timed via direct callables, same protocol
+EXTRA = {
+    "semantic_dedup": _semantic_dedup,
+    "quantize_knn": _quantize_knn,
+}
 
 
 def gen() -> None:
@@ -113,9 +154,10 @@ def run() -> None:
     qs = registry.queries()
     out: dict[str, dict[str, float]] = {}
     for sf_dir, tag in [(BASE, "x1"), (OUT, "x10")]:
-        for name in QUERIES:
+        for name in QUERIES + list(EXTRA):
+            fn = qs[name] if name in qs else EXTRA[name]
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             out.setdefault(name, {})[tag] = round(time.perf_counter() - t0, 2)
     for v in out.values():
         v["ratio"] = round(v["x10"] / v["x1"], 1)
