@@ -89,6 +89,32 @@ def _assign_cells(vecs, cents, dim: int):
     )
 
 
+def lloyd_kmeans_centroids(vecs, k: int, dim: int, iterations: int):
+    """Distributed Lloyd iteration shared by the IVF index build and
+    operators.semantic: deterministic seeding (the k lowest-id vectors),
+    broadcast-centroid argmin assignment (_assign_cells), posexplode
+    per-dimension partial-mean update. ``vecs`` is a (rid, vd) relation;
+    returns the (cell, centroid) relation, checkpointed."""
+    from pyspark.sql import Window
+
+    cents = (
+        vecs.orderBy("rid").limit(k)
+        .select((F.row_number().over(Window.orderBy("rid")) - 1).alias("cell"),
+                F.col("vd").alias("centroid"))
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = _assign_cells(vecs, cents, dim)
+        # centroid update: per-(cell, dim) mean via posexplode — fully
+        # map-side-combinable partial aggregation (operators.ann shape)
+        pe = assigned.select("cell", F.posexplode("vd").alias("pos", "val"))
+        per_dim = pe.groupBy("cell", "pos").agg(F.avg("val").alias("c"))
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                        lambda s: s["c"]).alias("centroid")
+        ).localCheckpoint(eager=True)
+    return cents
+
+
 def _emulated_ivf_build(spark, path: str, column: str, id_col: str,
                         opts: DatasetOptions, metric: DistanceMetric,
                         replace: bool, iterations: int = 4) -> None:
@@ -111,25 +137,7 @@ def _emulated_ivf_build(spark, path: str, column: str, id_col: str,
     dim = len(first.vd)
     k = min(opts.index_num_partitions, n)
 
-    # deterministic init: the k lowest-id vectors seed the centroids
-    from pyspark.sql import Window
-
-    cents = (
-        vecs.orderBy("rid").limit(k)
-        .select((F.row_number().over(Window.orderBy("rid")) - 1).alias("cell"),
-                F.col("vd").alias("centroid"))
-    ).localCheckpoint(eager=True)
-    for _ in range(iterations):
-        assigned = _assign_cells(vecs, cents, dim)
-        # centroid update: per-(cell, dim) mean via posexplode — fully
-        # map-side-combinable partial aggregation (operators.ann shape)
-        pe = assigned.select("cell", F.posexplode("vd").alias("pos", "val"))
-        per_dim = pe.groupBy("cell", "pos").agg(F.avg("val").alias("c"))
-        cents = per_dim.groupBy("cell").agg(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                        lambda s: s["c"]).alias("centroid")
-        ).localCheckpoint(eager=True)
-
+    cents = lloyd_kmeans_centroids(vecs, k, dim, iterations)
     final = _assign_cells(vecs, cents, dim)
     shutil.rmtree(idx_dir, ignore_errors=True)
     os.makedirs(idx_dir, exist_ok=True)

@@ -49,6 +49,16 @@ def _as_vecs(df: DataFrame, id_col: str, vector_col: str) -> DataFrame:
     )
 
 
+def _first_dim(vecs: DataFrame) -> int:
+    """Vector dimensionality from the first row, failing loudly on an
+    empty relation or a NULL vector (len(None) is not a plan error —
+    it's a TypeError three stack frames later)."""
+    row = vecs.select("vd").first()
+    if row is None or row.vd is None:
+        raise ValueError("cannot cluster an empty DataFrame / NULL vectors")
+    return len(row.vd)
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,
@@ -59,33 +69,19 @@ def kmeans_assign(
     """Distributed Lloyd k-means over a DataFrame: returns
     ``(rid, cell)`` assignments. Deterministic: centroids seed from the
     ``num_clusters`` lowest-id vectors, ties in the argmin break on the
-    lowest cell id (same contract as the IVF index build,
-    index._emulated_ivf_build)."""
-    from pyspark.sql import Window
+    lowest cell id — the SAME shared iteration the IVF index build uses
+    (index.lloyd_kmeans_centroids), so the two can never diverge."""
+    from ..index import _assign_cells, lloyd_kmeans_centroids
 
-    from ..index import _assign_cells
-
+    if int(num_clusters) <= 0:
+        raise ValueError("num_clusters must be positive")
     vecs = _as_vecs(df, id_col, vector_col).localCheckpoint(eager=True)
     n = vecs.count()
     if n == 0:
         raise ValueError("cannot cluster an empty DataFrame")
-    dim = len(vecs.select("vd").first().vd)
+    dim = _first_dim(vecs)
     k = min(int(num_clusters), n)
-    if k <= 0:
-        raise ValueError("num_clusters must be positive")
-    cents = (
-        vecs.orderBy("rid").limit(k)
-        .select((F.row_number().over(Window.orderBy("rid")) - 1).alias("cell"),
-                F.col("vd").alias("centroid"))
-    ).localCheckpoint(eager=True)
-    for _ in range(int(iterations)):
-        assigned = _assign_cells(vecs, cents, dim)
-        pe = assigned.select("cell", F.posexplode("vd").alias("pos", "val"))
-        per_dim = pe.groupBy("cell", "pos").agg(F.avg("val").alias("c"))
-        cents = per_dim.groupBy("cell").agg(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                        lambda s: s["c"]).alias("centroid")
-        ).localCheckpoint(eager=True)
+    cents = lloyd_kmeans_centroids(vecs, k, dim, int(iterations))
     return _assign_cells(vecs, cents, dim).select("rid", "cell")
 
 
@@ -118,7 +114,7 @@ def semantic_duplicate_pairs(
     from .dedup import _dot_chain
 
     vecs = _as_vecs(df, id_col, vector_col)
-    dim = len(vecs.select("vd").first().vd)
+    dim = _first_dim(vecs)
     if assignments is None:
         assignments = kmeans_assign(df, id_col, vector_col, num_clusters, iterations)
     # skinny candidates: (id, cell) only — the equi-join on cell never

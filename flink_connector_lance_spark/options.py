@@ -238,9 +238,7 @@ class DatasetOptions:
                     v = int(v)
                 elif attr == "schema_evolution" and isinstance(v, str):
                     v = v.strip().lower() in ("true", "1", "yes")
-                elif attr == "read_columns" and isinstance(v, str):
-                    v = [c.strip() for c in v.split(",") if c.strip()]
-                elif attr == "bloom_columns" and isinstance(v, str):
+                elif attr in ("read_columns", "bloom_columns") and isinstance(v, str):
                     v = [c.strip() for c in v.split(",") if c.strip()]
                 kwargs[attr] = v
             elif k in S3Options.KEYS:

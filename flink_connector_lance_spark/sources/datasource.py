@@ -584,9 +584,18 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
     version whose cumulative new-fragment count stays within the cap
     (always at least one version — a single version larger than the cap
     still delivers whole, since the manifest version is the offset
-    granularity). After a checkpoint restart the first trigger may be
-    uncapped (the reader only learns the restored position when Spark
-    hands it to ``partitions``); every subsequent trigger is bounded.
+    granularity).
+
+    Restart safety: a capped ``latestOffset`` must NEVER return an
+    offset below Spark's committed one (the engine would log the smaller
+    offset and re-deliver everything after it — duplicates). The reader
+    only learns its position from ``initialOffset`` (fresh query) or the
+    first ``partitions`` call (checkpoint restore), so until one of
+    those has run, ``latestOffset`` stays uncapped; every trigger after
+    is bounded. Versions vacuumed from the middle of the walk are
+    skipped (their manifests are gone — they can't be chosen as a batch
+    boundary); if the cursor's own manifest was vacuumed the walk can't
+    budget at all and falls back to uncapped.
     """
 
     def __init__(self, options: dict, schema: "StructType | None" = None):
@@ -600,49 +609,75 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
         self._max_frags = int(cap) if cap is not None else None
         if self._max_frags is not None and self._max_frags <= 0:
             raise ValueError("stream.max-fragments-per-batch must be positive")
-        # consumption cursor for rate limiting: tracks the last start
-        # version Spark planned from (updated in partitions) so the next
-        # latestOffset bounds its advance relative to real progress
+        # consumption cursor for rate limiting: advanced by initialOffset
+        # (fresh query) and partitions (every planned batch, incl. the
+        # first after a checkpoint restore)
         self._cursor = self._start
+        # False until the true position is known — capping before then
+        # could hand Spark an offset BELOW its checkpointed one
+        self._primed = False
         # manifests are immutable: cache their file sets so the per-
         # trigger rate-limit walk doesn't re-read the version chain
         self._files_cache: dict[int, set] = {}
 
     def initialOffset(self) -> dict:
+        # only called when the offset log is empty: _start IS the true
+        # position, so the very first batch of a fresh query is capped
+        self._primed = True
         return {"version": self._start}
 
-    def _files_at(self, version: int) -> set:
+    def _files_at(self, version: int, strict: bool = True) -> "set | None":
+        """File set of a version; ``strict=False`` returns None for a
+        vacuumed (missing) manifest instead of raising."""
         if version < 0:
             return set()
         cached = self._files_cache.get(version)
         if cached is None:
-            cached = {f.file for f in FR.read_manifest(self._path, version).fragments}
+            try:
+                cached = {f.file for f in FR.read_manifest(self._path, version).fragments}
+            except FileNotFoundError:
+                if strict:
+                    raise
+                return None
             self._files_cache[version] = cached
         return cached
 
     def latestOffset(self) -> dict:
         v = FR.latest_version(self._path)
         latest = self._start if v is None else max(v, self._start)
-        if self._max_frags is None or latest <= self._cursor:
+        if self._max_frags is None or not self._primed or latest <= self._cursor:
             return {"version": latest}
-        base = self._files_at(self._cursor)
+        base = self._files_at(self._cursor, strict=False)
+        if base is None:  # cursor manifest vacuumed: cannot budget
+            return {"version": latest}
         chosen = self._cursor
-        new_count = 0
         for ver in range(self._cursor + 1, latest + 1):
-            new_count = len(self._files_at(ver) - base)
+            files = self._files_at(ver, strict=False)
+            if files is None:
+                continue  # vacuumed mid-chain version: not a boundary
+            new_count = len(files - base)
             if new_count > self._max_frags and chosen > self._cursor:
                 break  # previous version was the last within budget
             chosen = ver
             if new_count >= self._max_frags:
                 break  # budget exactly spent (or first version overshoots)
+        if chosen == self._cursor:
+            # nothing readable in range (all vacuumed): catch up outright
+            return {"version": latest}
         return {"version": chosen}
 
     def partitions(self, start: dict, end: dict) -> List[FragmentPartition]:
         sv, ev = start["version"], end["version"]
         # advance the rate-limit cursor to this batch's END: the next
         # latestOffset budgets from here (budgeting from the start would
-        # count this batch's own fragments again and stall the stream)
+        # count this batch's own fragments again and stall the stream).
+        # This also primes a checkpoint-restored reader with its true
+        # position. Entries below the cursor are never consulted again —
+        # evict them so a long-lived capped stream stays O(1) memory.
         self._cursor = max(self._cursor, sv, ev)
+        self._primed = True
+        for ver in [k for k in self._files_cache if k < self._cursor]:
+            del self._files_cache[ver]
         if ev <= sv:
             return []
         known = self._files_at(sv)

@@ -36,6 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import fragments as FR
 
+# every operation that stages executor output before an atomic promote:
+# write_dataset (writer.py) plus the copy-on-write maintenance rewrites
+# below. A crash between staging and promotion leaves the dir behind —
+# vacuum_dataset collects any of these once they outlive the grace window.
+STAGING_PREFIXES = ("_staging-", "_compact-", "_delete-", "_merge-sur-",
+                    "_merge-upd-", "_cluster-")
+
 
 def read_version_delta(
     spark: SparkSession,
@@ -156,10 +163,11 @@ def vacuum_dataset(
     untouched); readers pinned to a vacuumed version fail fast on the
     missing manifest, the same contract as Lance's own cleanup.
 
-    Crashed writes leave ``_staging-*`` directories (write_dataset
-    stages executor output there before promotion; the finally-cleanup
-    doesn't run if the driver dies). Vacuum removes staging dirs older
-    than ``staging_grace_seconds`` (default 24 h — generous headroom for
+    Crashed operations leave staging directories behind (write_dataset's
+    ``_staging-*`` plus the maintenance rewrites' ``_compact-*`` /
+    ``_delete-*`` / ``_merge-*-*`` / ``_cluster-*`` — see
+    ``STAGING_PREFIXES``; the finally-cleanup doesn't run if the driver
+    dies). Vacuum removes staging dirs older than ``staging_grace_seconds`` (default 24 h — generous headroom for
     an in-flight write's staging phase; a LIVE writer's staging dir is
     always younger than its own write).
 
@@ -213,7 +221,7 @@ def vacuum_dataset(
     stale_staging = [
         os.path.join(path, name)
         for name in os.listdir(path)
-        if name.startswith("_staging-") and os.path.isdir(os.path.join(path, name))
+        if name.startswith(STAGING_PREFIXES) and os.path.isdir(os.path.join(path, name))
         and time.time() - os.path.getmtime(os.path.join(path, name)) > staging_grace_seconds
     ]
     if not dry_run:

@@ -150,6 +150,69 @@ def test_stream_e2e_with_cap_delivers_all_rows(spark, tmp_path):
     assert n == 100
 
 
+def test_capped_latest_offset_never_regresses_after_restart(spark, tmp_path):
+    """Restart safety: a NEW reader (checkpoint restore — Spark does NOT
+    call initialOffset) must not return a capped offset below the
+    committed one; the first trigger is uncapped, later ones capped."""
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _runts(spark, path, n_frags=6)
+
+    # first run: fresh query (initialOffset primes the cap) processes
+    # three capped batches and "checkpoints" at version 5
+    a = LanceDataSourceStreamReader({"path": path, "stream.max-fragments-per-batch": "2"})
+    start = a.initialOffset()
+    while True:
+        end = a.latestOffset()
+        if end["version"] <= start["version"]:
+            break
+        assert len(a.partitions(start, end)) <= 2
+        start = end
+    committed = start
+    assert committed["version"] == 5
+
+    # restart: new reader, NO initialOffset — the first latestOffset
+    # must be >= the committed offset (uncapped), or Spark would log a
+    # smaller offset and re-deliver everything after it
+    b = LanceDataSourceStreamReader({"path": path, "stream.max-fragments-per-batch": "2"})
+    first = b.latestOffset()
+    assert first["version"] >= committed["version"]
+    assert b.partitions(committed, first) == []  # nothing new: no re-delivery
+
+    # new data after the restart: now capped again (reader is primed)
+    for i in range(6, 11):
+        spark.range(i * 25, (i + 1) * 25).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        ).coalesce(1).write.format("lance").mode("append").save(path)
+    nxt = b.latestOffset()
+    parts = b.partitions(first, nxt)
+    assert 1 <= len(parts) <= 2  # the cap is back in force
+
+
+def test_capped_stream_survives_vacuumed_intermediate_versions(spark, tmp_path):
+    """Versions vacuumed mid-chain can't be batch boundaries, but the
+    capped walk must skip them instead of crashing on the missing
+    manifest (the uncapped stream never reads them at all)."""
+    from flink_connector_lance_spark.sources.maintenance import vacuum_dataset
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _runts(spark, path, n_frags=6)
+    vacuum_dataset(path, keep_versions=2)  # manifests 0..3 gone
+
+    r = LanceDataSourceStreamReader({"path": path, "stream.max-fragments-per-batch": "2"})
+    start = r.initialOffset()
+    delivered = []
+    while True:
+        end = r.latestOffset()  # must not raise
+        if end["version"] <= start["version"]:
+            break
+        delivered.extend(r.partitions(start, end))
+        start = end
+    # every fragment of the surviving latest version arrives
+    assert len(delivered) == 6
+
+
 def test_invalid_stream_cap_rejected(spark, tmp_path):
     register_lance_datasource(spark)
     path = str(tmp_path / "ds")

@@ -4,6 +4,8 @@ change — and partial-state algebra (COUNT/SUM/MIN/MAX/AVG merge)."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -138,17 +140,35 @@ def test_avg_needs_source_column(spark, tmp_path):
         create_rollup(spark, path, "bad", ["grp"], {"a": ("avg", None)})
 
 
-def test_refresh_plan_has_no_source_table_scan_on_append(spark, tmp_path):
-    """The incremental path must read ONLY delta fragments: the merge
-    plan's file sources are the rollup state + the delta files, never
-    the original covered fragments."""
+def test_refresh_reads_only_delta_fragments(spark, tmp_path, monkeypatch):
+    """The incremental path must read ONLY delta fragments: spy on the
+    fragment-file scans the refresh issues against the SOURCE table and
+    assert none of the originally covered files is touched."""
+    import flink_connector_lance_spark.sources.rollup as R
+
     path = str(tmp_path / "t")
     write_dataset(_base(spark, n=1000), path, mode="overwrite")
     create_rollup(spark, path, "by_grp", ["grp"], AGGS)
-    covered = {f.file for f in FR.read_manifest(path).fragments}
+    covered_abs = {
+        f"{path}/{f.file}" for f in FR.read_manifest(path).fragments
+    }
     write_dataset(_base(spark, n=10, offset=5000), path, mode="append")
+
+    scanned: list[list[str]] = []
+    real = R.read_fragment_files
+
+    def spy(spark_, manifest, files):
+        scanned.append(list(files))
+        return real(spark_, manifest, files)
+
+    monkeypatch.setattr(R, "read_fragment_files", spy)
     res = refresh_rollup(spark, path, "by_grp")
     assert res["mode"] == "incremental" and res["delta_rows"] == 10
+    # exactly one source-table scan, and it names ONLY the delta files
+    assert len(scanned) == 1
+    assert not (set(scanned[0]) & covered_abs), "refresh rescanned covered data"
     # state survives and a further noop confirms covered bookkeeping
     assert refresh_rollup(spark, path, "by_grp")["mode"] == "noop"
-    assert covered < {f.file for f in FR.read_manifest(path).fragments}
+    assert {os.path.basename(f) for f in scanned[0]} <= {
+        os.path.basename(f.file) for f in FR.read_manifest(path).fragments
+    }
