@@ -275,6 +275,14 @@ class LanceDataSourceReader(DataSourceReader):
         self._pack_rows = int(p) if p is not None else None
         if self._pack_rows is not None and self._pack_rows <= 0:
             raise ValueError("read.max-rows-per-partition must be positive")
+        # batch incremental read: only fragments added AFTER this version
+        # (the batch twin of the streaming source's offset delta —
+        # maintenance.read_version_delta surfaced as a reader option, so
+        # a scheduled batch job can consume appends without a rescan)
+        d = options.get("read.delta-from-version")
+        self._delta_from = int(d) if d is not None else None
+        if self._delta_from is not None and self._delta_from < 0:
+            raise ValueError("read.delta-from-version must be >= 0")
         # the planned Spark schema (picklable): executors align each
         # fragment's batches to it by name, null-filling columns an older
         # (pre-evolution) fragment doesn't carry
@@ -300,9 +308,18 @@ class LanceDataSourceReader(DataSourceReader):
         An empty result is fine: the Python data source worker turns it
         into a single ``None`` partition and ``read`` emits nothing."""
         manifest = FR.read_manifest(self._path, self._version)
+        fragments = manifest.fragments
+        if self._delta_from is not None:
+            # incremental batch read: same file-set-delta semantics as
+            # the streaming source (compaction rewrites are NOT deltas)
+            known = {
+                f.file
+                for f in FR.read_manifest(self._path, self._delta_from).fragments
+            }
+            fragments = [f for f in fragments if f.file not in known]
         kept = [
             f
-            for f in manifest.fragments
+            for f in fragments
             if all(_fragment_may_match(f.stats, f.row_count, p) for p in self._pushed)
             and _bloom_may_match(self._path, f, self._pushed)
         ]

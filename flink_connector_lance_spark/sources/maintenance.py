@@ -586,12 +586,28 @@ def _zorder_key(df: DataFrame, by: list[str], stats_min_max: dict, bits: int = 8
     return z
 
 
+def _last_clustering_files(path: str) -> set:
+    """File set of the most recent clustering commit, or empty when none
+    survives (never clustered, or the manifests were vacuumed)."""
+    v = FR.latest_version(path)
+    while v is not None and v >= 0:
+        try:
+            m = FR.read_manifest(path, v)
+        except (FileNotFoundError, FR.LanceUnavailableError):
+            break
+        if "clustering" in m.meta:
+            return {f.file for f in m.fragments}
+        v -= 1
+    return set()
+
+
 def cluster_dataset(
     spark: SparkSession,
     path: str,
     by: list[str],
     target_rows_per_fragment: int = 1_000_000,
     zorder: bool = False,
+    scope: str = "full",
 ) -> FR.Manifest:
     """Rewrite the dataset with rows range-clustered on ``by`` so the
     per-fragment zone maps become SELECTIVE — the OPTIMIZE/ZORDER-style
@@ -610,25 +626,46 @@ def cluster_dataset(
     (Morton order) so filters on ANY prefix-free subset of ``by`` retain
     skipping power, at the cost of weaker single-column locality.
     Commits a new MVCC version; old versions keep reading the old layout.
+
+    ``scope="tail"`` is the LSM-style incremental variant: only the
+    fragments added SINCE the last clustering commit are sorted (into
+    their own sorted run); already-clustered fragments carry over
+    byte-identical. A periodic full pass stays affordable while the
+    steady-state cost is O(new data), never O(table) — at 100 TB a full
+    rewrite per maintenance window is not an option. Per-fragment zone
+    maps keep pruning across runs (each run is internally disjoint; runs
+    may overlap each other, costing extra kept fragments, not
+    correctness). Returns the CURRENT manifest unchanged when the tail
+    is empty.
     """
+    if scope not in ("full", "tail"):
+        raise ValueError("scope must be 'full' or 'tail'")
     manifest = FR.read_manifest(path)
     if not manifest.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments to cluster")
     if not by:
         raise ValueError("cluster_dataset requires at least one column")
-    total = sum(f.row_count for f in manifest.fragments)
+    carried: list[FR.FragmentInfo] = []
+    to_sort = manifest.fragments
+    if scope == "tail":
+        clustered = _last_clustering_files(path) & {f.file for f in manifest.fragments}
+        carried = [f for f in manifest.fragments if f.file in clustered]
+        to_sort = [f for f in manifest.fragments if f.file not in clustered]
+        if not to_sort:
+            return manifest  # nothing new since the last clustering pass
+    total = sum(f.row_count for f in to_sort)
     n_frags = max(1, -(-total // target_rows_per_fragment))
     from .reader import read_fragment_files
 
     df = read_fragment_files(spark, manifest,
-                             [os.path.join(path, f.file) for f in manifest.fragments])
+                             [os.path.join(path, f.file) for f in to_sort])
 
     if zorder and len(by) >= 2:
         mm: dict[str, tuple] = {}
         for c in by:
-            mins = [f.stats[c]["min"] for f in manifest.fragments
+            mins = [f.stats[c]["min"] for f in to_sort
                     if f.stats and f.stats.get(c, {}).get("min") is not None]
-            maxs = [f.stats[c]["max"] for f in manifest.fragments
+            maxs = [f.stats[c]["max"] for f in to_sort
                     if f.stats and f.stats.get(c, {}).get("max") is not None]
             if not mins or not maxs:
                 raise ValueError(f"no zone-map stats for z-order column {c!r}")
@@ -648,11 +685,12 @@ def cluster_dataset(
         new_frags = _promote_staged(path, stage)
         fragments = [
             FR.FragmentInfo(i, f.file, f.row_count, f.stats)
-            for i, f in enumerate(new_frags)
+            for i, f in enumerate(carried + list(new_frags))
         ]
         return FR.commit(
             path, fragments, mode="overwrite",
-            meta={"clustering": {**layout, "base_version": manifest.version}},
+            meta={"clustering": {**layout, "base_version": manifest.version,
+                                "scope": scope}},
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)

@@ -170,3 +170,69 @@ def test_merge_rows_upserts_in_one_commit(registered, tmp_path, sf_dir):
                     key="doc_id")
     assert m2.version == m1.version + 1
     assert spark.read.format("lance").load(path).count() == n + 4
+
+
+def test_tail_clustering_sorts_only_new_fragments(registered, tmp_path, sf_dir):
+    """LSM-style incremental clustering: a tail pass rewrites only the
+    fragments added since the last clustering commit; clustered
+    fragments carry over byte-identical."""
+    spark = registered
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    n = d.count()
+    d.repartitionByRange(4, "doc_id").write.format("lance").mode("overwrite").save(path)
+    m0 = cluster_dataset(spark, path, by=["n_chars"],
+                         target_rows_per_fragment=-(-n // 8))
+    clustered_files = {f.file for f in m0.fragments}
+
+    # append an UN-clustered tail (n_chars spans the full range)
+    tail = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    tail.coalesce(2).write.format("lance").mode("append").save(path)
+
+    m1 = cluster_dataset(spark, path, by=["n_chars"],
+                         target_rows_per_fragment=-(-n // 8), scope="tail")
+    assert m1.meta["clustering"]["scope"] == "tail"
+    # every originally clustered fragment survives untouched
+    assert clustered_files <= {f.file for f in m1.fragments}
+    # the tail was rewritten: its unsorted fragments are gone
+    assert sum(f.row_count for f in m1.fragments) == 2 * n
+    # the table still reads correctly and the tail run prunes: a narrow
+    # n_chars range keeps only a bounded number of fragments per run
+    narrow = [GreaterThan(("n_chars",), 100), LessThan(("n_chars",), 120)]
+    kept = len(_planned(path, narrow))
+    assert kept <= 4, f"expected <=2 fragments kept per sorted run, got {kept}"
+    got = spark.read.format("lance").load(path).filter(
+        (F.col("n_chars") > 100) & (F.col("n_chars") < 120)).count()
+    want = 2 * d.filter((F.col("n_chars") > 100) & (F.col("n_chars") < 120)).count()
+    assert got == want
+
+
+def test_tail_clustering_noops_when_nothing_new(registered, tmp_path, sf_dir):
+    spark = registered
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d.repartitionByRange(4, "doc_id").write.format("lance").mode("overwrite").save(path)
+    m0 = cluster_dataset(spark, path, by=["n_chars"])
+    v0 = FR.latest_version(path)
+    m1 = cluster_dataset(spark, path, by=["n_chars"], scope="tail")
+    assert FR.latest_version(path) == v0  # no new commit
+    assert {f.file for f in m1.fragments} == {f.file for f in m0.fragments}
+
+
+def test_tail_scope_without_prior_clustering_sorts_everything(registered, tmp_path, sf_dir):
+    spark = registered
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d.repartitionByRange(4, "doc_id").write.format("lance").mode("overwrite").save(path)
+    m = cluster_dataset(spark, path, by=["n_chars"], scope="tail")
+    assert m.meta["clustering"]["scope"] == "tail"
+    assert sum(f.row_count for f in m.fragments) == d.count()
+
+
+def test_invalid_scope_rejected(registered, tmp_path, sf_dir):
+    spark = registered
+    path = str(tmp_path / "ds")
+    load_table(spark, sf_dir, "documents").select("doc_id").write.format(
+        "lance").mode("overwrite").save(path)
+    with pytest.raises(ValueError, match="scope"):
+        cluster_dataset(spark, path, by=["doc_id"], scope="partial")

@@ -221,6 +221,37 @@ def test_invalid_stream_cap_rejected(spark, tmp_path):
         LanceDataSourceStreamReader({"path": path, "stream.max-fragments-per-batch": "-1"})
 
 
+# --------------------------------------------- batch incremental read
+
+
+def test_delta_from_version_reads_only_appends(spark, tmp_path):
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _runts(spark, path, n_frags=3)  # versions 0..2, 25 rows each
+    delta = (
+        spark.read.format("lance")
+        .option("read.delta-from-version", "0").load(path)
+    )
+    assert delta.count() == 50  # versions 1 and 2 only
+    assert delta.agg(F.min("id")).collect()[0][0] == 25
+    # composes with pushdown: the pruned delta still filters correctly
+    assert delta.filter("id >= 70").count() == 5
+    # delta from the latest version is empty
+    empty = (
+        spark.read.format("lance")
+        .option("read.delta-from-version", "2").load(path)
+    )
+    assert empty.count() == 0
+
+
+def test_delta_from_version_validation(spark, tmp_path):
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _runts(spark, path, n_frags=1)
+    with pytest.raises(ValueError, match="must be >= 0"):
+        LanceDataSourceReader({"path": path, "read.delta-from-version": "-1"})
+
+
 # ------------------------------------------------ staging-orphan vacuum
 
 
