@@ -694,3 +694,111 @@ def cluster_dataset(
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def describe_dataset(path: str) -> dict:
+    """One-call metadata report for a dataset — zero data IO.
+
+    The operational `DESCRIBE EXTENDED` a table owner actually needs at
+    100 TB: what versions exist, how much lives in the current one, what
+    auxiliary structures (ANN indexes, rollups, bloom sidecars,
+    clustering layout) are present and how stale each is. Everything
+    comes from manifests, index/rollup metadata files, and directory
+    listings — no Spark session, no file scans.
+    """
+    import json
+
+    from ..index import INDEXES_DIR
+    from .bloom import BLOOM_STATS_KEY
+    from .rollup import ROLLUPS_DIR, rollup_status
+
+    latest = FR.latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"not a dataset (no {FR.VERSIONS_DIR}/): {path}")
+    manifest = FR.read_manifest(path)
+    versions = sorted(
+        int(name.split(".")[0])
+        for name in os.listdir(os.path.join(path, FR.VERSIONS_DIR))
+        if name.endswith(".manifest.json") or name.endswith(".manifest")
+    )
+
+    bloom_cols: set[str] = set()
+    bloom_frags = 0
+    for f in manifest.fragments:
+        entry = (f.stats or {}).get(BLOOM_STATS_KEY)
+        if entry:
+            bloom_frags += 1
+            bloom_cols |= set(entry.get("cols", {}))
+
+    indexes = []
+    idx_root = os.path.join(path, INDEXES_DIR)
+    if os.path.isdir(idx_root):
+        for column in sorted(os.listdir(idx_root)):
+            for kind in sorted(os.listdir(os.path.join(idx_root, column))):
+                meta_p = os.path.join(idx_root, column, kind, "index_meta.json")
+                if not os.path.exists(meta_p):
+                    continue
+                with open(meta_p) as fh:
+                    meta = json.load(fh)
+                built_at = meta.get("dataset_version", 0)
+                built_files: set[str] = set()
+                try:
+                    built_files = {f.file for f in FR.read_manifest(path, built_at).fragments}
+                except (FileNotFoundError, FR.LanceUnavailableError):
+                    pass
+                cur_files = {f.file for f in manifest.fragments}
+                covered = built_files & cur_files
+                rows_by_file = {f.file: f.row_count for f in manifest.fragments}
+                stale_rows = sum(rows_by_file[f] for f in cur_files - covered)
+                indexes.append({
+                    "column": column,
+                    "type": meta.get("index_type", kind),
+                    "metric": meta.get("metric"),
+                    "built_at_version": built_at,
+                    "unindexed_rows": stale_rows,
+                })
+
+    rollups = []
+    r_root = os.path.join(path, ROLLUPS_DIR)
+    if os.path.isdir(r_root):
+        for name in sorted(os.listdir(r_root)):
+            try:
+                st = rollup_status(path, name)
+            except (FileNotFoundError, ValueError):
+                continue
+            rollups.append({
+                "name": name,
+                "group_cols": st["group_cols"],
+                "pending_rows": st["pending_rows"],
+                "needs_full": st["needs_full"],
+            })
+
+    clustering = None
+    cl_files = _last_clustering_files(path)
+    v = latest
+    while v is not None and v >= 0 and clustering is None:
+        try:
+            m = FR.read_manifest(path, v)
+        except (FileNotFoundError, FR.LanceUnavailableError):
+            break
+        if "clustering" in m.meta:
+            tail = [f for f in manifest.fragments if f.file not in cl_files]
+            clustering = {**m.meta["clustering"],
+                          "unclustered_rows": sum(f.row_count for f in tail)}
+        v -= 1
+
+    stats = table_statistics(path)
+    return {
+        "path": os.path.abspath(path),
+        "version": manifest.version,
+        "versions": versions,
+        "num_fragments": stats["num_fragments"],
+        "num_rows": stats["num_rows"],
+        "size_bytes": stats["size_bytes"],
+        "schema_columns": sorted(stats["columns"]) or None,
+        "bloom": {"columns": sorted(bloom_cols),
+                  "fragments_covered": bloom_frags} if bloom_cols else None,
+        "indexes": indexes,
+        "rollups": rollups,
+        "clustering": clustering,
+    }
