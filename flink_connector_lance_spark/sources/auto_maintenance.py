@@ -1,0 +1,146 @@
+"""Auto-maintenance: one policy-driven pass over every maintenance
+surface — the ``OPTIMIZE``-scheduler glue that turns the individual
+primitives (compact / tail-cluster / rollup refresh / index refresh /
+vacuum) into something a table owner can put on a cron.
+
+``run_maintenance(spark, path)`` reads the ``describe_dataset`` report,
+decides which passes are due under the policy thresholds, and executes
+them in dependency order:
+
+1. **compact** when the runt-fragment fraction passes the threshold
+   (compaction first — later passes see the defragmented layout);
+2. **tail-cluster** when a clustering layout exists and the unclustered
+   tail passes its row-fraction threshold (keeps zone maps selective
+   without a full rewrite);
+3. **refresh rollups** that have pending rows (incremental when the
+   table only gained fragments; the rollup module decides);
+4. **refresh indexes** whose unindexed tail passes the index module's
+   fraction threshold (delegated to ``index.refresh_index``, which
+   no-ops below it);
+5. **vacuum** last — prior passes create the dead versions worth
+   collecting (index-pinned manifests are preserved by vacuum itself).
+
+Every step is optional, individually skippable, and reported; a
+``dry_run`` returns the decisions without mutating anything. Policies
+are plain numbers, not magic: the defaults suit a table receiving
+steady micro-batch appends.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from . import fragments as FR
+from .maintenance import (
+    cluster_dataset,
+    compact_dataset,
+    describe_dataset,
+    vacuum_dataset,
+)
+
+
+@dataclass
+class MaintenancePolicy:
+    target_rows_per_fragment: int = 1_000_000
+    # compact when > this fraction of fragments are runts (< half target)
+    max_runt_fraction: float = 0.3
+    # tail-cluster when the unclustered tail exceeds this row fraction
+    max_unclustered_fraction: float = 0.2
+    # refresh an ANN index when its unindexed tail exceeds this fraction
+    max_unindexed_fraction: float = 0.2
+    # MVCC versions to retain at vacuum; None disables the vacuum step
+    keep_versions: "int | None" = 2
+    refresh_rollups: bool = True
+
+
+def run_maintenance(
+    spark: SparkSession,
+    path: str,
+    policy: "MaintenancePolicy | None" = None,
+    dry_run: bool = False,
+) -> dict:
+    """One maintenance pass under ``policy``. Returns a report of what
+    ran (or would run, with ``dry_run=True``) and why — every decision
+    carries its triggering measurement so the skip/run reasoning is
+    auditable."""
+    from ..index import refresh_index
+    from .rollup import refresh_rollup
+
+    p = policy or MaintenancePolicy()
+    desc = describe_dataset(path)
+    total_rows = max(1, desc["num_rows"])
+    report: dict = {"path": path, "dry_run": dry_run, "steps": []}
+
+    def step(name: str, due: bool, why: str, action):
+        entry = {"step": name, "due": due, "why": why}
+        if due and not dry_run:
+            entry["result"] = action()
+        report["steps"].append(entry)
+
+    # 1. compact
+    manifest = FR.read_manifest(path)
+    runts = [f for f in manifest.fragments
+             if f.row_count < p.target_rows_per_fragment // 2]
+    runt_frac = len(runts) / max(1, len(manifest.fragments))
+    step(
+        "compact",
+        len(runts) >= 2 and runt_frac > p.max_runt_fraction,
+        f"runt fraction {runt_frac:.2f} (threshold {p.max_runt_fraction})",
+        lambda: {"new_version": compact_dataset(
+            spark, path, target_rows_per_fragment=p.target_rows_per_fragment
+        ).version},
+    )
+
+    # 2. tail clustering (only when a layout exists to maintain)
+    cl = desc["clustering"]
+    if cl is not None:
+        by = cl.get("cluster_by") or cl.get("zorder")
+        tail_frac = cl["unclustered_rows"] / total_rows
+        step(
+            "cluster_tail",
+            tail_frac > p.max_unclustered_fraction,
+            f"unclustered fraction {tail_frac:.2f} "
+            f"(threshold {p.max_unclustered_fraction})",
+            lambda: {"new_version": cluster_dataset(
+                spark, path, by=list(by), zorder="zorder" in cl,
+                target_rows_per_fragment=p.target_rows_per_fragment,
+                scope="tail",
+            ).version},
+        )
+
+    # 3. rollups
+    if p.refresh_rollups:
+        for r in desc["rollups"]:
+            step(
+                f"refresh_rollup:{r['name']}",
+                r["pending_rows"] > 0 or r["needs_full"],
+                f"pending_rows {r['pending_rows']}, needs_full {r['needs_full']}",
+                lambda name=r["name"]: refresh_rollup(spark, path, name),
+            )
+
+    # 4. indexes (refresh_index itself re-checks and no-ops below the bar)
+    for idx in desc["indexes"]:
+        frac = idx["unindexed_rows"] / total_rows
+        step(
+            f"refresh_index:{idx['column']}",
+            frac > p.max_unindexed_fraction,
+            f"unindexed fraction {frac:.2f} (threshold {p.max_unindexed_fraction})",
+            lambda col=idx["column"]: {
+                "rebuilt": refresh_index(
+                    path, col, spark=spark,
+                    max_uncovered_fraction=p.max_unindexed_fraction,
+                ) is not None
+            },
+        )
+
+    # 5. vacuum (last: collect the garbage the passes above created)
+    if p.keep_versions is not None:
+        step(
+            "vacuum",
+            True,
+            f"keep_versions {p.keep_versions}",
+            lambda: vacuum_dataset(path, keep_versions=p.keep_versions),
+        )
+    return report
