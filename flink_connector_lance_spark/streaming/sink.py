@@ -50,17 +50,34 @@ def _write_epoch_marker(path: str, epoch_id: int, version: int) -> None:
 
 
 def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
-                 options: DatasetOptions | None = None) -> FR.Manifest | None:
+                 options: DatasetOptions | None = None,
+                 refresh_rollups: bool = False) -> FR.Manifest | None:
     """Idempotent per-epoch append: skip if this epoch already committed
     (exactly-once under foreachBatch's at-least-once redelivery). The
     epoch id is part of the manifest commit itself, so a crash after the
     commit but before the marker write cannot cause a duplicate append —
-    the redelivered epoch finds itself in the manifest chain."""
+    the redelivered epoch finds itself in the manifest chain.
+
+    ``refresh_rollups=True`` refreshes every rollup after the commit —
+    the streaming-materialized-view combination: each epoch is a pure
+    append, so every refresh takes the INCREMENTAL path (delta
+    partial-agg + merge, sized by the micro-batch). A crash between the
+    data commit and the refresh merely leaves the rollup one epoch
+    stale; the next refresh's covered-file diff catches it up — rollup
+    freshness is eventually-consistent, rollup CORRECTNESS never at
+    risk."""
     if epoch_committed(path, epoch_id):
         return None
     manifest = write_dataset(batch_df, path, mode=WriteMode.APPEND, options=options,
                              commit_meta={EPOCH_META_KEY: epoch_id})
     _write_epoch_marker(path, epoch_id, manifest.version)
+    if refresh_rollups:
+        from ..sources.rollup import ROLLUPS_DIR, refresh_rollup
+
+        r_root = os.path.join(path, ROLLUPS_DIR)
+        if os.path.isdir(r_root):
+            for name in sorted(os.listdir(r_root)):
+                refresh_rollup(batch_df.sparkSession, path, name)
     return manifest
 
 
@@ -192,13 +209,19 @@ def stream_write_dataset(
     checkpoint_dir: str,
     options: DatasetOptions | None = None,
     trigger_available_now: bool = False,
+    refresh_rollups: bool = False,
 ):
     """``writeStream.foreachBatch`` wiring: one version per micro-batch
-    (insert-only, matching the reference's changelog declaration)."""
+    (insert-only, matching the reference's changelog declaration).
+    ``refresh_rollups=True`` keeps every materialized rollup fresh per
+    epoch (incremental delta merges — see commit_epoch)."""
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda bdf, eid: commit_epoch(bdf, eid, path, options))
+        .foreachBatch(
+            lambda bdf, eid: commit_epoch(bdf, eid, path, options,
+                                          refresh_rollups=refresh_rollups)
+        )
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -172,3 +172,40 @@ def test_refresh_reads_only_delta_fragments(spark, tmp_path, monkeypatch):
     assert {os.path.basename(f) for f in scanned[0]} <= {
         os.path.basename(f.file) for f in FR.read_manifest(path).fragments
     }
+
+
+def test_streaming_ingestion_keeps_rollup_fresh(spark, tmp_path):
+    """Streaming materialized view: each epoch appends + incrementally
+    refreshes the rollup, so the view tracks the stream exactly."""
+    from flink_connector_lance_spark.streaming.sink import stream_write_dataset
+
+    src = str(tmp_path / "incoming")
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # seed the dataset + rollup with an initial batch
+    write_dataset(_base(spark, n=60), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+
+    spark.createDataFrame(
+        [(i, str(i % 3), i * 2) for i in range(1000, 1040)],
+        "id long, grp string, val long",
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    q = stream_write_dataset(
+        spark.readStream.schema("id long, grp string, val long").parquet(src + "/*"),
+        path, ckpt, trigger_available_now=True, refresh_rollups=True,
+    )
+    q.awaitTermination(120)
+
+    assert rollup_status(path, "by_grp")["pending_rows"] == 0  # fresh
+    streamed = spark.createDataFrame(
+        [(i, str(i % 3), i * 2) for i in range(1000, 1040)],
+        "id long, grp string, val long",
+    )
+    # _base uses grp = (id % 3) cast string, so the union is comparable
+    exp = _expected(spark, _base(spark, n=60).unionByName(streamed))
+    got = _got(spark, path)
+    assert set(got) == set(exp)
+    for g in exp:
+        for c in AGGS:
+            assert got[g][c] == pytest.approx(exp[g][c])
