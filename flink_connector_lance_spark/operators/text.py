@@ -436,16 +436,13 @@ def bm25_score_of(tokens_col: str, query_terms, k1: float = BM25_K1,
     """
     ts = F.col(tokens_col)
     dl = F.size(ts).cast("double")
-
-    def _eq(term):
-        # closure factory, NOT a default arg: a second lambda parameter
-        # would make F.filter pass (element, index) and compare tokens
-        # against the position
-        return lambda x: x == term
-
     score: "Column | None" = None
     for i, t in enumerate(query_terms):
-        tf = F.size(F.filter(ts, _eq(t))).cast("double")
+        # tf as size - size(array_remove): same integer as a filter-count
+        # (array_remove drops ALL occurrences; split yields no NULLs) but
+        # stays in whole-stage codegen — F.filter is a CodegenFallback
+        # HOF, measured ~35% slower for the three-term scoring pass
+        tf = (F.size(ts) - F.size(F.array_remove(ts, t))).cast("double")
         dfc = F.col(f"__bm25_df{i}")
         idf = F.log(F.lit(1.0) + (F.col("__bm25_n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
         contrib = idf * (tf * F.lit(k1 + 1.0)) / (
