@@ -272,6 +272,24 @@ def _promote_staged(path: str, stage: str) -> list[FR.FragmentInfo]:
     ]
 
 
+def _inherit_blooms(spark, path, manifest: FR.Manifest, new_fragments):
+    """Maintenance rewrites inherit the table's point-lookup blooms: if
+    any current fragment carries bloom sidecars, rebuild them
+    (fragment-parallel, sources/bloom.py) for the rewritten/inserted
+    output — otherwise every compaction/DELETE/MERGE/clustering pass
+    silently disables data skipping for the files it touches."""
+    from .bloom import BLOOM_STATS_KEY, attach_blooms
+
+    cols = sorted({
+        c
+        for f in manifest.fragments
+        for c in ((f.stats or {}).get(BLOOM_STATS_KEY) or {}).get("cols", {})
+    })
+    if not cols or not new_fragments:
+        return list(new_fragments)
+    return attach_blooms(spark, path, new_fragments, cols)
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
@@ -304,7 +322,7 @@ def compact_dataset(
             .mode("overwrite")
             .parquet(stage)
         )
-        merged = _promote_staged(path, stage)
+        merged = _inherit_blooms(spark, path, manifest, _promote_staged(path, stage))
         fragments = [
             FR.FragmentInfo(i, f.file, f.row_count, f.stats)
             for i, f in enumerate(keep + merged)
@@ -389,7 +407,8 @@ def delete_rows(
         )
         if survivors.limit(1).count() > 0:
             survivors.write.mode("overwrite").parquet(stage)
-            rewritten = _promote_staged(path, stage)
+            rewritten = _inherit_blooms(spark, path, manifest,
+                                        _promote_staged(path, stage))
         fragments = [
             FR.FragmentInfo(i, f.file, f.row_count, f.stats)
             for i, f in enumerate(keep + rewritten)
@@ -474,7 +493,8 @@ def merge_rows(
             )
             if survivors.limit(1).count() > 0:
                 survivors.write.mode("overwrite").parquet(stage_sur)
-                rewritten = _promote_staged(path, stage_sur)
+                rewritten = _inherit_blooms(spark, path, manifest,
+                                            _promote_staged(path, stage_sur))
         # schema enforcement: align column ORDER and TYPES with the dataset
         # (mixed physical parquet types across fragments would break later
         # reads — the dataset schema is the contract, like any MERGE)
@@ -482,7 +502,8 @@ def merge_rows(
             *[F.col(c).cast(df.schema[c].dataType) for c in df.columns]
         )
         aligned.write.mode("overwrite").parquet(stage_upd)
-        inserted = _promote_staged(path, stage_upd)
+        inserted = _inherit_blooms(spark, path, manifest,
+                                   _promote_staged(path, stage_upd))
         fragments = [
             FR.FragmentInfo(i, f.file, f.row_count, f.stats)
             for i, f in enumerate(keep + rewritten + inserted)
@@ -682,7 +703,7 @@ def cluster_dataset(
     try:
         (out.write.option("maxRecordsPerFile", target_rows_per_fragment)
             .mode("overwrite").parquet(stage))
-        new_frags = _promote_staged(path, stage)
+        new_frags = _inherit_blooms(spark, path, manifest, _promote_staged(path, stage))
         fragments = [
             FR.FragmentInfo(i, f.file, f.row_count, f.stats)
             for i, f in enumerate(carried + list(new_frags))

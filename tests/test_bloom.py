@@ -212,21 +212,43 @@ def test_point_lookup_results_are_correct(spark, tmp_path):
     assert absent.count() == 0
 
 
-def test_rewritten_fragments_without_blooms_stay_conservative(spark, tmp_path):
+def test_rewritten_fragments_inherit_blooms(spark, tmp_path):
+    """Maintenance rewrites (DELETE here) rebuild bloom sidecars for the
+    fragments they replace — point-lookup pruning survives maintenance."""
     from flink_connector_lance_spark.sources.maintenance import delete_rows
 
     register_lance_datasource(spark)
     path = str(tmp_path / "ds")
     _bloom_dataset(spark, path)
-    delete_rows(spark, path, "id = 7")  # rewrites one fragment, bloom dropped
+    delete_rows(spark, path, "id = 7")  # rewrites the grp-3 fragment
+    m = FR.read_manifest(path)
+    assert all(BLOOM_STATS_KEY in (f.stats or {}) for f in m.fragments)
     r = LanceDataSourceReader({"path": path})
     r.pushFilters([EqualTo(("id",), 6)])
-    # id=6 lives in the rewritten (bloom-less) fragment -> kept; untouched
-    # fragments still prune -> fewer than all, and the row still reads
-    assert 1 <= len(r.partitions()) <= 2
+    # the rewritten fragment's NEW bloom still prunes: exactly one kept
+    assert len(r.partitions()) == 1
     got = spark.read.format("lance").load(path).filter("id = 6").count()
     assert got == 1
     assert spark.read.format("lance").load(path).filter("id = 7").count() == 0
+    # the deleted id now prunes EVERYTHING (absent from every bloom)
+    r2 = LanceDataSourceReader({"path": path})
+    r2.pushFilters([EqualTo(("id",), 7)])
+    assert r2.partitions() == []
+
+
+def test_compaction_inherits_blooms(spark, tmp_path):
+    from flink_connector_lance_spark.sources.maintenance import compact_dataset
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _bloom_dataset(spark, path)
+    compact_dataset(spark, path, target_rows_per_fragment=1000)  # merges all 4
+    m = FR.read_manifest(path)
+    assert all(BLOOM_STATS_KEY in (f.stats or {}) for f in m.fragments)
+    r = LanceDataSourceReader({"path": path})
+    r.pushFilters([EqualTo(("id",), 40_000)])  # absent value still prunes
+    assert r.partitions() == []
+    assert spark.read.format("lance").load(path).filter("id = 42").count() == 1
 
 
 # -------------------------------------------------- write_dataset path
