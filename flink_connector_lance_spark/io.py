@@ -54,6 +54,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize(spark.read.parquet(table_path(sf_dir, name)))
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread CPU-dense per-row work across all cores — but ONLY when the
+    scan under-parallelized.
+
+    Locally the corpus is one parquet file, so a signature/regex-heavy
+    query runs on a single partition unless we exchange first — a measured
+    win. At 100 TB the scan already yields thousands of splits and an
+    unconditional ``repartition(defaultParallelism, ...)`` would be a
+    full-corpus exchange AND a parallelism *reduction* before map-only
+    stages that need no shuffle at all. So: repartition only when the
+    input has fewer partitions than ``defaultParallelism``; otherwise the
+    plan is returned untouched (no Exchange — pinned by
+    tests/test_plan_shape.py)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *key_cols)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
                 register_views: bool = True) -> dict[str, DataFrame]:
     """Load all corpus tables; optionally register each as a temp view."""

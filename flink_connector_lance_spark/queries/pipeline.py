@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..io import load_table
+from ..io import load_table, spread
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import sampling as S
@@ -143,7 +143,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # repartition before the signature stage: md5 minhashing is CPU-dense
     # and the corpus arrives in few file partitions locally; on a cluster
     # this spreads signature work across all cores before the band join
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return D.minhash_lsh_pairs(d, "text", "doc_id", _NUM_HASHES, _BANDS)
 
 
@@ -208,7 +208,7 @@ _DECON_THRESHOLD = 0.5
         "corpus size (anti-join against flagged train ids).",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2,
                                   max_doc_freq=_MAX_SHINGLE_DF)
     ev = (
@@ -217,13 +217,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 F.array_join(F.slice(T.tokens("text"), 1, _DECON_EVAL_WORDS), " ")
                 .alias("text"))
     )
-    # persist the overlap: it feeds BOTH the 'contam' rows and the
-    # 'decon_kept' count — without it the postings join over the whole
-    # train corpus (the expensive stage) executes twice when the union is
-    # collected. persist() is lazy, so building the query (EXPLAIN,
-    # plan-shape tests) still runs zero jobs.
+    # reuse the overlap: it feeds BOTH the 'contam' rows and the
+    # 'decon_kept' count — without materialization the postings join over
+    # the whole train corpus (the expensive stage) executes twice when the
+    # union is collected. localCheckpoint(eager=False) instead of persist():
+    # still lazy (EXPLAIN / plan-shape tests run zero jobs), but the blocks
+    # belong to the RDD, not the session cache manager, so the
+    # ContextCleaner frees them when this DataFrame is GC'd — no cached
+    # relation leaks per invocation in a long-lived session.
     contam = D.cross_corpus_overlap(d, ev, "text", "doc_id", shingle_k=3,
-                                    threshold=_DECON_THRESHOLD).persist()
+                                    threshold=_DECON_THRESHOLD).localCheckpoint(eager=False)
     # decon_kept = total - flagged train docs: algebraically identical to
     # decontaminate(d, ev, overlap=contam).count() (anti-join against the
     # flagged ids) but stays a lazy one-row aggregate instead of an eager
@@ -263,7 +266,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "results are identical; signatures computed shuffle-free in codegen.",
 )
 def dedup_simhash(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     out = D.simhash_pairs(d, "text", "doc_id", _SIMHASH_BITS, _MAX_HAMMING)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -358,7 +361,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         "same fixpoint with a recursive CTE.",
 )
 def dedup_components(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = D.minhash_lsh_pairs(d, "text", "doc_id", _NUM_HASHES, _BANDS)
     return D.connected_components(d.select("doc_id"), pairs, id_col="doc_id")
 
@@ -450,8 +453,7 @@ def text_stats(spark, sf_dir):
     # array_distinct) are CPU-dense and the corpus arrives as one file
     # partition locally — spread the work across all cores (at scale the
     # scan already has many splits and this is a cheap no-op-ish shuffle)
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # stacked projections: every array (tokens, regex tokens, lines,
     # 2/3-grams) materializes exactly once per row — inlining the split
     # into each of its many references degrades to O(tokens^2) per row
@@ -832,8 +834,7 @@ def multimodal_metadata_features(spark, sf_dir):
 )
 def text_pii_redact(spark, sf_dir):
     # regex chains are CPU-dense: spread the single-file local corpus
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     synth = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),

@@ -92,6 +92,12 @@ def run_maintenance(
             spark, path, target_rows_per_fragment=p.target_rows_per_fragment
         ).version},
     )
+    if report["steps"][-1]["due"] and not dry_run:
+        # compaction rewrote the layout: re-snapshot so the passes below
+        # see its effects NOW (rewritten-into-unclustered fragments, a
+        # rollup flipped to needs_full), not on the next maintenance cycle
+        desc = describe_dataset(path)
+        total_rows = max(1, desc["num_rows"])
 
     # 2. tail clustering (only when a layout exists to maintain)
     cl = desc["clustering"]

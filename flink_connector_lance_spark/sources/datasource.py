@@ -283,6 +283,9 @@ class LanceDataSourceReader(DataSourceReader):
         self._delta_from = int(d) if d is not None else None
         if self._delta_from is not None and self._delta_from < 0:
             raise ValueError("read.delta-from-version must be >= 0")
+        self._delta_allow_rewrites = str(
+            options.get("read.delta-allow-rewrites", "false")
+        ).lower() == "true"
         # the planned Spark schema (picklable): executors align each
         # fragment's batches to it by name, null-filling columns an older
         # (pre-evolution) fragment doesn't carry
@@ -310,12 +313,27 @@ class LanceDataSourceReader(DataSourceReader):
         manifest = FR.read_manifest(self._path, self._version)
         fragments = manifest.fragments
         if self._delta_from is not None:
-            # incremental batch read: same file-set-delta semantics as
-            # the streaming source (compaction rewrites are NOT deltas)
-            known = {
-                f.file
-                for f in FR.read_manifest(self._path, self._delta_from).fragments
-            }
+            # incremental batch read by file-set delta. Sound ONLY on an
+            # append-only history: a compaction/DELETE/MERGE rewrite puts
+            # OLD rows under NEW file names, which a file diff would
+            # deliver as delta rows — double-processing data. Detect the
+            # rewrite (a covered file vanished, same signal
+            # rollup.refresh_rollup keys `needs_full` on) and fail fast;
+            # `read.delta-allow-rewrites=true` opts into the raw file diff
+            # for callers that dedup downstream.
+            base = FR.read_manifest(self._path, self._delta_from)
+            known = {f.file for f in base.fragments}
+            current = {f.file for f in fragments}
+            removed = known - current
+            if removed and not self._delta_allow_rewrites:
+                raise ValueError(
+                    f"read.delta-from-version={self._delta_from} is unsound: "
+                    f"{len(removed)} fragment(s) covered at v{base.version} were "
+                    "rewritten since (compaction/DELETE/MERGE) — new files carry "
+                    "old rows, so a file-set delta would double-process data. "
+                    "Run a full read, refresh from the rewrite's version, or set "
+                    "read.delta-allow-rewrites=true to accept the raw file diff."
+                )
             fragments = [f for f in fragments if f.file not in known]
         kept = [
             f

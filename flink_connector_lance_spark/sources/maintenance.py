@@ -49,9 +49,16 @@ def read_version_delta(
     path: str,
     from_version: int,
     to_version: int | None = None,
+    allow_rewrites: bool = False,
 ) -> DataFrame:
     """Rows in fragments present in ``to_version`` (default: latest) but
-    not in ``from_version`` — the appended data between the two commits."""
+    not in ``from_version`` — the appended data between the two commits.
+
+    Sound only on an append-only history: a compaction/DELETE/MERGE
+    rewrite between the versions puts old rows under new file names,
+    which a file-set diff would deliver as delta rows (double-processing).
+    Such a rewrite raises unless ``allow_rewrites=True`` opts into the
+    raw file diff (for callers that dedup downstream)."""
     m_from = FR.read_manifest(path, from_version)
     m_to = FR.read_manifest(path, to_version)
     if m_to.version < m_from.version:
@@ -61,6 +68,15 @@ def read_version_delta(
     from .reader import read_fragment_files
 
     known = {f.file for f in m_from.fragments}
+    removed = known - {f.file for f in m_to.fragments}
+    if removed and not allow_rewrites:
+        raise ValueError(
+            f"version delta v{m_from.version}->v{m_to.version} is unsound: "
+            f"{len(removed)} fragment(s) were rewritten in between "
+            "(compaction/DELETE/MERGE) — new files carry old rows, so a "
+            "file-set delta would double-process data; pass "
+            "allow_rewrites=True to accept the raw file diff"
+        )
     new_files = [os.path.join(path, f.file) for f in m_to.fragments if f.file not in known]
     if not new_files:
         any_file = os.path.join(path, m_to.fragments[0].file) if m_to.fragments else None

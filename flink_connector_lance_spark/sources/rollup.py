@@ -20,9 +20,13 @@ diffs that file list against the current manifest:
 
 State representation (the classic partial-aggregate algebra):
 COUNT -> count, merged by SUM; SUM/MIN/MAX -> merged by themselves;
-AVG -> (sum, count) pair, finalized as sum/count at read time.
-COUNT DISTINCT is refused — it is not decomposable without sketches
-(use the exact query path, or approx_count_distinct knowingly).
+AVG -> (sum, count) pair, finalized as sum/count at read time;
+APPROX_DISTINCT -> a binary Datasketches HLL sketch (``hll_sketch_agg``),
+merged by ``hll_union_agg`` and finalized by ``hll_sketch_estimate`` —
+the sketch union is lossless, so the estimate after any sequence of
+incremental refreshes equals the estimate of one full scan. Exact
+COUNT DISTINCT stays refused — it is not decomposable without
+re-scanning (the sketch is the scalable answer).
 
 The reference has no analog (its catalog hard-codes UNKNOWN statistics
 and recomputes everything — ref table/LanceCatalog.java:683-704); this
@@ -49,7 +53,7 @@ from .writer import write_dataset
 
 ROLLUPS_DIR = "_rollups"
 _META_KEY = "rollup"
-_FNS = ("count", "sum", "min", "max", "avg")
+_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
 
 
 def rollup_path(path: str, name: str) -> str:
@@ -68,8 +72,9 @@ def _normalize_aggs(aggs: dict) -> "list[dict]":
         if fn not in _FNS:
             raise ValueError(
                 f"unsupported rollup aggregate {fn!r} for {alias!r}; "
-                f"supported: {', '.join(_FNS)} (COUNT DISTINCT is not "
-                "incrementally mergeable without sketches)"
+                f"supported: {', '.join(_FNS)} (exact COUNT DISTINCT is not "
+                "incrementally mergeable — use 'approx_distinct' for the "
+                "HLL-sketch estimate, whose partial states union losslessly)"
             )
         if fn != "count" and col is None:
             raise ValueError(f"{fn}({alias}) needs a source column")
@@ -80,7 +85,10 @@ def _normalize_aggs(aggs: dict) -> "list[dict]":
 
 
 def _partial_exprs(spec: "list[dict]"):
-    """Per-delta partial state: AVG decomposes into (sum, count)."""
+    """Per-delta partial state: AVG decomposes into (sum, count);
+    APPROX_DISTINCT keeps a binary HLL sketch (Datasketches HllSketch via
+    ``hll_sketch_agg`` — Spark 3.5+), whose union is lossless, making the
+    "distinct" family incrementally mergeable where the exact count isn't."""
     exprs = []
     for a in spec:
         fn, col, out = a["fn"], a["col"], a["out"]
@@ -89,13 +97,16 @@ def _partial_exprs(spec: "list[dict]"):
         elif fn == "avg":
             exprs.append(F.sum(F.col(col)).alias(f"{out}__sum"))
             exprs.append(F.count(F.col(col)).alias(f"{out}__cnt"))
+        elif fn == "approx_distinct":
+            exprs.append(F.hll_sketch_agg(F.col(col)).alias(f"{out}__hll"))
         else:
             exprs.append(getattr(F, fn)(F.col(col)).alias(out))
     return exprs
 
 
 def _merge_exprs(spec: "list[dict]"):
-    """Merge two partial states: counts and sums add, min/max re-apply."""
+    """Merge two partial states: counts and sums add, min/max re-apply,
+    HLL sketches union."""
     exprs = []
     for a in spec:
         fn, out = a["fn"], a["out"]
@@ -104,6 +115,8 @@ def _merge_exprs(spec: "list[dict]"):
         elif fn == "avg":
             exprs.append(F.sum(F.col(f"{out}__sum")).alias(f"{out}__sum"))
             exprs.append(F.sum(F.col(f"{out}__cnt")).alias(f"{out}__cnt"))
+        elif fn == "approx_distinct":
+            exprs.append(F.hll_union_agg(F.col(f"{out}__hll")).alias(f"{out}__hll"))
         else:
             exprs.append(getattr(F, fn)(F.col(out)).alias(out))
     return exprs
@@ -148,13 +161,21 @@ def create_rollup(
             "covered_fragments": len(m.fragments)}
 
 
-def refresh_rollup(spark: SparkSession, path: str, name: str) -> dict:
+def refresh_rollup(spark: SparkSession, path: str, name: str,
+                   vacuum_keep_versions: "int | None" = 2) -> dict:
     """Bring a rollup up to the table's current version.
 
     Returns ``{"mode": "noop" | "incremental" | "full", ...}`` —
     incremental when the table only gained fragments since the last
     refresh (appends, streaming epochs), full when any covered fragment
     disappeared (rewrite), noop when nothing changed.
+
+    Every non-noop refresh overwrite-commits a new rollup version; with
+    ``refresh_rollups=True`` per streaming epoch that state would grow
+    without bound, so each refresh also vacuums the rollup's own dataset
+    down to ``vacuum_keep_versions`` (keeping the previous version
+    preserves the read-while-overwrite window described in the module
+    docstring; pass ``None`` to keep every version).
     """
     rp = rollup_path(path, name)
     rm = FR.read_manifest(rp)
@@ -165,11 +186,18 @@ def refresh_rollup(spark: SparkSession, path: str, name: str) -> dict:
     cur = FR.read_manifest(path)
     covered = set(info["covered_files"])
     cur_files = {f.file for f in cur.fragments}
+    def _vacuum_state() -> None:
+        if vacuum_keep_versions is not None:
+            from .maintenance import vacuum_dataset
+
+            vacuum_dataset(rp, keep_versions=vacuum_keep_versions)
+
     if covered - cur_files:
         # DELETE/MERGE/compaction/overwrite rewrote covered data: partials
         # for the vanished files can't be subtracted out — recompute
         df = read_fragment_files(spark, cur, FR.fragment_paths(path, cur))
         _commit_state(_partial_state(df, group_cols, spec), rp, group_cols, spec, cur)
+        _vacuum_state()
         return {"mode": "full", "source_version": cur.version,
                 "reason": f"{len(covered - cur_files)} covered fragment(s) rewritten"}
     added = [f for f in cur.fragments if f.file not in covered]
@@ -185,6 +213,7 @@ def refresh_rollup(spark: SparkSession, path: str, name: str) -> dict:
         .agg(*_merge_exprs(spec))
     )
     _commit_state(merged, rp, group_cols, spec, cur)
+    _vacuum_state()
     return {"mode": "incremental", "source_version": cur.version,
             "delta_fragments": len(added),
             "delta_rows": sum(f.row_count for f in added)}
@@ -205,6 +234,8 @@ def read_rollup(spark: SparkSession, path: str, name: str) -> DataFrame:
             cols.append(
                 (F.col(f"{out}__sum").cast("double") / F.col(f"{out}__cnt")).alias(out)
             )
+        elif a["fn"] == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(F.col(f"{out}__hll")).alias(out))
         else:
             cols.append(F.col(out))
     return df.select(*cols)

@@ -42,6 +42,21 @@ def write_dataset(
     opts = options or DatasetOptions(path=path)
     mode = WriteMode.parse(mode)
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
+        # the native commit cannot carry our commit metadata (rollup specs,
+        # covered-file lists) or the bloom sidecar contract yet — failing
+        # HERE beats create_rollup/refresh_rollup raising 'not a rollup'
+        # three calls later, or write.bloom-columns silently doing nothing
+        if commit_meta:
+            raise NotImplementedError(
+                "the native lance write path cannot persist commit_meta "
+                "(rollups/streaming epoch metadata); use the emulated backend "
+                "or attach metadata through lance's own commit API"
+            )
+        if opts.bloom_columns:
+            raise NotImplementedError(
+                "write.bloom-columns is not supported on the native lance "
+                "write path (no bloom sidecar contract for native fragments)"
+            )
         return _write_lance(df, path, mode, opts)
     return _write_local(df, path, mode, opts, commit_meta)
 

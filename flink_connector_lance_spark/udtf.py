@@ -97,6 +97,17 @@ def _dataset_files(path: str) -> list[str]:
 
 
 def _read_schema(path: str):
+    """The dataset's Arrow schema. For a fragment dataset this is the
+    MANIFEST schema (schema_evolution.dataset_schema), not files[0]'s
+    footer: on an evolved dataset whose oldest fragment predates an
+    ``add_column``, the footer would miss the new column — both the UDTF's
+    declared output schema and its row reads must see the evolved shape
+    (old fragments null-fill, same as the distributed reader)."""
+    if _is_fragment_dataset(path):
+        from .sources.schema_evolution import dataset_schema
+        from .types import spark_schema_to_arrow
+
+        return spark_schema_to_arrow(dataset_schema(path))
     files = _dataset_files(path)
     if not files:
         raise FileNotFoundError(f"dataset {path} has no fragments")

@@ -57,6 +57,32 @@ def test_runty_table_compacts_and_rollup_refreshes(spark, tmp_path):
     assert spark.read.format("lance").load(path).count() == 500
 
 
+def test_compaction_induced_staleness_handled_same_pass(spark, tmp_path):
+    """The decisions after the compact step must see the POST-compaction
+    snapshot: a rollup that was perfectly fresh before (zero pending
+    rows) is flipped to needs_full by the compaction rewrite and must be
+    refreshed in THIS pass, not the next cycle."""
+    from flink_connector_lance_spark.sources.rollup import refresh_rollup
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "t")
+    for i in range(4):
+        spark.range(i * 50, (i + 1) * 50).selectExpr(
+            "id", "id % 5 as g").coalesce(1).write.format("lance").mode(
+            "overwrite" if i == 0 else "append").save(path)
+    create_rollup(spark, path, "by_g", ["g"], {"cnt": "count"})
+    assert rollup_status(path, "by_g")["pending_rows"] == 0  # fresh NOW
+    rep = run_maintenance(spark, path, MaintenancePolicy(
+        target_rows_per_fragment=1000, keep_versions=1))
+    s = _steps(rep)
+    assert s["compact"]["due"]
+    assert s["refresh_rollup:by_g"]["due"], \
+        "post-compaction needs_full was not seen in the same pass"
+    assert s["refresh_rollup:by_g"]["result"]["mode"] == "full"
+    st = rollup_status(path, "by_g")
+    assert st["pending_rows"] == 0 and not st["needs_full"]
+
+
 def test_cluster_tail_fires_when_tail_grows(spark, tmp_path):
     register_lance_datasource(spark)
     path = str(tmp_path / "t")

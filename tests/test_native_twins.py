@@ -57,6 +57,21 @@ def test_native_append_adds_a_version(fake_lance, spark, tmp_path):
     assert read_dataset(spark, path, version=1).count() == 10
 
 
+def test_native_write_refuses_commit_meta_and_bloom(fake_lance, spark, tmp_path):
+    """The native commit cannot carry rollup metadata or bloom sidecars:
+    the write must fail THERE, not let create_rollup raise 'not a rollup'
+    later or write.bloom-columns silently do nothing."""
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    path = str(tmp_path / "ds")
+    df = spark.range(10).selectExpr("id", "id % 2 AS label", "CAST(id AS DOUBLE) AS v")
+    with pytest.raises(NotImplementedError, match="commit_meta"):
+        write_dataset(df, path, mode="overwrite", commit_meta={"rollup": {}})
+    with pytest.raises(NotImplementedError, match="bloom"):
+        write_dataset(df, path, mode="overwrite",
+                      options=DatasetOptions(path=path, bloom_columns=["id"]))
+
+
 def test_native_read_pushdowns_flow_to_fragments(fake_lance, spark, tmp_path):
     path = str(tmp_path / "ds")
     df = spark.range(50).selectExpr("id", "id % 5 AS label", "CAST(id AS DOUBLE) AS v")

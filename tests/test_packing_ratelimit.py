@@ -244,6 +244,47 @@ def test_delta_from_version_reads_only_appends(spark, tmp_path):
     assert empty.count() == 0
 
 
+def test_delta_from_version_refuses_rewrites(spark, tmp_path):
+    # a compaction between the versions puts OLD rows under NEW file
+    # names; a raw file diff would deliver them as delta rows
+    # (double-processing), so the read must fail fast unless the caller
+    # opts into the raw diff
+    from flink_connector_lance_spark.sources.maintenance import (
+        compact_dataset,
+        read_version_delta,
+    )
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    _runts(spark, path, n_frags=3)  # versions 0..2, 25 rows each
+    compact_dataset(spark, path, target_rows_per_fragment=1_000_000)  # v3
+    with pytest.raises(Exception, match="rewritten"):
+        (spark.read.format("lance")
+         .option("read.delta-from-version", "0").load(path).count())
+    with pytest.raises(ValueError, match="rewritten"):
+        read_version_delta(spark, path, from_version=0)
+    # opting in yields the raw file diff: every current file is new
+    raw = (
+        spark.read.format("lance")
+        .option("read.delta-from-version", "0")
+        .option("read.delta-allow-rewrites", "true").load(path)
+    )
+    assert raw.count() == 75
+    assert read_version_delta(spark, path, 0, allow_rewrites=True).count() == 75
+    # append-only histories are still deltas without any flag
+    _append_one(spark, path)  # v4
+    delta = (
+        spark.read.format("lance")
+        .option("read.delta-from-version", "3").load(path)
+    )
+    assert delta.count() == 25
+
+
+def _append_one(spark, path):
+    base = spark.range(100, 125).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    base.coalesce(1).write.format("lance").mode("append").save(path)
+
+
 def test_delta_from_version_validation(spark, tmp_path):
     register_lance_datasource(spark)
     path = str(tmp_path / "ds")

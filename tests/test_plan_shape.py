@@ -192,6 +192,24 @@ def test_line_dedup_never_nested_loop_and_aggregates_partial_final(spark, sf_dir
     assert plan.count("HashAggregate") >= 2
 
 
+def test_spread_is_noop_when_already_parallel(spark, sf_dir):
+    # the guard on the repartition idiom: input already at (or above)
+    # defaultParallelism partitions -> spread() must add NO exchange (at
+    # 100 TB the scan yields thousands of splits and an unconditional
+    # repartition would be a full-corpus shuffle AND a parallelism cut)
+    from flink_connector_lance_spark.io import load_table, spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    out = spread(wide, "doc_id")
+    assert out is wide  # plan object untouched — no new Exchange node
+    # and the under-parallelized local scan DOES get spread
+    narrow = load_table(spark, sf_dir, "documents").coalesce(1)
+    out2 = spread(narrow, "doc_id")
+    assert out2 is not narrow
+    assert out2.rdd.getNumPartitions() == par
+
+
 def test_cap_per_key_skew_path_bounds_fan_in(spark, sf_dir):
     # two-stage cap: stage 1 windows over (key, bucket) so no task sees a
     # whole hot key; the plan must contain BOTH window exchanges and no

@@ -174,6 +174,60 @@ def test_refresh_reads_only_delta_fragments(spark, tmp_path, monkeypatch):
     }
 
 
+def test_approx_distinct_rollup_stays_incremental_and_matches_full_scan(spark, tmp_path):
+    """HLL-sketch approx distinct: the partial states union losslessly,
+    so N incremental refreshes give the SAME estimate as one full scan —
+    and the estimate is exact at these cardinalities."""
+    path = str(tmp_path / "t")
+    aggs = {"cnt": "count", "d_val": ("approx_distinct", "val")}
+    write_dataset(_base(spark), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"], aggs)
+    for i in range(2):
+        # overlapping val ranges so the distinct count is NOT the row count
+        write_dataset(_base(spark, n=50, offset=i * 25), path, mode="append")
+        assert refresh_rollup(spark, path, "by_grp")["mode"] == "incremental"
+    full = _base(spark).unionByName(_base(spark, n=50)).unionByName(
+        _base(spark, n=50, offset=25))
+    exp = {r.grp: r.d for r in full.groupBy("grp")
+           .agg(F.count_distinct("val").alias("d")).collect()}
+    got = {r.grp: r.d_val for r in read_rollup(spark, path, "by_grp").collect()}
+    assert set(got) == set(exp)
+    for g in exp:  # HLL is exact far below its sketch resolution
+        assert got[g] == exp[g]
+
+
+def test_exact_count_distinct_still_refused_pointing_at_sketch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    with pytest.raises(ValueError, match="approx_distinct"):
+        create_rollup(spark, path, "bad", ["grp"], {"d": ("count_distinct", "val")})
+
+
+def test_refresh_vacuums_rollup_state_versions(spark, tmp_path):
+    """Per-epoch refreshes must not grow the rollup dataset without
+    bound: each refresh vacuums the state down to keep_versions=2."""
+    from flink_connector_lance_spark.sources.rollup import rollup_path
+
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    rp = rollup_path(path, "by_grp")
+    for i in range(4):
+        write_dataset(_base(spark, n=10, offset=9000 + i * 10), path, mode="append")
+        assert refresh_rollup(spark, path, "by_grp")["mode"] == "incremental"
+    manifests = os.listdir(os.path.join(rp, FR.VERSIONS_DIR))
+    assert len(manifests) <= 2, f"rollup state versions grew unbounded: {manifests}"
+    # dead state fragments are collected too: every data file is referenced
+    live = {f.file for v in manifests
+            for f in FR.read_manifest(rp, int(v.split(".")[0])).fragments}
+    on_disk = {os.path.join(FR.DATA_DIR, n)
+               for n in os.listdir(os.path.join(rp, FR.DATA_DIR))}
+    assert on_disk <= {f for f in live} | {f + ".bloom" for f in live}
+    # and the state still reads correctly after vacuuming
+    assert refresh_rollup(spark, path, "by_grp")["mode"] == "noop"
+    assert len(_got(spark, path)) == 3
+
+
 def test_streaming_ingestion_keeps_rollup_fresh(spark, tmp_path):
     """Streaming materialized view: each epoch appends + incrementally
     refreshes the rollup, so the view tracks the stream exactly."""
