@@ -26,6 +26,10 @@ Scale shape (100 TB):
 - candidate generation is an equi-join on the cell id carrying ONLY
   (id, cell); vectors and hoisted norms attach post-candidates by id
   (the skinny-candidate shape proven in dedup.embedding_cosine_pairs).
+- hot-cell guard (``max_cell_size``): one degenerate k-means cell would
+  make the pair stage quadratic; cells above the threshold split into
+  deterministic hash sub-cells (candidates bounded, split logged,
+  cross-sub-cell recall traded away — the ``max_doc_freq`` contract).
 - the drop rule is greedy-by-id: a row is dropped iff SOME lower-id row
   in the same cell has cosine >= eps. Deterministic, one aggregate over
   the pair set — no iterative connected components (SemDeDup keeps one
@@ -104,24 +108,68 @@ def semantic_duplicate_pairs(
     eps: float = 0.95,
     iterations: int = 4,
     assignments: "DataFrame | None" = None,
+    max_cell_size: "int | None" = 4096,
 ) -> DataFrame:
     """Within-cluster pairs with cosine >= eps:
     ``(id_a, id_b, cell, cosine)`` with id_a < id_b.
 
     ``assignments`` (rid, cell) can be supplied to reuse a clustering
     across eps sweeps (the expensive half is k-means, not the pairs).
-    """
+
+    ``max_cell_size`` is the hot-cell guard: the pair stage is Σ|cell|²,
+    and ONE degenerate k-means cell (a near-duplicate-flooded corpus
+    collapses Lloyd's clusters) makes it quadratic. Cells above the
+    threshold are split into ``ceil(n/max_cell_size)`` deterministic
+    hash sub-cells and pairs are scored within sub-cells only — bounding
+    candidates at the documented cost of cross-sub-cell recall in the
+    split cells (the same bounded-candidates-over-recall contract as
+    ``ngram_jaccard_pairs``'s ``max_doc_freq``). Splits are logged;
+    ``None`` disables the guard."""
+    import logging
+    import math
+
     from .dedup import _dot_chain
 
     vecs = _as_vecs(df, id_col, vector_col)
     dim = _first_dim(vecs)
     if assignments is None:
         assignments = kmeans_assign(df, id_col, vector_col, num_clusters, iterations)
+    sub = F.lit(0)
+    if max_cell_size is not None:
+        if int(max_cell_size) < 2:
+            raise ValueError("max_cell_size must be >= 2 (or None to disable)")
+        # checkpoint the skinny (rid, cell) relation: the size probe plus
+        # both pair-join sides reuse one assignment computation
+        assignments = assignments.localCheckpoint(eager=True)
+        hot = (
+            assignments.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > int(max_cell_size)).collect()
+        )  # metadata-sized: at most num_clusters rows ever aggregate here
+        if hot:
+            logging.getLogger(__name__).warning(
+                "semantic_duplicate_pairs: %d cell(s) exceed max_cell_size=%d "
+                "(largest: %d rows) — split into hash sub-cells; "
+                "cross-sub-cell pairs inside them are not scored",
+                len(hot), int(max_cell_size), max(r["n"] for r in hot),
+            )
+            splits = assignments.sparkSession.createDataFrame(
+                [(int(r["cell"]), int(math.ceil(r["n"] / int(max_cell_size))))
+                 for r in hot],
+                "cell int, __nsplit int",
+            )
+            assignments = assignments.join(F.broadcast(splits), on="cell",
+                                           how="left")
+            sub = F.when(
+                F.col("__nsplit").isNotNull(),
+                F.pmod(F.xxhash64(F.col("rid")), F.col("__nsplit")),
+            ).otherwise(F.lit(0))
+    assignments = assignments.select("rid", "cell", sub.alias("__sub"))
     # skinny candidates: (id, cell) only — the equi-join on cell never
     # carries a vector; pairs materialize as two ids
-    a = assignments.select(F.col("rid").alias("id_a"), "cell")
-    b = assignments.select(F.col("rid").alias("id_b"), "cell")
-    cand = a.join(b, on="cell").filter(F.col("id_a") < F.col("id_b"))
+    a = assignments.select(F.col("rid").alias("id_a"), "cell", "__sub")
+    b = assignments.select(F.col("rid").alias("id_b"), "cell", "__sub")
+    cand = (a.join(b, on=["cell", "__sub"]).drop("__sub")
+            .filter(F.col("id_a") < F.col("id_b")))
     # vectors + norms attach post-candidates by id (uniform key, no cell
     # skew); norms hoist to one evaluation per ROW, not per pair
     withnorm = vecs.select(
@@ -150,6 +198,7 @@ def semantic_dedup(
     eps: float = 0.95,
     iterations: int = 4,
     assignments: "DataFrame | None" = None,
+    max_cell_size: "int | None" = 4096,
 ) -> DataFrame:
     """Drop semantic near-duplicates: a row survives unless some
     LOWER-id row in its k-means cell is cosine-similar >= eps.
@@ -159,7 +208,7 @@ def semantic_dedup(
     deterministic one-pass analog of SemDeDup's keep-one-per-group."""
     dup_ids = (
         semantic_duplicate_pairs(df, id_col, vector_col, num_clusters, eps,
-                                 iterations, assignments)
+                                 iterations, assignments, max_cell_size)
         .select(F.col("id_b").alias(id_col)).distinct()
     )
     return df.join(dup_ids, on=id_col, how="left_anti")

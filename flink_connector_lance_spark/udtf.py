@@ -32,10 +32,14 @@ reference picks indexed vs flat search:
   worker still searches.
 - **hnsw** (graph index present, no PQ codes): in-process twin of
   hnsw.hnsw_search — probe cells, ef-bounded best-first traversal per
-  cell, exact re-rank of the winners, unindexed tail exact-scored. PQ
-  outranks it here because codes are ~16 B/row while graph traversal
-  holds the probed cells' raw vectors; the distributed search_dataset
-  makes the opposite call (graph first) since executors share the slabs.
+  cell, exact re-rank of the winners, unindexed tail exact-scored. The
+  graph/vector files are hive-partitioned by cell, and the worker reads
+  ONLY the probed cells' partition directories (per-cell LRU,
+  ``_load_hnsw_cell``) — worker memory is O(probed cells), never the
+  whole index. PQ still outranks it here because codes are ~16 B/row
+  while traversal holds the probed cells' raw vectors; the distributed
+  search_dataset makes the opposite call (graph first) since executors
+  share the slabs.
 - **flat** (plain parquet, no index, or metric mismatch): the original
   in-process scan — a float64 matrix of ONLY the vector column decoded
   zero-copy from Arrow, rows materialized solely via ``table.take`` of
@@ -104,10 +108,21 @@ def _read_schema(path: str):
     declared output schema and its row reads must see the evolved shape
     (old fragments null-fill, same as the distributed reader)."""
     if _is_fragment_dataset(path):
-        from .sources.schema_evolution import dataset_schema
-        from .types import spark_schema_to_arrow
+        import pyarrow as pa
 
-        return spark_schema_to_arrow(dataset_schema(path))
+        from .sources.schema_evolution import dataset_schema
+        from .types import UnsupportedTypeError, spark_type_to_arrow
+
+        try:
+            # plain list types (not FixedSizeList): the fragment files store
+            # what Spark's parquet writer produced, and an explicit dataset
+            # schema must match it for the null-fill read path
+            return pa.schema([
+                pa.field(f.name, spark_type_to_arrow(f.dataType), f.nullable)
+                for f in dataset_schema(path).fields
+            ])
+        except UnsupportedTypeError:
+            pass  # fall through to the footer for exotic physical types
     files = _dataset_files(path)
     if not files:
         raise FileNotFoundError(f"dataset {path} has no fragments")
@@ -127,13 +142,15 @@ def _vector_matrix(table, column: str) -> np.ndarray:
 
 
 def _read_filtered(files: list[str], columns: list[str] | None, id_col: str,
-                   ids: np.ndarray | None):
+                   ids: np.ndarray | None, schema=None):
     """Read ``columns`` of the rows whose ``id_col`` is in ``ids`` (or all
     rows when ids is None) — parquet row-group statistics prune non-matching
-    groups, so the read is O(matching groups), not O(dataset)."""
+    groups, so the read is O(matching groups), not O(dataset). ``schema``
+    (the manifest schema for fragment datasets) makes evolved columns
+    visible: fragments written before an ``add_column`` null-fill it."""
     import pyarrow.dataset as pads
 
-    ds = pads.dataset(files, format="parquet")
+    ds = pads.dataset(files, format="parquet", schema=schema)
     flt = pads.field(id_col).isin(ids.tolist()) if ids is not None else None
     return ds.to_table(columns=columns, filter=flt)
 
@@ -145,7 +162,8 @@ def _load_flat(path: str, column: str):
         import pyarrow.dataset as pads
 
         files = _dataset_files(path)
-        table = pads.dataset(files, format="parquet").to_table()
+        schema = _read_schema(path) if _is_fragment_dataset(path) else None
+        table = pads.dataset(files, format="parquet", schema=schema).to_table()
         mat = _vector_matrix(table, column)
         planes = make_planes(num_planes=8, dim=mat.shape[1] if mat.size else 0)
         sigs = _row_signatures(mat, planes)
@@ -268,61 +286,115 @@ def uses_hnsw_route(path: str, column: str, metric: str = "l2") -> bool:
     return meta.get("metric", "l2") == metric.lower()
 
 
-def _load_hnsw(path: str, column: str):
-    """HNSW searcher state, grouped per cell:
-    {cell: (ids (n,), mat (n, dim), levels (n,), adj {(id, layer): [ids]})}
-    plus the meta dict. Same LRU/mtime cache contract as the PQ state."""
+# per-cell HNSW states are slab-sized (one cell's vectors + graph), so
+# they get their own, larger LRU: sharing the 4-slot table cache would
+# thrash it on every multi-cell probe (the whole point of per-cell
+# loading is holding ONLY the probed cells, not the whole index)
+_CELL_CACHE_MAX = 32
+_CELL_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+
+def _cell_cache_get_or(key: tuple, load):
+    if key in _CELL_CACHE:
+        _CELL_CACHE.move_to_end(key)
+        return _CELL_CACHE[key]
+    value = load()
+    _CELL_CACHE[key] = value
+    while len(_CELL_CACHE) > _CELL_CACHE_MAX:
+        _CELL_CACHE.popitem(last=False)
+    return value
+
+
+def _load_hnsw_meta(path: str, column: str):
+    """(meta dict, available cell ids, index mtime). The cell list comes
+    from the partition DIRECTORY names (``vectors.parquet/cell=N``) — a
+    metadata-only listing, no data file is opened."""
     from .hnsw import _hnsw_dir
 
     idx = _hnsw_dir(path, column)
     meta_path = os.path.join(idx, "index_meta.json")
-    key = (path, column, "hnsw", os.stat(meta_path).st_mtime_ns)
+    mtime = os.stat(meta_path).st_mtime_ns
+    key = (path, column, "hnsw-meta", mtime)
     hit = _cache_get(key)
     if hit is None:
         with open(meta_path) as fh:
             meta = json.load(fh)
-        gt = pq.read_table(os.path.join(idx, "graph.parquet")).to_pylist()
-        vt = pq.read_table(os.path.join(idx, "vectors.parquet"))
-        cells: dict[int, tuple] = {}
-        v_cell = vt.column("cell").to_numpy(zero_copy_only=False)
-        v_ids = vt.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vdir = os.path.join(idx, "vectors.parquet")
+        cells = sorted(
+            int(n.split("=", 1)[1]) for n in os.listdir(vdir)
+            if n.startswith("cell=")
+        )
+        hit = (meta, cells, mtime)
+        _cache_put(key, hit)
+    return hit
+
+
+def _load_hnsw_cell(path: str, column: str, cell: int, mtime: int):
+    """ONE cell's searcher state ``(ids (n,), mat (n, dim), levels (n,),
+    adj {(id, layer): [ids]})``, read from that cell's partition
+    directories ONLY — an un-probed cell's graph/vector files are never
+    opened (pinned by tests/test_udtf_indexed.py), so worker memory and
+    IO are O(probed cells), not O(index): the fix for the round-4
+    full-index load, which held every cell's raw vectors even when one
+    was probed."""
+    from .hnsw import _hnsw_dir
+
+    def load():
+        idx = _hnsw_dir(path, column)
+        vt = pq.read_table(os.path.join(idx, "vectors.parquet", f"cell={cell}"))
+        gt = pq.read_table(os.path.join(idx, "graph.parquet", f"cell={cell}")).to_pylist()
+        ids = vt.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _vector_matrix(vt, "vec")
+        adj = {(int(r["id"]), int(r["layer"])): list(r["neighbors"]) for r in gt}
+        lvl = {int(r["id"]): int(r["node_level"]) for r in gt}
+        levels = np.array([lvl.get(int(i), 0) for i in ids], dtype=np.int64)
+        return (ids, mat, levels, adj)
+
+    return _cell_cache_get_or((path, column, "hnsw-cell", cell, mtime), load)
+
+
+def _load_hnsw_cell_means(path: str, column: str, mtime: int):
+    """Per-cell mean vectors ``(cells (k,), means (k, dim))`` — the probe
+    fallback when NO coarse IVF centroid table exists. This is the one
+    path that must look at every cell's vectors (there is no other
+    structure to probe by); it runs once per index build and caches only
+    the k x dim means, never the slabs."""
+    from .hnsw import _hnsw_dir
+
+    key = (path, column, "hnsw-means", mtime)
+    hit = _cache_get(key)
+    if hit is None:
+        vt = pq.read_table(os.path.join(_hnsw_dir(path, column), "vectors.parquet"),
+                           columns=["cell", "vec"])
+        v_cell = vt.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
         v_mat = _vector_matrix(vt, "vec")
-        for c in np.unique(v_cell):
-            sel = v_cell == c
-            cells[int(c)] = [v_ids[sel], v_mat[sel], None, {}]
-        lvl: dict[int, dict[int, int]] = {}
-        for r in gt:
-            c = int(r["cell"])
-            cells[c][3][(int(r["id"]), int(r["layer"]))] = list(r["neighbors"])
-            lvl.setdefault(c, {})[int(r["id"])] = int(r["node_level"])
-        for c, state in cells.items():
-            by_id = lvl.get(c, {})
-            state[2] = np.array([by_id.get(int(i), 0) for i in state[0]],
-                                dtype=np.int64)
-        hit = (meta, {c: tuple(s) for c, s in cells.items()})
+        cells = np.unique(v_cell)
+        means = np.stack([v_mat[v_cell == c].mean(axis=0) for c in cells])
+        hit = (cells, means)
         _cache_put(key, hit)
     return hit
 
 
 def _eval_hnsw(path: str, column: str, q: np.ndarray, k: int, metric: str,
                nprobes: int | None, ef: int | None) -> Iterator[tuple]:
-    """In-process twin of hnsw.hnsw_search: probe cells, traverse each
-    graph with the ef-bounded dynamic list, merge, fetch ONLY the winner
-    rows (pushed id filter), exact-score the unindexed tail."""
+    """In-process twin of hnsw.hnsw_search: probe cells, load and traverse
+    ONLY the probed cells' graphs (partition-directory reads), merge,
+    fetch ONLY the winner rows (pushed id filter), exact-score the
+    unindexed tail."""
     from .hnsw import _traverse_cell
     from .index import split_by_index_coverage
 
-    meta, cells = _load_hnsw(path, column)
+    meta, avail, mtime = _load_hnsw_meta(path, column)
     if q.shape[0] != meta["dim"]:
         raise ValueError(f"query dim {q.shape[0]} != indexed dim {meta['dim']}")
     id_col = meta["id_col"]
     eff = int(ef) if ef is not None else 100
     pool = max(eff, k)
 
-    chosen = sorted(cells)
+    chosen = list(avail)
     if nprobes is not None and len(chosen) > int(nprobes):
         # probe the nprobes nearest cells by IVF centroid when the coarse
-        # index exists; else by per-cell mean (derived from the slab)
+        # index exists (metadata-sized read); else by cached per-cell mean
         from .index import _index_dir, has_index
 
         if has_index(path, column):
@@ -331,15 +403,16 @@ def _eval_hnsw(path: str, column: str, q: np.ndarray, k: int, metric: str,
             cmat = np.asarray(it.column("centroid").to_pylist(), dtype=np.float64)
             cc = it.column("cell").to_numpy(zero_copy_only=False)
         else:
-            cc = np.array(chosen)
-            cmat = np.stack([cells[c][1].mean(axis=0) for c in chosen])
+            cc, cmat = _load_hnsw_cell_means(path, column, mtime)
         cd = ((cmat - q) ** 2).sum(axis=1)
         order = np.lexsort((cc, cd))[: int(nprobes)]
-        chosen = sorted(int(cc[j]) for j in order if int(cc[j]) in cells)
+        avail_set = set(avail)
+        chosen = sorted(int(cc[j]) for j in order if int(cc[j]) in avail_set)
 
+    dschema = _read_schema(path) if _is_fragment_dataset(path) else None
     merged: list[tuple[int, float]] = []
     for c in chosen:
-        ids, mat, levels, adj = cells[c]
+        ids, mat, levels, adj = _load_hnsw_cell(path, column, c, mtime)
         merged.extend(_traverse_cell(ids, levels, adj, mat, q, pool, eff, metric))
     merged.sort(key=lambda t: (t[1], t[0]))
     win_ids = np.array([i for i, _ in merged[:pool]], dtype=np.int64)
@@ -347,11 +420,12 @@ def _eval_hnsw(path: str, column: str, q: np.ndarray, k: int, metric: str,
     covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
     parts = []
     if covered:
-        parts.append(_read_filtered(covered, None, id_col, win_ids))
+        parts.append(_read_filtered(covered, None, id_col, win_ids, schema=dschema))
         if uncovered:
-            parts.append(_read_filtered(uncovered, None, id_col, None))
+            parts.append(_read_filtered(uncovered, None, id_col, None, schema=dschema))
     else:
-        parts.append(_read_filtered(_dataset_files(path), None, id_col, None))
+        parts.append(_read_filtered(_dataset_files(path), None, id_col, None,
+                                    schema=dschema))
     import pyarrow as pa
 
     rows_tbl = pa.concat_tables(parts)
@@ -431,21 +505,25 @@ def _eval_indexed(path: str, column: str, q: np.ndarray, k: int, metric: str,
     order = np.lexsort((cand_pool_ids, cand_pool_adc))[:r]
     cand_ids = cand_pool_ids[order]
 
+    dschema = _read_schema(path) if _is_fragment_dataset(path) else None
     parts_ids, parts_d = [], []
     if covered:
-        cand_tbl = _read_filtered(covered, [id_col, column], id_col, cand_ids)
+        cand_tbl = _read_filtered(covered, [id_col, column], id_col, cand_ids,
+                                  schema=dschema)
         parts_ids.append(cand_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
         parts_d.append(_distances(_vector_matrix(cand_tbl, column), q, metric))
         if uncovered:
             # unindexed tail: exact-scored in full (appends are searchable
             # immediately; the index just covers less until refreshed)
-            tail = _read_filtered(uncovered, [id_col, column], id_col, None)
+            tail = _read_filtered(uncovered, [id_col, column], id_col, None,
+                                  schema=dschema)
             parts_ids.append(tail.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
             parts_d.append(_distances(_vector_matrix(tail, column), q, metric))
     else:
         # stale beyond recognition (no build-time file survives): exact
         # brute force over the whole dataset, same contract as pq_search
-        full = _read_filtered(_dataset_files(path), [id_col, column], id_col, None)
+        full = _read_filtered(_dataset_files(path), [id_col, column], id_col, None,
+                              schema=dschema)
         parts_ids.append(full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
         parts_d.append(_distances(_vector_matrix(full, column), q, metric))
     all_ids = np.concatenate(parts_ids)
@@ -457,7 +535,8 @@ def _eval_indexed(path: str, column: str, q: np.ndarray, k: int, metric: str,
     # vector: pairing distances through an id->row dict would collapse
     # duplicate id values and attach one vector's distance to the other's
     # row (id uniqueness is never enforced for plain datasets)
-    rows_tbl = _read_filtered(_dataset_files(path), None, id_col, win_ids)
+    rows_tbl = _read_filtered(_dataset_files(path), None, id_col, win_ids,
+                              schema=dschema)
     row_d = np.round(_distances(_vector_matrix(rows_tbl, column), q, metric), 6)
     rows = rows_tbl.to_pylist()
     row_ids = rows_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -132,6 +132,46 @@ def test_zero_vectors_never_match(spark):
     assert out.count() == 3
 
 
+def test_hot_cell_guard_bounds_degenerate_clustering(spark, sem_df, caplog):
+    """All rows in ONE cell (num_clusters=1 = the worst-case degenerate
+    clustering): with max_cell_size set, the pair stage must split the
+    cell into hash sub-cells — candidate pairs bounded below the
+    unguarded Σ|cell|², the split logged, every emitted pair still a
+    true >= eps pair."""
+    import logging
+
+    n = sem_df.count()
+    assignments = kmeans_assign(sem_df, "id", "embedding", 1).localCheckpoint(eager=True)
+    with caplog.at_level(logging.WARNING,
+                         logger="flink_connector_lance_spark.operators.semantic"):
+        guarded = semantic_duplicate_pairs(
+            sem_df, "id", "embedding", 1, eps=EPS, assignments=assignments,
+            max_cell_size=8,
+        ).collect()
+    assert any("max_cell_size" in r.message for r in caplog.records)
+    unguarded = semantic_duplicate_pairs(
+        sem_df, "id", "embedding", 1, eps=EPS, assignments=assignments,
+        max_cell_size=None,
+    ).collect()
+    # the guard only SUBSETS the pair set (cross-sub-cell recall traded
+    # for bounded candidates), and candidates are genuinely bounded:
+    # ceil(n/8)=3 sub-cells cap any one join bucket at ~n/3 rows
+    assert {(r.id_a, r.id_b) for r in guarded} <= {(r.id_a, r.id_b) for r in unguarded}
+    # correctness of what IS emitted: exact >= eps pairs only
+    assign = {r.rid: 0 for r in assignments.collect()}
+    exp_pairs, _ = _numpy_oracle(_synthetic(), assign, EPS)
+    assert {(r.id_a, r.id_b) for r in guarded} <= exp_pairs
+    # a small cell (below the threshold) is untouched by the guard
+    ok = semantic_duplicate_pairs(
+        sem_df, "id", "embedding", 1, eps=EPS, assignments=assignments,
+        max_cell_size=n,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in ok} == exp_pairs
+    with pytest.raises(ValueError, match="max_cell_size"):
+        semantic_duplicate_pairs(sem_df, "id", "embedding", 1,
+                                 assignments=assignments, max_cell_size=1)
+
+
 def test_candidate_plan_is_equi_join_not_nested_loop(spark, sem_df):
     # checkpoint the assignments: their own plan contains the DELIBERATE
     # rows x broadcast(centroids) product (the Lloyd assignment step);

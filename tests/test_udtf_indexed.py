@@ -102,6 +102,33 @@ def test_searcher_cache_is_lru_bounded(tmp_path):
     assert os.path.exists(last)
 
 
+def test_udtf_sees_evolved_columns(spark, sf_dir, tmp_path):
+    """analyze() must declare the MANIFEST schema, not files[0]'s footer:
+    after an evolving append adds a column, the oldest fragment's footer
+    misses it — both the declared schema and the fetched rows must carry
+    the new column (old rows null-fill)."""
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    path = str(tmp_path / "evolved")
+    e = load_table(spark, sf_dir, "embeddings")
+    write_dataset(e, path, mode="overwrite")
+    new = spark.createDataFrame(
+        [(777_777, [float(v) for v in QVEC], 0, "fresh")],
+        "vec_id long, embedding array<float>, label int, tag string")
+    write_dataset(new.select(*e.columns, "tag"), path, mode="append",
+                  options=DatasetOptions(path=path, schema_evolution=True))
+    udtf._CACHE.clear()
+    udtf.register_vector_search(spark)
+    qarr = "array(" + ", ".join(f"double({v})" for v in QVEC) + ")"
+    df = spark.sql(
+        f"SELECT * FROM vector_search('{path}', 'embedding', {qarr}, 3, 'l2')")
+    assert "tag" in df.columns, "analyze() missed the evolved column"
+    rows = df.collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[777_777].tag == "fresh"  # the exact-match row wins at d=0
+    assert all(r.tag is None for r in rows if r.vec_id != 777_777)
+
+
 @pytest.fixture(scope="module")
 def hnsw_only_ds(spark, sf_dir, tmp_path_factory):
     """Dataset with an HNSW graph (over IVF cells) but NO PQ codes."""
@@ -140,9 +167,41 @@ def test_hnsw_eval_matches_exact_topk(hnsw_only_ds):
     vec_i = e.columns.index("vec_id")
     assert [r[vec_i] for r in got] == [r.vec_id for r in want]
     assert [round(r[-1], 6) for r in got] == [round(r._distance, 6) for r in want]
-    # worker state is the graph, not the flat table
-    assert any(k[0] == path and k[2] == "hnsw" for k in udtf._CACHE)
+    # worker state is the graph (meta + per-cell slabs), never a flat table
+    assert any(k[0] == path and k[2] == "hnsw-meta" for k in udtf._CACHE)
+    assert any(k[0] == path and k[2] == "hnsw-cell" for k in udtf._CELL_CACHE)
     assert not any(k[0] == path and k[2] == "flat" for k in udtf._CACHE)
+
+
+def test_hnsw_eval_loads_only_probed_cells(hnsw_only_ds, monkeypatch):
+    """The round-4 flaw: _load_hnsw read EVERY cell's graph + raw vector
+    slabs into the worker. Now the files are read per probed-cell
+    partition directory — spy on pq.read_table and assert no un-probed
+    cell's directory is ever opened."""
+    path, e = hnsw_only_ds
+    udtf._CELL_CACHE.clear()
+    opened: list[str] = []
+    real = udtf.pq.read_table
+
+    def spy(source, *a, **kw):
+        opened.append(str(source))
+        return real(source, *a, **kw)
+
+    monkeypatch.setattr(udtf.pq, "read_table", spy)
+    got = list(udtf.VectorSearchUDTF().eval(path, "embedding", QVEC, 5, "l2",
+                                            nprobes=1, ef=50))
+    assert len(got) == 5
+    cell_reads = [p for p in opened if "cell=" in p]
+    assert cell_reads, "expected per-cell partition reads"
+    probed = {p.split("cell=")[1].split("/")[0] for p in cell_reads}
+    assert len(probed) == 1, f"nprobes=1 must touch ONE cell, got {probed}"
+    # the index has 4 cells; the full vectors table was never opened
+    assert not any(p.rstrip("/").endswith("vectors.parquet") for p in opened)
+    # second eval with the same probe hits the per-cell LRU: zero new reads
+    opened.clear()
+    list(udtf.VectorSearchUDTF().eval(path, "embedding", QVEC, 5, "l2",
+                                      nprobes=1, ef=50))
+    assert not [p for p in opened if "cell=" in p]
 
 
 def test_hnsw_eval_nprobes_and_tail(hnsw_only_ds, spark):
