@@ -298,13 +298,64 @@ def _cos_sig_sql(tbl: str) -> str:
     )
 
 
+# semantic branch constants: within-cell pair threshold and the target
+# k-means cell size (k = ceil(n/64) holds candidate volume per row
+# constant as the corpus grows — the SemDeDup scale contract)
+_SEM_EPS = 0.4
+_SEM_CELL_ROWS = 64
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH pl AS (SELECT {_cos_planes_sql()}),
     sig AS (SELECT vec_id, embedding, ({_cos_sig_sql('embeddings')}) AS sig
-            FROM embeddings, pl)
-    SELECT id_a, id_b, cosine FROM (
+            FROM embeddings, pl),
+    src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qt AS (SELECT vec_id, v,
+                  CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                       THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                       ELSE 1.0 END AS s
+           FROM src),
+    dq AS (SELECT vec_id, v, s,
+                  list_transform(v, x -> greatest(-127.0, least(127.0, round(x / s, 0)))) AS codes,
+                  list_transform(list_transform(v, x -> greatest(-127.0, least(127.0, round(x / s, 0)))),
+                                 c -> c * s) AS dv
+           FROM qt),
+    quant AS (
+        SELECT 'quant' AS kind, vec_id AS id_a,
+               CAST(list_sum(codes) AS BIGINT) AS id_b,
+               CASE WHEN sqrt(list_sum(list_transform(v, (x,i) -> x * x))) > 0
+                     AND sqrt(list_sum(list_transform(dv, (x,i) -> x * x))) > 0
+                    THEN round(list_sum(list_transform(v, (x,i) -> x * dv[i]))
+                               / (sqrt(list_sum(list_transform(v, (x,i) -> x * x)))
+                                  * sqrt(list_sum(list_transform(dv, (x,i) -> x * x)))), 6)
+                    ELSE 0.0 END AS cosine
+        FROM dq),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cd
+              FROM dq ORDER BY vec_id
+              LIMIT (SELECT CAST(ceil(count(*) / {_SEM_CELL_ROWS}.0) AS BIGINT) FROM dq)),
+    asg AS (SELECT vec_id, cell FROM (
+                SELECT d.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY d.vec_id
+                           ORDER BY sqrt(list_sum(list_transform(d.dv,
+                                        (x,i) -> (x - c.cd[i]) * (x - c.cd[i])))), c.cell
+                       ) AS rn
+                FROM dq d CROSS JOIN cents c) WHERE rn = 1),
+    wn AS (SELECT vec_id, dv,
+                  sqrt(list_sum(list_transform(dv, (x,i) -> x * x))) AS nrm FROM dq),
+    sem AS (
+        SELECT p.id_a, p.id_b,
+               CASE WHEN wa.nrm > 0 AND wb.nrm > 0
+                    THEN round(list_sum(list_transform(wa.dv, (x,i) -> x * wb.dv[i]))
+                               / (wa.nrm * wb.nrm), 6)
+                    ELSE 0.0 END AS cosine
+        FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) p
+        JOIN wn wa ON wa.vec_id = p.id_a
+        JOIN wn wb ON wb.vec_id = p.id_b)
+    SELECT 'lsh' AS kind, id_a, id_b, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_sum(list_transform(a.embedding::DOUBLE[], (x,i) -> x * b.embedding[i]))
                      / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], (x,i) -> x * x)))
@@ -313,20 +364,65 @@ def _cos_sig_sql(tbl: str) -> str:
         FROM sig a JOIN sig b
           ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1)
     WHERE cosine >= 0.4
+    UNION ALL SELECT * FROM quant
+    UNION ALL SELECT 'semantic' AS kind, id_a, id_b, cosine
+              FROM sem WHERE cosine >= {_SEM_EPS}
     """,
-    doc="Embedding cosine near-dup pairs (>= 0.4) via random-hyperplane "
-        "LSH buckets: candidates are pairs whose 8-bit signatures are "
-        "within hamming distance 1 (equi-join on exploded probe buckets — "
-        "O(candidates), no all-pairs), exact cosine verified on "
-        "candidates. The oracle mirrors the identical bucketing, so the "
-        "probabilistic-recall candidate set is part of the operator's "
-        "declared semantics (same contract as MinHash-LSH banding).",
+    doc="Three tagged branches of the embedding-dedup family, all hash-"
+        "gated: 'lsh' — cosine near-dup pairs (>= 0.4) via random-"
+        "hyperplane LSH buckets (candidates = signatures within hamming "
+        "1, equi-join on exploded probe buckets, O(candidates), exact "
+        "cosine verified on candidates; the oracle mirrors the identical "
+        "bucketing, so the probabilistic-recall candidate set is part of "
+        "the declared semantics). 'quant' — int8 scalar quantization "
+        "(operators.quantize): one row per vector with the code checksum "
+        "(pins every int8 code exactly) and the original-vs-dequantized "
+        "cosine (pins the reconstruction; ~0.99998 on this corpus — the "
+        "4x storage cut is near-lossless). 'semantic' — SemDeDup cluster-"
+        "then-prune (operators.semantic) over the DEQUANTIZED vectors: "
+        "deterministic seed-centroid k-means assignment (k = ceil(n/64), "
+        "centroids = the k lowest-id vectors, argmin L2 with cell "
+        "tiebreak — iterations=0 so the oracle reproduces the assignment "
+        "relationally), within-cell pairs with cosine >= 0.4. Quantize "
+        "-> dequantize -> cluster -> prune is the production SemDeDup "
+        "pipeline shape at 1/4 the vector IO.",
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    import math
+
+    from ..operators import quantize as Q
+    from ..operators import semantic as SM
+    from ..operators.dedup import _dot_chain
+
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _A.make_planes(_A.auto_num_planes(e.count()), dim=_COS_DIM)
-    return D.embedding_cosine_pairs(e, "embedding", "vec_id", threshold=0.4,
-                                    planes=planes)
+    n = e.count()
+    planes = _A.make_planes(_A.auto_num_planes(n), dim=_COS_DIM)
+    lsh = D.embedding_cosine_pairs(
+        e, "embedding", "vec_id", threshold=0.4, planes=planes
+    ).select(F.lit("lsh").alias("kind"), "id_a", "id_b", "cosine")
+    # quantize once, reuse for both the fidelity rows and the semantic
+    # clustering (lazy checkpoint: one materialization, blocks GC-freed)
+    src = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dq = (
+        Q.quantize_embeddings(src, "v", keep_vector=True)
+        .withColumn("dv", Q.dequantize_of("codes", "scale"))
+        .localCheckpoint(eager=False)
+    )
+    na = F.sqrt(_dot_chain("v", "v", _COS_DIM))
+    nb = F.sqrt(_dot_chain("dv", "dv", _COS_DIM))
+    quant = dq.select(
+        F.lit("quant").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.expr("aggregate(codes, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("id_b"),
+        F.when((na > 0) & (nb > 0),
+               F.round(_dot_chain("v", "dv", _COS_DIM) / (na * nb), 6))
+        .otherwise(F.lit(0.0)).alias("cosine"),
+    )
+    sem = SM.semantic_duplicate_pairs(
+        dq.select("vec_id", "dv"), "vec_id", "dv",
+        num_clusters=math.ceil(n / _SEM_CELL_ROWS), eps=_SEM_EPS, iterations=0,
+    ).select(F.lit("semantic").alias("kind"), "id_a", "id_b", "cosine")
+    return lsh.unionByName(quant).unionByName(sem)
 
 
 @register(

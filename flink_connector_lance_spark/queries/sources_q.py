@@ -93,6 +93,16 @@ def source_roundtrip_agg(spark, sf_dir):
     merged AS (
         SELECT * FROM deleted WHERE doc_id NOT IN (SELECT doc_id FROM upd)
         UNION ALL SELECT * FROM upd
+    ),
+    appended2 AS (
+        SELECT doc_id + 40000000 AS doc_id, text, 'zz' AS lang, source, n_chars,
+               n_chars + 7 AS extra
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    evolved AS (
+        SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS INT) AS extra
+        FROM merged
+        UNION ALL SELECT * FROM appended2
     )
     SELECT 'v0' AS stage, count(*) AS cnt,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
@@ -101,19 +111,33 @@ def source_roundtrip_agg(spark, sf_dir):
     UNION ALL SELECT 'compacted', count(*), CAST(sum(n_chars) AS BIGINT) FROM v1
     UNION ALL SELECT 'deleted', count(*), CAST(sum(n_chars) AS BIGINT) FROM deleted
     UNION ALL SELECT 'merged', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
-    UNION ALL SELECT 'vacuumed', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
+    UNION ALL SELECT 'evolved_append', count(*),
+              CAST(sum(coalesce(extra, 0)) AS BIGINT) FROM evolved
+    UNION ALL SELECT 'evolved', count(*),
+              CAST(sum(n_chars % 97) AS BIGINT) FROM evolved
+    UNION ALL SELECT 'dropped', count(*), CAST(sum(n_chars) AS BIGINT) FROM evolved
+    UNION ALL SELECT 'vacuumed', count(*), CAST(sum(n_chars) AS BIGINT) FROM evolved
     """,
-    doc="Full MVCC maintenance lifecycle under the hash gate: overwrite v0, "
-        "append v1 (en copies with NULL lang + de copies, ONE fragment so "
-        "the later DELETE rewrite must preserve NULL-predicate rows), "
-        "metadata-only COUNT(*) (v1_meta; ref LanceInputFormat.java:117 "
-        "analog), compact_dataset (merge runts, rows unchanged), "
-        "delete_rows `lang = 'de'` (three-valued logic: NULL-lang rows "
-        "survive), merge_rows upsert of every 5th doc (n_chars*2+1, lang 'xx') "
-        "plus re-insert of deleted upserted keys, then vacuum_dataset "
-        "keep_versions=1 and a post-vacuum read. Each stage's (count, "
-        "sum_chars) is reproduced relationally by the DuckDB oracle "
-        "(sources/maintenance.py; ref LanceSink.java:163-189 commit model).",
+    doc="Full MVCC maintenance + schema-evolution lifecycle under the hash "
+        "gate: overwrite v0, append v1 (en copies with NULL lang + de "
+        "copies, ONE fragment so the later DELETE rewrite must preserve "
+        "NULL-predicate rows), metadata-only COUNT(*) (v1_meta; ref "
+        "LanceInputFormat.java:117 analog), compact_dataset (merge runts, "
+        "rows unchanged), delete_rows `lang = 'de'` (three-valued logic: "
+        "NULL-lang rows survive), merge_rows upsert of every 5th doc "
+        "(n_chars*2+1, lang 'xx') plus re-insert of deleted upserted keys. "
+        "Then schema evolution (sources/schema_evolution.py): an EVOLVING "
+        "append adds an `extra` column (write.schema-evolution opt-in; "
+        "pre-evolution fragments null-fill — 'evolved_append' sums "
+        "coalesce(extra,0), so a mis-filled old row breaks the hash); "
+        "add_column backfills a computed `bonus = n_chars % 97` over the "
+        "whole table ('evolved' sums it); drop_columns('lang') is an O(1) "
+        "metadata-only commit ('dropped' re-reads counts, and the query "
+        "hard-raises unless lang is GONE from the current schema while "
+        "the pre-drop version still time-travels WITH it). Finally "
+        "vacuum_dataset keep_versions=1 and a post-vacuum read. Each "
+        "stage's (count, sum) is reproduced relationally by the DuckDB "
+        "oracle (sources/maintenance.py; ref LanceSink.java:163-189).",
 )
 def source_version_travel(spark, sf_dir):
     from ..sources.maintenance import (
@@ -163,6 +187,46 @@ def source_version_travel(spark, sf_dir):
     )
     merge_rows(spark, path, upd, key="doc_id")
     rows.append(snap("merged"))
+
+    # --- schema evolution stages (sources/schema_evolution.py) ---
+    from ..options import DatasetOptions
+    from ..sources import fragments as FR
+    from ..sources.schema_evolution import add_column, drop_columns
+
+    appended2 = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 40_000_000)
+        .withColumn("lang", F.lit("zz"))
+        .withColumn("extra", F.col("n_chars") + F.lit(7))
+    )
+    # evolving append: new `extra` column rides in (write.schema-evolution);
+    # every pre-evolution fragment must null-fill it on read
+    write_dataset(appended2.coalesce(1), path, mode="append",
+                  options=DatasetOptions(path=path, schema_evolution=True))
+    r = (
+        read_dataset(spark, path)
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.coalesce(F.col("extra"), F.lit(0))).alias("s"))
+        .first()
+    )
+    rows.append(("evolved_append", r.cnt, r.s))
+    # computed-column backfill over the whole table as ONE commit
+    add_column(spark, path, "bonus", "n_chars % 97")
+    r = (
+        read_dataset(spark, path)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("bonus").alias("s"))
+        .first()
+    )
+    rows.append(("evolved", r.cnt, r.s))
+    # O(1) metadata-only drop; time travel keeps the old shape
+    pre_drop = FR.latest_version(path)
+    drop_columns(path, ["lang"])
+    cur_cols = read_dataset(spark, path).columns
+    if "lang" in cur_cols:  # the evolution contract, hash can't see schemas
+        raise RuntimeError(f"drop_columns left 'lang' visible: {cur_cols}")
+    if "lang" not in read_dataset(spark, path, version=pre_drop).columns:
+        raise RuntimeError("pre-drop version lost 'lang' (time travel broken)")
+    rows.append(snap("dropped"))
     vacuum_dataset(path, keep_versions=1)
     rows.append(snap("vacuumed"))
     return spark.createDataFrame(rows, "stage string, cnt bigint, sum_chars bigint")
