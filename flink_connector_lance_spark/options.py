@@ -105,6 +105,17 @@ class S3Options:
                 kwargs[attr] = v
         return cls(**kwargs) if kwargs else None
 
+    def to_option_map(self) -> dict:
+        """Back to connector-style ``s3-*`` keys — for threading the
+        credentials through DataFrame reader options (the catalog's S3
+        read path hands them to ``spark.read.format("lance")``)."""
+        out: dict = {}
+        for key, attr in self.KEYS.items():
+            v = getattr(self, attr)
+            if v is not None:
+                out[key] = str(v).lower() if isinstance(v, bool) else str(v)
+        return out
+
     def to_storage_options(self) -> dict:
         """Map to the aws_* storage-option names the Lance native layer
         consumes (ref table/LanceCatalogFactory.java:148-176 mapping,

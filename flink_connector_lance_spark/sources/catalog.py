@@ -41,9 +41,13 @@ class DatasetCatalog:
     mirrored from ref table/LanceCatalogS3Test.java) carry the mapped
     ``aws_*`` storage options (ref table/LanceCatalogFactory.java:148-176,
     applied at table/LanceCatalog.java:743-773) for the native Lance
-    layer; the emulated parquet backend is filesystem-only, so S3 data
-    operations degrade with a clear error rather than mis-resolving
-    paths."""
+    layer. On the emulated backend, S3 support is READ-only and gated on
+    fsspec/s3fs (sources/fs.py): listing/detection/manifests go through
+    fsspec, data reads go through the Python DataSource whose workers
+    open fragments via fsspec with these credentials. Mutations (and
+    everything, when fsspec is absent) degrade with a clear error rather
+    than mis-resolving paths — S3 cannot provide the atomic
+    create-if-absent the commit protocol needs."""
 
     def __init__(self, warehouse: str, default_database: str = "default",
                  s3: S3Options | None = None):
@@ -56,13 +60,26 @@ class DatasetCatalog:
             os.makedirs(os.path.join(warehouse, default_database), exist_ok=True)
 
     def _require_local(self, op: str) -> None:
+        """Mutating operations stay local-only: S3 support in the emulated
+        backend is READ-only (no atomic create-if-absent for the commit
+        protocol). Read operations route through fsspec — see _fs()."""
         if self.is_remote:
             raise Unsupported(
                 f"{op} on an S3 warehouse requires the native lance backend; "
-                "the emulated parquet backend is filesystem-only "
+                "the emulated parquet backend's S3 support is read-only "
                 "(storage options are mapped and ready: "
                 f"{sorted(self.storage_options)})"
             )
+
+    def _fs(self):
+        """fsspec filesystem for a remote warehouse, or a clear refusal
+        when fsspec/s3fs is absent (the pre-round-5 behavior)."""
+        from .fs import RemoteUnavailableError, get_fs
+
+        try:
+            return get_fs(self.warehouse, self.storage_options)
+        except RemoteUnavailableError as e:
+            raise Unsupported(str(e)) from e
 
     # -- databases (ref LanceCatalog.java:224-361) --------------------------
 
@@ -70,14 +87,22 @@ class DatasetCatalog:
         return os.path.join(self.warehouse, db)
 
     def list_databases(self) -> list[str]:
-        self._require_local("list_databases")
+        if self.is_remote:
+            from .fs import remote_ls_names
+
+            fs = self._fs()
+            return sorted(
+                d for d in remote_ls_names(fs, self.warehouse)
+                if fs.isdir(self._db_path(d))
+            )
         return sorted(
             d for d in os.listdir(self.warehouse)
             if os.path.isdir(self._db_path(d))
         )
 
     def database_exists(self, db: str) -> bool:
-        self._require_local("database_exists")
+        if self.is_remote:
+            return bool(self._fs().isdir(self._db_path(db)))
         return os.path.isdir(self._db_path(db))
 
     def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
@@ -105,17 +130,26 @@ class DatasetCatalog:
         return os.path.join(self.warehouse, db, table)
 
     def list_tables(self, db: str | None = None) -> list[str]:
-        self._require_local("list_tables")
         db = db or self.default_database
         if not self.database_exists(db):
             raise CatalogError(f"database does not exist: {db}")
+        if self.is_remote:
+            from .fs import remote_ls_names
+
+            self._fs()  # clear refusal when fsspec is absent
+            return sorted(
+                t for t in remote_ls_names(self._fs(), self._db_path(db))
+                if FR.is_dataset(self._table_path(db, t), self.storage_options)
+            )
         return sorted(
             t for t in os.listdir(self._db_path(db))
             if FR.is_dataset(self._table_path(db, t))
         )
 
     def table_exists(self, db: str, table: str) -> bool:
-        self._require_local("table_exists")
+        if self.is_remote:
+            self._fs()  # clear refusal when fsspec is absent
+            return FR.is_dataset(self._table_path(db, table), self.storage_options)
         return FR.is_dataset(self._table_path(db, table))
 
     def table_location(self, db: str, table: str) -> str:
@@ -141,9 +175,22 @@ class DatasetCatalog:
 
     def get_table(self, spark: SparkSession, db: str, table: str,
                   version: int | None = None) -> DataFrame:
-        """Schema inferred from the dataset itself (ref :428-436)."""
+        """Schema inferred from the dataset itself (ref :428-436). Remote
+        tables read through the Python DataSource (format "lance"): its
+        data plane is Python/Arrow, so each worker opens its fragment via
+        fsspec with the catalog's credentials — no hadoop-aws needed."""
         if not self.table_exists(db, table):
             raise CatalogError(f"table does not exist: {db}.{table}")
+        if self.is_remote:
+            from .datasource import register_lance_datasource
+
+            register_lance_datasource(spark)
+            reader = spark.read.format("lance")
+            for k, v in ((self.s3 or S3Options()).to_option_map()).items():
+                reader = reader.option(k, v)
+            if version is not None:
+                reader = reader.option("version", str(version))
+            return reader.load(self._table_path(db, table))
         return read_dataset(spark, self._table_path(db, table), version=version)
 
     def register_table(self, spark: SparkSession, db: str, table: str,

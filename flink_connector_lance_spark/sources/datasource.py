@@ -260,11 +260,27 @@ def _bloom_may_match(root: str, frag: "FR.FragmentInfo", pushed: List[Filter]) -
     return True
 
 
+def _storage_opts(options: dict) -> dict:
+    """Reference-convention ``s3-*`` reader options -> object-store
+    credential map (ref table/LanceCatalogFactory.java:148-176)."""
+    from ..options import S3Options
+
+    s3 = S3Options.from_dict(options)
+    return s3.to_storage_options() if s3 else {}
+
+
 class LanceDataSourceReader(DataSourceReader):
     def __init__(self, options: dict, schema: "StructType | None" = None):
+        from .fs import is_remote
+
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
+        # S3 read path (sources/fs.py): manifest via fsspec at planning,
+        # per-fragment fsspec opens inside the Python workers at read —
+        # the credentials ride in the (picklable) storage-options map
+        self._remote = is_remote(self._path)
+        self._storage = _storage_opts(options)
         v = options.get("version")
         self._version = int(v) if v is not None else None
         self._batch_size = int(options.get("read.batch-size", DEFAULT_BATCH_SIZE))
@@ -310,7 +326,8 @@ class LanceDataSourceReader(DataSourceReader):
         skipping — no task is ever scheduled for a skipped fragment).
         An empty result is fine: the Python data source worker turns it
         into a single ``None`` partition and ``read`` emits nothing."""
-        manifest = FR.read_manifest(self._path, self._version)
+        manifest = FR.read_manifest(self._path, self._version,
+                                    storage_options=self._storage)
         fragments = manifest.fragments
         if self._delta_from is not None:
             # incremental batch read by file-set delta. Sound ONLY on an
@@ -321,7 +338,8 @@ class LanceDataSourceReader(DataSourceReader):
             # rollup.refresh_rollup keys `needs_full` on) and fail fast;
             # `read.delta-allow-rewrites=true` opts into the raw file diff
             # for callers that dedup downstream.
-            base = FR.read_manifest(self._path, self._delta_from)
+            base = FR.read_manifest(self._path, self._delta_from,
+                                    storage_options=self._storage)
             known = {f.file for f in base.fragments}
             current = {f.file for f in fragments}
             removed = known - current
@@ -339,7 +357,10 @@ class LanceDataSourceReader(DataSourceReader):
             f
             for f in fragments
             if all(_fragment_may_match(f.stats, f.row_count, p) for p in self._pushed)
-            and _bloom_may_match(self._path, f, self._pushed)
+            # bloom sidecars are local files; on a remote root the consult
+            # is skipped (conservative: keep the fragment, zone maps still
+            # pruned above)
+            and (self._remote or _bloom_may_match(self._path, f, self._pushed))
         ]
         if self._pack_rows is None:
             return [
@@ -385,6 +406,9 @@ class LanceDataSourceReader(DataSourceReader):
         for f in self._pushed:
             e = _filter_to_arrow(f)
             expr = e if expr is None else (expr & e)
+        if self._remote:
+            yield from self._read_one_remote(file, expr)
+            return
         dset = pads.dataset(file, format="parquet")
 
         target = None
@@ -420,6 +444,35 @@ class LanceDataSourceReader(DataSourceReader):
                 yield from tbl.to_batches()
             else:
                 yield aligned
+
+    def _read_one_remote(self, file: str, expr) -> Iterator["pa.RecordBatch"]:
+        """Executor-side S3 fragment read: the file opens through fsspec
+        with the threaded credentials (no JVM hadoop-aws involved — the
+        data plane of this source is Python/Arrow already). Pushed
+        filters apply post-alignment per batch; parquet row-group
+        pruning inside ParquetFile still applies via iter_batches'
+        statistics-aware reader."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from .fs import get_fs
+
+        fs = get_fs(file, self._storage)
+        target = None
+        if self._schema is not None:
+            from ..types import spark_schema_to_arrow
+
+            target = spark_schema_to_arrow(self._schema)
+        with fs.open(file, "rb") as fobj:
+            pf = papq.ParquetFile(fobj)
+            for batch in pf.iter_batches(batch_size=self._batch_size):
+                if target is not None and batch.schema != target:
+                    batch = _align_batch(batch, target)
+                if expr is not None:
+                    tbl = pa.Table.from_batches([batch]).filter(expr)
+                    yield from tbl.to_batches()
+                else:
+                    yield batch
 
 
 def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
@@ -510,9 +563,18 @@ def _schema_meta_for_commit(path: str, frags: List[FR.FragmentInfo],
 
 class LanceDataSourceWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
+        from .fs import is_remote
+
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
+        if is_remote(self._path):
+            raise NotImplementedError(
+                "S3 support in the emulated backend is read-only "
+                "(single-winner commits need atomic create-if-absent, "
+                "which S3 cannot provide); write through the native lance "
+                "backend"
+            )
         self._mode = "overwrite" if overwrite else "append"
         self._evolve = _parse_evolve_option(options)
         from .bloom import parse_bloom_columns
@@ -555,9 +617,16 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
     EPOCH_KEY = "stream_epoch"
 
     def __init__(self, options: dict):
+        from .fs import is_remote
+
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
+        if is_remote(self._path):
+            raise NotImplementedError(
+                "S3 support in the emulated backend is read-only; "
+                "stream through the native lance backend"
+            )
         self._evolve = _parse_evolve_option(options)
         from .bloom import parse_bloom_columns
 
@@ -760,7 +829,9 @@ class LanceDataSource(DataSource):
         if not path:
             raise ValueError("lance datasource requires a 'path' option")
         v = self.options.get("version")
-        manifest = FR.read_manifest(path, int(v) if v is not None else None)
+        storage = _storage_opts(dict(self.options))
+        manifest = FR.read_manifest(path, int(v) if v is not None else None,
+                                    storage_options=storage)
         # schema evolution: the manifest's recorded schema is authoritative
         # (pre-evolution fragments lack the newer columns)
         sj = manifest.meta.get("schema")
@@ -771,7 +842,12 @@ class LanceDataSource(DataSource):
         if not manifest.fragments:
             raise FileNotFoundError(f"dataset {path} (v{manifest.version}) has no fragments")
         # schema from the first fragment's footer: metadata-only read
+        from .fs import get_fs, is_remote
+
         first = os.path.join(path, manifest.fragments[0].file)
+        if is_remote(path):
+            with get_fs(path, storage).open(first, "rb") as fobj:
+                return arrow_schema_to_spark(pq.read_schema(fobj))
         return arrow_schema_to_spark(pq.read_schema(first))
 
     def reader(self, schema: StructType) -> LanceDataSourceReader:

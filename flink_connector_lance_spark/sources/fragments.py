@@ -87,41 +87,70 @@ VERSIONS_DIR = "_versions"
 DATA_DIR = "data"
 
 
-def is_dataset(path: str) -> bool:
-    """Table detection by _versions/ (ref table/LanceCatalog.java:492-493)."""
+def is_dataset(path: str, storage_options: dict | None = None) -> bool:
+    """Table detection by _versions/ (ref table/LanceCatalog.java:492-493).
+    Works for S3 paths too when fsspec is importable (sources/fs.py)."""
+    from .fs import get_fs, is_remote
+
+    if is_remote(path):
+        fs = get_fs(path, storage_options)
+        return bool(fs.exists(f"{str(path).rstrip('/')}/{VERSIONS_DIR}"))
     return os.path.isdir(os.path.join(path, VERSIONS_DIR))
 
 
 def _manifest_path(root: str, version: int) -> str:
+    from .fs import is_remote
+
+    if is_remote(root):
+        return f"{str(root).rstrip('/')}/{VERSIONS_DIR}/{version}.manifest.json"
     return os.path.join(root, VERSIONS_DIR, f"{version}.manifest.json")
 
 
-def latest_version(root: str) -> int | None:
+def latest_version(root: str, storage_options: dict | None = None) -> int | None:
     """Highest manifest version. Recognizes both the emulated naming
     (``N.manifest.json``) and the native Lance naming (``N.manifest`` —
     the convention of the reference's checked-in fixtures,
-    test-data/lance-db1/_versions/1.manifest)."""
-    vdir = os.path.join(root, VERSIONS_DIR)
-    if not os.path.isdir(vdir):
-        return None
+    test-data/lance-db1/_versions/1.manifest). Remote (s3://) roots list
+    through fsspec (metadata-plane reads only — sources/fs.py)."""
+    from .fs import get_fs, is_remote, remote_ls_names
+
+    if is_remote(root):
+        fs = get_fs(root, storage_options)
+        names = remote_ls_names(fs, f"{str(root).rstrip('/')}/{VERSIONS_DIR}")
+    else:
+        vdir = os.path.join(root, VERSIONS_DIR)
+        if not os.path.isdir(vdir):
+            return None
+        names = os.listdir(vdir)
     versions = [
         int(name.split(".")[0])
-        for name in os.listdir(vdir)
+        for name in names
         if name.endswith(".manifest.json") or name.endswith(".manifest")
     ]
     return max(versions) if versions else None
 
 
-def read_manifest(root: str, version: int | None = None) -> Manifest:
-    v = latest_version(root) if version is None else version
+def read_manifest(root: str, version: int | None = None,
+                  storage_options: dict | None = None) -> Manifest:
+    from .fs import get_fs, is_remote
+
+    remote = is_remote(root)
+    v = latest_version(root, storage_options) if version is None else version
     if v is None:
         raise FileNotFoundError(f"not a dataset (no {VERSIONS_DIR}/): {root}")
     path = _manifest_path(root, v)
-    if not os.path.exists(path) and os.path.exists(path.removesuffix(".json")):
-        # native Lance binary manifest: layout-compatible but needs the lib
-        raise LanceUnavailableError(f"reading native manifest {v}.manifest")
-    with open(path) as fh:
-        raw = json.load(fh)
+    if remote:
+        fs = get_fs(root, storage_options)
+        if not fs.exists(path) and fs.exists(path.removesuffix(".json")):
+            raise LanceUnavailableError(f"reading native manifest {v}.manifest")
+        with fs.open(path, "r") as fh:
+            raw = json.load(fh)
+    else:
+        if not os.path.exists(path) and os.path.exists(path.removesuffix(".json")):
+            # native Lance binary manifest: layout-compatible but needs the lib
+            raise LanceUnavailableError(f"reading native manifest {v}.manifest")
+        with open(path) as fh:
+            raw = json.load(fh)
     return Manifest(
         version=raw["version"],
         fragments=[FragmentInfo(**f) for f in raw["fragments"]],
@@ -160,6 +189,15 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
     reference avoids by serializing writers (SURVEY.md §7.2).
     ``meta`` rides inside the same atomic manifest write (used for
     streaming epoch idempotency)."""
+    from .fs import is_remote
+
+    if is_remote(root):
+        raise NotImplementedError(
+            "committing to an S3 dataset is not supported by the emulated "
+            "backend: single-winner commits need atomic create-if-absent "
+            "(O_EXCL), which plain S3 PUTs cannot provide — S3 support is "
+            "read-only here; write through the native lance backend"
+        )
     os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
     for _ in range(max_retries):
         prev_v = latest_version(root)

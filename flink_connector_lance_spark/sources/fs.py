@@ -1,0 +1,88 @@
+"""Remote-filesystem shim for the READ path of S3 warehouses.
+
+The reference maps ``s3-*`` catalog options to object-store credentials
+and hands them to the native Lance layer (ref
+table/LanceCatalogFactory.java:148-176, applied at
+table/LanceCatalog.java:743-773). The emulated parquet backend is
+filesystem-based, so S3 support here is gated on ``fsspec``/``s3fs``
+being importable:
+
+- **metadata plane** (manifest listing/reads, table detection) goes
+  through ``fsspec`` directly — a handful of tiny JSON reads;
+- **data plane** reads go through the Python DataSource
+  (``format("lance")``): its ``read()`` already runs inside Python
+  workers over pyarrow, so each worker opens its fragment through
+  ``fsspec`` with the mapped credentials — no JVM hadoop-aws jars
+  needed, and the per-fragment partitioning / zone-map pruning are
+  unchanged;
+- **writes and maintenance stay refused** on remote paths: the commit
+  protocol relies on O_EXCL manifest creation, which S3 cannot provide
+  (no atomic create-if-absent on plain PUT) — a clear error beats a
+  lost-update window.
+
+Without fsspec installed, every remote call degrades to the same clear
+error the catalog always raised.
+"""
+
+from __future__ import annotations
+
+_REMOTE_SCHEMES = ("s3://", "s3a://", "s3n://")
+
+
+def is_remote(path: str) -> bool:
+    return str(path).lower().startswith(_REMOTE_SCHEMES)
+
+
+class RemoteUnavailableError(RuntimeError):
+    def __init__(self, what: str = "this operation"):
+        super().__init__(
+            f"{what} on an S3 warehouse requires 'fsspec' + 's3fs' (pip "
+            "install s3fs) for the emulated backend, or the native lance "
+            "backend; neither is available"
+        )
+
+
+def _fsspec_kwargs(storage_options: dict | None) -> dict:
+    """Map the reference-convention ``aws_*`` storage options
+    (options.S3Options.to_storage_options) onto s3fs constructor kwargs.
+    Unknown keys pass through untouched (test filesystems use them)."""
+    o = dict(storage_options or {})
+    kw: dict = {}
+    client: dict = {}
+    if "aws_access_key_id" in o:
+        kw["key"] = o.pop("aws_access_key_id")
+    if "aws_secret_access_key" in o:
+        kw["secret"] = o.pop("aws_secret_access_key")
+    if "aws_region" in o:
+        client["region_name"] = o.pop("aws_region")
+    if "aws_endpoint" in o:
+        client["endpoint_url"] = o.pop("aws_endpoint")
+    o.pop("virtual_hosted_style_request", None)  # s3fs default addressing
+    if o.pop("allow_http", "false") == "true" and "endpoint_url" in client:
+        client["use_ssl"] = False
+    if client:
+        kw["client_kwargs"] = client
+    kw.update(o)
+    return kw
+
+
+def get_fs(path: str, storage_options: dict | None = None):
+    """An fsspec filesystem for a remote path, or a clear error. All fs
+    calls take FULL urls (s3fs strips the protocol itself)."""
+    if not is_remote(path):
+        raise ValueError(f"get_fs is for remote paths, got {path!r}")
+    try:
+        import fsspec
+    except ImportError as e:
+        raise RemoteUnavailableError(f"reading {path}") from e
+    return fsspec.filesystem("s3", **_fsspec_kwargs(storage_options))
+
+
+def remote_ls_names(fs, path: str) -> list[str]:
+    """Base names of a remote directory's entries (s3fs.ls returns
+    bucket-relative or protocol-full paths depending on version)."""
+    try:
+        entries = fs.ls(path, detail=False)
+    except FileNotFoundError:
+        return []
+    return [str(e).rstrip("/").rsplit("/", 1)[-1] for e in entries]

@@ -1,0 +1,55 @@
+"""Fake ``fsspec`` for tests: an s3:// namespace backed by a local
+directory, selected via ``endpoint_url='fake://<local-root>'`` in the
+client kwargs (the same channel real credentials travel through, so the
+product code path is identical to a real s3fs deployment — including the
+driver->executor threading of the storage options).
+
+Implements only the surface ``sources/fs.py`` consumes: ``filesystem()``,
+``open``/``exists``/``isdir``/``ls`` taking full ``s3://`` URLs.
+"""
+
+from __future__ import annotations
+
+import os
+
+_SCHEMES = ("s3://", "s3a://", "s3n://")
+
+
+class _FakeS3FS:
+    def __init__(self, key=None, secret=None, client_kwargs=None, **kw):
+        ep = (client_kwargs or {}).get("endpoint_url", "")
+        if not str(ep).startswith("fake://"):
+            raise ValueError(
+                "fake fsspec needs client_kwargs.endpoint_url='fake://<root>' "
+                f"(got {ep!r})"
+            )
+        self.root = str(ep)[len("fake://"):]
+
+    def _local(self, path: str) -> str:
+        p = str(path)
+        for sch in _SCHEMES:
+            if p.lower().startswith(sch):
+                p = p[len(sch):]
+                break
+        return os.path.join(self.root, p)
+
+    def open(self, path, mode="rb"):
+        return open(self._local(path), mode)
+
+    def exists(self, path) -> bool:
+        return os.path.exists(self._local(path))
+
+    def isdir(self, path) -> bool:
+        return os.path.isdir(self._local(path))
+
+    def ls(self, path, detail=False):
+        base = self._local(path)
+        if not os.path.isdir(base):
+            raise FileNotFoundError(str(path))
+        return [str(path).rstrip("/") + "/" + n for n in sorted(os.listdir(base))]
+
+
+def filesystem(protocol, **kw):
+    if protocol != "s3":
+        raise ValueError(f"fake fsspec only provides 's3', got {protocol!r}")
+    return _FakeS3FS(**kw)

@@ -65,14 +65,20 @@ class TestS3Options:
         assert o.s3.region == "eu-central-1"
         assert "s3-access-key" not in o.extra  # consumed, not leaked
 
-    def test_s3_catalog_carries_options_and_refuses_local_io(self):
+    def test_s3_catalog_carries_options_and_refuses_local_io(self, monkeypatch):
+        import sys
+
+        # pin the fsspec-ABSENT degradation (tests/test_s3_read.py covers
+        # the fsspec-present read path); a None sys.modules entry makes
+        # `import fsspec` raise ImportError regardless of sys.path state
+        monkeypatch.setitem(sys.modules, "fsspec", None)
         cat = DatasetCatalog("s3://bucket/wh", s3=S3Options(access_key="AK"))
         assert cat.is_remote
         assert cat.storage_options["aws_access_key_id"] == "AK"
+        with pytest.raises(Unsupported, match="fsspec"):
+            cat.list_databases()  # read path needs fsspec when emulated
         with pytest.raises(Unsupported, match="S3 warehouse"):
-            cat.list_databases()
-        with pytest.raises(Unsupported):
-            cat.create_database("db")
+            cat.create_database("db")  # mutations refused always
         # pure path math still works
         assert cat.table_location("db", "t") == "s3://bucket/wh/db/t"
 
