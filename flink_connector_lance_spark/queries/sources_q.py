@@ -36,19 +36,25 @@ def _workdir(tag: str, sf_dir: str) -> str:
     all_rows AS (SELECT * FROM documents UNION ALL SELECT * FROM appended)
     SELECT lang, source, count(*) AS cnt,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+           ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+           CAST(count(DISTINCT n_chars) AS BIGINT) AS d_chars
     FROM all_rows GROUP BY lang, source
     """,
     doc="Lossless write->commit->read PLUS incremental materialized-view "
         "maintenance under the hash gate (sources/rollup.py): write "
         "documents as a fragment dataset, create a (lang, source) rollup "
-        "(COUNT/SUM/AVG partial states), append the en docs as a version "
-        "delta, refresh_rollup — which must take the INCREMENTAL path "
-        "(delta partial-agg + merge, never a table rescan; enforced by a "
-        "hard raise) — then read the finalized rollup. The oracle "
-        "recomputes the post-append aggregate relationally, so a "
-        "double-count or dropped delta in the merge algebra breaks the "
-        "hash (sources/writer.py, sources/reader.py; ref "
+        "(COUNT/SUM/AVG partial states plus an APPROX_DISTINCT HLL-sketch "
+        "state), append the en docs as a version delta, refresh_rollup — "
+        "which must take the INCREMENTAL path (delta partial-agg + merge, "
+        "never a table rescan; enforced by a hard raise) — then read the "
+        "finalized rollup. The oracle recomputes the post-append "
+        "aggregate relationally, so a double-count or dropped delta in "
+        "the merge algebra breaks the hash; the d_chars column is the "
+        "HLL estimate vs the oracle's exact COUNT(DISTINCT) — valid "
+        "because at these per-group cardinalities (<100) the Datasketches "
+        "HLL is still in its exact sparse mode, so a lossy sketch union "
+        "or a double-merged delta shows up as a hash break "
+        "(sources/writer.py, sources/reader.py; ref "
         "LanceSink.java:133-199 / LanceSource.java).",
 )
 def source_roundtrip_agg(spark, sf_dir):
@@ -60,7 +66,8 @@ def source_roundtrip_agg(spark, sf_dir):
     create_rollup(
         spark, path, "by_lang_source", ["lang", "source"],
         {"cnt": "count", "sum_chars": ("sum", "n_chars"),
-         "avg_chars": ("avg", "n_chars")},
+         "avg_chars": ("avg", "n_chars"),
+         "d_chars": ("approx_distinct", "n_chars")},
     )
     appended = d.filter(F.col("lang") == "en").withColumn(
         "doc_id", F.col("doc_id") + 30_000_000
@@ -73,6 +80,7 @@ def source_roundtrip_agg(spark, sf_dir):
         "lang", "source", "cnt",
         F.col("sum_chars").cast("bigint").alias("sum_chars"),
         F.round(F.col("avg_chars"), 4).alias("avg_chars"),
+        F.col("d_chars").cast("bigint").alias("d_chars"),
     )
 
 
@@ -111,6 +119,9 @@ def source_roundtrip_agg(spark, sf_dir):
     UNION ALL SELECT 'compacted', count(*), CAST(sum(n_chars) AS BIGINT) FROM v1
     UNION ALL SELECT 'deleted', count(*), CAST(sum(n_chars) AS BIGINT) FROM deleted
     UNION ALL SELECT 'merged', count(*), CAST(sum(n_chars) AS BIGINT) FROM merged
+    UNION ALL SELECT 'changes', (SELECT count(*) FROM upd),
+              (SELECT count(*) FROM deleted
+               WHERE doc_id IN (SELECT doc_id FROM upd))
     UNION ALL SELECT 'evolved_append', count(*),
               CAST(sum(coalesce(extra, 0)) AS BIGINT) FROM evolved
     UNION ALL SELECT 'evolved', count(*),
@@ -126,6 +137,12 @@ def source_roundtrip_agg(spark, sf_dir):
         "rows unchanged), delete_rows `lang = 'de'` (three-valued logic: "
         "NULL-lang rows survive), merge_rows upsert of every 5th doc "
         "(n_chars*2+1, lang 'xx') plus re-insert of deleted upserted keys. "
+        "Then the row-level CDC read (maintenance.read_changes — the "
+        "changefeed the file-level delta cannot express across rewrites): "
+        "the 'changes' stage counts insert post-images vs delete "
+        "pre-images across the merge, with carried rows cancelling in the "
+        "multiset difference, so a rewrite that leaks or drops a carried "
+        "row breaks the hash. "
         "Then schema evolution (sources/schema_evolution.py): an EVOLVING "
         "append adds an `extra` column (write.schema-evolution opt-in; "
         "pre-evolution fragments null-fill — 'evolved_append' sums "
@@ -140,10 +157,12 @@ def source_roundtrip_agg(spark, sf_dir):
         "oracle (sources/maintenance.py; ref LanceSink.java:163-189).",
 )
 def source_version_travel(spark, sf_dir):
+    from ..sources import fragments as FR
     from ..sources.maintenance import (
         compact_dataset,
         delete_rows,
         merge_rows,
+        read_changes,
         vacuum_dataset,
     )
     from ..sources.reader import count_rows
@@ -179,6 +198,7 @@ def source_version_travel(spark, sf_dir):
     compact_dataset(spark, path, target_rows_per_fragment=1_000_000)
     rows.append(snap("compacted"))
     delete_rows(spark, path, "lang = 'de'")
+    v_del = FR.latest_version(path)
     rows.append(snap("deleted"))
     upd = (
         d.filter(F.col("doc_id") % 5 == 0)
@@ -186,11 +206,24 @@ def source_version_travel(spark, sf_dir):
         .withColumn("n_chars", F.col("n_chars") * 2 + 1)
     )
     merge_rows(spark, path, upd, key="doc_id")
+    v_mrg = FR.latest_version(path)
     rows.append(snap("merged"))
+    # row-level CDC across the merge (maintenance.read_changes): every
+    # upserted key appears as its insert post-image; pre-images of keys
+    # that EXISTED appear as deletes; rows the rewrite merely carried
+    # (same fragments, unchanged bytes) cancel and contribute nothing —
+    # cnt = inserts, sum_chars = deletes, both reproduced relationally
+    ch = (
+        read_changes(spark, path, v_del, v_mrg)
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)).alias("ins"),
+            F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)).alias("dels"),
+        ).first()
+    )
+    rows.append(("changes", ch.ins, ch.dels))
 
     # --- schema evolution stages (sources/schema_evolution.py) ---
     from ..options import DatasetOptions
-    from ..sources import fragments as FR
     from ..sources.schema_evolution import add_column, drop_columns
 
     appended2 = (

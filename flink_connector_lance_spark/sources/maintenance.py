@@ -86,6 +86,71 @@ def read_version_delta(
     return read_fragment_files(spark, m_to, new_files)
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Row-level changes between two versions (the CDC/changefeed read —
+    the row-level resolution to the file-level delta that
+    ``read_version_delta`` refuses across rewrites).
+
+    Returns the ``to_version`` schema plus ``_change_type`` in
+    ``('insert', 'delete')``: an update appears as its delete pre-image
+    plus its insert post-image (multiset semantics — duplicate rows
+    change counts correctly).
+
+    Scale shape: fragments present in BOTH versions are immutable and
+    identical, so they cannot contribute changes and are never read —
+    only rewritten (removed) and added fragment files scan, making the
+    cost O(changed data), never O(table). Rows a rewrite carried over
+    byte-identical (compaction, the untouched remainder of a
+    DELETE/MERGE fragment) cancel in the multiset difference: a
+    compaction-only version step yields ZERO changes. Both sides read
+    under the ``to_version`` manifest schema (evolution-safe: old rows
+    null-fill added columns; dropped columns are projected away — a
+    backfilled ``add_column`` therefore reports as updates, which it
+    is)."""
+    from .reader import read_fragment_files
+
+    m_from = FR.read_manifest(path, from_version)
+    m_to = FR.read_manifest(path, to_version)
+    if m_to.version < m_from.version:
+        raise ValueError(
+            f"to_version {m_to.version} precedes from_version {m_from.version}"
+        )
+    old_files = {f.file for f in m_from.fragments}
+    new_files = {f.file for f in m_to.fragments}
+    removed = [os.path.join(path, f) for f in sorted(old_files - new_files)]
+    added = [os.path.join(path, f) for f in sorted(new_files - old_files)]
+
+    from pyspark.sql import functions as F
+
+    def _read(files):
+        if files:
+            return read_fragment_files(spark, m_to, files)
+        # typed empty relation in the to-schema WITHOUT touching any
+        # carried fragment (the O(changed data) contract is absolute)
+        schema_json = m_to.meta.get("schema")
+        if schema_json:
+            import json
+
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
+        any_file = [os.path.join(path, f.file) for f in m_to.fragments[:1]]
+        if not any_file:
+            raise FileNotFoundError(f"dataset {path} (v{m_to.version}) has no fragments")
+        return read_fragment_files(spark, m_to, any_file).limit(0)
+
+    old_rows, new_rows = _read(removed), _read(added)
+    inserts = new_rows.exceptAll(old_rows).withColumn(change_type_col, F.lit("insert"))
+    deletes = old_rows.exceptAll(new_rows).withColumn(change_type_col, F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def table_statistics(path: str, version: int | None = None) -> dict:
     """Real table statistics from manifest metadata — zero data IO.
 

@@ -210,3 +210,99 @@ def test_table_statistics_from_manifest_metadata(spark, sf_dir, tmp_path):
     write_dataset(d.limit(10), path, mode="append")
     assert table_statistics(path)["num_rows"] == n + 10
     assert table_statistics(path, version=0)["num_rows"] == n
+
+
+# ------------------------------------------------------------- CDC reads
+
+
+class TestReadChanges:
+    """Row-level changefeed (maintenance.read_changes): O(changed data)
+    file-diff reads, carried rows cancel, updates = delete + insert."""
+
+    def _changes(self, spark, path, v_from, v_to=None):
+        from flink_connector_lance_spark.sources.maintenance import read_changes
+
+        rows = read_changes(spark, path, v_from, v_to).collect()
+        ins = {r.id for r in rows if r._change_type == "insert"}
+        dels = {r.id for r in rows if r._change_type == "delete"}
+        return ins, dels, rows
+
+    def test_append_yields_inserts_only(self, spark, tmp_path):
+        path = str(tmp_path / "ds")
+        m1 = write_dataset(_ds(spark, 0, 50), path, mode="overwrite")
+        m2 = write_dataset(_ds(spark, 50, 60), path, mode="append")
+        ins, dels, _ = self._changes(spark, path, m1.version, m2.version)
+        assert ins == set(range(50, 60)) and dels == set()
+
+    def test_compaction_only_yields_zero_changes(self, spark, tmp_path):
+        # the property the file-level delta CANNOT give: a rewrite that
+        # carries every row produces no change rows
+        path = str(tmp_path / "ds")
+        for i in range(3):
+            write_dataset(_ds(spark, i * 20, (i + 1) * 20).coalesce(1), path,
+                          mode="overwrite" if i == 0 else "append")
+        v_before = read_manifest(path).version
+        compact_dataset(spark, path, target_rows_per_fragment=1_000_000)
+        ins, dels, rows = self._changes(spark, path, v_before)
+        assert rows == []
+
+    def test_delete_and_merge_classify_correctly(self, spark, tmp_path):
+        from flink_connector_lance_spark.sources.maintenance import (
+            delete_rows,
+            merge_rows,
+        )
+
+        path = str(tmp_path / "ds")
+        m1 = write_dataset(_ds(spark, 0, 30).coalesce(1), path, mode="overwrite")
+        delete_rows(spark, path, "id < 5")
+        v_del = read_manifest(path).version
+        ins, dels, _ = self._changes(spark, path, m1.version, v_del)
+        assert ins == set() and dels == {0, 1, 2, 3, 4}
+        # upsert: ids 10..12 updated (label flips), id 100 inserted
+        upd = spark.createDataFrame(
+            [(10, 7), (11, 7), (12, 7), (100, 7)], "id long, label long")
+        merge_rows(spark, path, upd, key="id")
+        ins, dels, rows = self._changes(spark, path, v_del)
+        assert ins == {10, 11, 12, 100}      # post-images + true insert
+        assert dels == {10, 11, 12}          # pre-images of updates only
+        by = {(r.id, r._change_type): r.label for r in rows}
+        assert by[(10, "insert")] == 7 and by[(10, "delete")] == 10 % 3
+
+    def test_changes_survive_schema_evolution(self, spark, tmp_path):
+        path = str(tmp_path / "ds")
+        m1 = write_dataset(_ds(spark, 0, 20), path, mode="overwrite")
+        newrows = spark.createDataFrame([(500, 1, "tagged")],
+                                        "id long, label long, tag string")
+        write_dataset(newrows, path, mode="append",
+                      options=DatasetOptions(path=path, schema_evolution=True))
+        v2 = read_manifest(path).version
+        ins, dels, rows = self._changes(spark, path, m1.version, v2)
+        assert ins == {500} and dels == set()
+        assert [r.tag for r in rows] == ["tagged"]  # to-schema applied
+
+    def test_changes_read_only_diff_files(self, spark, tmp_path, monkeypatch):
+        """Carried fragments must never be scanned: spy the file lists."""
+        import flink_connector_lance_spark.sources.maintenance as M
+        from flink_connector_lance_spark.sources import reader as R
+
+        path = str(tmp_path / "ds")
+        m1 = write_dataset(_ds(spark, 0, 1000).repartition(4), path,
+                           mode="overwrite")
+        m2 = write_dataset(_ds(spark, 1000, 1010).coalesce(1), path,
+                           mode="append")
+        carried = {f"{path}/{f.file}" for f in m1.fragments}
+        scanned: list[str] = []
+        real = R.read_fragment_files
+
+        def spy(spark_, manifest, files):
+            scanned.extend(files)
+            return real(spark_, manifest, files)
+
+        monkeypatch.setattr(M, "read_fragment_files", spy, raising=False)
+        # read_changes imports read_fragment_files inside the function
+        monkeypatch.setattr(R, "read_fragment_files", spy)
+        from flink_connector_lance_spark.sources.maintenance import read_changes
+
+        out = read_changes(spark, path, m1.version, m2.version)
+        assert out.filter("_change_type = 'insert'").count() == 10
+        assert not (set(scanned) & carried), "carried fragments were scanned"

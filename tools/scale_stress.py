@@ -56,6 +56,12 @@ QUERIES = [
     # the BM25 branch; source_roundtrip_agg the incremental-rollup
     # lifecycle; source_format_api bloom-filter writes + point lookup.
     "source_roundtrip_agg", "source_format_api",
+    # round-5 additions ride existing entries too: dedup_embedding_cosine
+    # now runs the quantize (int8 checksum+fidelity) and semantic
+    # (seed-centroid SemDeDup) branches; source_version_travel adds the
+    # row-level CDC stage (read_changes) and the schema-evolution stages
+    # (evolving append, add_column backfill, O(1) drop);
+    # source_roundtrip_agg adds the HLL approx_distinct rollup state.
 ]
 
 
