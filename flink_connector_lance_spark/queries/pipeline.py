@@ -418,9 +418,14 @@ def dedup_embedding_cosine(spark, sf_dir):
                F.round(_dot_chain("v", "dv", _COS_DIM) / (na * nb), 6))
         .otherwise(F.lit(0.0)).alias("cosine"),
     )
+    # max_cell_size=None: the DuckDB oracle models no hash sub-cell
+    # splitting, so the hot-cell guard must be OFF here or a skewed
+    # seed-centroid assignment at a larger sf would silently drop
+    # cross-sub-cell pairs and break the hash gate data-dependently
     sem = SM.semantic_duplicate_pairs(
         dq.select("vec_id", "dv"), "vec_id", "dv",
         num_clusters=math.ceil(n / _SEM_CELL_ROWS), eps=_SEM_EPS, iterations=0,
+        max_cell_size=None,
     ).select(F.lit("semantic").alias("kind"), "id_a", "id_b", "cosine")
     return lsh.unionByName(quant).unionByName(sem)
 

@@ -123,7 +123,8 @@ def run_maintenance(
                 f"refresh_rollup:{r['name']}",
                 r["pending_rows"] > 0 or r["needs_full"],
                 f"pending_rows {r['pending_rows']}, needs_full {r['needs_full']}",
-                lambda name=r["name"]: refresh_rollup(spark, path, name),
+                lambda name=r["name"]: refresh_rollup(
+                    spark, path, name, vacuum_keep_versions=2),
             )
 
     # 4. indexes (refresh_index itself re-checks and no-ops below the bar)

@@ -136,9 +136,11 @@ class DatasetCatalog:
         if self.is_remote:
             from .fs import remote_ls_names
 
-            self._fs()  # clear refusal when fsspec is absent
+            # bind once: doubles as the clear refusal when fsspec is
+            # absent, and non-caching fsspec impls pay setup only once
+            fs = self._fs()
             return sorted(
-                t for t in remote_ls_names(self._fs(), self._db_path(db))
+                t for t in remote_ls_names(fs, self._db_path(db))
                 if FR.is_dataset(self._table_path(db, t), self.storage_options)
             )
         return sorted(

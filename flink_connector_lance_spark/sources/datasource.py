@@ -234,6 +234,33 @@ def _fragment_may_match(stats: dict | None, row_count: int, f: Filter) -> bool:
     return True
 
 
+def _row_group_may_match(rg, pushed: List[Filter]) -> bool:
+    """Footer-stats test for ONE parquet row group: builds a stats dict
+    from the row group's column-chunk statistics and reuses the
+    conservative zone-map predicate (_fragment_may_match). Missing or
+    undecodable stats keep the group — pruning is an IO optimization;
+    the pushed filters still evaluate on every surviving batch."""
+    stats: dict = {}
+    for ci in range(rg.num_columns):
+        col = rg.column(ci)
+        name = col.path_in_schema
+        if "." in name:  # nested leaf — zone maps track top-level only
+            continue
+        st = col.statistics
+        if st is None:
+            continue
+        entry: dict = {}
+        try:
+            if st.has_min_max:
+                entry["min"], entry["max"] = st.min, st.max
+            if st.has_null_count:
+                entry["null_count"] = st.null_count
+        except Exception:
+            continue  # undecodable stats: leave the column untracked
+        stats[name] = entry
+    return all(_fragment_may_match(stats, rg.num_rows, f) for f in pushed)
+
+
 def _bloom_may_match(root: str, frag: "FR.FragmentInfo", pushed: List[Filter]) -> bool:
     """Second-stage planning skip: point predicates (=, IN) against the
     fragment's bloom sidecars (sources/bloom.py). Runs only for
@@ -448,10 +475,14 @@ class LanceDataSourceReader(DataSourceReader):
     def _read_one_remote(self, file: str, expr) -> Iterator["pa.RecordBatch"]:
         """Executor-side S3 fragment read: the file opens through fsspec
         with the threaded credentials (no JVM hadoop-aws involved — the
-        data plane of this source is Python/Arrow already). Pushed
-        filters apply post-alignment per batch; parquet row-group
-        pruning inside ParquetFile still applies via iter_batches'
-        statistics-aware reader."""
+        data plane of this source is Python/Arrow already). Before any
+        row bytes stream, the footer's per-row-group min/max/null-count
+        stats are tested against the pushed filters (the same
+        conservative zone-map predicate as fragment pruning,
+        _row_group_may_match) and only surviving row groups are read,
+        projected to the read schema's columns — so a pushed point
+        filter costs O(matching row groups), not O(file). Pushed
+        filters still re-apply exactly post-alignment per batch."""
         import pyarrow as pa
         import pyarrow.parquet as papq
 
@@ -465,7 +496,21 @@ class LanceDataSourceReader(DataSourceReader):
             target = spark_schema_to_arrow(self._schema)
         with fs.open(file, "rb") as fobj:
             pf = papq.ParquetFile(fobj)
-            for batch in pf.iter_batches(batch_size=self._batch_size):
+            columns = None
+            if target is not None:
+                # post-alignment filters only ever reference read-schema
+                # columns, so projecting the wire read to them is exact
+                in_file = set(pf.schema_arrow.names)
+                columns = [n for n in target.names if n in in_file]
+            groups = list(range(pf.metadata.num_row_groups))
+            if self._pushed:
+                groups = [i for i in groups
+                          if _row_group_may_match(pf.metadata.row_group(i),
+                                                  self._pushed)]
+            if not groups:
+                return
+            for batch in pf.iter_batches(batch_size=self._batch_size,
+                                         row_groups=groups, columns=columns):
                 if target is not None and batch.schema != target:
                     batch = _align_batch(batch, target)
                 if expr is not None:

@@ -75,7 +75,13 @@ def get_fs(path: str, storage_options: dict | None = None):
         import fsspec
     except ImportError as e:
         raise RemoteUnavailableError(f"reading {path}") from e
-    return fsspec.filesystem("s3", **_fsspec_kwargs(storage_options))
+    try:
+        # fsspec.filesystem("s3") itself imports s3fs — wrap that too, or
+        # an fsspec-without-s3fs install leaks a raw ImportError past the
+        # promised clear refusal
+        return fsspec.filesystem("s3", **_fsspec_kwargs(storage_options))
+    except ImportError as e:
+        raise RemoteUnavailableError(f"reading {path}") from e
 
 
 def remote_ls_names(fs, path: str) -> list[str]:

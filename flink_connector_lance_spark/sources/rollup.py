@@ -162,7 +162,7 @@ def create_rollup(
 
 
 def refresh_rollup(spark: SparkSession, path: str, name: str,
-                   vacuum_keep_versions: "int | None" = 2) -> dict:
+                   vacuum_keep_versions: "int | None" = None) -> dict:
     """Bring a rollup up to the table's current version.
 
     Returns ``{"mode": "noop" | "incremental" | "full", ...}`` —
@@ -170,12 +170,13 @@ def refresh_rollup(spark: SparkSession, path: str, name: str,
     refresh (appends, streaming epochs), full when any covered fragment
     disappeared (rewrite), noop when nothing changed.
 
-    Every non-noop refresh overwrite-commits a new rollup version; with
-    ``refresh_rollups=True`` per streaming epoch that state would grow
-    without bound, so each refresh also vacuums the rollup's own dataset
-    down to ``vacuum_keep_versions`` (keeping the previous version
-    preserves the read-while-overwrite window described in the module
-    docstring; pass ``None`` to keep every version).
+    ``vacuum_keep_versions`` is OPT-IN (default ``None`` = keep every
+    rollup-state version, preserving time travel over the state): the
+    unbounded-growth concern only arises for high-frequency refreshers,
+    so the per-epoch streaming refresh and auto-maintenance pass 2
+    (keeping the previous version preserves the read-while-overwrite
+    window described in the module docstring); one-off callers keep
+    full history unless they ask otherwise.
     """
     rp = rollup_path(path, name)
     rm = FR.read_manifest(rp)

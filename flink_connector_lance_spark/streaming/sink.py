@@ -77,7 +77,10 @@ def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
         r_root = os.path.join(path, ROLLUPS_DIR)
         if os.path.isdir(r_root):
             for name in sorted(os.listdir(r_root)):
-                refresh_rollup(batch_df.sparkSession, path, name)
+                # per-epoch refresher: opt into state vacuum or the
+                # rollup's version chain grows one commit per epoch
+                refresh_rollup(batch_df.sparkSession, path, name,
+                               vacuum_keep_versions=2)
     return manifest
 
 

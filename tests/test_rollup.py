@@ -204,17 +204,23 @@ def test_exact_count_distinct_still_refused_pointing_at_sketch(spark, tmp_path):
 
 
 def test_refresh_vacuums_rollup_state_versions(spark, tmp_path):
-    """Per-epoch refreshes must not grow the rollup dataset without
-    bound: each refresh vacuums the state down to keep_versions=2."""
+    """High-frequency refreshers opt into state vacuuming (the streaming
+    sink and auto-maintenance pass vacuum_keep_versions=2); the default
+    keeps every state version so one-off callers retain time travel."""
     from flink_connector_lance_spark.sources.rollup import rollup_path
 
     path = str(tmp_path / "t")
     write_dataset(_base(spark), path, mode="overwrite")
     create_rollup(spark, path, "by_grp", ["grp"], AGGS)
     rp = rollup_path(path, "by_grp")
+    for i in range(2):  # default: versions accumulate (opt-in vacuum)
+        write_dataset(_base(spark, n=10, offset=8000 + i * 10), path, mode="append")
+        assert refresh_rollup(spark, path, "by_grp")["mode"] == "incremental"
+    assert len(os.listdir(os.path.join(rp, FR.VERSIONS_DIR))) == 3
     for i in range(4):
         write_dataset(_base(spark, n=10, offset=9000 + i * 10), path, mode="append")
-        assert refresh_rollup(spark, path, "by_grp")["mode"] == "incremental"
+        assert refresh_rollup(spark, path, "by_grp",
+                              vacuum_keep_versions=2)["mode"] == "incremental"
     manifests = os.listdir(os.path.join(rp, FR.VERSIONS_DIR))
     assert len(manifests) <= 2, f"rollup state versions grew unbounded: {manifests}"
     # dead state fragments are collected too: every data file is referenced

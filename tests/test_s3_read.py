@@ -120,3 +120,64 @@ def test_without_fsspec_remote_read_degrades_clearly(spark, monkeypatch):
         cat.list_databases()
     with pytest.raises(Exception, match="fsspec|s3fs"):
         FR.read_manifest("s3://bucket/wh/db/t")
+
+
+def test_fsspec_without_s3fs_degrades_clearly(monkeypatch):
+    """fsspec importable but s3fs absent: fsspec.filesystem('s3') raises
+    a raw ImportError, which must surface as the same clear refusal as a
+    missing fsspec (not leak past catalog._fs())."""
+    import types
+
+    from flink_connector_lance_spark.sources.fs import RemoteUnavailableError, get_fs
+
+    fake = types.ModuleType("fsspec")
+
+    def _fs(protocol, **kw):
+        raise ImportError("Install s3fs to access S3")
+
+    fake.filesystem = _fs
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+    with pytest.raises(RemoteUnavailableError, match="fsspec"):
+        get_fs("s3://bucket/x")
+
+
+def test_remote_read_prunes_row_groups_and_projects(fake_s3, spark, monkeypatch):
+    """A pushed point filter on a remote fragment reads only the row
+    groups whose footer stats may match, projected to the read schema's
+    columns — O(matching groups) wire cost, not O(file)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from flink_connector_lance_spark.sources.datasource import LanceDataSourceReader
+
+    local = os.path.join(fake_s3, "bucket", "rg.parquet")
+    os.makedirs(os.path.dirname(local), exist_ok=True)
+    papq.write_table(
+        pa.table({"id": list(range(100)), "g": [i % 4 for i in range(100)]}),
+        local, row_group_size=10)
+    url = "s3://bucket/rg.parquet"
+    r = LanceDataSourceReader(
+        {"path": "s3://bucket/x", "s3-endpoint": f"fake://{fake_s3}"},
+        schema=StructType([StructField("id", LongType())]))
+    r._pushed = [EqualTo(("id",), 55)]
+
+    seen = []
+    orig = papq.ParquetFile.iter_batches
+
+    def spy(self, *a, **kw):
+        seen.append((kw.get("row_groups"), kw.get("columns")))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(papq.ParquetFile, "iter_batches", spy)
+    batches = list(r._read_one_remote(url, pads.field("id") == 55))
+    assert sum(b.num_rows for b in batches) == 1
+    assert seen == [([5], ["id"])], seen  # 10 groups of 10: only group 5 read
+
+    # filter outside every group's range: footer-only read, zero batches
+    seen.clear()
+    r._pushed = [EqualTo(("id",), 10_000)]
+    assert list(r._read_one_remote(url, pads.field("id") == 10_000)) == []
+    assert seen == []
