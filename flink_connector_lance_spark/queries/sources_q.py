@@ -37,7 +37,9 @@ def _workdir(tag: str, sf_dir: str) -> str:
     SELECT lang, source, count(*) AS cnt,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
-           CAST(count(DISTINCT n_chars) AS BIGINT) AS d_chars
+           CAST(count(DISTINCT n_chars) AS BIGINT) AS d_chars,
+           CAST(sum(LEAST(GREATEST(CAST(FLOOR(n_chars / 10.0) AS BIGINT), 0), 49)
+                    + 1) AS BIGINT) AS hist_sig
     FROM all_rows GROUP BY lang, source
     """,
     doc="Lossless write->commit->read PLUS incremental materialized-view "
@@ -53,7 +55,11 @@ def _workdir(tag: str, sf_dir: str) -> str:
         "HLL estimate vs the oracle's exact COUNT(DISTINCT) — valid "
         "because at these per-group cardinalities (<100) the Datasketches "
         "HLL is still in its exact sparse mode, so a lossy sketch union "
-        "or a double-merged delta shows up as a hash break "
+        "or a double-merged delta shows up as a hash break. The hist_sig "
+        "column gates the HISTOGRAM rollup state (exact fixed-bin counts "
+        "merged by element-wise sum): sum over bins of count_i*(i+1) "
+        "equals the oracle's per-row sum of (bin+1), so a dropped, "
+        "shifted, or double-merged bin breaks the hash "
         "(sources/writer.py, sources/reader.py; ref "
         "LanceSink.java:133-199 / LanceSource.java).",
 )
@@ -67,7 +73,8 @@ def source_roundtrip_agg(spark, sf_dir):
         spark, path, "by_lang_source", ["lang", "source"],
         {"cnt": "count", "sum_chars": ("sum", "n_chars"),
          "avg_chars": ("avg", "n_chars"),
-         "d_chars": ("approx_distinct", "n_chars")},
+         "d_chars": ("approx_distinct", "n_chars"),
+         "hist_chars": ("histogram", "n_chars", 0, 500, 50)},
     )
     appended = d.filter(F.col("lang") == "en").withColumn(
         "doc_id", F.col("doc_id") + 30_000_000
@@ -76,11 +83,18 @@ def source_roundtrip_agg(spark, sf_dir):
     res = refresh_rollup(spark, path, "by_lang_source")
     if res["mode"] != "incremental":  # the 100 TB contract: no rescan
         raise RuntimeError(f"expected incremental refresh, got {res}")
+    # histogram signature: sum_i count_i * (i+1) == the oracle's per-row
+    # sum of (bin+1) — unrolled element_at terms stay in codegen
+    sig = None
+    for i in range(50):
+        term = F.element_at(F.col("hist_chars"), i + 1) * F.lit(i + 1)
+        sig = term if sig is None else (sig + term)
     return read_rollup(spark, path, "by_lang_source").select(
         "lang", "source", "cnt",
         F.col("sum_chars").cast("bigint").alias("sum_chars"),
         F.round(F.col("avg_chars"), 4).alias("avg_chars"),
         F.col("d_chars").cast("bigint").alias("d_chars"),
+        sig.cast("bigint").alias("hist_sig"),
     )
 
 

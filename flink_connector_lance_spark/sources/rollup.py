@@ -27,6 +27,12 @@ the sketch union is lossless, so the estimate after any sequence of
 incremental refreshes equals the estimate of one full scan. Exact
 COUNT DISTINCT stays refused — it is not decomposable without
 re-scanning (the sketch is the scalable answer).
+HISTOGRAM -> a fixed-bin array of EXACT per-bin counts (bounds declared
+at create time), merged by element-wise sum — the incremental answer to
+"what does the token/length distribution look like per group" that
+``percentile_approx`` can't give (its partial state isn't mergeable from
+SQL); ``quantile_from_histogram`` turns a row of it into a quantile
+estimate with at most one bin width of error.
 
 The reference has no analog (its catalog hard-codes UNKNOWN statistics
 and recomputes everything — ref table/LanceCatalog.java:683-704); this
@@ -53,7 +59,10 @@ from .writer import write_dataset
 
 ROLLUPS_DIR = "_rollups"
 _META_KEY = "rollup"
-_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
+_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct", "histogram")
+# unrolled per-bin aggregate expressions stay inside whole-stage codegen;
+# the cap keeps the generated method far below janino's 64 KB limit
+_MAX_HIST_BINS = 128
 
 
 def rollup_path(path: str, name: str) -> str:
@@ -61,13 +70,17 @@ def rollup_path(path: str, name: str) -> str:
 
 
 def _normalize_aggs(aggs: dict) -> "list[dict]":
-    """``{out: ("avg", "n_chars")} | {out: "count"}`` -> ordered spec list."""
+    """``{out: ("avg", "n_chars")} | {out: "count"} |
+    {out: ("histogram", col, lo, hi, bins)}`` -> ordered spec list."""
     out = []
     for alias, spec in aggs.items():
+        params: "tuple | None" = None
         if isinstance(spec, str):
             fn, col = spec, None
-        else:
+        elif len(spec) == 2:
             fn, col = spec
+        else:
+            fn, col, params = spec[0], spec[1], tuple(spec[2:])
         fn = fn.lower()
         if fn not in _FNS:
             raise ValueError(
@@ -78,10 +91,41 @@ def _normalize_aggs(aggs: dict) -> "list[dict]":
             )
         if fn != "count" and col is None:
             raise ValueError(f"{fn}({alias}) needs a source column")
-        out.append({"out": alias, "fn": fn, "col": col})
+        entry = {"out": alias, "fn": fn, "col": col}
+        if fn == "histogram":
+            if params is None or len(params) != 3:
+                raise ValueError(
+                    f"histogram({alias}) needs (col, lo, hi, bins) — fixed "
+                    "bounds make the per-bin counts exact and mergeable"
+                )
+            lo, hi, bins = float(params[0]), float(params[1]), int(params[2])
+            if not (lo < hi):
+                raise ValueError(f"histogram({alias}): lo must be < hi")
+            if not (2 <= bins <= _MAX_HIST_BINS):
+                raise ValueError(
+                    f"histogram({alias}): bins must be in [2, {_MAX_HIST_BINS}]"
+                )
+            entry.update({"lo": lo, "hi": hi, "bins": bins})
+        elif params is not None:
+            raise ValueError(f"{fn}({alias}) takes no extra parameters")
+        out.append(entry)
     if not out:
         raise ValueError("rollup needs at least one aggregate")
     return out
+
+
+def _hist_bin(a: dict):
+    """Bin index for one value: floor((x - lo) / w), edge-clamped so the
+    counts always cover every non-null row (out-of-range values land in
+    the first/last bin rather than disappearing). NULLs stay NULL and
+    count toward no bin."""
+    lo, hi, bins = a["lo"], a["hi"], a["bins"]
+    w = (hi - lo) / bins
+    raw = F.floor((F.col(a["col"]).cast("double") - F.lit(lo)) / F.lit(w))
+    # greatest/least SKIP nulls (a null value would clamp into bin 0);
+    # gate on isNotNull so NULL stays NULL and counts toward no bin
+    return F.when(F.col(a["col"]).isNotNull(),
+                  F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)))
 
 
 def _partial_exprs(spec: "list[dict]"):
@@ -99,6 +143,16 @@ def _partial_exprs(spec: "list[dict]"):
             exprs.append(F.count(F.col(col)).alias(f"{out}__cnt"))
         elif fn == "approx_distinct":
             exprs.append(F.hll_sketch_agg(F.col(col)).alias(f"{out}__hll"))
+        elif fn == "histogram":
+            # one exact per-bin count per element — unrolled conditional
+            # sums (pure codegen, map-side combinable); the array merges
+            # by element-wise sum, so the distribution is maintained
+            # incrementally with zero loss
+            b = _hist_bin(a)
+            exprs.append(F.array(*[
+                F.coalesce(F.sum((b == i).cast("long")), F.lit(0))
+                for i in range(a["bins"])
+            ]).alias(f"{out}__hist"))
         else:
             exprs.append(getattr(F, fn)(F.col(col)).alias(out))
     return exprs
@@ -117,6 +171,12 @@ def _merge_exprs(spec: "list[dict]"):
             exprs.append(F.sum(F.col(f"{out}__cnt")).alias(f"{out}__cnt"))
         elif fn == "approx_distinct":
             exprs.append(F.hll_union_agg(F.col(f"{out}__hll")).alias(f"{out}__hll"))
+        elif fn == "histogram":
+            exprs.append(F.array(*[
+                F.coalesce(F.sum(F.element_at(F.col(f"{out}__hist"), i + 1)),
+                           F.lit(0))
+                for i in range(a["bins"])
+            ]).alias(f"{out}__hist"))
         else:
             exprs.append(getattr(F, fn)(F.col(out)).alias(out))
     return exprs
@@ -237,9 +297,34 @@ def read_rollup(spark: SparkSession, path: str, name: str) -> DataFrame:
             )
         elif a["fn"] == "approx_distinct":
             cols.append(F.hll_sketch_estimate(F.col(f"{out}__hll")).alias(out))
+        elif a["fn"] == "histogram":
+            cols.append(F.col(f"{out}__hist").alias(out))
         else:
             cols.append(F.col(out))
     return df.select(*cols)
+
+
+def quantile_from_histogram(counts: "list[int]", lo: float, hi: float,
+                            p: float) -> "float | None":
+    """Linear-interpolated quantile estimate from one finalized histogram
+    row (``read_rollup``'s array column). Max error = one bin width — at
+    100 TB the rollup state is group-count-sized, so this readout is a
+    driver-side constant-time formula over already-merged exact counts,
+    never a data scan. ``None`` on an empty histogram."""
+    if not (0.0 <= p <= 1.0):
+        raise ValueError("p must be in [0, 1]")
+    total = sum(counts)
+    if total == 0:
+        return None
+    w = (hi - lo) / len(counts)
+    target = p * total
+    acc = 0
+    for i, c in enumerate(counts):
+        if acc + c >= target and c > 0:
+            frac = (target - acc) / c
+            return lo + w * (i + frac)
+        acc += c
+    return hi
 
 
 def rollup_status(path: str, name: str) -> dict:

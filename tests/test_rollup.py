@@ -269,3 +269,96 @@ def test_streaming_ingestion_keeps_rollup_fresh(spark, tmp_path):
     for g in exp:
         for c in AGGS:
             assert got[g][c] == pytest.approx(exp[g][c])
+
+
+# --- histogram aggregate: exact fixed-bin counts, element-wise-sum merge ---
+
+def _hist_exact(rows, lo, hi, bins):
+    w = (hi - lo) / bins
+    counts = [0] * bins
+    for v in rows:
+        counts[min(max(int((v - lo) // w), 0), bins - 1)] += 1
+    return counts
+
+
+def test_histogram_create_refresh_matches_full_scan(spark, tmp_path):
+    """Incremental histogram state after appends equals the exact
+    full-scan histogram bin for bin (counts are exact, merge lossless)."""
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"],
+                  {"h": ("histogram", "val", 0, 400, 8)})
+    for i in range(2):
+        write_dataset(_base(spark, n=60, offset=500 + 300 * i), path, mode="append")
+        assert refresh_rollup(spark, path, "by_grp")["mode"] == "incremental"
+    got = {r.grp: list(r.h) for r in read_rollup(spark, path, "by_grp").collect()}
+    all_rows = (_base(spark).unionByName(_base(spark, n=60, offset=500))
+                .unionByName(_base(spark, n=60, offset=800)))
+    for g, vals in {r.grp: r.vs for r in all_rows.groupBy("grp")
+                    .agg(F.collect_list("val").alias("vs")).collect()}.items():
+        # out-of-range values (val up to 1718 > hi=400) clamp to the last
+        # bin, so every non-null row is accounted for
+        assert got[g] == _hist_exact(vals, 0, 400, 8), g
+        assert sum(got[g]) == len(vals)
+
+
+def test_histogram_nulls_count_no_bin(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(20).select(
+        F.lit("a").alias("grp"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id")).alias("val"))
+    write_dataset(df, path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"],
+                  {"h": ("histogram", "val", 0, 20, 4)})
+    [row] = read_rollup(spark, path, "by_grp").collect()
+    assert sum(row.h) == 15  # 5 of 20 are NULL
+
+
+def test_histogram_quantile_estimate_within_bin_width(spark, tmp_path):
+    from flink_connector_lance_spark.sources.rollup import quantile_from_histogram
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(F.lit("a").alias("grp"), F.col("id").alias("val"))
+    write_dataset(df, path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"],
+                  {"h": ("histogram", "val", 0, 1000, 50)})
+    [row] = read_rollup(spark, path, "by_grp").collect()
+    for p, exact in ((0.0, 0.0), (0.5, 500.0), (0.9, 900.0), (1.0, 1000.0)):
+        est = quantile_from_histogram(list(row.h), 0, 1000, p)
+        assert abs(est - exact) <= 20.0 + 1, (p, est)  # one bin width
+    assert quantile_from_histogram([0, 0], 0, 10, 0.5) is None
+    with pytest.raises(ValueError, match="p must be"):
+        quantile_from_histogram([1], 0, 10, 1.5)
+
+
+def test_histogram_validation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    with pytest.raises(ValueError, match="needs .col, lo, hi, bins."):
+        create_rollup(spark, path, "h1", ["grp"], {"h": ("histogram", "val")})
+    with pytest.raises(ValueError, match="lo must be < hi"):
+        create_rollup(spark, path, "h2", ["grp"],
+                      {"h": ("histogram", "val", 5, 5, 4)})
+    with pytest.raises(ValueError, match="bins must be in"):
+        create_rollup(spark, path, "h3", ["grp"],
+                      {"h": ("histogram", "val", 0, 10, 100000)})
+    with pytest.raises(ValueError, match="takes no extra parameters"):
+        create_rollup(spark, path, "h4", ["grp"], {"h": ("sum", "val", 1)})
+
+
+def test_histogram_full_rebuild_after_rewrite(spark, tmp_path):
+    """A rewrite (DELETE) forces the full path and the histogram reflects
+    the post-delete distribution exactly."""
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    path = str(tmp_path / "t")
+    write_dataset(_base(spark), path, mode="overwrite")
+    create_rollup(spark, path, "by_grp", ["grp"],
+                  {"h": ("histogram", "val", 0, 200, 10)})
+    delete_rows(spark, path, "val >= 100")
+    assert refresh_rollup(spark, path, "by_grp")["mode"] == "full"
+    got = {r.grp: list(r.h) for r in read_rollup(spark, path, "by_grp").collect()}
+    kept = _base(spark).filter("val < 100")
+    for g, vals in {r.grp: r.vs for r in kept.groupBy("grp")
+                    .agg(F.collect_list("val").alias("vs")).collect()}.items():
+        assert got[g] == _hist_exact(vals, 0, 200, 10), g
