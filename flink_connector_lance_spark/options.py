@@ -159,6 +159,14 @@ class DatasetOptions:
     # beyond-reference: per-fragment bloom filters on these columns for
     # point-predicate data skipping (sources/bloom.py); int/str columns only
     bloom_columns: list[str] = field(default_factory=list)
+    # beyond-reference: ingest-time layout. write.sort-by sorts rows
+    # WITHIN each task partition (zero shuffle — tight parquet row-group
+    # stats for row-group pruning); write.cluster=true additionally
+    # range-partitions on those columns first (ONE shuffle — disjoint
+    # per-fragment zone maps, so point/range filters prune whole
+    # fragments at planning time without a later cluster_dataset rewrite)
+    sort_columns: list[str] = field(default_factory=list)
+    cluster_on_write: bool = False
     index_type: IndexType = IndexType.IVF_PQ
     index_column: str | None = None
     index_num_partitions: int = 256
@@ -203,6 +211,8 @@ class DatasetOptions:
             raise ValueError("index.num-sub-vectors must be positive")
         if self.vector_refine_factor is not None and self.vector_refine_factor <= 0:
             raise ValueError("vector.refine-factor must be positive")
+        if self.cluster_on_write and not self.sort_columns:
+            raise ValueError("write.cluster=true requires write.sort-by columns")
 
     @classmethod
     def from_dict(cls, opts: dict) -> "DatasetOptions":
@@ -219,6 +229,8 @@ class DatasetOptions:
             "write.max-rows-per-file": "write_max_rows_per_file",
             "write.schema-evolution": "schema_evolution",
             "write.bloom-columns": "bloom_columns",
+            "write.sort-by": "sort_columns",
+            "write.cluster": "cluster_on_write",
             "index.type": "index_type",
             "index.column": "index_column",
             "index.num-partitions": "index_num_partitions",
@@ -247,9 +259,10 @@ class DatasetOptions:
                 attr = key_map[k]
                 if attr in ints and v is not None:
                     v = int(v)
-                elif attr == "schema_evolution" and isinstance(v, str):
+                elif attr in ("schema_evolution", "cluster_on_write") and isinstance(v, str):
                     v = v.strip().lower() in ("true", "1", "yes")
-                elif attr in ("read_columns", "bloom_columns") and isinstance(v, str):
+                elif attr in ("read_columns", "bloom_columns", "sort_columns") \
+                        and isinstance(v, str):
                     v = [c.strip() for c in v.split(",") if c.strip()]
                 kwargs[attr] = v
             elif k in S3Options.KEYS:

@@ -622,6 +622,18 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             )
         self._mode = "overwrite" if overwrite else "append"
         self._evolve = _parse_evolve_option(options)
+        if options.get("write.sort-by") or options.get("write.cluster"):
+            # the Python DataSource writer receives already-partitioned
+            # iterators — it cannot reshape the plan upstream, so a
+            # silently-ignored layout option would lie about the zone maps
+            raise ValueError(
+                "write.sort-by / write.cluster need to reshape the input "
+                "plan, which the format('lance') writer cannot do — use "
+                "sources.writer.write_dataset(options=DatasetOptions("
+                "sort_columns=..., cluster_on_write=...)), or pre-sort with "
+                "df.repartitionByRange(...).sortWithinPartitions(...) before "
+                ".write.format('lance')"
+            )
         from .bloom import parse_bloom_columns
 
         self._bloom_cols = parse_bloom_columns(options.get("write.bloom-columns"))

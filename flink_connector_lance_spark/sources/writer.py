@@ -41,6 +41,20 @@ def write_dataset(
 ) -> FR.Manifest:
     opts = options or DatasetOptions(path=path)
     mode = WriteMode.parse(mode)
+    if opts.sort_columns:
+        missing = [c for c in opts.sort_columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"write.sort-by column(s) not in batch: {missing}")
+        if opts.cluster_on_write:
+            # ONE range shuffle: fragments get disjoint key ranges, so the
+            # manifest zone maps prune whole fragments at planning time —
+            # ingest-time clustering instead of a later cluster_dataset
+            # rewrite of the same bytes
+            df = df.repartitionByRange(*opts.sort_columns)
+        # zero-shuffle within-task sort: parquet writes ordered row
+        # groups, so footer min/max stats become selective for the
+        # row-group pruning both scan paths apply
+        df = df.sortWithinPartitions(*opts.sort_columns)
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         # the native commit cannot carry our commit metadata (rollup specs,
         # covered-file lists) or the bloom sidecar contract yet — failing

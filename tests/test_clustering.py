@@ -236,3 +236,83 @@ def test_invalid_scope_rejected(registered, tmp_path, sf_dir):
         "lance").mode("overwrite").save(path)
     with pytest.raises(ValueError, match="scope"):
         cluster_dataset(spark, path, by=["doc_id"], scope="partial")
+
+
+# --- ingest-time layout: write.sort-by / write.cluster ----------------------
+
+def test_clustered_write_prunes_without_rewrite(registered, tmp_path, sf_dir):
+    """write.cluster=true lays fragments out with disjoint key ranges at
+    ingest, so zone maps prune immediately — no cluster_dataset rewrite
+    of the same bytes afterward."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    spark = registered
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    # fragment granularity via max-rows-per-file: sequential splits of a
+    # range-sorted partition keep disjoint key ranges (AQE may coalesce
+    # the tiny range shuffle to one partition at this scale)
+    per_frag = -(-d.count() // 8)
+    opts = DatasetOptions(path=path, sort_columns=["n_chars"],
+                          cluster_on_write=True, write_max_rows_per_file=per_frag)
+    write_dataset(d.repartition(8, "doc_id"), path, mode="overwrite", options=opts)
+    narrow = [GreaterThan(("n_chars",), 100), LessThan(("n_chars",), 120)]
+    total = len(FR.read_manifest(path).fragments)
+    assert total >= 2
+    planned = len(_planned(path, narrow))
+    assert planned <= 2, f"clustered write should prune to <=2, got {planned}/{total}"
+    # rows intact and filter results exact
+    df = spark.read.format("lance").load(path)
+    assert df.count() == d.count()
+    got = df.filter((F.col("n_chars") > 100) & (F.col("n_chars") < 120)).count()
+    want = d.filter((F.col("n_chars") > 100) & (F.col("n_chars") < 120)).count()
+    assert got == want
+
+
+def test_sort_by_orders_rows_within_fragments(registered, tmp_path, sf_dir):
+    """write.sort-by alone (zero shuffle) orders rows inside each
+    fragment so parquet row-group stats are monotone."""
+    import pyarrow.parquet as papq
+    import os as _os
+
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    spark = registered
+    path = str(tmp_path / "ds")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    write_dataset(d.repartition(4, "doc_id"), path, mode="overwrite",
+                  options=DatasetOptions(path=path, sort_columns=["n_chars"]))
+    m = FR.read_manifest(path)
+    for f in m.fragments:
+        vals = papq.read_table(_os.path.join(path, f.file),
+                               columns=["n_chars"])["n_chars"].to_pylist()
+        assert vals == sorted(vals), f.file
+
+
+def test_write_sort_options_validation(spark, tmp_path, sf_dir):
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    path = str(tmp_path / "ds")
+    with pytest.raises(ValueError, match="write.cluster=true requires"):
+        DatasetOptions(path=path, cluster_on_write=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    with pytest.raises(ValueError, match="not in batch"):
+        write_dataset(d, path, mode="overwrite",
+                      options=DatasetOptions(path=path, sort_columns=["nope"]))
+    # option-map spellings parse like every other connector option
+    o = DatasetOptions.from_dict({"path": path, "write.sort-by": "a, b",
+                                  "write.cluster": "true"})
+    assert o.sort_columns == ["a", "b"] and o.cluster_on_write is True
+
+
+def test_format_writer_refuses_layout_options(registered, tmp_path, sf_dir):
+    """The Python DataSource writer can't reshape its input plan, so the
+    layout options refuse loudly instead of silently not clustering."""
+    spark = registered
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    with pytest.raises(Exception, match="write.sort-by / write.cluster"):
+        (d.write.format("lance").option("write.sort-by", "n_chars")
+         .mode("overwrite").save(str(tmp_path / "x")))
