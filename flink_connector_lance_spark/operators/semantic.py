@@ -134,13 +134,15 @@ def semantic_duplicate_pairs(
     dim = _first_dim(vecs)
     if assignments is None:
         assignments = kmeans_assign(df, id_col, vector_col, num_clusters, iterations)
+    # checkpoint the skinny (rid, cell) relation unconditionally: BOTH
+    # pair-join sides (and the guard's size probe) reuse ONE assignment
+    # computation — without it the broadcast-centroid argmin cross join
+    # would run once per side
+    assignments = assignments.localCheckpoint(eager=True)
     sub = F.lit(0)
     if max_cell_size is not None:
         if int(max_cell_size) < 2:
             raise ValueError("max_cell_size must be >= 2 (or None to disable)")
-        # checkpoint the skinny (rid, cell) relation: the size probe plus
-        # both pair-join sides reuse one assignment computation
-        assignments = assignments.localCheckpoint(eager=True)
         hot = (
             assignments.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > int(max_cell_size)).collect()

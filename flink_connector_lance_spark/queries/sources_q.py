@@ -334,14 +334,22 @@ def source_format_api(spark, sf_dir):
     """,
     doc="Pushdown forwarding through the dataset reader: configured "
         "read.filter + query filter compose by AND; column pruning to 3 "
-        "columns (ref table/LanceDynamicTableSource.java:350-363, §2.2).",
+        "columns (ref table/LanceDynamicTableSource.java:350-363, §2.2). "
+        "The write uses ingest-time clustering (write.sort-by=n_chars + "
+        "write.cluster — ONE range shuffle, fragments with disjoint "
+        "n_chars ranges), so the pushed range filter prunes fragments at "
+        "planning time AND the hash gate proves the clustered layout "
+        "loses/duplicates nothing.",
 )
 def source_pushdown_read(spark, sf_dir):
     from ..options import DatasetOptions
 
     d = load_table(spark, sf_dir, "documents")
     path = _workdir("pushdown", sf_dir)
-    write_dataset(d, path, mode="overwrite")
+    write_dataset(d, path, mode="overwrite",
+                  options=DatasetOptions(path=path, sort_columns=["n_chars"],
+                                         cluster_on_write=True,
+                                         write_max_rows_per_file=20_000))
     opts = DatasetOptions(path=path, read_filter="lang = 'en'")
     return read_dataset(spark, path, columns=["doc_id", "lang", "n_chars"],
                         filter="n_chars > 200", options=opts)

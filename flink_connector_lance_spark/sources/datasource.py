@@ -685,6 +685,13 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
                 "stream through the native lance backend"
             )
         self._evolve = _parse_evolve_option(options)
+        if options.get("write.sort-by") or options.get("write.cluster"):
+            raise ValueError(
+                "write.sort-by / write.cluster need to reshape the input "
+                "plan, which the streaming format('lance') writer cannot do "
+                "— sort/cluster the micro-batch in foreachBatch via "
+                "sources.writer.write_dataset instead"
+            )
         from .bloom import parse_bloom_columns
 
         self._bloom_cols = parse_bloom_columns(options.get("write.bloom-columns"))

@@ -243,9 +243,11 @@ def test_streaming_ingestion_keeps_rollup_fresh(spark, tmp_path):
     path = str(tmp_path / "t")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src)
-    # seed the dataset + rollup with an initial batch
+    # seed the dataset + rollup with an initial batch (histogram rides
+    # along: the per-epoch refresh merges its bins incrementally too)
     write_dataset(_base(spark, n=60), path, mode="overwrite")
-    create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    create_rollup(spark, path, "by_grp", ["grp"],
+                  {**AGGS, "h": ("histogram", "val", 0, 2500, 25)})
 
     spark.createDataFrame(
         [(i, str(i % 3), i * 2) for i in range(1000, 1040)],
@@ -263,12 +265,17 @@ def test_streaming_ingestion_keeps_rollup_fresh(spark, tmp_path):
         "id long, grp string, val long",
     )
     # _base uses grp = (id % 3) cast string, so the union is comparable
-    exp = _expected(spark, _base(spark, n=60).unionByName(streamed))
+    all_rows = _base(spark, n=60).unionByName(streamed)
+    exp = _expected(spark, all_rows)
     got = _got(spark, path)
     assert set(got) == set(exp)
     for g in exp:
         for c in AGGS:
             assert got[g][c] == pytest.approx(exp[g][c])
+    hist_exp = {r.grp: r.vs for r in all_rows.groupBy("grp")
+                .agg(F.collect_list("val").alias("vs")).collect()}
+    for g, vals in hist_exp.items():
+        assert list(got[g].h) == _hist_exact(vals, 0, 2500, 25), g
 
 
 # --- histogram aggregate: exact fixed-bin counts, element-wise-sum merge ---

@@ -62,6 +62,9 @@ QUERIES = [
     # row-level CDC stage (read_changes) and the schema-evolution stages
     # (evolving append, add_column backfill, O(1) drop);
     # source_roundtrip_agg adds the HLL approx_distinct rollup state.
+    # round-6: source_roundtrip_agg also carries the fixed-bin histogram
+    # rollup state (50 unrolled per-bin sums, element-wise-sum merge);
+    # ingest-time clustering is timed via the clustered_write EXTRA below.
 ]
 
 
@@ -94,11 +97,35 @@ def _quantize_knn(spark, sf_dir):
                tiebreak_cols=["vec_id"], round_digits=6)
 
 
+def _clustered_write(spark, sf_dir):
+    """Ingest-time clustering (write.sort-by + write.cluster): one range
+    shuffle + within-partition sorts — cost must scale with rows written.
+    The read-back applies a narrow range filter, so the timing also
+    covers the zone-map pruning the clustered layout is for."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.reader import read_dataset
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    path = os.path.join(tempfile.gettempdir(), "stress-clustered-write")
+    shutil.rmtree(path, ignore_errors=True)
+    write_dataset(d, path, mode="overwrite",
+                  options=DatasetOptions(path=path, sort_columns=["n_chars"],
+                                         cluster_on_write=True,
+                                         write_max_rows_per_file=100_000))
+    return read_dataset(spark, path, filter="n_chars > 100 AND n_chars < 120")
+
+
 # operators without a registry entry (not SQL-oracle-expressible / no
 # free query slot): timed via direct callables, same protocol
 EXTRA = {
     "semantic_dedup": _semantic_dedup,
     "quantize_knn": _quantize_knn,
+    "clustered_write": _clustered_write,
 }
 
 
