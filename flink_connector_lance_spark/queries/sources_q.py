@@ -349,7 +349,7 @@ def source_pushdown_read(spark, sf_dir):
     write_dataset(d, path, mode="overwrite",
                   options=DatasetOptions(path=path, sort_columns=["n_chars"],
                                          cluster_on_write=True,
-                                         write_max_rows_per_file=20_000))
+                                         write_max_rows_per_file=500))
     opts = DatasetOptions(path=path, read_filter="lang = 'en'")
     return read_dataset(spark, path, columns=["doc_id", "lang", "n_chars"],
                         filter="n_chars > 200", options=opts)

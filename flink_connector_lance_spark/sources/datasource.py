@@ -606,6 +606,16 @@ def _schema_meta_for_commit(path: str, frags: List[FR.FragmentInfo],
     return align_check_for_commit(path, incoming, evolve)
 
 
+def _layout_options_requested(options: dict) -> bool:
+    """True iff write.sort-by names columns or write.cluster is truthy —
+    string 'false'/'0'/'' spellings (how .option() values arrive) count
+    as absent, not as a request to refuse."""
+    if str(options.get("write.sort-by") or "").strip():
+        return True
+    return str(options.get("write.cluster") or "").strip().lower() in (
+        "true", "1", "yes")
+
+
 class LanceDataSourceWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
         from .fs import is_remote
@@ -622,7 +632,7 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             )
         self._mode = "overwrite" if overwrite else "append"
         self._evolve = _parse_evolve_option(options)
-        if options.get("write.sort-by") or options.get("write.cluster"):
+        if _layout_options_requested(options):
             # the Python DataSource writer receives already-partitioned
             # iterators — it cannot reshape the plan upstream, so a
             # silently-ignored layout option would lie about the zone maps
@@ -685,7 +695,7 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
                 "stream through the native lance backend"
             )
         self._evolve = _parse_evolve_option(options)
-        if options.get("write.sort-by") or options.get("write.cluster"):
+        if _layout_options_requested(options):
             raise ValueError(
                 "write.sort-by / write.cluster need to reshape the input "
                 "plan, which the streaming format('lance') writer cannot do "

@@ -316,3 +316,13 @@ def test_format_writer_refuses_layout_options(registered, tmp_path, sf_dir):
     with pytest.raises(Exception, match="write.sort-by / write.cluster"):
         (d.write.format("lance").option("write.sort-by", "n_chars")
          .mode("overwrite").save(str(tmp_path / "x")))
+
+
+def test_format_writer_accepts_falsey_layout_spellings(registered, tmp_path, sf_dir):
+    """.option('write.cluster', 'false') means OFF, not a refusal."""
+    spark = registered
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = str(tmp_path / "x")
+    (d.write.format("lance").option("write.cluster", "false")
+     .option("write.sort-by", "").mode("overwrite").save(p))
+    assert spark.read.format("lance").load(p).count() == d.count()
