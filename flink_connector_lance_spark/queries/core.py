@@ -591,31 +591,79 @@ def json_extract_props(spark, sf_dir):
 @register(
     "events_tumbling_window",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS cnt,
-           round(sum(value), 4) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY 1, 2
+    WITH base AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS b,
+               event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT event_type, min(b) AS lo, max(b) AS hi FROM base GROUP BY 1
+    ), buckets AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+        FROM spans
+    ), filled AS (
+        SELECT k.event_type, k.b, base.cnt,
+               last_value(base.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY k.event_type ORDER BY k.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        FROM buckets k
+        LEFT JOIN base ON base.event_type = k.event_type AND base.b = k.b
+    )
+    SELECT 'agg' AS kind, strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, cnt, sum_value
+    FROM base
+    UNION ALL
+    SELECT 'gapfill', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+           CAST(0 AS BIGINT), locf
+    FROM filled WHERE cnt IS NULL
+    ORDER BY 1, 2, 3
     """,
-    doc="Tumbling 1-hour event-time window aggregation — the batch shape of "
-        "the Structured Streaming windowed agg (streaming/ runs the same plan "
-        "with a watermark).",
+    doc="Two tagged branches. 'agg': tumbling 1-hour event-time window "
+        "aggregation — the batch shape of the Structured Streaming windowed "
+        "agg (streaming/ runs the same plan with a watermark). 'gapfill': "
+        "time-series gap fill — per event_type, EVERY hourly bucket between "
+        "that type's first and last bucket is generated (sequence+explode; "
+        "bucket count grows with calendar span, not event count), empty "
+        "buckets emit cnt=0 with the last observation carried forward "
+        "(last ignorenulls over a per-type window ORDERED BY BUCKET — the "
+        "window runs over bucket rows, never event rows, so its partition "
+        "size is bounded by hours-of-history at any data scale).",
 )
 def events_tumbling_window(spark, sf_dir):
+    from pyspark.sql import Window
+
     e = _t(spark, sf_dir, "events")
-    return (
+    base = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(
-            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
-            "event_type",
-            "cnt",
-            "sum_value",
-        )
-        .orderBy("window_start", "event_type")
+        .select(F.col("w.start").alias("b"), "event_type", "cnt", "sum_value")
+        # bucket-sized relation (hours x types) reused by BOTH union sides
+        # and the span probe: one materialization, not three event scans
+        .localCheckpoint(eager=False)
     )
+    spans = base.groupBy("event_type").agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    buckets = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("b"),
+    )
+    w = (Window.partitionBy("event_type").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (
+        buckets.join(base, on=["event_type", "b"], how="left")
+        .withColumn("locf", F.last("sum_value", ignorenulls=True).over(w))
+    )
+    agg_rows = base.select(
+        F.lit("agg").alias("kind"),
+        F.date_format("b", TS_FMT_SPARK).alias("window_start"),
+        "event_type", "cnt", "sum_value",
+    )
+    gap_rows = filled.filter(F.col("cnt").isNull()).select(
+        F.lit("gapfill").alias("kind"),
+        F.date_format("b", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        F.lit(0).cast("bigint").alias("cnt"),
+        F.col("locf").alias("sum_value"),
+    )
+    return agg_rows.unionByName(gap_rows).orderBy("kind", "window_start", "event_type")
 
 
 @register(

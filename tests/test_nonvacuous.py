@@ -42,6 +42,9 @@ TAGGED_BRANCHES = {
     "train_split_stratified": ("kind", {"split", "mixture", "cap"}),
     "knn_l2_dot": ("metric", {"l2", "dot"}),
     "ann_ivf_pq": ("branch", {"adc_refine", "hnsw"}),
+    # the gapfill branch needs empty hourly buckets to fill; the sparse
+    # sf0.001/sf0.01 event streams have them (the dense sf0.1 does not)
+    "events_tumbling_window": ("kind", {"agg", "gapfill"}),
     "source_version_travel": (
         "stage",
         {"v0", "v1", "v1_meta", "compacted", "deleted", "merged", "vacuumed"},
