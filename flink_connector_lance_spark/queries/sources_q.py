@@ -33,7 +33,12 @@ def _workdir(tag: str, sf_dir: str) -> str:
         SELECT doc_id + 30000000 AS doc_id, text, lang, source, n_chars
         FROM documents WHERE lang = 'en'
     ),
-    all_rows AS (SELECT * FROM documents UNION ALL SELECT * FROM appended)
+    all_rows AS (SELECT * FROM documents UNION ALL SELECT * FROM appended),
+    vocab AS (
+        SELECT term, count(*) AS df FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM all_rows)
+        GROUP BY term
+    )
     SELECT lang, source, count(*) AS cnt,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
@@ -41,6 +46,13 @@ def _workdir(tag: str, sf_dir: str) -> str:
            CAST(sum(LEAST(GREATEST(CAST(FLOOR(n_chars / 10.0) AS BIGINT), 0), 49)
                     + 1) AS BIGINT) AS hist_sig
     FROM all_rows GROUP BY lang, source
+    UNION ALL
+    SELECT '__vocab__', 'all', count(*),
+           CAST(sum(df) AS BIGINT),
+           ROUND(CAST(sum(df) AS DOUBLE) / count(*), 4),
+           CAST(count(*) FILTER (WHERE df >= 50) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM vocab
     """,
     doc="Lossless write->commit->read PLUS incremental materialized-view "
         "maintenance under the hash gate (sources/rollup.py): write "
@@ -59,7 +71,13 @@ def _workdir(tag: str, sf_dir: str) -> str:
         "column gates the HISTOGRAM rollup state (exact fixed-bin counts "
         "merged by element-wise sum): sum over bins of count_i*(i+1) "
         "equals the oracle's per-row sum of (bin+1), so a dropped, "
-        "shifted, or double-merged bin breaks the hash "
+        "shifted, or double-merged bin breaks the hash. The __vocab__ row "
+        "gates the PRE-TRANSFORM rollup (the incrementally maintained "
+        "inverted index): a per-term document-frequency rollup whose "
+        "persisted explode(split(text)) transform is re-applied to the "
+        "append delta only, summarized as (distinct terms, total "
+        "occurrences, mean df, terms with df>=50) against the oracle's "
+        "relational unnest mirror "
         "(sources/writer.py, sources/reader.py; ref "
         "LanceSink.java:133-199 / LanceSource.java).",
 )
@@ -76,26 +94,43 @@ def source_roundtrip_agg(spark, sf_dir):
          "d_chars": ("approx_distinct", "n_chars"),
          "hist_chars": ("histogram", "n_chars", 0, 500, 50)},
     )
+    # inverted index as a rollup: the persisted explode(split) transform
+    # re-applies to each append delta, so per-term corpus frequencies
+    # stay fresh at O(delta) — the BM25 document-frequency half
+    create_rollup(spark, path, "terms", ["term"], {"df": "count"},
+                  pre_transform=["explode(split(text, ' ')) AS term"])
     appended = d.filter(F.col("lang") == "en").withColumn(
         "doc_id", F.col("doc_id") + 30_000_000
     )
     write_dataset(appended, path, mode="append")
-    res = refresh_rollup(spark, path, "by_lang_source")
-    if res["mode"] != "incremental":  # the 100 TB contract: no rescan
-        raise RuntimeError(f"expected incremental refresh, got {res}")
+    for name in ("by_lang_source", "terms"):
+        res = refresh_rollup(spark, path, name)
+        if res["mode"] != "incremental":  # the 100 TB contract: no rescan
+            raise RuntimeError(f"expected incremental refresh of {name}, got {res}")
     # histogram signature: sum_i count_i * (i+1) == the oracle's per-row
     # sum of (bin+1) — unrolled element_at terms stay in codegen
     sig = None
     for i in range(50):
         term = F.element_at(F.col("hist_chars"), i + 1) * F.lit(i + 1)
         sig = term if sig is None else (sig + term)
-    return read_rollup(spark, path, "by_lang_source").select(
+    main = read_rollup(spark, path, "by_lang_source").select(
         "lang", "source", "cnt",
         F.col("sum_chars").cast("bigint").alias("sum_chars"),
         F.round(F.col("avg_chars"), 4).alias("avg_chars"),
         F.col("d_chars").cast("bigint").alias("d_chars"),
         sig.cast("bigint").alias("hist_sig"),
     )
+    vocab = read_rollup(spark, path, "terms").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("df").cast("bigint").alias("sum_chars"),
+        F.round(F.sum("df").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        F.sum((F.col("df") >= 50).cast("bigint")).cast("bigint").alias("d_chars"),
+    ).select(
+        F.lit("__vocab__").alias("lang"), F.lit("all").alias("source"),
+        "cnt", "sum_chars", "avg_chars", "d_chars",
+        F.lit(0).cast("bigint").alias("hist_sig"),
+    )
+    return main.unionByName(vocab)
 
 
 @register(

@@ -34,6 +34,13 @@ at create time), merged by element-wise sum — the incremental answer to
 SQL); ``quantile_from_histogram`` turns a row of it into a quantile
 estimate with at most one bin width of error.
 
+A rollup may also declare a ``pre_transform`` (persisted ``selectExpr``
+strings applied to every delta BEFORE aggregation): with
+``explode(split(text, ' ')) AS term`` and a per-term count this is an
+incrementally maintained inverted index — per-term corpus frequencies
+(the BM25 document-frequency statistics) kept fresh per append at
+O(delta), never by rescanning the corpus.
+
 The reference has no analog (its catalog hard-codes UNKNOWN statistics
 and recomputes everything — ref table/LanceCatalog.java:683-704); this
 is the standard incremental-view-maintenance upgrade a Lance user needs
@@ -182,16 +189,33 @@ def _merge_exprs(spec: "list[dict]"):
     return exprs
 
 
+def _apply_transform(df: DataFrame, pre_transform: "list[str] | None") -> DataFrame:
+    """Row transform applied to every delta BEFORE partial aggregation —
+    ``selectExpr`` strings, so ``explode``/``split``/casts are in play.
+    This is what turns the rollup machinery into an incrementally
+    maintained INVERTED INDEX: ``["explode(split(text, ' ')) AS term"]``
+    with group_cols ``["term"]`` and a count keeps per-term document/
+    occurrence frequencies fresh per append at O(delta) — the corpus-
+    stats half of BM25 without ever rescanning the corpus. The transform
+    is persisted in the rollup's commit metadata, so refreshes apply the
+    exact expressions the state was created with."""
+    if not pre_transform:
+        return df
+    return df.selectExpr(*pre_transform)
+
+
 def _partial_state(df: DataFrame, group_cols: "list[str]", spec) -> DataFrame:
     return df.groupBy(*group_cols).agg(*_partial_exprs(spec))
 
 
 def _commit_state(state: DataFrame, rp: str, group_cols, spec,
-                  source_manifest: FR.Manifest) -> None:
+                  source_manifest: FR.Manifest,
+                  pre_transform: "list[str] | None" = None) -> None:
     meta = {
         _META_KEY: {
             "group_cols": list(group_cols),
             "spec": spec,
+            "pre_transform": list(pre_transform) if pre_transform else None,
             "source_version": source_manifest.version,
             "covered_files": sorted(f.file for f in source_manifest.fragments),
         }
@@ -205,20 +229,38 @@ def create_rollup(
     name: str,
     group_cols: "list[str]",
     aggs: dict,
+    pre_transform: "list[str] | None" = None,
 ) -> dict:
     """Materialize a rollup over the table's CURRENT version.
 
     ``aggs`` maps output column -> ``(fn, src_col)`` (or the string
     ``"count"`` for COUNT(*)), fn in count|sum|min|max|avg. Returns a
     summary dict; the state lands under ``<path>/_rollups/<name>``.
+
+    ``pre_transform``: optional ``selectExpr`` strings applied to every
+    delta before aggregation (see ``_apply_transform`` — the inverted-
+    index enabler). The produced columns must cover group_cols and the
+    aggregate source columns.
     """
     spec = _normalize_aggs(aggs)
     m = FR.read_manifest(path)
-    df = read_fragment_files(spark, m, FR.fragment_paths(path, m))
+    df = _apply_transform(
+        read_fragment_files(spark, m, FR.fragment_paths(path, m)), pre_transform)
+    _missing_transform_cols(df, group_cols, spec)
     _commit_state(_partial_state(df, group_cols, spec), rollup_path(path, name),
-                  group_cols, spec, m)
+                  group_cols, spec, m, pre_transform)
     return {"name": name, "source_version": m.version,
             "covered_fragments": len(m.fragments)}
+
+
+def _missing_transform_cols(df: DataFrame, group_cols, spec) -> None:
+    need = set(group_cols) | {a["col"] for a in spec if a["col"]}
+    missing = sorted(need - set(df.columns))
+    if missing:
+        raise ValueError(
+            f"rollup input is missing column(s) {missing} — the "
+            "pre_transform must produce every group/aggregate column"
+        )
 
 
 def refresh_rollup(spark: SparkSession, path: str, name: str,
@@ -244,6 +286,7 @@ def refresh_rollup(spark: SparkSession, path: str, name: str,
     if not info:
         raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
     group_cols, spec = info["group_cols"], info["spec"]
+    pre_transform = info.get("pre_transform")
     cur = FR.read_manifest(path)
     covered = set(info["covered_files"])
     cur_files = {f.file for f in cur.fragments}
@@ -256,24 +299,27 @@ def refresh_rollup(spark: SparkSession, path: str, name: str,
     if covered - cur_files:
         # DELETE/MERGE/compaction/overwrite rewrote covered data: partials
         # for the vanished files can't be subtracted out — recompute
-        df = read_fragment_files(spark, cur, FR.fragment_paths(path, cur))
-        _commit_state(_partial_state(df, group_cols, spec), rp, group_cols, spec, cur)
+        df = _apply_transform(
+            read_fragment_files(spark, cur, FR.fragment_paths(path, cur)),
+            pre_transform)
+        _commit_state(_partial_state(df, group_cols, spec), rp, group_cols,
+                      spec, cur, pre_transform)
         _vacuum_state()
         return {"mode": "full", "source_version": cur.version,
                 "reason": f"{len(covered - cur_files)} covered fragment(s) rewritten"}
     added = [f for f in cur.fragments if f.file not in covered]
     if not added:
         return {"mode": "noop", "source_version": info["source_version"]}
-    delta = read_fragment_files(
-        spark, cur, [os.path.join(path, f.file) for f in added]
-    )
+    delta = _apply_transform(
+        read_fragment_files(spark, cur, [os.path.join(path, f.file) for f in added]),
+        pre_transform)
     merged = (
         read_dataset(spark, rp)
         .unionByName(_partial_state(delta, group_cols, spec))
         .groupBy(*group_cols)
         .agg(*_merge_exprs(spec))
     )
-    _commit_state(merged, rp, group_cols, spec, cur)
+    _commit_state(merged, rp, group_cols, spec, cur, pre_transform)
     _vacuum_state()
     return {"mode": "incremental", "source_version": cur.version,
             "delta_fragments": len(added),
@@ -347,4 +393,5 @@ def rollup_status(path: str, name: str) -> dict:
         "needs_full": bool(covered - cur_files),
         "group_cols": info["group_cols"],
         "aggs": json.loads(json.dumps(info["spec"])),
+        "pre_transform": info.get("pre_transform"),
     }

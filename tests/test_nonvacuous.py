@@ -51,6 +51,8 @@ TAGGED_BRANCHES = {
     ),
     # the bloom-consulted point-lookup branch must contribute its row
     "source_format_api": ("lang", {"__point_lookup__"}),
+    # the inverted-index (pre-transform) rollup summary row
+    "source_roundtrip_agg": ("lang", {"__vocab__"}),
 }
 
 

@@ -369,3 +369,64 @@ def test_histogram_full_rebuild_after_rewrite(spark, tmp_path):
     for g, vals in {r.grp: r.vs for r in kept.groupBy("grp")
                     .agg(F.collect_list("val").alias("vs")).collect()}.items():
         assert got[g] == _hist_exact(vals, 0, 200, 10), g
+
+
+# --- pre-transform rollups: the incrementally-maintained inverted index ---
+
+def _docs(spark, n=30, offset=0):
+    # each doc: 'w<id%7> w<id%5> common' — overlapping term sets
+    return spark.range(offset, offset + n).selectExpr(
+        "id AS doc_id",
+        "concat('w', id % 7, ' w', id % 5, ' common') AS text",
+    )
+
+
+_TERM_XFORM = ["explode(split(text, ' ')) AS term"]
+
+
+def _term_df(spark, df):
+    return {
+        r.term: r.df
+        for r in df.selectExpr(*_TERM_XFORM).groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+
+
+def test_inverted_index_rollup_refreshes_incrementally(spark, tmp_path):
+    """Term-frequency state after appends equals a full recompute — the
+    transform is persisted and re-applied to each delta only."""
+    path = str(tmp_path / "t")
+    write_dataset(_docs(spark), path, mode="overwrite")
+    create_rollup(spark, path, "terms", ["term"], {"df": "count"},
+                  pre_transform=_TERM_XFORM)
+    for i in range(2):
+        write_dataset(_docs(spark, n=20, offset=100 + 20 * i), path, mode="append")
+        assert refresh_rollup(spark, path, "terms")["mode"] == "incremental"
+    all_docs = (_docs(spark).unionByName(_docs(spark, n=20, offset=100))
+                .unionByName(_docs(spark, n=20, offset=120)))
+    exp = _term_df(spark, all_docs)
+    got = {r.term: r.df for r in read_rollup(spark, path, "terms").collect()}
+    assert got == exp
+    assert rollup_status(path, "terms")["pre_transform"] == _TERM_XFORM
+
+
+def test_inverted_index_rollup_full_rebuild_after_rewrite(spark, tmp_path):
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    path = str(tmp_path / "t")
+    write_dataset(_docs(spark), path, mode="overwrite")
+    create_rollup(spark, path, "terms", ["term"], {"df": "count"},
+                  pre_transform=_TERM_XFORM)
+    delete_rows(spark, path, "doc_id % 2 = 0")
+    assert refresh_rollup(spark, path, "terms")["mode"] == "full"
+    exp = _term_df(spark, _docs(spark).filter("doc_id % 2 = 1"))
+    got = {r.term: r.df for r in read_rollup(spark, path, "terms").collect()}
+    assert got == exp
+
+
+def test_pre_transform_must_produce_needed_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_dataset(_docs(spark), path, mode="overwrite")
+    with pytest.raises(ValueError, match="pre_transform must produce"):
+        create_rollup(spark, path, "bad", ["term"], {"df": "count"},
+                      pre_transform=["text AS body"])
