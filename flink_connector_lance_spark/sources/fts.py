@@ -1,0 +1,244 @@
+"""Full-text-search inverted index: a term-clustered postings dataset
+with BM25 scoring that reads only the query terms' postings.
+
+``bm25_search`` (operators/text.py) is the correct one-shot shape — two
+passes over the corpus. But a *corpus* is searched many times: at 100 TB
+every query re-tokenizing every document is the wrong cost model. The
+classic answer is an inverted index, and this module materializes one
+with the machinery the engine already has, instead of a bespoke store:
+
+- **build** (``create_fts_index``): one explode pass turns the corpus
+  into postings ``(term, id, tf, dl)`` — exactly one row per (term,
+  document) pair, carrying the term frequency and the document length.
+  The postings are written as a normal versioned fragment dataset under
+  ``<table>/_indexes/<text_col>/fts`` with ``write.sort-by=term`` +
+  ``write.cluster=true`` (one range shuffle -> fragments own disjoint
+  term ranges -> manifest zone maps prune whole fragments on term
+  predicates) and a bloom filter on ``term`` for point lookups inside
+  surviving fragments. Corpus-level stats that BM25 needs globally
+  (document count, summed document length) ride in the commit metadata
+  as MERGEABLE sums.
+- **search** (``fts_search``): reads the postings THROUGH the pushdown
+  scan path with ``term IN (query terms)`` — fragment zone-map pruning +
+  bloom skipping + parquet row-group pruning mean IO is O(postings of
+  the query's terms), not O(corpus). Per-term document frequencies are
+  exact counts over those same postings (one tiny aggregate); scoring is
+  a broadcast join of the ≤|terms|-row stats onto the postings, one
+  partial-aggregated shuffle on the document id (sized by candidate
+  postings), and a TakeOrdered top-k. No full-corpus pass anywhere.
+- **refresh** (``refresh_fts_index``): the rollup playbook
+  (sources/rollup.py) — the index's commit meta records the exact base
+  fragment files it covers; appends explode ONLY the delta fragments and
+  append-commit (stats merge by sum, O(delta)); any covered-file rewrite
+  (DELETE/MERGE/compaction) falls back to a full rebuild. Delta
+  fragments overlap the old term ranges, so pruning selectivity decays
+  with append count — ``compact`` the index dataset (cluster_dataset on
+  ``term``) to restore tight ranges; ``search`` keeps working either way.
+
+Score parity: the scoring arithmetic reuses the operator tree of
+``operators.text.bm25_score_of`` term-by-term in query order (per-term
+partial sums are exact — one posting per (term, doc) — and the final
+sum adds them left-to-right), so for every document that contains at
+least one query term the indexed score is BIT-IDENTICAL to the
+full-scan score. Documents containing NO query term score exactly 0.0
+in the full scan and are absent from the index's candidate set — the
+top-k therefore matches the full scan whenever at least k documents
+match the query (``tests/test_fts.py`` pins both the parity and the
+pruned-IO contract).
+
+The reference has no FTS surface (its catalog/search is vector-only —
+ref LanceVectorSearch.java); this follows Lance-format FTS semantics
+(BM25 over an inverted index) re-expressed on the engine's own
+fragment/zone-map/bloom substrate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..options import DatasetOptions
+from ..operators.text import BM25_B, BM25_K1, tokens
+from . import fragments as FR
+from .reader import read_fragment_files
+from .writer import write_dataset
+
+_META_KEY = "fts"
+
+
+def fts_index_path(path: str, text_col: str) -> str:
+    return os.path.join(path, "_indexes", text_col, "fts")
+
+
+def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Explode documents into ``(term, id, tf, dl)`` postings — one row
+    per DISTINCT (term, document) pair. All codegen: split once, keep
+    the doc length, explode, count duplicates away with a groupBy that
+    shuffles on (term, id) — the same key space the clustered write
+    range-partitions next, so AQE coalesces rather than re-shuffling."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("__ts"),
+    ).select("id", F.size("__ts").alias("dl"), F.explode("__ts").alias("term"))
+    return (
+        toks.groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
+def _delta_stats(df: DataFrame, text_col: str, id_col: str) -> tuple:
+    """(n_docs, sum_dl) of a corpus slice — ONE map-combinable aggregate,
+    driver receives a single row."""
+    row = df.select(
+        F.count(F.col(id_col)).alias("n"),
+        F.sum(F.size(tokens(text_col))).alias("s"),
+    ).first()
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def _commit_postings(post: DataFrame, idx_path: str, meta: dict,
+                     mode: str, max_rows_per_fragment: int) -> None:
+    # maxRecordsPerFile splits a range partition into SEQUENTIAL sorted
+    # runs, so every emitted fragment still owns a tight term range —
+    # fragment count scales with posting volume without losing pruning
+    opts = DatasetOptions(
+        path=idx_path,
+        sort_columns=["term"],
+        cluster_on_write=True,
+        bloom_columns=["term"],
+        write_max_rows_per_file=max_rows_per_fragment,
+    )
+    write_dataset(post, idx_path, mode=mode, options=opts,
+                  commit_meta={_META_KEY: meta})
+
+
+def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_rows_per_fragment: int = 1_000_000) -> dict:
+    """Build (or rebuild) the inverted index for ``text_col``. One
+    explode pass + one range shuffle; postings land term-clustered with
+    term blooms. Returns a summary dict."""
+    m = FR.read_manifest(path)
+    base = read_fragment_files(spark, m, FR.fragment_paths(path, m))
+    n_docs, sum_dl = _delta_stats(base, text_col, id_col)
+    meta = {
+        "text_col": text_col,
+        "id_col": id_col,
+        "covered_files": [f.file for f in m.fragments],
+        "source_version": m.version,
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+    }
+    meta["max_rows_per_fragment"] = int(max_rows_per_fragment)
+    _commit_postings(_postings(base, text_col, id_col),
+                     fts_index_path(path, text_col), meta, "overwrite",
+                     max_rows_per_fragment)
+    return {"text_col": text_col, "n_docs": n_docs,
+            "source_version": m.version,
+            "covered_fragments": len(m.fragments)}
+
+
+def refresh_fts_index(spark: SparkSession, path: str,
+                      text_col: str = "text") -> dict:
+    """Bring the index up to the table's current version — incremental
+    for pure appends (explode the delta only), full rebuild when a
+    covered fragment was rewritten, noop otherwise."""
+    idx = fts_index_path(path, text_col)
+    info = FR.read_manifest(idx).meta.get(_META_KEY)
+    if not info:
+        raise ValueError(f"{idx} is not an fts index (no {_META_KEY!r} meta)")
+    id_col = info["id_col"]
+    cur = FR.read_manifest(path)
+    covered = set(info["covered_files"])
+    cur_files = {f.file for f in cur.fragments}
+    if covered - cur_files:
+        out = create_fts_index(spark, path, text_col, id_col,
+                               info.get("max_rows_per_fragment", 1_000_000))
+        return {"mode": "full", **out,
+                "reason": f"{len(covered - cur_files)} covered fragment(s) rewritten"}
+    added = [f for f in cur.fragments if f.file not in covered]
+    if not added:
+        return {"mode": "noop", "source_version": info["source_version"]}
+    delta = read_fragment_files(
+        spark, cur, [os.path.join(path, f.file) for f in added])
+    dn, ds = _delta_stats(delta, text_col, id_col)
+    meta = dict(info)
+    meta.update(
+        covered_files=[f.file for f in cur.fragments],
+        source_version=cur.version,
+        n_docs=info["n_docs"] + dn,
+        sum_dl=info["sum_dl"] + ds,
+    )
+    _commit_postings(_postings(delta, text_col, id_col), idx, meta, "append",
+                     info.get("max_rows_per_fragment", 1_000_000))
+    return {"mode": "incremental", "source_version": cur.version,
+            "delta_fragments": len(added), "delta_docs": dn}
+
+
+def fts_search(spark: SparkSession, path: str, query: str,
+               text_col: str = "text", k: int = 10,
+               k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Top-k documents by BM25, touching only the query terms' postings.
+
+    Returns ``(id, bm25)`` descending (ties on id), id named after the
+    indexed id column. Candidate set = documents containing >= 1 query
+    term; every absent document scores exactly 0.0 under BM25, so this
+    equals the full-scan ``bm25_search`` top-k whenever k documents
+    match (see module docstring).
+    """
+    terms = list(dict.fromkeys(t for t in query.split(" ") if t))
+    if not terms:
+        raise ValueError("empty query")
+    idx = fts_index_path(path, text_col)
+    try:
+        info = FR.read_manifest(idx).meta.get(_META_KEY)
+    except FileNotFoundError:
+        info = None
+    if not info:
+        raise ValueError(f"no fts index for {text_col!r} at {path} — "
+                         "create_fts_index first")
+    n, avgdl = info["n_docs"], info["sum_dl"] / max(info["n_docs"], 1)
+    from .datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    # pushdown scan: term IN (...) prunes fragments via zone maps (the
+    # clustered write gave them disjoint term ranges), then blooms, then
+    # parquet row groups — IO is O(matching postings)
+    post = (
+        spark.read.format("lance").load(idx)
+        .filter(F.col("term").isin(terms))
+        .select("term", "id", "tf", "dl")
+    )
+    # exact per-term document frequencies from the pruned postings: one
+    # tiny aggregate (<= |terms| rows), broadcast back
+    stats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # per-posting BM25 contribution — the SAME operator tree as
+    # operators.text.bm25_score_of (idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)))
+    tf = F.col("tf").cast("double")
+    dfc = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    contrib = idf * (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b)
+                          * F.col("dl").cast("double") / F.lit(float(avgdl)))
+    )
+    scored = post.join(F.broadcast(stats), "term").select(
+        "id", "term", contrib.alias("__c"))
+    # bit-parity with the full scan's left-to-right term sum: aggregate
+    # each term's (single-element) partial separately, then add in query
+    # order — groupBy SUM over all terms at once would add in shuffle
+    # arrival order and drift in the last float ulps
+    per_term = scored.groupBy("id").agg(*[
+        F.sum(F.when(F.col("term") == t, F.col("__c"))).alias(f"__t{i}")
+        for i, t in enumerate(terms)
+    ])
+    total: "F.Column | None" = None
+    for i in range(len(terms)):
+        part = F.coalesce(F.col(f"__t{i}"), F.lit(0.0))
+        total = part if total is None else total + part
+    out = per_term.select(
+        F.col("id").alias(info["id_col"]),
+        F.round(total, 6).alias("bm25"),
+    )
+    return out.orderBy(F.desc("bm25"), F.asc(info["id_col"])).limit(k)

@@ -1,0 +1,122 @@
+"""FTS inverted index (sources/fts.py): build/search/refresh semantics,
+score parity with the full-scan bm25_search, and the pruned-IO contract
+(un-matching fragments are never scheduled for a term point lookup)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_connector_lance_spark.io import load_table
+from flink_connector_lance_spark.operators.text import bm25_search
+from flink_connector_lance_spark.sources import fragments as FR
+from flink_connector_lance_spark.sources.datasource import (
+    In,
+    LanceDataSourceReader,
+    register_lance_datasource,
+)
+from flink_connector_lance_spark.sources.fts import (
+    create_fts_index,
+    fts_index_path,
+    fts_search,
+    refresh_fts_index,
+)
+
+QUERY = "vector hash join"
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path, sf_dir):
+    """Documents written as a fragment dataset (4 fragments)."""
+    register_lance_datasource(spark)
+    path = str(tmp_path / "docs")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.repartitionByRange(4, "doc_id").write.format("lance").mode("overwrite").save(path)
+    return path
+
+
+def _ranked_rows(df):
+    return [(r[0], r[1]) for r in df.collect()]
+
+
+def test_build_and_search_matches_full_scan(spark, corpus, sf_dir):
+    out = create_fts_index(spark, corpus, "text", "doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    assert out["n_docs"] == d.count()
+
+    got = _ranked_rows(fts_search(spark, corpus, QUERY, k=10))
+    want = _ranked_rows(bm25_search(d, "text", "doc_id", QUERY, k=10))
+    # parity holds when >= k documents match the query (scores > 0)
+    assert all(s > 0 for _, s in want), "fixture query must match >= k docs"
+    assert got == want  # ids AND scores identical (bit-parity pre-round)
+
+
+def test_search_single_term_and_missing_term(spark, corpus, sf_dir):
+    create_fts_index(spark, corpus, "text", "doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    got = _ranked_rows(fts_search(spark, corpus, "vector", k=5))
+    want = _ranked_rows(bm25_search(d, "text", "doc_id", "vector", k=5))
+    assert got == want
+    # a term absent from the corpus: empty result (full scan would emit
+    # k zero-score rows; the index documents the difference)
+    assert fts_search(spark, corpus, "zzzznotaterm", k=5).count() == 0
+    with pytest.raises(ValueError, match="empty query"):
+        fts_search(spark, corpus, "   ")
+
+
+def test_search_without_index_raises(spark, corpus):
+    with pytest.raises(ValueError, match="create_fts_index"):
+        fts_search(spark, corpus, "vector")
+
+
+def test_postings_are_term_clustered_and_pruned(spark, corpus):
+    create_fts_index(spark, corpus, "text", "doc_id", max_rows_per_fragment=3000)
+    idx = fts_index_path(corpus, "text")
+    m = FR.read_manifest(idx)
+    assert len(m.fragments) > 1, "clustered write should emit several fragments"
+    # a single-term lookup must NOT schedule every fragment: the range-
+    # clustered layout gives fragments disjoint term ranges
+    r = LanceDataSourceReader({"path": idx})
+    r.pushFilters([In(("term",), ("vector",))])
+    planned = len(r.partitions())
+    assert planned < len(m.fragments), (
+        f"term point lookup planned {planned}/{len(m.fragments)} fragments")
+
+
+def test_refresh_incremental_append(spark, corpus, sf_dir):
+    create_fts_index(spark, corpus, "text", "doc_id")
+    assert refresh_fts_index(spark, corpus, "text")["mode"] == "noop"
+
+    # append a delta with a doc_id offset so ids stay unique
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    delta.write.format("lance").mode("append").save(corpus)
+
+    out = refresh_fts_index(spark, corpus, "text")
+    assert out["mode"] == "incremental"
+    assert out["delta_docs"] == 50
+
+    # post-refresh scores match a full scan over the grown corpus
+    grown = spark.read.format("lance").load(corpus)
+    got = _ranked_rows(fts_search(spark, corpus, QUERY, k=10))
+    want = _ranked_rows(bm25_search(grown, "text", "doc_id", QUERY, k=10))
+    assert got == want
+
+
+def test_refresh_full_on_rewrite(spark, corpus):
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    create_fts_index(spark, corpus, "text", "doc_id")
+    delete_rows(spark, corpus, "doc_id < 10")
+    out = refresh_fts_index(spark, corpus, "text")
+    assert out["mode"] == "full"
+    grown = spark.read.format("lance").load(corpus)
+    got = _ranked_rows(fts_search(spark, corpus, QUERY, k=10))
+    want = _ranked_rows(bm25_search(grown, "text", "doc_id", QUERY, k=10))
+    assert got == want
+
+
+def test_refresh_without_index_raises(spark, corpus):
+    with pytest.raises((ValueError, FileNotFoundError)):
+        refresh_fts_index(spark, corpus, "text")
