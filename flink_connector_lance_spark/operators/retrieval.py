@@ -1,0 +1,122 @@
+"""Hybrid retrieval: reciprocal-rank fusion of lexical (BM25) and
+vector (KNN) result lists.
+
+The standard answer to "BM25 finds exact keywords, embeddings find
+paraphrases — I want both": run each retriever for its top-K, convert
+positions to reciprocal ranks, and sum (Cormack et al., RRF, SIGIR'09):
+
+    fused(id) = Σ_leg 1 / (rrf_k + rank_leg(id))
+
+Rank fusion beats score fusion here because BM25 scores and cosine
+similarities live on incomparable scales — ranks are scale-free, and
+``rrf_k`` (conventionally 60) damps the head so one retriever cannot
+monopolize the fused list.
+
+Scale shape: each leg is ALREADY a top-K selection (TakeOrdered for the
+scan legs, pruned-postings/index routes for the indexed legs), so fusion
+only ever touches ``legs × K`` rows — the rank windows and outer joins
+below run on driver-trivial relations regardless of corpus size. Nothing
+here re-reads the corpus.
+
+The reference has no hybrid surface (vector-only search — ref
+LanceVectorSearch.java); this composes the engine's own BM25 and KNN
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RRF_K = 60
+
+
+def with_rank(df: DataFrame, order_cols, rank_col: str = "rank") -> DataFrame:
+    """1-based rank by ``order_cols`` (pass explicit asc/desc Columns;
+    include the id as the last key so ranks are deterministic). Single-
+    partition window — only ever applied to a top-K leg (K rows)."""
+    return df.withColumn(rank_col, F.row_number().over(Window.orderBy(*order_cols)))
+
+
+def rrf_fuse(legs: "list[tuple[DataFrame, str]]", k: int = 10,
+             rrf_k: int = RRF_K, out_id: str = "id") -> DataFrame:
+    """Fuse ranked legs into the top-k by reciprocal-rank sum.
+
+    ``legs`` is ``[(df, id_col), ...]`` where each df carries a 1-based
+    ``rank`` column (see ``with_rank``). Legs are combined with FULL
+    OUTER joins and the contributions added left-to-right in leg order —
+    a fixed float operator tree, so results are reproducible and can be
+    mirrored by a SQL oracle exactly. Returns ``(out_id, rrf)``
+    descending, ties on id.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    if k < 0 or rrf_k <= 0:
+        raise ValueError("k must be >= 0 and rrf_k positive")
+    acc = None
+    for i, (df, id_col) in enumerate(legs):
+        leg = df.select(
+            F.col(id_col).alias(out_id),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank").cast("double"))
+             ).alias(f"__rrf{i}"),
+        )
+        acc = leg if acc is None else acc.join(leg, on=out_id, how="full_outer")
+    total = None
+    for i in range(len(legs)):
+        part = F.coalesce(F.col(f"__rrf{i}"), F.lit(0.0))
+        total = part if total is None else total + part
+    fused = acc.select(out_id, F.round(total, 6).alias("rrf"))
+    return fused.orderBy(F.desc("rrf"), F.asc(out_id)).limit(k)
+
+
+def hybrid_search(docs: DataFrame, text_col: str, doc_id_col: str,
+                  query: str, emb: DataFrame, vector_col: str,
+                  vec_id_col: str, query_vector, k: int = 10,
+                  leg_k: int = 20, rrf_k: int = RRF_K,
+                  metric: str = "cosine") -> DataFrame:
+    """Full-scan hybrid search: BM25 leg + exact-KNN leg, RRF-fused.
+
+    Both id columns must address the same document space. Returns
+    ``(id, rrf)``. The indexed twin (FTS postings + ANN index legs) is
+    ``hybrid_search_indexed`` — identical fusion, sub-linear legs.
+    """
+    from .knn import knn
+    from .text import bm25_search
+
+    lex = with_rank(
+        bm25_search(docs, text_col, doc_id_col, query, k=leg_k),
+        [F.desc("bm25"), F.asc(doc_id_col)],
+    )
+    vec = with_rank(
+        knn(emb, vector_col, query_vector, k=leg_k, metric=metric,
+            tiebreak_cols=[vec_id_col], round_digits=6),
+        [F.asc("_distance"), F.asc(vec_id_col)],
+    )
+    return rrf_fuse([(vec, vec_id_col), (lex, doc_id_col)], k=k, rrf_k=rrf_k)
+
+
+def hybrid_search_indexed(spark, docs_path: str, query: str, emb: DataFrame,
+                          vector_col: str, vec_id_col: str, query_vector,
+                          text_col: str = "text", k: int = 10,
+                          leg_k: int = 20, rrf_k: int = RRF_K,
+                          metric: str = "cosine") -> DataFrame:
+    """Hybrid search with the lexical leg served from the FTS inverted
+    index (sources/fts.py — IO bounded by the query terms' postings).
+    Identical to ``hybrid_search`` whenever >= leg_k documents match the
+    lexical query (the FTS candidate-set contract)."""
+    from ..sources.fts import fts_index_path, fts_search
+    from ..sources import fragments as FR
+    from .knn import knn
+
+    id_col = FR.read_manifest(
+        fts_index_path(docs_path, text_col)).meta["fts"]["id_col"]
+    lex = with_rank(
+        fts_search(spark, docs_path, query, text_col=text_col, k=leg_k),
+        [F.desc("bm25"), F.asc(id_col)],
+    )
+    vec = with_rank(
+        knn(emb, vector_col, query_vector, k=leg_k, metric=metric,
+            tiebreak_cols=[vec_id_col], round_digits=6),
+        [F.asc("_distance"), F.asc(vec_id_col)],
+    )
+    return rrf_fuse([(vec, vec_id_col), (lex, id_col)], k=k, rrf_k=rrf_k)

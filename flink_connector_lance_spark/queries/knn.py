@@ -41,6 +41,39 @@ def _oracle(dist_expr: str, where: str = "", k: int = 10, extra_cols: str = "") 
     """
 
 
+# hybrid-RRF branch of knn_l2_dot: a lexical BM25 leg over documents
+# fused with the cosine leg over embeddings (doc_id and vec_id address
+# the same id space in the corpus). Same fixed three-term query and the
+# same BM25 operator tree as text_stats' oracle — rebuilt locally rather
+# than imported from queries.pipeline so the module import (and thus the
+# driver's registration) order stays untouched.
+_RRF_TERMS = ["vector", "hash", "join"]
+_RRF_LEG_K = 20
+_RRF_KCONST = 60
+
+
+def _rrf_bm25_sql() -> str:
+    from ..operators.text import BM25_B as _b, BM25_K1 as _k1
+
+    k1p1, one_m_b, k1r, br = repr(_k1 + 1.0), repr(1.0 - _b), repr(_k1), repr(_b)
+    contribs = []
+    for i, t in enumerate(_RRF_TERMS):
+        tf = f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (st.n - st.df{i} + 0.5) / (st.df{i} + 0.5))"
+        contribs.append(
+            f"{idf} * ({tf} * {k1p1}) / ({tf} + {k1r} * "
+            f"({one_m_b} + {br} * CAST(len(ws) AS DOUBLE) / st.avgdl))"
+        )
+    return " + ".join(contribs)
+
+
+def _rrf_df_sql() -> str:
+    return ", ".join(
+        f"sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(_RRF_TERMS)
+    )
+
+
 @register(
     "knn_l2_dot",
     oracle=f"""
@@ -54,6 +87,25 @@ def _oracle(dist_expr: str, where: str = "", k: int = 10, extra_cols: str = "") 
         SELECT vec_id, _distance
         FROM (SELECT vec_id, {_NEGDOT} AS _distance FROM embeddings, qv)
         ORDER BY _distance, vec_id LIMIT 10
+    ),
+    b0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl, {_rrf_df_sql()} FROM b0),
+    bm_top AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM (SELECT doc_id, round({_rrf_bm25_sql()}, 6) AS s
+              FROM b0 CROSS JOIN st)
+        ORDER BY s DESC, doc_id LIMIT {_RRF_LEG_K}
+    ),
+    cos_top AS (
+        SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS r
+        FROM (SELECT vec_id, {_COS} AS d FROM embeddings, qv)
+        ORDER BY d, vec_id LIMIT {_RRF_LEG_K}
+    ),
+    fused AS (
+        SELECT coalesce(c.vec_id, b.doc_id) AS id,
+               round(coalesce(1.0 / ({_RRF_KCONST} + c.r), 0.0)
+                     + coalesce(1.0 / ({_RRF_KCONST} + b.r), 0.0), 6) AS f
+        FROM cos_top c FULL OUTER JOIN bm_top b ON c.vec_id = b.doc_id
     )
     SELECT 'l2' AS metric, vec_id, _distance,
            round(1.0 / (1.0 + _distance), 6) AS similarity
@@ -62,14 +114,27 @@ def _oracle(dist_expr: str, where: str = "", k: int = 10, extra_cols: str = "") 
     SELECT 'dot' AS metric, vec_id, _distance,
            round(1.0 / (1.0 + _distance), 6) AS similarity
     FROM dot_top
+    UNION ALL
+    SELECT 'rrf' AS metric, id AS vec_id, round(-f, 6) AS _distance,
+           f AS similarity
+    FROM (SELECT id, f FROM fused ORDER BY f DESC, id LIMIT 10)
     """,
     doc="Exact KNN, L2 + dot metrics in one tagged result, k=10 each "
         "(ref LanceVectorSearch.java:121-210; config/LanceOptions.java:323-346). "
         "Dot is the negated dot product (smaller = closer); similarity is the "
         "1/(1+d) score of ref LanceVectorSearch.java:420-426. Each branch "
-        "compiles to TakeOrdered (per-partition top-k, no global sort).",
+        "compiles to TakeOrdered (per-partition top-k, no global sort). "
+        "The 'rrf' branch is hybrid retrieval (operators.retrieval."
+        "hybrid_search): a BM25 top-20 lexical leg over documents fused "
+        "with the cosine top-20 vector leg by reciprocal-rank fusion "
+        "(1/(60+rank), Cormack SIGIR'09) — fusion touches only legs x K "
+        "rows; _distance is the negated fused score so smaller = closer. "
+        "tests/test_retrieval.py pins the FTS-indexed twin "
+        "(hybrid_search_indexed) to these exact rows.",
 )
 def knn_l2_dot(spark, sf_dir):
+    from ..operators.retrieval import hybrid_search
+
     e = load_table(spark, sf_dir, "embeddings")
     out = []
     for metric in ("l2", "dot"):
@@ -78,7 +143,18 @@ def knn_l2_dot(spark, sf_dir):
         out.append(top.select(
             F.lit(metric).alias("metric"), "vec_id", "_distance",
             F.round("similarity", 6).alias("similarity")))
-    return out[0].unionAll(out[1])
+    d = load_table(spark, sf_dir, "documents")
+    fused = hybrid_search(
+        d, "text", "doc_id", " ".join(_RRF_TERMS),
+        e, "embedding", "vec_id", QVEC,
+        k=10, leg_k=_RRF_LEG_K, rrf_k=_RRF_KCONST,
+    )
+    out.append(fused.select(
+        F.lit("rrf").alias("metric"),
+        F.col("id").alias("vec_id"),
+        F.round(-F.col("rrf"), 6).alias("_distance"),
+        F.col("rrf").alias("similarity")))
+    return out[0].unionAll(out[1]).unionAll(out[2])
 
 
 @register(

@@ -40,7 +40,7 @@ TAGGED_BRANCHES = {
     "dedup_ngram_jaccard": ("kind", {"pair", "contam", "decon_kept"}),
     "knn_join_batch": ("kind", {"exact", "lsh"}),
     "train_split_stratified": ("kind", {"split", "mixture", "cap"}),
-    "knn_l2_dot": ("metric", {"l2", "dot"}),
+    "knn_l2_dot": ("metric", {"l2", "dot", "rrf"}),
     "ann_ivf_pq": ("branch", {"adc_refine", "hnsw"}),
     # the gapfill branch needs empty hourly buckets to fill; the sparse
     # sf0.001/sf0.01 event streams have them (the dense sf0.1 does not)
