@@ -285,18 +285,69 @@ def knn_l2_filtered(spark, sf_dir):
 
 @register(
     "vector_search_udtf",
-    oracle=_oracle(_L2),
-    doc="SQL table-function path: SELECT ... FROM vector_search(path, col, "
-        "ARRAY[...], k, metric) (ref table/LanceVectorSearchFunction.java:71-357; "
-        "output schema = dataset schema + _distance, derived via analyze()).",
+    oracle=f"""
+    WITH qv AS (SELECT {_QSQL} AS q),
+    vec AS (
+        SELECT vec_id AS id, _distance AS score
+        FROM (SELECT vec_id, {_L2} AS _distance FROM embeddings, qv)
+        ORDER BY _distance, vec_id LIMIT 10
+    ),
+    b0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl, {_rrf_df_sql()} FROM b0),
+    txt AS (
+        SELECT doc_id AS id, s AS score
+        FROM (SELECT doc_id, round({_rrf_bm25_sql()}, 6) AS s
+              FROM b0 CROSS JOIN st)
+        WHERE s > 0
+        ORDER BY s DESC, doc_id LIMIT 10
+    )
+    SELECT 'vec' AS kind, id, score FROM vec
+    UNION ALL
+    SELECT 'text' AS kind, id, score FROM txt
+    """,
+    doc="SQL table-function path, both search modalities as session-scope "
+        "UDTFs with analyze()-derived schemas (dataset schema + score "
+        "column). 'vec' branch: SELECT ... FROM vector_search(path, col, "
+        "ARRAY[...], k, metric) (ref table/LanceVectorSearchFunction.java:"
+        "71-357). 'text' branch: SELECT ... FROM text_search(path, col, "
+        "query, k) served from the FTS inverted index (sources/fts.py) "
+        "built inside the query — the udtf reads ONLY the query terms' "
+        "postings (manifest zone-map + bloom fragment pruning, pyarrow "
+        "row-group pruning) and reproduces the full-scan BM25 scores the "
+        "oracle computes, bit-identically before rounding.",
 )
 def vector_search_udtf(spark, sf_dir):
-    from ..udtf import register_vector_search
+    import os
+    import tempfile
+
+    from ..sources.datasource import register_lance_datasource
+    from ..sources.fts import create_fts_index
+    from ..udtf import register_text_search, register_vector_search
 
     register_vector_search(spark)
     path = f"{sf_dir}/embeddings.parquet"
     qarr = "array(" + ", ".join(f"double({v})" for v in QVEC) + ")"
-    return spark.sql(f"""
-        SELECT vec_id, round(_distance, 6) AS _distance
+    vec = spark.sql(f"""
+        SELECT 'vec' AS kind, vec_id AS id, round(_distance, 6) AS score
         FROM vector_search('{path}', 'embedding', {qarr}, 10, 'l2')
     """)
+
+    # text branch: documents -> fragment dataset + FTS index, searched
+    # through the SQL route. The docs dataset is rebuilt per call (same
+    # _workdir convention as the sources_q queries).
+    register_lance_datasource(spark)
+    register_text_search(spark)
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    droot = os.path.join(tempfile.gettempdir(), "fcls_datasets",
+                         f"ftsudtf-{sfname}-{os.getpid()}")
+    import shutil
+
+    shutil.rmtree(droot, ignore_errors=True)
+    (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+     .write.format("lance").mode("overwrite").save(droot))
+    create_fts_index(spark, droot, "text", "doc_id")
+    txt = spark.sql(f"""
+        SELECT 'text' AS kind, doc_id AS id, bm25 AS score
+        FROM text_search('{droot}', 'text', '{" ".join(_RRF_TERMS)}', 10)
+    """).filter(F.col("score") > 0)
+    return vec.unionAll(txt)

@@ -599,3 +599,119 @@ def register_vector_search(spark: SparkSession, name: str = "vector_search") -> 
     """Session-scope registration (the reference's catalog refuses to store
     functions — ref table/LanceCatalog.java:648-678)."""
     spark.udtf.register(name, udtf(VectorSearchUDTF))
+
+
+# --- full-text search UDTF ---------------------------------------------------
+
+def _fts_prune_fragments(idx_path: str, terms: list[str]):
+    """Manifest-stats fragment pruning for a term lookup, driver/worker
+    agnostic (plain JSON + sidecar IO, no Spark): keep a postings
+    fragment only if some query term falls inside its term zone map AND
+    the term bloom cannot rule every term out."""
+    from .sources import fragments as FR
+    from .sources.bloom import BLOOM_STATS_KEY, fragment_bloom_may_contain
+
+    m = FR.read_manifest(idx_path)
+    keep = []
+    for f in m.fragments:
+        zm = (f.stats or {}).get("term")
+        cand = terms
+        if zm and zm.get("min") is not None:
+            cand = [t for t in cand if zm["min"] <= t <= zm["max"]]
+        if cand and f.stats and BLOOM_STATS_KEY in f.stats:
+            if not fragment_bloom_may_contain(idx_path, f.file, f.stats,
+                                              "term", cand):
+                cand = []
+        if cand:
+            keep.append(os.path.join(idx_path, f.file))
+    return m, keep
+
+
+def _eval_fts(path: str, text_col: str, terms: list[str], k: int):
+    """BM25 over the FTS postings index, in-process: zone-map + bloom
+    fragment pruning, pyarrow row-group-pruned posting reads, the same
+    left-to-right query-order float sum as sources.fts.fts_search."""
+    import pyarrow.dataset as pads
+
+    from .operators.text import BM25_B, BM25_K1
+
+    idx_path = os.path.join(path, "_indexes", text_col, "fts")
+    try:
+        m, files = _fts_prune_fragments(idx_path, terms)
+    except FileNotFoundError:
+        raise ValueError(f"no fts index for {text_col!r} at {path} — "
+                         "create_fts_index first")
+    info = m.meta.get("fts")
+    if not info:
+        raise ValueError(f"{idx_path} is not an fts index")
+    n = float(info["n_docs"])
+    avgdl = info["sum_dl"] / max(info["n_docs"], 1)
+    id_col = info["id_col"]
+    if not files:
+        return id_col, np.empty(0, np.int64), np.empty(0)
+    ds = pads.dataset(files, format="parquet")
+    tbl = ds.to_table(columns=["term", "id", "tf", "dl"],
+                      filter=pads.field("term").isin(terms))
+    t_arr = tbl.column("term").to_pylist()
+    ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dl = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    total = np.zeros(uniq.shape[0], np.float64)
+    denom_norm = (1.0 - BM25_B) + BM25_B * dl / float(avgdl)
+    t_np = np.asarray(t_arr)
+    # per-term accumulation in QUERY order — the same fixed operator tree
+    # as fts_search / bm25_score_of, so scores match bit-for-bit
+    for t in terms:
+        sel = t_np == t
+        if not sel.any():
+            continue
+        df = float(sel.sum())
+        idf = np.log(1.0 + ((n - df) + 0.5) / (df + 0.5))
+        contrib = idf * (tf[sel] * (BM25_K1 + 1.0)) / (
+            tf[sel] + BM25_K1 * denom_norm[sel])
+        part = np.zeros_like(total)
+        part[inv[sel]] = contrib
+        total = total + part
+    total = np.round(total, 6)
+    top = np.lexsort((uniq, -total))[:k]
+    return id_col, uniq[top], total[top]
+
+
+class TextSearchUDTF:
+    """Yields the top-k documents for a free-text query by BM25, served
+    from the FTS inverted index (sources/fts.py): full document row plus
+    the ``bm25`` score. SQL twin of ``fts_search`` — identical scores
+    (same float operator tree), candidate set = documents containing at
+    least one query term."""
+
+    @staticmethod
+    def analyze(path, text_col, query, k):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(_read_schema(path.value))
+        out = StructType(schema.fields).add("bm25", DoubleType())
+        return AnalyzeResult(schema=out)
+
+    def eval(self, path: str, text_col: str, query: str, k: int) -> Iterator[tuple]:
+        terms = list(dict.fromkeys(t for t in str(query).split(" ") if t))
+        if not terms:
+            raise ValueError("empty query")
+        k = int(k)
+        if k < 0:
+            raise ValueError("k must be >= 0")
+        id_col, top_ids, top_scores = _eval_fts(path, text_col, terms, k)
+        if top_ids.size == 0:
+            return
+        dschema = _read_schema(path) if _is_fragment_dataset(path) else None
+        rows_tbl = _read_filtered(_dataset_files(path), None, id_col, top_ids,
+                                  schema=dschema)
+        rows = {int(r[id_col]): r for r in rows_tbl.to_pylist()}
+        for i, s in zip(top_ids.tolist(), top_scores.tolist()):
+            yield tuple(rows[i].values()) + (float(s),)
+
+
+def register_text_search(spark: SparkSession, name: str = "text_search") -> None:
+    """Session-scope registration, mirroring ``register_vector_search``."""
+    spark.udtf.register(name, udtf(TextSearchUDTF))

@@ -120,3 +120,33 @@ def test_refresh_full_on_rewrite(spark, corpus):
 def test_refresh_without_index_raises(spark, corpus):
     with pytest.raises((ValueError, FileNotFoundError)):
         refresh_fts_index(spark, corpus, "text")
+
+
+def test_text_search_udtf_matches_fts_search(spark, corpus, sf_dir):
+    from flink_connector_lance_spark.udtf import register_text_search
+
+    create_fts_index(spark, corpus, "text", "doc_id")
+    register_text_search(spark)
+    got = spark.sql(
+        f"SELECT doc_id, bm25 FROM text_search('{corpus}', 'text', '{QUERY}', 5)"
+    ).collect()
+    want = fts_search(spark, corpus, QUERY, k=5).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in got] == [tuple(r) for r in want]
+    # full document row rides along (SQL users get the text back)
+    cols = spark.sql(
+        f"SELECT * FROM text_search('{corpus}', 'text', '{QUERY}', 1)").columns
+    assert cols == ["doc_id", "text", "bm25"]
+
+
+def test_text_search_udtf_validation(spark, corpus):
+    from flink_connector_lance_spark.udtf import register_text_search
+
+    create_fts_index(spark, corpus, "text", "doc_id")
+    register_text_search(spark)
+    with pytest.raises(Exception, match="empty query"):
+        spark.sql(
+            f"SELECT * FROM text_search('{corpus}', 'text', ' ', 5)").collect()
+    # absent term -> empty, not an error
+    assert spark.sql(
+        f"SELECT * FROM text_search('{corpus}', 'text', 'zzzznotaterm', 5)"
+    ).count() == 0
