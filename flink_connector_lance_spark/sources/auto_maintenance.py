@@ -53,6 +53,7 @@ class MaintenancePolicy:
     # MVCC versions to retain at vacuum; None disables the vacuum step
     keep_versions: "int | None" = 2
     refresh_rollups: bool = True
+    refresh_fts: bool = True
 
 
 def run_maintenance(
@@ -125,6 +126,19 @@ def run_maintenance(
                 f"pending_rows {r['pending_rows']}, needs_full {r['needs_full']}",
                 lambda name=r["name"]: refresh_rollup(
                     spark, path, name, vacuum_keep_versions=2),
+            )
+
+    # 3b. FTS inverted indexes (append deltas merge incrementally; a
+    # covered-file rewrite triggers the full rebuild inside refresh)
+    if p.refresh_fts:
+        from .fts import refresh_fts_index
+
+        for fx in desc.get("fts", []):
+            step(
+                f"refresh_fts:{fx['column']}",
+                fx["pending_rows"] > 0 or fx["needs_full"],
+                f"pending_rows {fx['pending_rows']}, needs_full {fx['needs_full']}",
+                lambda col=fx["column"]: refresh_fts_index(spark, path, col),
             )
 
     # 4. indexes (refresh_index itself re-checks and no-ops below the bar)

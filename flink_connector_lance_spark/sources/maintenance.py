@@ -833,10 +833,32 @@ def describe_dataset(path: str) -> dict:
             bloom_cols |= set(entry.get("cols", {}))
 
     indexes = []
+    fts_indexes = []
     idx_root = os.path.join(path, INDEXES_DIR)
     if os.path.isdir(idx_root):
         for column in sorted(os.listdir(idx_root)):
             for kind in sorted(os.listdir(os.path.join(idx_root, column))):
+                if kind == "fts":
+                    # FTS postings live as their own fragment dataset with
+                    # rollup-style covered-file bookkeeping (sources/fts.py)
+                    try:
+                        info = FR.read_manifest(
+                            os.path.join(idx_root, column, "fts")
+                        ).meta.get("fts")
+                    except (FileNotFoundError, FR.LanceUnavailableError):
+                        info = None
+                    if info:
+                        covered = set(info["covered_files"])
+                        cur = {f.file for f in manifest.fragments}
+                        rows_by = {f.file: f.row_count for f in manifest.fragments}
+                        fts_indexes.append({
+                            "column": column,
+                            "built_at_version": info["source_version"],
+                            "n_docs": info["n_docs"],
+                            "pending_rows": sum(rows_by[f] for f in cur - covered),
+                            "needs_full": bool(covered - cur),
+                        })
+                    continue
                 meta_p = os.path.join(idx_root, column, kind, "index_meta.json")
                 if not os.path.exists(meta_p):
                     continue
@@ -901,6 +923,7 @@ def describe_dataset(path: str) -> dict:
         "bloom": {"columns": sorted(bloom_cols),
                   "fragments_covered": bloom_frags} if bloom_cols else None,
         "indexes": indexes,
+        "fts": fts_indexes,
         "rollups": rollups,
         "clustering": clustering,
     }

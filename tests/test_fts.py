@@ -150,3 +150,37 @@ def test_text_search_udtf_validation(spark, corpus):
     assert spark.sql(
         f"SELECT * FROM text_search('{corpus}', 'text', 'zzzznotaterm', 5)"
     ).count() == 0
+
+
+def test_describe_and_auto_maintenance_cover_fts(spark, corpus, sf_dir):
+    import pyspark.sql.functions as F2
+
+    from flink_connector_lance_spark.sources.auto_maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+    from flink_connector_lance_spark.sources.maintenance import describe_dataset
+
+    create_fts_index(spark, corpus, "text", "doc_id")
+    desc = describe_dataset(corpus)
+    assert desc["fts"] and desc["fts"][0]["column"] == "text"
+    assert desc["fts"][0]["pending_rows"] == 0
+    assert not desc["fts"][0]["needs_full"]
+
+    # append -> pending rows; auto-maintenance refreshes incrementally
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.limit(20).select((F2.col("doc_id") + 2_000_000).alias("doc_id"), "text") \
+        .write.format("lance").mode("append").save(corpus)
+    desc = describe_dataset(corpus)
+    assert desc["fts"][0]["pending_rows"] == 20
+
+    # target=1 row/fragment -> nothing is a runt -> compaction stays off,
+    # so the refresh exercises the incremental path (a due compaction
+    # would rewrite covered files and correctly force a full rebuild)
+    report = run_maintenance(
+        spark, corpus,
+        MaintenancePolicy(keep_versions=None, target_rows_per_fragment=1))
+    fts_steps = [s for s in report["steps"] if s["step"] == "refresh_fts:text"]
+    assert fts_steps and fts_steps[0]["due"]
+    assert fts_steps[0]["result"]["mode"] == "incremental"
+    assert describe_dataset(corpus)["fts"][0]["pending_rows"] == 0
