@@ -120,12 +120,42 @@ def _clustered_write(spark, sf_dir):
     return read_dataset(spark, path, filter="n_chars > 100 AND n_chars < 120")
 
 
+def _fts_hybrid(spark, sf_dir):
+    """FTS index build (one explode pass + one range shuffle — must scale
+    with corpus rows) + hybrid RRF search with the lexical leg served
+    from the postings index (IO bounded by the query terms' postings, so
+    the search share of the timing should NOT grow with the corpus)."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_connector_lance_spark.operators.retrieval import (
+        hybrid_search_indexed,
+    )
+    from flink_connector_lance_spark.queries.knn import QVEC
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+    from flink_connector_lance_spark.sources.fts import create_fts_index
+
+    register_lance_datasource(spark)
+    path = os.path.join(tempfile.gettempdir(), "stress-fts")
+    shutil.rmtree(path, ignore_errors=True)
+    (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+     .write.format("lance").mode("overwrite").save(path))
+    create_fts_index(spark, path, "text", "doc_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search_indexed(spark, path, "vector hash join", e,
+                                 "embedding", "vec_id", QVEC, k=10)
+
+
 # operators without a registry entry (not SQL-oracle-expressible / no
 # free query slot): timed via direct callables, same protocol
 EXTRA = {
     "semantic_dedup": _semantic_dedup,
     "quantize_knn": _quantize_knn,
     "clustered_write": _clustered_write,
+    "fts_build_hybrid_search": _fts_hybrid,
 }
 
 
