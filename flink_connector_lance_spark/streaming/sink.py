@@ -51,7 +51,8 @@ def _write_epoch_marker(path: str, epoch_id: int, version: int) -> None:
 
 def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
                  options: DatasetOptions | None = None,
-                 refresh_rollups: bool = False) -> FR.Manifest | None:
+                 refresh_rollups: bool = False,
+                 refresh_fts: bool = False) -> FR.Manifest | None:
     """Idempotent per-epoch append: skip if this epoch already committed
     (exactly-once under foreachBatch's at-least-once redelivery). The
     epoch id is part of the manifest commit itself, so a crash after the
@@ -81,6 +82,18 @@ def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
                 # rollup's version chain grows one commit per epoch
                 refresh_rollup(batch_df.sparkSession, path, name,
                                vacuum_keep_versions=2)
+    if refresh_fts:
+        # same eventual-freshness contract as the rollup refresh: pure
+        # epoch appends keep every FTS refresh on the incremental path
+        # (explode the micro-batch only), and a missed refresh is caught
+        # up by the next epoch's covered-file diff
+        from ..sources.fts import refresh_fts_index
+
+        idx_root = os.path.join(path, "_indexes")
+        if os.path.isdir(idx_root):
+            for col in sorted(os.listdir(idx_root)):
+                if os.path.isdir(os.path.join(idx_root, col, "fts")):
+                    refresh_fts_index(batch_df.sparkSession, path, col)
     return manifest
 
 
@@ -213,17 +226,21 @@ def stream_write_dataset(
     options: DatasetOptions | None = None,
     trigger_available_now: bool = False,
     refresh_rollups: bool = False,
+    refresh_fts: bool = False,
 ):
     """``writeStream.foreachBatch`` wiring: one version per micro-batch
     (insert-only, matching the reference's changelog declaration).
     ``refresh_rollups=True`` keeps every materialized rollup fresh per
-    epoch (incremental delta merges — see commit_epoch)."""
+    epoch (incremental delta merges — see commit_epoch);
+    ``refresh_fts=True`` does the same for FTS inverted indexes (the
+    continuously indexed search corpus)."""
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda bdf, eid: commit_epoch(bdf, eid, path, options,
-                                          refresh_rollups=refresh_rollups)
+                                          refresh_rollups=refresh_rollups,
+                                          refresh_fts=refresh_fts)
         )
     )
     if trigger_available_now:

@@ -184,3 +184,40 @@ def test_describe_and_auto_maintenance_cover_fts(spark, corpus, sf_dir):
     assert fts_steps and fts_steps[0]["due"]
     assert fts_steps[0]["result"]["mode"] == "incremental"
     assert describe_dataset(corpus)["fts"][0]["pending_rows"] == 0
+
+
+def test_streaming_ingestion_keeps_fts_fresh(spark, tmp_path, sf_dir):
+    """Continuously indexed search corpus: each streaming epoch appends
+    documents AND incrementally refreshes the FTS index, so a search
+    after the stream drains sees the streamed documents."""
+    import os
+
+    from flink_connector_lance_spark.streaming.sink import stream_write_dataset
+
+    register_lance_datasource(spark)
+    src = str(tmp_path / "incoming")
+    path = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    write_dataset(d, path, mode="overwrite")
+    create_fts_index(spark, path, "text", "doc_id")
+
+    streamed = d.limit(30).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    streamed.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    q = stream_write_dataset(
+        spark.readStream.schema("doc_id long, text string").parquet(src + "/*"),
+        path, ckpt, trigger_available_now=True, refresh_fts=True,
+    )
+    q.awaitTermination(120)
+
+    from flink_connector_lance_spark.sources.maintenance import describe_dataset
+
+    assert describe_dataset(path)["fts"][0]["pending_rows"] == 0
+    grown = spark.read.format("lance").load(path)
+    got = _ranked_rows(fts_search(spark, path, QUERY, k=10))
+    want = _ranked_rows(bm25_search(grown, "text", "doc_id", QUERY, k=10))
+    assert got == want
