@@ -155,3 +155,43 @@ def sample_mixture(
     default_t = F.lit(int(round(default_rate * resolution)))
     thresh = default_t if thresh is None else thresh.otherwise(default_t)
     return df.filter(b < thresh)
+
+
+def shuffle_order(df: DataFrame, id_col: str, num_shards: int,
+                  salt: str = "shuffle") -> DataFrame:
+    """Deterministic global training-order shuffle: adds ``shard`` (md5
+    bucket in [0, num_shards)) and ``pos`` (the md5 hex digest — the
+    within-shard sort key) to every row.
+
+    The training-export primitive: a reproducible, engine-portable
+    permutation of the corpus that needs NO global sort — writing shards
+    is ``repartition(num_shards, "shard").sortWithinPartitions("pos")``,
+    one hash exchange + per-task sorts, never a single-reducer orderBy.
+    The permutation is a pure function of (id, salt): re-running on the
+    same corpus reproduces it exactly (data-loader resumability), a salt
+    change re-deals a fresh epoch order, and appended rows interleave
+    into positions without moving existing ones (sticky).
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    col = F.col(id_col).cast("string")
+    pos = F.md5(F.concat(col, F.lit(":" + salt)))
+    return df.withColumn("pos", pos).withColumn(
+        "shard", (F.conv(F.substring(F.col("pos"), 1, 12), 16, 10)
+                  .cast("long") % num_shards).cast("int"))
+
+
+def export_training_shards(df: DataFrame, id_col: str, path: str,
+                           num_shards: int, salt: str = "shuffle") -> None:
+    """Materialize the deterministic shuffle as ``num_shards`` parquet
+    shard directories (``shard=N/``), each internally ordered by ``pos``
+    — the layout a training data-loader streams directly. One hash
+    exchange; within-task sorts only."""
+    out = shuffle_order(df, id_col, num_shards, salt)
+    (
+        out.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

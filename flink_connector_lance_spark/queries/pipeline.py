@@ -725,6 +725,7 @@ _MIX_RESOLUTION = 10_000
 # cap branch: at most N docs per source (the per-domain crawl cap); the
 # corpus has 25 docs per source at sf0.01, so the cap genuinely drops rows
 _CAP_PER_SOURCE = 10
+_SHUFFLE_SHARDS = 8
 
 
 @register(
@@ -766,6 +767,16 @@ _CAP_PER_SOURCE = 10
           FROM documents)
     WHERE rn <= {_CAP_PER_SOURCE}
     GROUP BY source
+    UNION ALL
+    SELECT 'shuffle' AS kind, shard::VARCHAR AS lang,
+           arg_min(doc_id, pos)::VARCHAR AS split,
+           count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+    FROM (SELECT doc_id, n_chars,
+                 md5(doc_id::VARCHAR || ':shuffle') AS pos,
+                 (('0x' || substring(md5(doc_id::VARCHAR || ':shuffle'), 1, 12))::UBIGINT
+                     % {_SHUFFLE_SHARDS})::INT AS shard
+          FROM documents)
+    GROUP BY shard
     """,
     doc="Three tagged branches of deterministic md5-bucket sampling "
         "(engine-portable, sticky under appends): 'split' — 80/10/10 "
@@ -781,7 +792,14 @@ _CAP_PER_SOURCE = 10
         "row_number definition — proving the skew-safe plan computes the "
         "identical set. The first two are pure codegen projections + one "
         "partial+final aggregate; the cap is bounded-fan-in windows "
-        "(each stage-1 task sees at most 1/4 of a hot key).",
+        "(each stage-1 task sees at most 1/4 of a hot key). 'shuffle' — "
+        "deterministic global training-order shuffle (operators.sampling."
+        "shuffle_order): md5 shard + within-shard md5 position, the "
+        "training-export permutation that needs no global sort "
+        "(repartition + sortWithinPartitions when materialized via "
+        "export_training_shards); per-shard counts plus the FIRST doc in "
+        "shuffle order pin the actual permutation, not just the "
+        "partition sizes.",
 )
 def train_split_stratified(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -803,7 +821,17 @@ def train_split_stratified(spark, sf_dir):
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     ).select(F.lit("cap").alias("kind"), F.col("source").alias("lang"),
              F.lit("kept").alias("split"), "cnt", "avg_chars")
-    return split_rows.unionByName(mix_rows).unionByName(cap_rows)
+    sh = S.shuffle_order(d, "doc_id", _SHUFFLE_SHARDS)
+    shuf_rows = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min(F.struct("pos", "doc_id")).getField("doc_id").alias("first_doc"),
+    ).select(F.lit("shuffle").alias("kind"),
+             F.col("shard").cast("string").alias("lang"),
+             F.col("first_doc").cast("string").alias("split"),
+             "cnt", "avg_chars")
+    return (split_rows.unionByName(mix_rows).unionByName(cap_rows)
+            .unionByName(shuf_rows))
 
 
 @register(

@@ -216,7 +216,12 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
         # declare one (maintenance rewrites, datasource appends) inherit
         # the previous version's, so evolution survives compaction/DELETE/
         # MERGE/clustering without each call site threading it through
-        for inherited in ("schema", "dropped_columns"):
+        # "rollup"/"fts" are table-level properties of rollup-state and
+        # FTS-postings datasets: without inheritance, a maintenance
+        # rewrite (compact/cluster) of those datasets would silently drop
+        # the spec and brick the structure ("not a rollup/fts index").
+        # Refreshes still pass an updated spec explicitly, which wins.
+        for inherited in ("schema", "dropped_columns", "rollup", "fts"):
             if inherited not in new_meta and prev is not None and inherited in prev.meta:
                 new_meta[inherited] = prev.meta[inherited]
         # concurrent evolving appends: this writer computed its schema

@@ -179,7 +179,8 @@ def refresh_fts_index(spark: SparkSession, path: str,
 
 def fts_search(spark: SparkSession, path: str, query: str,
                text_col: str = "text", k: int = 10,
-               k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+               k1: float = BM25_K1, b: float = BM25_B,
+               match_all: bool = False) -> DataFrame:
     """Top-k documents by BM25, touching only the query terms' postings.
 
     Returns ``(id, bm25)`` descending (ties on id), id named after the
@@ -187,6 +188,11 @@ def fts_search(spark: SparkSession, path: str, query: str,
     term; every absent document scores exactly 0.0 under BM25, so this
     equals the full-scan ``bm25_search`` top-k whenever k documents
     match (see module docstring).
+
+    ``match_all=True`` is boolean-AND semantics: only documents
+    containing EVERY query term are scored (one extra null-check over
+    the per-term partials — no additional IO or shuffle). Scores for the
+    surviving documents are unchanged.
     """
     terms = list(dict.fromkeys(t for t in query.split(" ") if t))
     if not terms:
@@ -233,6 +239,11 @@ def fts_search(spark: SparkSession, path: str, query: str,
         F.sum(F.when(F.col("term") == t, F.col("__c"))).alias(f"__t{i}")
         for i, t in enumerate(terms)
     ])
+    if match_all:
+        # AND semantics: a null per-term partial means the document lacks
+        # that term — drop it before ranking (pure filter, no extra IO)
+        for i in range(len(terms)):
+            per_term = per_term.filter(F.col(f"__t{i}").isNotNull())
     total: "F.Column | None" = None
     for i in range(len(terms)):
         part = F.coalesce(F.col(f"__t{i}"), F.lit(0.0))

@@ -292,3 +292,39 @@ def test_resolve_duplicates_without_quality_keeps_lowest_id(spark):
     )
     out = {r.doc_id: r.keep for r in resolve_duplicates(docs, comps).collect()}
     assert out == {5: True, 6: False, 7: False}
+
+
+def test_shuffle_order_and_export(spark, tmp_path, sf_dir):
+    """Deterministic global shuffle: stable across runs, sticky under
+    appends, and export lays out per-shard parquet ordered by pos."""
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.sampling import (
+        export_training_shards,
+        shuffle_order,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = shuffle_order(d, "doc_id", 8).orderBy("shard", "pos").collect()
+    b = shuffle_order(d, "doc_id", 8).orderBy("shard", "pos").collect()
+    assert a == b  # reproducible permutation
+    assert {r["shard"] for r in a} == set(range(8))
+    # a salt change re-deals the order
+    c = shuffle_order(d, "doc_id", 8, salt="epoch2").orderBy("shard", "pos").collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]
+    # sticky: existing rows keep (shard, pos) when new rows appear
+    grown = d.unionByName(
+        d.limit(10).selectExpr("doc_id + 9000000 AS doc_id", "n_chars"))
+    g = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shuffle_order(grown, "doc_id", 8).collect()}
+    for r in a:
+        assert g[r["doc_id"]] == (r["shard"], r["pos"])
+
+    out = str(tmp_path / "shards")
+    export_training_shards(d, "doc_id", out, num_shards=8)
+    import os
+
+    shard_dirs = sorted(n for n in os.listdir(out) if n.startswith("shard="))
+    assert len(shard_dirs) == 8
+    one = spark.read.parquet(os.path.join(out, "shard=3")).collect()
+    poss = [r["pos"] for r in one]
+    assert poss == sorted(poss)  # within-shard order materialized

@@ -221,3 +221,52 @@ def test_streaming_ingestion_keeps_fts_fresh(spark, tmp_path, sf_dir):
     got = _ranked_rows(fts_search(spark, path, QUERY, k=10))
     want = _ranked_rows(bm25_search(grown, "text", "doc_id", QUERY, k=10))
     assert got == want
+
+
+def test_cluster_postings_restores_pruning_and_meta(spark, corpus, sf_dir):
+    """Append-heavy indexes accumulate term-range-overlapping fragments;
+    cluster_dataset on the postings dataset restores tight ranges. The
+    'fts' commit meta must survive the rewrite (fragments.commit
+    inherits it like the schema), or the rewrite would brick the index."""
+    from flink_connector_lance_spark.sources.maintenance import cluster_dataset
+
+    create_fts_index(spark, corpus, "text", "doc_id", max_rows_per_fragment=3000)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for off in (1_000_000, 2_000_000):
+        d.limit(40).select((F.col("doc_id") + off).alias("doc_id"), "text") \
+            .write.format("lance").mode("append").save(corpus)
+        refresh_fts_index(spark, corpus, "text")
+
+    idx = fts_index_path(corpus, "text")
+    before = fts_search(spark, corpus, QUERY, k=10).collect()
+    m = cluster_dataset(spark, idx, by=["term"], target_rows_per_fragment=3000)
+    assert FR.read_manifest(idx).meta.get("fts"), "fts meta lost in rewrite"
+    # ranges disjoint again: a term point lookup prunes
+    r = LanceDataSourceReader({"path": idx})
+    r.pushFilters([In(("term",), ("vector",))])
+    assert len(r.partitions()) < len(m.fragments)
+    # search identical across the rewrite, and refresh still understands
+    # the index (covered-file bookkeeping untouched by index maintenance)
+    after = fts_search(spark, corpus, QUERY, k=10).collect()
+    assert [tuple(x) for x in before] == [tuple(x) for x in after]
+    assert refresh_fts_index(spark, corpus, "text")["mode"] == "noop"
+
+
+def test_match_all_semantics(spark, corpus, sf_dir):
+    """match_all=True keeps only documents containing EVERY query term,
+    with unchanged scores for the survivors."""
+    create_fts_index(spark, corpus, "text", "doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    any_rows = fts_search(spark, corpus, QUERY, k=500).collect()
+    all_rows = fts_search(spark, corpus, QUERY, k=500, match_all=True).collect()
+    assert 0 < len(all_rows) < len(any_rows)
+    # survivors: exactly the docs whose text contains all three terms
+    want_ids = {
+        r["doc_id"] for r in d.collect()
+        if all(t in r["text"].split(" ") for t in QUERY.split(" "))
+    }
+    assert {r["doc_id"] for r in all_rows} == want_ids
+    # scores unchanged vs the OR run
+    any_scores = {r["doc_id"]: r["bm25"] for r in any_rows}
+    for r in all_rows:
+        assert r["bm25"] == any_scores[r["doc_id"]]
