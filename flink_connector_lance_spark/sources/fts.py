@@ -72,20 +72,26 @@ def fts_index_path(path: str, text_col: str) -> str:
     return os.path.join(path, "_indexes", text_col, "fts")
 
 
-def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _postings(df: DataFrame, text_col: str, id_col: str,
+              with_positions: bool = False) -> DataFrame:
     """Explode documents into ``(term, id, tf, dl)`` postings — one row
     per DISTINCT (term, document) pair. All codegen: split once, keep
     the doc length, explode, count duplicates away with a groupBy that
     shuffles on (term, id) — the same key space the clustered write
-    range-partitions next, so AQE coalesces rather than re-shuffling."""
+    range-partitions next, so AQE coalesces rather than re-shuffling.
+
+    ``with_positions=True`` additionally keeps the sorted token offsets
+    of every occurrence (``positions: array<int>``) — the phrase-query
+    enabler, at ~4 bytes/occurrence extra postings storage."""
     toks = df.select(
         F.col(id_col).alias("id"),
         tokens(text_col).alias("__ts"),
-    ).select("id", F.size("__ts").alias("dl"), F.explode("__ts").alias("term"))
-    return (
-        toks.groupBy("term", "id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
+    ).select("id", F.size("__ts").alias("dl"),
+             F.posexplode("__ts").alias("p", "term"))
+    aggs = [F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("p")).alias("positions"))
+    return toks.groupBy("term", "id").agg(*aggs)
 
 
 def _delta_stats(df: DataFrame, text_col: str, id_col: str) -> tuple:
@@ -116,10 +122,12 @@ def _commit_postings(post: DataFrame, idx_path: str, meta: dict,
 
 def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
                      id_col: str = "doc_id",
-                     max_rows_per_fragment: int = 1_000_000) -> dict:
+                     max_rows_per_fragment: int = 1_000_000,
+                     with_positions: bool = False) -> dict:
     """Build (or rebuild) the inverted index for ``text_col``. One
     explode pass + one range shuffle; postings land term-clustered with
-    term blooms. Returns a summary dict."""
+    term blooms. ``with_positions=True`` stores per-occurrence token
+    offsets, enabling ``fts_search_phrase``. Returns a summary dict."""
     m = FR.read_manifest(path)
     base = read_fragment_files(spark, m, FR.fragment_paths(path, m))
     n_docs, sum_dl = _delta_stats(base, text_col, id_col)
@@ -132,7 +140,8 @@ def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
         "sum_dl": sum_dl,
     }
     meta["max_rows_per_fragment"] = int(max_rows_per_fragment)
-    _commit_postings(_postings(base, text_col, id_col),
+    meta["with_positions"] = bool(with_positions)
+    _commit_postings(_postings(base, text_col, id_col, with_positions),
                      fts_index_path(path, text_col), meta, "overwrite",
                      max_rows_per_fragment)
     return {"text_col": text_col, "n_docs": n_docs,
@@ -155,7 +164,8 @@ def refresh_fts_index(spark: SparkSession, path: str,
     cur_files = {f.file for f in cur.fragments}
     if covered - cur_files:
         out = create_fts_index(spark, path, text_col, id_col,
-                               info.get("max_rows_per_fragment", 1_000_000))
+                               info.get("max_rows_per_fragment", 1_000_000),
+                               info.get("with_positions", False))
         return {"mode": "full", **out,
                 "reason": f"{len(covered - cur_files)} covered fragment(s) rewritten"}
     added = [f for f in cur.fragments if f.file not in covered]
@@ -171,8 +181,9 @@ def refresh_fts_index(spark: SparkSession, path: str,
         n_docs=info["n_docs"] + dn,
         sum_dl=info["sum_dl"] + ds,
     )
-    _commit_postings(_postings(delta, text_col, id_col), idx, meta, "append",
-                     info.get("max_rows_per_fragment", 1_000_000))
+    _commit_postings(
+        _postings(delta, text_col, id_col, info.get("with_positions", False)),
+        idx, meta, "append", info.get("max_rows_per_fragment", 1_000_000))
     return {"mode": "incremental", "source_version": cur.version,
             "delta_fragments": len(added), "delta_docs": dn}
 
@@ -251,5 +262,93 @@ def fts_search(spark: SparkSession, path: str, query: str,
     out = per_term.select(
         F.col("id").alias(info["id_col"]),
         F.round(total, 6).alias("bm25"),
+    )
+    return out.orderBy(F.desc("bm25"), F.asc(info["id_col"])).limit(k)
+
+
+def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
+                      text_col: str = "text", k: int = 10,
+                      k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Top-k documents containing ``phrase`` as CONSECUTIVE tokens,
+    ranked by BM25 over the phrase frequency.
+
+    Needs a positional index (``create_fts_index(with_positions=True)``).
+    IO is still O(the phrase's terms' postings): the pushdown read pulls
+    each term's (id, positions) lists, a per-document pivot lines them
+    up, and one codegen ``array_intersect`` chain over SHIFTED position
+    arrays finds phrase starts — position p starts a match iff
+    p ∈ P_0, p+1 ∈ P_1, ..., p+n-1 ∈ P_{n-1}, i.e.
+    ``P_0 ∩ (P_1 - 1) ∩ ... ∩ (P_{n-1} - (n-1))`` is non-empty. The
+    intersection size IS the phrase term frequency (occurrences can
+    overlap, matching the textbook positional-index definition).
+
+    Scoring treats the phrase as one pseudo-term: tf = occurrence count,
+    df = number of matching documents (one tiny aggregate over the
+    candidates), idf/normalization identical to ``bm25_score_of``.
+    Returns ``(id, phrase_tf, bm25)`` descending, ties on id.
+    """
+    terms = [t for t in phrase.split(" ") if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    idx = fts_index_path(path, text_col)
+    try:
+        info = FR.read_manifest(idx).meta.get(_META_KEY)
+    except FileNotFoundError:
+        info = None
+    if not info:
+        raise ValueError(f"no fts index for {text_col!r} at {path} — "
+                         "create_fts_index first")
+    if not info.get("with_positions"):
+        raise ValueError(
+            "phrase search needs a positional index — rebuild with "
+            "create_fts_index(..., with_positions=True)")
+    n = info["n_docs"]
+    avgdl = info["sum_dl"] / max(n, 1)
+    from .datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    post = (
+        spark.read.format("lance").load(idx)
+        .filter(F.col("term").isin(list(dict.fromkeys(terms))))
+        .select("term", "id", "dl", "positions")
+    )
+    # per-document pivot: one positions array per phrase slot (a term
+    # appearing twice in the phrase fills both its slots from the same
+    # posting). Missing slot -> null -> candidate dropped (AND semantics
+    # is a precondition of a phrase match).
+    pivoted = post.groupBy("id").agg(
+        F.first("dl").alias("dl"),
+        *[F.first(F.when(F.col("term") == t, F.col("positions")),
+                  ignorenulls=True).alias(f"__p{i}")
+          for i, t in enumerate(terms)],
+    )
+    for i in range(len(terms)):
+        pivoted = pivoted.filter(F.col(f"__p{i}").isNotNull())
+    def _shift(col, by):
+        # one-arg lambda on purpose: a two-parameter lambda would be
+        # interpreted as transform's (element, array_index) form and the
+        # array index would silently replace the phrase-slot offset
+        return F.transform(col, lambda x: x - F.lit(by))
+
+    starts = F.col("__p0")
+    for i in range(1, len(terms)):
+        starts = F.array_intersect(starts, _shift(F.col(f"__p{i}"), i))
+    cand = (pivoted.withColumn("phrase_tf", F.size(starts))
+            .filter(F.col("phrase_tf") > 0)
+            .select("id", "dl", "phrase_tf"))
+    # df of the pseudo-term = matching doc count: ONE tiny aggregate
+    # broadcast back (same two-pass shape as bm25_corpus_stats)
+    stats = cand.agg(F.count(F.lit(1)).alias("__df"))
+    tf = F.col("phrase_tf").cast("double")
+    dfc = F.col("__df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    score = idf * (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b)
+                          * F.col("dl").cast("double") / F.lit(float(avgdl)))
+    )
+    out = cand.crossJoin(F.broadcast(stats)).select(
+        F.col("id").alias(info["id_col"]),
+        "phrase_tf",
+        F.round(score, 6).alias("bm25"),
     )
     return out.orderBy(F.desc("bm25"), F.asc(info["id_col"])).limit(k)

@@ -270,3 +270,69 @@ def test_match_all_semantics(spark, corpus, sf_dir):
     any_scores = {r["doc_id"]: r["bm25"] for r in any_rows}
     for r in all_rows:
         assert r["bm25"] == any_scores[r["doc_id"]]
+
+
+def test_phrase_search_matches_brute_force(spark, corpus, sf_dir):
+    """Positional phrase search vs a Python brute force over the corpus:
+    same matching docs, same occurrence counts."""
+    from flink_connector_lance_spark.sources.fts import fts_search_phrase
+
+    create_fts_index(spark, corpus, "text", "doc_id", with_positions=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = d.collect()
+
+    # pick a 2-gram that actually occurs a handful of times
+    from collections import Counter
+
+    grams = Counter()
+    for r in rows:
+        ts = r["text"].split(" ")
+        for a, b in zip(ts, ts[1:]):
+            grams[(a, b)] += 1
+    (w1, w2), total = next((g, c) for g, c in grams.most_common()
+                           if 3 <= c <= 200)
+    phrase = f"{w1} {w2}"
+
+    def brute_tf(text):
+        ts = text.split(" ")
+        return sum(1 for a, b2 in zip(ts, ts[1:]) if a == w1 and b2 == w2)
+
+    want = {r["doc_id"]: brute_tf(r["text"]) for r in rows
+            if brute_tf(r["text"]) > 0}
+    got = fts_search_phrase(spark, corpus, phrase, k=10_000).collect()
+    assert {r["doc_id"]: r["phrase_tf"] for r in got} == want
+    # ranked by score desc then id
+    scores = [(r["bm25"], -r["doc_id"]) for r in got]
+    assert scores == sorted(scores, key=lambda x: (-x[0], -x[1]))
+
+
+def test_phrase_search_guards(spark, corpus):
+    from flink_connector_lance_spark.sources.fts import fts_search_phrase
+
+    create_fts_index(spark, corpus, "text", "doc_id")  # no positions
+    with pytest.raises(ValueError, match="with_positions"):
+        fts_search_phrase(spark, corpus, "vector hash")
+    with pytest.raises(ValueError, match="empty phrase"):
+        fts_search_phrase(spark, corpus, "  ")
+    # positional rebuild -> repeated-term phrase works (both slots fill
+    # from the same posting) and an impossible phrase returns empty
+    create_fts_index(spark, corpus, "text", "doc_id", with_positions=True)
+    assert fts_search_phrase(
+        spark, corpus, "zzznota zzzterms", k=5).count() == 0
+
+
+def test_phrase_positions_survive_incremental_refresh(spark, corpus, sf_dir):
+    from flink_connector_lance_spark.sources.fts import fts_search_phrase
+
+    create_fts_index(spark, corpus, "text", "doc_id", with_positions=True)
+    base = {(r["doc_id"], r["phrase_tf"]) for r in
+            fts_search_phrase(spark, corpus, "the vector", k=10_000).collect()}
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.limit(25).select((F.col("doc_id") + 7_000_000).alias("doc_id"), "text") \
+        .write.format("lance").mode("append").save(corpus)
+    out = refresh_fts_index(spark, corpus, "text")
+    assert out["mode"] == "incremental"
+    grown = {(r["doc_id"], r["phrase_tf"]) for r in
+             fts_search_phrase(spark, corpus, "the vector", k=10_000).collect()}
+    assert base <= grown  # old matches intact, appended dups found too
+    assert len(grown) >= len(base)
