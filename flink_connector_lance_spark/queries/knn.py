@@ -50,6 +50,16 @@ def _oracle(dist_expr: str, where: str = "", k: int = 10, extra_cols: str = "") 
 _RRF_TERMS = ["vector", "hash", "join"]
 _RRF_LEG_K = 20
 _RRF_KCONST = 60
+# phrase branch: a fixed consecutive 2-gram present at every tested sf
+# (47 docs at sf0.001, 27 at sf0.01); BM25 constants repr()-ed so both
+# engines parse identical doubles (same convention as _rrf_bm25_sql)
+_PHRASE_W1, _PHRASE_W2 = "order", "fast"
+from ..operators.text import BM25_B as _BM25_B, BM25_K1 as _BM25_K1  # noqa: E402
+
+_RRF_K1P1 = repr(_BM25_K1 + 1.0)
+_RRF_K1R = repr(_BM25_K1)
+_RRF_1MB = repr(1.0 - _BM25_B)
+_RRF_BR = repr(_BM25_B)
 
 
 def _rrf_bm25_sql() -> str:
@@ -300,10 +310,30 @@ def knn_l2_filtered(spark, sf_dir):
               FROM b0 CROSS JOIN st)
         WHERE s > 0
         ORDER BY s DESC, doc_id LIMIT 10
+    ),
+    ph AS (
+        SELECT doc_id,
+               CAST(len(list_filter(generate_series(1, len(ws)-1),
+                    i -> ws[i] = '{_PHRASE_W1}' AND ws[i+1] = '{_PHRASE_W2}'))
+                    AS DOUBLE) AS ptf,
+               CAST(len(ws) AS DOUBLE) AS dl
+        FROM b0
+    ),
+    phm AS (SELECT * FROM ph WHERE ptf > 0),
+    pst AS (SELECT CAST(count(*) AS DOUBLE) AS pdf FROM phm),
+    phr AS (
+        SELECT doc_id AS id,
+               round(ln(1.0 + (st.n - pst.pdf + 0.5) / (pst.pdf + 0.5))
+                     * (ptf * {_RRF_K1P1}) / (ptf + {_RRF_K1R} *
+                       ({_RRF_1MB} + {_RRF_BR} * dl / st.avgdl)), 6) AS score
+        FROM phm CROSS JOIN pst CROSS JOIN st
+        ORDER BY score DESC, doc_id LIMIT 10
     )
     SELECT 'vec' AS kind, id, score FROM vec
     UNION ALL
     SELECT 'text' AS kind, id, score FROM txt
+    UNION ALL
+    SELECT 'phrase' AS kind, id, score FROM phr
     """,
     doc="SQL table-function path, both search modalities as session-scope "
         "UDTFs with analyze()-derived schemas (dataset schema + score "
@@ -314,7 +344,11 @@ def knn_l2_filtered(spark, sf_dir):
         "built inside the query — the udtf reads ONLY the query terms' "
         "postings (manifest zone-map + bloom fragment pruning, pyarrow "
         "row-group pruning) and reproduces the full-scan BM25 scores the "
-        "oracle computes, bit-identically before rounding.",
+        "oracle computes, bit-identically before rounding. 'phrase' "
+        "branch: positional phrase search (sources.fts.fts_search_phrase) "
+        "— consecutive-token match via an array_intersect chain over "
+        "shifted position arrays, BM25-scored as a pseudo-term; the "
+        "oracle recomputes the phrase tf from the raw token arrays.",
 )
 def vector_search_udtf(spark, sf_dir):
     import os
@@ -345,9 +379,16 @@ def vector_search_udtf(spark, sf_dir):
     shutil.rmtree(droot, ignore_errors=True)
     (load_table(spark, sf_dir, "documents").select("doc_id", "text")
      .write.format("lance").mode("overwrite").save(droot))
-    create_fts_index(spark, droot, "text", "doc_id")
+    create_fts_index(spark, droot, "text", "doc_id", with_positions=True)
     txt = spark.sql(f"""
         SELECT 'text' AS kind, doc_id AS id, bm25 AS score
         FROM text_search('{droot}', 'text', '{" ".join(_RRF_TERMS)}', 10)
     """).filter(F.col("score") > 0)
-    return vec.unionAll(txt)
+    # phrase branch: positional postings, consecutive-token match
+    from ..sources.fts import fts_search_phrase
+
+    phr = fts_search_phrase(
+        spark, droot, f"{_PHRASE_W1} {_PHRASE_W2}", k=10
+    ).select(F.lit("phrase").alias("kind"), F.col("doc_id").alias("id"),
+             F.col("bm25").alias("score"))
+    return vec.unionAll(txt).unionAll(phr)

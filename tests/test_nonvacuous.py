@@ -39,7 +39,7 @@ TAGGED_BRANCHES = {
     "dedup_exact": ("kind", {"dedup", "vocab"}),
     "dedup_ngram_jaccard": ("kind", {"pair", "contam", "decon_kept"}),
     "knn_join_batch": ("kind", {"exact", "lsh"}),
-    "vector_search_udtf": ("kind", {"vec", "text"}),
+    "vector_search_udtf": ("kind", {"vec", "text", "phrase"}),
     "train_split_stratified": ("kind", {"split", "mixture", "cap", "shuffle"}),
     "knn_l2_dot": ("metric", {"l2", "dot", "rrf"}),
     "ann_ivf_pq": ("branch", {"adc_refine", "hnsw"}),
