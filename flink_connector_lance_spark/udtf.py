@@ -678,20 +678,38 @@ def _eval_fts(path: str, text_col: str, terms: list[str], k: int):
     return id_col, uniq[top], total[top]
 
 
+def _snippet(text: str, terms: list[str], window: int = 40) -> str:
+    """±window chars around the first query-term hit (token-boundary
+    match), ellipsized; the document head when nothing matches."""
+    toks = text.split(" ")
+    pos = 0
+    for t in toks:
+        if t in terms:
+            start = max(0, pos - window)
+            end = min(len(text), pos + len(t) + window)
+            return (("…" if start > 0 else "") + text[start:end]
+                    + ("…" if end < len(text) else ""))
+        pos += len(t) + 1
+    return text[: 2 * window] + ("…" if len(text) > 2 * window else "")
+
+
 class TextSearchUDTF:
     """Yields the top-k documents for a free-text query by BM25, served
     from the FTS inverted index (sources/fts.py): full document row plus
-    the ``bm25`` score. SQL twin of ``fts_search`` — identical scores
-    (same float operator tree), candidate set = documents containing at
-    least one query term."""
+    the ``bm25`` score and a ``snippet`` (±40 chars around the first
+    hit). SQL twin of ``fts_search`` — identical scores (same float
+    operator tree), candidate set = documents containing at least one
+    query term."""
 
     @staticmethod
     def analyze(path, text_col, query, k):
         from pyspark.sql.functions import AnalyzeResult
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StringType
 
         schema = from_arrow_schema(_read_schema(path.value))
-        out = StructType(schema.fields).add("bm25", DoubleType())
+        out = (StructType(schema.fields).add("bm25", DoubleType())
+               .add("snippet", StringType()))
         return AnalyzeResult(schema=out)
 
     def eval(self, path: str, text_col: str, query: str, k: int) -> Iterator[tuple]:
@@ -709,7 +727,9 @@ class TextSearchUDTF:
                                   schema=dschema)
         rows = {int(r[id_col]): r for r in rows_tbl.to_pylist()}
         for i, s in zip(top_ids.tolist(), top_scores.tolist()):
-            yield tuple(rows[i].values()) + (float(s),)
+            row = rows[i]
+            snip = _snippet(str(row.get(text_col) or ""), terms)
+            yield tuple(row.values()) + (float(s), snip)
 
 
 def register_text_search(spark: SparkSession, name: str = "text_search") -> None:

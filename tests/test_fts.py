@@ -133,9 +133,12 @@ def test_text_search_udtf_matches_fts_search(spark, corpus, sf_dir):
     want = fts_search(spark, corpus, QUERY, k=5).collect()
     assert [(r["doc_id"], r["bm25"]) for r in got] == [tuple(r) for r in want]
     # full document row rides along (SQL users get the text back)
-    cols = spark.sql(
-        f"SELECT * FROM text_search('{corpus}', 'text', '{QUERY}', 1)").columns
-    assert cols == ["doc_id", "text", "bm25"]
+    one = spark.sql(
+        f"SELECT * FROM text_search('{corpus}', 'text', '{QUERY}', 1)").collect()[0]
+    assert list(one.asDict()) == ["doc_id", "text", "bm25", "snippet"]
+    # the snippet centers on a query-term hit
+    assert any(t in one["snippet"].split(" ") or t in one["snippet"]
+               for t in QUERY.split(" "))
 
 
 def test_text_search_udtf_validation(spark, corpus):
