@@ -66,6 +66,35 @@ from .reader import read_fragment_files
 from .writer import write_dataset
 
 _META_KEY = "fts"
+_ANALYZERS = ("whitespace", "simple")
+
+
+def _analyze_col(text_col: str, analyzer: str):
+    """Token-array Column under ``analyzer``: 'whitespace' is the corpus
+    tokenizer shared with operators.text (exact bm25_search parity);
+    'simple' lowercases and splits on alphanumeric runs (the Lucene
+    SimpleAnalyzer shape — case/punctuation-insensitive search, still a
+    pure codegen expression)."""
+    if analyzer == "whitespace":
+        return tokens(text_col)
+    if analyzer == "simple":
+        return F.regexp_extract_all(F.lower(F.col(text_col)),
+                                    F.lit("[a-z0-9]+"), 0)
+    raise ValueError(f"unknown analyzer {analyzer!r}; one of {_ANALYZERS}")
+
+
+def analyze_query(query: str, analyzer: str = "whitespace") -> list:
+    """The query-side twin of ``_analyze_col`` (must tokenize queries
+    EXACTLY like the indexed text, or postings lookups miss)."""
+    import re
+
+    if analyzer == "whitespace":
+        raw = query.split(" ")
+    elif analyzer == "simple":
+        raw = re.findall(r"[a-z0-9]+", query.lower())
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {_ANALYZERS}")
+    return [t for t in raw if t]
 
 
 def fts_index_path(path: str, text_col: str) -> str:
@@ -73,7 +102,8 @@ def fts_index_path(path: str, text_col: str) -> str:
 
 
 def _postings(df: DataFrame, text_col: str, id_col: str,
-              with_positions: bool = False) -> DataFrame:
+              with_positions: bool = False,
+              analyzer: str = "whitespace") -> DataFrame:
     """Explode documents into ``(term, id, tf, dl)`` postings — one row
     per DISTINCT (term, document) pair. All codegen: split once, keep
     the doc length, explode, count duplicates away with a groupBy that
@@ -85,7 +115,7 @@ def _postings(df: DataFrame, text_col: str, id_col: str,
     enabler, at ~4 bytes/occurrence extra postings storage."""
     toks = df.select(
         F.col(id_col).alias("id"),
-        tokens(text_col).alias("__ts"),
+        _analyze_col(text_col, analyzer).alias("__ts"),
     ).select("id", F.size("__ts").alias("dl"),
              F.posexplode("__ts").alias("p", "term"))
     aggs = [F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")]
@@ -94,12 +124,13 @@ def _postings(df: DataFrame, text_col: str, id_col: str,
     return toks.groupBy("term", "id").agg(*aggs)
 
 
-def _delta_stats(df: DataFrame, text_col: str, id_col: str) -> tuple:
+def _delta_stats(df: DataFrame, text_col: str, id_col: str,
+                 analyzer: str = "whitespace") -> tuple:
     """(n_docs, sum_dl) of a corpus slice — ONE map-combinable aggregate,
     driver receives a single row."""
     row = df.select(
         F.count(F.col(id_col)).alias("n"),
-        F.sum(F.size(tokens(text_col))).alias("s"),
+        F.sum(F.size(_analyze_col(text_col, analyzer))).alias("s"),
     ).first()
     return int(row["n"]), int(row["s"] or 0)
 
@@ -123,14 +154,19 @@ def _commit_postings(post: DataFrame, idx_path: str, meta: dict,
 def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_rows_per_fragment: int = 1_000_000,
-                     with_positions: bool = False) -> dict:
+                     with_positions: bool = False,
+                     analyzer: str = "whitespace") -> dict:
     """Build (or rebuild) the inverted index for ``text_col``. One
     explode pass + one range shuffle; postings land term-clustered with
     term blooms. ``with_positions=True`` stores per-occurrence token
-    offsets, enabling ``fts_search_phrase``. Returns a summary dict."""
+    offsets, enabling ``fts_search_phrase``; ``analyzer`` picks the
+    tokenizer (see ``_analyze_col`` — queries are analyzed identically
+    at search time). Returns a summary dict."""
+    if analyzer not in _ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {_ANALYZERS}")
     m = FR.read_manifest(path)
     base = read_fragment_files(spark, m, FR.fragment_paths(path, m))
-    n_docs, sum_dl = _delta_stats(base, text_col, id_col)
+    n_docs, sum_dl = _delta_stats(base, text_col, id_col, analyzer)
     meta = {
         "text_col": text_col,
         "id_col": id_col,
@@ -141,9 +177,11 @@ def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
     }
     meta["max_rows_per_fragment"] = int(max_rows_per_fragment)
     meta["with_positions"] = bool(with_positions)
-    _commit_postings(_postings(base, text_col, id_col, with_positions),
-                     fts_index_path(path, text_col), meta, "overwrite",
-                     max_rows_per_fragment)
+    meta["analyzer"] = analyzer
+    _commit_postings(
+        _postings(base, text_col, id_col, with_positions, analyzer),
+        fts_index_path(path, text_col), meta, "overwrite",
+        max_rows_per_fragment)
     return {"text_col": text_col, "n_docs": n_docs,
             "source_version": m.version,
             "covered_fragments": len(m.fragments)}
@@ -165,7 +203,8 @@ def refresh_fts_index(spark: SparkSession, path: str,
     if covered - cur_files:
         out = create_fts_index(spark, path, text_col, id_col,
                                info.get("max_rows_per_fragment", 1_000_000),
-                               info.get("with_positions", False))
+                               info.get("with_positions", False),
+                               info.get("analyzer", "whitespace"))
         return {"mode": "full", **out,
                 "reason": f"{len(covered - cur_files)} covered fragment(s) rewritten"}
     added = [f for f in cur.fragments if f.file not in covered]
@@ -173,7 +212,8 @@ def refresh_fts_index(spark: SparkSession, path: str,
         return {"mode": "noop", "source_version": info["source_version"]}
     delta = read_fragment_files(
         spark, cur, [os.path.join(path, f.file) for f in added])
-    dn, ds = _delta_stats(delta, text_col, id_col)
+    dn, ds = _delta_stats(delta, text_col, id_col,
+                          info.get("analyzer", "whitespace"))
     meta = dict(info)
     meta.update(
         covered_files=[f.file for f in cur.fragments],
@@ -182,7 +222,8 @@ def refresh_fts_index(spark: SparkSession, path: str,
         sum_dl=info["sum_dl"] + ds,
     )
     _commit_postings(
-        _postings(delta, text_col, id_col, info.get("with_positions", False)),
+        _postings(delta, text_col, id_col, info.get("with_positions", False),
+                  info.get("analyzer", "whitespace")),
         idx, meta, "append", info.get("max_rows_per_fragment", 1_000_000))
     return {"mode": "incremental", "source_version": cur.version,
             "delta_fragments": len(added), "delta_docs": dn}
@@ -205,9 +246,6 @@ def fts_search(spark: SparkSession, path: str, query: str,
     the per-term partials — no additional IO or shuffle). Scores for the
     surviving documents are unchanged.
     """
-    terms = list(dict.fromkeys(t for t in query.split(" ") if t))
-    if not terms:
-        raise ValueError("empty query")
     idx = fts_index_path(path, text_col)
     try:
         info = FR.read_manifest(idx).meta.get(_META_KEY)
@@ -216,6 +254,10 @@ def fts_search(spark: SparkSession, path: str, query: str,
     if not info:
         raise ValueError(f"no fts index for {text_col!r} at {path} — "
                          "create_fts_index first")
+    terms = list(dict.fromkeys(
+        analyze_query(query, info.get("analyzer", "whitespace"))))
+    if not terms:
+        raise ValueError("empty query")
     n, avgdl = info["n_docs"], info["sum_dl"] / max(info["n_docs"], 1)
     from .datasource import register_lance_datasource
 
@@ -287,9 +329,6 @@ def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
     candidates), idf/normalization identical to ``bm25_score_of``.
     Returns ``(id, phrase_tf, bm25)`` descending, ties on id.
     """
-    terms = [t for t in phrase.split(" ") if t]
-    if not terms:
-        raise ValueError("empty phrase")
     idx = fts_index_path(path, text_col)
     try:
         info = FR.read_manifest(idx).meta.get(_META_KEY)
@@ -298,6 +337,9 @@ def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
     if not info:
         raise ValueError(f"no fts index for {text_col!r} at {path} — "
                          "create_fts_index first")
+    terms = analyze_query(phrase, info.get("analyzer", "whitespace"))
+    if not terms:
+        raise ValueError("empty phrase")
     if not info.get("with_positions"):
         raise ValueError(
             "phrase search needs a positional index — rebuild with "

@@ -627,31 +627,52 @@ def _fts_prune_fragments(idx_path: str, terms: list[str]):
     return m, keep
 
 
-def _eval_fts(path: str, text_col: str, terms: list[str], k: int):
+_FTS_UDTF_MAX_POSTINGS = 5_000_000
+
+
+def _eval_fts(path: str, text_col: str, query: str, k: int):
     """BM25 over the FTS postings index, in-process: zone-map + bloom
     fragment pruning, pyarrow row-group-pruned posting reads, the same
-    left-to-right query-order float sum as sources.fts.fts_search."""
+    left-to-right query-order float sum as sources.fts.fts_search. The
+    query is tokenized with the INDEX's analyzer (meta), mirroring
+    fts_search. Returns (id_col, terms, top_ids, top_scores)."""
     import pyarrow.dataset as pads
 
     from .operators.text import BM25_B, BM25_K1
+    from .sources.fts import analyze_query
+
+    from .sources import fragments as _FR
 
     idx_path = os.path.join(path, "_indexes", text_col, "fts")
     try:
-        m, files = _fts_prune_fragments(idx_path, terms)
+        m0 = _FR.read_manifest(idx_path)
     except FileNotFoundError:
         raise ValueError(f"no fts index for {text_col!r} at {path} — "
                          "create_fts_index first")
-    info = m.meta.get("fts")
+    info = m0.meta.get("fts")
     if not info:
         raise ValueError(f"{idx_path} is not an fts index")
+    terms = list(dict.fromkeys(
+        analyze_query(query, info.get("analyzer", "whitespace"))))
+    if not terms:
+        raise ValueError("empty query")
+    m, files = _fts_prune_fragments(idx_path, terms)
     n = float(info["n_docs"])
     avgdl = info["sum_dl"] / max(info["n_docs"], 1)
     id_col = info["id_col"]
     if not files:
-        return id_col, np.empty(0, np.int64), np.empty(0)
+        return id_col, terms, np.empty(0, np.int64), np.empty(0)
     ds = pads.dataset(files, format="parquet")
     tbl = ds.to_table(columns=["term", "id", "tf", "dl"],
                       filter=pads.field("term").isin(terms))
+    # the UDTF scores in ONE python worker — right for interactive k-row
+    # lookups, wrong for stop-word-sized posting lists. The distributed
+    # fts_search shards the same computation; refuse instead of OOMing.
+    if tbl.num_rows > _FTS_UDTF_MAX_POSTINGS:
+        raise ValueError(
+            f"query terms match {tbl.num_rows} postings (> "
+            f"{_FTS_UDTF_MAX_POSTINGS}) — too large for the in-process "
+            "SQL route; use sources.fts.fts_search (distributed) instead")
     t_arr = tbl.column("term").to_pylist()
     ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
     tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -675,7 +696,7 @@ def _eval_fts(path: str, text_col: str, terms: list[str], k: int):
         total = total + part
     total = np.round(total, 6)
     top = np.lexsort((uniq, -total))[:k]
-    return id_col, uniq[top], total[top]
+    return id_col, terms, uniq[top], total[top]
 
 
 def _snippet(text: str, terms: list[str], window: int = 40) -> str:
@@ -713,13 +734,11 @@ class TextSearchUDTF:
         return AnalyzeResult(schema=out)
 
     def eval(self, path: str, text_col: str, query: str, k: int) -> Iterator[tuple]:
-        terms = list(dict.fromkeys(t for t in str(query).split(" ") if t))
-        if not terms:
-            raise ValueError("empty query")
         k = int(k)
         if k < 0:
             raise ValueError("k must be >= 0")
-        id_col, top_ids, top_scores = _eval_fts(path, text_col, terms, k)
+        id_col, terms, top_ids, top_scores = _eval_fts(
+            path, text_col, str(query), k)
         if top_ids.size == 0:
             return
         dschema = _read_schema(path) if _is_fragment_dataset(path) else None

@@ -339,3 +339,30 @@ def test_phrase_positions_survive_incremental_refresh(spark, corpus, sf_dir):
              fts_search_phrase(spark, corpus, "the vector", k=10_000).collect()}
     assert base <= grown  # old matches intact, appended dups found too
     assert len(grown) >= len(base)
+
+
+def test_simple_analyzer_case_insensitive(spark, tmp_path, sf_dir):
+    """analyzer='simple': lowercased alnum-run tokens — a cased/punctuated
+    query still matches; brute-force python mirror pins the scores' doc
+    set and the analyzer round-trips through refresh."""
+    import re
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "cased")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.initcap("text"), F.lit(" TRAILER!")).alias("text"))
+    d.write.format("lance").mode("overwrite").save(path)
+    create_fts_index(spark, path, "text", "doc_id", analyzer="simple")
+
+    got = fts_search(spark, path, "VECTOR, Hash; join", k=10_000).collect()
+    want_ids = set()
+    for r in d.collect():
+        ts = re.findall(r"[a-z0-9]+", r["text"].lower())
+        if any(t in ts for t in ("vector", "hash", "join")):
+            want_ids.add(r["doc_id"])
+    assert {r["doc_id"] for r in got} == want_ids
+    # whitespace index on the same cased corpus misses (Initcap tokens)
+    create_fts_index(spark, path, "text", "doc_id", analyzer="whitespace")
+    assert fts_search(spark, path, "vector hash join", k=10).count() == 0
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        create_fts_index(spark, path, "text", "doc_id", analyzer="nope")
