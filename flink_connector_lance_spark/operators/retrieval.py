@@ -120,3 +120,60 @@ def hybrid_search_indexed(spark, docs_path: str, query: str, emb: DataFrame,
         [F.asc("_distance"), F.asc(vec_id_col)],
     )
     return rrf_fuse([(vec, vec_id_col), (lex, id_col)], k=k, rrf_k=rrf_k)
+
+
+def rerank_topk(candidates: DataFrame, candidate_id_col: str,
+                docs: DataFrame, text_col: str, doc_id_col: str,
+                query: str, k: int = 10, scorer=None) -> DataFrame:
+    """Second-stage reranking: re-score a retrieval candidate list
+    against the query and keep the top-k.
+
+    The standard retrieve-then-rerank shape: a cheap first stage
+    (hybrid/FTS/ANN) returns N candidates, an expensive pairwise scorer
+    re-orders them. ``candidates`` is K-row, so the doc fetch is a
+    broadcast semi-join into the corpus scan (pushdown-friendly), and
+    scoring touches exactly N rows — the corpus is never re-scored.
+
+    ``scorer(texts: pandas.Series, query: str) -> pandas.Series[float]``
+    is the cross-encoder hook, executed through an Arrow-batched
+    ``mapInPandas`` (model-inference batch shape; no per-row Python).
+    The default is a deterministic lexical-overlap proxy (token Jaccard
+    against the query) — dependency-free stand-in that keeps the
+    plumbing real and testable where no model runtime exists, same
+    stub contract as operators/multimodal's decode.
+
+    Returns ``(id, rerank_score)`` descending, ties on id.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    q_terms = [t for t in query.split(" ") if t]
+    if not q_terms:
+        raise ValueError("empty query")
+
+    cand_ids = candidates.select(F.col(candidate_id_col).alias(doc_id_col))
+    pairs = docs.join(F.broadcast(cand_ids), on=doc_id_col, how="left_semi") \
+                .select(doc_id_col, text_col)
+
+    if scorer is None:
+        def scorer(texts, q=query):  # noqa: ANN001 — pandas Series in/out
+            qs = set(q.split(" "))
+            def jac(t):
+                ts = set(str(t).split(" "))
+                u = len(ts | qs)
+                return len(ts & qs) / u if u else 0.0
+            return texts.map(jac)
+
+    out_schema = f"{doc_id_col} long, rerank_score double"
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                doc_id_col: pdf[doc_id_col],
+                "rerank_score": pd.Series(
+                    scorer(pdf[text_col], query), dtype="float64").round(6),
+            })
+
+    scored = pairs.mapInPandas(_score, schema=out_schema)
+    return scored.orderBy(F.desc("rerank_score"), F.asc(doc_id_col)).limit(k)

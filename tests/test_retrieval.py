@@ -82,3 +82,28 @@ def test_hybrid_indexed_matches_full_scan(spark, tmp_path, sf_dir):
     idx = hybrid_search_indexed(spark, path, QUERY,
                                 e, "embedding", "vec_id", QVEC, k=10).collect()
     assert [tuple(r) for r in full] == [tuple(r) for r in idx]
+
+
+def test_rerank_topk(spark, sf_dir):
+    from flink_connector_lance_spark.operators.retrieval import rerank_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    cands = hybrid_search(d, "text", "doc_id", QUERY,
+                          e, "embedding", "vec_id", QVEC, k=50)
+    out = rerank_topk(cands, "id", d, "text", "doc_id", QUERY, k=10).collect()
+    assert len(out) == 10
+    scores = [r["rerank_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # rerank output comes from the candidate set only
+    cand_ids = {r["id"] for r in cands.collect()}
+    assert {r["doc_id"] for r in out} <= cand_ids
+    # default proxy scorer: deterministic across runs
+    again = rerank_topk(cands, "id", d, "text", "doc_id", QUERY, k=10).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+    # custom scorer hook (cross-encoder stand-in): takes (texts, query)
+    out2 = rerank_topk(cands, "id", d, "text", "doc_id", QUERY, k=5,
+                       scorer=lambda texts, q: texts.str.len() * 1.0).collect()
+    assert len(out2) == 5
+    lens = [r["rerank_score"] for r in out2]
+    assert lens == sorted(lens, reverse=True)
