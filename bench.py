@@ -37,6 +37,12 @@ HEADLINE = [
     "ann_ivf_pq",
     "text_pii_redact",
     "pack_sequences",
+    # round-6 append: exact KNN (l2+dot) plus the hybrid-retrieval RRF
+    # branch (BM25 leg + cosine leg + rank fusion) in one query — the
+    # retrieval family's bench presence. Appending grows the headline
+    # total vs earlier rounds by this query's cost; per-query timings
+    # stay comparable.
+    "knn_l2_dot",
 ]
 
 
