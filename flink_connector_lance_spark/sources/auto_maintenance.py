@@ -54,6 +54,10 @@ class MaintenancePolicy:
     keep_versions: "int | None" = 2
     refresh_rollups: bool = True
     refresh_fts: bool = True
+    # re-cluster an FTS postings dataset once incremental refreshes have
+    # fragmented it past this count (each append overlaps the old term
+    # ranges, decaying pruning selectivity); None disables
+    max_fts_fragments: "int | None" = 64
 
 
 def run_maintenance(
@@ -131,7 +135,7 @@ def run_maintenance(
     # 3b. FTS inverted indexes (append deltas merge incrementally; a
     # covered-file rewrite triggers the full rebuild inside refresh)
     if p.refresh_fts:
-        from .fts import refresh_fts_index
+        from .fts import fts_index_path, refresh_fts_index
 
         for fx in desc.get("fts", []):
             step(
@@ -140,6 +144,32 @@ def run_maintenance(
                 f"pending_rows {fx['pending_rows']}, needs_full {fx['needs_full']}",
                 lambda col=fx["column"]: refresh_fts_index(spark, path, col),
             )
+            # 3c. postings-layout upkeep: incremental refreshes append
+            # term-range-overlapping fragments; past the threshold,
+            # re-cluster the postings dataset on term so zone maps prune
+            # tightly again ('fts' meta survives — fragments.commit
+            # inherits it like the schema)
+            if p.max_fts_fragments is not None:
+                idxp = fts_index_path(path, fx["column"])
+                try:
+                    im = FR.read_manifest(idxp)
+                except FileNotFoundError:
+                    continue
+                nfrag = len(im.fragments)
+                # fragment granularity comes from the INDEX's own build
+                # parameter, not the table policy — postings rows are
+                # hundreds of times smaller than table rows
+                rows_per = im.meta.get("fts", {}).get(
+                    "max_rows_per_fragment", 1_000_000)
+                step(
+                    f"cluster_fts:{fx['column']}",
+                    nfrag > p.max_fts_fragments,
+                    f"postings fragments {nfrag} "
+                    f"(threshold {p.max_fts_fragments})",
+                    lambda ip=idxp, r=rows_per: {"new_version": cluster_dataset(
+                        spark, ip, by=["term"], target_rows_per_fragment=r,
+                    ).version},
+                )
 
     # 4. indexes (refresh_index itself re-checks and no-ops below the bar)
     for idx in desc["indexes"]:

@@ -366,3 +366,39 @@ def test_simple_analyzer_case_insensitive(spark, tmp_path, sf_dir):
     assert fts_search(spark, path, "vector hash join", k=10).count() == 0
     with pytest.raises(ValueError, match="unknown analyzer"):
         create_fts_index(spark, path, "text", "doc_id", analyzer="nope")
+
+
+def test_auto_maintenance_reclusters_fragmented_postings(spark, corpus, sf_dir):
+    from flink_connector_lance_spark.sources.auto_maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    create_fts_index(spark, corpus, "text", "doc_id", max_rows_per_fragment=3000)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for off in (1_000_000, 2_000_000, 3_000_000):
+        d.limit(30).select((F.col("doc_id") + off).alias("doc_id"), "text") \
+            .write.format("lance").mode("append").save(corpus)
+        refresh_fts_index(spark, corpus, "text")
+    idx = fts_index_path(corpus, "text")
+    nfrag = len(FR.read_manifest(idx).fragments)
+    assert nfrag >= 5  # base splits + one per refresh
+
+    before = fts_search(spark, corpus, QUERY, k=10).collect()
+    report = run_maintenance(
+        spark, corpus,
+        MaintenancePolicy(keep_versions=None, target_rows_per_fragment=1,
+                          max_fts_fragments=4))
+    st = [s for s in report["steps"] if s["step"] == "cluster_fts:text"]
+    assert st and st[0]["due"]
+    assert FR.read_manifest(idx).meta.get("fts")  # spec survived
+    assert len(FR.read_manifest(idx).fragments) < nfrag  # layout compacted
+    after = fts_search(spark, corpus, QUERY, k=10).collect()
+    assert [tuple(x) for x in before] == [tuple(x) for x in after]
+    # steady state: under the default threshold a second pass is not due
+    report2 = run_maintenance(
+        spark, corpus,
+        MaintenancePolicy(keep_versions=None, target_rows_per_fragment=1),
+        dry_run=True)
+    st2 = [s for s in report2["steps"] if s["step"] == "cluster_fts:text"]
+    assert st2 and not st2[0]["due"]
