@@ -186,3 +186,42 @@ def knn_join_lsh(
         dist = F.round(dist, round_digits)
     skinny = scored.select(F.col(query_id), F.col(corpus_id), dist.alias(distance_col))
     return _topk_per_query(skinny, query_id, corpus_id, distance_col, k, salt_partitions)
+
+
+def knn_per_group(
+    df: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    group_col: str,
+    k: int = 10,
+    metric: str = "l2",
+    distance_col: str = "_distance",
+    tiebreak_cols: Sequence[str] = (),
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k nearest rows to ``query`` WITHIN every ``group_col`` value —
+    per-category nearest neighbors in one pass ("the 3 closest docs per
+    label/language/source").
+
+    One hash shuffle on the group key + a per-group sort bounded by the
+    group's size (window row_number), never a global sort; the distance
+    projection is the same unrolled codegen expression as ``knn``. Skewed
+    groups pay their own sort — for a pathologically hot group, pre-filter
+    it and run plain ``knn`` on that slice instead.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    q = V.validate_query_vector(query)
+    dist = V.distance(vector_col, q, metric)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    from pyspark.sql import Window
+
+    order = [F.asc(distance_col), *[F.asc(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn(distance_col, dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -203,7 +203,8 @@ def _join_sig_sql(vec: str) -> str:
 @register(
     "knn_join_batch",
     oracle=f"""
-    WITH pl AS (SELECT {_join_planes_sql()}),
+    WITH qv AS (SELECT {_QSQL} AS q),
+    pl AS (SELECT {_join_planes_sql()}),
     q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                ({_join_sig_sql('embedding::DOUBLE[]')}) AS sig
@@ -246,10 +247,20 @@ def _join_sig_sql(vec: str) -> str:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY _distance, vec_id) AS rn
         FROM ld
+    ),
+    g AS (
+        SELECT label, vec_id, _distance,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY _distance, vec_id) AS rn
+        FROM (SELECT label, vec_id, {_COS} AS _distance FROM embeddings, qv)
     )
     SELECT 'exact' AS kind, query_id, vec_id, _distance FROM r WHERE rn <= 3
     UNION ALL
     SELECT 'lsh' AS kind, query_id, vec_id, _distance FROM lr WHERE rn <= 3
+    UNION ALL
+    SELECT 'per_label' AS kind, CAST(label AS BIGINT) AS query_id,
+           vec_id, _distance
+    FROM g WHERE rn <= 3
     """,
     doc="Batch similarity search (k-NN join) in two tagged branches: "
         "'exact' — top-3 corpus neighbors for each of 5 query vectors, "
@@ -277,7 +288,19 @@ def knn_join_batch(spark, sf_dir):
                        metric="l2").select(
         F.lit("lsh").alias("kind"), "query_id", "vec_id", "_distance"
     )
-    return exact.unionByName(lsh)
+    # per-group branch: top-3 cosine neighbors of QVEC within every label
+    # (operators.knn.knn_per_group — one hash shuffle on the group key +
+    # per-group bounded sort, never a global sort); label doubles as the
+    # query_id so all three branches share one schema
+    from ..operators.knn import knn_per_group
+
+    per = knn_per_group(e, "embedding", QVEC, "label", k=3, metric="cosine",
+                        tiebreak_cols=["vec_id"], round_digits=6).select(
+        F.lit("per_label").alias("kind"),
+        F.col("label").cast("long").alias("query_id"),
+        "vec_id", "_distance",
+    )
+    return exact.unionByName(lsh).unionByName(per)
 
 
 @register(

@@ -38,7 +38,7 @@ def test_produces_rows(name, spark, sf_dir):
 TAGGED_BRANCHES = {
     "dedup_exact": ("kind", {"dedup", "vocab"}),
     "dedup_ngram_jaccard": ("kind", {"pair", "contam", "decon_kept"}),
-    "knn_join_batch": ("kind", {"exact", "lsh"}),
+    "knn_join_batch": ("kind", {"exact", "lsh", "per_label"}),
     "vector_search_udtf": ("kind", {"vec", "text", "phrase"}),
     "train_split_stratified": ("kind", {"split", "mixture", "cap", "shuffle"}),
     "knn_l2_dot": ("metric", {"l2", "dot", "rrf"}),
