@@ -107,3 +107,26 @@ def test_rerank_topk(spark, sf_dir):
     assert len(out2) == 5
     lens = [r["rerank_score"] for r in out2]
     assert lens == sorted(lens, reverse=True)
+
+
+def test_knn_per_group_semantics(spark, sf_dir):
+    from flink_connector_lance_spark.operators.knn import knn, knn_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = knn_per_group(e, "embedding", QVEC, "label", k=3, metric="l2",
+                        tiebreak_cols=["vec_id"], round_digits=6)
+    rows = out.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append((r["_distance"], r["vec_id"]))
+    # every group: <= 3 rows, and exactly the group-filtered global knn
+    for lbl, got in by_label.items():
+        want = [(r["_distance"], r["vec_id"]) for r in
+                knn(e.filter(F.col("label") == lbl), "embedding", QVEC, k=3,
+                    metric="l2", tiebreak_cols=["vec_id"],
+                    round_digits=6).collect()]
+        assert sorted(got) == sorted(want), f"label {lbl}"
+    # all labels present
+    assert set(by_label) == {r["label"] for r in e.select("label").distinct().collect()}
+    with pytest.raises(ValueError):
+        knn_per_group(e, "embedding", QVEC, "label", k=-1)
