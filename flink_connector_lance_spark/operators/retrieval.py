@@ -108,8 +108,15 @@ def hybrid_search_indexed(spark, docs_path: str, query: str, emb: DataFrame,
     from ..sources import fragments as FR
     from .knn import knn
 
-    id_col = FR.read_manifest(
-        fts_index_path(docs_path, text_col)).meta["fts"]["id_col"]
+    try:
+        info = FR.read_manifest(fts_index_path(docs_path, text_col)).meta.get("fts")
+    except FileNotFoundError:
+        info = None
+    if not info:
+        raise ValueError(f"no fts index for {text_col!r} at {docs_path} — "
+                         "create_fts_index first (hybrid_search is the "
+                         "index-free full-scan twin)")
+    id_col = info["id_col"]
     lex = with_rank(
         fts_search(spark, docs_path, query, text_col=text_col, k=leg_k),
         [F.desc("bm25"), F.asc(id_col)],
@@ -163,7 +170,8 @@ def rerank_topk(candidates: DataFrame, candidate_id_col: str,
                 return len(ts & qs) / u if u else 0.0
             return texts.map(jac)
 
-    out_schema = f"{doc_id_col} long, rerank_score double"
+    id_type = docs.schema[doc_id_col].dataType.simpleString()
+    out_schema = f"{doc_id_col} {id_type}, rerank_score double"
 
     def _score(batches):
         import pandas as pd

@@ -63,9 +63,7 @@ _RRF_BR = repr(_BM25_B)
 
 
 def _rrf_bm25_sql() -> str:
-    from ..operators.text import BM25_B as _b, BM25_K1 as _k1
-
-    k1p1, one_m_b, k1r, br = repr(_k1 + 1.0), repr(1.0 - _b), repr(_k1), repr(_b)
+    k1p1, one_m_b, k1r, br = _RRF_K1P1, _RRF_1MB, _RRF_K1R, _RRF_BR
     contribs = []
     for i, t in enumerate(_RRF_TERMS):
         tf = f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE)"
@@ -374,9 +372,6 @@ def knn_l2_filtered(spark, sf_dir):
         "oracle recomputes the phrase tf from the raw token arrays.",
 )
 def vector_search_udtf(spark, sf_dir):
-    import os
-    import tempfile
-
     from ..sources.datasource import register_lance_datasource
     from ..sources.fts import create_fts_index
     from ..udtf import register_text_search, register_vector_search
@@ -394,12 +389,11 @@ def vector_search_udtf(spark, sf_dir):
     # _workdir convention as the sources_q queries).
     register_lance_datasource(spark)
     register_text_search(spark)
-    sfname = os.path.basename(sf_dir.rstrip("/"))
-    droot = os.path.join(tempfile.gettempdir(), "fcls_datasets",
-                         f"ftsudtf-{sfname}-{os.getpid()}")
-    import shutil
+    # runtime import: sources_q registers AFTER this module — a top-level
+    # import would reorder the driver-visible registration sequence
+    from .sources_q import _workdir
 
-    shutil.rmtree(droot, ignore_errors=True)
+    droot = _workdir("ftsudtf", sf_dir)
     (load_table(spark, sf_dir, "documents").select("doc_id", "text")
      .write.format("lance").mode("overwrite").save(droot))
     create_fts_index(spark, droot, "text", "doc_id", with_positions=True)

@@ -84,10 +84,16 @@ def _normalize_aggs(aggs: dict) -> "list[dict]":
         params: "tuple | None" = None
         if isinstance(spec, str):
             fn, col = spec, None
-        elif len(spec) == 2:
-            fn, col = spec
+        elif isinstance(spec, (tuple, list)) and len(spec) >= 2:
+            if len(spec) == 2:
+                fn, col = spec
+            else:
+                fn, col, params = spec[0], spec[1], tuple(spec[2:])
         else:
-            fn, col, params = spec[0], spec[1], tuple(spec[2:])
+            raise ValueError(
+                f"malformed rollup aggregate spec for {alias!r}: {spec!r} — "
+                "expected 'count', (fn, col), or (fn, col, *params)"
+            )
         fn = fn.lower()
         if fn not in _FNS:
             raise ValueError(

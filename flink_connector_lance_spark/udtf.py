@@ -603,28 +603,23 @@ def register_vector_search(spark: SparkSession, name: str = "vector_search") -> 
 
 # --- full-text search UDTF ---------------------------------------------------
 
-def _fts_prune_fragments(idx_path: str, terms: list[str]):
-    """Manifest-stats fragment pruning for a term lookup, driver/worker
-    agnostic (plain JSON + sidecar IO, no Spark): keep a postings
-    fragment only if some query term falls inside its term zone map AND
-    the term bloom cannot rule every term out."""
-    from .sources import fragments as FR
-    from .sources.bloom import BLOOM_STATS_KEY, fragment_bloom_may_contain
+def _fts_prune_fragments(m, idx_path: str, terms: list[str]):
+    """Manifest-stats fragment pruning for a term lookup — delegates to
+    the SAME conservative predicates the datasource planner uses
+    (_fragment_may_match zone maps + _bloom_may_match sidecars), so the
+    in-process route cannot drift from the distributed one."""
+    from .sources.datasource import In, _bloom_may_match, _fragment_may_match
 
-    m = FR.read_manifest(idx_path)
+    pushed = [In(("term",), tuple(terms))]
     keep = []
     for f in m.fragments:
-        zm = (f.stats or {}).get("term")
-        cand = terms
-        if zm and zm.get("min") is not None:
-            cand = [t for t in cand if zm["min"] <= t <= zm["max"]]
-        if cand and f.stats and BLOOM_STATS_KEY in f.stats:
-            if not fragment_bloom_may_contain(idx_path, f.file, f.stats,
-                                              "term", cand):
-                cand = []
-        if cand:
-            keep.append(os.path.join(idx_path, f.file))
-    return m, keep
+        if not all(_fragment_may_match(f.stats or {}, f.row_count, p)
+                   for p in pushed):
+            continue
+        if not _bloom_may_match(idx_path, f, pushed):
+            continue
+        keep.append(os.path.join(idx_path, f.file))
+    return keep
 
 
 _FTS_UDTF_MAX_POSTINGS = 5_000_000
@@ -635,7 +630,7 @@ def _eval_fts(path: str, text_col: str, query: str, k: int):
     fragment pruning, pyarrow row-group-pruned posting reads, the same
     left-to-right query-order float sum as sources.fts.fts_search. The
     query is tokenized with the INDEX's analyzer (meta), mirroring
-    fts_search. Returns (id_col, terms, top_ids, top_scores)."""
+    fts_search. Returns (id_col, analyzer, terms, top_ids, top_scores)."""
     import pyarrow.dataset as pads
 
     from .operators.text import BM25_B, BM25_K1
@@ -656,12 +651,13 @@ def _eval_fts(path: str, text_col: str, query: str, k: int):
         analyze_query(query, info.get("analyzer", "whitespace"))))
     if not terms:
         raise ValueError("empty query")
-    m, files = _fts_prune_fragments(idx_path, terms)
+    files = _fts_prune_fragments(m0, idx_path, terms)
     n = float(info["n_docs"])
     avgdl = info["sum_dl"] / max(info["n_docs"], 1)
     id_col = info["id_col"]
+    analyzer = info.get("analyzer", "whitespace")
     if not files:
-        return id_col, terms, np.empty(0, np.int64), np.empty(0)
+        return id_col, analyzer, terms, np.empty(0, np.int64), np.empty(0)
     ds = pads.dataset(files, format="parquet")
     tbl = ds.to_table(columns=["term", "id", "tf", "dl"],
                       filter=pads.field("term").isin(terms))
@@ -696,16 +692,26 @@ def _eval_fts(path: str, text_col: str, query: str, k: int):
         total = total + part
     total = np.round(total, 6)
     top = np.lexsort((uniq, -total))[:k]
-    return id_col, terms, uniq[top], total[top]
+    return id_col, analyzer, terms, uniq[top], total[top]
 
 
-def _snippet(text: str, terms: list[str], window: int = 40) -> str:
+def _snippet(text: str, terms: list[str], window: int = 40,
+             analyzer: str = "whitespace") -> str:
     """±window chars around the first query-term hit (token-boundary
-    match), ellipsized; the document head when nothing matches."""
+    match under the INDEX's analyzer — a raw token like 'Vector,'
+    matches term 'vector' on a simple-analyzer index), ellipsized; the
+    document head when nothing matches."""
+    import re
+
+    def _hits(raw: str) -> bool:
+        if analyzer == "simple":
+            return any(p in terms for p in re.findall(r"[a-z0-9]+", raw.lower()))
+        return raw in terms
+
     toks = text.split(" ")
     pos = 0
     for t in toks:
-        if t in terms:
+        if _hits(t):
             start = max(0, pos - window)
             end = min(len(text), pos + len(t) + window)
             return (("…" if start > 0 else "") + text[start:end]
@@ -737,7 +743,7 @@ class TextSearchUDTF:
         k = int(k)
         if k < 0:
             raise ValueError("k must be >= 0")
-        id_col, terms, top_ids, top_scores = _eval_fts(
+        id_col, analyzer, terms, top_ids, top_scores = _eval_fts(
             path, text_col, str(query), k)
         if top_ids.size == 0:
             return
@@ -746,8 +752,14 @@ class TextSearchUDTF:
                                   schema=dschema)
         rows = {int(r[id_col]): r for r in rows_tbl.to_pylist()}
         for i, s in zip(top_ids.tolist(), top_scores.tolist()):
-            row = rows[i]
-            snip = _snippet(str(row.get(text_col) or ""), terms)
+            row = rows.get(i)
+            if row is None:
+                # stale index (covered fragment rewritten, refresh pending):
+                # the posting ranks a doc the table no longer has — skip it
+                # rather than crash; refresh_fts_index reconciles
+                continue
+            snip = _snippet(str(row.get(text_col) or ""), terms,
+                            analyzer=analyzer)
             yield tuple(row.values()) + (float(s), snip)
 
 

@@ -402,3 +402,22 @@ def test_auto_maintenance_reclusters_fragmented_postings(spark, corpus, sf_dir):
         dry_run=True)
     st2 = [s for s in report2["steps"] if s["step"] == "cluster_fts:text"]
     assert st2 and not st2[0]["due"]
+
+
+def test_udtf_skips_stale_postings_after_delete(spark, corpus):
+    """A covered-fragment rewrite before refresh: the SQL route must skip
+    postings whose documents are gone, not crash."""
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+    from flink_connector_lance_spark.udtf import register_text_search
+
+    create_fts_index(spark, corpus, "text", "doc_id")
+    register_text_search(spark)
+    pre = spark.sql(
+        f"SELECT doc_id FROM text_search('{corpus}', 'text', '{QUERY}', 500)"
+    ).collect()
+    victim = {r["doc_id"] for r in pre[:20]}
+    delete_rows(spark, corpus, f"doc_id IN ({','.join(map(str, victim))})")
+    post = spark.sql(
+        f"SELECT doc_id FROM text_search('{corpus}', 'text', '{QUERY}', 500)"
+    ).collect()
+    assert {r["doc_id"] for r in post}.isdisjoint(victim)
