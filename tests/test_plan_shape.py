@@ -210,6 +210,46 @@ def test_spread_is_noop_when_already_parallel(spark, sf_dir):
     assert out2.rdd.getNumPartitions() == par
 
 
+def test_knn_per_group_one_hash_exchange_no_global_sort(spark, sf_dir):
+    # per-group top-k must be ONE hash shuffle on the group key + a
+    # window sort bounded by each group's size — never a range-partition
+    # global sort (which at 100 TB sorts the whole corpus to answer a
+    # per-category question)
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.knn import knn_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = knn_per_group(e, "embedding", [0.0] * 8, "label", k=3,
+                         tiebreak_cols=["vec_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_hybrid_rrf_fusion_joins_only_topk_legs(spark, sf_dir):
+    # RRF fuses two ALREADY-truncated top-K legs: the fusion join must be
+    # an equi-join over K-row relations (broadcast at scale), never a
+    # nested-loop / cartesian over the corpus, and both corpus-sized legs
+    # must end in TakeOrdered or a window-truncated rank before joining
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.retrieval import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = hybrid_search(docs, "text", "doc_id", "data pipeline", emb,
+                         "embedding", "vec_id", [0.0] * 8, k=5, leg_k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join is allowed: BM25's 1-row corpus-stats
+    # aggregate broadcast-crossed into the scoring projection. Any more
+    # would mean a corpus-sized relation entered a nested loop.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # final fused top-k is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_cap_per_key_skew_path_bounds_fan_in(spark, sf_dir):
     # two-stage cap: stage 1 windows over (key, bucket) so no task sees a
     # whole hot key; the plan must contain BOTH window exchanges and no
