@@ -1,0 +1,181 @@
+"""Model-based quality scoring: a fasttext-style linear classifier over
+hashed bag-of-token features — the learned quality filter every LLM
+pre-training pipeline runs after the heuristic ones (GPT-3 / LLaMA /
+CCNet-style "does this look like the reference corpus" scoring).
+
+The reference connector has no model surface (it is an IO connector);
+this is beyond-reference training-pipeline capability, a sibling of
+operators.text.quality_score (the heuristic twin).
+
+Scale design (the asymmetry is the whole point):
+- TRAINING runs on a labeled *seed set* (thousands of docs: e.g.
+  wiki=positive vs raw-crawl=negative) — small by construction. We
+  densify the seed set's hashed features and fit with deterministic
+  full-batch gradient descent on the driver. The collect is bounded by
+  ``max_train_rows`` so a mislabeled 100 TB corpus cannot OOM the
+  driver; featurization itself is distributed.
+- SCORING is the 100 TB path: one zero-shuffle JVM projection per
+  document (token -> md5 bucket -> literal-array weight lookup ->
+  sigmoid). No Python in the loop, no shuffle, no model broadcast —
+  the weights ride inside the expression tree.
+
+The md5 bucket hash (operators.text.token_hash32 % dim) is mirrored
+exactly by DuckDB (queries/pipeline._H32), so scoring is oracle-gated
+like every other operator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_hash32, tokens
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """A fitted linear quality classifier: ``sigmoid(bias + sum over
+    tokens of weights[md5_32(token) % dim])``."""
+
+    dim: int
+    weights: tuple
+    bias: float
+
+    def __post_init__(self):
+        if len(self.weights) != self.dim:
+            raise ValueError(
+                f"weights length {len(self.weights)} != dim {self.dim}")
+
+
+def token_bucket(tok: Column, dim: int) -> Column:
+    """Deterministic feature bucket of one token: md5-derived 32-bit hash
+    mod ``dim`` (mirrored in SQL as ``('0x'||substr(md5(t),1,8))::BIGINT
+    % dim``)."""
+    return (token_hash32(tok) % F.lit(dim)).cast("int")
+
+
+def bucket_counts(df: DataFrame, text_col: str, id_col: str,
+                  dim: int = 64) -> DataFrame:
+    """Distributed hashed featurization: ``(id, bucket, cnt)`` — one
+    explode + partial+final count per document. Sparse by construction
+    (<= tokens-per-doc rows per document), so the shuffle carries
+    feature triples, never texts."""
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    ws = tokens(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(ws).alias("__tok"))
+        .select(id_col, token_bucket(F.col("__tok"), dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    dim: int = 64,
+    lr: float = 0.5,
+    iterations: int = 300,
+    l2: float = 1e-3,
+    max_train_rows: int = 100_000,
+) -> QualityModel:
+    """Fit the classifier on a labeled seed set (``label_col`` in {0,1}).
+
+    Featurization (explode + count) is distributed; the dense seed-set
+    feature matrix is then collected — guarded by ``max_train_rows``
+    because seed sets are small by construction (label acquisition, not
+    compute, is the bottleneck). Optimization is deterministic full-batch
+    gradient descent from zero init: same data -> bitwise-same model,
+    which the scoring gate depends on.
+    """
+    import numpy as np
+
+    n_docs = df.count()
+    if n_docs == 0:
+        raise ValueError("cannot fit on an empty seed set")
+    if n_docs > max_train_rows:
+        raise ValueError(
+            f"seed set has {n_docs} rows > max_train_rows={max_train_rows}; "
+            "quality classifiers train on small labeled seed sets — "
+            "sample first (operators.sampling) or raise the guard")
+    feats = bucket_counts(df, text_col, id_col, dim)
+    labels = df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+    rows = (
+        feats.groupBy(id_col)
+        .agg(F.map_from_arrays(F.collect_list("bucket"),
+                               F.collect_list("cnt")).alias("__f"))
+        .join(labels, on=id_col, how="right")
+        .select("__f", "__y")
+        .collect()
+    )
+    X = np.zeros((len(rows), dim))
+    y = np.zeros(len(rows))
+    for i, r in enumerate(rows):
+        y[i] = r["__y"]
+        for b, c in (r["__f"] or {}).items():
+            X[i, b] = float(c)
+    # normalize counts to frequencies so long docs don't dominate
+    norms = X.sum(axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    X = X / norms
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iterations):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / len(rows) + l2 * w)
+        b -= lr * float(g.mean())
+    return QualityModel(dim=dim, weights=tuple(float(v) for v in w), bias=float(b))
+
+
+def model_quality_of(ts: Column, model: QualityModel) -> Column:
+    """Scoring expression over a materialized token array: pure JVM
+    projection, weights inlined as an array literal (no broadcast, no
+    shuffle, no Python). Token counts are frequency-normalized exactly
+    as in training."""
+    arr = F.array(*[F.lit(float(w)) for w in model.weights])
+    contribs = F.transform(
+        ts, lambda t: F.element_at(arr, token_bucket(t, model.dim) + F.lit(1)))
+    total = F.aggregate(contribs, F.lit(0.0), lambda a, v: a + v)
+    n = F.size(ts)
+    z = F.lit(float(model.bias)) + F.when(n > 0, total / n.cast("double")) \
+        .otherwise(F.lit(0.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_quality(df: DataFrame, text_col: str, model: QualityModel,
+                  out_col: str = "model_quality") -> DataFrame:
+    """Append the model score to every document — the 100 TB path: one
+    zero-shuffle projection."""
+    return df.withColumn(out_col, model_quality_of(tokens(text_col), model))
+
+
+def demo_model(dim: int = 32) -> QualityModel:
+    """A fixed deterministic model for gates/demos: weight of bucket b is
+    ((b * 37 + 11) % 101 - 50) / 100 — reproducible in any engine without
+    shipping a artifact file."""
+    return QualityModel(
+        dim=dim,
+        weights=tuple(((b * 37 + 11) % 101 - 50) / 100.0 for b in range(dim)),
+        bias=0.1,
+    )
+
+
+def model_quality_sql(ws_expr: str, model: QualityModel, h32_fmt: str) -> str:
+    """The DuckDB mirror of model_quality_of: same literal weights
+    (repr round-trip so both engines parse identical doubles), same
+    md5 bucket hash, same frequency normalization and sigmoid."""
+    warr = "[" + ", ".join(repr(float(w)) for w in model.weights) + "]"
+    bucket = h32_fmt.format(x="t") + f" % {model.dim}"
+    total = (f"COALESCE(list_sum(list_transform({ws_expr}, "
+             f"t -> ({warr})[({bucket}) + 1])), 0.0)")
+    z = (f"({repr(float(model.bias))} + CASE WHEN len({ws_expr}) > 0 THEN "
+         f"{total} / CAST(len({ws_expr}) AS DOUBLE) ELSE 0.0 END)")
+    return f"1.0 / (1.0 + exp(-{z}))"

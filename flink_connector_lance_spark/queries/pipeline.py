@@ -474,6 +474,14 @@ def dedup_components(spark, sf_dir):
 # parse the IDENTICAL doubles (Python repr round-trip guarantee)
 _BM25_TERMS = ["vector", "hash", "join"]
 
+# model_quality column of text_stats: the fasttext-style hashed-feature
+# linear scorer (operators.quality). The gate uses the fixed demo model
+# (weights derivable in any engine); fitted models score through the
+# identical expression (tests/test_quality_model.py pins fit==score)
+from ..operators import quality as Q  # noqa: E402
+
+_QMODEL = Q.demo_model(dim=32)
+
 
 def _bm25_sql() -> str:
     from ..operators.text import BM25_B as _b, BM25_K1 as _k1
@@ -525,7 +533,8 @@ def _bm25_df_sql() -> str:
            CASE WHEN len(g3) > 0
                 THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
                 ELSE 0.0 END AS repeated_3gram_frac,
-           round({_bm25_sql()}, 6) AS bm25
+           round({_bm25_sql()}, 6) AS bm25,
+           round({Q.model_quality_sql("ws", _QMODEL, _H32)}, 6) AS model_quality
     FROM (
         SELECT doc_id, text, ws,
                regexp_extract_all(text, '[a-z0-9]+') AS tre,
@@ -545,9 +554,13 @@ def _bm25_df_sql() -> str:
         "repetition_signals), and a BM25 branch (operators.text."
         "bm25_score_of): every document scored against a fixed "
         "three-term query using corpus stats from ONE map-combinable "
-        "aggregate broadcast back as a single row — the full "
-        "pre-training quality-filter feature set plus retrieval scoring "
-        "computed in a single pass over the corpus.",
+        "aggregate broadcast back as a single row — plus model_quality, "
+        "the fasttext-style hashed-feature linear classifier score "
+        "(operators.quality: md5 bucket -> literal-weight lookup -> "
+        "sigmoid, zero-shuffle JVM projection; training on labeled seed "
+        "sets via fit_quality_classifier) — the full pre-training "
+        "quality-filter feature set (heuristic AND learned) plus "
+        "retrieval scoring computed in a single pass over the corpus.",
 )
 def text_stats(spark, sf_dir):
     # repartition first: the per-row HOF expressions (n-gram build +
@@ -590,6 +603,7 @@ def text_stats(spark, sf_dir):
         T.repeated_fraction_of(F.col("__g2")).alias("repeated_2gram_frac"),
         T.repeated_fraction_of(F.col("__g3")).alias("repeated_3gram_frac"),
         F.round(T.bm25_score_of("__ws", _BM25_TERMS), 6).alias("bm25"),
+        F.round(Q.model_quality_of(ws, _QMODEL), 6).alias("model_quality"),
     )
 
 

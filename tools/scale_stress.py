@@ -64,7 +64,9 @@ QUERIES = [
     # source_roundtrip_agg adds the HLL approx_distinct rollup state.
     # round-6: source_roundtrip_agg also carries the fixed-bin histogram
     # rollup state (50 unrolled per-bin sums, element-wise-sum merge);
-    # ingest-time clustering is timed via the clustered_write EXTRA below.
+    # ingest-time clustering is timed via the clustered_write EXTRA below;
+    # text_stats adds the model_quality hashed-feature classifier score
+    # (one more zero-shuffle projection riding the same corpus pass).
 ]
 
 
