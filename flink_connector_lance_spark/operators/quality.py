@@ -111,9 +111,14 @@ def fit_quality_classifier(
         .agg(F.map_from_arrays(F.collect_list("bucket"),
                                F.collect_list("cnt")).alias("__f"))
         .join(labels, on=id_col, how="right")
-        .select("__f", "__y")
+        .select(id_col, "__f", "__y")
         .collect()
     )
+    # collect() order after the groupBy+join shuffle depends on the
+    # partitioning config; the float gradient sums (X.T @ g) depend on
+    # row order — sort by id so "same data -> bitwise-same model" holds
+    # across shuffle-partition counts and cluster layouts
+    rows.sort(key=lambda r: r[id_col])
     X = np.zeros((len(rows), dim))
     y = np.zeros(len(rows))
     for i, r in enumerate(rows):
@@ -135,26 +140,91 @@ def fit_quality_classifier(
     return QualityModel(dim=dim, weights=tuple(float(v) for v in w), bias=float(b))
 
 
-def model_quality_of(ts: Column, model: QualityModel) -> Column:
-    """Scoring expression over a materialized token array: pure JVM
-    projection, weights inlined as an array literal (no broadcast, no
-    shuffle, no Python). Token counts are frequency-normalized exactly
-    as in training."""
-    arr = F.array(*[F.lit(float(w)) for w in model.weights])
-    contribs = F.transform(
-        ts, lambda t: F.element_at(arr, token_bucket(t, model.dim) + F.lit(1)))
-    total = F.aggregate(contribs, F.lit(0.0), lambda a, v: a + v)
-    n = F.size(ts)
-    z = F.lit(float(model.bias)) + F.when(n > 0, total / n.cast("double")) \
-        .otherwise(F.lit(0.0))
-    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+# Literal-array scoring inlines ``dim`` double literals into the
+# expression tree; past a few hundred that stresses janino/codegen the
+# same way unbounded histogram bins would (sources/rollup._MAX_HIST_BINS
+# is the sibling guard). Above the cap, scoring falls back to an
+# Arrow-batched pandas UDF with the weights shipped once per task in the
+# closure — same math, same hash, still no shuffle.
+MAX_INLINE_DIM = 256
+
+
+def model_quality_of(ts: Column, model: QualityModel,
+                     max_inline_dim: int = MAX_INLINE_DIM) -> Column:
+    """Scoring expression over a materialized token array.
+
+    ``dim <= max_inline_dim``: pure JVM projection, weights inlined as
+    an array literal (no broadcast, no shuffle, no Python). Token counts
+    are frequency-normalized exactly as in training.
+
+    ``dim > max_inline_dim``: a real fasttext-style classifier carries
+    1e5-1e6 buckets — far past what a literal array in the expression
+    tree can hold — so scoring switches to an Arrow-batched pandas UDF
+    over the same token array (weights as a numpy closure, one md5 per
+    DISTINCT token per batch). Identical scores up to float summation
+    order; ``tests/test_quality_model.py`` pins the two routes equal on
+    a shared model."""
+    if model.dim <= max_inline_dim:
+        arr = F.array(*[F.lit(float(w)) for w in model.weights])
+        contribs = F.transform(
+            ts, lambda t: F.element_at(arr, token_bucket(t, model.dim) + F.lit(1)))
+        total = F.aggregate(contribs, F.lit(0.0), lambda a, v: a + v)
+        n = F.size(ts)
+        z = F.lit(float(model.bias)) + F.when(n > 0, total / n.cast("double")) \
+            .otherwise(F.lit(0.0))
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return _model_quality_pandas(model)(ts)
+
+
+def _model_quality_pandas(model: QualityModel):
+    """Large-dim scoring route: pandas UDF with the weight vector as a
+    numpy closure. Hash parity with token_bucket (first 8 md5 hex chars
+    as a 32-bit int, mod dim); a per-batch distinct-token cache keeps
+    the Python md5 cost at O(vocab-of-batch), not O(tokens)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    w = np.asarray(model.weights, dtype=np.float64)
+    dim, bias = model.dim, float(model.bias)
+
+    @pandas_udf("double")
+    def _score(ts_s):  # pandas Series of token lists
+        import hashlib
+
+        cache: dict = {}
+
+        def bucket(tok: str) -> int:
+            b = cache.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8],
+                        16) % dim
+                cache[tok] = b
+            return b
+
+        out = np.empty(len(ts_s), dtype=np.float64)
+        for i, toks in enumerate(ts_s):
+            if toks is None or len(toks) == 0:
+                z = bias
+            else:
+                total = float(np.sum(w[[bucket(t) for t in toks]]))
+                z = bias + total / len(toks)
+            out[i] = 1.0 / (1.0 + np.exp(-z))
+        import pandas as pd
+
+        return pd.Series(out)
+
+    return _score
 
 
 def score_quality(df: DataFrame, text_col: str, model: QualityModel,
-                  out_col: str = "model_quality") -> DataFrame:
+                  out_col: str = "model_quality",
+                  max_inline_dim: int = MAX_INLINE_DIM) -> DataFrame:
     """Append the model score to every document — the 100 TB path: one
-    zero-shuffle projection."""
-    return df.withColumn(out_col, model_quality_of(tokens(text_col), model))
+    zero-shuffle projection (JVM codegen below ``max_inline_dim``,
+    Arrow-batched pandas above it)."""
+    return df.withColumn(
+        out_col, model_quality_of(tokens(text_col), model,
+                                  max_inline_dim=max_inline_dim))
 
 
 def demo_model(dim: int = 32) -> QualityModel:
