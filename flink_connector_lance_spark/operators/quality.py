@@ -118,7 +118,7 @@ def fit_quality_classifier(
     # partitioning config; the float gradient sums (X.T @ g) depend on
     # row order — sort by id so "same data -> bitwise-same model" holds
     # across shuffle-partition counts and cluster layouts
-    rows.sort(key=lambda r: r[id_col])
+    rows.sort(key=lambda r: (r[id_col] is None, r[id_col]))
     X = np.zeros((len(rows), dim))
     y = np.zeros(len(rows))
     for i, r in enumerate(rows):
@@ -161,9 +161,12 @@ def model_quality_of(ts: Column, model: QualityModel,
     1e5-1e6 buckets — far past what a literal array in the expression
     tree can hold — so scoring switches to an Arrow-batched pandas UDF
     over the same token array (weights as a numpy closure, one md5 per
-    DISTINCT token per batch). Identical scores up to float summation
-    order; ``tests/test_quality_model.py`` pins the two routes equal on
-    a shared model."""
+    DISTINCT token per batch). The fallback sums weights in the same
+    left-to-right token order as the JVM ``F.aggregate`` fold, so the
+    two routes agree to the last ulp (any residual difference is libm
+    vs Java ``Math.exp`` rounding of the final sigmoid);
+    ``tests/test_quality_model.py::test_large_dim_routes_agree`` pins
+    them equal on a shared dim-512 model."""
     if model.dim <= max_inline_dim:
         arr = F.array(*[F.lit(float(w)) for w in model.weights])
         contribs = F.transform(
@@ -180,7 +183,11 @@ def _model_quality_pandas(model: QualityModel):
     """Large-dim scoring route: pandas UDF with the weight vector as a
     numpy closure. Hash parity with token_bucket (first 8 md5 hex chars
     as a 32-bit int, mod dim); a per-batch distinct-token cache keeps
-    the Python md5 cost at O(vocab-of-batch), not O(tokens)."""
+    the Python md5 cost at O(vocab-of-batch), not O(tokens). Weight
+    contributions are summed with a sequential left-fold in token order
+    — the exact float operator tree of the JVM route's ``F.aggregate``
+    — and a null token propagates a null score, matching the JVM route
+    (``md5(null)`` -> null poisons the fold)."""
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -190,6 +197,7 @@ def _model_quality_pandas(model: QualityModel):
     @pandas_udf("double")
     def _score(ts_s):  # pandas Series of token lists
         import hashlib
+        import math
 
         cache: dict = {}
 
@@ -201,17 +209,28 @@ def _model_quality_pandas(model: QualityModel):
                 cache[tok] = b
             return b
 
-        out = np.empty(len(ts_s), dtype=np.float64)
+        import pandas as pd
+
+        out: list = [None] * len(ts_s)
         for i, toks in enumerate(ts_s):
             if toks is None or len(toks) == 0:
                 z = bias
             else:
-                total = float(np.sum(w[[bucket(t) for t in toks]]))
+                # sequential left-fold in token order: bit-identical to
+                # the JVM F.aggregate fold (np.sum pairwise-sums and can
+                # differ in the last ulp); a None token poisons the fold
+                # to null exactly like md5(null) does JVM-side
+                total = 0.0
+                for t in toks:
+                    if t is None:
+                        total = None
+                        break
+                    total += w[bucket(t)]
+                if total is None:
+                    continue
                 z = bias + total / len(toks)
-            out[i] = 1.0 / (1.0 + np.exp(-z))
-        import pandas as pd
-
-        return pd.Series(out)
+            out[i] = 1.0 / (1.0 + math.exp(-z))
+        return pd.Series(pd.array(out, dtype="Float64"))
 
     return _score
 

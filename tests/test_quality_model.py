@@ -78,6 +78,60 @@ def test_scoring_is_zero_shuffle_projection(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_large_dim_routes_agree(spark):
+    """dim > MAX_INLINE_DIM switches scoring to the Arrow-batched pandas
+    fallback; on a shared dim-512 model it must reproduce the inline JVM
+    route (forced via max_inline_dim) to the last ulp — the sequential
+    left-fold in _model_quality_pandas mirrors F.aggregate's fold, so
+    only libm-vs-Math.exp sigmoid rounding may differ."""
+    model = Q.demo_model(dim=512)
+    assert model.dim > Q.MAX_INLINE_DIM
+    rows = [(i, f"{_CLEAN} {_SPAM} doc {i} tok{i % 97}") for i in range(60)]
+    rows.append((60, None))  # null doc: both routes must score sigmoid(bias)
+    df = spark.createDataFrame(rows, "id long, text string")
+    inline = {r["id"]: r["model_quality"]
+              for r in Q.score_quality(df, "text", model,
+                                       max_inline_dim=1024).collect()}
+    fallback = {r["id"]: r["model_quality"]
+                for r in Q.score_quality(df, "text", model).collect()}
+    assert set(inline) == set(fallback)
+    for i in inline:
+        assert fallback[i] == pytest.approx(inline[i], abs=1e-12), i
+    assert inline[60] == pytest.approx(1.0 / (1.0 + math.exp(-model.bias)),
+                                       abs=1e-12)
+    # and against the python reference, per doc
+    for r in df.filter("id < 60").collect():
+        assert fallback[r["id"]] == pytest.approx(
+            _py_score(r["text"], model), abs=1e-12)
+
+
+def test_pandas_route_null_token_matches_jvm(spark):
+    """A null element inside the token array: the JVM route propagates
+    null (md5(null) poisons the aggregate fold); the pandas fallback
+    must do the same rather than crash on None.encode."""
+    model = Q.demo_model(dim=512)
+    df = spark.createDataFrame(
+        [(0, ["good", None, "doc"]), (1, ["clean", "doc"])],
+        "id long, ts array<string>")
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", Q.model_quality_of(F.col("ts"), model).alias("s")).collect()}
+    jvm = {r["id"]: r["s"] for r in df.select(
+        "id", Q.model_quality_of(F.col("ts"), model,
+                                 max_inline_dim=1024).alias("s")).collect()}
+    assert got[0] is None and jvm[0] is None
+    assert got[1] == pytest.approx(jvm[1], abs=1e-12)
+
+
+def test_fit_sorts_null_ids_safely(spark):
+    """A null id in the seed set must not abort training (the
+    determinism sort is None-safe)."""
+    df = spark.createDataFrame(
+        [(None, _CLEAN, 1), (1, _SPAM, 0), (2, _CLEAN, 1), (3, _SPAM, 0)],
+        "id long, text string, label int")
+    m = Q.fit_quality_classifier(df, "text", "label", "id", dim=16)
+    assert m.dim == 16
+
+
 def test_guards(spark):
     df = _seed_df(spark, n_per_class=3)
     with pytest.raises(ValueError, match="empty seed set"):
