@@ -349,12 +349,53 @@ def knn_l2_filtered(spark, sf_dir):
                        ({_RRF_1MB} + {_RRF_BR} * dl / st.avgdl)), 6) AS score
         FROM phm CROSS JOIN pst CROSS JOIN st
         ORDER BY score DESC, doc_id LIMIT 10
+    ),
+    txta AS (
+        SELECT doc_id AS id, s AS score
+        FROM (SELECT doc_id, ws, round({_rrf_bm25_sql()}, 6) AS s
+              FROM b0 CROSS JOIN st)
+        WHERE {" AND ".join(f"list_contains(ws, '{t}')" for t in _RRF_TERMS)}
+        ORDER BY s DESC, doc_id LIMIT 10
+    ),
+    bm_top AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM (SELECT doc_id, round({_rrf_bm25_sql()}, 6) AS s
+              FROM b0 CROSS JOIN st)
+        ORDER BY s DESC, doc_id LIMIT {_RRF_LEG_K}
+    ),
+    cos_top AS (
+        SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS r
+        FROM (SELECT vec_id, {_COS} AS d FROM embeddings, qv)
+        ORDER BY d, vec_id LIMIT {_RRF_LEG_K}
+    ),
+    fused AS (
+        SELECT coalesce(c.vec_id, b.doc_id) AS id,
+               round(coalesce(1.0 / ({_RRF_KCONST} + c.r), 0.0)
+                     + coalesce(1.0 / ({_RRF_KCONST} + b.r), 0.0), 6) AS f
+        FROM cos_top c FULL OUTER JOIN bm_top b ON c.vec_id = b.doc_id
+    ),
+    hyb AS (SELECT id, f AS score FROM fused ORDER BY f DESC, id LIMIT 10),
+    qd AS (SELECT {str(list(_RRF_TERMS)).replace('"', "'")} AS q),
+    rr AS (
+        SELECT t.id,
+               round(CAST(len(list_intersect(list_distinct(b.ws), qd.q))
+                          AS DOUBLE)
+                     / len(list_distinct(list_concat(b.ws, qd.q))), 6)
+                   AS score
+        FROM txt t JOIN b0 b ON b.doc_id = t.id CROSS JOIN qd
+        ORDER BY score DESC, t.id LIMIT 10
     )
     SELECT 'vec' AS kind, id, score FROM vec
     UNION ALL
     SELECT 'text' AS kind, id, score FROM txt
     UNION ALL
     SELECT 'phrase' AS kind, id, score FROM phr
+    UNION ALL
+    SELECT 'text_all' AS kind, id, score FROM txta
+    UNION ALL
+    SELECT 'hybrid' AS kind, id, score FROM hyb
+    UNION ALL
+    SELECT 'rerank' AS kind, id, score FROM rr
     """,
     doc="SQL table-function path, both search modalities as session-scope "
         "UDTFs with analyze()-derived schemas (dataset schema + score "
@@ -369,7 +410,19 @@ def knn_l2_filtered(spark, sf_dir):
         "branch: positional phrase search (sources.fts.fts_search_phrase) "
         "— consecutive-token match via an array_intersect chain over "
         "shifted position arrays, BM25-scored as a pseudo-term; the "
-        "oracle recomputes the phrase tf from the raw token arrays.",
+        "oracle recomputes the phrase tf from the raw token arrays. "
+        "'text_all' branch: boolean-AND semantics "
+        "(fts_search(match_all=True)) — only documents containing every "
+        "query term rank, scores unchanged. 'hybrid' branch: "
+        "operators.retrieval.hybrid_search_indexed — FTS-postings "
+        "lexical leg + cosine KNN leg, RRF-fused (1/(60+rank)); equals "
+        "the full-scan hybrid whenever >= leg_k docs match the query. "
+        "'rerank' branch: retrieve-then-rerank "
+        "(operators.retrieval.rerank_topk) — the FTS top-10 candidates "
+        "re-scored by the deterministic token-Jaccard scorer through an "
+        "Arrow-batched mapInPandas (broadcast semi-join fetch; the "
+        "corpus is never re-scored), mirrored in the oracle as "
+        "list_intersect/list_distinct set arithmetic.",
 )
 def vector_search_udtf(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -402,10 +455,38 @@ def vector_search_udtf(spark, sf_dir):
         FROM text_search('{droot}', 'text', '{" ".join(_RRF_TERMS)}', 10)
     """).filter(F.col("score") > 0)
     # phrase branch: positional postings, consecutive-token match
-    from ..sources.fts import fts_search_phrase
+    from ..sources.fts import fts_search, fts_search_phrase
 
     phr = fts_search_phrase(
         spark, droot, f"{_PHRASE_W1} {_PHRASE_W2}", k=10
     ).select(F.lit("phrase").alias("kind"), F.col("doc_id").alias("id"),
              F.col("bm25").alias("score"))
-    return vec.unionAll(txt).unionAll(phr)
+    query = " ".join(_RRF_TERMS)
+    # text_all branch: boolean-AND fts_search(match_all=True) — only
+    # documents containing EVERY query term are ranked, scores unchanged
+    txta = fts_search(spark, droot, query, k=10, match_all=True).select(
+        F.lit("text_all").alias("kind"), F.col("doc_id").alias("id"),
+        F.col("bm25").alias("score"))
+    # hybrid branch: operators.retrieval.hybrid_search_indexed — the
+    # lexical leg served from the SAME postings index (IO bounded by the
+    # query terms' postings), fused with the cosine KNN leg by RRF;
+    # identical rows to knn_l2_dot's full-scan 'rrf' branch because
+    # >= leg_k documents match the lexical query at every tested sf
+    from ..operators.retrieval import hybrid_search_indexed, rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hyb = hybrid_search_indexed(
+        spark, droot, query, e, "embedding", "vec_id", QVEC,
+        text_col="text", k=10, leg_k=_RRF_LEG_K, rrf_k=_RRF_KCONST,
+        metric="cosine",
+    ).select(F.lit("hybrid").alias("kind"), "id", F.col("rrf").alias("score"))
+    # rerank branch: retrieve-then-rerank — the FTS top-10 candidates
+    # re-scored by the deterministic token-Jaccard scorer (the
+    # cross-encoder stand-in), corpus never re-scored
+    cand = fts_search(spark, droot, query, k=10)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rr = rerank_topk(cand, "doc_id", docs, "text", "doc_id", query, k=10) \
+        .select(F.lit("rerank").alias("kind"), F.col("doc_id").alias("id"),
+                F.col("rerank_score").alias("score"))
+    return (vec.unionAll(txt).unionAll(phr)
+            .unionAll(txta).unionAll(hyb).unionAll(rr))

@@ -178,8 +178,15 @@ def _merge_schema_json(prev_json: str, new_json: str) -> str:
     return json.dumps(prev)
 
 
+class CommitConflict(RuntimeError):
+    """A conditional commit found the dataset at a different version
+    than the writer read — the caller must re-read and re-derive its
+    commit (retry-with-reread), not blindly re-append."""
+
+
 def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
-           max_retries: int = 20, meta: dict | None = None) -> Manifest:
+           max_retries: int = 20, meta: dict | None = None,
+           expected_base_version: "int | None" = None) -> Manifest:
     """Atomically commit a new dataset version.
 
     The commit is the transaction boundary (ref LanceSink.java:163-189):
@@ -188,7 +195,14 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
     on version conflict — the driver-side commit protocol that the
     reference avoids by serializing writers (SURVEY.md §7.2).
     ``meta`` rides inside the same atomic manifest write (used for
-    streaming epoch idempotency)."""
+    streaming epoch idempotency).
+
+    ``expected_base_version`` makes the commit CONDITIONAL (compare-and
+    -swap): it lands only if the dataset is still at that version,
+    otherwise ``CommitConflict`` is raised instead of retrying onto the
+    moved head. Derived-state writers (FTS/rollup refresh) need this —
+    their fragments and meta were computed FROM a snapshot, so landing
+    them on a different head double-applies the delta."""
     from .fs import is_remote
 
     if is_remote(root):
@@ -201,6 +215,10 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
     os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
     for _ in range(max_retries):
         prev_v = latest_version(root)
+        if expected_base_version is not None and prev_v != expected_base_version:
+            raise CommitConflict(
+                f"{root} moved to version {prev_v} (expected "
+                f"{expected_base_version}) — re-read and re-derive")
         prev = read_manifest(root, prev_v) if prev_v is not None else None
         if mode == "overwrite" or prev is None:
             fragments = list(new_fragments)

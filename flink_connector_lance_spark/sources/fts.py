@@ -136,7 +136,8 @@ def _delta_stats(df: DataFrame, text_col: str, id_col: str,
 
 
 def _commit_postings(post: DataFrame, idx_path: str, meta: dict,
-                     mode: str, max_rows_per_fragment: int) -> None:
+                     mode: str, max_rows_per_fragment: int,
+                     expected_base_version: "int | None" = None) -> None:
     # maxRecordsPerFile splits a range partition into SEQUENTIAL sorted
     # runs, so every emitted fragment still owns a tight term range —
     # fragment count scales with posting volume without losing pruning
@@ -148,7 +149,8 @@ def _commit_postings(post: DataFrame, idx_path: str, meta: dict,
         write_max_rows_per_file=max_rows_per_fragment,
     )
     write_dataset(post, idx_path, mode=mode, options=opts,
-                  commit_meta={_META_KEY: meta})
+                  commit_meta={_META_KEY: meta},
+                  expected_base_version=expected_base_version)
 
 
 def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
@@ -188,12 +190,33 @@ def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
 
 
 def refresh_fts_index(spark: SparkSession, path: str,
-                      text_col: str = "text") -> dict:
+                      text_col: str = "text",
+                      max_retries: int = 5) -> dict:
     """Bring the index up to the table's current version — incremental
     for pure appends (explode the delta only), full rebuild when a
-    covered fragment was rewritten, noop otherwise."""
+    covered fragment was rewritten, noop otherwise.
+
+    The incremental append-commit is CONDITIONAL on the index version
+    the refresher read (compare-and-swap): two refreshers racing on the
+    same delta (a per-epoch streaming refresh vs a cron maintenance
+    pass) would otherwise both snapshot ``covered_files`` and both
+    append the delta postings, double-counting tf/df/n_docs. The loser
+    of the race gets ``CommitConflict``, re-reads the moved index head,
+    and re-derives — usually into a noop because the winner already
+    covered the delta (``tests/test_fts.py`` races two refreshers)."""
+    for _ in range(max_retries):
+        try:
+            return _refresh_fts_once(spark, path, text_col)
+        except FR.CommitConflict:
+            continue
+    raise RuntimeError(
+        f"fts refresh lost the commit race {max_retries} times at {path}")
+
+
+def _refresh_fts_once(spark: SparkSession, path: str, text_col: str) -> dict:
     idx = fts_index_path(path, text_col)
-    info = FR.read_manifest(idx).meta.get(_META_KEY)
+    idx_m = FR.read_manifest(idx)
+    info = idx_m.meta.get(_META_KEY)
     if not info:
         raise ValueError(f"{idx} is not an fts index (no {_META_KEY!r} meta)")
     id_col = info["id_col"]
@@ -224,15 +247,26 @@ def refresh_fts_index(spark: SparkSession, path: str,
     _commit_postings(
         _postings(delta, text_col, id_col, info.get("with_positions", False),
                   info.get("analyzer", "whitespace")),
-        idx, meta, "append", info.get("max_rows_per_fragment", 1_000_000))
+        idx, meta, "append", info.get("max_rows_per_fragment", 1_000_000),
+        expected_base_version=idx_m.version)
     return {"mode": "incremental", "source_version": cur.version,
             "delta_fragments": len(added), "delta_docs": dn}
+
+
+
+# Each distinct query term below the cap unrolls into its own aggregate
+# column (the bit-parity sum); past it that is janino/codegen blowup —
+# the same failure mode sources/rollup._MAX_HIST_BINS guards — so
+# scoring switches to one groupBy SUM. Scores then add in shuffle
+# arrival order: equal up to float summation order, not bit-identical.
+MAX_UNROLL_TERMS = 64
 
 
 def fts_search(spark: SparkSession, path: str, query: str,
                text_col: str = "text", k: int = 10,
                k1: float = BM25_K1, b: float = BM25_B,
-               match_all: bool = False) -> DataFrame:
+               match_all: bool = False,
+               max_unroll_terms: int = MAX_UNROLL_TERMS) -> DataFrame:
     """Top-k documents by BM25, touching only the query terms' postings.
 
     Returns ``(id, bm25)`` descending (ties on id), id named after the
@@ -245,7 +279,15 @@ def fts_search(spark: SparkSession, path: str, query: str,
     containing EVERY query term are scored (one extra null-check over
     the per-term partials — no additional IO or shuffle). Scores for the
     surviving documents are unchanged.
+
+    Queries with more than ``max_unroll_terms`` DISTINCT terms score
+    through a single groupBy SUM instead of the per-term column unroll
+    (a 500-term query must not compile 500 aggregate columns); the
+    full-scan bit-parity contract softens to float-summation-order
+    tolerance on that path (``tests/test_fts.py`` pins both).
     """
+    if k < 0:
+        raise ValueError("k must be >= 0")
     idx = fts_index_path(path, text_col)
     try:
         info = FR.read_manifest(idx).meta.get(_META_KEY)
@@ -284,6 +326,17 @@ def fts_search(spark: SparkSession, path: str, query: str,
     )
     scored = post.join(F.broadcast(stats), "term").select(
         "id", "term", contrib.alias("__c"))
+    if len(terms) > max_unroll_terms:
+        # bounded-plan path: ONE sum + one posting count per document
+        # (exactly one posting per (term, doc), so the count IS the
+        # number of distinct query terms the document contains)
+        agg = scored.groupBy("id").agg(
+            F.sum("__c").alias("__s"), F.count(F.lit(1)).alias("__nt"))
+        if match_all:
+            agg = agg.filter(F.col("__nt") == len(terms))
+        out = agg.select(F.col("id").alias(info["id_col"]),
+                         F.round(F.col("__s"), 6).alias("bm25"))
+        return out.orderBy(F.desc("bm25"), F.asc(info["id_col"])).limit(k)
     # bit-parity with the full scan's left-to-right term sum: aggregate
     # each term's (single-element) partial separately, then add in query
     # order — groupBy SUM over all terms at once would add in shuffle
@@ -329,6 +382,8 @@ def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
     candidates), idf/normalization identical to ``bm25_score_of``.
     Returns ``(id, phrase_tf, bm25)`` descending, ties on id.
     """
+    if k < 0:
+        raise ValueError("k must be >= 0")
     idx = fts_index_path(path, text_col)
     try:
         info = FR.read_manifest(idx).meta.get(_META_KEY)

@@ -38,6 +38,7 @@ def write_dataset(
     mode: "str | WriteMode" = WriteMode.APPEND,
     options: DatasetOptions | None = None,
     commit_meta: dict | None = None,
+    expected_base_version: "int | None" = None,
 ) -> FR.Manifest:
     opts = options or DatasetOptions(path=path)
     mode = WriteMode.parse(mode)
@@ -71,12 +72,19 @@ def write_dataset(
                 "write.bloom-columns is not supported on the native lance "
                 "write path (no bloom sidecar contract for native fragments)"
             )
+        if expected_base_version is not None:
+            raise NotImplementedError(
+                "conditional (CAS) commits are not wired for the native "
+                "lance write path — use lance's own read_version contract"
+            )
         return _write_lance(df, path, mode, opts)
-    return _write_local(df, path, mode, opts, commit_meta)
+    return _write_local(df, path, mode, opts, commit_meta,
+                        expected_base_version)
 
 
 def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions,
-                 commit_meta: dict | None = None) -> FR.Manifest:
+                 commit_meta: dict | None = None,
+                 expected_base_version: "int | None" = None) -> FR.Manifest:
     # append-time schema contract: align the batch to the table schema
     # (reorder / refuse / evolve per write.schema-evolution) BEFORE any
     # fragment is produced, so fragment files never carry a surprise shape
@@ -119,7 +127,8 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
             # overwrites keep old fragment files and must inherit it,
             # which FR.commit does when the key is absent)
             meta.setdefault("dropped_columns", [])
-        return FR.commit(path, new_fragments, mode=mode.value, meta=meta)
+        return FR.commit(path, new_fragments, mode=mode.value, meta=meta,
+                         expected_base_version=expected_base_version)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

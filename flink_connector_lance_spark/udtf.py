@@ -625,6 +625,33 @@ def _fts_prune_fragments(m, idx_path: str, terms: list[str]):
 _FTS_UDTF_MAX_POSTINGS = 5_000_000
 
 
+def _round_half_up6(arr: "np.ndarray") -> "np.ndarray":
+    """Round to 6 decimals with HALF_UP — the rounding Spark's
+    ``F.round`` applies (BigDecimal.valueOf(double).setScale(6,
+    HALF_UP), i.e. decided on the double's SHORTEST DECIMAL repr) — so
+    the in-process scores keep bit-parity with the distributed
+    ``fts_search`` at exact half-ulp boundaries, where numpy's default
+    half-to-even would flip the last digit.
+
+    Vectorized fast path (floor(x*1e6 + 0.5)); elements whose scaled
+    fraction lands within 1e-6 of the .5 boundary — where float product
+    error could cross it — are re-rounded exactly through Decimal on
+    the repr string, which is the same shortest-repr contract
+    java.lang.Double.toString uses."""
+    scaled = arr * 1e6
+    out = np.floor(scaled + 0.5) / 1e6
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    amb = frac < 1e-6
+    if amb.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-6)
+        for i in np.nonzero(amb)[0]:
+            out[i] = float(Decimal(repr(float(arr[i])))
+                           .quantize(q, rounding=ROUND_HALF_UP))
+    return out
+
+
 def _eval_fts(path: str, text_col: str, query: str, k: int):
     """BM25 over the FTS postings index, in-process: zone-map + bloom
     fragment pruning, pyarrow row-group-pruned posting reads, the same
@@ -670,7 +697,11 @@ def _eval_fts(path: str, text_col: str, query: str, k: int):
             f"{_FTS_UDTF_MAX_POSTINGS}) — too large for the in-process "
             "SQL route; use sources.fts.fts_search (distributed) instead")
     t_arr = tbl.column("term").to_pylist()
-    ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    # ids keep the posting column's NATIVE dtype (int64 corpus -> int64
+    # array, string/UUID corpus -> object array of str) — np.unique
+    # sorts either, and downstream keys/filters stay type-faithful, so
+    # a string-id corpus works through the SQL route
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)
     tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
     dl = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
     uniq, inv = np.unique(ids, return_inverse=True)
@@ -690,8 +721,12 @@ def _eval_fts(path: str, text_col: str, query: str, k: int):
         part = np.zeros_like(total)
         part[inv[sel]] = contrib
         total = total + part
-    total = np.round(total, 6)
-    top = np.lexsort((uniq, -total))[:k]
+    total = _round_half_up6(total)
+    # np.unique returned uniq ASCENDING, so a stable sort on -total
+    # breaks score ties by ascending id — same order as fts_search's
+    # ORDER BY bm25 DESC, id ASC, and it works for string ids too
+    # (lexsort rejects object dtypes)
+    top = np.argsort(-total, kind="stable")[:k]
     return id_col, analyzer, terms, uniq[top], total[top]
 
 
@@ -750,7 +785,9 @@ class TextSearchUDTF:
         dschema = _read_schema(path) if _is_fragment_dataset(path) else None
         rows_tbl = _read_filtered(_dataset_files(path), None, id_col, top_ids,
                                   schema=dschema)
-        rows = {int(r[id_col]): r for r in rows_tbl.to_pylist()}
+        # keys stay the id column's native python type (int or str) —
+        # int() here crashed string-id corpora through the SQL route
+        rows = {r[id_col]: r for r in rows_tbl.to_pylist()}
         for i, s in zip(top_ids.tolist(), top_scores.tolist()):
             row = rows.get(i)
             if row is None:

@@ -368,6 +368,139 @@ def test_simple_analyzer_case_insensitive(spark, tmp_path, sf_dir):
         create_fts_index(spark, path, "text", "doc_id", analyzer="nope")
 
 
+def test_concurrent_refresh_single_indexes_delta(spark, corpus, sf_dir,
+                                                 monkeypatch):
+    """Two refreshers racing on the same delta: the loser's conditional
+    commit must CONFLICT and re-derive into a noop, not append the delta
+    postings a second time (which would double tf/df/n_docs)."""
+    import flink_connector_lance_spark.sources.fts as fts_mod
+
+    create_fts_index(spark, corpus, "text", "doc_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.limit(25).select((F.col("doc_id") + 9_000_000).alias("doc_id"), "text") \
+        .write.format("lance").mode("append").save(corpus)
+
+    orig = fts_mod._commit_postings
+    state = {"injected": False}
+
+    def racy(post, idx_path, meta, mode, max_rows, **kw):
+        # first commit attempt: a concurrent refresher lands FIRST,
+        # inside this refresher's read->commit window
+        if not state["injected"]:
+            state["injected"] = True
+            monkeypatch.setattr(fts_mod, "_commit_postings", orig)
+            assert fts_mod.refresh_fts_index(spark, corpus, "text")["mode"] \
+                == "incremental"
+            monkeypatch.setattr(fts_mod, "_commit_postings", racy)
+        return orig(post, idx_path, meta, mode, max_rows, **kw)
+
+    monkeypatch.setattr(fts_mod, "_commit_postings", racy)
+    out = fts_mod.refresh_fts_index(spark, corpus, "text")
+    monkeypatch.setattr(fts_mod, "_commit_postings", orig)
+    # the loser re-read the moved head and found the delta covered
+    assert out["mode"] == "noop"
+    # stats single-counted: index n_docs equals the table's row count
+    info = FR.read_manifest(fts_index_path(corpus, "text")).meta["fts"]
+    register_lance_datasource(spark)
+    n_table = spark.read.format("lance").load(corpus).count()
+    assert info["n_docs"] == n_table
+    # and scores still match the full scan over the current table
+    cur = spark.read.format("lance").load(corpus)
+    got = _ranked_rows(fts_search(spark, corpus, QUERY, k=10))
+    want = _ranked_rows(bm25_search(cur, "text", "doc_id", QUERY, k=10))
+    assert got == want
+
+
+def test_string_id_corpus_through_sql_route(spark, tmp_path, sf_dir):
+    """A string-id corpus (URL/UUID-style ids) must index and search
+    identically through BOTH the distributed fts_search and the
+    in-process text_search UDTF — the SQL route used to coerce posting
+    ids to int64 and crash."""
+    from flink_connector_lance_spark.udtf import register_text_search
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "strdocs")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+                 ).alias("url"), "text")
+    d.write.format("lance").mode("overwrite").save(path)
+    create_fts_index(spark, path, "text", "url")
+    want = fts_search(spark, path, QUERY, k=5).collect()
+    assert want and all(isinstance(r["url"], str) for r in want)
+    register_text_search(spark)
+    got = spark.sql(
+        f"SELECT url, bm25 FROM text_search('{path}', 'text', '{QUERY}', 5)"
+    ).collect()
+    assert [(r["url"], r["bm25"]) for r in got] == [tuple(r) for r in want]
+
+
+def test_many_term_query_bounded_plan(spark, corpus, sf_dir):
+    """Past MAX_UNROLL_TERMS distinct terms, scoring flips to one
+    groupBy SUM instead of a per-term column unroll: a 500-term query
+    must complete with a bounded plan, and the two paths must agree on
+    ids and scores (to float-summation-order tolerance)."""
+    create_fts_index(spark, corpus, "text", "doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    vocab = sorted({t for r in d.limit(40).collect()
+                    for t in r["text"].split(" ") if t})
+    assert len(vocab) >= 12, "fixture corpus vocabulary too small"
+    q12 = " ".join(vocab[:12])
+
+    # force the group path with a low cap; the unroll path is the truth
+    grouped = fts_search(spark, corpus, q12, k=20, max_unroll_terms=4)
+    plan = grouped._jdf.queryExecution().optimizedPlan().toString()
+    assert "__t5" not in plan  # no per-term unrolled columns
+    unrolled = fts_search(spark, corpus, q12, k=20, max_unroll_terms=1000)
+    g, u = grouped.collect(), unrolled.collect()
+    assert [r["doc_id"] for r in g] == [r["doc_id"] for r in u]
+    for a, b in zip(g, u):
+        assert a["bm25"] == pytest.approx(b["bm25"], abs=1e-6)
+
+    # 500 distinct terms (vocab + filler that matches nothing) under the
+    # DEFAULT cap: completes, still ranked, still top-k
+    q500 = " ".join((vocab + [f"zz{i}notaterm" for i in range(500)])[:500])
+    big = fts_search(spark, corpus, q500, k=10).collect()
+    assert len(big) == 10 and all(r["bm25"] > 0 for r in big)
+
+    # match_all survives the group path: survivors = docs containing
+    # every one of the 12 terms (brute-forced from the raw texts)
+    allg = fts_search(spark, corpus, q12, k=10_000, match_all=True,
+                      max_unroll_terms=4).collect()
+    want_ids = {r["doc_id"] for r in d.collect()
+                if all(t in r["text"].split(" ") for t in q12.split(" "))}
+    assert {r["doc_id"] for r in allg} == want_ids
+
+
+def test_k_guards(spark, corpus):
+    from flink_connector_lance_spark.sources.fts import fts_search_phrase
+
+    create_fts_index(spark, corpus, "text", "doc_id", with_positions=True)
+    with pytest.raises(ValueError, match="k must be"):
+        fts_search(spark, corpus, QUERY, k=-1)
+    with pytest.raises(ValueError, match="k must be"):
+        fts_search_phrase(spark, corpus, "vector hash", k=-1)
+
+
+def test_udtf_rounding_matches_spark_half_up(spark):
+    """F.round is HALF_UP on the double's shortest decimal repr
+    (BigDecimal); the UDTF's _round_half_up6 must agree at exact
+    half-ulp boundaries where numpy's half-to-even flips the digit."""
+    import numpy as np
+
+    from flink_connector_lance_spark.udtf import _round_half_up6
+
+    vals = [0.1234565, 0.1234575, 1.0000005, 0.0000015, 0.0000025,
+            2.7182818284590452, 13.9999995, 0.9999994999999999]
+    got = _round_half_up6(np.array(vals, dtype=np.float64))
+    want = [r["r"] for r in spark.createDataFrame(
+        [(v,) for v in vals], "x double"
+    ).select(F.round("x", 6).alias("r")).collect()]
+    assert got.tolist() == want
+    # and at least one case where half-to-even would differ
+    assert np.round(np.array([0.1234565]), 6)[0] != got[0] or \
+        got[0] == 0.123457
+
+
 def test_auto_maintenance_reclusters_fragmented_postings(spark, corpus, sf_dir):
     from flink_connector_lance_spark.sources.auto_maintenance import (
         MaintenancePolicy,
@@ -376,13 +509,19 @@ def test_auto_maintenance_reclusters_fragmented_postings(spark, corpus, sf_dir):
 
     create_fts_index(spark, corpus, "text", "doc_id", max_rows_per_fragment=3000)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    for off in (1_000_000, 2_000_000, 3_000_000):
+    # four appends -> four incremental refreshes: the index gains AT
+    # LEAST one overlapping postings fragment per refresh, so >= 5
+    # fragments total REGARDLESS of how the base build's range shuffle
+    # split (the old 3-append version depended on the base splitting
+    # into >= 2 files, which varies with session partitioning state —
+    # the full-suite flake)
+    for off in (1_000_000, 2_000_000, 3_000_000, 4_000_000):
         d.limit(30).select((F.col("doc_id") + off).alias("doc_id"), "text") \
             .write.format("lance").mode("append").save(corpus)
         refresh_fts_index(spark, corpus, "text")
     idx = fts_index_path(corpus, "text")
     nfrag = len(FR.read_manifest(idx).fragments)
-    assert nfrag >= 5  # base splits + one per refresh
+    assert nfrag >= 5  # >= 1 base fragment + one per refresh
 
     before = fts_search(spark, corpus, QUERY, k=10).collect()
     report = run_maintenance(
@@ -391,8 +530,15 @@ def test_auto_maintenance_reclusters_fragmented_postings(spark, corpus, sf_dir):
                           max_fts_fragments=4))
     st = [s for s in report["steps"] if s["step"] == "cluster_fts:text"]
     assert st and st[0]["due"]
-    assert FR.read_manifest(idx).meta.get("fts")  # spec survived
-    assert len(FR.read_manifest(idx).fragments) < nfrag  # layout compacted
+    m_after = FR.read_manifest(idx)
+    assert m_after.meta.get("fts")  # spec survived
+    assert len(m_after.fragments) < nfrag  # the 4 delta runs merged away
+    # the POINT of reclustering: fragments own disjoint term ranges
+    # again (zone maps selective), instead of every delta overlapping
+    spans = sorted((f.stats["term"]["min"], f.stats["term"]["max"])
+                   for f in m_after.fragments)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert lo2 >= hi1
     after = fts_search(spark, corpus, QUERY, k=10).collect()
     assert [tuple(x) for x in before] == [tuple(x) for x in after]
     # steady state: under the default threshold a second pass is not due
