@@ -171,6 +171,8 @@ def source_roundtrip_agg(spark, sf_dir):
     UNION ALL SELECT 'changes', (SELECT count(*) FROM upd),
               (SELECT count(*) FROM deleted
                WHERE doc_id IN (SELECT doc_id FROM upd))
+    UNION ALL SELECT 'maint', count(*), CAST(sum(n_chars) AS BIGINT)
+    FROM merged
     UNION ALL SELECT 'evolved_append', count(*),
               CAST(sum(coalesce(extra, 0)) AS BIGINT) FROM evolved
     UNION ALL SELECT 'evolved', count(*),
@@ -186,7 +188,12 @@ def source_roundtrip_agg(spark, sf_dir):
         "rows unchanged), delete_rows `lang = 'de'` (three-valued logic: "
         "NULL-lang rows survive), merge_rows upsert of every 5th doc "
         "(n_chars*2+1, lang 'xx') plus re-insert of deleted upserted keys. "
-        "Then the row-level CDC read (maintenance.read_changes — the "
+        "Then one policy-driven auto-maintenance pass "
+        "(auto_maintenance.run_maintenance: compact+vacuum evaluated and "
+        "executed on the post-merge layout) with describe_dataset's "
+        "metadata-only num_rows cross-checked against the data read — "
+        "the 'maint' stage hashes (count, sum) that maintenance must "
+        "carry through unchanged. Then the row-level CDC read (maintenance.read_changes — the "
         "changefeed the file-level delta cannot express across rewrites): "
         "the 'changes' stage counts insert post-images vs delete "
         "pre-images across the merge, with carried rows cancelling in the "
@@ -270,6 +277,32 @@ def source_version_travel(spark, sf_dir):
         ).first()
     )
     rows.append(("changes", ch.ins, ch.dels))
+
+    # --- auto-maintenance + describe under the hash gate ---
+    # one policy-driven run_maintenance pass (auto_maintenance.py) over
+    # the post-merge layout: compact/vacuum decisions evaluated and
+    # executed, then describe_dataset's metadata-only num_rows is
+    # cross-checked against the data read — the 'maint' stage hashes
+    # (count, sum) which maintenance must carry through UNCHANGED
+    from ..sources.auto_maintenance import MaintenancePolicy, run_maintenance
+    from ..sources.maintenance import describe_dataset
+
+    desc = describe_dataset(path)
+    report = run_maintenance(
+        spark, path,
+        MaintenancePolicy(target_rows_per_fragment=1_000_000, keep_versions=2))
+    step_names = {s["step"] for s in report["steps"]}
+    if not {"compact", "vacuum"} <= step_names:
+        raise RuntimeError(f"maintenance pass missing steps: {step_names}")
+    desc2 = describe_dataset(path)
+    m_snap = snap("maint")
+    if desc["num_rows"] != m_snap[1] or desc2["num_rows"] != m_snap[1]:
+        raise RuntimeError(
+            f"describe_dataset num_rows {desc['num_rows']}/{desc2['num_rows']}"
+            f" != read count {m_snap[1]}")
+    if desc2["version"] < desc["version"]:
+        raise RuntimeError("maintenance moved the version backwards")
+    rows.append(m_snap)
 
     # --- schema evolution stages (sources/schema_evolution.py) ---
     from ..options import DatasetOptions

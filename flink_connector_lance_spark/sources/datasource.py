@@ -625,10 +625,12 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             raise ValueError("lance datasource requires a 'path' option")
         if is_remote(self._path):
             raise NotImplementedError(
-                "S3 support in the emulated backend is read-only "
-                "(single-winner commits need atomic create-if-absent, "
-                "which S3 cannot provide); write through the native lance "
-                "backend"
+                "the format('lance') writer does not support s3:// paths "
+                "(its executor-side fragment writes are local-only); use "
+                "sources.writer.write_dataset — it stages fragments "
+                "locally, uploads through fsspec, and commits the "
+                "manifest with an S3 conditional PUT — or the native "
+                "lance backend"
             )
         self._mode = "overwrite" if overwrite else "append"
         self._evolve = _parse_evolve_option(options)
@@ -691,8 +693,11 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError("lance datasource requires a 'path' option")
         if is_remote(self._path):
             raise NotImplementedError(
-                "S3 support in the emulated backend is read-only; "
-                "stream through the native lance backend"
+                "the streaming format('lance') writer does not support "
+                "s3:// paths (executor-side fragment writes are "
+                "local-only); write micro-batches in foreachBatch via "
+                "sources.writer.write_dataset, or stream through the "
+                "native lance backend"
             )
         self._evolve = _parse_evolve_option(options)
         if _layout_options_requested(options):

@@ -186,7 +186,8 @@ class CommitConflict(RuntimeError):
 
 def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
            max_retries: int = 20, meta: dict | None = None,
-           expected_base_version: "int | None" = None) -> Manifest:
+           expected_base_version: "int | None" = None,
+           storage_options: dict | None = None) -> Manifest:
     """Atomically commit a new dataset version.
 
     The commit is the transaction boundary (ref LanceSink.java:163-189):
@@ -202,24 +203,30 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
     otherwise ``CommitConflict`` is raised instead of retrying onto the
     moved head. Derived-state writers (FTS/rollup refresh) need this —
     their fragments and meta were computed FROM a snapshot, so landing
-    them on a different head double-applies the delta."""
-    from .fs import is_remote
+    them on a different head double-applies the delta.
 
+    Remote (s3://) roots commit through ``fs.create_exclusive`` — an S3
+    conditional PUT (``If-None-Match: *``) of the manifest key, which
+    gives the same single-winner guarantee as the local O_EXCL create;
+    pass the warehouse credentials via ``storage_options``."""
+    from .fs import create_exclusive, get_fs, is_remote
+
+    remote_fs = None
     if is_remote(root):
-        raise NotImplementedError(
-            "committing to an S3 dataset is not supported by the emulated "
-            "backend: single-winner commits need atomic create-if-absent "
-            "(O_EXCL), which plain S3 PUTs cannot provide — S3 support is "
-            "read-only here; write through the native lance backend"
-        )
-    os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
+        remote_fs = get_fs(root, storage_options)
+        mk = getattr(remote_fs, "makedirs", None)
+        if mk is not None:  # object stores have no dirs; local-backed fakes do
+            mk(os.path.join(root, VERSIONS_DIR), exist_ok=True)
+    else:
+        os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
     for _ in range(max_retries):
-        prev_v = latest_version(root)
+        prev_v = latest_version(root, storage_options)
         if expected_base_version is not None and prev_v != expected_base_version:
             raise CommitConflict(
                 f"{root} moved to version {prev_v} (expected "
                 f"{expected_base_version}) — re-read and re-derive")
-        prev = read_manifest(root, prev_v) if prev_v is not None else None
+        prev = (read_manifest(root, prev_v, storage_options)
+                if prev_v is not None else None)
         if mode == "overwrite" or prev is None:
             fragments = list(new_fragments)
         else:
@@ -256,6 +263,13 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
             {"version": next_v, "fragments": [asdict(f) for f in manifest.fragments],
              "meta": manifest.meta}
         )
+        if remote_fs is not None:
+            try:
+                create_exclusive(remote_fs, _manifest_path(root, next_v),
+                                 payload.encode("utf-8"))
+            except FileExistsError:
+                continue  # another writer won this version; re-read and retry
+            return manifest
         try:
             fd = os.open(_manifest_path(root, next_v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:

@@ -15,10 +15,13 @@ being importable:
   ``fsspec`` with the mapped credentials — no JVM hadoop-aws jars
   needed, and the per-fragment partitioning / zone-map pruning are
   unchanged;
-- **writes and maintenance stay refused** on remote paths: the commit
-  protocol relies on O_EXCL manifest creation, which S3 cannot provide
-  (no atomic create-if-absent on plain PUT) — a clear error beats a
-  lost-update window.
+- **writes** commit through ``create_exclusive``: fragments are staged
+  locally and uploaded via fsspec, then the manifest is created with
+  the backend's exclusive-write mode — on s3fs an S3 conditional PUT
+  (``If-None-Match: *``), giving the same single-winner semantics as
+  the local ``O_EXCL`` path. Backends without exclusive-create keep
+  the old clear refusal (a lost-update window is worse than an error).
+  Maintenance rewrites (compact/vacuum/DELETE/MERGE) stay local-only.
 
 Without fsspec installed, every remote call degrades to the same clear
 error the catalog always raised.
@@ -82,6 +85,34 @@ def get_fs(path: str, storage_options: dict | None = None):
         return fsspec.filesystem("s3", **_fsspec_kwargs(storage_options))
     except ImportError as e:
         raise RemoteUnavailableError(f"reading {path}") from e
+
+
+def create_exclusive(fs, url: str, payload: bytes) -> None:
+    """Atomic create-if-absent of one remote object — the primitive the
+    single-winner commit protocol needs (the remote twin of the local
+    ``O_CREAT|O_EXCL`` manifest write).
+
+    Delegates to the filesystem's exclusive-write mode (``open(path,
+    'xb')``): s3fs implements it with an S3 conditional PUT
+    (``If-None-Match: *`` — S3's 2024 conditional-write API), so exactly
+    one of N concurrent writers can create a given manifest key and the
+    losers get ``FileExistsError`` (raised at close, when the PUT's
+    precondition is evaluated). ``FileExistsError`` propagates to the
+    caller's retry loop; a backend without exclusive-create support gets
+    a clear refusal instead of a lost-update window."""
+    try:
+        f = fs.open(url, "xb")
+    except FileExistsError:
+        raise
+    except (NotImplementedError, ValueError) as e:
+        raise NotImplementedError(
+            f"the filesystem backing {url} has no exclusive-create "
+            "('xb' / If-None-Match) support — conditional commits are "
+            "unavailable; upgrade s3fs or write through the native "
+            "lance backend"
+        ) from e
+    with f:
+        f.write(payload)
 
 
 def remote_ls_names(fs, path: str) -> list[str]:

@@ -78,6 +78,11 @@ def write_dataset(
                 "lance write path — use lance's own read_version contract"
             )
         return _write_lance(df, path, mode, opts)
+    from .fs import is_remote
+
+    if is_remote(path):
+        return _write_remote(df, path, mode, opts, commit_meta,
+                             expected_base_version)
     return _write_local(df, path, mode, opts, commit_meta,
                         expected_base_version)
 
@@ -131,6 +136,96 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
                          expected_base_version=expected_base_version)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _write_remote(df: DataFrame, path: str, mode: WriteMode,
+                  opts: DatasetOptions, commit_meta: dict | None = None,
+                  expected_base_version: "int | None" = None) -> FR.Manifest:
+    """Write path for s3:// datasets: fragments are staged into a local
+    temp dir (Spark's committer still gives atomic task output), the
+    driver uploads them through fsspec (thread-pooled, one PUT per
+    fragment), and the manifest commits with ``fs.create_exclusive`` —
+    an S3 conditional PUT (``If-None-Match: *``), the remote twin of
+    the local O_EXCL single-winner commit. Credentials ride in
+    ``opts.s3`` (the reference's s3-* option surface —
+    ref table/LanceCatalogFactory.java:77-111).
+
+    Uploading data files BEFORE the manifest keeps the reader contract:
+    a committed manifest never references a not-yet-written fragment;
+    a crash between upload and commit leaves only unreferenced garbage
+    keys. Bloom sidecars are not wired for remote writes (refused)."""
+    import tempfile
+
+    from .fs import get_fs
+
+    if opts.bloom_columns:
+        raise NotImplementedError(
+            "write.bloom-columns is not supported on s3:// datasets "
+            "(no remote bloom-sidecar contract yet)")
+    storage = opts.s3.to_storage_options() if opts.s3 else None
+    fs = get_fs(path, storage)
+    if mode is WriteMode.APPEND and FR.latest_version(path, storage) is not None:
+        import json
+
+        from pyspark.sql.types import StructType
+
+        from .schema_evolution import align_for_append
+
+        m = FR.read_manifest(path, storage_options=storage)
+        sj = m.meta.get("schema")
+        if not sj:
+            raise NotImplementedError(
+                "appending to a remote dataset without a recorded "
+                "manifest schema (pre-evolution layout) is not supported")
+        df = align_for_append(df, StructType.fromJson(json.loads(sj)),
+                              opts.schema_evolution,
+                              dropped=list(m.meta.get("dropped_columns", [])))
+    stage = tempfile.mkdtemp(prefix="lance-s3-stage-")
+    try:
+        (
+            df.write.option("maxRecordsPerFile", opts.write_max_rows_per_file)
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        new_fragments = _upload_staged(fs, path, stage)
+        meta = dict(commit_meta or {})
+        meta.setdefault("schema", df.schema.json())
+        if mode is WriteMode.OVERWRITE:
+            meta.setdefault("dropped_columns", [])
+        return FR.commit(path, new_fragments, mode=mode.value, meta=meta,
+                         expected_base_version=expected_base_version,
+                         storage_options=storage)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _upload_staged(fs, path: str, stage: str) -> list[FR.FragmentInfo]:
+    """Thread-pooled footer-read + PUT per staged file (driver-side
+    O(files) round trips otherwise — same shape as
+    maintenance._promote_staged). Fragment ids stay deterministic
+    (sorted staging-file name order) regardless of upload order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    names = [n for n in sorted(os.listdir(stage)) if n.endswith(".parquet")]
+    if not names:
+        return []
+
+    def one(n: str):
+        local = os.path.join(stage, n)
+        rows = pq.read_metadata(local).num_rows
+        stats = FR.parquet_fragment_stats(local)
+        fn = FR.new_fragment_name()
+        fs.put(local, f"{str(path).rstrip('/')}/{FR.DATA_DIR}/{fn}")
+        return fn, rows, stats
+
+    with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+        results = list(ex.map(one, names))
+    return [
+        FR.FragmentInfo(i, f"{FR.DATA_DIR}/{fn}", rows, stats)
+        for i, (fn, rows, stats) in enumerate(results)
+    ]
 
 
 def _write_lance(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions) -> FR.Manifest:

@@ -34,7 +34,27 @@ class _FakeS3FS:
         return os.path.join(self.root, p)
 
     def open(self, path, mode="rb"):
-        return open(self._local(path), mode)
+        local = self._local(path)
+        if "x" in mode:
+            # the exclusive-create mode s3fs backs with an S3
+            # conditional PUT (If-None-Match: *) — here a real O_EXCL,
+            # which has the same exactly-one-winner semantics
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            return os.fdopen(fd, "wb")
+        if "w" in mode or "a" in mode:
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+        return open(local, mode)
+
+    def makedirs(self, path, exist_ok=False):
+        os.makedirs(self._local(path), exist_ok=exist_ok)
+
+    def put(self, lpath, rpath):
+        import shutil
+
+        dest = self._local(rpath)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copyfile(lpath, dest)
 
     def exists(self, path) -> bool:
         return os.path.exists(self._local(path))

@@ -83,15 +83,56 @@ def test_s3_catalog_read_surface_and_write_refusals(fake_s3, spark):
     assert got.count() == 80
     cat.register_table(spark, "db1", "t1", view_name="s3_t1")
     assert spark.sql("SELECT count(*) AS c FROM s3_t1").collect()[0].c == 80
-    # mutations stay refused: read-only S3 support
+    # catalog mutations stay refused (read-only catalog surface)
     with pytest.raises(Unsupported, match="read-only"):
         cat.create_database("db2")
     with pytest.raises(Unsupported, match="read-only"):
         cat.rename_table("db1", "t1", "t9")
-    with pytest.raises(Exception, match="read-only"):  # Spark wraps the raise
+    # the format('lance') writer stays refused on s3 (executor-side
+    # fragment writes are local-only) — write_dataset is the remote path
+    with pytest.raises(Exception, match="write_dataset"):  # Spark wraps it
         got.write.format("lance").mode("append").save("s3://bucket/wh/db1/t1")
-    with pytest.raises(NotImplementedError):
-        FR.commit("s3://bucket/wh/db1/t1", [], mode="append")
+
+
+def test_s3_write_then_read_round_trip(fake_s3, spark):
+    """write_dataset over s3://: fragments staged locally, uploaded via
+    fsspec, manifest committed with the conditional-PUT (exclusive
+    create) — then read back through the normal remote read plane,
+    including MVCC version travel and the CAS conflict contract."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.fs import create_exclusive, get_fs
+
+    url = "s3://bucket/wh/db1/w1"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3)
+    df = spark.range(40).selectExpr("id", "id % 4 AS g")
+    m = write_dataset(df.repartition(2), url, mode="overwrite", options=opts)
+    assert m.version == 0 and sum(f.row_count for f in m.fragments) == 40
+
+    m2 = write_dataset(spark.range(100, 110).selectExpr("id", "id % 4 AS g"),
+                       url, mode="append", options=opts)
+    assert m2.version == 1
+
+    register_lance_datasource(spark)
+    rd = (spark.read.format("lance")
+          .option("s3-endpoint", f"fake://{fake_s3}"))
+    assert rd.load(url).count() == 50
+    assert rd.load(url).filter("g = 2").count() == 12  # pushdown still works
+    assert rd.option("version", "0").load(url).count() == 40  # MVCC travel
+
+    storage = s3.to_storage_options()
+    # conditional commit: a stale expected version conflicts, not appends
+    with pytest.raises(FR.CommitConflict):
+        FR.commit(url, [], mode="append", expected_base_version=0,
+                  storage_options=storage)
+    # the exclusive create itself: second writer of the same key loses
+    fs = get_fs(url, storage)
+    with pytest.raises(FileExistsError):
+        create_exclusive(fs, f"{url}/_versions/1.manifest.json", b"x")
+    # append-time schema contract survives the remote path
+    with pytest.raises(Exception, match="schema|column"):
+        write_dataset(spark.range(3).selectExpr("id", "id AS zzz_new"),
+                      url, mode="append", options=opts)
 
 
 def test_s3_zone_map_pruning_still_plans_remote(fake_s3, spark):
