@@ -103,7 +103,11 @@ def hybrid_search_indexed(spark, docs_path: str, query: str, emb: DataFrame,
     """Hybrid search with the lexical leg served from the FTS inverted
     index (sources/fts.py — IO bounded by the query terms' postings).
     Identical to ``hybrid_search`` whenever >= leg_k documents match the
-    lexical query (the FTS candidate-set contract)."""
+    lexical query (the FTS candidate-set contract). Oracle-gated as the
+    ``hybrid`` branch of the ``vector_search_udtf`` registered query
+    (queries/knn.py) — hash-checked against a DuckDB full-scan RRF CTE;
+    ``tests/test_retrieval.py`` additionally pins it row-identical to
+    the full-scan twin."""
     from ..sources.fts import fts_index_path, fts_search
     from ..sources import fragments as FR
     from .knn import knn
@@ -149,7 +153,11 @@ def rerank_topk(candidates: DataFrame, candidate_id_col: str,
     plumbing real and testable where no model runtime exists, same
     stub contract as operators/multimodal's decode.
 
-    Returns ``(id, rerank_score)`` descending, ties on id.
+    Returns ``(id, rerank_score)`` descending, ties on id. Oracle-gated
+    as the ``rerank`` branch of the ``vector_search_udtf`` registered
+    query (queries/knn.py): the default Jaccard scorer is mirrored in
+    DuckDB as list_intersect/list_distinct set arithmetic over the FTS
+    top-10 candidate set.
     """
     if k < 0:
         raise ValueError("k must be >= 0")

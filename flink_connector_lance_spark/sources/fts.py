@@ -261,6 +261,12 @@ def _refresh_fts_once(spark: SparkSession, path: str, text_col: str) -> dict:
 # arrival order: equal up to float summation order, not bit-identical.
 MAX_UNROLL_TERMS = 64
 
+# Phrase slots unroll one pivoted positions column each; real phrases
+# are a handful of tokens, so refuse paragraph-sized inputs outright
+# (there is no group-by fallback that preserves consecutive-position
+# semantics cheaply).
+_MAX_PHRASE_TERMS = 16
+
 
 def fts_search(spark: SparkSession, path: str, query: str,
                text_col: str = "text", k: int = 10,
@@ -395,6 +401,14 @@ def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
     terms = analyze_query(phrase, info.get("analyzer", "whitespace"))
     if not terms:
         raise ValueError("empty phrase")
+    if len(terms) > _MAX_PHRASE_TERMS:
+        # each phrase slot pivots into its own positions column + one
+        # array_intersect link — fine for real phrases, codegen blowup
+        # for a pasted paragraph (the unroll cap's sibling guard)
+        raise ValueError(
+            f"phrase has {len(terms)} terms (> {_MAX_PHRASE_TERMS}) — "
+            "phrase search is for short token sequences; split the query "
+            "or use fts_search(match_all=True) for long conjunctions")
     if not info.get("with_positions"):
         raise ValueError(
             "phrase search needs a positional index — rebuild with "

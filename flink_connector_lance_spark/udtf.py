@@ -429,7 +429,7 @@ def _eval_hnsw(path: str, column: str, q: np.ndarray, k: int, metric: str,
     import pyarrow as pa
 
     rows_tbl = pa.concat_tables(parts)
-    row_d = np.round(_distances(_vector_matrix(rows_tbl, column), q, metric), 6)
+    row_d = _round_half_up6(_distances(_vector_matrix(rows_tbl, column), q, metric))
     rows = rows_tbl.to_pylist()
     row_ids = rows_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     final = np.lexsort((row_ids, row_d))[:k]
@@ -527,7 +527,7 @@ def _eval_indexed(path: str, column: str, q: np.ndarray, k: int, metric: str,
         parts_ids.append(full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
         parts_d.append(_distances(_vector_matrix(full, column), q, metric))
     all_ids = np.concatenate(parts_ids)
-    all_d = np.round(np.concatenate(parts_d), 6)
+    all_d = _round_half_up6(np.concatenate(parts_d))
     top = np.lexsort((all_ids, all_d))[:k]
     win_ids = all_ids[top]
 
@@ -537,7 +537,7 @@ def _eval_indexed(path: str, column: str, q: np.ndarray, k: int, metric: str,
     # row (id uniqueness is never enforced for plain datasets)
     rows_tbl = _read_filtered(_dataset_files(path), None, id_col, win_ids,
                               schema=dschema)
-    row_d = np.round(_distances(_vector_matrix(rows_tbl, column), q, metric), 6)
+    row_d = _round_half_up6(_distances(_vector_matrix(rows_tbl, column), q, metric))
     rows = rows_tbl.to_pylist()
     row_ids = rows_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     final = np.lexsort((row_ids, row_d))[:k]
@@ -581,7 +581,7 @@ class VectorSearchUDTF:
         table, mat, planes, sigs = _load_flat(path, column)
         eff_ef = None if ef is None else max(int(ef), k)
         cand = candidate_indices(path, column, q, nprobes, eff_ef)
-        d = np.round(_distances(mat[cand], q, metric), 6)
+        d = _round_half_up6(_distances(mat[cand], q, metric))
         if refine_factor is not None and int(refine_factor) > 1:
             # coarse select k*rf on a 2-decimal distance, exact re-rank
             coarse = np.round(d, 2)

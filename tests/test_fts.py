@@ -479,6 +479,8 @@ def test_k_guards(spark, corpus):
         fts_search(spark, corpus, QUERY, k=-1)
     with pytest.raises(ValueError, match="k must be"):
         fts_search_phrase(spark, corpus, "vector hash", k=-1)
+    with pytest.raises(ValueError, match="phrase has"):
+        fts_search_phrase(spark, corpus, " ".join(f"w{i}" for i in range(20)))
 
 
 def test_udtf_rounding_matches_spark_half_up(spark):
