@@ -91,12 +91,24 @@ def _is_fragment_dataset(path: str) -> bool:
 
 def _dataset_files(path: str) -> list[str]:
     """Parquet files behind ``path``: manifest fragments for a versioned
-    dataset, the path itself for plain parquet."""
+    dataset, the part files for a directory-style parquet table (what
+    ``df.write.parquet`` produces), the path itself for a single file."""
     if _is_fragment_dataset(path):
         from .sources import fragments as FR
 
         m = FR.read_manifest(path)
         return [os.path.join(path, f.file) for f in m.fragments]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, n) for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"{path} is a directory with no .parquet part files "
+                "(hive-partitioned layouts are not supported here — "
+                "point at the partition directory or a fragment dataset)")
+        return files
     return [path]
 
 

@@ -46,6 +46,30 @@ def test_dim_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q5_dimension_chain_broadcasts_below_fact_shuffles(spark, sf_dir):
+    """tpch_q5's scale contract: the supplier->nation->region chain
+    (with the region predicate) joins as three broadcasts with NO
+    exchange of lineitem before them, so only the region-filtered slice
+    of the fact table enters the orderkey/custkey shuffles."""
+    plan = _plan(spark, sf_dir, "tpch_q5_region_revenue")
+    # >= 3: the dim chain always broadcasts; at tiny SFs AQE broadcasts
+    # the orders/customer joins too (5 total), at scale those shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the tree prints parents before children: walking UP from the
+    # lineitem scan, at least the three dim joins must sit between the
+    # scan and the nearest shuffle Exchange above it — an exchange
+    # between scan and broadcasts would mean the whole fact table was
+    # shuffled before the region predicate pruned it
+    li_scan = plan.index("lineitem")
+    above = plan[:li_scan]
+    last_ex = above.rfind("Exchange")
+    assert last_ex != -1
+    assert above[last_ex:].count("BroadcastHashJoin") >= 3, \
+        "the broadcast dim chain must consume the raw lineitem scan"
+
+
 def test_agg_is_partial_final(spark, sf_dir):
     # contra ref LanceSource.java:156-170 single-subtask degradation:
     # two HashAggregate nodes (partial + final) around the exchange

@@ -102,6 +102,27 @@ def test_searcher_cache_is_lru_bounded(tmp_path):
     assert os.path.exists(last)
 
 
+def test_udtf_reads_directory_style_parquet(spark, sf_dir, tmp_path):
+    """A Spark-written parquet TABLE is a directory of part files — both
+    search UDTFs must treat it like the single-file case (flat scan over
+    all parts), not crash trying to open the directory as one file."""
+    path = str(tmp_path / "dirparq")
+    e = load_table(spark, sf_dir, "embeddings")
+    e.repartition(3).write.mode("overwrite").parquet(path)
+    udtf._CACHE.clear()
+    udtf.register_vector_search(spark)
+    qarr = "array(" + ", ".join(f"double({v})" for v in QVEC) + ")"
+    got = spark.sql(
+        f"SELECT vec_id, _distance FROM vector_search('{path}', 'embedding', {qarr}, 5, 'l2')"
+    ).collect()
+    from flink_connector_lance_spark.operators.knn import knn
+
+    want = knn(e, "embedding", QVEC, k=5, metric="l2",
+               tiebreak_cols=["vec_id"], round_digits=6) \
+        .select("vec_id", "_distance").collect()
+    assert [(r.vec_id, r._distance) for r in got] == [tuple(r) for r in want]
+
+
 def test_udtf_sees_evolved_columns(spark, sf_dir, tmp_path):
     """analyze() must declare the MANIFEST schema, not files[0]'s footer:
     after an evolving append adds a column, the oldest fragment's footer

@@ -67,6 +67,15 @@ QUERIES = [
     # ingest-time clustering is timed via the clustered_write EXTRA below;
     # text_stats adds the model_quality hashed-feature classifier score
     # (one more zero-shuffle projection riding the same corpus pass).
+    # round-8: the retrieval family — vector_search_udtf builds an FTS
+    # positional index over the corpus EVERY call (build cost scales
+    # with rows) then runs six search modalities (vector KNN, BM25,
+    # phrase, match_all, indexed hybrid RRF, token-Jaccard rerank) whose
+    # search IO is bounded by the query terms' postings / top-k
+    # candidates, so the ratio reads as index-build scaling plus
+    # near-flat search. source_version_travel also gained the
+    # auto-maintenance pass (compact+vacuum policy run + describe).
+    "vector_search_udtf",
 ]
 
 
