@@ -266,6 +266,24 @@ def _distances(mat: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def _integer_id_index(idx_dir: str, file: str, id_col: str) -> bool:
+    """The in-process index searchers key candidates through int64
+    numpy arrays; an index built over a string-id corpus (which the
+    DISTRIBUTED search handles fine — DataFrame joins are
+    dtype-agnostic) must route to the flat exact scan instead of
+    crashing on the coercion. One footer read, no data IO."""
+    import pyarrow.dataset as pads
+    import pyarrow.types as pat
+
+    try:
+        schema = pads.dataset(os.path.join(idx_dir, file), format="parquet",
+                              partitioning="hive").schema
+        f = schema.field(id_col)
+    except (FileNotFoundError, KeyError, OSError):
+        return False
+    return pat.is_integer(f.type)
+
+
 def uses_indexed_route(path: str, column: str, metric: str = "l2") -> bool:
     """True when eval() will search through the on-disk PQ index instead
     of materializing the table in the worker."""
@@ -277,6 +295,9 @@ def uses_indexed_route(path: str, column: str, metric: str = "l2") -> bool:
 
     with open(os.path.join(_pq_dir(path, column), "index_meta.json")) as fh:
         meta = json.load(fh)
+    if not _integer_id_index(_pq_dir(path, column), "codes.parquet",
+                             meta["id_col"]):
+        return False
     return meta.get("metric", "l2") == metric.lower()
 
 
@@ -295,6 +316,9 @@ def uses_hnsw_route(path: str, column: str, metric: str = "l2") -> bool:
         return False
     with open(os.path.join(_hnsw_dir(path, column), "index_meta.json")) as fh:
         meta = json.load(fh)
+    # the graph store renames id_col to 'id'; string-id graphs route flat
+    if not _integer_id_index(_hnsw_dir(path, column), "vectors.parquet", "id"):
+        return False
     return meta.get("metric", "l2") == metric.lower()
 
 

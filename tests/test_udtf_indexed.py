@@ -102,6 +102,44 @@ def test_searcher_cache_is_lru_bounded(tmp_path):
     assert os.path.exists(last)
 
 
+def test_string_id_pq_dataset_routes_flat(spark, sf_dir, tmp_path):
+    """A PQ index built over a string-id corpus: the distributed search
+    handles it (DataFrame joins are dtype-agnostic), but the in-process
+    searcher keys candidates through int64 arrays — the SQL route must
+    fall back to the flat exact scan, not crash on the coercion."""
+    import pyspark.sql.functions as F
+
+    from flink_connector_lance_spark import pq as PQ
+
+    path = str(tmp_path / "stride")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("v-"), F.col("vec_id").cast("string")).alias("vid"),
+        "embedding")
+    write_dataset(e, path, mode="overwrite")
+    PQ.build_pq_index(spark, path, "embedding", id_col="vid",
+                      num_sub_vectors=8, num_bits=4, iterations=1)
+    q = [0.1] * 64
+    # the distributed index search works with string ids end-to-end
+    dist = PQ.pq_search(spark, path, "embedding", q, k=3, refine_factor=4,
+                        tiebreak_cols=["vid"], round_digits=6) \
+        .select("vid", "_distance").collect()
+    assert len(dist) == 3 and all(isinstance(r.vid, str) for r in dist)
+    # the SQL route refuses the int64-keyed index and goes flat (exact)
+    assert not udtf.uses_indexed_route(path, "embedding", "l2")
+    udtf._CACHE.clear()
+    udtf.register_vector_search(spark)
+    qarr = "array(" + ", ".join(f"double({v})" for v in q) + ")"
+    got = spark.sql(
+        f"SELECT vid, _distance FROM vector_search('{path}', 'embedding', {qarr}, 3, 'l2')"
+    ).collect()
+    from flink_connector_lance_spark.operators.knn import knn
+
+    want = knn(e, "embedding", q, k=3, metric="l2",
+               tiebreak_cols=["vid"], round_digits=6) \
+        .select("vid", "_distance").collect()
+    assert [(r.vid, r._distance) for r in got] == [tuple(r) for r in want]
+
+
 def test_udtf_reads_directory_style_parquet(spark, sf_dir, tmp_path):
     """A Spark-written parquet TABLE is a directory of part files — both
     search UDTFs must treat it like the single-file case (flat scan over
