@@ -59,10 +59,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        # best-of-2: the first run can absorb JIT/GC/page-cache noise that
-        # has nothing to do with plan quality; min is the steady-state cost
+        # best-of-3: early runs absorb JIT/GC/page-cache noise that has
+        # nothing to do with plan quality; min is the steady-state cost.
+        # Was best-of-2 through round 7 — measured on the multi-stage
+        # joins (tpch_q5) that C2 compilation needs three iterations to
+        # reach steady state (1.25s -> 1.2s -> 1.06s), so two runs
+        # systematically over-reported them by ~15%.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # noop sink materializes every output column (count() would let

@@ -287,6 +287,38 @@ def _bloom_may_match(root: str, frag: "FR.FragmentInfo", pushed: List[Filter]) -
     return True
 
 
+def _manifest_for_scan(path: str, version: "int | None",
+                       storage_options: dict | None) -> FR.Manifest:
+    """Manifest for read planning: the emulated JSON chain, or — for a
+    REAL Lance dataset (binary ``N.manifest``, e.g. the reference's
+    committed fixtures) — the stdlib decoder in lance_format.py adapted
+    into the same shape. Native fragments carry no zone maps (``stats``
+    None → planning-time pruning disabled, conservative) and their
+    ``.lance`` data files route through the pure decoder in
+    ``_read_one``; parquet row-group pruning is replaced by the
+    decoder's buffer-level column pruning."""
+    try:
+        return FR.read_manifest(path, version, storage_options=storage_options)
+    except FR.LanceUnavailableError:
+        from .fs import is_remote
+
+        if is_remote(path):
+            raise  # the pure decoder is local-filesystem only
+        from . import lance_format as LF
+
+        mf = LF.read_native_manifest(path, version)
+        return FR.Manifest(
+            version=mf.version,
+            fragments=[
+                FR.FragmentInfo(fragment_id=fr.fragment_id,
+                                file=f"{LF.DATA_DIR}/{fr.file}",
+                                row_count=fr.physical_rows)
+                for fr in mf.fragments
+            ],
+            meta={"native_lance": True},
+        )
+
+
 def _storage_opts(options: dict) -> dict:
     """Reference-convention ``s3-*`` reader options -> object-store
     credential map (ref table/LanceCatalogFactory.java:148-176)."""
@@ -353,8 +385,7 @@ class LanceDataSourceReader(DataSourceReader):
         skipping — no task is ever scheduled for a skipped fragment).
         An empty result is fine: the Python data source worker turns it
         into a single ``None`` partition and ``read`` emits nothing."""
-        manifest = FR.read_manifest(self._path, self._version,
-                                    storage_options=self._storage)
+        manifest = _manifest_for_scan(self._path, self._version, self._storage)
         fragments = manifest.fragments
         if self._delta_from is not None:
             # incremental batch read by file-set delta. Sound ONLY on an
@@ -365,8 +396,7 @@ class LanceDataSourceReader(DataSourceReader):
             # rollup.refresh_rollup keys `needs_full` on) and fail fast;
             # `read.delta-allow-rewrites=true` opts into the raw file diff
             # for callers that dedup downstream.
-            base = FR.read_manifest(self._path, self._delta_from,
-                                    storage_options=self._storage)
+            base = _manifest_for_scan(self._path, self._delta_from, self._storage)
             known = {f.file for f in base.fragments}
             current = {f.file for f in fragments}
             removed = known - current
@@ -436,6 +466,9 @@ class LanceDataSourceReader(DataSourceReader):
         if self._remote:
             yield from self._read_one_remote(file, expr)
             return
+        if file.endswith(".lance"):
+            yield from self._read_one_native(file, expr)
+            return
         dset = pads.dataset(file, format="parquet")
 
         target = None
@@ -471,6 +504,26 @@ class LanceDataSourceReader(DataSourceReader):
                 yield from tbl.to_batches()
             else:
                 yield aligned
+
+    def _read_one_native(self, file: str, expr) -> Iterator["pa.RecordBatch"]:
+        """One REAL ``.lance`` v2 data file through the stdlib decoder
+        (sources/lance_format.py) — same per-fragment task shape as the
+        parquet route. The decode is cast to the planned Spark schema's
+        Arrow types (e.g. timestamp[ms] -> µs for Spark's Arrow bridge)
+        and pushed filters evaluate over the decoded table (Arrow
+        compute — the decoder's pruning is per-column, not per-row)."""
+        from . import lance_format as LF
+
+        tbl = LF.read_native_file(file)
+        if self._schema is not None:
+            from ..types import spark_schema_to_arrow
+
+            target = spark_schema_to_arrow(self._schema)
+            if target != tbl.schema:
+                tbl = tbl.cast(target)
+        if expr is not None:
+            tbl = tbl.filter(expr)
+        yield from tbl.to_batches(max_chunksize=self._batch_size)
 
     def _read_one_remote(self, file: str, expr) -> Iterator["pa.RecordBatch"]:
         """Executor-side S3 fragment read: the file opens through fsspec
@@ -909,8 +962,19 @@ class LanceDataSource(DataSource):
             raise ValueError("lance datasource requires a 'path' option")
         v = self.options.get("version")
         storage = _storage_opts(dict(self.options))
-        manifest = FR.read_manifest(path, int(v) if v is not None else None,
-                                    storage_options=storage)
+        try:
+            manifest = FR.read_manifest(path, int(v) if v is not None else None,
+                                        storage_options=storage)
+        except FR.LanceUnavailableError:
+            # REAL Lance dataset: schema straight from the binary manifest
+            from .fs import is_remote
+
+            if is_remote(path):
+                raise
+            from . import lance_format as LF
+
+            mf = LF.read_native_manifest(path, int(v) if v is not None else None)
+            return arrow_schema_to_spark(LF.arrow_schema_of(mf.fields))
         # schema evolution: the manifest's recorded schema is authoritative
         # (pre-evolution fragments lack the newer columns)
         sj = manifest.meta.get("schema")

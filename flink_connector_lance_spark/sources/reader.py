@@ -84,12 +84,63 @@ def read_fragment_files(spark, manifest: "FR.Manifest", files: list[str]) -> Dat
 
 
 def _read_local(spark, path, columns, filter, limit, version, opts) -> DataFrame:
-    manifest = FR.read_manifest(path, version)
+    try:
+        manifest = FR.read_manifest(path, version)
+    except FR.LanceUnavailableError:
+        # binary N.manifest (a real Lance dataset, e.g. the reference's
+        # committed fixtures) and no native lib: the pure-Python v2
+        # decoder (sources/lance_format.py) serves the read instead
+        return _read_native_pure(spark, path, columns, filter, limit, version, opts)
     files = FR.fragment_paths(path, manifest)
     if not files:
         raise FileNotFoundError(f"dataset {path} (v{manifest.version}) has no fragments")
     df = read_fragment_files(spark, manifest, files)
     return _apply_pushdowns(df, columns, filter, limit, opts)
+
+
+def _read_native_pure(spark, path, columns, filter, limit, version, opts) -> DataFrame:
+    """Native Lance v2 dataset WITHOUT the lance package: same execution
+    model as ``_read_lance`` (one fragment file == one mapInArrow task;
+    driver touches only the manifest), but each task decodes its
+    fragment with the stdlib-only reader in sources/lance_format.py.
+    Column pruning happens inside the decoder (unselected columns'
+    buffers are never read); filters/limits apply engine-side on the
+    decoded batches, mirroring the reference's post-scan filter chain
+    (ref LanceSource.java:156-170 degrades to one subtask there — here
+    fragments stay parallel)."""
+    import pandas as pd
+
+    from ..types import arrow_schema_to_spark, spark_type_to_arrow
+    from . import lance_format as LF
+
+    mf = LF.read_native_manifest(path, version)
+    cols = columns or opts.read_columns or None
+    arrow_schema = LF.arrow_schema_of(mf.fields, cols)
+    spark_schema = arrow_schema_to_spark(arrow_schema)
+    files = [f"{str(path).rstrip('/')}/{LF.DATA_DIR}/{fr.file}" for fr in mf.fragments]
+    if not files:
+        raise FileNotFoundError(f"dataset {path} (v{mf.version}) has no fragments")
+
+    def scan(iterator):
+        import pyarrow as pa
+
+        from flink_connector_lance_spark.sources import lance_format as _LF
+
+        # Spark's Arrow bridge expects µs timestamps etc. — cast the
+        # decoded table to the exact types the declared schema implies
+        target = pa.schema([
+            pa.field(f.name, spark_type_to_arrow(f.dataType)) for f in spark_schema
+        ])
+        for batch in iterator:
+            for fpath in batch.column("file").to_pylist():
+                tbl = _LF.read_native_file(fpath, columns=cols)
+                yield from tbl.cast(target).to_batches()
+
+    seed = spark.createDataFrame(pd.DataFrame({"file": files})).repartition(
+        max(len(files), 1), "file"
+    )
+    df = seed.mapInArrow(scan, schema=spark_schema)
+    return _apply_pushdowns(df, None, filter, limit, opts)
 
 
 def _read_lance(spark, path, columns, filter, limit, version, opts) -> DataFrame:
@@ -135,4 +186,9 @@ def count_rows(path: str, version: int | None = None) -> int:
         import lance
 
         return lance.dataset(path, version=version).count_rows()
-    return FR.read_manifest(path, version).row_count
+    try:
+        return FR.read_manifest(path, version).row_count
+    except FR.LanceUnavailableError:
+        from . import lance_format as LF
+
+        return LF.native_count_rows(path, version)

@@ -89,6 +89,21 @@ def _is_fragment_dataset(path: str) -> bool:
     return os.path.isdir(os.path.join(path, FR.VERSIONS_DIR))
 
 
+def _is_native_lance(path: str) -> bool:
+    """True for a REAL Lance dataset (binary ``N.manifest``, ``.lance``
+    data files) — e.g. the reference's committed fixtures
+    (ref test-data/lance-vector-search/_versions/1.manifest). These route
+    through the stdlib decoder in sources/lance_format.py instead of the
+    parquet readers; they never carry our parquet-side indexes, so they
+    always take the flat exact scan (correct at fixture scale)."""
+    if not _is_fragment_dataset(path):
+        return False
+    from .sources import fragments as FR
+
+    vdir = os.path.join(path, FR.VERSIONS_DIR)
+    return not any(n.endswith(".manifest.json") for n in os.listdir(vdir))
+
+
 def _dataset_files(path: str) -> list[str]:
     """Parquet files behind ``path``: manifest fragments for a versioned
     dataset, the part files for a directory-style parquet table (what
@@ -119,6 +134,10 @@ def _read_schema(path: str):
     ``add_column``, the footer would miss the new column — both the UDTF's
     declared output schema and its row reads must see the evolved shape
     (old fragments null-fill, same as the distributed reader)."""
+    if _is_native_lance(path):
+        from .sources import lance_format as LF
+
+        return LF.arrow_schema_of(LF.read_native_manifest(path).fields)
     if _is_fragment_dataset(path):
         import pyarrow as pa
 
@@ -171,11 +190,16 @@ def _load_flat(path: str, column: str):
     key = (path, column, "flat")
     hit = _cache_get(key)
     if hit is None:
-        import pyarrow.dataset as pads
+        if _is_native_lance(path):
+            from .sources import lance_format as LF
 
-        files = _dataset_files(path)
-        schema = _read_schema(path) if _is_fragment_dataset(path) else None
-        table = pads.dataset(files, format="parquet", schema=schema).to_table()
+            table = LF.read_native_dataset(path)
+        else:
+            import pyarrow.dataset as pads
+
+            files = _dataset_files(path)
+            schema = _read_schema(path) if _is_fragment_dataset(path) else None
+            table = pads.dataset(files, format="parquet", schema=schema).to_table()
         mat = _vector_matrix(table, column)
         planes = make_planes(num_planes=8, dim=mat.shape[1] if mat.size else 0)
         sigs = _row_signatures(mat, planes)
