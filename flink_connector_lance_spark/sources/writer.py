@@ -274,3 +274,74 @@ def _write_lance(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
     return FR.Manifest(version=ds.version, fragments=[
         FR.FragmentInfo(f.fragment_id, "", f.count_rows()) for f in ds.get_fragments()
     ])
+
+
+def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteMode.APPEND,
+                      options: DatasetOptions | None = None):
+    """Distributed REAL-Lance-format write WITHOUT the lance package:
+    every task encodes its partition into one ``data/<uuid>.lance`` v2
+    file through the stdlib codec (sources/lance_format.py — the same
+    bytes lance 0.24 writes, byte-identity pinned against the
+    reference's fixtures in tests/test_lance_native_write.py), then the
+    driver commits ONE binary manifest version over the collected
+    (file, rows) pairs — the same two-phase shape as the emulated sink
+    (ref LanceSink.java:133-199 buffers + commits per subtask instead).
+
+    A failed/retried task leaves an unreferenced ``.lance`` file that no
+    manifest points at — garbage, never a correctness hazard (same
+    contract as the S3 staging path). Local filesystems only, like the
+    pure decoder. Returns the committed ``NativeManifest``."""
+    import pyarrow as pa
+
+    from ..types import spark_schema_to_arrow
+    from . import lance_format as LF
+
+    opts = options or DatasetOptions(path=path)
+    mode = WriteMode.parse(mode)
+    if mode not in (WriteMode.APPEND, WriteMode.OVERWRITE):
+        raise ValueError(f"unsupported mode {mode} for native-format write")
+    schema = spark_schema_to_arrow(df.schema)
+    # fail on unsupported types BEFORE launching the job (the task-side
+    # encoder would raise the same error 200 times otherwise)
+    LF.fields_of_arrow_schema(schema)
+    data_dir = os.path.join(path, LF.DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    if opts.sort_columns:
+        if opts.cluster_on_write:
+            df = df.repartitionByRange(*opts.sort_columns)
+        df = df.sortWithinPartitions(*opts.sort_columns)
+    max_rows = opts.write_max_rows_per_file
+
+    def produce(iterator):
+        import uuid as _uuid
+
+        import pyarrow as _pa
+
+        from flink_connector_lance_spark.sources import lance_format as _LF
+
+        batches = list(iterator)
+        if not batches:
+            return
+        tbl = _pa.Table.from_batches(batches).cast(schema)
+        # honor write.max-rows-per-file: slice oversized partitions into
+        # several fragments (each file stays one single-page-per-column
+        # encode, the shape the decoder and lance 0.24 expect)
+        out_files, out_rows = [], []
+        for start in range(0, max(tbl.num_rows, 1), max_rows):
+            piece = tbl.slice(start, max_rows)
+            if piece.num_rows == 0:
+                continue
+            fname = f"{_uuid.uuid4()}.lance"
+            _LF.write_native_file(piece, os.path.join(data_dir, fname))
+            out_files.append(fname)
+            out_rows.append(piece.num_rows)
+        yield _pa.RecordBatch.from_pydict(
+            {"file": out_files, "rows": out_rows},
+            schema=_pa.schema([("file", _pa.string()), ("rows", _pa.int64())]))
+
+    metas = df.mapInArrow(produce, schema="file string, rows long").collect()
+    new_files = [(r.file, r.rows) for r in metas]
+    fields = LF.fields_of_arrow_schema(schema)
+    # append on a fresh directory bootstraps version 1 (commit_native
+    # treats an empty version chain as the zero state)
+    return LF.commit_native(path, fields, new_files, mode.value)
