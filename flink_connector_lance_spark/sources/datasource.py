@@ -615,6 +615,34 @@ def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
     )
 
 
+def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
+                           fields=None) -> FragmentCommitMessage:
+    """Executor side, REAL-Lance-format twin of ``_write_fragment``: one
+    task's batches become one ``data/<uuid>.lance`` v2 file through the
+    stdlib codec. ``fields`` (the live manifest schema, shipped from the
+    driver) aligns appends — column order + arrow-safe casts — before
+    any byte lands."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+
+    from . import lance_format as LF
+
+    batches = list(iterator)
+    rows = sum(b.num_rows for b in batches)
+    if rows == 0:
+        return FragmentCommitMessage(file=None, row_count=0)
+    tbl = pa.Table.from_batches(batches)
+    if fields is not None:
+        tbl = LF.align_to_fields(tbl, fields)
+    data_dir = os.path.join(path, LF.DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    fname = f"{_uuid.uuid4()}.lance"
+    LF.write_native_file(tbl, os.path.join(data_dir, fname))
+    return FragmentCommitMessage(
+        file=os.path.join(LF.DATA_DIR, fname), row_count=rows)
+
+
 def _drop_fragments(path: str, messages) -> None:
     from .bloom import BLOOM_SUFFIX
 
@@ -703,11 +731,38 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
 
         self._bloom_cols = parse_bloom_columns(options.get("write.bloom-columns"))
 
+        # REAL Lance dataset target (binary manifests): fragments and the
+        # commit go through the stdlib v2 codec instead of the parquet
+        # backend — appending .manifest.json beside binary manifests
+        # would fork the version chain. Detected here on the driver; the
+        # live schema ships to tasks so appends align before writing.
+        from . import lance_format as LF
+
+        self._native = LF.is_native_dataset(self._path)
+        self._native_fields = None
+        if self._native:
+            if self._bloom_cols:
+                raise NotImplementedError(
+                    "write.bloom-columns is not supported when writing the "
+                    "native Lance binary format (no bloom sidecar contract)")
+            if self._evolve:
+                raise NotImplementedError(
+                    "write.schema-evolution is not supported on native "
+                    "Lance datasets — appends must match the live schema")
+            if self._mode == "append":
+                self._native_fields = LF.read_native_manifest(self._path).fields
+
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
+        if self._native:
+            return _write_native_fragment(self._path, iterator,
+                                          self._native_fields)
         return _write_fragment(self._path, iterator, self._bloom_cols)
 
     def commit(self, messages: List[FragmentCommitMessage]) -> None:
         """Runs on the driver: single-winner manifest commit."""
+        if self._native:
+            self._commit_native(messages)
+            return
         frags = [
             FR.FragmentInfo(i, m.file, m.row_count, m.stats)
             for i, m in enumerate(m for m in messages if m is not None and m.file)
@@ -718,6 +773,23 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             _drop_fragments(self._path, messages)  # refuse = no orphans
             raise
         FR.commit(self._path, frags, mode=self._mode, meta=meta)
+
+    def _commit_native(self, messages: List[FragmentCommitMessage]) -> None:
+        from . import lance_format as LF
+
+        new_files = [(os.path.basename(m.file), m.row_count)
+                     for m in messages if m is not None and m.file]
+        fields = self._native_fields
+        if fields is None:
+            if not new_files:
+                raise ValueError(
+                    "native overwrite with zero non-empty tasks cannot "
+                    "define the new schema — nothing was committed")
+            # v2 files are self-describing; the first fragment's
+            # FileDescriptor is the (single-plan) schema of them all
+            fields = LF.read_file_schema(
+                os.path.join(self._path, LF.DATA_DIR, new_files[0][0]))
+        LF.commit_native(self._path, fields, new_files, self._mode)
 
     def abort(self, messages: List[FragmentCommitMessage]) -> None:
         _drop_fragments(self._path, messages)
@@ -763,6 +835,19 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         from .bloom import parse_bloom_columns
 
         self._bloom_cols = parse_bloom_columns(options.get("write.bloom-columns"))
+        from . import lance_format as LF
+
+        if LF.is_native_dataset(self._path):
+            # exactly-once needs the batch-id riding in the commit, and
+            # binary manifests carry no free-form metadata — refusing
+            # beats silently downgrading to at-least-once
+            raise NotImplementedError(
+                "streaming writes to a native Lance binary dataset are not "
+                "supported (the epoch tag that makes redelivered batches "
+                "idempotent has no slot in the binary manifest); use "
+                "foreachBatch + sources.writer.write_native_pure and "
+                "dedup on replay, or an emulated dataset target"
+            )
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
         return _write_fragment(self._path, iterator, self._bloom_cols)

@@ -826,6 +826,27 @@ def _txn_bytes(uuid_str: str, fields: list[NativeField],
     return _w_len(2, uuid_str.encode("utf-8")) + _w_len(102, op)
 
 
+def align_to_fields(table, fields: list[NativeField]):
+    """Reorder + cast an Arrow table to the shape ``fields`` declares —
+    the append-time contract for writing into an existing native
+    dataset. Loud on missing/extra columns; casts are Arrow-checked
+    (safe mode: a µs timestamp with sub-ms precision refuses to land in
+    a ms column instead of silently truncating — stricter than the
+    reference's converter, which truncates ns->ms,
+    ref RowDataConverter.java:502-520)."""
+    target = arrow_schema_of(fields)
+    want = target.names
+    have = set(table.column_names)
+    missing = [c for c in want if c not in have]
+    extra = [c for c in table.column_names if c not in set(want)]
+    if missing or extra:
+        raise ValueError(
+            f"append batch does not match the dataset schema: "
+            f"missing {missing or '[]'}, unexpected {extra or '[]'}")
+    table = table.select(want)
+    return table.cast(target) if table.schema != target else table
+
+
 def _schema_shape(fields: list[NativeField]) -> list[tuple]:
     return [(-1 if f.parent < 0 else f.parent, f.name, f.logical_type)
             for f in fields]

@@ -83,6 +83,26 @@ def write_dataset(
     if is_remote(path):
         return _write_remote(df, path, mode, opts, commit_meta,
                              expected_base_version)
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        # REAL Lance dataset (binary manifests) and no lance package:
+        # committing .manifest.json beside the binary chain would fork
+        # the dataset, so route through the stdlib v2 codec
+        if commit_meta:
+            raise NotImplementedError(
+                "binary Lance manifests cannot carry commit_meta "
+                "(rollups/streaming epoch metadata); use an emulated "
+                "dataset target")
+        if opts.bloom_columns:
+            raise NotImplementedError(
+                "write.bloom-columns is not supported on native Lance "
+                "binary datasets (no bloom sidecar contract)")
+        if expected_base_version is not None:
+            raise NotImplementedError(
+                "conditional (CAS) commits are not wired for native "
+                "Lance binary datasets")
+        return write_native_pure(df, path, mode, opts)
     return _write_local(df, path, mode, opts, commit_meta,
                         expected_base_version)
 
@@ -300,7 +320,23 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     mode = WriteMode.parse(mode)
     if mode not in (WriteMode.APPEND, WriteMode.OVERWRITE):
         raise ValueError(f"unsupported mode {mode} for native-format write")
-    schema = spark_schema_to_arrow(df.schema)
+    if mode is WriteMode.APPEND and LF.native_manifest_versions(path):
+        # append-time contract: reorder the batch to the live manifest's
+        # column order here (one driver-side select) and let each task
+        # arrow-cast to the recorded types (e.g. Spark's µs timestamps
+        # into a ms column — safe cast, refuses on precision loss)
+        live = LF.read_native_manifest(path)
+        want = LF.arrow_schema_of(live.fields).names
+        missing = [c for c in want if c not in df.columns]
+        extra = [c for c in df.columns if c not in set(want)]
+        if missing or extra:
+            raise ValueError(
+                f"append batch does not match the dataset schema: "
+                f"missing {missing or '[]'}, unexpected {extra or '[]'}")
+        df = df.select(*want)
+        schema = LF.arrow_schema_of(live.fields)
+    else:
+        schema = spark_schema_to_arrow(df.schema)
     # fail on unsupported types BEFORE launching the job (the task-side
     # encoder would raise the same error 200 times otherwise)
     LF.fields_of_arrow_schema(schema)

@@ -211,3 +211,105 @@ def test_vector_search_sql_over_written_dataset(spark, tmp_path):
     """).collect()
     assert [r.id for r in rows] == [1, 2]
     assert rows[0]._distance == 0.0
+
+
+def _copy_fixture(db: str, tmp_path) -> str:
+    import shutil
+
+    dst = str(tmp_path / db)
+    shutil.copytree(f"{REF}/{db}", dst)
+    return dst
+
+
+@needs_fixtures
+def test_spark_format_write_appends_to_fixture_copy(spark, tmp_path):
+    """df.write.format('lance') against a REAL Lance dataset routes
+    through the v2 codec: new binary fragment + binary manifest v2, no
+    .manifest.json fork, demo rows intact."""
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+
+    root = _copy_fixture("lance-db1", tmp_path)
+    register_lance_datasource(spark)
+    df = spark.createDataFrame(
+        [(6, "New Doc", [0.9, 0.9, 0.9, 0.9]),
+         (7, "Another", [0.8, 0.7, 0.6, 0.5])],
+        "id long, title string, embedding array<float>")
+    df.write.format("lance").mode("append").save(root)
+
+    assert LF.native_manifest_versions(root) == [1, 2]
+    vdir = os.path.join(root, LF.VERSIONS_DIR)
+    assert not any(n.endswith(".json") for n in os.listdir(vdir))
+    got = spark.read.format("lance").load(root)
+    assert got.count() == 7
+    rows = {r.id: r.title for r in got.collect()}
+    assert rows[1] == "Introduction to AI" and rows[6] == "New Doc"
+    # version travel still shows the pristine fixture
+    v1 = spark.read.format("lance").option("version", "1").load(root)
+    assert v1.count() == 5
+
+
+@needs_fixtures
+def test_spark_format_overwrite_native(spark, tmp_path):
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+
+    root = _copy_fixture("lance-db1", tmp_path)
+    register_lance_datasource(spark)
+    df = spark.createDataFrame([(100, "only")], "k long, v string")
+    df.write.format("lance").mode("overwrite").save(root)
+    got = spark.read.format("lance").load(root)
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+    assert got.count() == 1
+    # MVCC: the fixture's version 1 stays readable
+    assert LF.read_native_dataset(root, version=1).num_rows == 5
+
+
+@needs_fixtures
+def test_write_dataset_routes_native_and_refuses_meta(spark, tmp_path):
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    root = _copy_fixture("lance-db1", tmp_path)
+    df = spark.createDataFrame([(8, "via write_dataset", [0.0, 0.0, 0.0, 0.0])],
+                               "id long, title string, embedding array<float>")
+    mf = write_dataset(df, root, mode="append")
+    assert mf.version == 2 and mf.row_count == 6
+    with pytest.raises(NotImplementedError, match="commit_meta"):
+        write_dataset(df, root, mode="append", commit_meta={"k": "v"})
+
+
+@needs_fixtures
+def test_append_aligns_column_order_and_timestamp_unit(spark, tmp_path):
+    """Appends reorder to the live manifest's column order and cast
+    Spark's µs timestamps into the fixture's ms column (safe cast)."""
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = _copy_fixture("lance-db2", tmp_path)
+    df = spark.createDataFrame(
+        [("extra", datetime.datetime(2024, 3, 1, 12, 0), 6,
+          [1.0, 1.0, 1.0, 1.0], "body", "T6")],
+        "category string, create_time timestamp, doc_id long, "
+        "embedding array<float>, content string, title string")
+    mf = write_native_pure(df, root, mode="append")
+    assert mf.row_count == 6
+    got = LF.read_native_dataset(root)
+    row = [r for r in got.to_pylist() if r["doc_id"] == 6][0]
+    assert row["title"] == "T6"
+    assert row["create_time"] == datetime.datetime(2024, 3, 1, 12, 0)
+    # schema mismatch stays loud
+    bad = spark.createDataFrame([(1,)], "nope long")
+    with pytest.raises(ValueError, match="does not match"):
+        write_native_pure(bad, root, mode="append")
+
+
+@needs_fixtures
+def test_stream_writer_refuses_native_target(tmp_path):
+    from flink_connector_lance_spark.sources.datasource import (
+        LanceDataSourceStreamWriter,
+    )
+
+    root = _copy_fixture("lance-db1", tmp_path)
+    with pytest.raises(NotImplementedError, match="streaming writes"):
+        LanceDataSourceStreamWriter({"path": root})
