@@ -269,6 +269,10 @@ def vacuum_dataset(
                 "with older_than directly"
             )
         return _vacuum_lance(path)
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        return _vacuum_native(path, keep_versions, dry_run)
     latest = FR.latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"not a dataset (no {FR.VERSIONS_DIR}/): {path}")
@@ -371,6 +375,48 @@ def _inherit_blooms(spark, path, manifest: FR.Manifest, new_fragments):
     return attach_blooms(spark, path, new_fragments, cols)
 
 
+def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:
+    """MVCC garbage collection for a REAL Lance binary dataset — same
+    crash-safe order as the emulated path: old manifests first (plus
+    their transaction files), then data files no retained version
+    references. A crash mid-vacuum can only orphan invisible data files,
+    never leave a manifest pointing at deleted data."""
+    import struct as _s
+
+    from . import lance_format as LF
+
+    versions = LF.native_manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"not a dataset (no {LF.VERSIONS_DIR}/): {path}")
+    kept = versions[-keep_versions:]
+    dropped = [v for v in versions if v not in kept]
+    live_files: set[str] = set()
+    live_txns: set[str] = set()
+    for v in kept:
+        mpath = os.path.join(path, LF.VERSIONS_DIR, f"{v}.manifest")
+        blob = open(mpath, "rb").read()
+        msg = LF._pb_fields(blob[4:4 + _s.unpack_from("<I", blob, 0)[0]])
+        live_txns.add(LF._one(msg, 12, b"").decode("utf-8"))
+        live_files |= {fr.file for fr in LF.read_native_manifest(path, v).fragments}
+    data_dir = os.path.join(path, LF.DATA_DIR)
+    dead = [n for n in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
+            if n not in live_files]
+    txn_dir = os.path.join(path, "_transactions")
+    dead_txns = [n for n in (os.listdir(txn_dir) if os.path.isdir(txn_dir) else [])
+                 if n not in live_txns]
+    reclaimed = sum(os.path.getsize(os.path.join(data_dir, n)) for n in dead)
+    if not dry_run:
+        for v in dropped:
+            os.remove(os.path.join(path, LF.VERSIONS_DIR, f"{v}.manifest"))
+        for n in dead_txns:
+            os.remove(os.path.join(txn_dir, n))
+        for n in dead:
+            os.remove(os.path.join(data_dir, n))
+    return {"kept_versions": kept, "dropped_versions": len(dropped),
+            "deleted_files": len(dead), "reclaimed_bytes": reclaimed,
+            "staging_dirs_removed": 0}
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
@@ -382,6 +428,10 @@ def compact_dataset(
     new version. No-op (returns the current manifest) when fewer than two
     runt fragments exist."""
     threshold = small_threshold if small_threshold is not None else target_rows_per_fragment // 2
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        return _compact_native(spark, path, target_rows_per_fragment, threshold)
     manifest = FR.read_manifest(path)
     small = [f for f in manifest.fragments if f.row_count < threshold]
     if len(small) < 2:
@@ -417,6 +467,36 @@ def compact_dataset(
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _compact_native(spark: SparkSession, path: str, target_rows: int,
+                    threshold: int):
+    """Runt-merge compaction for a REAL Lance binary dataset via the
+    stdlib v2 codec — same plan shape as the emulated path: one
+    fragment-subset scan of the runts (one task per file), executor-side
+    re-encode into ~target-sized ``.lance`` files, ONE overwrite commit
+    keeping the big fragments by name (their bytes never move). Old
+    versions keep reading pre-compaction data (MVCC)."""
+    from . import lance_format as LF
+    from .reader import read_native_files
+    from .writer import produce_native_fragments
+
+    mf = LF.read_native_manifest(path)
+    small = [fr for fr in mf.fragments if fr.physical_rows < threshold]
+    if len(small) < 2:
+        return mf
+    keep = [fr for fr in mf.fragments if fr.physical_rows >= threshold]
+    files = [os.path.join(path, LF.DATA_DIR, fr.file) for fr in small]
+    df = read_native_files(spark, mf.fields, files)
+    if len(small) > 1:
+        # runts merge INTO shared files, not 1:1 — funnel them into
+        # ceil(total/target) tasks so the output hits the target size
+        total = sum(fr.physical_rows for fr in small)
+        df = df.coalesce(max(1, -(-total // target_rows)))
+    merged = produce_native_fragments(df, path, LF.arrow_schema_of(mf.fields),
+                                      target_rows)
+    pairs = [(fr.file, fr.physical_rows) for fr in keep] + merged
+    return LF.commit_native(path, mf.fields, pairs, "overwrite")
 
 
 def delete_rows(
@@ -798,6 +878,38 @@ def cluster_dataset(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _describe_native(path: str) -> dict:
+    """DESCRIBE for a REAL Lance binary dataset (stdlib codec): same key
+    shape as the emulated report so callers need no format branch.
+    Auxiliary structures (ANN/FTS indexes, rollups, blooms, clustering)
+    are parquet-backend constructs — reported empty, not unknown."""
+    from . import lance_format as LF
+
+    mf = LF.read_native_manifest(path)
+    data_dir = os.path.join(path, LF.DATA_DIR)
+    size = sum(
+        os.path.getsize(os.path.join(data_dir, fr.file))
+        for fr in mf.fragments
+        if os.path.exists(os.path.join(data_dir, fr.file))
+    )
+    return {
+        "path": os.path.abspath(path),
+        "version": mf.version,
+        "versions": LF.native_manifest_versions(path),
+        "num_fragments": len(mf.fragments),
+        "num_rows": mf.row_count,
+        "size_bytes": size,
+        "schema_columns": sorted(f.name for f in mf.fields if f.parent == -1) or None,
+        "bloom": None,
+        "indexes": [],
+        "fts": [],
+        "rollups": [],
+        "clustering": None,
+        "native_format": {"writer_version": mf.writer_version,
+                          "data_format": mf.data_format},
+    }
+
+
 def describe_dataset(path: str) -> dict:
     """One-call metadata report for a dataset — zero data IO.
 
@@ -814,6 +926,10 @@ def describe_dataset(path: str) -> dict:
     from .bloom import BLOOM_STATS_KEY
     from .rollup import ROLLUPS_DIR, rollup_status
 
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        return _describe_native(path)
     latest = FR.latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"not a dataset (no {FR.VERSIONS_DIR}/): {path}")

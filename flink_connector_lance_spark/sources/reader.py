@@ -108,18 +108,30 @@ def _read_native_pure(spark, path, columns, filter, limit, version, opts) -> Dat
     decoded batches, mirroring the reference's post-scan filter chain
     (ref LanceSource.java:156-170 degrades to one subtask there — here
     fragments stay parallel)."""
+    from . import lance_format as LF
+
+    mf = LF.read_native_manifest(path, version)
+    cols = columns or opts.read_columns or None
+    files = [f"{str(path).rstrip('/')}/{LF.DATA_DIR}/{fr.file}" for fr in mf.fragments]
+    if not files:
+        raise FileNotFoundError(f"dataset {path} (v{mf.version}) has no fragments")
+    df = read_native_files(spark, mf.fields, files, cols)
+    return _apply_pushdowns(df, None, filter, limit, opts)
+
+
+def read_native_files(spark, fields, files: "list[str]",
+                      columns: "list[str] | None" = None) -> DataFrame:
+    """Fragment-subset scan of native v2 files (full absolute paths) —
+    the core of ``_read_native_pure``, exposed for maintenance rewrites
+    that touch only SOME fragments (compaction of runts). One file ==
+    one mapInArrow task; pruning stays inside the decoder."""
     import pandas as pd
 
     from ..types import arrow_schema_to_spark, spark_type_to_arrow
     from . import lance_format as LF
 
-    mf = LF.read_native_manifest(path, version)
-    cols = columns or opts.read_columns or None
-    arrow_schema = LF.arrow_schema_of(mf.fields, cols)
+    arrow_schema = LF.arrow_schema_of(fields, columns)
     spark_schema = arrow_schema_to_spark(arrow_schema)
-    files = [f"{str(path).rstrip('/')}/{LF.DATA_DIR}/{fr.file}" for fr in mf.fragments]
-    if not files:
-        raise FileNotFoundError(f"dataset {path} (v{mf.version}) has no fragments")
 
     def scan(iterator):
         import pyarrow as pa
@@ -133,14 +145,13 @@ def _read_native_pure(spark, path, columns, filter, limit, version, opts) -> Dat
         ])
         for batch in iterator:
             for fpath in batch.column("file").to_pylist():
-                tbl = _LF.read_native_file(fpath, columns=cols)
+                tbl = _LF.read_native_file(fpath, columns=columns)
                 yield from tbl.cast(target).to_batches()
 
     seed = spark.createDataFrame(pd.DataFrame({"file": files})).repartition(
         max(len(files), 1), "file"
     )
-    df = seed.mapInArrow(scan, schema=spark_schema)
-    return _apply_pushdowns(df, None, filter, limit, opts)
+    return seed.mapInArrow(scan, schema=spark_schema)
 
 
 def _read_lance(spark, path, columns, filter, limit, version, opts) -> DataFrame:

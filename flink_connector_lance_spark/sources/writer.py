@@ -340,13 +340,31 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     # fail on unsupported types BEFORE launching the job (the task-side
     # encoder would raise the same error 200 times otherwise)
     LF.fields_of_arrow_schema(schema)
-    data_dir = os.path.join(path, LF.DATA_DIR)
-    os.makedirs(data_dir, exist_ok=True)
     if opts.sort_columns:
         if opts.cluster_on_write:
             df = df.repartitionByRange(*opts.sort_columns)
         df = df.sortWithinPartitions(*opts.sort_columns)
-    max_rows = opts.write_max_rows_per_file
+    new_files = produce_native_fragments(df, path, schema,
+                                         opts.write_max_rows_per_file)
+    fields = LF.fields_of_arrow_schema(schema)
+    # append on a fresh directory bootstraps version 1 (commit_native
+    # treats an empty version chain as the zero state)
+    return LF.commit_native(path, fields, new_files, mode.value)
+
+
+def produce_native_fragments(df: DataFrame, path: str, schema,
+                             max_rows: int) -> "list[tuple[str, int]]":
+    """Executor fan-out of the native write: every task encodes its
+    partition into ``data/<uuid>.lance`` v2 files (sliced at ``max_rows``
+    — each file stays one single-page-per-column encode, the shape the
+    decoder and lance 0.24 expect) and reports ``(file_name, rows)``
+    back. NOTHING is committed — callers (write_native_pure, native
+    compaction) decide the fragment list; uncommitted files are
+    invisible garbage."""
+    from . import lance_format as LF
+
+    data_dir = os.path.join(path, LF.DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
 
     def produce(iterator):
         import uuid as _uuid
@@ -359,9 +377,6 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
         if not batches:
             return
         tbl = _pa.Table.from_batches(batches).cast(schema)
-        # honor write.max-rows-per-file: slice oversized partitions into
-        # several fragments (each file stays one single-page-per-column
-        # encode, the shape the decoder and lance 0.24 expect)
         out_files, out_rows = [], []
         for start in range(0, max(tbl.num_rows, 1), max_rows):
             piece = tbl.slice(start, max_rows)
@@ -376,8 +391,4 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
             schema=_pa.schema([("file", _pa.string()), ("rows", _pa.int64())]))
 
     metas = df.mapInArrow(produce, schema="file string, rows long").collect()
-    new_files = [(r.file, r.rows) for r in metas]
-    fields = LF.fields_of_arrow_schema(schema)
-    # append on a fresh directory bootstraps version 1 (commit_native
-    # treats an empty version chain as the zero state)
-    return LF.commit_native(path, fields, new_files, mode.value)
+    return [(r.file, r.rows) for r in metas]

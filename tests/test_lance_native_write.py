@@ -313,3 +313,56 @@ def test_stream_writer_refuses_native_target(tmp_path):
     root = _copy_fixture("lance-db1", tmp_path)
     with pytest.raises(NotImplementedError, match="streaming writes"):
         LanceDataSourceStreamWriter({"path": root})
+
+
+@needs_fixtures
+def test_describe_native_dataset():
+    from flink_connector_lance_spark.sources.maintenance import describe_dataset
+
+    info = describe_dataset(f"{REF}/lance-db1")
+    assert info["version"] == 1 and info["num_rows"] == 5
+    assert info["schema_columns"] == ["embedding", "id", "title"]
+    assert info["native_format"]["writer_version"] == "0.24.0"
+    assert info["indexes"] == [] and info["rollups"] == []
+
+
+def test_compact_and_vacuum_native(spark, tmp_path):
+    """Runt-merge compaction + MVCC vacuum on a native dataset: runts
+    merge into one fragment, big fragments carry over byte-identical
+    (same file names), vacuum drops pre-compaction versions and the
+    dead runt files."""
+    from flink_connector_lance_spark.sources.maintenance import (
+        compact_dataset,
+        vacuum_dataset,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "ds")
+    big = spark.range(500).selectExpr("id", "concat('d', id) AS t").coalesce(1)
+    write_native_pure(big, root, mode="append")
+    big_file = LF.read_native_manifest(root).fragments[0].file
+    for lo in (500, 510, 520):  # three 10-row runts
+        write_native_pure(
+            spark.range(lo, lo + 10).selectExpr("id", "concat('d', id) AS t")
+            .coalesce(1),
+            root, mode="append")
+    assert len(LF.read_native_manifest(root).fragments) == 4
+
+    mf = compact_dataset(spark, root, target_rows_per_fragment=1000,
+                         small_threshold=100)
+    assert len(mf.fragments) == 2  # big (kept by name) + one merged
+    assert mf.fragments[0].file == big_file
+    assert LF.read_native_dataset(root).num_rows == 530
+    got = sorted(LF.read_native_dataset(root)["id"].to_pylist())
+    assert got == list(range(530))
+
+    report = vacuum_dataset(root, keep_versions=1)
+    assert report["dropped_versions"] == 4 and report["deleted_files"] == 3
+    assert LF.native_manifest_versions(root) == [5]
+    data = os.listdir(os.path.join(root, LF.DATA_DIR))
+    assert len(data) == 2 and big_file in data
+    # the surviving version still reads completely
+    assert LF.read_native_dataset(root).num_rows == 530
+    # a second compaction is a no-op (fewer than two runts)
+    assert len(compact_dataset(spark, root, 1000, small_threshold=100
+                               ).fragments) == 2
