@@ -29,14 +29,18 @@ Layout of a ``.lance`` v2 file (public spec):
     [40-byte footer: 3x u64 offsets, u32 num_global, u32 num_columns,
      u16 major, u16 minor, magic "LANC"]
 
-Supported (the complete surface lance 0.24 writes for datasets of this
-shape): non-null and offset-adjusted-null values, flat fixed-width
-primitives (int8..int64, float, double, timestamp), variable-width
-binary/string (int64 end-offsets + data buffer), list-of-primitive
-(end-offsets + child column). Anything else — bit-packed bools,
-mini-block/compressed pages, struct columns, multi-page variable-width
-— raises ``NotImplementedError`` naming the encoding, never a silent
-misread.
+Supported: non-null and offset-adjusted-null values, flat fixed-width
+primitives (int8..int64, float, double, timestamp, date32), bit-packed
+bool, variable-width binary/string (int64 end-offsets + data buffer),
+list-of-primitive (end-offsets + child column). The fixture-pinned core
+(byte-identity proven against the reference's committed datasets) is
+the primitive/string/timestamp/list surface; bool, binary, and date32
+extend it per the public spec (the reference's type converter carries
+them, ref LanceTypeConverter.java:146-156) with round-trip tests — the
+bool decoder keys on the page's DECLARED bits_per_value, so a
+byte-per-bool file reads correctly too. Anything else — mini-block/
+compressed pages, struct columns, multi-page variable-width — raises
+``NotImplementedError`` naming the encoding, never a silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
 manifest's file list, mirroring sources/reader.py's native path), and
@@ -186,6 +190,12 @@ def arrow_type_for(fields: list[NativeField], idx: int):
         return getattr(pa, _FLAT_TYPES[lt][2])()
     if lt in ("string", "large_string"):
         return pa.string()
+    if lt in ("binary", "large_binary"):
+        return pa.binary()
+    if lt == "bool":
+        return pa.bool_()
+    if lt == "date32:day":
+        return pa.date32()
     if lt.startswith("timestamp:"):
         _, unit, tz = lt.split(":", 2)
         return pa.timestamp(unit, tz=None if tz == "-" else tz)
@@ -194,7 +204,8 @@ def arrow_type_for(fields: list[NativeField], idx: int):
         return pa.list_(arrow_type_for(fields, child))
     raise NotImplementedError(
         f"lance logical type {lt!r} (field {fields[idx].name!r}) — "
-        "supported: flat primitives, string, timestamp, list-of-primitive")
+        "supported: flat primitives, bool, date32, string/binary, "
+        "timestamp, list-of-primitive")
 
 
 def _child_index(fields: list[NativeField], idx: int) -> int:
@@ -375,6 +386,21 @@ _ENC_LIST = 4        # list: f1 offsets encoding, f2 null_offset_adjustment
 _ENC_VARIABLE = 6    # binary: f1 offsets, f2 bytes, f3 null_adjustment
 
 
+def _flat_bits(enc: dict) -> "int | None":
+    """Declared bits_per_value of a flat page's value-encoding chain
+    (ArrayEncoding{f2:{f1:{f1:{f1: bits, ...}}}}); None if absent."""
+    a = enc.get(_ENC_FLAT)
+    if not a:
+        return None
+    m = _pb_fields(a[0][1])
+    for _ in range(3):
+        inner = _one(m, 1)
+        if inner is None:
+            return None
+        m = _pb_fields(inner)
+    return _one(m, 1)
+
+
 def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
                    pages_by_col: list[list[_Page]], col_of_field: dict[int, int]):
     """Decode field ``idx`` into a plain python list (None for nulls)."""
@@ -384,9 +410,9 @@ def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
     lt = f.logical_type
     what = f"column {f.name!r} ({lt})"
 
-    if lt in _FLAT_TYPES or lt.startswith("timestamp:"):
+    if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
         base = lt.split(":")[0]
-        flat_lt = {"timestamp": "int64"}.get(base, lt)
+        flat_lt = {"timestamp": "int64", "date32": "int32"}.get(base, lt)
         vals: list = []
         for pg in pages:
             if _ENC_FLAT not in pg.encoding and pg.encoding:
@@ -395,7 +421,32 @@ def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
             vals.extend(_decode_flat(blob, pg, flat_lt, what))
         return vals
 
-    if lt in ("string", "large_string"):
+    if lt == "bool":
+        # bit-packed flat values, LSB-first (Arrow's bitmap order — what
+        # lance's value encoding declares via bits_per_value=1). Decoded
+        # against the page's OWN declared width so a byte-per-bool file
+        # still reads correctly.
+        vals = []
+        for pg in pages:
+            bits = _flat_bits(pg.encoding)
+            if bits not in (1, 8):
+                raise NotImplementedError(
+                    f"{what}: bool page with bits_per_value={bits}")
+            if len(pg.buf_pos) != 1:
+                raise NotImplementedError(
+                    f"{what}: bool page with {len(pg.buf_pos)} buffers")
+            pos, n = pg.buf_pos[0], pg.length
+            if bits == 8:
+                vals.extend(bool(b) for b in blob[pos:pos + n])
+            else:
+                if pg.buf_size[0] * 8 < n:
+                    raise NotImplementedError(
+                        f"{what}: bit-packed buffer shorter than rows")
+                vals.extend(bool(blob[pos + (i >> 3)] >> (i & 7) & 1)
+                            for i in range(n))
+        return vals
+
+    if lt in ("string", "large_string", "binary", "large_binary"):
         if len(pages) != 1:
             raise NotImplementedError(f"{what}: multi-page variable-width")
         pg = pages[0]
@@ -411,11 +462,13 @@ def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
                 f"{what}: variable page with {len(pg.buf_pos)} buffers")
         ends = _ends_with_nulls(blob, pg.buf_pos[0], pg.length, null_adj)
         data_pos = pg.buf_pos[1]
+        is_text = lt in ("string", "large_string")
         out = []
         prev = 0
         for e, is_null in ends:
-            out.append(None if is_null
-                       else blob[data_pos + prev:data_pos + e].decode("utf-8"))
+            piece = None if is_null else blob[data_pos + prev:data_pos + e]
+            out.append(piece.decode("utf-8") if is_text and piece is not None
+                       else piece)
             prev = e
         return out
 
@@ -596,7 +649,8 @@ def _field_bytes(f: NativeField) -> bytes:
     out += _w_vint(4, f.parent if f.parent >= 0 else _MAX_U64)
     out += _w_len(5, f.logical_type.encode("utf-8"))
     out += _w_vint(6, 1)  # nullable
-    enc = 2 if f.logical_type in ("string", "large_string") else 1
+    enc = 2 if f.logical_type in ("string", "large_string",
+                                  "binary", "large_binary") else 1
     out += _w_vint(7, enc)  # Encoding: PLAIN=1, VAR_BINARY=2
     out += _w_len(11, b"default")  # storage class
     return out
@@ -617,11 +671,18 @@ def fields_of_arrow_schema(schema) -> list[NativeField]:
             return name
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             return "string"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_boolean(t):
+            return "bool"
+        if pa.types.is_date32(t):
+            return "date32:day"
         if pa.types.is_timestamp(t):
             return f"timestamp:{t.unit}:{t.tz or '-'}"
         raise NotImplementedError(
             f"arrow type {t} has no native-lance write mapping "
-            "(supported: flat primitives, string, timestamp, list-of-primitive)")
+            "(supported: flat primitives, bool, date32, string/binary, "
+            "timestamp, list-of-primitive)")
 
     def add(name: str, t, parent: int) -> None:
         import pyarrow as pa
@@ -652,6 +713,9 @@ def _flat_buffer(arr, lt: str, what: str) -> bytes:
     if base == "timestamp":
         arr = arr.cast(pa.int64())
         np_dt = "<i8"
+    elif base == "date32":
+        arr = arr.cast(pa.int32())
+        np_dt = "<i4"
     else:
         np_dt = {"int8": "<i1", "uint8": "<u1", "int16": "<i2", "uint16": "<u2",
                  "int32": "<i4", "uint32": "<u4", "int64": "<i8",
@@ -692,15 +756,28 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
     what = f"column {f.name!r} ({lt})"
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
-    if lt in _FLAT_TYPES or lt.startswith("timestamp:"):
+    if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
         plans[idx] = _ColPlan([_flat_buffer(arr, lt, what)],
                               _enc_flat_chain(_width_bits(lt)), len(arr))
         return
-    if lt == "string":
+    if lt == "bool":
+        import numpy as np
+
+        if arr.null_count:
+            raise NotImplementedError(
+                f"{what}: nulls in a fixed-width column (validity buffers "
+                "are outside the supported v2 write surface)")
+        packed = np.packbits(
+            np.asarray(arr.to_pylist(), dtype=np.uint8), bitorder="little")
+        plans[idx] = _ColPlan([packed.tobytes()], _enc_flat_chain(1), len(arr))
+        return
+    if lt in ("string", "binary"):
         vals = arr.to_pylist()
-        data = b"".join(v.encode("utf-8") for v in vals if v is not None)
+        enc = ((lambda v: v.encode("utf-8")) if lt == "string"
+               else (lambda v: bytes(v)))
+        data = b"".join(enc(v) for v in vals if v is not None)
         null_adj = len(data) + 1
-        lens = [0 if v is None else len(v.encode("utf-8")) for v in vals]
+        lens = [0 if v is None else len(enc(v)) for v in vals]
         ends = _ends_buffer(lens, [v is None for v in vals], null_adj)
         plans[idx] = _ColPlan([ends, data], _enc_variable(null_adj), len(vals))
         return
@@ -723,6 +800,8 @@ def _width_bits(lt: str) -> int:
     base = lt.split(":")[0]
     if base == "timestamp":
         return 64
+    if base == "date32":
+        return 32
     return _FLAT_TYPES[lt][1] * 8
 
 

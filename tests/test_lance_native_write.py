@@ -89,9 +89,14 @@ def test_refusals(tmp_path):
     with pytest.raises(NotImplementedError, match="fixed-width"):
         LF.write_native_file(pa.table({"x": pa.array([1, None], pa.int64())}),
                              str(tmp_path / "a.lance"))
-    with pytest.raises(NotImplementedError, match="bool"):
-        LF.write_native_file(pa.table({"x": pa.array([True])}),
-                             str(tmp_path / "b.lance"))
+    with pytest.raises(NotImplementedError, match="decimal"):
+        # DECIMAL cannot round-trip through the reference's converter
+        # either (SURVEY.md §1.2) — refused by name
+        import decimal
+
+        LF.write_native_file(
+            pa.table({"x": pa.array([decimal.Decimal("1.5")])}),
+            str(tmp_path / "b.lance"))
 
 
 def test_append_versions_and_travel(tmp_path):
@@ -366,3 +371,46 @@ def test_compact_and_vacuum_native(spark, tmp_path):
     # a second compaction is a no-op (fewer than two runts)
     assert len(compact_dataset(spark, root, 1000, small_threshold=100
                                ).fragments) == 2
+
+
+def test_roundtrip_extended_types(tmp_path):
+    """bool / binary / date32 — the rest of the reference type
+    converter's scalar surface (ref LanceTypeConverter.java:146-156) —
+    spec-derived encodings, round-trip pinned."""
+    tbl = pa.table({
+        "flag": pa.array([True, False, True, True, False, False, True, False,
+                          True], pa.bool_()),  # 9 rows: crosses a byte
+        "blob": pa.array([b"\x00\xff", None, b"", b"abc", b"\x80" * 5,
+                          b"x", b"y", b"z", b"w"], pa.binary()),
+        "day": pa.array([datetime.date(2024, 1, i + 1) for i in range(9)],
+                        pa.date32()),
+    })
+    root = str(tmp_path / "ext")
+    LF.write_native_dataset(root, tbl, mode="create")
+    got = LF.read_native_dataset(root)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+    # bool is genuinely bit-packed: 9 rows -> 2 bytes of values
+    mf = LF.read_native_manifest(root)
+    fpath = os.path.join(root, LF.DATA_DIR, mf.fragments[0].file)
+    blob = open(fpath, "rb").read()
+    _, cmos, _, _, ncols, _, _ = LF._read_footer(blob)
+    pages = LF._column_pages(blob, 0, cmos)  # "flag" is column 0
+    assert pages[0].buf_size == [2]
+    assert LF._flat_bits(pages[0].encoding) == 1
+
+
+def test_spark_roundtrip_extended_types(spark, tmp_path):
+    from flink_connector_lance_spark.sources.reader import read_dataset
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "ext-spark")
+    df = spark.createDataFrame(
+        [(True, bytearray(b"ab"), datetime.date(2024, 5, 1)),
+         (False, bytearray(b""), datetime.date(1969, 12, 31))],
+        "flag boolean, blob binary, day date").coalesce(1)
+    write_native_pure(df, root, mode="append")
+    rows = read_dataset(spark, root).orderBy("day").collect()
+    assert [r.flag for r in rows] == [False, True]
+    assert rows[1].blob == bytearray(b"ab")
+    assert rows[0].day == datetime.date(1969, 12, 31)
