@@ -688,7 +688,11 @@ def fields_of_arrow_schema(schema) -> list[NativeField]:
         import pyarrow as pa
 
         fid = len(fields)
-        if pa.types.is_list(t):
+        if pa.types.is_list(t) or pa.types.is_fixed_size_list(t):
+            # FixedSizeList flattens to List on write — the reference's
+            # own converter does exactly this ("For vector types, use
+            # List type", ref LanceTypeConverter.java:235-242); the
+            # committed fixtures' vector columns are all plain lists
             fields.append(NativeField(name, fid, parent, "list"))
             add(t.value_field.name, t.value_type, fid)
         else:

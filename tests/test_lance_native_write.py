@@ -414,3 +414,19 @@ def test_spark_roundtrip_extended_types(spark, tmp_path):
     assert [r.flag for r in rows] == [False, True]
     assert rows[1].blob == bytearray(b"ab")
     assert rows[0].day == datetime.date(1969, 12, 31)
+
+
+def test_fixed_size_list_flattens_to_list(tmp_path):
+    """FixedSizeList vectors write as plain List — the reference
+    converter's own behavior (ref LanceTypeConverter.java:235-242); the
+    values round-trip, the fixed-size-ness is carried by table metadata
+    (types.to_arrow_field), not the storage."""
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "vec": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32(), 2)),
+    })
+    root = str(tmp_path / "fsl")
+    LF.write_native_dataset(root, tbl, mode="create")
+    got = LF.read_native_dataset(root)
+    assert got.schema.field("vec").type == pa.list_(pa.float32())
+    assert got["vec"].to_pylist() == [[1.0, 2.0], [3.0, 4.0]]

@@ -160,6 +160,30 @@ def _fts_hybrid(spark, sf_dir):
                                  "embedding", "vec_id", QVEC, k=10)
 
 
+def _native_codec_roundtrip(spark, sf_dir):
+    """REAL-Lance-v2 write + read through the stdlib codec
+    (sources/lance_format.py): one .lance fragment per task on write,
+    one decode task per fragment on read — both must scale with rows.
+    Each fragment single-buffers in memory, so write.max-rows-per-file
+    bounds the per-task footprint (the knob that keeps the codec safe at
+    100 TB fragment counts)."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.reader import read_dataset
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = os.path.join(tempfile.gettempdir(), "stress-native-codec")
+    shutil.rmtree(path, ignore_errors=True)
+    write_native_pure(d, path, mode="overwrite",
+                      options=DatasetOptions(path=path,
+                                             write_max_rows_per_file=50_000))
+    return read_dataset(spark, path, columns=["doc_id", "lang"])
+
+
 # operators without a registry entry (not SQL-oracle-expressible / no
 # free query slot): timed via direct callables, same protocol
 EXTRA = {
@@ -167,6 +191,7 @@ EXTRA = {
     "quantize_knn": _quantize_knn,
     "clustered_write": _clustered_write,
     "fts_build_hybrid_search": _fts_hybrid,
+    "native_codec_roundtrip": _native_codec_roundtrip,
 }
 
 
