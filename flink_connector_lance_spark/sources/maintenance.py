@@ -529,6 +529,10 @@ def delete_rows(
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         return _delete_lance(path, predicate)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        return _delete_native(spark, path, pred)
     # abspath: input_file_name() yields absolute URIs, so a relative
     # dataset path would never intersect and the DELETE would no-op
     # (and executor-side stage writes would resolve against the JVM cwd)
@@ -583,6 +587,87 @@ def delete_rows(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _delete_native(spark: SparkSession, path: str, pred):
+    """Copy-on-write DELETE for a REAL Lance binary dataset — same plan
+    shape as the emulated path: one probe scan tags every row with its
+    source fragment (a real column, so it survives any shuffle — no
+    ``input_file_name()`` fragility), only affected fragments rewrite
+    through the v2 codec, untouched fragments carry over byte-identical
+    into one overwrite commit. SQL three-valued logic: NULL-predicate
+    rows survive."""
+    import pyspark.sql.functions as F
+
+    from . import lance_format as LF
+    from .reader import read_native_files
+    from .writer import produce_native_fragments
+
+    path = os.path.abspath(path)
+    mf = LF.read_native_manifest(path)
+    if not mf.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments")
+    by_abs = {os.path.join(path, LF.DATA_DIR, fr.file): fr
+              for fr in mf.fragments}
+    probe = read_native_files(spark, mf.fields, sorted(by_abs),
+                              file_col="__frag")
+    affected = {r.f for r in probe.filter(pred)
+                .select(F.col("__frag").alias("f")).distinct().collect()}
+    if not affected:
+        return mf  # nothing matched: no new version
+    keep = [fr for abs_p, fr in by_abs.items() if abs_p not in affected]
+    survivors = (read_native_files(spark, mf.fields, sorted(affected))
+                 .filter(~F.coalesce(pred, F.lit(False))))
+    new = produce_native_fragments(survivors, path,
+                                   LF.arrow_schema_of(mf.fields), 1_000_000)
+    pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
+    return LF.commit_native(path, mf.fields, pairs, "overwrite")
+
+
+def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str):
+    """MERGE (upsert) for a REAL Lance binary dataset: semi-join probe
+    finds fragments holding updated keys, survivors (anti-join) and the
+    update rows re-encode together in ONE job, everything lands in one
+    overwrite commit — a reader never sees a delete-without-insert
+    intermediate. Untouched fragments carry over byte-identical."""
+    import pyspark.sql.functions as F
+
+    from . import lance_format as LF
+    from .reader import read_native_files
+    from .writer import produce_native_fragments
+
+    path = os.path.abspath(path)
+    mf = LF.read_native_manifest(path)
+    if not mf.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments")
+    want = LF.arrow_schema_of(mf.fields).names
+    missing = [c for c in want if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates are missing dataset column(s) {missing}")
+    by_abs = {os.path.join(path, LF.DATA_DIR, fr.file): fr
+              for fr in mf.fragments}
+    keys = updates.select(key).distinct()
+    probe = read_native_files(spark, mf.fields, sorted(by_abs),
+                              file_col="__frag")
+    affected = {r.f for r in probe.join(keys, on=key, how="left_semi")
+                .select(F.col("__frag").alias("f")).distinct().collect()}
+    keep = [fr for abs_p, fr in by_abs.items() if abs_p not in affected]
+    # align updates to the dataset's Spark types BEFORE the union —
+    # survivors carry the scan schema, and a type-mismatched union would
+    # silently promote (or fail) instead of enforcing the table contract
+    from ..types import arrow_schema_to_spark
+
+    sschema = arrow_schema_to_spark(LF.arrow_schema_of(mf.fields))
+    new_src = updates.select(
+        *[F.col(c).cast(sschema[c].dataType) for c in want])
+    if affected:
+        survivors = (read_native_files(spark, mf.fields, sorted(affected))
+                     .join(keys, on=key, how="left_anti").select(*want))
+        new_src = survivors.unionByName(new_src)
+    new = produce_native_fragments(new_src, path,
+                                   LF.arrow_schema_of(mf.fields), 1_000_000)
+    pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
+    return LF.commit_native(path, mf.fields, pairs, "overwrite")
+
+
 def merge_rows(
     spark: SparkSession,
     path: str,
@@ -620,6 +705,10 @@ def merge_rows(
         )
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         return _merge_lance(path, updates, key)
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        return _merge_native(spark, path, updates, key)
     path = os.path.abspath(path)  # same relative-path contract as delete_rows
     manifest = FR.read_manifest(path)
     if not manifest.fragments:

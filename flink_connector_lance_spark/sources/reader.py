@@ -120,11 +120,15 @@ def _read_native_pure(spark, path, columns, filter, limit, version, opts) -> Dat
 
 
 def read_native_files(spark, fields, files: "list[str]",
-                      columns: "list[str] | None" = None) -> DataFrame:
+                      columns: "list[str] | None" = None,
+                      file_col: "str | None" = None) -> DataFrame:
     """Fragment-subset scan of native v2 files (full absolute paths) —
     the core of ``_read_native_pure``, exposed for maintenance rewrites
-    that touch only SOME fragments (compaction of runts). One file ==
-    one mapInArrow task; pruning stays inside the decoder."""
+    that touch only SOME fragments (compaction of runts, copy-on-write
+    DELETE/MERGE). One file == one mapInArrow task; pruning stays inside
+    the decoder. ``file_col`` appends the source file path to every row
+    (the native twin of ``input_file_name()`` — the affected-fragment
+    probe the copy-on-write rewrites key on)."""
     import pandas as pd
 
     from ..types import arrow_schema_to_spark, spark_type_to_arrow
@@ -132,6 +136,11 @@ def read_native_files(spark, fields, files: "list[str]",
 
     arrow_schema = LF.arrow_schema_of(fields, columns)
     spark_schema = arrow_schema_to_spark(arrow_schema)
+    if file_col is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        spark_schema = StructType(
+            list(spark_schema.fields) + [StructField(file_col, StringType())])
 
     def scan(iterator):
         import pyarrow as pa
@@ -141,12 +150,16 @@ def read_native_files(spark, fields, files: "list[str]",
         # Spark's Arrow bridge expects µs timestamps etc. — cast the
         # decoded table to the exact types the declared schema implies
         target = pa.schema([
-            pa.field(f.name, spark_type_to_arrow(f.dataType)) for f in spark_schema
+            pa.field(f.name, spark_type_to_arrow(f.dataType))
+            for f in spark_schema if f.name != file_col
         ])
         for batch in iterator:
             for fpath in batch.column("file").to_pylist():
-                tbl = _LF.read_native_file(fpath, columns=columns)
-                yield from tbl.cast(target).to_batches()
+                tbl = _LF.read_native_file(fpath, columns=columns).cast(target)
+                if file_col is not None:
+                    tbl = tbl.append_column(
+                        file_col, pa.array([fpath] * tbl.num_rows, pa.string()))
+                yield from tbl.to_batches()
 
     seed = spark.createDataFrame(pd.DataFrame({"file": files})).repartition(
         max(len(files), 1), "file"

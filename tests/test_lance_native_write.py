@@ -430,3 +430,57 @@ def test_fixed_size_list_flattens_to_list(tmp_path):
     got = LF.read_native_dataset(root)
     assert got.schema.field("vec").type == pa.list_(pa.float32())
     assert got["vec"].to_pylist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_delete_rows_native(spark, tmp_path):
+    """Copy-on-write DELETE on a native dataset: only the fragment
+    holding matches rewrites; the other carries over byte-identical;
+    NULL-predicate rows survive (SQL three-valued logic)."""
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "del")
+    lo = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, "cc")], "id long, v string").coalesce(1)
+    hi = spark.createDataFrame(
+        [(4, "dd"), (5, "ee")], "id long, v string").coalesce(1)
+    write_native_pure(lo, root, mode="append")
+    write_native_pure(hi, root, mode="append")
+    untouched = LF.read_native_manifest(root).fragments[1].file
+
+    mf = delete_rows(spark, root, "v = 'aa'")
+    assert mf.version == 3
+    assert untouched in [fr.file for fr in mf.fragments]
+    got = sorted(LF.read_native_dataset(root)["id"].to_pylist())
+    assert got == [2, 3, 4, 5]  # id=2 has NULL v -> survives (3VL)
+    # pre-delete version still readable (MVCC)
+    assert LF.read_native_dataset(root, version=2).num_rows == 5
+    # no match -> no new version
+    assert delete_rows(spark, root, "v = 'zz'").version == 3
+
+
+def test_merge_rows_native(spark, tmp_path):
+    """MERGE upsert on a native dataset: updated keys replace in place,
+    new keys insert, untouched fragments carry over, one commit."""
+    from flink_connector_lance_spark.sources.maintenance import merge_rows
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "mrg")
+    write_native_pure(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1),
+        root, mode="append")
+    write_native_pure(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), root, mode="append")
+    untouched = LF.read_native_manifest(root).fragments[1].file
+
+    updates = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "id long, v string")
+    mf = merge_rows(spark, root, updates, key="id")
+    assert mf.version == 3
+    assert untouched in [fr.file for fr in mf.fragments]
+    got = dict((r["id"], r["v"]) for r in LF.read_native_dataset(root).to_pylist())
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_rows(spark, root,
+                   spark.createDataFrame([(2, "x"), (2, "y")],
+                                         "id long, v string"), key="id")
