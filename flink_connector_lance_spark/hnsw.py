@@ -443,7 +443,7 @@ def hnsw_search(
     if not covered:
         survivors = df  # stale beyond recognition: exact brute force
     else:
-        m_now = FR.read_manifest(path)
+        m_now = FR.read_manifest_compat(path)
         survivors = read_fragment_files(spark, m_now, covered).select(*df.columns).join(
             winners, on=id_col, how="left_semi"
         )

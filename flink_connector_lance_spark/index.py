@@ -248,9 +248,9 @@ def split_by_index_coverage(path: str, indexed_version: int) -> tuple[list[str],
     If the indexed version's manifest was vacuumed, every current file is
     conservatively uncovered — the search degrades to exact brute force,
     trading speed for correctness."""
-    current = FR.read_manifest(path)
+    current = FR.read_manifest_compat(path)
     try:
-        at_build = {f.file for f in FR.read_manifest(path, indexed_version).fragments}
+        at_build = {f.file for f in FR.read_manifest_compat(path, indexed_version).fragments}
     except FileNotFoundError:
         at_build = set()
     covered = [os.path.join(path, f.file) for f in current.fragments if f.file in at_build]
@@ -317,7 +317,7 @@ def ivf_index_knn(
         # too big to broadcast at 100 TB. AQE broadcasts when it IS small.
         from .sources.reader import read_fragment_files
 
-        m_now = FR.read_manifest(path)
+        m_now = FR.read_manifest_compat(path)
         candidates = read_fragment_files(spark, m_now, covered).select(*df.columns).join(
             probe_ids.select(id_col), on=id_col, how="left_semi"
         )
@@ -370,7 +370,7 @@ def refresh_index(
     with open(meta_p) as fh:
         meta = _json.load(fh)
     covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
-    manifest = FR.read_manifest(path)
+    manifest = FR.read_manifest_compat(path)
     rows_by_file = {os.path.join(path, f.file): f.row_count for f in manifest.fragments}
     total = sum(rows_by_file.values()) or 1
     stale = sum(rows_by_file[f] for f in uncovered)

@@ -315,7 +315,7 @@ def pq_search(
         from .sources import fragments as FR
         from .sources.reader import read_fragment_files
 
-        m_now = FR.read_manifest(path)
+        m_now = FR.read_manifest_compat(path)
         survivors = read_fragment_files(spark, m_now, covered).select(*df.columns).join(
             cand.select(id_col), on=id_col, how="left_semi"
         )

@@ -356,6 +356,9 @@ def source_version_travel(spark, sf_dir):
     UNION ALL
     SELECT '__point_lookup__', count(*), CAST(sum(n_chars) AS BIGINT)
     FROM documents WHERE doc_id IN (1, 2, 3)
+    UNION ALL
+    SELECT '__native_codec__', count(*), CAST(sum(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 7 = 0 AND n_chars > 100
     """,
     doc="spark.read.format('lance') / df.write.format('lance') — the "
         "registered PySpark DataSource (sources/datasource.py; ref "
@@ -366,7 +369,14 @@ def source_version_travel(spark, sf_dir):
         "through pushFilters into the fragment scan, plus a point-lookup "
         "branch whose pushed doc_id IN filter consults the bloom sidecars "
         "at planning time (fragments provably missing all three ids are "
-        "never scheduled).",
+        "never scheduled). The __native_codec__ branch drives the REAL "
+        "Lance v2 binary format end-to-end with NO lance package: "
+        "write_native_pure encodes one .lance file per task + one binary "
+        "manifest commit (sources/lance_format.py — byte-identity pinned "
+        "against the reference's committed fixtures), then the same "
+        "format('lance') reader routes the binary manifest through the "
+        "stdlib decoder with the n_chars filter applied over the decoded "
+        "batches.",
 )
 def source_format_api(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -391,7 +401,22 @@ def source_format_api(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
         .select(F.lit("__point_lookup__").alias("lang"), "cnt", "sum_chars")
     )
-    return agg.unionByName(point)
+    # REAL Lance v2 round trip (stdlib codec, no lance package): every
+    # value that lands in the hash traveled through our binary encoder
+    # AND decoder — a corrupted offset/page/manifest byte breaks the gate
+    from ..sources.writer import write_native_pure
+
+    npath = _workdir("formatapi-native", sf_dir)
+    write_native_pure(
+        d.select("doc_id", "lang", "n_chars").filter(F.col("doc_id") % 7 == 0),
+        npath, mode="overwrite")
+    native = (
+        spark.read.format("lance").load(npath)
+        .filter(F.col("n_chars") > 100)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .select(F.lit("__native_codec__").alias("lang"), "cnt", "sum_chars")
+    )
+    return agg.unionByName(point).unionByName(native)
 
 
 @register(

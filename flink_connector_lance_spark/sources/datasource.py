@@ -291,32 +291,14 @@ def _manifest_for_scan(path: str, version: "int | None",
                        storage_options: dict | None) -> FR.Manifest:
     """Manifest for read planning: the emulated JSON chain, or — for a
     REAL Lance dataset (binary ``N.manifest``, e.g. the reference's
-    committed fixtures) — the stdlib decoder in lance_format.py adapted
-    into the same shape. Native fragments carry no zone maps (``stats``
-    None → planning-time pruning disabled, conservative) and their
-    ``.lance`` data files route through the pure decoder in
+    committed fixtures) — the stdlib decoder adapted into the same shape
+    (FR.read_manifest_compat). Native fragments carry no zone maps
+    (``stats`` None → planning-time pruning disabled, conservative) and
+    their ``.lance`` data files route through the pure decoder in
     ``_read_one``; parquet row-group pruning is replaced by the
     decoder's buffer-level column pruning."""
-    try:
-        return FR.read_manifest(path, version, storage_options=storage_options)
-    except FR.LanceUnavailableError:
-        from .fs import is_remote
-
-        if is_remote(path):
-            raise  # the pure decoder is local-filesystem only
-        from . import lance_format as LF
-
-        mf = LF.read_native_manifest(path, version)
-        return FR.Manifest(
-            version=mf.version,
-            fragments=[
-                FR.FragmentInfo(fragment_id=fr.fragment_id,
-                                file=f"{LF.DATA_DIR}/{fr.file}",
-                                row_count=fr.physical_rows)
-                for fr in mf.fragments
-            ],
-            meta={"native_lance": True},
-        )
+    return FR.read_manifest_compat(path, version,
+                                   storage_options=storage_options)
 
 
 def _storage_opts(options: dict) -> dict:

@@ -158,6 +158,39 @@ def read_manifest(root: str, version: int | None = None,
     )
 
 
+def read_manifest_compat(root: str, version: int | None = None,
+                         storage_options: dict | None = None) -> Manifest:
+    """``read_manifest`` that also serves REAL Lance datasets (binary
+    ``N.manifest``, e.g. the reference's committed fixtures) through the
+    stdlib decoder (sources/lance_format.py), adapted into the emulated
+    shape. Native fragments carry no zone-map stats (planning-time
+    pruning conservatively disabled) and the decoded schema FIELDS ride
+    in ``meta['native_fields']`` so scan helpers can route the
+    ``.lance`` files through the pure decoder
+    (reader.read_fragment_files). Local filesystems only for the native
+    branch — remote binary manifests still raise."""
+    try:
+        return read_manifest(root, version, storage_options=storage_options)
+    except LanceUnavailableError:
+        from .fs import is_remote
+
+        if is_remote(root):
+            raise
+        from . import lance_format as LF
+
+        mf = LF.read_native_manifest(root, version)
+        return Manifest(
+            version=mf.version,
+            fragments=[
+                FragmentInfo(fragment_id=fr.fragment_id,
+                             file=f"{LF.DATA_DIR}/{fr.file}",
+                             row_count=fr.physical_rows)
+                for fr in mf.fragments
+            ],
+            meta={"native_lance": True, "native_fields": mf.fields},
+        )
+
+
 def _merge_schema_json(prev_json: str, new_json: str) -> str:
     """Union-merge two StructType JSON payloads (field order: previous
     schema first, then fields only the new one has). Raises on a type

@@ -71,7 +71,13 @@ def read_fragment_files(spark, manifest: "FR.Manifest", files: list[str]) -> Dat
     the scan feeds a rewrite). With the recorded schema, fragments
     resolve by name and pre-evolution files null-fill. One manifest read;
     no mergeSchema footer sweep over the file listing at plan time (the
-    O(files) cost that kills planning at 100 TB)."""
+    O(files) cost that kills planning at 100 TB).
+
+    A native-adapted manifest (FR.read_manifest_compat over a binary
+    Lance dataset) routes its ``.lance`` files through the pure decoder
+    — same one-task-per-file shape."""
+    if manifest.meta.get("native_lance"):
+        return read_native_files(spark, manifest.meta["native_fields"], files)
     schema_json = manifest.meta.get("schema")
     if schema_json:
         import json

@@ -94,8 +94,10 @@ def _is_native_lance(path: str) -> bool:
     data files) — e.g. the reference's committed fixtures
     (ref test-data/lance-vector-search/_versions/1.manifest). These route
     through the stdlib decoder in sources/lance_format.py instead of the
-    parquet readers; they never carry our parquet-side indexes, so they
-    always take the flat exact scan (correct at fixture scale)."""
+    parquet readers. Our parquet-side ANN indexes (``_indexes/``) can be
+    built OVER a native dataset too — the route choosers key on index
+    presence, so an indexed native dataset takes the PQ/HNSW route and
+    only the winner-row fetch decodes ``.lance`` bytes."""
     if not _is_fragment_dataset(path):
         return False
     from .sources import fragments as FR
@@ -111,7 +113,9 @@ def _dataset_files(path: str) -> list[str]:
     if _is_fragment_dataset(path):
         from .sources import fragments as FR
 
-        m = FR.read_manifest(path)
+        # compat: a REAL Lance dataset lists its .lance fragments here;
+        # _read_filtered decodes them through the stdlib codec
+        m = FR.read_manifest_compat(path)
         return [os.path.join(path, f.file) for f in m.fragments]
     if os.path.isdir(path):
         files = sorted(
@@ -178,12 +182,32 @@ def _read_filtered(files: list[str], columns: list[str] | None, id_col: str,
     rows when ids is None) — parquet row-group statistics prune non-matching
     groups, so the read is O(matching groups), not O(dataset). ``schema``
     (the manifest schema for fragment datasets) makes evolved columns
-    visible: fragments written before an ``add_column`` null-fill it."""
+    visible: fragments written before an ``add_column`` null-fill it.
+    ``.lance`` fragments (an index built over a REAL Lance dataset)
+    decode through the stdlib codec with the id filter applied over the
+    decoded batch — the decoder prunes per-column, not per-row."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
 
-    ds = pads.dataset(files, format="parquet", schema=schema)
-    flt = pads.field(id_col).isin(ids.tolist()) if ids is not None else None
-    return ds.to_table(columns=columns, filter=flt)
+    native = [f for f in files if f.endswith(".lance")]
+    parquet = [f for f in files if not f.endswith(".lance")]
+    parts = []
+    if parquet:
+        ds = pads.dataset(parquet, format="parquet", schema=schema)
+        flt = pads.field(id_col).isin(ids.tolist()) if ids is not None else None
+        parts.append(ds.to_table(columns=columns, filter=flt))
+    if native:
+        import pyarrow.compute as pc
+
+        from .sources import lance_format as LF
+
+        for f in native:
+            t = LF.read_native_file(f, columns=columns)
+            if ids is not None:
+                t = t.filter(pc.is_in(t.column(id_col),
+                                      value_set=pa.array(ids.tolist())))
+            parts.append(t)
+    return pa.concat_tables(parts) if len(parts) != 1 else parts[0]
 
 
 def _load_flat(path: str, column: str):

@@ -484,3 +484,55 @@ def test_merge_rows_native(spark, tmp_path):
         merge_rows(spark, root,
                    spark.createDataFrame([(2, "x"), (2, "y")],
                                          "id long, v string"), key="id")
+
+
+def test_ann_index_over_native_dataset(spark, tmp_path):
+    """The reference's signature flow — write Lance, build a vector
+    index, search — end-to-end over OUR natively-written binary dataset:
+    IVF_PQ build (parquet sidecars under _indexes/), indexed SQL route
+    (ADC over codes + refine fetch decoding .lance bytes), distributed
+    pq_search, and coverage-split staleness after a post-build append."""
+    import numpy as np
+
+    from flink_connector_lance_spark.pq import build_pq_index, pq_search
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+    from flink_connector_lance_spark.udtf import (
+        register_vector_search,
+        uses_indexed_route,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, emb array<float>").coalesce(2)
+    root = str(tmp_path / "native-ann")
+    write_native_pure(df, root, mode="append")
+
+    build_pq_index(spark, root, "emb", id_col="id", num_sub_vectors=4,
+                   num_bits=4)
+    assert uses_indexed_route(root, "emb")
+
+    q = [float(x) for x in vecs[17]]
+    exact = np.argsort(((vecs - vecs[17]) ** 2).sum(axis=1))[:3]
+
+    got = pq_search(spark, root, "emb", q, k=3, refine_factor=4).collect()
+    assert [r.id for r in got][0] == 17
+    assert set(r.id for r in got) <= set(int(i) for i in exact) | {17}
+
+    register_vector_search(spark)
+    arr = ", ".join(f"{v}D" for v in q)
+    sql = spark.sql(f"""
+        SELECT v.id, v._distance FROM vector_search(
+            '{root}', 'emb', ARRAY({arr}), 3, 'L2', 2, NULL, 4) AS v
+    """).collect()
+    assert sql[0].id == 17 and sql[0]._distance == 0.0
+
+    # post-build append: coverage split exact-scores the uncovered tail
+    extra = spark.createDataFrame([(999, q)], "id long, emb array<float>")
+    write_native_pure(extra, root, mode="append")
+    sql2 = spark.sql(f"""
+        SELECT v.id, v._distance FROM vector_search(
+            '{root}', 'emb', ARRAY({arr}), 2, 'L2') AS v
+    """).collect()
+    assert sorted(r.id for r in sql2) == [17, 999]
+    assert all(r._distance == 0.0 for r in sql2)
