@@ -166,7 +166,7 @@ def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
     at search time). Returns a summary dict."""
     if analyzer not in _ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r}; one of {_ANALYZERS}")
-    m = FR.read_manifest(path)
+    m = FR.read_manifest_compat(path)
     base = read_fragment_files(spark, m, FR.fragment_paths(path, m))
     n_docs, sum_dl = _delta_stats(base, text_col, id_col, analyzer)
     meta = {
@@ -220,7 +220,7 @@ def _refresh_fts_once(spark: SparkSession, path: str, text_col: str) -> dict:
     if not info:
         raise ValueError(f"{idx} is not an fts index (no {_META_KEY!r} meta)")
     id_col = info["id_col"]
-    cur = FR.read_manifest(path)
+    cur = FR.read_manifest_compat(path)
     covered = set(info["covered_files"])
     cur_files = {f.file for f in cur.fragments}
     if covered - cur_files:

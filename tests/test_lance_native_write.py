@@ -536,3 +536,37 @@ def test_ann_index_over_native_dataset(spark, tmp_path):
     """).collect()
     assert sorted(r.id for r in sql2) == [17, 999]
     assert all(r._distance == 0.0 for r in sql2)
+
+
+def test_fts_over_native_dataset(spark, tmp_path):
+    """BM25 full-text search (postings index + fts_search + the
+    incremental refresh) over a natively-written binary dataset — the
+    lexical half of the retrieval family on real Lance storage."""
+    from flink_connector_lance_spark.sources.fts import (
+        create_fts_index,
+        fts_search,
+        refresh_fts_index,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "fts-native")
+    docs = spark.createDataFrame(
+        [(1, "spark engine for lance data"),
+         (2, "vector search over lance"),
+         (3, "unrelated text about cooking")],
+        "doc_id long, body string").coalesce(1)
+    write_native_pure(docs, root, mode="append")
+    create_fts_index(spark, root, "body", "doc_id")
+
+    hits = fts_search(spark, root, "lance engine", text_col="body", k=3).collect()
+    assert hits[0].doc_id == 1  # matches both terms
+    assert {r.doc_id for r in hits} == {1, 2}
+
+    # append through the native codec, refresh indexes the delta only
+    write_native_pure(spark.createDataFrame(
+        [(4, "another lance engine document")],
+        "doc_id long, body string").coalesce(1), root, mode="append")
+    info = refresh_fts_index(spark, root, "body")
+    assert info["mode"] == "incremental" and info["delta_docs"] == 1
+    hits2 = fts_search(spark, root, "lance engine", text_col="body", k=4).collect()
+    assert {r.doc_id for r in hits2} >= {1, 4}
