@@ -85,7 +85,7 @@ def run_maintenance(
         report["steps"].append(entry)
 
     # 1. compact
-    manifest = FR.read_manifest(path)
+    manifest = FR.read_manifest_compat(path)
     runts = [f for f in manifest.fragments
              if f.row_count < p.target_rows_per_fragment // 2]
     runt_frac = len(runts) / max(1, len(manifest.fragments))

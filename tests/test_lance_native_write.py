@@ -570,3 +570,29 @@ def test_fts_over_native_dataset(spark, tmp_path):
     assert info["mode"] == "incremental" and info["delta_docs"] == 1
     hits2 = fts_search(spark, root, "lance engine", text_col="body", k=4).collect()
     assert {r.doc_id for r in hits2} >= {1, 4}
+
+
+def test_run_maintenance_over_native_dataset(spark, tmp_path):
+    """The policy-driven auto-maintenance pass (compact -> vacuum, each
+    decision carrying its triggering measurement) runs unchanged over a
+    natively-written binary dataset."""
+    from flink_connector_lance_spark.sources.auto_maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "auto")
+    for lo in (0, 10, 20, 30):
+        write_native_pure(
+            spark.range(lo, lo + 10).selectExpr("id", "concat('d', id) AS t")
+            .coalesce(1), root, mode="append")
+    policy = MaintenancePolicy(target_rows_per_fragment=100,
+                               max_runt_fraction=0.2, keep_versions=1)
+    report = run_maintenance(spark, root, policy)
+    steps = {s["step"]: s for s in report["steps"]}
+    assert steps["compact"]["due"] is True
+    assert steps["vacuum"]["due"] is True
+    assert len(LF.read_native_manifest(root).fragments) == 1
+    assert LF.read_native_dataset(root).num_rows == 40
+    assert len(LF.native_manifest_versions(root)) == 1
