@@ -596,3 +596,25 @@ def test_run_maintenance_over_native_dataset(spark, tmp_path):
     assert len(LF.read_native_manifest(root).fragments) == 1
     assert LF.read_native_dataset(root).num_rows == 40
     assert len(LF.native_manifest_versions(root)) == 1
+
+
+def test_catalog_lists_native_tables(spark, tmp_path):
+    """Catalog table detection (_versions/ probe, ref
+    LanceCatalog.java:492-493) is format-agnostic: natively-written
+    binary datasets list, exist, rename, and read like emulated ones."""
+    from flink_connector_lance_spark.sources.catalog import DatasetCatalog
+    from flink_connector_lance_spark.sources.reader import read_dataset
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    wh = str(tmp_path / "warehouse")
+    cat = DatasetCatalog(warehouse=wh)
+    cat.create_database("db1")
+    root = cat.table_location("db1", "events_native")
+    write_native_pure(
+        spark.range(5).selectExpr("id", "concat('e', id) AS name").coalesce(1),
+        root, mode="append")
+    assert cat.list_tables("db1") == ["events_native"]
+    assert cat.table_exists("db1", "events_native")
+    cat.rename_table("db1", "events_native", "renamed")
+    assert cat.list_tables("db1") == ["renamed"]
+    assert read_dataset(spark, cat.table_location("db1", "renamed")).count() == 5
