@@ -622,7 +622,8 @@ def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
     fname = f"{_uuid.uuid4()}.lance"
     LF.write_native_file(tbl, os.path.join(data_dir, fname))
     return FragmentCommitMessage(
-        file=os.path.join(LF.DATA_DIR, fname), row_count=rows)
+        file=os.path.join(LF.DATA_DIR, fname), row_count=rows,
+        stats=LF.arrow_fragment_stats(tbl))
 
 
 def _drop_fragments(path: str, messages) -> None:
@@ -759,7 +760,7 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
     def _commit_native(self, messages: List[FragmentCommitMessage]) -> None:
         from . import lance_format as LF
 
-        new_files = [(os.path.basename(m.file), m.row_count)
+        new_files = [(os.path.basename(m.file), m.row_count, m.stats)
                      for m in messages if m is not None and m.file]
         fields = self._native_fields
         if fields is None:

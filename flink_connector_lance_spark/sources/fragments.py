@@ -179,12 +179,14 @@ def read_manifest_compat(root: str, version: int | None = None,
         from . import lance_format as LF
 
         mf = LF.read_native_manifest(root, version)
+        stats = LF.read_native_stats(root, mf.version)
         return Manifest(
             version=mf.version,
             fragments=[
                 FragmentInfo(fragment_id=fr.fragment_id,
                              file=f"{LF.DATA_DIR}/{fr.file}",
-                             row_count=fr.physical_rows)
+                             row_count=fr.physical_rows,
+                             stats=stats.get(fr.file))
                 for fr in mf.fragments
             ],
             meta={"native_lance": True, "native_fields": mf.fields},

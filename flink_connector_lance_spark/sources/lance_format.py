@@ -935,18 +935,73 @@ def _schema_shape(fields: list[NativeField]) -> list[tuple]:
             for f in fields]
 
 
+def arrow_fragment_stats(table) -> "dict | None":
+    """Per-column zone map from an in-memory Arrow table (the native
+    twin of ``fragments.parquet_fragment_stats``): ``{col: {"min",
+    "max", "null_count"}}`` for JSON-safe primitive columns. NaN-poisoned
+    float bounds and all-null columns are omitted (pruning on them would
+    be unsound or vacuous)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    acc: dict[str, dict] = {}
+    for name in table.column_names:
+        col = table.column(name)
+        t = col.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_string(t) or pa.types.is_boolean(t)):
+            continue
+        nulls = col.null_count
+        if len(col) == nulls:
+            continue
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mx is None:
+            continue
+        if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+            continue
+        acc[name] = {"min": mn, "max": mx, "null_count": int(nulls)}
+    return acc or None
+
+
+def _stats_sidecar(root: str, version: int) -> str:
+    return os.path.join(root, VERSIONS_DIR, f"{version}.stats.json")
+
+
+def read_native_stats(root: str, version: int) -> dict:
+    """Zone-map sidecar for a manifest version: ``{file_name: stats}``.
+    OUR extension beside the binary layout (real lance ignores it);
+    missing/unreadable -> {} (pruning conservatively disabled)."""
+    import json
+
+    try:
+        with open(_stats_sidecar(root, version)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
 def commit_native(root: str, fields: list[NativeField],
-                  new_files: list[tuple[str, int]], mode: str = "create",
+                  new_files: "list[tuple]", mode: str = "create",
                   *, txn_uuid: str | None = None,
                   timestamp: tuple[int, int] | None = None) -> NativeManifest:
-    """Commit already-written ``data/`` files (``[(file_name, rows)]``)
-    as a new manifest version. ``append`` keeps the live fragment list;
-    ``overwrite`` replaces it (old versions stay readable — MVCC, unlike
-    the reference sink which deletes the directory,
-    ref LanceSink.java:123-127); ``create`` requires a fresh dataset.
-    The manifest lands via O_EXCL so two racing committers can't both
-    win a version: the loser re-reads and retries on top of the winner
-    (appends) or fails loudly (create)."""
+    """Commit already-written ``data/`` files (``[(file_name, rows)]``
+    or ``[(file_name, rows, stats|None)]``) as a new manifest version.
+    ``append`` keeps the live fragment list; ``overwrite`` replaces it
+    (old versions stay readable — MVCC, unlike the reference sink which
+    deletes the directory, ref LanceSink.java:123-127); ``create``
+    requires a fresh dataset. The manifest lands via O_EXCL so two
+    racing committers can't both win a version: the loser re-reads and
+    retries on top of the winner (appends) or fails loudly (create).
+
+    Zone maps: per-fragment stats land in a ``<N>.stats.json`` sidecar
+    written ONLY AFTER winning the manifest race (a loser must never
+    leave its sidecar beside the winner's manifest — stale stats would
+    mis-prune). Files carried over from the previous version keep their
+    recorded stats by name; a missing sidecar just disables pruning."""
+    import json
     import time
     import uuid as _uuid
 
@@ -955,6 +1010,7 @@ def commit_native(root: str, fields: list[NativeField],
     if timestamp is None:
         now = time.time()
         timestamp = (int(now), int((now % 1) * 1e9))
+    norm = [(e[0], e[1], e[2] if len(e) > 2 else None) for e in new_files]
 
     while True:
         versions = native_manifest_versions(root)
@@ -962,11 +1018,13 @@ def commit_native(root: str, fields: list[NativeField],
             raise FileExistsError(f"{root} already holds a native dataset "
                                   f"(versions {versions}); use append/overwrite")
         prev_frags: list[NativeFragmentInfo] = []
+        prev_stats: dict = {}
         read_version = 0
         out_fields = fields
         if versions:
             prev = read_native_manifest(root)
             read_version = prev.version
+            prev_stats = read_native_stats(root, prev.version)
             if mode == "append":
                 if _schema_shape(prev.fields) != _schema_shape(fields):
                     raise ValueError("append schema mismatch against live manifest")
@@ -975,8 +1033,11 @@ def commit_native(root: str, fields: list[NativeField],
         next_id = max((fr.fragment_id for fr in prev_frags), default=-1) + 1
         fragments = prev_frags + [
             NativeFragmentInfo(next_id + i, fname, rows)
-            for i, (fname, rows) in enumerate(new_files)
+            for i, (fname, rows, _) in enumerate(norm)
         ]
+        stats_map = {fr.file: prev_stats[fr.file] for fr in fragments
+                     if fr.file in prev_stats}
+        stats_map.update({fname: st for fname, _, st in norm if st})
 
         tuid = txn_uuid or str(_uuid.uuid4())
         txn_file = f"{read_version}-{tuid}.txn"
@@ -993,6 +1054,13 @@ def commit_native(root: str, fields: list[NativeField],
             if mode == "create":
                 raise
             continue  # lost the race: re-read the new tip and retry
+        if stats_map:
+            # after the win: a crash here leaves manifest-without-sidecar,
+            # which readers treat as stats-absent (no pruning — safe)
+            tmp = _stats_sidecar(root, version) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(stats_map, fh)
+            os.rename(tmp, _stats_sidecar(root, version))
         return read_native_manifest(root, version)
 
 
@@ -1014,5 +1082,6 @@ def write_native_dataset(root: str, table, mode: str = "create",
     os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
     fname = f"{file_uuid or str(_uuid.uuid4())}.lance"
     nrows = write_native_file(table, os.path.join(root, DATA_DIR, fname))
-    return commit_native(root, fields, [(fname, nrows)], mode,
+    return commit_native(root, fields,
+                         [(fname, nrows, arrow_fragment_stats(table))], mode,
                          txn_uuid=txn_uuid, timestamp=timestamp)

@@ -408,6 +408,10 @@ def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:
     if not dry_run:
         for v in dropped:
             os.remove(os.path.join(path, LF.VERSIONS_DIR, f"{v}.manifest"))
+            try:  # our zone-map sidecar lives and dies with its manifest
+                os.remove(LF._stats_sidecar(path, v))
+            except FileNotFoundError:
+                pass
         for n in dead_txns:
             os.remove(os.path.join(txn_dir, n))
         for n in dead:

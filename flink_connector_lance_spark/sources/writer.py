@@ -373,11 +373,13 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
 
         from flink_connector_lance_spark.sources import lance_format as _LF
 
+        import json as _json
+
         batches = list(iterator)
         if not batches:
             return
         tbl = _pa.Table.from_batches(batches).cast(schema)
-        out_files, out_rows = [], []
+        out_files, out_rows, out_stats = [], [], []
         for start in range(0, max(tbl.num_rows, 1), max_rows):
             piece = tbl.slice(start, max_rows)
             if piece.num_rows == 0:
@@ -386,9 +388,19 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
             _LF.write_native_file(piece, os.path.join(data_dir, fname))
             out_files.append(fname)
             out_rows.append(piece.num_rows)
+            # zone map for the commit's stats sidecar: planning-time
+            # fragment pruning on native scans (same contract as the
+            # parquet footer stats)
+            st = _LF.arrow_fragment_stats(piece)
+            out_stats.append(_json.dumps(st) if st else None)
         yield _pa.RecordBatch.from_pydict(
-            {"file": out_files, "rows": out_rows},
-            schema=_pa.schema([("file", _pa.string()), ("rows", _pa.int64())]))
+            {"file": out_files, "rows": out_rows, "stats": out_stats},
+            schema=_pa.schema([("file", _pa.string()), ("rows", _pa.int64()),
+                               ("stats", _pa.string())]))
 
-    metas = df.mapInArrow(produce, schema="file string, rows long").collect()
-    return [(r.file, r.rows) for r in metas]
+    import json
+
+    metas = df.mapInArrow(produce,
+                          schema="file string, rows long, stats string").collect()
+    return [(r.file, r.rows, json.loads(r.stats) if r.stats else None)
+            for r in metas]

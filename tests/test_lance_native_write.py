@@ -245,7 +245,8 @@ def test_spark_format_write_appends_to_fixture_copy(spark, tmp_path):
 
     assert LF.native_manifest_versions(root) == [1, 2]
     vdir = os.path.join(root, LF.VERSIONS_DIR)
-    assert not any(n.endswith(".json") for n in os.listdir(vdir))
+    # no forked .manifest.json chain (the zone-map stats sidecar is fine)
+    assert not any(n.endswith(".manifest.json") for n in os.listdir(vdir))
     got = spark.read.format("lance").load(root)
     assert got.count() == 7
     rows = {r.id: r.title for r in got.collect()}
@@ -618,3 +619,48 @@ def test_catalog_lists_native_tables(spark, tmp_path):
     cat.rename_table("db1", "events_native", "renamed")
     assert cat.list_tables("db1") == ["renamed"]
     assert read_dataset(spark, cat.table_location("db1", "renamed")).count() == 5
+
+
+def test_native_zone_map_pruning(spark, tmp_path):
+    """Native fragments now carry zone maps (the <N>.stats.json sidecar
+    written with the commit): a clustered native write gets
+    planning-time fragment pruning — a range filter schedules only the
+    fragments whose recorded [min,max] intersect it, same contract as
+    the emulated backend's manifest stats."""
+    from pyspark.sql.datasource import EqualTo
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.datasource import (
+        LanceDataSourceReader,
+        register_lance_datasource,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "zm")
+    df = spark.range(400).selectExpr("id", "concat('d', id) AS t")
+    write_native_pure(df, root, mode="append",
+                      options=DatasetOptions(path=root, sort_columns=["id"],
+                                             cluster_on_write=True,
+                                             write_max_rows_per_file=100))
+    mf = LF.read_native_manifest(root)
+    assert len(mf.fragments) >= 4
+    stats = LF.read_native_stats(root, mf.version)
+    assert len(stats) == len(mf.fragments)
+
+    def planned(filters):
+        r = LanceDataSourceReader({"path": root})
+        r.pushFilters(filters)
+        return r.partitions()
+
+    assert len(planned([])) == len(mf.fragments)
+    assert len(planned([EqualTo(("id",), 42)])) == 1
+
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance").load(root)
+           .filter("id = 42").select("t").collect())
+    assert [r.t for r in got] == ["d42"]
+
+    # stats survive a carried-over commit: append another fragment, the
+    # old fragments keep pruning
+    write_native_pure(spark.range(400, 410).selectExpr(
+        "id", "concat('d', id) AS t").coalesce(1), root, mode="append")
+    assert len(planned([EqualTo(("id",), 42)])) == 1
