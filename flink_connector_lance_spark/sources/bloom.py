@@ -191,6 +191,24 @@ def build_bloom_sidecar(
     if not present:
         return None
     table = pq.read_table(fragment_abs_path, columns=present)
+    return build_bloom_sidecar_from_table(table, fragment_abs_path, present,
+                                          bits_per_row, max_bits)
+
+
+def build_bloom_sidecar_from_table(
+    table,
+    fragment_abs_path: str,
+    columns: "list[str]",
+    bits_per_row: int = DEFAULT_BITS_PER_ROW,
+    max_bits: int = MAX_BITS,
+) -> "dict | None":
+    """Table-based core of ``build_bloom_sidecar`` — used directly by the
+    native v2 write path, which already holds the fragment's rows as an
+    Arrow table at encode time (no re-read)."""
+    present = [c for c in columns if c in table.column_names
+               and _bloomable_arrow_type(table.schema.field(c).type) is not None]
+    if not present:
+        return None
     out_cols: dict[str, dict] = {}
     payload: dict[str, dict] = {}
     for col in present:

@@ -598,7 +598,8 @@ def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
 
 
 def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
-                           fields=None) -> FragmentCommitMessage:
+                           fields=None,
+                           bloom_columns=None) -> FragmentCommitMessage:
     """Executor side, REAL-Lance-format twin of ``_write_fragment``: one
     task's batches become one ``data/<uuid>.lance`` v2 file through the
     stdlib codec. ``fields`` (the live manifest schema, shipped from the
@@ -621,9 +622,17 @@ def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
     os.makedirs(data_dir, exist_ok=True)
     fname = f"{_uuid.uuid4()}.lance"
     LF.write_native_file(tbl, os.path.join(data_dir, fname))
+    stats = LF.arrow_fragment_stats(tbl) or {}
+    if bloom_columns:
+        from .bloom import BLOOM_STATS_KEY, build_bloom_sidecar_from_table
+
+        entry = build_bloom_sidecar_from_table(
+            tbl, os.path.join(data_dir, fname), bloom_columns)
+        if entry is not None:
+            stats[BLOOM_STATS_KEY] = entry
     return FragmentCommitMessage(
         file=os.path.join(LF.DATA_DIR, fname), row_count=rows,
-        stats=LF.arrow_fragment_stats(tbl))
+        stats=stats or None)
 
 
 def _drop_fragments(path: str, messages) -> None:
@@ -724,10 +733,6 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         self._native = LF.is_native_dataset(self._path)
         self._native_fields = None
         if self._native:
-            if self._bloom_cols:
-                raise NotImplementedError(
-                    "write.bloom-columns is not supported when writing the "
-                    "native Lance binary format (no bloom sidecar contract)")
             if self._evolve:
                 raise NotImplementedError(
                     "write.schema-evolution is not supported on native "
@@ -738,7 +743,8 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
         if self._native:
             return _write_native_fragment(self._path, iterator,
-                                          self._native_fields)
+                                          self._native_fields,
+                                          self._bloom_cols)
         return _write_fragment(self._path, iterator, self._bloom_cols)
 
     def commit(self, messages: List[FragmentCommitMessage]) -> None:

@@ -398,6 +398,10 @@ def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:
         msg = LF._pb_fields(blob[4:4 + _s.unpack_from("<I", blob, 0)[0]])
         live_txns.add(LF._one(msg, 12, b"").decode("utf-8"))
         live_files |= {fr.file for fr in LF.read_native_manifest(path, v).fragments}
+    from .bloom import BLOOM_SUFFIX
+
+    # a bloom sidecar lives exactly as long as its fragment
+    live_files |= {f + BLOOM_SUFFIX for f in live_files}
     data_dir = os.path.join(path, LF.DATA_DIR)
     dead = [n for n in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
             if n not in live_files]

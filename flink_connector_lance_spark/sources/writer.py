@@ -94,10 +94,6 @@ def write_dataset(
                 "binary Lance manifests cannot carry commit_meta "
                 "(rollups/streaming epoch metadata); use an emulated "
                 "dataset target")
-        if opts.bloom_columns:
-            raise NotImplementedError(
-                "write.bloom-columns is not supported on native Lance "
-                "binary datasets (no bloom sidecar contract)")
         if expected_base_version is not None:
             raise NotImplementedError(
                 "conditional (CAS) commits are not wired for native "
@@ -345,7 +341,8 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
             df = df.repartitionByRange(*opts.sort_columns)
         df = df.sortWithinPartitions(*opts.sort_columns)
     new_files = produce_native_fragments(df, path, schema,
-                                         opts.write_max_rows_per_file)
+                                         opts.write_max_rows_per_file,
+                                         bloom_columns=opts.bloom_columns)
     fields = LF.fields_of_arrow_schema(schema)
     # append on a fresh directory bootstraps version 1 (commit_native
     # treats an empty version chain as the zero state)
@@ -353,7 +350,9 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
 
 
 def produce_native_fragments(df: DataFrame, path: str, schema,
-                             max_rows: int) -> "list[tuple[str, int]]":
+                             max_rows: int,
+                             bloom_columns: "list[str] | None" = None,
+                             ) -> "list[tuple[str, int]]":
     """Executor fan-out of the native write: every task encodes its
     partition into ``data/<uuid>.lance`` v2 files (sliced at ``max_rows``
     — each file stays one single-page-per-column encode, the shape the
@@ -391,7 +390,20 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
             # zone map for the commit's stats sidecar: planning-time
             # fragment pruning on native scans (same contract as the
             # parquet footer stats)
-            st = _LF.arrow_fragment_stats(piece)
+            st = _LF.arrow_fragment_stats(piece) or {}
+            if bloom_columns:
+                # point-lookup bloom, built from the rows already in
+                # memory (no re-read); the manifest entry rides in the
+                # same stats sidecar the zone maps use
+                from flink_connector_lance_spark.sources.bloom import (
+                    BLOOM_STATS_KEY,
+                    build_bloom_sidecar_from_table,
+                )
+
+                entry = build_bloom_sidecar_from_table(
+                    piece, os.path.join(data_dir, fname), bloom_columns)
+                if entry is not None:
+                    st[BLOOM_STATS_KEY] = entry
             out_stats.append(_json.dumps(st) if st else None)
         yield _pa.RecordBatch.from_pydict(
             {"file": out_files, "rows": out_rows, "stats": out_stats},

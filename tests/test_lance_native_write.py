@@ -664,3 +664,46 @@ def test_native_zone_map_pruning(spark, tmp_path):
     write_native_pure(spark.range(400, 410).selectExpr(
         "id", "concat('d', id) AS t").coalesce(1), root, mode="append")
     assert len(planned([EqualTo(("id",), 42)])) == 1
+
+
+def test_native_bloom_point_lookup_pruning(spark, tmp_path):
+    """Point-lookup blooms on native fragments: the bloom is built from
+    the rows already in executor memory at encode time, its manifest
+    entry rides in the stats sidecar, and a pushed id = N filter keeps
+    only the fragment that really holds N (zone maps alone can't — ids
+    interleave across fragments here). Vacuum keeps live blooms."""
+    from pyspark.sql.datasource import EqualTo
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.datasource import (
+        LanceDataSourceReader,
+    )
+    from flink_connector_lance_spark.sources.maintenance import vacuum_dataset
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "bl")
+    # interleaved ids (id % 4 decides the partition): every fragment's
+    # [min,max] spans the whole id range, so zone maps keep everything
+    df = (spark.range(400).selectExpr("id", "concat('d', id) AS t")
+          .repartition(4, F.col("id") % 4))
+    write_native_pure(df, root, mode="append",
+                      options=DatasetOptions(path=root, bloom_columns=["id"]))
+    nfrag = len(LF.read_native_manifest(root).fragments)
+    assert nfrag >= 2  # hash partitioning may fold groups; need >1 to prune
+
+    def planned(filters):
+        r = LanceDataSourceReader({"path": root})
+        r.pushFilters(filters)
+        return r.partitions()
+
+    assert len(planned([])) == nfrag
+    assert len(planned([EqualTo(("id",), 42)])) == 1
+
+    data = os.listdir(os.path.join(root, LF.DATA_DIR))
+    blooms = [n for n in data if n.endswith(".bloom.json")]
+    assert len(blooms) == nfrag
+    vacuum_dataset(root, keep_versions=1)
+    data_after = os.listdir(os.path.join(root, LF.DATA_DIR))
+    assert sorted(n for n in data_after if n.endswith(".bloom.json")) == sorted(blooms)
+    assert len(planned([EqualTo(("id",), 42)])) == 1
