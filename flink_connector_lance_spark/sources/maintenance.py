@@ -165,7 +165,7 @@ def table_statistics(path: str, version: int | None = None) -> dict:
     "columns": {col: {"min", "max", "null_count"}}}`` (a column appears
     only if every fragment tracked it; null_count is None if any
     fragment didn't record one)."""
-    manifest = FR.read_manifest(path, version)
+    manifest = FR.read_manifest_compat(path, version)
     num_rows = sum(f.row_count for f in manifest.fragments)
     size = 0
     for f in manifest.fragments:
@@ -184,6 +184,12 @@ def table_statistics(path: str, version: int | None = None) -> dict:
         import json as _json
 
         visible = {f["name"] for f in _json.loads(schema_json)["fields"]}
+        tracked = (tracked or set()) & visible
+    elif manifest.meta.get("native_lance"):
+        # native stats sidecars carry reserved keys (__bloom__) beside
+        # the per-column zone maps — keep only real schema columns
+        visible = {f.name for f in manifest.meta["native_fields"]
+                   if f.parent == -1}
         tracked = (tracked or set()) & visible
     for c in sorted(tracked or set()):
         mins = [f.stats[c].get("min") for f in manifest.fragments]
@@ -880,6 +886,33 @@ def _last_clustering_files(path: str) -> set:
     return set()
 
 
+def _cluster_native(spark: SparkSession, path: str, by: list[str],
+                    target_rows: int):
+    """Full-table OPTIMIZE for a native dataset: one range exchange +
+    within-task sorts, re-encoded through the v2 codec, ONE overwrite
+    commit. The stats sidecar written with the commit records each
+    sorted fragment's disjoint [min,max], so pushed range filters prune
+    at planning time immediately after."""
+    from . import lance_format as LF
+    from .reader import read_native_files
+    from .writer import produce_native_fragments
+
+    mf = LF.read_native_manifest(path)
+    if not mf.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments to cluster")
+    if not by:
+        raise ValueError("cluster_dataset requires at least one column")
+    total = sum(fr.physical_rows for fr in mf.fragments)
+    n_frags = max(1, -(-total // target_rows))
+    df = read_native_files(
+        spark, mf.fields,
+        [os.path.join(path, LF.DATA_DIR, fr.file) for fr in mf.fragments])
+    out = df.repartitionByRange(n_frags, *by).sortWithinPartitions(*by)
+    new = produce_native_fragments(out, path, LF.arrow_schema_of(mf.fields),
+                                   target_rows)
+    return LF.commit_native(path, mf.fields, new, "overwrite")
+
+
 def cluster_dataset(
     spark: SparkSession,
     path: str,
@@ -919,6 +952,21 @@ def cluster_dataset(
     """
     if scope not in ("full", "tail"):
         raise ValueError("scope must be 'full' or 'tail'")
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        if scope == "tail" or zorder:
+            # binary manifests carry no layout metadata, so the tail
+            # scope has no clustered-run bookkeeping to key on, and the
+            # z-order key needs recorded multi-column bounds from a
+            # PREVIOUS layout pass — refuse rather than silently degrade
+            raise NotImplementedError(
+                "native Lance datasets support scope='full' single-order "
+                "clustering only (no layout metadata slot in binary "
+                "manifests for tail runs / z-order bounds); use "
+                "write-time clustering (DatasetOptions(sort_columns=..., "
+                "cluster_on_write=True)) for the incremental shape")
+        return _cluster_native(spark, path, by, target_rows_per_fragment)
     manifest = FR.read_manifest(path)
     if not manifest.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments to cluster")

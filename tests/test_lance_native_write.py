@@ -707,3 +707,46 @@ def test_native_bloom_point_lookup_pruning(spark, tmp_path):
     data_after = os.listdir(os.path.join(root, LF.DATA_DIR))
     assert sorted(n for n in data_after if n.endswith(".bloom.json")) == sorted(blooms)
     assert len(planned([EqualTo(("id",), 42)])) == 1
+
+
+def test_cluster_and_statistics_native(spark, tmp_path):
+    """Full-table OPTIMIZE over a native dataset: rows land
+    range-clustered, the fresh stats sidecar makes range filters prune
+    to one fragment, and table_statistics merges the zone maps (zero
+    data IO). Tail scope refuses (no layout slot in binary manifests)."""
+    from pyspark.sql.datasource import GreaterThan, LessThan
+    from flink_connector_lance_spark.sources.datasource import (
+        LanceDataSourceReader,
+    )
+    from flink_connector_lance_spark.sources.maintenance import (
+        cluster_dataset,
+        table_statistics,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "cl")
+    df = (spark.range(400).selectExpr("id", "concat('d', id) AS t")
+          .repartition(4, F.col("id") % 4))  # interleaved: zone maps useless
+    write_native_pure(df, root, mode="append")
+
+    def planned(filters):
+        r = LanceDataSourceReader({"path": root})
+        r.pushFilters(filters)
+        return r.partitions()
+
+    before = len(planned([GreaterThan(("id",), 390)]))
+    mf = cluster_dataset(spark, root, ["id"], target_rows_per_fragment=100)
+    assert len(mf.fragments) >= 4
+    assert len(planned([GreaterThan(("id",), 390)])) == 1
+    assert len(planned([LessThan(("id",), 5)])) == 1
+    assert before > 1  # pre-clustering the same filter kept several
+
+    stats = table_statistics(root)
+    assert stats["num_rows"] == 400
+    assert stats["columns"]["id"] == {"min": 0, "max": 399, "null_count": 0}
+    assert "__bloom__" not in stats["columns"]
+
+    with pytest.raises(NotImplementedError, match="scope='full'"):
+        cluster_dataset(spark, root, ["id"], scope="tail")
