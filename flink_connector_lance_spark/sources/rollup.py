@@ -249,7 +249,7 @@ def create_rollup(
     aggregate source columns.
     """
     spec = _normalize_aggs(aggs)
-    m = FR.read_manifest(path)
+    m = FR.read_manifest_compat(path)
     df = _apply_transform(
         read_fragment_files(spark, m, FR.fragment_paths(path, m)), pre_transform)
     _missing_transform_cols(df, group_cols, spec)
@@ -293,7 +293,7 @@ def refresh_rollup(spark: SparkSession, path: str, name: str,
         raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
     group_cols, spec = info["group_cols"], info["spec"]
     pre_transform = info.get("pre_transform")
-    cur = FR.read_manifest(path)
+    cur = FR.read_manifest_compat(path)
     covered = set(info["covered_files"])
     cur_files = {f.file for f in cur.fragments}
     def _vacuum_state() -> None:
@@ -386,7 +386,7 @@ def rollup_status(path: str, name: str) -> dict:
     info = FR.read_manifest(rp).meta.get(_META_KEY)
     if not info:
         raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
-    cur = FR.read_manifest(path)
+    cur = FR.read_manifest_compat(path)
     covered = set(info["covered_files"])
     cur_files = {f.file for f in cur.fragments}
     added = [f for f in cur.fragments if f.file not in covered]

@@ -750,3 +750,47 @@ def test_cluster_and_statistics_native(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="scope='full'"):
         cluster_dataset(spark, root, ["id"], scope="tail")
+
+
+def test_rollup_over_native_source(spark, tmp_path):
+    """Incremental rollups over a native SOURCE dataset: the rollup
+    state stays an emulated dataset (it needs commit metadata), but the
+    source delta reads decode .lance fragments — create, append through
+    the native codec, delta-only refresh, full rebuild after a rewrite."""
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+    from flink_connector_lance_spark.sources.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+        rollup_status,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "rollup-src")
+    write_native_pure(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+        "id long, grp string, v long").coalesce(1), root, mode="append")
+    create_rollup(spark, root, "by_grp", group_cols=["grp"],
+                  aggs={"sum_v": ("sum", "v"), "cnt": "count"})
+    got = {r.grp: (r.sum_v, r.cnt) for r in read_rollup(spark, root, "by_grp")
+           .selectExpr("grp", "sum_v", "cnt").collect()}
+    assert got == {"a": (40, 2), "b": (20, 1)}
+
+    write_native_pure(spark.createDataFrame(
+        [(4, "b", 5)], "id long, grp string, v long").coalesce(1),
+        root, mode="append")
+    st = rollup_status(root, "by_grp")
+    assert st["pending_fragments"] == 1 and not st["needs_full"]
+    info = refresh_rollup(spark, root, "by_grp")
+    assert info["mode"] == "incremental"
+    got = {r.grp: r.sum_v for r in read_rollup(spark, root, "by_grp")
+           .selectExpr("grp", "sum_v").collect()}
+    assert got == {"a": 40, "b": 25}
+
+    # a rewrite (DELETE) flips the refresh to a full rebuild
+    delete_rows(spark, root, "id = 1")
+    info = refresh_rollup(spark, root, "by_grp")
+    assert info["mode"] == "full"
+    got = {r.grp: r.sum_v for r in read_rollup(spark, root, "by_grp")
+           .selectExpr("grp", "sum_v").collect()}
+    assert got == {"a": 30, "b": 25}
