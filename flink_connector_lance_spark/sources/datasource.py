@@ -944,7 +944,7 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
         cached = self._files_cache.get(version)
         if cached is None:
             try:
-                cached = {f.file for f in FR.read_manifest(self._path, version).fragments}
+                cached = {f.file for f in FR.read_manifest_compat(self._path, version).fragments}
             except FileNotFoundError:
                 if strict:
                     raise
@@ -991,7 +991,7 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
         if ev <= sv:
             return []
         known = self._files_at(sv)
-        m = FR.read_manifest(self._path, ev)
+        m = FR.read_manifest_compat(self._path, ev)
         return [
             FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)
             for f in m.fragments
@@ -999,6 +999,20 @@ class LanceDataSourceStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+        if partition.file.endswith(".lance"):
+            # native fragment appended to a binary dataset: decode via
+            # the stdlib codec, cast to the planned schema's arrow types
+            from . import lance_format as LF
+
+            tbl = LF.read_native_file(partition.file)
+            if self._schema is not None:
+                from ..types import spark_schema_to_arrow
+
+                t = spark_schema_to_arrow(self._schema)
+                if t != tbl.schema:
+                    tbl = tbl.cast(t)
+            yield from tbl.to_batches(max_chunksize=self._batch_size)
+            return
         import pyarrow.dataset as pads
 
         dset = pads.dataset(partition.file, format="parquet")

@@ -59,8 +59,8 @@ def read_version_delta(
     which a file-set diff would deliver as delta rows (double-processing).
     Such a rewrite raises unless ``allow_rewrites=True`` opts into the
     raw file diff (for callers that dedup downstream)."""
-    m_from = FR.read_manifest(path, from_version)
-    m_to = FR.read_manifest(path, to_version)
+    m_from = FR.read_manifest_compat(path, from_version)
+    m_to = FR.read_manifest_compat(path, to_version)
     if m_to.version < m_from.version:
         raise ValueError(
             f"to_version {m_to.version} precedes from_version {m_from.version}"
@@ -115,8 +115,8 @@ def read_changes(
     is)."""
     from .reader import read_fragment_files
 
-    m_from = FR.read_manifest(path, from_version)
-    m_to = FR.read_manifest(path, to_version)
+    m_from = FR.read_manifest_compat(path, from_version)
+    m_to = FR.read_manifest_compat(path, to_version)
     if m_to.version < m_from.version:
         raise ValueError(
             f"to_version {m_to.version} precedes from_version {m_from.version}"

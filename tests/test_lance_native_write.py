@@ -794,3 +794,64 @@ def test_rollup_over_native_source(spark, tmp_path):
     got = {r.grp: r.sum_v for r in read_rollup(spark, root, "by_grp")
            .selectExpr("grp", "sum_v").collect()}
     assert got == {"a": 30, "b": 25}
+
+
+def test_cdc_and_version_delta_over_native(spark, tmp_path):
+    """Incremental consumption over a native dataset: read_version_delta
+    reads ONLY appended fragments; read_changes resolves a DELETE into
+    row-level insert/delete events — both decode .lance bytes."""
+    from flink_connector_lance_spark.sources.maintenance import (
+        delete_rows,
+        read_changes,
+        read_version_delta,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "cdc")
+    write_native_pure(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1),
+        root, mode="append")
+    write_native_pure(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), root, mode="append")
+
+    delta = read_version_delta(spark, root, from_version=1)
+    assert [r.id for r in delta.collect()] == [3]
+
+    delete_rows(spark, root, "id = 1")
+    ch = read_changes(spark, root, from_version=2).collect()
+    got = sorted((r.id, r._change_type) for r in ch)
+    assert got == [(1, "delete")]
+
+
+def test_stream_read_tails_native_appends(spark, tmp_path):
+    """spark.readStream.format('lance') tails a NATIVE dataset: each
+    externally-appended binary version arrives as one micro-batch of
+    decoded rows (the ingestion bridge for a lance table some other
+    writer owns)."""
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "stream-src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    write_native_pure(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), root, mode="append")
+
+    register_lance_datasource(spark)
+    q = (spark.readStream.format("lance").load(root)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    assert {r.id for r in spark.read.parquet(out).collect()} == {1}
+
+    write_native_pure(spark.createDataFrame(
+        [(2, "b")], "id long, v string").coalesce(1), root, mode="append")
+    q = (spark.readStream.format("lance").load(root)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    assert {r.id for r in spark.read.parquet(out).collect()} == {1, 2}
