@@ -160,6 +160,15 @@ def drop_columns(path: str, cols: list[str]) -> FR.Manifest:
     .drop_columns`` (Lance's own metadata-only drop). Old versions keep
     the column (time travel); the name is recorded in
     ``dropped_columns`` so a later append cannot resurrect stale values."""
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        raise NotImplementedError(
+            "schema evolution on a native Lance binary dataset is not "
+            "supported: the add/drop bookkeeping (recorded table schema, "
+            "dropped-column resurrection guard) rides in manifest commit "
+            "metadata, which binary manifests cannot carry. Overwrite "
+            "with the new shape, or use an emulated dataset target.")
     if not cols:
         raise ValueError("drop_columns requires at least one column")
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
@@ -206,6 +215,15 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
     Re-introducing a previously dropped name is allowed HERE (unlike an
     evolving append): the rewrite leaves no old fragment to resurrect
     stale values from, and the name is cleared from the dropped set."""
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(path):
+        raise NotImplementedError(
+            "schema evolution on a native Lance binary dataset is not "
+            "supported: the add/drop bookkeeping (recorded table schema, "
+            "dropped-column resurrection guard) rides in manifest commit "
+            "metadata, which binary manifests cannot carry. Overwrite "
+            "with the new shape, or use an emulated dataset target.")
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         import lance
 
