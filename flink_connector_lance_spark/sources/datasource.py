@@ -33,6 +33,17 @@ Execution model (Spark-first, not the reference's):
 
 Options: ``path`` (required), ``version`` (read time travel),
 ``read.batch-size`` (ref config/LanceOptions.java:56-60).
+
+Known upstream caveat (PySpark Python-data-source planning): the filter
+pushdown worker's planned (readFunc, partitions) overwrites the
+DataFrame leaf's cached read plan, and a LATER query on the SAME
+DataFrame object with no pushable filters reuses that poisoned scan —
+``df.filter(...).collect()`` then ``df.count()`` returns the filtered
+count. Use a fresh ``spark.read.format("lance").load(path)`` per query
+(zero cost: schema is one manifest read). Pinned with a tripwire in
+``tests/test_datasource.py::test_same_dataframe_reuse_plan_cache`` so
+the caveat is dropped the day upstream fixes the reuse. Every internal
+surface of this repo already loads fresh.
 """
 
 from __future__ import annotations
@@ -178,6 +189,43 @@ def _filter_to_arrow(f: Filter):
         c = col(f.attribute)
         return None if c is None else ~c.is_null()
     return None
+
+
+def _nan_unsafe(f: Filter) -> bool:
+    """Filters whose pyarrow evaluation diverges from Spark's
+    NaN-total-order semantics on float/double columns and therefore must
+    NOT be accepted (they stay residual; Spark evaluates them itself).
+
+    Spark orders NaN above every value (``NaN > v`` and ``NaN >= v`` are
+    TRUE for any v, ``NaN = NaN`` TRUE, ``NaN != v`` TRUE for non-NaN v)
+    while pyarrow compute propagates null/false for every NaN
+    comparison — evaluating those shapes engine-side silently drops NaN
+    rows Spark would return (Spark's own parquet scan keeps them). The
+    column's floatness is read off the literal: Spark casts pushed
+    literals to the column type, so a float literal means a float
+    column. EqualTo/In/LessThan(OrEqual) with non-NaN literals agree
+    across both systems (NaN matches neither side) and stay pushable;
+    zone-map pruning for those shapes is sound too, because a hidden
+    NaN row cannot satisfy them."""
+    import math
+
+    def is_f(v) -> bool:
+        return isinstance(v, float)
+
+    def is_nan(v) -> bool:
+        return isinstance(v, float) and math.isnan(v)
+
+    if isinstance(f, Not):
+        if isinstance(f.child, EqualTo) and is_f(f.child.value):
+            return True  # NaN != v is TRUE in Spark, dropped by arrow
+        return _nan_unsafe(f.child)
+    if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and is_f(f.value):
+        return True  # NaN > v / NaN >= v is TRUE in Spark
+    if isinstance(f, (EqualTo, LessThan, LessThanOrEqual)) and is_nan(f.value):
+        return True  # NaN-literal comparisons (Spark: NaN = NaN is TRUE)
+    if isinstance(f, In) and any(is_nan(v) for v in f.value):
+        return True
+    return False
 
 
 def _fragment_may_match(stats: dict | None, row_count: int, f: Filter) -> bool:
@@ -353,12 +401,19 @@ class LanceDataSourceReader(DataSourceReader):
         self._pushed: List[Filter] = []
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        # REPLACE, never append: Spark's plan worker caches this reader
+        # instance per relation and re-plans every query over the same
+        # DataFrame through it — accumulating across calls leaks one
+        # query's filters into the next (a filtered query followed by an
+        # unfiltered count on the same df returned the filtered count)
+        pushed = []
         residual = []
         for f in filters:
-            if _filter_to_arrow(f) is not None:
-                self._pushed.append(f)
+            if _filter_to_arrow(f) is not None and not _nan_unsafe(f):
+                pushed.append(f)
             else:
                 residual.append(f)
+        self._pushed = pushed
         return residual
 
     def partitions(self) -> List[FragmentPartition]:
