@@ -210,8 +210,25 @@ def _read_filtered(files: list[str], columns: list[str] | None, id_col: str,
     return pa.concat_tables(parts) if len(parts) != 1 else parts[0]
 
 
+def _dataset_state_token(path: str):
+    """Cheap staleness token for the flat-scan cache: the manifest
+    version for fragment datasets (both formats — one directory
+    listing), the path mtime otherwise (directory mtime changes when
+    part files are added/removed). Without it, a search after an append
+    served the cached pre-append corpus — the same gap the PQ/IVF/HNSW
+    caches already close with their index-meta mtime keys."""
+    if _is_fragment_dataset(path):
+        from .sources import fragments as FR
+
+        return FR.latest_version(path)
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return None
+
+
 def _load_flat(path: str, column: str):
-    key = (path, column, "flat")
+    key = (path, column, "flat", _dataset_state_token(path))
     hit = _cache_get(key)
     if hit is None:
         if _is_native_lance(path):

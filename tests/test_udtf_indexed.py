@@ -96,7 +96,8 @@ def test_searcher_cache_is_lru_bounded(tmp_path):
     assert len(udtf._CACHE) == udtf._CACHE_MAX
     # most-recently-used entries survive
     last = str(tmp_path / f"t{udtf._CACHE_MAX + 2}.parquet")
-    assert (last, "v", "flat") in udtf._CACHE
+    # key carries the staleness token as its 4th element
+    assert any(k[0] == last and k[2] == "flat" for k in udtf._CACHE)
     hit = udtf._load_flat(last, "v")
     assert isinstance(hit[1], np.ndarray)
     assert os.path.exists(last)
@@ -279,3 +280,28 @@ def test_hnsw_eval_nprobes_and_tail(hnsw_only_ds, spark):
     got = list(udtf.VectorSearchUDTF().eval(path, "embedding", QVEC, 1, "l2"))
     vec_i = e.columns.index("vec_id")
     assert got[0][vec_i] == 888_888 and got[0][-1] == 0.0
+
+
+def test_flat_scan_cache_sees_appends(spark, tmp_path):
+    """The flat-route UDTF search must see rows appended AFTER a cached
+    search of the same dataset (the cache key carries the manifest
+    version; PQ/IVF/HNSW caches already key on their index mtime)."""
+    import pyarrow as pa
+
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.udtf import register_vector_search
+
+    root = str(tmp_path / "grow")
+    LF.write_native_dataset(root, pa.table({
+        "id": pa.array([1], pa.int64()),
+        "emb": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+    }), mode="create")
+    register_vector_search(spark)
+    q = "SELECT v.id FROM vector_search('%s', 'emb', ARRAY(0.0D, 1.0D), 2, 'L2') AS v" % root
+    assert [r.id for r in spark.sql(q).collect()] == [1]
+    # append the exact query vector: the next search must return it first
+    LF.write_native_dataset(root, pa.table({
+        "id": pa.array([2], pa.int64()),
+        "emb": pa.array([[0.0, 1.0]], pa.list_(pa.float32())),
+    }), mode="append")
+    assert [r.id for r in spark.sql(q).collect()] == [2, 1]
