@@ -783,16 +783,30 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         # backend — appending .manifest.json beside binary manifests
         # would fork the version chain. Detected here on the driver; the
         # live schema ships to tasks so appends align before writing.
+        # `write.native-format=true` opts a FRESH path into the binary
+        # format (create a real Lance table straight from spark.write);
+        # asking for it on an existing emulated dataset refuses — the
+        # two manifest chains must never interleave under one root.
         from . import lance_format as LF
 
+        want_native = str(options.get("write.native-format", "false")
+                          ).strip().lower() in ("true", "1", "yes")
         self._native = LF.is_native_dataset(self._path)
+        if want_native and not self._native:
+            if FR.latest_version(self._path) is not None:
+                raise ValueError(
+                    "write.native-format=true targets an existing EMULATED "
+                    f"dataset at {self._path} — mixing binary and JSON "
+                    "manifest chains under one root is refused; write to a "
+                    "fresh path or drop the option")
+            self._native = True
         self._native_fields = None
         if self._native:
             if self._evolve:
                 raise NotImplementedError(
                     "write.schema-evolution is not supported on native "
                     "Lance datasets — appends must match the live schema")
-            if self._mode == "append":
+            if self._mode == "append" and LF.native_manifest_versions(self._path):
                 self._native_fields = LF.read_native_manifest(self._path).fields
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:

@@ -855,3 +855,32 @@ def test_stream_read_tails_native_appends(spark, tmp_path):
          .start())
     q.awaitTermination(120)
     assert {r.id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+
+def test_format_write_creates_native_dataset(spark, tmp_path):
+    """write.native-format=true: spark.write.format('lance') CREATES a
+    real Lance binary dataset on a fresh path (binary manifest + .lance
+    fragments + stats sidecar); asking for it over an existing emulated
+    dataset refuses."""
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    root = str(tmp_path / "created")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    (df.write.format("lance").option("write.native-format", "true")
+       .mode("append").save(root))
+    assert LF.is_native_dataset(root)
+    assert LF.read_native_dataset(root).num_rows == 2
+    got = spark.read.format("lance").load(root)
+    assert sorted((r.id, r.v) for r in got.collect()) == [(1, "a"), (2, "b")]
+    # follow-up writes need no option: the binary chain self-identifies
+    df.write.format("lance").mode("append").save(root)
+    assert LF.native_count_rows(root) == 4
+
+    emul = str(tmp_path / "emul")
+    df.write.format("lance").mode("append").save(emul)
+    with pytest.raises(Exception, match="mixing binary and JSON"):
+        (df.write.format("lance").option("write.native-format", "true")
+           .mode("append").save(emul))
