@@ -184,6 +184,47 @@ def _native_codec_roundtrip(spark, sf_dir):
     return read_dataset(spark, path, columns=["doc_id", "lang"])
 
 
+def _native_maintenance(spark, sf_dir):
+    """Full maintenance lifecycle on a REAL-Lance dataset through the
+    stdlib codec: clustered write, runt appends, copy-on-write DELETE
+    (probe scan + affected-fragment rewrite — cost must track the
+    affected rows, not the table), compaction, vacuum, and a pruned
+    read-back. The emulated twin rides source_version_travel; this row
+    pins that the binary-format path scales the same way."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.maintenance import (
+        compact_dataset,
+        delete_rows,
+        vacuum_dataset,
+    )
+    from flink_connector_lance_spark.sources.reader import read_dataset
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = os.path.join(tempfile.gettempdir(), "stress-native-maint")
+    shutil.rmtree(path, ignore_errors=True)
+    write_native_pure(d, path, mode="overwrite",
+                      options=DatasetOptions(path=path, sort_columns=["doc_id"],
+                                             cluster_on_write=True,
+                                             write_max_rows_per_file=50_000))
+    # three runt appends, then a ~1% delete touching few fragments
+    for i in range(3):
+        write_native_pure(d.filter(F.col("doc_id") % 1000 == i).coalesce(1),
+                          path, mode="append")
+    delete_rows(spark, path, "doc_id % 100 = 7")
+    compact_dataset(spark, path, target_rows_per_fragment=50_000,
+                    small_threshold=10_000)
+    vacuum_dataset(path, keep_versions=1)
+    return read_dataset(spark, path, columns=["doc_id", "lang"],
+                        filter="doc_id < 1000")
+
+
 # operators without a registry entry (not SQL-oracle-expressible / no
 # free query slot): timed via direct callables, same protocol
 EXTRA = {
@@ -192,6 +233,7 @@ EXTRA = {
     "clustered_write": _clustered_write,
     "fts_build_hybrid_search": _fts_hybrid,
     "native_codec_roundtrip": _native_codec_roundtrip,
+    "native_maintenance": _native_maintenance,
 }
 
 
