@@ -182,13 +182,22 @@ def rerank_topk(candidates: DataFrame, candidate_id_col: str,
     out_schema = f"{doc_id_col} {id_type}, rerank_score double"
 
     def _score(batches):
+        import numpy as np
         import pandas as pd
 
+        # HALF_UP, not pandas' half-even: the oracle mirror (DuckDB
+        # round) and Spark's F.round both round halves away from zero —
+        # a Jaccard like 1/128 = 0.0078125 sits EXACTLY on the 6-decimal
+        # half boundary and would flip the hash gate under banker's
+        # rounding (same divergence class udtf._round_half_up6 closes
+        # for the vector distances)
+        from ..udtf import _round_half_up6
+
         for pdf in batches:
+            raw = np.asarray(scorer(pdf[text_col], query), dtype="float64")
             yield pd.DataFrame({
                 doc_id_col: pdf[doc_id_col],
-                "rerank_score": pd.Series(
-                    scorer(pdf[text_col], query), dtype="float64").round(6),
+                "rerank_score": pd.Series(_round_half_up6(raw)),
             })
 
     scored = pairs.mapInPandas(_score, schema=out_schema)

@@ -216,8 +216,12 @@ def _nan_unsafe(f: Filter) -> bool:
         return isinstance(v, float) and math.isnan(v)
 
     if isinstance(f, Not):
-        if isinstance(f.child, EqualTo) and is_f(f.child.value):
-            return True  # NaN != v is TRUE in Spark, dropped by arrow
+        if isinstance(f.child, EqualTo) and is_nan(f.child.value):
+            return True  # x != NaN: Spark NaN=NaN is TRUE, arrow false
+        # x != v (non-NaN v) agrees: arrow evaluates NaN != v as TRUE
+        # (IEEE), same as Spark — and Not-shapes never zone-prune
+        # (_fragment_may_match has no Not branch), so no hidden-NaN
+        # fragment can be skipped either
         return _nan_unsafe(f.child)
     if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and is_f(f.value):
         return True  # NaN > v / NaN >= v is TRUE in Spark
@@ -840,9 +844,16 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         fields = self._native_fields
         if fields is None:
             if not new_files:
-                raise ValueError(
-                    "native overwrite with zero non-empty tasks cannot "
-                    "define the new schema — nothing was committed")
+                # truncate-via-overwrite: the live manifest supplies the
+                # schema (the emulated path commits the empty overwrite
+                # the same way); only a FRESH path has no schema to keep
+                if LF.native_manifest_versions(self._path):
+                    fields = LF.read_native_manifest(self._path).fields
+                else:
+                    raise ValueError(
+                        "native overwrite of a fresh path with zero "
+                        "non-empty tasks cannot define the schema — "
+                        "nothing was committed")
             # v2 files are self-describing; the first fragment's
             # FileDescriptor is the (single-plan) schema of them all
             fields = LF.read_file_schema(

@@ -262,6 +262,16 @@ def read_native_manifest(root: str, version: int | None = None) -> NativeManifes
     fragments = []
     for _, raw in msg.get(2, []):
         fr = _pb_fields(raw)
+        if 3 in fr:
+            # table.proto Fragment.deletion_file: physical_rows still
+            # counts the deleted rows and the data file still carries
+            # them — decoding without applying the deletion vector would
+            # RESURRECT deleted rows (silent misread, the one thing this
+            # module must never do)
+            raise NotImplementedError(
+                "fragment carries a deletion file (rows were deleted via "
+                "the native lance API) — deletion-vector decode is not "
+                "implemented; compact the dataset with lance first")
         files = fr.get(2, [])
         if len(files) != 1:
             raise NotImplementedError(
@@ -337,12 +347,12 @@ def _file_fields(blob: bytes) -> list[NativeField]:
     return _parse_fields(schema_msg)
 
 
-def _column_pages(blob: bytes, col: int, cmos: int) -> list[_Page]:
-    pos, size = struct.unpack_from("<QQ", blob, cmos + 16 * col)
-    cm = _pb_fields(blob[pos:pos + size])
+def _pages_from_cm(raw: bytes) -> list[_Page]:
+    """Pages of one ColumnMetadata message."""
+    cm = _pb_fields(raw)
     pages = []
-    for _, raw in cm.get(2, []):
-        pg = _pb_fields(raw)
+    for _, praw in cm.get(2, []):
+        pg = _pb_fields(praw)
         pages.append(_Page(
             buf_pos=_packed_uvarints(_one(pg, 1)),
             buf_size=_packed_uvarints(_one(pg, 2)),
@@ -352,26 +362,30 @@ def _column_pages(blob: bytes, col: int, cmos: int) -> list[_Page]:
     return pages
 
 
-def _decode_flat(blob: bytes, page: _Page, lt: str, what: str) -> list:
+def _column_pages(blob: bytes, col: int, cmos: int) -> list[_Page]:
+    pos, size = struct.unpack_from("<QQ", blob, cmos + 16 * col)
+    return _pages_from_cm(blob[pos:pos + size])
+
+
+def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
     fmt, width, _ = _FLAT_TYPES[lt]
     if len(page.buf_pos) != 1:
         raise NotImplementedError(
             f"{what}: flat page with {len(page.buf_pos)} buffers "
             "(validity buffers / compressed pages unsupported)")
-    pos = page.buf_pos[0]
     n = page.length
     if page.buf_size[0] < n * width:
         raise NotImplementedError(
             f"{what}: buffer smaller than rows x width — compressed or "
             "bit-packed page, unsupported")
-    return list(struct.unpack_from(f"<{n}{fmt}", blob, pos))
+    return list(struct.unpack(f"<{n}{fmt}", fetch(page.buf_pos[0], n * width)))
 
 
-def _ends_with_nulls(blob: bytes, pos: int, n: int, null_adj: int) -> list[tuple[int, bool]]:
+def _ends_with_nulls(fetch, pos: int, n: int, null_adj: int) -> list[tuple[int, bool]]:
     """Variable/list pages store int64 END offsets; a null row's end is
     stored shifted by the encoding's null adjustment (public spec:
     null_adjustment on variable-width, null_offset_adjustment on list)."""
-    raw = struct.unpack_from(f"<{n}q", blob, pos)
+    raw = struct.unpack(f"<{n}q", fetch(pos, 8 * n))
     out = []
     for e in raw:
         is_null = null_adj > 0 and e >= null_adj
@@ -401,9 +415,11 @@ def _flat_bits(enc: dict) -> "int | None":
     return _one(m, 1)
 
 
-def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
+def _decode_column(fetch, fields: list[NativeField], idx: int,
                    pages_by_col: list[list[_Page]], col_of_field: dict[int, int]):
-    """Decode field ``idx`` into a plain python list (None for nulls)."""
+    """Decode field ``idx`` into a plain python list (None for nulls).
+    ``fetch(pos, n)`` reads one byte range — only THIS column's buffers
+    are ever requested, which is what makes projection an IO win."""
     f = fields[idx]
     col = col_of_field[idx]
     pages = pages_by_col[col]
@@ -418,7 +434,7 @@ def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
             if _ENC_FLAT not in pg.encoding and pg.encoding:
                 raise NotImplementedError(
                     f"{what}: non-flat encoding (fields {sorted(pg.encoding)})")
-            vals.extend(_decode_flat(blob, pg, flat_lt, what))
+            vals.extend(_decode_flat(fetch, pg, flat_lt, what))
         return vals
 
     if lt == "bool":
@@ -437,12 +453,13 @@ def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
                     f"{what}: bool page with {len(pg.buf_pos)} buffers")
             pos, n = pg.buf_pos[0], pg.length
             if bits == 8:
-                vals.extend(bool(b) for b in blob[pos:pos + n])
+                vals.extend(bool(b) for b in fetch(pos, n))
             else:
                 if pg.buf_size[0] * 8 < n:
                     raise NotImplementedError(
                         f"{what}: bit-packed buffer shorter than rows")
-                vals.extend(bool(blob[pos + (i >> 3)] >> (i & 7) & 1)
+                packed = fetch(pos, (n + 7) // 8)
+                vals.extend(bool(packed[i >> 3] >> (i & 7) & 1)
                             for i in range(n))
         return vals
 
@@ -460,13 +477,13 @@ def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
         if len(pg.buf_pos) != 2:
             raise NotImplementedError(
                 f"{what}: variable page with {len(pg.buf_pos)} buffers")
-        ends = _ends_with_nulls(blob, pg.buf_pos[0], pg.length, null_adj)
-        data_pos = pg.buf_pos[1]
+        ends = _ends_with_nulls(fetch, pg.buf_pos[0], pg.length, null_adj)
+        data = fetch(pg.buf_pos[1], pg.buf_size[1])
         is_text = lt in ("string", "large_string")
         out = []
         prev = 0
         for e, is_null in ends:
-            piece = None if is_null else blob[data_pos + prev:data_pos + e]
+            piece = None if is_null else data[prev:e]
             out.append(piece.decode("utf-8") if is_text and piece is not None
                        else piece)
             prev = e
@@ -485,9 +502,9 @@ def _decode_column(blob: bytes, fields: list[NativeField], idx: int,
         if len(pg.buf_pos) != 1:
             raise NotImplementedError(
                 f"{what}: list page with {len(pg.buf_pos)} buffers")
-        ends = _ends_with_nulls(blob, pg.buf_pos[0], pg.length, null_adj)
+        ends = _ends_with_nulls(fetch, pg.buf_pos[0], pg.length, null_adj)
         child = _child_index(fields, idx)
-        items = _decode_column(blob, fields, child, pages_by_col, col_of_field)
+        items = _decode_column(fetch, fields, child, pages_by_col, col_of_field)
         out = []
         prev = 0
         for e, is_null in ends:
@@ -506,35 +523,67 @@ def _structural_order(fields: list[NativeField]) -> dict[int, int]:
 
 def read_native_file(path: str, columns: list[str] | None = None):
     """Decode one ``.lance`` v2 data file into a ``pyarrow.Table``.
-    ``columns`` prunes at the buffer level: unselected columns' data
-    buffers are never touched (each is an independent region)."""
+
+    IO shape (what makes projection a real win, not just decode CPU):
+    the 40-byte footer, the contiguous metadata tail (column metadatas +
+    both offset tables), and the FileDescriptor are read once; DATA
+    buffers are then fetched by independent seeks, and only the SELECTED
+    columns' buffers are ever requested — a 2-column projection of a
+    wide fragment reads 2 columns' bytes plus O(metadata)."""
     import pyarrow as pa
 
     with open(path, "rb") as fh:
-        blob = fh.read()
-    (_, cmos, _, _, num_cols, _, _) = _read_footer(blob)
-    fields = _file_fields(blob)
-    if len(fields) != num_cols:
-        raise NotImplementedError(
-            f"{path}: {num_cols} structural columns vs {len(fields)} schema "
-            "fields — packed/struct layouts unsupported")
-    col_of_field = _structural_order(fields)
-    pages_by_col = [_column_pages(blob, c, cmos) for c in range(num_cols)]
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        if fsize < FOOTER_LEN:
+            raise ValueError(f"{path}: too small to be a lance data file")
+        fh.seek(fsize - FOOTER_LEN)
+        footer = fh.read(FOOTER_LEN)
+        if footer[-4:] != MAGIC:
+            raise ValueError(
+                f"{path}: missing {MAGIC!r} magic — not a lance data file")
+        (cms, cmos, gbos, num_global, num_cols, _maj, _min) = \
+            struct.unpack_from("<QQQIIHH", footer, 0)
+        fh.seek(cms)
+        meta = fh.read(fsize - cms)  # metadata tail: small, contiguous
 
-    top = [(i, f) for i, f in enumerate(fields) if f.parent == -1]
-    if columns is not None:
-        by_name = {f.name: (i, f) for i, f in top}
-        missing = [c for c in columns if c not in by_name]
-        if missing:
-            raise KeyError(f"columns not in dataset schema: {missing}")
-        top = [by_name[c] for c in columns]
+        def fetch(pos: int, n: int) -> bytes:
+            fh.seek(pos)
+            data = fh.read(n)
+            if len(data) != n:
+                raise ValueError(f"{path}: truncated read at {pos}+{n}")
+            return data
 
-    arrays = []
-    names = []
-    for i, f in top:
-        vals = _decode_column(blob, fields, i, pages_by_col, col_of_field)
-        arrays.append(pa.array(vals, type=arrow_type_for(fields, i)))
-        names.append(f.name)
+        if num_global < 1:
+            raise NotImplementedError(
+                "lance file without a FileDescriptor buffer")
+        gpos, gsize = struct.unpack_from("<QQ", meta, gbos - cms)
+        fd = _pb_fields(fetch(gpos, gsize))
+        fields = _parse_fields(_pb_fields(_one(fd, 1, b"")))
+        if len(fields) != num_cols:
+            raise NotImplementedError(
+                f"{path}: {num_cols} structural columns vs {len(fields)} "
+                "schema fields — packed/struct layouts unsupported")
+        col_of_field = _structural_order(fields)
+        pages_by_col = []
+        for c in range(num_cols):
+            pos, size = struct.unpack_from("<QQ", meta, (cmos - cms) + 16 * c)
+            pages_by_col.append(_pages_from_cm(meta[pos - cms: pos - cms + size]))
+
+        top = [(i, f) for i, f in enumerate(fields) if f.parent == -1]
+        if columns is not None:
+            by_name = {f.name: (i, f) for i, f in top}
+            missing = [c for c in columns if c not in by_name]
+            if missing:
+                raise KeyError(f"columns not in dataset schema: {missing}")
+            top = [by_name[c] for c in columns]
+
+        arrays = []
+        names = []
+        for i, f in top:
+            vals = _decode_column(fetch, fields, i, pages_by_col, col_of_field)
+            arrays.append(pa.array(vals, type=arrow_type_for(fields, i)))
+            names.append(f.name)
     return pa.table(dict(zip(names, arrays))) if names else pa.table({})
 
 

@@ -395,6 +395,11 @@ def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:
     if not versions:
         raise FileNotFoundError(f"not a dataset (no {LF.VERSIONS_DIR}/): {path}")
     kept = versions[-keep_versions:]
+    # pin manifests an ANN index was built against (same contract as the
+    # emulated vacuum): coverage-splitting diffs the current file set
+    # against the build-time manifest — vacuuming it away degrades every
+    # indexed search over this dataset to brute force, permanently
+    kept = sorted(set(kept) | (_index_pinned_versions(path) & set(versions)))
     dropped = [v for v in versions if v not in kept]
     live_files: set[str] = set()
     live_txns: set[str] = set()
@@ -483,6 +488,19 @@ def compact_dataset(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _native_bloom_columns(path: str, mf) -> "list[str]":
+    """Columns any live native fragment carries a bloom for — the
+    re-attach set for copy-on-write rewrites (the native twin of the
+    emulated path's _inherit_blooms contract: a rewrite must not
+    silently strip point-lookup pruning from the rewritten rows)."""
+    from . import lance_format as LF
+    from .bloom import BLOOM_STATS_KEY
+
+    stats = LF.read_native_stats(path, mf.version)
+    return sorted({c for st in stats.values()
+                   for c in (st.get(BLOOM_STATS_KEY) or {}).get("cols", {})})
+
+
 def _compact_native(spark: SparkSession, path: str, target_rows: int,
                     threshold: int):
     """Runt-merge compaction for a REAL Lance binary dataset via the
@@ -508,7 +526,8 @@ def _compact_native(spark: SparkSession, path: str, target_rows: int,
         total = sum(fr.physical_rows for fr in small)
         df = df.coalesce(max(1, -(-total // target_rows)))
     merged = produce_native_fragments(df, path, LF.arrow_schema_of(mf.fields),
-                                      target_rows)
+                                      target_rows,
+                                      bloom_columns=_native_bloom_columns(path, mf) or None)
     pairs = [(fr.file, fr.physical_rows) for fr in keep] + merged
     return LF.commit_native(path, mf.fields, pairs, "overwrite")
 
@@ -631,7 +650,8 @@ def _delete_native(spark: SparkSession, path: str, pred):
     survivors = (read_native_files(spark, mf.fields, sorted(affected))
                  .filter(~F.coalesce(pred, F.lit(False))))
     new = produce_native_fragments(survivors, path,
-                                   LF.arrow_schema_of(mf.fields), 1_000_000)
+                                   LF.arrow_schema_of(mf.fields), 1_000_000,
+                                   bloom_columns=_native_bloom_columns(path, mf) or None)
     pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
     return LF.commit_native(path, mf.fields, pairs, "overwrite")
 
@@ -677,7 +697,8 @@ def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str):
                      .join(keys, on=key, how="left_anti").select(*want))
         new_src = survivors.unionByName(new_src)
     new = produce_native_fragments(new_src, path,
-                                   LF.arrow_schema_of(mf.fields), 1_000_000)
+                                   LF.arrow_schema_of(mf.fields), 1_000_000,
+                                   bloom_columns=_native_bloom_columns(path, mf) or None)
     pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
     return LF.commit_native(path, mf.fields, pairs, "overwrite")
 
@@ -909,7 +930,8 @@ def _cluster_native(spark: SparkSession, path: str, by: list[str],
         [os.path.join(path, LF.DATA_DIR, fr.file) for fr in mf.fragments])
     out = df.repartitionByRange(n_frags, *by).sortWithinPartitions(*by)
     new = produce_native_fragments(out, path, LF.arrow_schema_of(mf.fields),
-                                   target_rows)
+                                   target_rows,
+                                   bloom_columns=_native_bloom_columns(path, mf) or None)
     return LF.commit_native(path, mf.fields, new, "overwrite")
 
 

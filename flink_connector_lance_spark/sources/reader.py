@@ -118,11 +118,18 @@ def _read_native_pure(spark, path, columns, filter, limit, version, opts) -> Dat
 
     mf = LF.read_native_manifest(path, version)
     cols = columns or opts.read_columns or None
+    if cols is not None and (filter is not None or opts.read_filter):
+        # the filter may reference columns outside the projection (the
+        # parquet route scans full-schema and selects AFTER filtering) —
+        # decode everything and let _apply_pushdowns project post-filter
+        decode_cols, select_cols = None, cols
+    else:
+        decode_cols, select_cols = cols, None
     files = [f"{str(path).rstrip('/')}/{LF.DATA_DIR}/{fr.file}" for fr in mf.fragments]
     if not files:
         raise FileNotFoundError(f"dataset {path} (v{mf.version}) has no fragments")
-    df = read_native_files(spark, mf.fields, files, cols)
-    return _apply_pushdowns(df, None, filter, limit, opts)
+    df = read_native_files(spark, mf.fields, files, decode_cols)
+    return _apply_pushdowns(df, select_cols, filter, limit, opts)
 
 
 def read_native_files(spark, fields, files: "list[str]",
