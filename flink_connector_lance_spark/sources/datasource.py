@@ -854,10 +854,11 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
                         "native overwrite of a fresh path with zero "
                         "non-empty tasks cannot define the schema — "
                         "nothing was committed")
-            # v2 files are self-describing; the first fragment's
-            # FileDescriptor is the (single-plan) schema of them all
-            fields = LF.read_file_schema(
-                os.path.join(self._path, LF.DATA_DIR, new_files[0][0]))
+            else:
+                # v2 files are self-describing; the first fragment's
+                # FileDescriptor is the (single-plan) schema of them all
+                fields = LF.read_file_schema(
+                    os.path.join(self._path, LF.DATA_DIR, new_files[0][0]))
         LF.commit_native(self._path, fields, new_files, self._mode)
 
     def abort(self, messages: List[FragmentCommitMessage]) -> None:

@@ -201,7 +201,12 @@ def arrow_type_for(fields: list[NativeField], idx: int):
         return pa.timestamp(unit, tz=None if tz == "-" else tz)
     if lt == "list":
         child = _child_index(fields, idx)
-        return pa.list_(arrow_type_for(fields, child))
+        # keep the recorded child field NAME: pa.list_(<type>) would
+        # default it to 'item', and commit_native's append schema check
+        # compares child names — a manifest->arrow->fields round trip
+        # must not rename the element field
+        return pa.list_(pa.field(fields[child].name,
+                                 arrow_type_for(fields, child)))
     raise NotImplementedError(
         f"lance logical type {lt!r} (field {fields[idx].name!r}) — "
         "supported: flat primitives, bool, date32, string/binary, "
@@ -1035,7 +1040,8 @@ def read_native_stats(root: str, version: int) -> dict:
 def commit_native(root: str, fields: list[NativeField],
                   new_files: "list[tuple]", mode: str = "create",
                   *, txn_uuid: str | None = None,
-                  timestamp: tuple[int, int] | None = None) -> NativeManifest:
+                  timestamp: tuple[int, int] | None = None,
+                  expected_base_version: "int | None" = None) -> NativeManifest:
     """Commit already-written ``data/`` files (``[(file_name, rows)]``
     or ``[(file_name, rows, stats|None)]``) as a new manifest version.
     ``append`` keeps the live fragment list; ``overwrite`` replaces it
@@ -1049,10 +1055,20 @@ def commit_native(root: str, fields: list[NativeField],
     written ONLY AFTER winning the manifest race (a loser must never
     leave its sidecar beside the winner's manifest — stale stats would
     mis-prune). Files carried over from the previous version keep their
-    recorded stats by name; a missing sidecar just disables pruning."""
+    recorded stats by name; a missing sidecar just disables pruning.
+
+    ``expected_base_version`` makes the commit CONDITIONAL (the native
+    twin of ``fragments.commit``'s CAS): it lands only if the live
+    manifest is still at that version, else ``CommitConflict``. The
+    maintenance rewrites (compact/delete/merge/cluster) MUST pass it —
+    their fragment list was derived FROM a snapshot, so blind-retrying
+    the same list onto a moved head silently drops whatever a concurrent
+    append committed in between."""
     import json
     import time
     import uuid as _uuid
+
+    from .fragments import CommitConflict
 
     os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
     os.makedirs(os.path.join(root, "_transactions"), exist_ok=True)
@@ -1066,6 +1082,12 @@ def commit_native(root: str, fields: list[NativeField],
         if mode == "create" and versions:
             raise FileExistsError(f"{root} already holds a native dataset "
                                   f"(versions {versions}); use append/overwrite")
+        if expected_base_version is not None:
+            live = versions[-1] if versions else 0
+            if live != expected_base_version:
+                raise CommitConflict(
+                    f"{root} moved to version {live} (expected "
+                    f"{expected_base_version}) — re-read and re-derive")
         prev_frags: list[NativeFragmentInfo] = []
         prev_stats: dict = {}
         read_version = 0
@@ -1100,9 +1122,17 @@ def commit_native(root: str, fields: list[NativeField],
                 fh.write(_manifest_bytes(out_fields, fragments, version,
                                          txn_file, timestamp))
         except FileExistsError:
+            # lost the race: this round's txn file references a manifest
+            # that will never exist — collect it NOW rather than leaving
+            # an orphan for vacuum (and, with a caller-pinned txn_uuid,
+            # rather than accreting one orphan per retried read_version)
+            try:
+                os.remove(os.path.join(root, "_transactions", txn_file))
+            except OSError:
+                pass
             if mode == "create":
                 raise
-            continue  # lost the race: re-read the new tip and retry
+            continue  # re-read the new tip and retry
         if stats_map:
             # after the win: a crash here leaves manifest-without-sidecar,
             # which readers treat as stats-absent (no pruning — safe)

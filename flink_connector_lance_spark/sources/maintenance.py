@@ -529,7 +529,8 @@ def _compact_native(spark: SparkSession, path: str, target_rows: int,
                                       target_rows,
                                       bloom_columns=_native_bloom_columns(path, mf) or None)
     pairs = [(fr.file, fr.physical_rows) for fr in keep] + merged
-    return LF.commit_native(path, mf.fields, pairs, "overwrite")
+    return LF.commit_native(path, mf.fields, pairs, "overwrite",
+                            expected_base_version=mf.version)
 
 
 def delete_rows(
@@ -653,7 +654,8 @@ def _delete_native(spark: SparkSession, path: str, pred):
                                    LF.arrow_schema_of(mf.fields), 1_000_000,
                                    bloom_columns=_native_bloom_columns(path, mf) or None)
     pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
-    return LF.commit_native(path, mf.fields, pairs, "overwrite")
+    return LF.commit_native(path, mf.fields, pairs, "overwrite",
+                            expected_base_version=mf.version)
 
 
 def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str):
@@ -700,7 +702,8 @@ def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str):
                                    LF.arrow_schema_of(mf.fields), 1_000_000,
                                    bloom_columns=_native_bloom_columns(path, mf) or None)
     pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
-    return LF.commit_native(path, mf.fields, pairs, "overwrite")
+    return LF.commit_native(path, mf.fields, pairs, "overwrite",
+                            expected_base_version=mf.version)
 
 
 def merge_rows(
@@ -932,7 +935,8 @@ def _cluster_native(spark: SparkSession, path: str, by: list[str],
     new = produce_native_fragments(out, path, LF.arrow_schema_of(mf.fields),
                                    target_rows,
                                    bloom_columns=_native_bloom_columns(path, mf) or None)
-    return LF.commit_native(path, mf.fields, new, "overwrite")
+    return LF.commit_native(path, mf.fields, new, "overwrite",
+                            expected_base_version=mf.version)
 
 
 def cluster_dataset(

@@ -120,3 +120,112 @@ def test_nan_and_inf_floats_roundtrip(tmp_path):
     for a, b in zip(got, vals):
         assert _s.pack("<f", a) == _s.pack("<f", b), (a, b)
     assert math.isnan(got[0])
+
+
+def test_list_child_name_survives_manifest_roundtrip(tmp_path):
+    """manifest -> arrow -> fields must not rename a list's element field
+    (regression: arrow_type_for built pa.list_(<type>), defaulting the
+    child to 'item', so appends to a dataset whose child is 'element' —
+    Spark's own Arrow naming — were spuriously rejected with 'append
+    schema mismatch')."""
+    root = str(tmp_path / "ds")
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "vec": pa.array([[1.0, 2.0], [3.0, 4.0]],
+                        pa.list_(pa.field("element", pa.float32()))),
+    })
+    fields = LF.fields_of_arrow_schema(tbl.schema)
+    assert fields[2].name == "element"
+    sch = LF.arrow_schema_of(fields)
+    assert sch.field("vec").type.value_field.name == "element"
+    rt = LF.fields_of_arrow_schema(sch)
+    assert LF._schema_shape(rt) == LF._schema_shape(fields)
+
+    # end-to-end: create then append through commit_native — the append
+    # compares schema shapes against the live manifest
+    import os
+
+    data_dir = os.path.join(root, LF.DATA_DIR)
+    os.makedirs(data_dir)
+    LF.write_native_file(tbl, os.path.join(data_dir, "a.lance"))
+    LF.commit_native(root, fields, [("a.lance", 2, None)], "overwrite")
+    live = LF.read_native_manifest(root)
+    aligned = LF.align_to_fields(tbl, live.fields)
+    LF.write_native_file(aligned, os.path.join(data_dir, "b.lance"))
+    LF.commit_native(root, LF.fields_of_arrow_schema(aligned.schema),
+                     [("b.lance", 2, None)], "append")
+    assert LF.read_native_dataset(root).num_rows == 4
+
+
+def _tiny(n=2, base=0):
+    return pa.table({"id": pa.array(range(base, base + n), pa.int64())})
+
+
+def test_commit_native_cas_conflict(tmp_path):
+    """expected_base_version is a compare-and-swap: a maintenance rewrite
+    whose fragment list was derived from a snapshot must NOT land on a
+    moved head (a blind retry would silently drop the concurrent
+    append's fragments)."""
+    from flink_connector_lance_spark.sources.fragments import CommitConflict
+
+    root = str(tmp_path / "ds")
+    LF.write_native_dataset(root, _tiny(), "create")
+    mf = LF.read_native_manifest(root)
+    LF.write_native_dataset(root, _tiny(base=10), "append")  # head moves
+    fields = mf.fields
+    with pytest.raises(CommitConflict):
+        LF.commit_native(root, fields,
+                         [(mf.fragments[0].file, 2, None)], "overwrite",
+                         expected_base_version=mf.version)
+    # pinned to the CURRENT head it lands
+    live = LF.read_native_manifest(root)
+    out = LF.commit_native(root, fields,
+                           [(mf.fragments[0].file, 2, None)], "overwrite",
+                           expected_base_version=live.version)
+    assert out.version == live.version + 1
+    # the refused commit left no orphan transaction file
+    import os
+    txns = os.listdir(os.path.join(root, "_transactions"))
+    manifests = LF.native_manifest_versions(root)
+    assert len(txns) == len(manifests)
+
+
+def test_commit_native_lost_race_collects_txn(tmp_path, monkeypatch):
+    """A committer that loses the O_EXCL manifest race must remove the
+    txn file it wrote for that round — orphan txns referencing a
+    manifest version that never existed otherwise accrete one per
+    retry. The race is injected between the version read and the
+    manifest create (a concurrent winner steals the slot)."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "ds")
+    LF.write_native_dataset(root, _tiny(), "create")
+    mf = LF.read_native_manifest(root)
+    vdir = os.path.join(root, LF.VERSIONS_DIR)
+    nxt = mf.version + 1
+
+    orig = LF._txn_bytes
+    fired = {"done": False}
+
+    def steal_slot(*a, **k):
+        # runs after commit_native read the version list, before the
+        # O_EXCL manifest create — exactly where a concurrent winner
+        # would land
+        if not fired["done"]:
+            fired["done"] = True
+            shutil.copyfile(os.path.join(vdir, f"{mf.version}.manifest"),
+                            os.path.join(vdir, f"{nxt}.manifest"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(LF, "_txn_bytes", steal_slot)
+    before = set(os.listdir(os.path.join(root, "_transactions")))
+    out = LF.commit_native(root, mf.fields,
+                           [(mf.fragments[0].file, 2, None)], "append")
+    after = set(os.listdir(os.path.join(root, "_transactions")))
+    assert out.version == nxt + 1  # lost nxt, won nxt+1
+    new_txns = after - before
+    # the losing round's txn was collected; exactly one (the winner's)
+    # survives. (Its read-version prefix reflects the placeholder's
+    # embedded version — a copy in this test — so only count is pinned.)
+    assert len(new_txns) == 1

@@ -884,3 +884,32 @@ def test_format_write_creates_native_dataset(spark, tmp_path):
     with pytest.raises(Exception, match="mixing binary and JSON"):
         (df.write.format("lance").option("write.native-format", "true")
            .mode("append").save(emul))
+
+
+def test_format_empty_overwrite_truncates_native_dataset(spark, tmp_path):
+    """Overwriting a native dataset with an all-empty DataFrame is a
+    truncate: the new version carries zero fragments and the schema is
+    inherited from the live manifest (regression: the empty-overwrite
+    branch unconditionally re-read the schema from new_files[0], which
+    IndexError'd on the empty list)."""
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    root = str(tmp_path / "trunc")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    (df.write.format("lance").option("write.native-format", "true")
+       .mode("overwrite").save(root))
+    assert LF.native_count_rows(root) == 2
+
+    df.filter("id < 0").write.format("lance").mode("overwrite").save(root)
+    assert LF.native_count_rows(root) == 0
+    mf = LF.read_native_manifest(root)
+    assert [f.name for f in mf.fields] == ["id", "v"]
+    out = spark.read.format("lance").load(root)
+    assert out.columns == ["id", "v"]
+    assert out.count() == 0
+    # and the truncated dataset still accepts schema-matched appends
+    df.write.format("lance").mode("append").save(root)
+    assert LF.native_count_rows(root) == 2
