@@ -195,16 +195,17 @@ def build_bloom_sidecar(
                                           bits_per_row, max_bits)
 
 
-def build_bloom_sidecar_from_table(
+def build_bloom_payload(
     table,
-    fragment_abs_path: str,
     columns: "list[str]",
     bits_per_row: int = DEFAULT_BITS_PER_ROW,
     max_bits: int = MAX_BITS,
-) -> "dict | None":
-    """Table-based core of ``build_bloom_sidecar`` — used directly by the
-    native v2 write path, which already holds the fragment's rows as an
-    Arrow table at encode time (no re-read)."""
+) -> "tuple[dict, dict] | None":
+    """Pure core shared by every sidecar writer: ``(payload, cols)``
+    where ``payload`` is the JSON-serializable filter map and ``cols``
+    the tiny per-column parameter entry recorded in fragment stats.
+    Storage-agnostic, so the s3 write path can PUT the payload straight
+    from the executor task that encoded the fragment."""
     present = [c for c in columns if c in table.column_names
                and _bloomable_arrow_type(table.schema.field(c).type) is not None]
     if not present:
@@ -234,6 +235,23 @@ def build_bloom_sidecar_from_table(
         out_cols[col] = {"m": m, "k": k}
     if not payload:
         return None
+    return payload, out_cols
+
+
+def build_bloom_sidecar_from_table(
+    table,
+    fragment_abs_path: str,
+    columns: "list[str]",
+    bits_per_row: int = DEFAULT_BITS_PER_ROW,
+    max_bits: int = MAX_BITS,
+) -> "dict | None":
+    """Table-based core of ``build_bloom_sidecar`` — used directly by the
+    native v2 write path, which already holds the fragment's rows as an
+    Arrow table at encode time (no re-read)."""
+    built = build_bloom_payload(table, columns, bits_per_row, max_bits)
+    if built is None:
+        return None
+    payload, out_cols = built
     sidecar = fragment_abs_path + BLOOM_SUFFIX
     tmp = sidecar + ".tmp"
     with open(tmp, "w") as fh:
@@ -288,18 +306,43 @@ def _load_sidecar(sidecar_abs_path: str) -> "dict | None":
         return None  # missing/corrupt sidecar -> no pruning
 
 
+@lru_cache(maxsize=1024)
+def _load_remote_sidecar(url: str, storage_items: "tuple | None") -> "dict | None":
+    """Remote twin of ``_load_sidecar``: one fsspec GET per sidecar URL,
+    LRU-cached (sidecars are immutable — rewrites get new names)."""
+    from .fs import get_fs
+
+    try:
+        fs = get_fs(url, dict(storage_items) if storage_items else None)
+        with fs.open(url, "rb") as fh:
+            return json.loads(fh.read().decode())
+    except Exception:
+        return None  # missing/corrupt/unreachable sidecar -> no pruning
+
+
 def fragment_bloom_may_contain(root: str, fragment_file: str, stats: "dict | None",
-                               column: str, values) -> bool:
+                               column: str, values,
+                               storage_options: "dict | None" = None) -> bool:
     """Driver-side planning test: can ANY of ``values`` be present in
-    this fragment's ``column``?  True whenever no bloom applies."""
+    this fragment's ``column``?  True whenever no bloom applies. Remote
+    (s3://) roots fetch the sidecar through fsspec with the caller's
+    storage options; local roots read the file directly."""
+    from .fs import is_remote
+
     if not stats:
         return True
     entry = stats.get(BLOOM_STATS_KEY)
     if not entry or column not in entry.get("cols", {}):
         return True
-    sidecar = os.path.join(root, os.path.dirname(fragment_file),
-                           entry["file"])
-    payload = _load_sidecar(os.path.abspath(sidecar))
+    if is_remote(root):
+        rel = os.path.dirname(fragment_file)
+        url = "/".join(p for p in (str(root).rstrip("/"), rel, entry["file"]) if p)
+        payload = _load_remote_sidecar(
+            url, tuple(sorted(storage_options.items())) if storage_options else None)
+    else:
+        sidecar = os.path.join(root, os.path.dirname(fragment_file),
+                               entry["file"])
+        payload = _load_sidecar(os.path.abspath(sidecar))
     if not payload or column not in payload:
         return True
     bf = BloomFilter.from_json(payload[column])

@@ -313,13 +313,14 @@ def _row_group_may_match(rg, pushed: List[Filter]) -> bool:
     return all(_fragment_may_match(stats, rg.num_rows, f) for f in pushed)
 
 
-def _bloom_may_match(root: str, frag: "FR.FragmentInfo", pushed: List[Filter]) -> bool:
+def _bloom_may_match(root: str, frag: "FR.FragmentInfo", pushed: List[Filter],
+                     storage_options: "dict | None" = None) -> bool:
     """Second-stage planning skip: point predicates (=, IN) against the
     fragment's bloom sidecars (sources/bloom.py). Runs only for
     fragments the zone maps kept; lazily reads (and LRU-caches) each
-    sidecar. NULL literals are ignored — ``x = NULL`` / ``x IN (NULL)``
-    is three-valued NULL and matches no row, so only non-null values
-    need bloom membership."""
+    sidecar — via fsspec for s3:// roots. NULL literals are ignored —
+    ``x = NULL`` / ``x IN (NULL)`` is three-valued NULL and matches no
+    row, so only non-null values need bloom membership."""
     from .bloom import BLOOM_STATS_KEY, fragment_bloom_may_contain
 
     if not frag.stats or BLOOM_STATS_KEY not in frag.stats:
@@ -334,7 +335,8 @@ def _bloom_may_match(root: str, frag: "FR.FragmentInfo", pushed: List[Filter]) -
         else:
             continue
         if not fragment_bloom_may_contain(root, frag.file, frag.stats,
-                                          p.attribute[0], values):
+                                          p.attribute[0], values,
+                                          storage_options=storage_options):
             return False
     return True
 
@@ -455,10 +457,8 @@ class LanceDataSourceReader(DataSourceReader):
             f
             for f in fragments
             if all(_fragment_may_match(f.stats, f.row_count, p) for p in self._pushed)
-            # bloom sidecars are local files; on a remote root the consult
-            # is skipped (conservative: keep the fragment, zone maps still
-            # pruned above)
-            and (self._remote or _bloom_may_match(self._path, f, self._pushed))
+            and _bloom_may_match(self._path, f, self._pushed,
+                                 self._storage if self._remote else None)
         ]
         if self._pack_rows is None:
             return [

@@ -15,9 +15,10 @@ being importable:
   ``fsspec`` with the mapped credentials — no JVM hadoop-aws jars
   needed, and the per-fragment partitioning / zone-map pruning are
   unchanged;
-- **writes** commit through ``create_exclusive``: fragments are staged
-  locally and uploaded via fsspec, then the manifest is created with
-  the backend's exclusive-write mode — on s3fs an S3 conditional PUT
+- **writes** are executor-direct: each task PUTs its fragment files
+  straight to ``s3://…/data/`` through fsspec (writer._write_remote —
+  data bytes never touch the driver), then the driver commits the
+  manifest through ``create_exclusive`` — on s3fs an S3 conditional PUT
   (``If-None-Match: *``), giving the same single-winner semantics as
   the local ``O_EXCL`` path. Backends without exclusive-create keep
   the old clear refusal (a lost-update window is worse than an error).

@@ -15,6 +15,11 @@ Here the write is two-phase, the shape a 100 TB cluster needs
    manifest version (``append`` | ``overwrite`` —
    ref LanceSink.java:163-190) with O_EXCL conflict retry.
 
+On s3:// targets phase 1 is executor-direct (no staging dir at all):
+each task PUTs its fragments straight to the object store and ships
+back only (file, rows, stats); the driver's share of a 100 TB write is
+one conditional-PUT manifest, not one byte of data.
+
 Overwrite replaces the fragment list in the new version instead of
 pre-deleting the directory (the reference deletes the dataset dir first —
 ref LanceSink.java:123-127 — losing MVCC history; we keep old versions
@@ -157,29 +162,35 @@ def _write_local(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
 def _write_remote(df: DataFrame, path: str, mode: WriteMode,
                   opts: DatasetOptions, commit_meta: dict | None = None,
                   expected_base_version: "int | None" = None) -> FR.Manifest:
-    """Write path for s3:// datasets: fragments are staged into a local
-    temp dir (Spark's committer still gives atomic task output), the
-    driver uploads them through fsspec (thread-pooled, one PUT per
-    fragment), and the manifest commits with ``fs.create_exclusive`` —
-    an S3 conditional PUT (``If-None-Match: *``), the remote twin of
-    the local O_EXCL single-winner commit. Credentials ride in
-    ``opts.s3`` (the reference's s3-* option surface —
-    ref table/LanceCatalogFactory.java:77-111).
+    """Executor-direct write path for s3:// datasets: each task encodes
+    its partition into ≤ ``write.max-rows-per-file`` parquet fragments
+    and PUTs them **from inside the task** straight to
+    ``s3://…/data/<uuid>.parquet`` via fsspec — no driver staging. Only
+    the tiny ``(file, rows, stats)`` triples travel back; the driver
+    does the one step that must be centralized, the conditional-put
+    manifest commit (``fs.create_exclusive`` — ``If-None-Match: *``,
+    the remote twin of the local O_EXCL single-winner commit).
+    Credentials ride in ``opts.s3`` (the reference's s3-* option
+    surface — ref table/LanceCatalogFactory.java:77-111) and are
+    serialized into the task closure, so every Python worker opens the
+    object store with the same mapped options the driver planned with.
+
+    At 100 TB this is the only shape that works: data bytes flow
+    executor→S3 in parallel across the cluster (a driver-staged upload
+    would serialize the whole write through one machine's disk and NIC,
+    and on a multi-node cluster ``df.write.parquet(<driver-local dir>)``
+    lands task output on executor disks the driver can't even see).
 
     Uploading data files BEFORE the manifest keeps the reader contract:
-    a committed manifest never references a not-yet-written fragment;
-    a crash between upload and commit leaves only unreferenced garbage
-    keys. Bloom sidecars are not wired for remote writes (refused)."""
-    import tempfile
-
+    a committed manifest never references a not-yet-written fragment; a
+    crash (or a retried task) leaves only unreferenced garbage keys,
+    never a torn version. Bloom sidecars are built from the in-memory
+    Arrow table and PUT next to their fragment in the same task, before
+    the commit — same lifecycle contract as local sidecars."""
     from .fs import get_fs
 
-    if opts.bloom_columns:
-        raise NotImplementedError(
-            "write.bloom-columns is not supported on s3:// datasets "
-            "(no remote bloom-sidecar contract yet)")
     storage = opts.s3.to_storage_options() if opts.s3 else None
-    fs = get_fs(path, storage)
+    fs = get_fs(path, storage)  # fail fast on a missing fsspec/s3fs
     if mode is WriteMode.APPEND and FR.latest_version(path, storage) is not None:
         import json
 
@@ -196,52 +207,122 @@ def _write_remote(df: DataFrame, path: str, mode: WriteMode,
         df = align_for_append(df, StructType.fromJson(json.loads(sj)),
                               opts.schema_evolution,
                               dropped=list(m.meta.get("dropped_columns", [])))
-    stage = tempfile.mkdtemp(prefix="lance-s3-stage-")
-    try:
-        (
-            df.write.option("maxRecordsPerFile", opts.write_max_rows_per_file)
-            .mode("overwrite")
-            .parquet(stage)
-        )
-        new_fragments = _upload_staged(fs, path, stage)
-        meta = dict(commit_meta or {})
-        meta.setdefault("schema", df.schema.json())
-        if mode is WriteMode.OVERWRITE:
-            meta.setdefault("dropped_columns", [])
-        return FR.commit(path, new_fragments, mode=mode.value, meta=meta,
-                         expected_base_version=expected_base_version,
-                         storage_options=storage)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-
-
-def _upload_staged(fs, path: str, stage: str) -> list[FR.FragmentInfo]:
-    """Thread-pooled footer-read + PUT per staged file (driver-side
-    O(files) round trips otherwise — same shape as
-    maintenance._promote_staged). Fragment ids stay deterministic
-    (sorted staging-file name order) regardless of upload order."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    import pyarrow.parquet as pq
-
-    names = [n for n in sorted(os.listdir(stage)) if n.endswith(".parquet")]
-    if not names:
-        return []
-
-    def one(n: str):
-        local = os.path.join(stage, n)
-        rows = pq.read_metadata(local).num_rows
-        stats = FR.parquet_fragment_stats(local)
-        fn = FR.new_fragment_name()
-        fs.put(local, f"{str(path).rstrip('/')}/{FR.DATA_DIR}/{fn}")
-        return fn, rows, stats
-
-    with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
-        results = list(ex.map(one, names))
-    return [
+    results = _put_fragments_from_tasks(
+        df, str(path).rstrip("/"), storage,
+        max_rows=opts.write_max_rows_per_file,
+        bloom_columns=list(opts.bloom_columns or []))
+    new_fragments = [
         FR.FragmentInfo(i, f"{FR.DATA_DIR}/{fn}", rows, stats)
         for i, (fn, rows, stats) in enumerate(results)
     ]
+    meta = dict(commit_meta or {})
+    meta.setdefault("schema", df.schema.json())
+    if mode is WriteMode.OVERWRITE:
+        meta.setdefault("dropped_columns", [])
+    return FR.commit(path, new_fragments, mode=mode.value, meta=meta,
+                     expected_base_version=expected_base_version,
+                     storage_options=storage)
+
+
+def _put_fragments_from_tasks(df: DataFrame, root: str,
+                              storage: dict | None, max_rows: int,
+                              bloom_columns: list[str]) -> list[tuple]:
+    """``mapInArrow`` stage of the remote write: every task slices its
+    partition into ≤``max_rows`` chunks, parquet-encodes each chunk to a
+    worker-local scratch file (footer stats come from the real encoded
+    bytes), PUTs it to ``<root>/data/<uuid>.parquet`` through fsspec,
+    and emits one ``(file, rows, stats-json)`` row per fragment.
+    Returns the collected triples ordered by (partition, chunk) so
+    fragment ids stay deterministic regardless of task completion
+    order. Arrow-native end to end — no pandas round trip, full type
+    fidelity for timestamps/arrays/binary."""
+    import json as _json
+
+    from pyspark.sql.types import (LongType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    max_rows = max(1, int(max_rows))
+    bloom_cols = list(bloom_columns)
+
+    def produce(batches):
+        import json
+        import tempfile
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from flink_connector_lance_spark.sources import fragments as _FR
+        from flink_connector_lance_spark.sources.bloom import (
+            BLOOM_STATS_KEY, BLOOM_SUFFIX, build_bloom_payload,
+        )
+        from flink_connector_lance_spark.sources.fs import get_fs as _get_fs
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        fs = None
+        out_schema = pa.schema([
+            pa.field("pid", pa.int64()), pa.field("seq", pa.int32()),
+            pa.field("file", pa.string()), pa.field("rows", pa.int64()),
+            pa.field("stats", pa.string()),
+        ])
+        acc: list = []
+        acc_rows = 0
+        seq = 0
+
+        def flush():
+            nonlocal acc, acc_rows, seq, fs
+            if not acc_rows:
+                return None
+            tbl = pa.Table.from_batches(acc)
+            acc, acc_rows = [], 0
+            if fs is None:
+                fs = _get_fs(root, storage)
+            fname = f"{_uuid.uuid4().hex}.parquet"
+            url = f"{root}/{_FR.DATA_DIR}/{fname}"
+            with tempfile.NamedTemporaryFile(suffix=".parquet") as tmp:
+                pq.write_table(tbl, tmp.name)
+                stats = _FR.parquet_fragment_stats(tmp.name) or {}
+                fs.put(tmp.name, url)
+            if bloom_cols:
+                built = build_bloom_payload(tbl, bloom_cols)
+                if built is not None:
+                    payload, cols_meta = built
+                    side = fname + BLOOM_SUFFIX
+                    with fs.open(f"{root}/{_FR.DATA_DIR}/{side}", "wb") as fh:
+                        fh.write(json.dumps(payload).encode())
+                    stats[BLOOM_STATS_KEY] = {"file": side, "cols": cols_meta}
+            row = pa.record_batch(
+                [pa.array([pid], pa.int64()), pa.array([seq], pa.int32()),
+                 pa.array([fname], pa.string()),
+                 pa.array([tbl.num_rows], pa.int64()),
+                 pa.array([json.dumps(stats)], pa.string())],
+                schema=out_schema)
+            seq += 1
+            return row
+
+        for batch in batches:
+            while batch.num_rows:
+                take = min(batch.num_rows, max_rows - acc_rows)
+                acc.append(batch.slice(0, take))
+                acc_rows += take
+                batch = batch.slice(take)
+                if acc_rows >= max_rows:
+                    got = flush()
+                    if got is not None:
+                        yield got
+        got = flush()
+        if got is not None:
+            yield got
+
+    out_type = StructType([
+        StructField("pid", LongType()), StructField("seq", IntegerType()),
+        StructField("file", StringType()), StructField("rows", LongType()),
+        StructField("stats", StringType()),
+    ])
+    rows = df.mapInArrow(produce, out_type).collect()
+    rows.sort(key=lambda r: (r.pid, r.seq))
+    return [(r.file, r.rows, _json.loads(r.stats) or None) for r in rows]
 
 
 def _write_lance(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions) -> FR.Manifest:

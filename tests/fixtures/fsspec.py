@@ -55,6 +55,11 @@ class _FakeS3FS:
         dest = self._local(rpath)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         shutil.copyfile(lpath, dest)
+        # audit trail for tests: which OS process PUT each object (the
+        # executor-direct write contract asserts these are worker pids,
+        # not the driver's)
+        with open(os.path.join(self.root, "_put_pids.log"), "a") as fh:
+            fh.write(f"{os.getpid()} {rpath}\n")
 
     def exists(self, path) -> bool:
         return os.path.exists(self._local(path))
