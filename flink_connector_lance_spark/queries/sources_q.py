@@ -376,7 +376,10 @@ def source_version_travel(spark, sf_dir):
         "against the reference's committed fixtures), then the same "
         "format('lance') reader routes the binary manifest through the "
         "stdlib decoder with the n_chars filter applied over the decoded "
-        "batches.",
+        "batches. The measured columns ride inside a STRUCT column "
+        "(SimpleStruct header + member columns, ref "
+        "LanceTypeConverter.java:179-186), so the hash gate covers the "
+        "struct encoder/decoder too.",
 )
 def source_format_api(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -408,12 +411,16 @@ def source_format_api(spark, sf_dir):
 
     npath = _workdir("formatapi-native", sf_dir)
     write_native_pure(
-        d.select("doc_id", "lang", "n_chars").filter(F.col("doc_id") % 7 == 0),
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id",
+                F.struct(F.col("lang").alias("lang"),
+                         F.col("n_chars").alias("n_chars")).alias("m")),
         npath, mode="overwrite")
     native = (
         spark.read.format("lance").load(npath)
-        .filter(F.col("n_chars") > 100)
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .filter(F.col("m.n_chars") > 100)
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("m.n_chars").alias("sum_chars"))
         .select(F.lit("__native_codec__").alias("lang"), "cnt", "sum_chars")
     )
     return agg.unionByName(point).unionByName(native)

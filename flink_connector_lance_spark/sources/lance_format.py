@@ -34,13 +34,16 @@ primitives (int8..int64, float, double, timestamp, date32), bit-packed
 bool, variable-width binary/string (int64 end-offsets + data buffer),
 list-of-primitive (end-offsets + child column). The fixture-pinned core
 (byte-identity proven against the reference's committed datasets) is
-the primitive/string/timestamp/list surface; bool, binary, and date32
-extend it per the public spec (the reference's type converter carries
-them, ref LanceTypeConverter.java:146-156) with round-trip tests — the
-bool decoder keys on the page's DECLARED bits_per_value, so a
-byte-per-bool file reads correctly too. Anything else — mini-block/
-compressed pages, struct columns, multi-page variable-width — raises
-``NotImplementedError`` naming the encoding, never a silent misread.
+the primitive/string/timestamp/list surface; bool, binary, date32, and
+struct extend it per the public spec (the reference's type converter
+carries them, ref LanceTypeConverter.java:146-156 and :179-186 for
+Struct) with round-trip tests — the bool decoder keys on the page's
+DECLARED bits_per_value, so a byte-per-bool file reads correctly too;
+struct header columns are zero-buffer SimpleStruct pages with members
+as their own structural columns (nullable struct VALUES are a 2.1
+encoding and refused). Anything else — mini-block/compressed pages,
+multi-page variable-width — raises ``NotImplementedError`` naming the
+encoding, never a silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
 manifest's file list, mirroring sources/reader.py's native path), and
@@ -207,6 +210,9 @@ def arrow_type_for(fields: list[NativeField], idx: int):
         # must not rename the element field
         return pa.list_(pa.field(fields[child].name,
                                  arrow_type_for(fields, child)))
+    if lt == "struct":
+        return pa.struct([pa.field(fields[j].name, arrow_type_for(fields, j))
+                          for j in _children_indices(fields, idx)])
     raise NotImplementedError(
         f"lance logical type {lt!r} (field {fields[idx].name!r}) — "
         "supported: flat primitives, bool, date32, string/binary, "
@@ -219,6 +225,17 @@ def _child_index(fields: list[NativeField], idx: int) -> int:
         if f.parent == fid:
             return j
     raise ValueError(f"list field {fields[idx].name!r} has no child entry")
+
+
+def _children_indices(fields: list[NativeField], idx: int) -> list[int]:
+    """ALL direct children of fields[idx], in schema (DFS) order —
+    struct members, vs a list's single element child."""
+    fid = fields[idx].id
+    out = [j for j, f in enumerate(fields) if f.parent == fid]
+    if not out:
+        raise ValueError(
+            f"struct field {fields[idx].name!r} has no child entries")
+    return out
 
 
 def arrow_schema_of(fields: list[NativeField], columns: list[str] | None = None):
@@ -402,6 +419,7 @@ def _ends_with_nulls(fetch, pos: int, n: int, null_adj: int) -> list[tuple[int, 
 # present at the top level of the message tells us the page shape.
 _ENC_FLAT = 2        # nested value-encoding chain for fixed-width data
 _ENC_LIST = 4        # list: f1 offsets encoding, f2 null_offset_adjustment
+_ENC_STRUCT = 5      # struct header (SimpleStruct — empty message, no buffers)
 _ENC_VARIABLE = 6    # binary: f1 offsets, f2 bytes, f3 null_adjustment
 
 
@@ -516,6 +534,34 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
             out.append(None if is_null else items[prev:e])
             prev = e
         return out
+
+    if lt == "struct":
+        # struct HEADER column: zero-buffer page(s) carrying only the row
+        # count, ArrayEncoding.struct (SimpleStruct — public
+        # encodings.proto; the reference's converter carries StructType,
+        # ref LanceTypeConverter.java:179-186). Members follow as their
+        # own structural columns in schema order. Validity buffers on the
+        # header (nullable struct VALUES, a 2.1 encoding) are refused.
+        n = 0
+        for pg in pages:
+            if pg.encoding and _ENC_STRUCT not in pg.encoding:
+                raise NotImplementedError(
+                    f"{what}: expected struct-header encoding "
+                    f"(got fields {sorted(pg.encoding)})")
+            if pg.buf_pos:
+                raise NotImplementedError(
+                    f"{what}: struct header with {len(pg.buf_pos)} "
+                    "buffer(s) — nullable struct values are outside the "
+                    "supported v2.0 surface")
+            n += pg.length
+        kids = _children_indices(fields, idx)
+        names = [fields[j].name for j in kids]
+        cols = [_decode_column(fetch, fields, j, pages_by_col, col_of_field)
+                for j in kids]
+        if any(len(c) != n for c in cols):
+            raise ValueError(
+                f"{what}: member length disagrees with header row count")
+        return [dict(zip(names, vals)) for vals in zip(*cols)] if n else []
 
     raise NotImplementedError(f"{what}: unsupported logical type")
 
@@ -694,6 +740,13 @@ def _enc_list(null_offset_adjustment: int, num_items: int) -> bytes:
     return _w_len(4, lst)
 
 
+def _enc_struct() -> bytes:
+    """ArrayEncoding for a struct header page: f5 SimpleStruct{} — an
+    empty message; the header carries only the row count, members are
+    their own structural columns."""
+    return _w_len(5, b"")
+
+
 def _field_bytes(f: NativeField) -> bytes:
     """table.proto Field, the exact byte shape lance 0.24 writes (field-
     number order; id omitted at 0, matching prost's default-skipping)."""
@@ -749,6 +802,10 @@ def fields_of_arrow_schema(schema) -> list[NativeField]:
             # committed fixtures' vector columns are all plain lists
             fields.append(NativeField(name, fid, parent, "list"))
             add(t.value_field.name, t.value_type, fid)
+        elif pa.types.is_struct(t):
+            fields.append(NativeField(name, fid, parent, "struct"))
+            for child in t:
+                add(child.name, child.type, fid)
         else:
             fields.append(NativeField(name, fid, parent, logical(t)))
 
@@ -850,6 +907,16 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         lens = [0 if v is None else len(v) for v in vals]
         ends = _ends_buffer(lens, [v is None for v in vals], null_adj)
         plans[idx] = _ColPlan([ends], _enc_list(null_adj, num_items), len(vals))
+        return
+    if lt == "struct":
+        if arr.null_count:
+            raise NotImplementedError(
+                f"{what}: NULL struct values (header validity is a 2.1 "
+                "encoding; make the struct column non-null or use the "
+                "emulated parquet backend)")
+        plans[idx] = _ColPlan([], _enc_struct(), len(arr))
+        for j in _children_indices(fields, idx):
+            _plan_column(arr.field(fields[j].name), fields, j, plans)
         return
     raise NotImplementedError(f"{what}: no native-lance write mapping")
 

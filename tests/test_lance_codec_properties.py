@@ -229,3 +229,64 @@ def test_commit_native_lost_race_collects_txn(tmp_path, monkeypatch):
     # survives. (Its read-version prefix reflects the placeholder's
     # embedded version — a copy in this test — so only count is pinned.)
     assert len(new_txns) == 1
+
+
+# --- struct columns (spec: SimpleStruct header + member columns) ----------
+
+def test_struct_roundtrip(tmp_path):
+    """Struct encode->decode is the identity: zero-buffer header page,
+    members as their own structural columns (the reference's converter
+    carries StructType — ref LanceTypeConverter.java:179-186)."""
+    p = str(tmp_path / "s.lance")
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "meta": pa.array(
+            [{"w": 10, "tag": "a"}, {"w": 20, "tag": None}, {"w": 30, "tag": "c"}],
+            pa.struct([pa.field("w", pa.int64()), pa.field("tag", pa.string())])),
+    })
+    LF.write_native_file(tbl, p)
+    got = LF.read_native_file(p)
+    assert got.equals(tbl)
+    # projection still prunes: selecting only 'id' never touches meta
+    assert LF.read_native_file(p, columns=["id"]).column_names == ["id"]
+    # schema survives the file's own descriptor
+    fields = LF.read_file_schema(p)
+    assert [(f.name, f.logical_type, f.parent) for f in fields] == [
+        ("id", "int64", -1), ("meta", "struct", -1),
+        ("w", "int64", fields[1].id), ("tag", "string", fields[1].id)]
+
+
+def test_struct_nested_and_list_member_roundtrip(tmp_path):
+    p = str(tmp_path / "n.lance")
+    inner = pa.struct([pa.field("x", pa.float64())])
+    tbl = pa.table({
+        "s": pa.array(
+            [{"pos": {"x": 1.5}, "tags": ["a", "b"]},
+             {"pos": {"x": 2.5}, "tags": None}],
+            pa.struct([pa.field("pos", inner),
+                       pa.field("tags", pa.list_(pa.string()))])),
+    })
+    LF.write_native_file(tbl, p)
+    assert LF.read_native_file(p).equals(tbl)
+
+
+def test_struct_dataset_roundtrip_and_append(tmp_path):
+    root = str(tmp_path / "ds")
+    t = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "m": pa.array([{"a": 1}], pa.struct([pa.field("a", pa.int64())])),
+    })
+    LF.write_native_dataset(root, t, "create")
+    LF.write_native_dataset(root, t, "append")
+    got = LF.read_native_dataset(root)
+    assert got.num_rows == 2 and got.column("m").to_pylist() == [{"a": 1}] * 2
+
+
+def test_struct_null_values_refused(tmp_path):
+    p = str(tmp_path / "x.lance")
+    tbl = pa.table({
+        "m": pa.array([{"a": 1}, None],
+                      pa.struct([pa.field("a", pa.int64())])),
+    })
+    with pytest.raises(NotImplementedError, match="NULL struct"):
+        LF.write_native_file(tbl, p)
