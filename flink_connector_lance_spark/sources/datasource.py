@@ -907,24 +907,42 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         self._bloom_cols = parse_bloom_columns(options.get("write.bloom-columns"))
         from . import lance_format as LF
 
-        if LF.is_native_dataset(self._path):
-            # exactly-once needs the batch-id riding in the commit, and
-            # binary manifests carry no free-form metadata — refusing
-            # beats silently downgrading to at-least-once
-            raise NotImplementedError(
-                "streaming writes to a native Lance binary dataset are not "
-                "supported (the epoch tag that makes redelivered batches "
-                "idempotent has no slot in the binary manifest); use "
-                "foreachBatch + sources.writer.write_native_pure and "
-                "dedup on replay, or an emulated dataset target"
-            )
+        self._native = LF.is_native_dataset(self._path)
+        self._native_fields = None
+        if self._native:
+            if self._evolve:
+                raise NotImplementedError(
+                    "write.schema-evolution is not supported on native "
+                    "Lance datasets — stream batches must match the live "
+                    "schema")
+            self._native_fields = LF.read_native_manifest(self._path).fields
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
+        if self._native:
+            return _write_native_fragment(self._path, iterator,
+                                          self._native_fields,
+                                          self._bloom_cols)
         return _write_fragment(self._path, iterator, self._bloom_cols)
 
     def commit(self, messages: List[FragmentCommitMessage], batchId: int) -> None:
+        # works for BOTH backends: the epoch tag rides in the emulated
+        # manifest's meta, or in the binary manifest's public table-config
+        # slot (Manifest.config `spark.flc.meta.stream_epoch`) — either
+        # way inside the same atomic manifest write, so a redelivered
+        # batch (restart between sink commit and checkpoint write-ahead)
+        # is detected from the manifest chain alone
         if FR.meta_value_committed(self._path, self.EPOCH_KEY, batchId):
             _drop_fragments(self._path, messages)  # redelivery: orphans only
+            return
+        if self._native:
+            from . import lance_format as LF
+            from .writer import _meta_to_config
+
+            new_files = [(os.path.basename(m.file), m.row_count, m.stats)
+                         for m in messages if m is not None and m.file]
+            LF.commit_native(
+                self._path, self._native_fields, new_files, "append",
+                config=_meta_to_config({self.EPOCH_KEY: batchId}))
             return
         frags = [
             FR.FragmentInfo(i, m.file, m.row_count, m.stats)

@@ -180,6 +180,8 @@ def read_manifest_compat(root: str, version: int | None = None,
 
         mf = LF.read_native_manifest(root, version)
         stats = LF.read_native_stats(root, mf.version)
+        meta = {"native_lance": True, "native_fields": mf.fields}
+        meta.update(native_config_meta(mf))
         return Manifest(
             version=mf.version,
             fragments=[
@@ -189,8 +191,24 @@ def read_manifest_compat(root: str, version: int | None = None,
                              stats=stats.get(fr.file))
                 for fr in mf.fragments
             ],
-            meta={"native_lance": True, "native_fields": mf.fields},
+            meta=meta,
         )
+
+
+def native_config_meta(mf) -> dict:
+    """Engine commit metadata carried in a native manifest's table-config
+    map (``spark.flc.meta.<key>`` entries, JSON values — written by
+    ``writer._meta_to_config``), decoded back to the emulated ``meta``
+    shape. Unknown/foreign config keys are ignored."""
+    prefix = "spark.flc.meta."
+    out = {}
+    for k, v in (getattr(mf, "config", None) or {}).items():
+        if k.startswith(prefix):
+            try:
+                out[k[len(prefix):]] = json.loads(v)
+            except ValueError:
+                out[k[len(prefix):]] = v
+    return out
 
 
 def _merge_schema_json(prev_json: str, new_json: str) -> str:
@@ -319,7 +337,18 @@ def meta_value_committed(root: str, key: str, value) -> bool:
     """True iff any committed manifest carries ``meta[key] == value`` —
     the authoritative idempotency check for epoch-tagged commits (the
     meta rides inside the atomic manifest write, so there is no
-    marker-after-commit crash window)."""
+    marker-after-commit crash window). Native binary datasets answer
+    from the manifest chain's table-config entries (carried forward
+    table-level, so one hit anywhere in the chain means the epoch
+    landed)."""
+    from . import lance_format as LF
+
+    if LF.is_native_dataset(root):
+        for nv in reversed(LF.native_manifest_versions(root)):
+            m = native_config_meta(LF.read_native_manifest(root, nv))
+            if key in m and m[key] == value:
+                return True
+        return False
     v = latest_version(root)
     while v is not None and v >= 0:
         try:

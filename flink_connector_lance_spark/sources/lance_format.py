@@ -164,6 +164,12 @@ class NativeManifest:
     fragments: list[NativeFragmentInfo]
     writer_version: str = ""
     data_format: str = ""
+    # table.proto Manifest.config (map<string,string>, field 16 — the
+    # public table-config slot right after the fixture-pinned
+    # data_format=15): arbitrary key/value pairs a lance reader carries
+    # but does not interpret. Engine metadata (rollup specs, streaming
+    # epochs) rides here under spark.flc.* keys.
+    config: dict = None  # type: ignore[assignment]
 
     @property
     def row_count(self) -> int:
@@ -310,12 +316,18 @@ def read_native_manifest(root: str, version: int | None = None) -> NativeManifes
         ))
     wv = _pb_fields(_one(msg, 13, b""))
     dfm = _pb_fields(_one(msg, 15, b""))
+    config = {}
+    for _, raw in msg.get(16, []):  # map entries: {f1: key, f2: value}
+        ent = _pb_fields(raw)
+        config[_one(ent, 1, b"").decode("utf-8")] = \
+            _one(ent, 2, b"").decode("utf-8")
     return NativeManifest(
         version=_one(msg, 3, 0),
         fields=fields,
         fragments=fragments,
         writer_version=_one(wv, 2, b"").decode("utf-8"),
         data_format=_one(dfm, 2, b"").decode("utf-8"),
+        config=config,
     )
 
 
@@ -1008,7 +1020,8 @@ def _manifest_bytes(fields: list[NativeField],
                     fragments: list[NativeFragmentInfo], version: int,
                     txn_file: str, ts: tuple[int, int],
                     writer: tuple[str, str] = ("lance", "0.24.0"),
-                    data_format: tuple[str, str] = ("lance", "2.0")) -> bytes:
+                    data_format: tuple[str, str] = ("lance", "2.0"),
+                    config: "dict | None" = None) -> bytes:
     msg = b"".join(_w_len(1, _field_bytes(f)) for f in fields)
     msg += b"".join(_w_len(2, _fragment_bytes(fr, fields)) for fr in fragments)
     msg += _w_vint(3, version)
@@ -1017,6 +1030,13 @@ def _manifest_bytes(fields: list[NativeField],
     msg += _w_len(13, _w_len(1, writer[0].encode()) + _w_len(2, writer[1].encode()))
     msg += _w_len(15, _w_len(1, data_format[0].encode())
                   + _w_len(2, data_format[1].encode()))
+    # Manifest.config (map<string,string> = 16): map entries are
+    # repeated {f1: key, f2: value} messages, sorted by key so equal
+    # maps encode to equal bytes. Absent when empty — fixture
+    # re-encodes stay byte-identical.
+    for k in sorted(config or {}):
+        msg += _w_len(16, _w_len(1, k.encode("utf-8"))
+                      + _w_len(2, str(config[k]).encode("utf-8")))
     return struct.pack("<I", len(msg)) + msg + _MANIFEST_TAIL
 
 
@@ -1108,7 +1128,8 @@ def commit_native(root: str, fields: list[NativeField],
                   new_files: "list[tuple]", mode: str = "create",
                   *, txn_uuid: str | None = None,
                   timestamp: tuple[int, int] | None = None,
-                  expected_base_version: "int | None" = None) -> NativeManifest:
+                  expected_base_version: "int | None" = None,
+                  config: "dict | None" = None) -> NativeManifest:
     """Commit already-written ``data/`` files (``[(file_name, rows)]``
     or ``[(file_name, rows, stats|None)]``) as a new manifest version.
     ``append`` keeps the live fragment list; ``overwrite`` replaces it
@@ -1130,7 +1151,16 @@ def commit_native(root: str, fields: list[NativeField],
     maintenance rewrites (compact/delete/merge/cluster) MUST pass it —
     their fragment list was derived FROM a snapshot, so blind-retrying
     the same list onto a moved head silently drops whatever a concurrent
-    append committed in between."""
+    append committed in between.
+
+    ``config`` updates the manifest's table-config map
+    (``Manifest.config``, table.proto field 16 — the public
+    key/value slot a lance reader carries verbatim and does not
+    interpret): previous entries carry forward across BOTH append and
+    overwrite (table-level, like lance's own update_config), the
+    caller's entries overlay them, and a key mapped to ``None`` is
+    deleted. Engine metadata (rollup specs, streaming epochs) rides
+    under ``spark.flc.*`` keys."""
     import json
     import time
     import uuid as _uuid
@@ -1159,15 +1189,22 @@ def commit_native(root: str, fields: list[NativeField],
         prev_stats: dict = {}
         read_version = 0
         out_fields = fields
+        out_config: dict = {}
         if versions:
             prev = read_native_manifest(root)
             read_version = prev.version
             prev_stats = read_native_stats(root, prev.version)
+            out_config = dict(prev.config or {})
             if mode == "append":
                 if _schema_shape(prev.fields) != _schema_shape(fields):
                     raise ValueError("append schema mismatch against live manifest")
                 out_fields = prev.fields  # keep the table's recorded ids
                 prev_frags = list(prev.fragments)
+        for k, v in (config or {}).items():
+            if v is None:
+                out_config.pop(k, None)
+            else:
+                out_config[k] = str(v)
         next_id = max((fr.fragment_id for fr in prev_frags), default=-1) + 1
         fragments = prev_frags + [
             NativeFragmentInfo(next_id + i, fname, rows)
@@ -1187,7 +1224,8 @@ def commit_native(root: str, fields: list[NativeField],
         try:
             with open(mpath, "xb") as fh:  # single-winner commit
                 fh.write(_manifest_bytes(out_fields, fragments, version,
-                                         txn_file, timestamp))
+                                         txn_file, timestamp,
+                                         config=out_config))
         except FileExistsError:
             # lost the race: this round's txn file references a manifest
             # that will never exist — collect it NOW rather than leaving

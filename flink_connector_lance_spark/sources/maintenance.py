@@ -658,7 +658,8 @@ def _delete_native(spark: SparkSession, path: str, pred):
                             expected_base_version=mf.version)
 
 
-def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str):
+def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str,
+                  commit_meta: dict | None = None):
     """MERGE (upsert) for a REAL Lance binary dataset: semi-join probe
     finds fragments holding updated keys, survivors (anti-join) and the
     update rows re-encode together in ONE job, everything lands in one
@@ -701,9 +702,12 @@ def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str):
     new = produce_native_fragments(new_src, path,
                                    LF.arrow_schema_of(mf.fields), 1_000_000,
                                    bloom_columns=_native_bloom_columns(path, mf) or None)
+    from .writer import _meta_to_config
+
     pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
     return LF.commit_native(path, mf.fields, pairs, "overwrite",
-                            expected_base_version=mf.version)
+                            expected_base_version=mf.version,
+                            config=_meta_to_config(commit_meta))
 
 
 def merge_rows(
@@ -746,7 +750,7 @@ def merge_rows(
     from . import lance_format as LF
 
     if LF.is_native_dataset(path):
-        return _merge_native(spark, path, updates, key)
+        return _merge_native(spark, path, updates, key, commit_meta)
     path = os.path.abspath(path)  # same relative-path contract as delete_rows
     manifest = FR.read_manifest(path)
     if not manifest.fragments:

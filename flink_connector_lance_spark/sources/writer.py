@@ -93,17 +93,12 @@ def write_dataset(
     if LF.is_native_dataset(path):
         # REAL Lance dataset (binary manifests) and no lance package:
         # committing .manifest.json beside the binary chain would fork
-        # the dataset, so route through the stdlib v2 codec
-        if commit_meta:
-            raise NotImplementedError(
-                "binary Lance manifests cannot carry commit_meta "
-                "(rollups/streaming epoch metadata); use an emulated "
-                "dataset target")
-        if expected_base_version is not None:
-            raise NotImplementedError(
-                "conditional (CAS) commits are not wired for native "
-                "Lance binary datasets")
-        return write_native_pure(df, path, mode, opts)
+        # the dataset, so route through the stdlib v2 codec. commit_meta
+        # rides in Manifest.config (spark.flc.meta.* entries) and
+        # expected_base_version maps onto commit_native's CAS.
+        return write_native_pure(df, path, mode, opts,
+                                 commit_meta=commit_meta,
+                                 expected_base_version=expected_base_version)
     return _write_local(df, path, mode, opts, commit_meta,
                         expected_base_version)
 
@@ -374,7 +369,9 @@ def _write_lance(df: DataFrame, path: str, mode: WriteMode, opts: DatasetOptions
 
 
 def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteMode.APPEND,
-                      options: DatasetOptions | None = None):
+                      options: DatasetOptions | None = None,
+                      commit_meta: dict | None = None,
+                      expected_base_version: "int | None" = None):
     """Distributed REAL-Lance-format write WITHOUT the lance package:
     every task encodes its partition into one ``data/<uuid>.lance`` v2
     file through the stdlib codec (sources/lance_format.py — the same
@@ -425,9 +422,31 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
                                          opts.write_max_rows_per_file,
                                          bloom_columns=opts.bloom_columns)
     fields = LF.fields_of_arrow_schema(schema)
+    # commit metadata rides in the manifest's public table-config slot
+    # (Manifest.config, one spark.flc.meta.<key> entry per key, JSON
+    # values) — a real lance reader carries the entries verbatim
+    config = _meta_to_config(commit_meta)
     # append on a fresh directory bootstraps version 1 (commit_native
     # treats an empty version chain as the zero state)
-    return LF.commit_native(path, fields, new_files, mode.value)
+    return LF.commit_native(path, fields, new_files, mode.value,
+                            config=config,
+                            expected_base_version=expected_base_version)
+
+
+META_CONFIG_PREFIX = "spark.flc.meta."
+
+
+def _meta_to_config(commit_meta: dict | None) -> "dict | None":
+    """Engine commit metadata -> native manifest config entries: one
+    ``spark.flc.meta.<key>`` key per entry, JSON-encoded value (the
+    emulated backend's manifest ``meta`` dict, expressed in the only
+    free-form slot the public binary format has)."""
+    import json
+
+    if not commit_meta:
+        return None
+    return {f"{META_CONFIG_PREFIX}{k}": json.dumps(v, sort_keys=True)
+            for k, v in commit_meta.items()}
 
 
 def produce_native_fragments(df: DataFrame, path: str, schema,

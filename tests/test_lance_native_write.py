@@ -274,7 +274,13 @@ def test_spark_format_overwrite_native(spark, tmp_path):
 
 
 @needs_fixtures
-def test_write_dataset_routes_native_and_refuses_meta(spark, tmp_path):
+def test_write_dataset_routes_native_and_carries_meta(spark, tmp_path):
+    """write_dataset on a native target routes through the stdlib codec;
+    commit_meta rides in the binary manifest's public table-config slot
+    (Manifest.config, spark.flc.meta.* JSON entries) and resurfaces
+    through read_manifest_compat — the same meta contract as the
+    emulated backend."""
+    from flink_connector_lance_spark.sources import fragments as FR
     from flink_connector_lance_spark.sources.writer import write_dataset
 
     root = _copy_fixture("lance-db1", tmp_path)
@@ -282,8 +288,21 @@ def test_write_dataset_routes_native_and_refuses_meta(spark, tmp_path):
                                "id long, title string, embedding array<float>")
     mf = write_dataset(df, root, mode="append")
     assert mf.version == 2 and mf.row_count == 6
-    with pytest.raises(NotImplementedError, match="commit_meta"):
-        write_dataset(df, root, mode="append", commit_meta={"k": "v"})
+    m2 = write_dataset(df, root, mode="append",
+                       commit_meta={"k": {"nested": 1}, "epoch": 7})
+    assert m2.version == 3
+    raw = LF.read_native_manifest(root)
+    assert raw.config["spark.flc.meta.k"] == '{"nested": 1}'
+    compat = FR.read_manifest_compat(root)
+    assert compat.meta["k"] == {"nested": 1} and compat.meta["epoch"] == 7
+    assert FR.meta_value_committed(root, "epoch", 7)
+    assert not FR.meta_value_committed(root, "epoch", 8)
+    # table-config semantics: entries carry forward across plain commits
+    write_dataset(df, root, mode="append")
+    assert FR.read_manifest_compat(root).meta["epoch"] == 7
+    # CAS is wired for native targets too
+    with pytest.raises(FR.CommitConflict):
+        write_dataset(df, root, mode="append", expected_base_version=1)
 
 
 @needs_fixtures
@@ -311,14 +330,42 @@ def test_append_aligns_column_order_and_timestamp_unit(spark, tmp_path):
 
 
 @needs_fixtures
-def test_stream_writer_refuses_native_target(tmp_path):
+def test_stream_writer_native_exactly_once(spark, tmp_path):
+    """writeStream.format('lance') to a NATIVE binary dataset: each
+    micro-batch appends one manifest version with the batch id riding in
+    Manifest.config (spark.flc.meta.stream_epoch) — the epoch tag lives
+    inside the same atomic manifest create, so a redelivered batch is
+    detected from the binary chain alone and only drops orphans."""
+    from flink_connector_lance_spark.sources import fragments as FR
     from flink_connector_lance_spark.sources.datasource import (
         LanceDataSourceStreamWriter,
+        register_lance_datasource,
     )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
 
-    root = _copy_fixture("lance-db1", tmp_path)
-    with pytest.raises(NotImplementedError, match="streaming writes"):
-        LanceDataSourceStreamWriter({"path": root})
+    register_lance_datasource(spark)
+    root = str(tmp_path / "nstream")
+    seed = spark.createDataFrame([(0, "seed")], "id long, v string")
+    write_native_pure(seed.coalesce(1), root, mode="overwrite")
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .write.parquet(src)
+    q = (spark.readStream.schema("id long, v string").parquet(src)
+         .writeStream.format("lance").option("path", root)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = LF.read_native_dataset(root)
+    assert sorted(got.column("id").to_pylist()) == [0, 1, 2]
+    assert FR.meta_value_committed(root, "stream_epoch", 0)
+    # a redelivered epoch commits nothing (idempotent): same batch id
+    # again -> version unchanged, orphans dropped
+    w = LanceDataSourceStreamWriter({"path": root})
+    before = LF.read_native_manifest(root).version
+    w.commit([], batchId=0)
+    assert LF.read_native_manifest(root).version == before
 
 
 @needs_fixtures
@@ -913,3 +960,29 @@ def test_format_empty_overwrite_truncates_native_dataset(spark, tmp_path):
     # and the truncated dataset still accepts schema-matched appends
     df.write.format("lance").mode("append").save(root)
     assert LF.native_count_rows(root) == 2
+
+
+def test_foreachbatch_upsert_sink_on_native_dataset(spark, tmp_path):
+    """streaming.sink.commit_epoch_upsert against a NATIVE binary
+    dataset: the epoch tag rides in Manifest.config through merge_rows'
+    native copy-on-write branch, so a redelivered epoch is a no-op."""
+    from flink_connector_lance_spark.streaming.sink import (
+        commit_epoch_upsert,
+        epoch_committed,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "upsert")
+    write_native_pure(
+        spark.createDataFrame([(1, "old"), (2, "old")], "id long, v string")
+        .coalesce(1), root, mode="overwrite")
+    batch = spark.createDataFrame([(2, "new"), (3, "new")], "id long, v string")
+    m = commit_epoch_upsert(batch, 0, root, key="id")
+    assert m is not None and epoch_committed(root, 0)
+    got = {r["id"]: r["v"] for r in LF.read_native_dataset(root).to_pylist()}
+    assert got == {1: "old", 2: "new", 3: "new"}
+    # redelivery of epoch 0: skipped entirely
+    assert commit_epoch_upsert(batch, 0, root, key="id") is None
+    v = LF.read_native_manifest(root).version
+    assert {r["id"]: r["v"] for r in LF.read_native_dataset(root).to_pylist()} == got
+    assert LF.read_native_manifest(root).version == v

@@ -430,3 +430,27 @@ def test_pre_transform_must_produce_needed_columns(spark, tmp_path):
     with pytest.raises(ValueError, match="pre_transform must produce"):
         create_rollup(spark, path, "bad", ["term"], {"df": "count"},
                       pre_transform=["text AS body"])
+
+
+def test_rollup_over_native_base_dataset(spark, tmp_path):
+    """Incremental rollups work when the BASE table is a native Lance
+    binary dataset: the compat manifest routes the fragment scan through
+    the stdlib codec, the file-set delta keys refreshes, and the rollup
+    state itself lives as an emulated sub-dataset under _rollups/ (its
+    spec in that state's commit meta, as always)."""
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "nbase")
+    write_native_pure(_base(spark).repartition(2), path, mode="overwrite")
+    res = create_rollup(spark, path, "by_grp", ["grp"], AGGS)
+    assert res["covered_fragments"] == 2
+    assert read_rollup(spark, path, "by_grp").count() == 3
+
+    write_native_pure(_base(spark, n=50, offset=100), path, mode="append")
+    r = refresh_rollup(spark, path, "by_grp")
+    assert r["mode"] == "incremental" and r["delta_rows"] == 50
+    got = {x.grp: (x.cnt, x.sum_val)
+           for x in read_rollup(spark, path, "by_grp").collect()}
+    assert got == {"0": (50, 7350), "1": (50, 7450), "2": (50, 7550)}
+    st = rollup_status(path, "by_grp")
+    assert st["pending_rows"] == 0 and not st["needs_full"]
