@@ -553,15 +553,29 @@ class LanceDataSourceReader(DataSourceReader):
         Arrow types (e.g. timestamp[ms] -> µs for Spark's Arrow bridge)
         and pushed filters evaluate over the decoded table (Arrow
         compute — the decoder's pruning is per-column, not per-row)."""
+        import pyarrow as pa
+
         from . import lance_format as LF
 
-        tbl = LF.read_native_file(file)
         if self._schema is not None:
             from ..types import spark_schema_to_arrow
 
+            # align by name against the file's own descriptor: decode
+            # only the planned columns PRESENT in the file, null-fill
+            # the ones a pre-evolution file predates, never request a
+            # dropped one
             target = spark_schema_to_arrow(self._schema)
-            if target != tbl.schema:
-                tbl = tbl.cast(target)
+            ffields, fn_rows = LF.read_file_descriptor(file)
+            avail = {f.name for f in ffields if f.parent == -1}
+            present = [n for n in target.names if n in avail]
+            if present:
+                tbl = LF.align_decoded_table(
+                    LF.read_native_file(file, columns=present), target)
+            else:
+                tbl = pa.Table.from_arrays(
+                    [pa.nulls(fn_rows, f.type) for f in target], schema=target)
+        else:
+            tbl = LF.read_native_file(file)
         if expr is not None:
             tbl = tbl.filter(expr)
         yield from tbl.to_batches(max_chunksize=self._batch_size)
@@ -808,8 +822,12 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         if self._native:
             if self._evolve:
                 raise NotImplementedError(
-                    "write.schema-evolution is not supported on native "
-                    "Lance datasets — appends must match the live schema")
+                    "write.schema-evolution is not supported on the "
+                    "format('lance') writer for native datasets (tasks "
+                    "write fragments before the commit-time schema check "
+                    "could widen the field list); evolve through "
+                    "sources.writer.write_dataset / write_native_pure, "
+                    "which align the batch driver-side first")
             if self._mode == "append" and LF.native_manifest_versions(self._path):
                 self._native_fields = LF.read_native_manifest(self._path).fields
 
@@ -912,9 +930,11 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         if self._native:
             if self._evolve:
                 raise NotImplementedError(
-                    "write.schema-evolution is not supported on native "
-                    "Lance datasets — stream batches must match the live "
-                    "schema")
+                    "write.schema-evolution is not supported on the "
+                    "streaming format('lance') writer for native datasets; "
+                    "evolve in foreachBatch through "
+                    "sources.writer.write_native_pure, which aligns the "
+                    "batch driver-side first")
             self._native_fields = LF.read_native_manifest(self._path).fields
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:

@@ -155,6 +155,15 @@ class NativeFragmentInfo:
     fragment_id: int
     file: str
     physical_rows: int
+    # DataFile.fields / DataFile.column_indices (table.proto): which
+    # manifest field ids this file carries and at which structural
+    # column position. None -> the default dense mapping (every field,
+    # in order) — only schema-evolved datasets diverge from it, and a
+    # real lance reader resolves evolved tables through exactly this
+    # indirection, so carried-over fragments must keep their original
+    # mapping across metadata-only commits (e.g. drop_columns).
+    field_ids: "list[int] | None" = None
+    column_indices: "list[int] | None" = None
 
 
 @dataclass
@@ -313,6 +322,8 @@ def read_native_manifest(root: str, version: int | None = None) -> NativeManifes
             fragment_id=_one(fr, 1, 0),
             file=_one(df, 1, b"").decode("utf-8"),
             physical_rows=_one(fr, 4, 0),
+            field_ids=_packed_uvarints(_one(df, 2)) or None,
+            column_indices=_packed_uvarints(_one(df, 3)) or None,
         ))
     wv = _pb_fields(_one(msg, 13, b""))
     dfm = _pb_fields(_one(msg, 15, b""))
@@ -366,9 +377,36 @@ def _read_footer(blob: bytes):
 def read_file_schema(path: str) -> list[NativeField]:
     """Schema from the file's own FileDescriptor global buffer (the file
     is self-describing; no manifest needed)."""
+    return read_file_descriptor(path)[0]
+
+
+def read_file_descriptor(path: str) -> "tuple[list[NativeField], int]":
+    """(fields, num_rows) from the FileDescriptor with BOUNDED IO: the
+    40-byte footer, one 16-byte offset entry, and the descriptor buffer
+    — never the data bytes (read_file_schema slurps nothing either; the
+    per-task alignment probe of a mixed-schema dataset calls this once
+    per fragment)."""
     with open(path, "rb") as fh:
-        blob = fh.read()
-    return _file_fields(blob)
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        if fsize < FOOTER_LEN:
+            raise ValueError(f"{path}: too small to be a lance data file")
+        fh.seek(fsize - FOOTER_LEN)
+        footer = fh.read(FOOTER_LEN)
+        if footer[-4:] != MAGIC:
+            raise ValueError(
+                f"{path}: missing {MAGIC!r} magic — not a lance data file")
+        (_cms, _cmos, gbos, num_global, _ncols, _maj, _min) = \
+            struct.unpack_from("<QQQIIHH", footer, 0)
+        if num_global < 1:
+            raise NotImplementedError(
+                "lance file without a FileDescriptor buffer")
+        fh.seek(gbos)
+        gpos, gsize = struct.unpack("<QQ", fh.read(16))
+        fh.seek(gpos)
+        fd = _pb_fields(fh.read(gsize))
+    fields = _parse_fields(_pb_fields(_one(fd, 1, b"")))
+    return fields, _one(fd, 2, 0)
 
 
 def _file_fields(blob: bytes) -> list[NativeField]:
@@ -650,15 +688,63 @@ def read_native_file(path: str, columns: list[str] | None = None):
     return pa.table(dict(zip(names, arrays))) if names else pa.table({})
 
 
+def align_decoded_table(tbl, target_schema):
+    """Project/cast one decoded file's table to the DATASET-level Arrow
+    schema: columns the manifest no longer carries are dropped, manifest
+    columns this (pre-evolution) file predates are null-filled, and the
+    rest cast to the declared types — the name-resolved twin of lance's
+    field-id indirection (DataFile.fields), which makes mixed-schema
+    fragment sets (metadata drop_columns, evolving appends) read
+    uniformly."""
+    import pyarrow as pa
+
+    arrays = []
+    for f in target_schema:
+        if f.name in tbl.column_names:
+            col = tbl.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(tbl.num_rows, f.type))
+    return pa.Table.from_arrays(arrays, schema=target_schema)
+
+
+def read_fragment_aligned(root: str, fragment_file: str, fields,
+                          columns: list[str] | None = None,
+                          num_rows: int | None = None):
+    """One fragment decoded and aligned to the manifest schema: only the
+    requested columns PRESENT in the file are decoded (projection IO
+    pruning survives), missing ones null-fill, extra (dropped) ones are
+    never requested. ``num_rows`` (the manifest's physical_rows) sizes
+    the all-null case where the projection touches only columns this
+    file predates."""
+    import pyarrow as pa
+
+    fpath = os.path.join(root, DATA_DIR, fragment_file)
+    target = arrow_schema_of(fields, columns)
+    ffields, fn_rows = read_file_descriptor(fpath)
+    avail = {f.name for f in ffields if f.parent == -1}
+    present = [n for n in target.names if n in avail]
+    if not present:
+        return pa.Table.from_arrays(
+            [pa.nulls(num_rows if num_rows is not None else fn_rows, f.type)
+             for f in target], schema=target)
+    return align_decoded_table(read_native_file(fpath, columns=present), target)
+
+
 def read_native_dataset(root: str, version: int | None = None,
                         columns: list[str] | None = None):
     """Whole-dataset read to one Arrow table (driver-side; fixture-scale).
     For the distributed fragment-parallel route use
-    ``sources.reader.read_dataset`` which dispatches here per-task."""
+    ``sources.reader.read_dataset`` which dispatches here per-task.
+    Columns resolve against the MANIFEST schema (the authoritative one
+    after metadata-only evolution), not each file's descriptor."""
     import pyarrow as pa
 
     mf = read_native_manifest(root, version)
-    tables = [read_native_file(os.path.join(root, DATA_DIR, fr.file), columns)
+    tables = [read_fragment_aligned(root, fr.file, mf.fields, columns,
+                                    num_rows=fr.physical_rows)
               for fr in mf.fragments]
     return pa.concat_tables(tables) if tables else pa.table({})
 
@@ -824,6 +910,23 @@ def fields_of_arrow_schema(schema) -> list[NativeField]:
     for f in schema:
         add(f.name, f.type, -1)
     return fields
+
+
+def widen_fields(live_fields: list[NativeField], extra_arrow_fields) -> list[NativeField]:
+    """Evolving-append field list: the live fields verbatim (ids
+    preserved — the indirection key every committed fragment mapping
+    points at) plus the new Arrow fields' subtrees numbered past the
+    live id space."""
+    import pyarrow as pa
+
+    base = max(f.id for f in live_fields) + 1
+    extras = fields_of_arrow_schema(pa.schema(list(extra_arrow_fields)))
+    out = list(live_fields)
+    for f in extras:
+        out.append(NativeField(f.name, f.id + base,
+                               f.parent + base if f.parent >= 0 else -1,
+                               f.logical_type))
+    return out
 
 
 def _flat_buffer(arr, lt: str, what: str) -> bytes:
@@ -1003,10 +1106,15 @@ def write_native_file(table, path: str) -> int:
 
 def _fragment_bytes(frag: NativeFragmentInfo, fields: list[NativeField]) -> bytes:
     """table.proto Fragment{f1: id, f2: DataFile{f1: path, f2: field ids,
-    f3: column indices, f4: file major}, f4: physical_rows}."""
-    ids = [f.id for f in fields]
+    f3: column indices, f4: file major}, f4: physical_rows}. A fragment
+    carried over from a previous version keeps ITS recorded field-id ->
+    column mapping (schema evolution relies on the indirection); fresh
+    fragments get the dense default."""
+    ids = frag.field_ids if frag.field_ids is not None else [f.id for f in fields]
+    cols = (frag.column_indices if frag.column_indices is not None
+            else list(range(len(ids))))
     df = (_w_len(1, frag.file.encode("utf-8")) + _w_packed(2, ids)
-          + _w_packed(3, list(range(len(ids)))) + _w_vint(4, 2))
+          + _w_packed(3, cols) + _w_vint(4, 2))
     out = b""
     if frag.fragment_id:
         out += _w_vint(1, frag.fragment_id)
@@ -1129,7 +1237,8 @@ def commit_native(root: str, fields: list[NativeField],
                   *, txn_uuid: str | None = None,
                   timestamp: tuple[int, int] | None = None,
                   expected_base_version: "int | None" = None,
-                  config: "dict | None" = None) -> NativeManifest:
+                  config: "dict | None" = None,
+                  allow_widen: bool = False) -> NativeManifest:
     """Commit already-written ``data/`` files (``[(file_name, rows)]``
     or ``[(file_name, rows, stats|None)]``) as a new manifest version.
     ``append`` keeps the live fragment list; ``overwrite`` replaces it
@@ -1160,7 +1269,20 @@ def commit_native(root: str, fields: list[NativeField],
     overwrite (table-level, like lance's own update_config), the
     caller's entries overlay them, and a key mapped to ``None`` is
     deleted. Engine metadata (rollup specs, streaming epochs) rides
-    under ``spark.flc.*`` keys."""
+    under ``spark.flc.*`` keys.
+
+    ``allow_widen`` permits an EVOLVING append: ``fields`` may extend
+    the live schema with new top-level fields appended after it (the
+    caller preserves the live fields' ids and numbers the extras past
+    them). Carried-over fragments then get their field-id -> column
+    mapping materialized explicitly (they predate the new columns), the
+    schema-evolution indirection lance's own format defines via
+    DataFile.fields.
+
+    ``new_files`` entries may also be 5-tuples
+    ``(file, rows, stats, field_ids, column_indices)`` when the caller
+    re-commits files that carry a non-default field mapping
+    (metadata-only drop_columns)."""
     import json
     import time
     import uuid as _uuid
@@ -1172,7 +1294,10 @@ def commit_native(root: str, fields: list[NativeField],
     if timestamp is None:
         now = time.time()
         timestamp = (int(now), int((now % 1) * 1e9))
-    norm = [(e[0], e[1], e[2] if len(e) > 2 else None) for e in new_files]
+    norm = [(e[0], e[1],
+             e[2] if len(e) > 2 else None,
+             e[3] if len(e) > 3 else None,
+             e[4] if len(e) > 4 else None) for e in new_files]
 
     while True:
         versions = native_manifest_versions(root)
@@ -1196,10 +1321,30 @@ def commit_native(root: str, fields: list[NativeField],
             prev_stats = read_native_stats(root, prev.version)
             out_config = dict(prev.config or {})
             if mode == "append":
-                if _schema_shape(prev.fields) != _schema_shape(fields):
+                if _schema_shape(prev.fields) == _schema_shape(fields):
+                    out_fields = prev.fields  # keep the table's recorded ids
+                    prev_frags = list(prev.fragments)
+                elif (allow_widen and len(fields) > len(prev.fields)
+                      and _schema_shape(prev.fields)
+                      == _schema_shape(fields[:len(prev.fields)])):
+                    # evolving append: carried fragments predate the new
+                    # columns — pin their field mapping to the OLD field
+                    # set so the widened dense default never claims
+                    # columns their files don't have
+                    out_fields = fields
+                    old_ids = [f.id for f in prev.fields]
+                    prev_frags = [
+                        NativeFragmentInfo(
+                            fr.fragment_id, fr.file, fr.physical_rows,
+                            field_ids=(fr.field_ids if fr.field_ids is not None
+                                       else list(old_ids)),
+                            column_indices=(fr.column_indices
+                                            if fr.column_indices is not None
+                                            else list(range(len(old_ids)))))
+                        for fr in prev.fragments
+                    ]
+                else:
                     raise ValueError("append schema mismatch against live manifest")
-                out_fields = prev.fields  # keep the table's recorded ids
-                prev_frags = list(prev.fragments)
         for k, v in (config or {}).items():
             if v is None:
                 out_config.pop(k, None)
@@ -1207,12 +1352,13 @@ def commit_native(root: str, fields: list[NativeField],
                 out_config[k] = str(v)
         next_id = max((fr.fragment_id for fr in prev_frags), default=-1) + 1
         fragments = prev_frags + [
-            NativeFragmentInfo(next_id + i, fname, rows)
-            for i, (fname, rows, _) in enumerate(norm)
+            NativeFragmentInfo(next_id + i, fname, rows,
+                               field_ids=fids, column_indices=cidx)
+            for i, (fname, rows, _, fids, cidx) in enumerate(norm)
         ]
         stats_map = {fr.file: prev_stats[fr.file] for fr in fragments
                      if fr.file in prev_stats}
-        stats_map.update({fname: st for fname, _, st in norm if st})
+        stats_map.update({fname: st for fname, _, st, _f, _c in norm if st})
 
         tuid = txn_uuid or str(_uuid.uuid4())
         txn_file = f"{read_version}-{tuid}.txn"

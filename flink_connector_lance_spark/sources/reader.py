@@ -160,15 +160,28 @@ def read_native_files(spark, fields, files: "list[str]",
 
         from flink_connector_lance_spark.sources import lance_format as _LF
 
-        # Spark's Arrow bridge expects µs timestamps etc. — cast the
-        # decoded table to the exact types the declared schema implies
+        # Spark's Arrow bridge expects µs timestamps etc. — align each
+        # decoded file to the exact types the declared schema implies.
+        # Alignment is by NAME against the file's own descriptor, so a
+        # mixed-schema fragment set (metadata drop_columns, evolving
+        # appends) reads uniformly: predating files null-fill, dropped
+        # columns are never requested.
         target = pa.schema([
             pa.field(f.name, spark_type_to_arrow(f.dataType))
             for f in spark_schema if f.name != file_col
         ])
         for batch in iterator:
             for fpath in batch.column("file").to_pylist():
-                tbl = _LF.read_native_file(fpath, columns=columns).cast(target)
+                ffields, fn_rows = _LF.read_file_descriptor(fpath)
+                avail = {f.name for f in ffields if f.parent == -1}
+                present = [n for n in target.names if n in avail]
+                if present:
+                    tbl = _LF.align_decoded_table(
+                        _LF.read_native_file(fpath, columns=present), target)
+                else:
+                    tbl = pa.Table.from_arrays(
+                        [pa.nulls(fn_rows, f.type) for f in target],
+                        schema=target)
                 if file_col is not None:
                     tbl = tbl.append_column(
                         file_col, pa.array([fpath] * tbl.num_rows, pa.string()))

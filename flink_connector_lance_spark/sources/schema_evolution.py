@@ -162,15 +162,10 @@ def drop_columns(path: str, cols: list[str]) -> FR.Manifest:
     ``dropped_columns`` so a later append cannot resurrect stale values."""
     from . import lance_format as LF
 
-    if LF.is_native_dataset(path):
-        raise NotImplementedError(
-            "schema evolution on a native Lance binary dataset is not "
-            "supported: the add/drop bookkeeping (recorded table schema, "
-            "dropped-column resurrection guard) rides in manifest commit "
-            "metadata, which binary manifests cannot carry. Overwrite "
-            "with the new shape, or use an emulated dataset target.")
     if not cols:
         raise ValueError("drop_columns requires at least one column")
+    if LF.is_native_dataset(path):
+        return _drop_columns_native(path, cols)
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         import lance
 
@@ -217,13 +212,6 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
     stale values from, and the name is cleared from the dropped set."""
     from . import lance_format as LF
 
-    if LF.is_native_dataset(path):
-        raise NotImplementedError(
-            "schema evolution on a native Lance binary dataset is not "
-            "supported: the add/drop bookkeeping (recorded table schema, "
-            "dropped-column resurrection guard) rides in manifest commit "
-            "metadata, which binary manifests cannot carry. Overwrite "
-            "with the new shape, or use an emulated dataset target.")
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         import lance
 
@@ -233,6 +221,8 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
         from .maintenance import _native_manifest
 
         return _native_manifest(path)
+    if LF.is_native_dataset(path):
+        return _add_column_native(spark, path, name, expr)
     import shutil
     import uuid
 
@@ -262,3 +252,101 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --- native (stdlib codec) twins --------------------------------------------
+
+_DROPPED_CFG = "spark.flc.meta.dropped_columns"
+
+
+def native_dropped_columns(path: str) -> list[str]:
+    """The resurrection guard for a native binary dataset: dropped names
+    recorded in the manifest's table-config slot."""
+    from . import lance_format as LF
+
+    cfg = (LF.read_native_manifest(path).config or {}).get(_DROPPED_CFG)
+    return list(json.loads(cfg)) if cfg else []
+
+
+def _drop_columns_native(path: str, cols: list[str]):
+    """Metadata-only drop for a native binary dataset — the SAME shape
+    lance's own drop_columns commits: the new manifest's field list
+    omits the dropped subtrees while every fragment carries over
+    byte-identical with its field-id -> column mapping made explicit
+    (DataFile.fields/column_indices), so both this engine's name-based
+    reader and a real lance reader resolve only the surviving columns.
+    O(1) in data; old versions keep the column (time travel). The
+    dropped names join the config-recorded resurrection guard."""
+    from . import lance_format as LF
+
+    mf = LF.read_native_manifest(path)
+    top = [f for f in mf.fields if f.parent == -1]
+    names = [f.name for f in top]
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise ValueError(f"cannot drop non-existent column(s) {missing}; "
+                         f"table schema is {names}")
+    if set(cols) >= set(names):
+        raise ValueError("cannot drop every column of the table")
+    drop_ids: set[int] = set()
+
+    def _collect(fid: int) -> None:
+        drop_ids.add(fid)
+        for f in mf.fields:
+            if f.parent == fid:
+                _collect(f.id)
+
+    for f in top:
+        if f.name in set(cols):
+            _collect(f.id)
+    narrowed = [f for f in mf.fields if f.id not in drop_ids]
+    old_ids = [f.id for f in mf.fields]
+    pairs = [
+        (fr.file, fr.physical_rows, None,
+         fr.field_ids if fr.field_ids is not None else list(old_ids),
+         (fr.column_indices if fr.column_indices is not None
+          else list(range(len(old_ids)))))
+        for fr in mf.fragments
+    ]
+    guard = sorted(set(native_dropped_columns(path)) | set(cols))
+    LF.commit_native(path, narrowed, pairs, "overwrite",
+                     expected_base_version=mf.version,
+                     config={_DROPPED_CFG: json.dumps(guard)})
+    return FR.read_manifest_compat(path)
+
+
+def _add_column_native(spark, path: str, name: str, expr):
+    """Computed-column backfill for a native binary dataset: copy-on-write
+    rewrite of every fragment through the v2 codec (existing columns keep
+    their recorded arrow types; the new column takes its Spark-inferred
+    type), ONE overwrite commit under CAS. The full rewrite leaves no old
+    fragment to resurrect stale values from, so the dropped-name guard
+    clears — same contract as the emulated rewrite. (lance's own
+    add_columns appends column-only files instead — O(new column); that
+    needs multi-DataFile fragments, outside the one-file-per-fragment
+    surface this codec supports.)"""
+    import pyarrow as pa
+
+    from ..types import spark_schema_to_arrow
+    from . import lance_format as LF
+    from .reader import read_native_files
+    from .writer import produce_native_fragments
+
+    mf = LF.read_native_manifest(path)
+    if not mf.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments")
+    top_names = [f.name for f in mf.fields if f.parent == -1]
+    if name in top_names:
+        raise ValueError(f"column {name!r} already exists; "
+                         f"table schema is {top_names}")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    files = [os.path.join(path, LF.DATA_DIR, fr.file) for fr in mf.fragments]
+    out = read_native_files(spark, mf.fields, files).withColumn(name, col)
+    new_field = spark_schema_to_arrow(out.schema).field(name)
+    schema = pa.schema(list(LF.arrow_schema_of(mf.fields)) + [new_field])
+    widened = LF.widen_fields(mf.fields, [new_field])
+    new = produce_native_fragments(out, path, schema, 1_000_000)
+    LF.commit_native(path, widened, new, "overwrite",
+                     expected_base_version=mf.version,
+                     config={_DROPPED_CFG: None})
+    return FR.read_manifest_compat(path)

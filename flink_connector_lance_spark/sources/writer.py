@@ -394,21 +394,34 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     mode = WriteMode.parse(mode)
     if mode not in (WriteMode.APPEND, WriteMode.OVERWRITE):
         raise ValueError(f"unsupported mode {mode} for native-format write")
+    widened_fields = None
     if mode is WriteMode.APPEND and LF.native_manifest_versions(path):
         # append-time contract: reorder the batch to the live manifest's
         # column order here (one driver-side select) and let each task
         # arrow-cast to the recorded types (e.g. Spark's µs timestamps
-        # into a ms column — safe cast, refuses on precision loss)
+        # into a ms column — safe cast, refuses on precision loss).
+        # With write.schema-evolution, NEW columns ride after the live
+        # schema (old fragments null-fill on read through the field-id /
+        # name indirection) and batch-missing ones land as typed nulls;
+        # type changes and resurrected dropped names always refuse.
+        from ..types import arrow_schema_to_spark
+        from .schema_evolution import align_for_append, native_dropped_columns
+
         live = LF.read_native_manifest(path)
-        want = LF.arrow_schema_of(live.fields).names
-        missing = [c for c in want if c not in df.columns]
-        extra = [c for c in df.columns if c not in set(want)]
-        if missing or extra:
-            raise ValueError(
-                f"append batch does not match the dataset schema: "
-                f"missing {missing or '[]'}, unexpected {extra or '[]'}")
-        df = df.select(*want)
-        schema = LF.arrow_schema_of(live.fields)
+        base = LF.arrow_schema_of(live.fields)
+        df = align_for_append(df, arrow_schema_to_spark(base),
+                              opts.schema_evolution,
+                              dropped=native_dropped_columns(path))
+        extras = [c for c in df.columns if c not in set(base.names)]
+        if extras:
+            import pyarrow as pa
+
+            inc = spark_schema_to_arrow(df.schema)
+            extra_fields = [inc.field(c) for c in extras]
+            schema = pa.schema(list(base) + extra_fields)
+            widened_fields = LF.widen_fields(live.fields, extra_fields)
+        else:
+            schema = base
     else:
         schema = spark_schema_to_arrow(df.schema)
     # fail on unsupported types BEFORE launching the job (the task-side
@@ -421,7 +434,8 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     new_files = produce_native_fragments(df, path, schema,
                                          opts.write_max_rows_per_file,
                                          bloom_columns=opts.bloom_columns)
-    fields = LF.fields_of_arrow_schema(schema)
+    fields = (widened_fields if widened_fields is not None
+              else LF.fields_of_arrow_schema(schema))
     # commit metadata rides in the manifest's public table-config slot
     # (Manifest.config, one spark.flc.meta.<key> entry per key, JSON
     # values) — a real lance reader carries the entries verbatim
@@ -430,7 +444,8 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     # treats an empty version chain as the zero state)
     return LF.commit_native(path, fields, new_files, mode.value,
                             config=config,
-                            expected_base_version=expected_base_version)
+                            expected_base_version=expected_base_version,
+                            allow_widen=widened_fields is not None)
 
 
 META_CONFIG_PREFIX = "spark.flc.meta."

@@ -325,7 +325,7 @@ def test_append_aligns_column_order_and_timestamp_unit(spark, tmp_path):
     assert row["create_time"] == datetime.datetime(2024, 3, 1, 12, 0)
     # schema mismatch stays loud
     bad = spark.createDataFrame([(1,)], "nope long")
-    with pytest.raises(ValueError, match="does not match"):
+    with pytest.raises(ValueError, match="differs from table schema"):
         write_native_pure(bad, root, mode="append")
 
 

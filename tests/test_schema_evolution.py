@@ -445,3 +445,127 @@ def test_concurrent_type_conflict_refused_at_commit(spark, tmp_path):
     conflicting = StructType([StructField("x", LongType())])
     with _pt.raises(ValueError, match="conflicting concurrent"):
         FR.commit(path, [], mode="append", meta={"schema": conflicting.json()})
+
+
+# --- native (stdlib codec) schema evolution ---------------------------------
+
+def _native(spark, path, n=20):
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    df = spark.range(n).selectExpr("id", "id % 3 AS g", "concat('d', id) AS name")
+    write_native_pure(df.repartition(2), path, mode="overwrite")
+
+
+def test_native_evolving_append_null_fills(spark, tmp_path):
+    """write.schema-evolution on a NATIVE binary dataset: new columns ride
+    after the live schema with fresh field ids past the live id space;
+    carried fragments get their field mapping pinned (DataFile.fields)
+    and null-fill the new column on read — lance's own evolution shape."""
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "ds")
+    _native(spark, path)
+    df2 = spark.range(20, 30).selectExpr(
+        "id", "id % 3 AS g", "concat('d', id) AS name", "concat('T', id) AS tag")
+    write_native_pure(df2, path, mode="append",
+                      options=DatasetOptions(path=path, schema_evolution=True))
+    out = read_dataset(spark, path)
+    assert out.columns == ["id", "g", "name", "tag"]
+    assert out.count() == 30 and out.filter("tag IS NULL").count() == 20
+    # the widened manifest keeps the live ids and numbers the extra past them
+    mf = LF.read_native_manifest(path)
+    ids = {f.name: f.id for f in mf.fields if f.parent == -1}
+    assert ids["tag"] > max(ids["id"], ids["g"], ids["name"])
+    # carried fragments pin their pre-evolution field mapping (no tag id);
+    # the fresh fragment's mapping includes it
+    without_tag = [fr for fr in mf.fragments if ids["tag"] not in (fr.field_ids or [])]
+    with_tag = [fr for fr in mf.fragments if ids["tag"] in (fr.field_ids or [])]
+    assert len(without_tag) == 2 and len(with_tag) >= 1
+    # plain append must now match the WIDENED schema
+    with pytest.raises(ValueError, match="differs from table schema"):
+        write_native_pure(spark.range(3).selectExpr("id", "id % 3 AS g",
+                                                    "concat('d', id) AS name"),
+                          path, mode="append")
+
+
+def test_native_add_column_backfills_and_drop_is_metadata_only(spark, tmp_path):
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.schema_evolution import (
+        add_column,
+        drop_columns,
+        native_dropped_columns,
+    )
+
+    path = str(tmp_path / "ds")
+    _native(spark, path)
+    add_column(spark, path, "bonus", "g * 100")
+    out = read_dataset(spark, path)
+    assert out.agg(F.sum("bonus")).collect()[0][0] == \
+        sum((i % 3) * 100 for i in range(20))
+
+    pre = LF.read_native_manifest(path).version
+    files_before = {fr.file for fr in LF.read_native_manifest(path).fragments}
+    drop_columns(path, ["name"])
+    mf = LF.read_native_manifest(path)
+    # metadata-only: byte-identical fragment carry-over, narrowed fields
+    assert {fr.file for fr in mf.fragments} == files_before
+    assert [f.name for f in mf.fields if f.parent == -1] == ["id", "g", "bonus"]
+    assert native_dropped_columns(path) == ["name"]
+    out = read_dataset(spark, path)
+    assert out.columns == ["id", "g", "bonus"] and out.count() == 20
+    # time travel keeps the pre-drop shape
+    assert "name" in [f.name for f in LF.read_native_manifest(path, pre).fields]
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    assert "name" in (spark.read.format("lance").option("version", str(pre))
+                      .load(path).columns)
+
+
+def test_native_dropped_name_cannot_resurrect_via_append(spark, tmp_path):
+    from flink_connector_lance_spark.sources.schema_evolution import drop_columns
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "ds")
+    _native(spark, path)
+    drop_columns(path, ["name"])
+    with pytest.raises(ValueError, match="re-add dropped"):
+        write_native_pure(
+            spark.range(3).selectExpr("id", "id % 3 AS g", "'x' AS name"),
+            path, mode="append",
+            options=DatasetOptions(path=path, schema_evolution=True))
+    # a full-backfill add_column clears the guard (no stale fragment survives)
+    from flink_connector_lance_spark.sources.schema_evolution import (
+        add_column,
+        native_dropped_columns,
+    )
+
+    add_column(spark, path, "name", "concat('n', id)")
+    assert native_dropped_columns(path) == []
+    assert read_dataset(spark, path).filter("name = 'n3'").count() == 1
+
+
+def test_native_rewrite_of_nullable_fixed_width_refuses_loudly(spark, tmp_path):
+    """The v2 encode surface has no validity buffers for flat primitives:
+    a backfill rewrite of an evolved table whose INT column carries nulls
+    must refuse naming the column, never silently drop or zero the
+    nulls."""
+    from flink_connector_lance_spark.sources.schema_evolution import add_column
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "ds")
+    _native(spark, path)
+    write_native_pure(
+        spark.range(20, 25).selectExpr("id", "id % 3 AS g",
+                                       "concat('d', id) AS name",
+                                       "id * 10 AS extra"),
+        path, mode="append",
+        options=DatasetOptions(path=path, schema_evolution=True))
+    # the evolved read null-fills the int column...
+    assert read_dataset(spark, path).filter("extra IS NULL").count() == 20
+    # ...so a whole-table rewrite cannot re-encode it
+    with pytest.raises(Exception, match="nulls in a fixed-width"):
+        add_column(spark, path, "bonus", "g * 100")
