@@ -558,13 +558,21 @@ class LanceDataSourceReader(DataSourceReader):
         from . import lance_format as LF
 
         if self._schema is not None:
-            from ..types import spark_schema_to_arrow
+            from ..types import spark_type_to_arrow
 
             # align by name against the file's own descriptor: decode
             # only the planned columns PRESENT in the file, null-fill
             # the ones a pre-evolution file predates, never request a
-            # dropped one
-            target = spark_schema_to_arrow(self._schema)
+            # dropped one. Per-TYPE conversion (metadata-blind): a
+            # declared vector dimension must NOT re-materialize
+            # FixedSizeList here — Spark's Arrow bridge only ingests
+            # plain lists, so FSL columns flatten to list at the batch
+            # boundary (the dimension stays recorded in the schema
+            # metadata and the manifest)
+            target = pa.schema([
+                pa.field(f.name, spark_type_to_arrow(f.dataType))
+                for f in self._schema
+            ])
             ffields, fn_rows = LF.read_file_descriptor(file)
             avail = {f.name for f in ffields if f.parent == -1}
             present = [n for n in target.names if n in avail]

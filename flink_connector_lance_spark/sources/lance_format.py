@@ -228,6 +228,11 @@ def arrow_type_for(fields: list[NativeField], idx: int):
     if lt == "struct":
         return pa.struct([pa.field(fields[j].name, arrow_type_for(fields, j))
                           for j in _children_indices(fields, idx)])
+    if lt.startswith("fixed_size_list:"):
+        child = _child_index(fields, idx)
+        return pa.list_(pa.field(fields[child].name,
+                                 arrow_type_for(fields, child)),
+                        int(lt.split(":")[-1]))
     raise NotImplementedError(
         f"lance logical type {lt!r} (field {fields[idx].name!r}) — "
         "supported: flat primitives, bool, date32, string/binary, "
@@ -468,6 +473,7 @@ def _ends_with_nulls(fetch, pos: int, n: int, null_adj: int) -> list[tuple[int, 
 # ArrayEncoding oneof field numbers (public file2.proto): the variant
 # present at the top level of the message tells us the page shape.
 _ENC_FLAT = 2        # nested value-encoding chain for fixed-width data
+_ENC_FSL = 3         # fixed-size list: f1 items encoding, f2 dimension
 _ENC_LIST = 4        # list: f1 offsets encoding, f2 null_offset_adjustment
 _ENC_STRUCT = 5      # struct header (SimpleStruct — empty message, no buffers)
 _ENC_VARIABLE = 6    # binary: f1 offsets, f2 bytes, f3 null_adjustment
@@ -584,6 +590,36 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
             out.append(None if is_null else items[prev:e])
             prev = e
         return out
+
+    if lt.startswith("fixed_size_list:"):
+        # FSL HEADER column: zero-buffer page(s) with the dimension in
+        # the encoding (ArrayEncoding.fixed_size_list f2); the flattened
+        # values (rows*dim) live in the child column, the offset-free
+        # twin of the list layout
+        dim = int(lt.split(":")[-1])
+        n = 0
+        for pg in pages:
+            enc = pg.encoding.get(_ENC_FSL)
+            if pg.encoding and enc is None:
+                raise NotImplementedError(
+                    f"{what}: expected fixed-size-list encoding "
+                    f"(got fields {sorted(pg.encoding)})")
+            if enc is not None:
+                declared = _one(_pb_fields(enc[0][1]), 2, 0)
+                if declared and declared != dim:
+                    raise ValueError(
+                        f"{what}: page dimension {declared} != schema {dim}")
+            if pg.buf_pos:
+                raise NotImplementedError(
+                    f"{what}: fixed-size-list header with buffers "
+                    "(nullable vectors are outside the supported surface)")
+            n += pg.length
+        child = _child_index(fields, idx)
+        items = _decode_column(fetch, fields, child, pages_by_col, col_of_field)
+        if len(items) != n * dim:
+            raise ValueError(
+                f"{what}: {len(items)} child values != {n} rows * dim {dim}")
+        return [items[i * dim:(i + 1) * dim] for i in range(n)]
 
     if lt == "struct":
         # struct HEADER column: zero-buffer page(s) carrying only the row
@@ -845,6 +881,12 @@ def _enc_struct() -> bytes:
     return _w_len(5, b"")
 
 
+def _enc_fsl(child_bits: int, dim: int) -> bytes:
+    """ArrayEncoding for a fixed-size-list header page: f3
+    FixedSizeList{ f1: items encoding (flat chain), f2: dimension }."""
+    return _w_len(3, _w_len(1, _enc_flat_chain(child_bits)) + _w_vint(2, dim))
+
+
 def _field_bytes(f: NativeField) -> bytes:
     """table.proto Field, the exact byte shape lance 0.24 writes (field-
     number order; id omitted at 0, matching prost's default-skipping)."""
@@ -893,11 +935,18 @@ def fields_of_arrow_schema(schema) -> list[NativeField]:
         import pyarrow as pa
 
         fid = len(fields)
-        if pa.types.is_list(t) or pa.types.is_fixed_size_list(t):
-            # FixedSizeList flattens to List on write — the reference's
-            # own converter does exactly this ("For vector types, use
-            # List type", ref LanceTypeConverter.java:235-242); the
-            # committed fixtures' vector columns are all plain lists
+        if pa.types.is_fixed_size_list(t):
+            # a DECLARED dimension keeps FixedSizeList fidelity on write
+            # — the improvement over the reference's lossy List flatten
+            # that SURVEY.md §7.0.3 calls for (Lance ANN indexing
+            # requires FixedSizeList; the reference's converter flattens,
+            # ref LanceTypeConverter.java:235-242). Undeclared dims
+            # (plain arrays) still write List, so re-encoding the
+            # fixtures stays byte-identical.
+            fields.append(NativeField(name, fid, parent,
+                                      f"fixed_size_list:{t.list_size}"))
+            add(t.value_field.name, t.value_type, fid)
+        elif pa.types.is_list(t):
             fields.append(NativeField(name, fid, parent, "list"))
             add(t.value_field.name, t.value_type, fid)
         elif pa.types.is_struct(t):
@@ -1032,6 +1081,19 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         plans[idx] = _ColPlan([], _enc_struct(), len(arr))
         for j in _children_indices(fields, idx):
             _plan_column(arr.field(fields[j].name), fields, j, plans)
+        return
+    if lt.startswith("fixed_size_list:"):
+        if arr.null_count:
+            raise NotImplementedError(
+                f"{what}: NULL vector values (fixed-size-list headers "
+                "carry no validity; null-pad or use a plain list column)")
+        dim = int(lt.split(":")[-1])
+        child_idx = _child_index(fields, idx)
+        child_lt = fields[child_idx].logical_type
+        child_arr = arr.flatten()  # rows*dim values, offset-safe
+        _plan_column(child_arr, fields, child_idx, plans)
+        plans[idx] = _ColPlan([], _enc_fsl(_width_bits(child_lt), dim),
+                              len(arr))
         return
     raise NotImplementedError(f"{what}: no native-lance write mapping")
 

@@ -290,3 +290,56 @@ def test_struct_null_values_refused(tmp_path):
     })
     with pytest.raises(NotImplementedError, match="NULL struct"):
         LF.write_native_file(tbl, p)
+
+
+# --- fixed-size lists (declared-dimension vectors) -------------------------
+
+def test_fixed_size_list_roundtrip(tmp_path):
+    """A DECLARED dimension keeps FixedSizeList fidelity through the
+    codec (SURVEY §7.0.3 — the improvement over the reference's lossy
+    List flatten; Lance ANN indexing requires FSL): zero-buffer header
+    page carrying the dimension, flattened values in the child column."""
+    p = str(tmp_path / "v.lance")
+    fsl = pa.list_(pa.field("item", pa.float32()), 4)
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "vec": pa.array([[1.0, 2.0, 3.0, 4.0],
+                         [5.0, 6.0, 7.0, 8.0],
+                         [9.0, 10.0, 11.0, 12.0]], fsl),
+    })
+    LF.write_native_file(tbl, p)
+    got = LF.read_native_file(p)
+    assert got.schema == tbl.schema  # FSL type survives, not a plain list
+    assert got.equals(tbl)
+    fields = LF.read_file_schema(p)
+    assert fields[1].logical_type == "fixed_size_list:4"
+    # dataset round trip + append schema check
+    root = str(tmp_path / "ds")
+    LF.write_native_dataset(root, tbl, "create")
+    LF.write_native_dataset(root, tbl, "append")
+    assert LF.read_native_dataset(root).num_rows == 6
+    # a PLAIN list append into an FSL column is a schema mismatch (loud)
+    plain = pa.table({
+        "id": pa.array([9], pa.int64()),
+        "vec": pa.array([[1.0, 2.0, 3.0, 4.0]], pa.list_(pa.float32())),
+    })
+    with pytest.raises(ValueError, match="schema mismatch"):
+        LF.write_native_dataset(root, plain, "append")
+
+
+def test_fixed_size_list_null_vector_refused(tmp_path):
+    fsl = pa.list_(pa.field("item", pa.float32()), 2)
+    tbl = pa.table({"v": pa.array([[1.0, 2.0], None], fsl)})
+    with pytest.raises(NotImplementedError, match="NULL vector"):
+        LF.write_native_file(tbl, str(tmp_path / "x.lance"))
+
+
+def test_plain_list_still_writes_list(tmp_path):
+    """No declared dimension -> the fixture-pinned List layout, so
+    re-encoding the reference fixtures stays byte-identical."""
+    p = str(tmp_path / "l.lance")
+    tbl = pa.table({"v": pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float32()))})
+    LF.write_native_file(tbl, p)
+    fields = LF.read_file_schema(p)
+    assert fields[0].logical_type == "list"
+    assert LF.read_native_file(p).equals(tbl)

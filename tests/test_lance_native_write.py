@@ -464,11 +464,11 @@ def test_spark_roundtrip_extended_types(spark, tmp_path):
     assert rows[0].day == datetime.date(1969, 12, 31)
 
 
-def test_fixed_size_list_flattens_to_list(tmp_path):
-    """FixedSizeList vectors write as plain List — the reference
-    converter's own behavior (ref LanceTypeConverter.java:235-242); the
-    values round-trip, the fixed-size-ness is carried by table metadata
-    (types.to_arrow_field), not the storage."""
+def test_fixed_size_list_keeps_fidelity(tmp_path):
+    """FixedSizeList vectors keep their declared dimension through the
+    codec (SURVEY §7.0.3 — the improvement over the reference
+    converter's lossy List flatten, ref LanceTypeConverter.java:235-242;
+    Lance ANN indexing requires FixedSizeList)."""
     tbl = pa.table({
         "id": pa.array([1, 2], pa.int64()),
         "vec": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32(), 2)),
@@ -476,7 +476,8 @@ def test_fixed_size_list_flattens_to_list(tmp_path):
     root = str(tmp_path / "fsl")
     LF.write_native_dataset(root, tbl, mode="create")
     got = LF.read_native_dataset(root)
-    assert got.schema.field("vec").type == pa.list_(pa.float32())
+    assert pa.types.is_fixed_size_list(got.schema.field("vec").type)
+    assert got.schema.field("vec").type.list_size == 2
     assert got["vec"].to_pylist() == [[1.0, 2.0], [3.0, 4.0]]
 
 
@@ -986,3 +987,38 @@ def test_foreachbatch_upsert_sink_on_native_dataset(spark, tmp_path):
     v = LF.read_native_manifest(root).version
     assert {r["id"]: r["v"] for r in LF.read_native_dataset(root).to_pylist()} == got
     assert LF.read_native_manifest(root).version == v
+
+
+def test_spark_write_declared_dim_produces_fsl(spark, tmp_path):
+    """A Spark array column with declared lance.vector.dim metadata
+    writes a true FixedSizeList native column (SURVEY §7.0.3 — what
+    Lance ANN indexing requires; the reference flattens to List), and
+    every Spark read path flattens it back to array<float> at the Arrow
+    bridge (Spark cannot ingest FSL batches)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+    from flink_connector_lance_spark.sources.reader import read_dataset
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    root = str(tmp_path / "fsl")
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("emb", ArrayType(FloatType()),
+                    metadata={"lance.vector.dim": 4}),
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(10)], schema)
+    write_native_pure(df.repartition(2), root, mode="overwrite")
+    mf = LF.read_native_manifest(root)
+    assert [f.logical_type for f in mf.fields if f.name == "emb"] == \
+        ["fixed_size_list:4"]
+    assert read_dataset(spark, root).count() == 10
+    register_lance_datasource(spark)
+    r = spark.read.format("lance").load(root)
+    assert r.count() == 10
+    assert r.select(F.sum(F.element_at("emb", 2))).collect()[0][0] == 10.0
