@@ -41,9 +41,14 @@ Struct) with round-trip tests — the bool decoder keys on the page's
 DECLARED bits_per_value, so a byte-per-bool file reads correctly too;
 struct header columns are zero-buffer SimpleStruct pages with members
 as their own structural columns (nullable struct VALUES are a 2.1
-encoding and refused). Anything else — mini-block/compressed pages,
-multi-page variable-width — raises ``NotImplementedError`` naming the
-encoding, never a silent misread.
+encoding and refused); fixed-size lists keep their declared dimension;
+multi-page columns (what lance writes past its page-size threshold)
+decode for every supported type — pages are self-contained, list pages
+advance a child-item base. Anything else — the 2.1 mini-block /
+compressed structural layouts, whose chunk tables and compression
+framing cannot be verified against any fixture or spec text available
+in-repo — raises ``NotImplementedError`` naming the encoding, never a
+silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
 manifest's file list, mirroring sources/reader.py's native path), and
@@ -543,52 +548,58 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
         return vals
 
     if lt in ("string", "large_string", "binary", "large_binary"):
-        if len(pages) != 1:
-            raise NotImplementedError(f"{what}: multi-page variable-width")
-        pg = pages[0]
-        enc = pg.encoding.get(_ENC_VARIABLE)
-        if enc is None:
-            raise NotImplementedError(
-                f"{what}: expected variable-width encoding "
-                f"(got fields {sorted(pg.encoding)})")
-        var = _pb_fields(enc[0][1])
-        null_adj = _one(var, 3, 0)
-        if len(pg.buf_pos) != 2:
-            raise NotImplementedError(
-                f"{what}: variable page with {len(pg.buf_pos)} buffers")
-        ends = _ends_with_nulls(fetch, pg.buf_pos[0], pg.length, null_adj)
-        data = fetch(pg.buf_pos[1], pg.buf_size[1])
+        # pages are self-contained (each page's offsets restart at 0 and
+        # its own null_adjustment applies), so multi-page columns —
+        # what lance writes past its page-size threshold — decode as
+        # straight concatenation
         is_text = lt in ("string", "large_string")
         out = []
-        prev = 0
-        for e, is_null in ends:
-            piece = None if is_null else data[prev:e]
-            out.append(piece.decode("utf-8") if is_text and piece is not None
-                       else piece)
-            prev = e
+        for pg in pages:
+            enc = pg.encoding.get(_ENC_VARIABLE)
+            if enc is None:
+                raise NotImplementedError(
+                    f"{what}: expected variable-width encoding "
+                    f"(got fields {sorted(pg.encoding)})")
+            var = _pb_fields(enc[0][1])
+            null_adj = _one(var, 3, 0)
+            if len(pg.buf_pos) != 2:
+                raise NotImplementedError(
+                    f"{what}: variable page with {len(pg.buf_pos)} buffers")
+            ends = _ends_with_nulls(fetch, pg.buf_pos[0], pg.length, null_adj)
+            data = fetch(pg.buf_pos[1], pg.buf_size[1])
+            prev = 0
+            for e, is_null in ends:
+                piece = None if is_null else data[prev:e]
+                out.append(piece.decode("utf-8")
+                           if is_text and piece is not None else piece)
+                prev = e
         return out
 
     if lt == "list":
-        if len(pages) != 1:
-            raise NotImplementedError(f"{what}: multi-page list")
-        pg = pages[0]
-        enc = pg.encoding.get(_ENC_LIST)
-        if enc is None:
-            raise NotImplementedError(
-                f"{what}: expected list encoding (got fields {sorted(pg.encoding)})")
-        lst = _pb_fields(enc[0][1])
-        null_adj = _one(lst, 2, 0)
-        if len(pg.buf_pos) != 1:
-            raise NotImplementedError(
-                f"{what}: list page with {len(pg.buf_pos)} buffers")
-        ends = _ends_with_nulls(fetch, pg.buf_pos[0], pg.length, null_adj)
+        # multi-page lists: each page's end-offsets are page-local; the
+        # page's item count (List.num_items) advances the base into the
+        # child column's concatenated values
         child = _child_index(fields, idx)
         items = _decode_column(fetch, fields, child, pages_by_col, col_of_field)
         out = []
-        prev = 0
-        for e, is_null in ends:
-            out.append(None if is_null else items[prev:e])
-            prev = e
+        base = 0
+        for pg in pages:
+            enc = pg.encoding.get(_ENC_LIST)
+            if enc is None:
+                raise NotImplementedError(
+                    f"{what}: expected list encoding (got fields {sorted(pg.encoding)})")
+            lst = _pb_fields(enc[0][1])
+            null_adj = _one(lst, 2, 0)
+            if len(pg.buf_pos) != 1:
+                raise NotImplementedError(
+                    f"{what}: list page with {len(pg.buf_pos)} buffers")
+            ends = _ends_with_nulls(fetch, pg.buf_pos[0], pg.length, null_adj)
+            page_items = _one(lst, 3, None)
+            prev = 0
+            for e, is_null in ends:
+                out.append(None if is_null else items[base + prev:base + e])
+                prev = e
+            base += page_items if page_items is not None else prev
         return out
 
     if lt.startswith("fixed_size_list:"):
@@ -1107,16 +1118,31 @@ def _width_bits(lt: str) -> int:
     return _FLAT_TYPES[lt][1] * 8
 
 
-def write_native_file(table, path: str) -> int:
+def write_native_file(table, path: str, page_rows: int | None = None) -> int:
     """Encode an Arrow table as one Lance v2 data file; returns row count.
     Layout (matches the fixtures byte-for-byte): 64-aligned data buffers
     in structural-column order, FileDescriptor global buffer, packed
-    column metadata, the two offset tables, 40-byte footer."""
+    column metadata, the two offset tables, 40-byte footer.
+
+    ``page_rows`` splits every column into multiple self-contained pages
+    of at most that many rows — the shape lance writes past its page-size
+    threshold on large columns. Default (None) keeps the fixture-pinned
+    one-page-per-column layout; the paged layout changes only WHERE
+    buffers land and how many page entries each ColumnMetadata carries,
+    both of which the reader resolves from recorded positions."""
     fields = fields_of_arrow_schema(table.schema)
     top = [(i, f) for i, f in enumerate(fields) if f.parent == -1]
-    plans: dict[int, _ColPlan] = {}
-    for (i, f), name in zip(top, table.column_names):
-        _plan_column(table.column(name), fields, i, plans)
+    if page_rows:
+        chunks = [table.slice(s, page_rows)
+                  for s in range(0, max(table.num_rows, 1), page_rows)]
+    else:
+        chunks = [table]
+    page_plans: list[dict[int, _ColPlan]] = []
+    for chunk in chunks:
+        plans: dict[int, _ColPlan] = {}
+        for (i, f), name in zip(top, chunk.column_names):
+            _plan_column(chunk.column(name), fields, i, plans)
+        page_plans.append(plans)
 
     blob = bytearray()
 
@@ -1129,27 +1155,32 @@ def write_native_file(table, path: str) -> int:
         blob.extend(data)
         return pos
 
-    # data buffers, structural order
-    buf_pos: dict[int, list[int]] = {}
-    for idx in sorted(plans):
-        buf_pos[idx] = [_aligned_put(b) for b in plans[idx].buffers]
+    # data buffers: structural-column order, pages in row order within
+    buf_pos: dict[tuple[int, int], list[int]] = {}
+    for idx in sorted(page_plans[0]):
+        for pg_i, plans in enumerate(page_plans):
+            buf_pos[(idx, pg_i)] = [_aligned_put(b)
+                                    for b in plans[idx].buffers]
 
     # FileDescriptor global buffer: {f1: Schema{f1: fields}, f2: num_rows}
     schema_msg = b"".join(_w_len(1, _field_bytes(f)) for f in fields)
     fd = _w_len(1, schema_msg) + _w_vint(2, table.num_rows)
     gpos = _aligned_put(fd)
 
-    # column metadata (packed, one per structural column)
+    # column metadata (packed, one per structural column; one page entry
+    # per chunk)
     col_meta_start = len(blob)
     cm_offsets = []
     col_enc = _w_len(1, _w_any(_COL_ENC_URL, _w_len(1, b"")))
-    for idx in sorted(plans):
-        p = plans[idx]
-        page = (_w_packed(1, buf_pos[idx]) +
+    for idx in sorted(page_plans[0]):
+        cm = col_enc
+        for pg_i, plans in enumerate(page_plans):
+            p = plans[idx]
+            cm += _w_len(2, (
+                _w_packed(1, buf_pos[(idx, pg_i)]) +
                 _w_packed(2, [len(b) for b in p.buffers]) +
                 _w_vint(3, p.length) +
-                _w_len(4, _w_any(_ARRAY_ENC_URL, p.encoding)))
-        cm = col_enc + _w_len(2, page)
+                _w_len(4, _w_any(_ARRAY_ENC_URL, p.encoding))))
         cm_offsets.append((len(blob), len(cm)))
         blob.extend(cm)
 
@@ -1159,7 +1190,7 @@ def write_native_file(table, path: str) -> int:
     gbos = len(blob)
     blob.extend(struct.pack("<QQ", gpos, len(fd)))
     blob.extend(struct.pack("<QQQIIHH", col_meta_start, cmos, gbos,
-                            1, len(plans), 0, 3))
+                            1, len(page_plans[0]), 0, 3))
     blob.extend(MAGIC)
     with open(path, "wb") as fh:
         fh.write(bytes(blob))
