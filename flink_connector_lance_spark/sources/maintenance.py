@@ -914,33 +914,97 @@ def _last_clustering_files(path: str) -> set:
     return set()
 
 
+def _last_clustering_files_native(path: str) -> set:
+    """Native twin of ``_last_clustering_files``: the clustering meta
+    rides in the table-config slot and CARRIES FORWARD, so the commit
+    that introduced the head's current value is the lowest readable
+    manifest still holding it — its fragment file set is the clustered
+    run. Empty when never clustered (or the chain was vacuumed past the
+    clustering commit)."""
+    from . import lance_format as LF
+
+    versions = LF.native_manifest_versions(path)
+    if not versions:
+        return set()
+    head = LF.read_native_manifest(path)
+    key = "spark.flc.meta.clustering"
+    cur = (head.config or {}).get(key)
+    if cur is None:
+        return set()
+    commit_m = head
+    for v in reversed(versions[:-1]):
+        try:
+            m = LF.read_native_manifest(path, v)
+        except (FileNotFoundError, ValueError):
+            break
+        if (m.config or {}).get(key) != cur:
+            break
+        commit_m = m
+    return {fr.file for fr in commit_m.fragments}
+
+
 def _cluster_native(spark: SparkSession, path: str, by: list[str],
-                    target_rows: int):
-    """Full-table OPTIMIZE for a native dataset: one range exchange +
-    within-task sorts, re-encoded through the v2 codec, ONE overwrite
-    commit. The stats sidecar written with the commit records each
-    sorted fragment's disjoint [min,max], so pushed range filters prune
-    at planning time immediately after."""
+                    target_rows: int, scope: str = "full",
+                    zorder: bool = False):
+    """OPTIMIZE for a native dataset: one range exchange + within-task
+    sorts, re-encoded through the v2 codec, ONE overwrite commit under
+    CAS. The stats sidecar written with the commit records each sorted
+    fragment's disjoint [min,max], so pushed range filters prune at
+    planning time immediately after. scope='tail' re-sorts only the
+    fragments appended since the last clustering pass (keyed on the
+    config-recorded clustering meta); zorder interleaves multi-column
+    bits exactly like the emulated path, with the bounds taken from the
+    native stats sidecar."""
     from . import lance_format as LF
     from .reader import read_native_files
-    from .writer import produce_native_fragments
+    from .writer import _meta_to_config, produce_native_fragments
 
     mf = LF.read_native_manifest(path)
     if not mf.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments to cluster")
     if not by:
         raise ValueError("cluster_dataset requires at least one column")
-    total = sum(fr.physical_rows for fr in mf.fragments)
+    stats = LF.read_native_stats(path, mf.version)
+    carried: list = []
+    to_sort = list(mf.fragments)
+    if scope == "tail":
+        clustered = _last_clustering_files_native(path) & \
+            {fr.file for fr in mf.fragments}
+        carried = [fr for fr in mf.fragments if fr.file in clustered]
+        to_sort = [fr for fr in mf.fragments if fr.file not in clustered]
+        if not to_sort:
+            return mf  # nothing new since the last clustering pass
+    total = sum(fr.physical_rows for fr in to_sort)
     n_frags = max(1, -(-total // target_rows))
     df = read_native_files(
         spark, mf.fields,
-        [os.path.join(path, LF.DATA_DIR, fr.file) for fr in mf.fragments])
-    out = df.repartitionByRange(n_frags, *by).sortWithinPartitions(*by)
+        [os.path.join(path, LF.DATA_DIR, fr.file) for fr in to_sort])
+    if zorder and len(by) >= 2:
+        mm: dict[str, tuple] = {}
+        for c in by:
+            per = [stats.get(fr.file, {}).get(c) for fr in to_sort]
+            mins = [s["min"] for s in per if s and s.get("min") is not None]
+            maxs = [s["max"] for s in per if s and s.get("max") is not None]
+            if not mins or not maxs:
+                raise ValueError(f"no zone-map stats for z-order column {c!r}")
+            mm[c] = (min(mins), max(maxs))
+        keyed = df.withColumn("__z", _zorder_key(df, by, mm))
+        out = (keyed.repartitionByRange(n_frags, "__z")
+               .sortWithinPartitions("__z").drop("__z"))
+        layout = {"zorder": by}
+    else:
+        out = df.repartitionByRange(n_frags, *by).sortWithinPartitions(*by)
+        layout = {"cluster_by": by}
     new = produce_native_fragments(out, path, LF.arrow_schema_of(mf.fields),
                                    target_rows,
                                    bloom_columns=_native_bloom_columns(path, mf) or None)
-    return LF.commit_native(path, mf.fields, new, "overwrite",
-                            expected_base_version=mf.version)
+    pairs = [(fr.file, fr.physical_rows, None, fr.field_ids, fr.column_indices)
+             for fr in carried] + new
+    meta = {"clustering": {**layout, "base_version": mf.version,
+                           "scope": scope}}
+    return LF.commit_native(path, mf.fields, pairs, "overwrite",
+                            expected_base_version=mf.version,
+                            config=_meta_to_config(meta))
 
 
 def cluster_dataset(
@@ -985,18 +1049,8 @@ def cluster_dataset(
     from . import lance_format as LF
 
     if LF.is_native_dataset(path):
-        if scope == "tail" or zorder:
-            # binary manifests carry no layout metadata, so the tail
-            # scope has no clustered-run bookkeeping to key on, and the
-            # z-order key needs recorded multi-column bounds from a
-            # PREVIOUS layout pass — refuse rather than silently degrade
-            raise NotImplementedError(
-                "native Lance datasets support scope='full' single-order "
-                "clustering only (no layout metadata slot in binary "
-                "manifests for tail runs / z-order bounds); use "
-                "write-time clustering (DatasetOptions(sort_columns=..., "
-                "cluster_on_write=True)) for the incremental shape")
-        return _cluster_native(spark, path, by, target_rows_per_fragment)
+        return _cluster_native(spark, path, by, target_rows_per_fragment,
+                               scope=scope, zorder=zorder)
     manifest = FR.read_manifest(path)
     if not manifest.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments to cluster")

@@ -326,3 +326,40 @@ def test_format_writer_accepts_falsey_layout_spellings(registered, tmp_path, sf_
     (d.write.format("lance").option("write.cluster", "false")
      .option("write.sort-by", "").mode("overwrite").save(p))
     assert spark.read.format("lance").load(p).count() == d.count()
+
+
+def test_native_tail_and_zorder_clustering(spark, tmp_path):
+    """Tail-scope and z-order clustering on a NATIVE binary dataset: the
+    clustering meta rides in the table-config slot, so an incremental
+    pass re-sorts only the fragments appended since the last run, and
+    z-order bounds come from the native stats sidecar."""
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.maintenance import (
+        _last_clustering_files_native,
+        cluster_dataset,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "nds")
+    df = spark.range(600).selectExpr("id", "id % 40 AS a", "id % 7 AS b")
+    write_native_pure(df.repartition(3), path, mode="overwrite")
+
+    m1 = cluster_dataset(spark, path, ["a", "b"], 200, zorder=True)
+    files_after_full = {fr.file for fr in m1.fragments}
+    assert _last_clustering_files_native(path) == files_after_full
+    # incremental: append a runt, tail pass touches ONLY the new rows
+    write_native_pure(
+        spark.range(600, 650).selectExpr("id", "id % 40 AS a", "id % 7 AS b")
+        .coalesce(1), path, mode="append")
+    m2 = cluster_dataset(spark, path, ["a", "b"], 200, zorder=True,
+                         scope="tail")
+    kept = {fr.file for fr in m2.fragments} & files_after_full
+    assert kept == files_after_full  # clustered run carried byte-identical
+    assert sum(fr.physical_rows for fr in m2.fragments) == 650
+    # a second tail pass with nothing new is a no-op (no new version)
+    assert cluster_dataset(spark, path, ["a", "b"], 200, zorder=True,
+                           scope="tail").version == m2.version
+    # rows survived both passes
+    from flink_connector_lance_spark.sources.reader import read_dataset
+
+    assert read_dataset(spark, path).count() == 650
