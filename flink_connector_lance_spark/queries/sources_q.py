@@ -179,6 +179,15 @@ def source_roundtrip_agg(spark, sf_dir):
               CAST(sum(n_chars % 97) AS BIGINT) FROM evolved
     UNION ALL SELECT 'dropped', count(*), CAST(sum(n_chars) AS BIGINT) FROM evolved
     UNION ALL SELECT 'vacuumed', count(*), CAST(sum(n_chars) AS BIGINT) FROM evolved
+    UNION ALL
+    SELECT 'native_evolve', count(*), CAST(sum(coalesce(extra, 0)) AS BIGINT)
+    FROM (
+        SELECT doc_id, n_chars, CAST(NULL AS BIGINT) AS extra
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 50000000, n_chars, CAST(n_chars + 3 AS BIGINT)
+        FROM documents WHERE doc_id % 13 = 0
+    )
     """,
     doc="Full MVCC maintenance + schema-evolution lifecycle under the hash "
         "gate: overwrite v0, append v1 (en copies with NULL lang + de "
@@ -208,9 +217,18 @@ def source_roundtrip_agg(spark, sf_dir):
         "metadata-only commit ('dropped' re-reads counts, and the query "
         "hard-raises unless lang is GONE from the current schema while "
         "the pre-drop version still time-travels WITH it). Finally "
-        "vacuum_dataset keep_versions=1 and a post-vacuum read. Each "
-        "stage's (count, sum) is reproduced relationally by the DuckDB "
-        "oracle (sources/maintenance.py; ref LanceSink.java:163-189).",
+        "vacuum_dataset keep_versions=1 and a post-vacuum read. The "
+        "'native_evolve' stage repeats the evolution lifecycle over a "
+        "REAL Lance v2 binary dataset through the stdlib codec: an "
+        "evolving append rides a new column after the live schema with "
+        "fresh field ids (pre-evolution fragments null-fill through the "
+        "per-file descriptor alignment) and a metadata-only native "
+        "drop_columns narrows the manifest while the pre-drop version "
+        "time-travels intact — every summed value crossed the binary "
+        "encoder AND decoder across the evolution. Each stage's "
+        "(count, sum) is reproduced relationally by the DuckDB oracle "
+        "(sources/maintenance.py, sources/schema_evolution.py; ref "
+        "LanceSink.java:163-189).",
 )
 def source_version_travel(spark, sf_dir):
     from ..sources import fragments as FR
@@ -344,6 +362,44 @@ def source_version_travel(spark, sf_dir):
     rows.append(snap("dropped"))
     vacuum_dataset(path, keep_versions=1)
     rows.append(snap("vacuumed"))
+
+    # --- native binary schema evolution under the hash gate ---
+    # the SAME evolution lifecycle over a REAL Lance v2 dataset via the
+    # stdlib codec: evolving append (new `extra` column rides after the
+    # live schema with fresh field ids; pre-evolution fragments
+    # null-fill), then a metadata-only drop_columns whose narrowed
+    # schema must hide `lang` from the current read while the pre-drop
+    # version still time-travels WITH it — every summed value traveled
+    # through the binary encoder AND decoder across the evolution
+    from ..options import DatasetOptions
+    from ..sources import lance_format as LF
+    from ..sources.reader import read_dataset as rd
+    from ..sources.schema_evolution import drop_columns as drop_cols
+    from ..sources.writer import write_native_pure
+
+    npath = _workdir("versions-native", sf_dir)
+    base_nd = d.select("doc_id", "lang", "n_chars").filter(F.col("doc_id") % 11 == 0)
+    write_native_pure(base_nd, npath, mode="overwrite")
+    add_nd = (
+        d.select("doc_id", "lang", "n_chars")
+        .filter(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 50_000_000)
+        .withColumn("extra", (F.col("n_chars") + 3).cast("long"))
+    )
+    write_native_pure(add_nd, npath, mode="append",
+                      options=DatasetOptions(path=npath, schema_evolution=True))
+    pre_drop = LF.read_native_manifest(npath).version
+    drop_cols(npath, ["lang"])
+    cur_cols = rd(spark, npath).columns
+    if "lang" in cur_cols:
+        raise RuntimeError(f"native drop_columns left 'lang' visible: {cur_cols}")
+    if "lang" not in rd(spark, npath, version=pre_drop).columns:
+        raise RuntimeError("native pre-drop version lost 'lang' (time travel broken)")
+    r = (rd(spark, npath)
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum(F.coalesce(F.col("extra"), F.lit(0))).alias("s"))
+         .first())
+    rows.append(("native_evolve", r.cnt, r.s))
     return spark.createDataFrame(rows, "stage string, cnt bigint, sum_chars bigint")
 
 

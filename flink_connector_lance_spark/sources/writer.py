@@ -439,7 +439,12 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     # commit metadata rides in the manifest's public table-config slot
     # (Manifest.config, one spark.flc.meta.<key> entry per key, JSON
     # values) — a real lance reader carries the entries verbatim
-    config = _meta_to_config(commit_meta)
+    config = _meta_to_config(commit_meta) or {}
+    if mode is WriteMode.OVERWRITE:
+        # a full overwrite replaces EVERY fragment, so no stale bytes
+        # survive: clear the column-resurrection guard (config tombstone
+        # — same contract as the emulated overwrite's dropped_columns=[])
+        config.setdefault(f"{META_CONFIG_PREFIX}dropped_columns", None)
     # append on a fresh directory bootstraps version 1 (commit_native
     # treats an empty version chain as the zero state)
     return LF.commit_native(path, fields, new_files, mode.value,
