@@ -237,6 +237,7 @@ def vacuum_dataset(
     keep_versions: int = 2,
     dry_run: bool = False,
     staging_grace_seconds: int = 24 * 3600,
+    storage_options: dict | None = None,
 ) -> dict:
     """MVCC garbage collection: drop manifests older than the newest
     ``keep_versions`` and delete fragment files no retained version
@@ -276,7 +277,10 @@ def vacuum_dataset(
             )
         return _vacuum_lance(path)
     from . import lance_format as LF
+    from .fs import is_remote
 
+    if is_remote(path):
+        return _vacuum_remote(path, keep_versions, dry_run, storage_options)
     if LF.is_native_dataset(path):
         return _vacuum_native(path, keep_versions, dry_run)
     latest = FR.latest_version(path)
@@ -379,6 +383,59 @@ def _inherit_blooms(spark, path, manifest: FR.Manifest, new_fragments):
     if not cols or not new_fragments:
         return list(new_fragments)
     return attach_blooms(spark, path, new_fragments, cols)
+
+
+def _vacuum_remote(path: str, keep_versions: int, dry_run: bool,
+                   storage_options: dict | None) -> dict:
+    """MVCC garbage collection for an s3:// dataset — the fs-plane twin
+    of the local vacuum (same crash-safe order: manifests first, then
+    unreferenced data keys; a crash mid-vacuum leaves only invisible
+    orphan keys, never a manifest pointing at deleted data). At 100 TB
+    the dead-object volume is the dominant storage cost, so this runs
+    driver-side over KEY LISTINGS only — two prefix lists plus one tiny
+    manifest read per retained version, no data IO. ANN index pinning is
+    a local-backend construct (indexes are refused on s3 datasets) and
+    staging dirs do not exist remotely (the executor-direct write stages
+    nothing), so neither applies here."""
+    from .bloom import BLOOM_SUFFIX
+    from .fs import get_fs, remote_ls_names
+
+    fs = get_fs(path, storage_options)
+    base = str(path).rstrip("/")
+    all_versions = sorted(
+        int(n.split(".")[0])
+        for n in remote_ls_names(fs, f"{base}/{FR.VERSIONS_DIR}")
+        if n.endswith(".manifest.json"))
+    if not all_versions:
+        raise FileNotFoundError(f"not a dataset (no {FR.VERSIONS_DIR}/): {path}")
+    kept = all_versions[-keep_versions:]
+    dropped = [v for v in all_versions if v not in kept]
+    live = {
+        f.file for v in kept
+        for f in FR.read_manifest(path, v, storage_options).fragments
+    }
+    live |= {f + BLOOM_SUFFIX for f in live}
+    data_names = remote_ls_names(fs, f"{base}/{FR.DATA_DIR}")
+    dead = [os.path.join(FR.DATA_DIR, n) for n in data_names
+            if os.path.join(FR.DATA_DIR, n) not in live]
+    reclaimed = 0
+    for f in dead:
+        try:
+            reclaimed += int(fs.info(f"{base}/{f}").get("size", 0) or 0)
+        except (OSError, KeyError, AttributeError):
+            pass  # size is reporting-only; deletion proceeds regardless
+    if not dry_run:
+        for v in dropped:  # manifests first: crash-safety note above
+            fs.rm(f"{base}/{FR.VERSIONS_DIR}/{v}.manifest.json")
+        for f in dead:
+            fs.rm(f"{base}/{f}")
+    return {
+        "kept_versions": kept,
+        "dropped_versions": len(dropped),
+        "deleted_files": len(dead),
+        "reclaimed_bytes": reclaimed,
+        "staging_dirs_removed": 0,
+    }
 
 
 def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:

@@ -64,6 +64,19 @@ class _FakeS3FS:
     def exists(self, path) -> bool:
         return os.path.exists(self._local(path))
 
+    def info(self, path) -> dict:
+        local = self._local(path)
+        if not os.path.exists(local):
+            raise FileNotFoundError(str(path))
+        return {"name": str(path), "size": os.path.getsize(local),
+                "type": "directory" if os.path.isdir(local) else "file"}
+
+    def rm(self, path) -> None:
+        local = self._local(path)
+        if os.path.isdir(local):
+            raise IsADirectoryError(str(path))
+        os.remove(local)
+
     def isdir(self, path) -> bool:
         return os.path.isdir(self._local(path))
 

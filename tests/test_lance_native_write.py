@@ -796,8 +796,12 @@ def test_cluster_and_statistics_native(spark, tmp_path):
     assert stats["columns"]["id"] == {"min": 0, "max": 399, "null_count": 0}
     assert "__bloom__" not in stats["columns"]
 
-    with pytest.raises(NotImplementedError, match="scope='full'"):
-        cluster_dataset(spark, root, ["id"], scope="tail")
+    # tail scope right after a full pass is a no-op: everything is
+    # already inside the config-recorded clustered run (round 9 lifted
+    # the former scope='full'-only refusal — layout meta rides in the
+    # table-config slot now; tests/test_clustering.py drives the full
+    # tail + z-order lifecycle)
+    assert cluster_dataset(spark, root, ["id"], scope="tail").version == mf.version
 
 
 def test_rollup_over_native_source(spark, tmp_path):

@@ -297,3 +297,45 @@ def test_s3_bloom_sidecars_write_and_prune(fake_s3, spark):
     r2 = LanceDataSourceReader({"path": url, "s3-endpoint": f"fake://{fake_s3}"})
     r2.pushFilters([EqualTo(("v",), "zz")])
     assert r2.partitions() == []
+
+
+def test_s3_vacuum_reclaims_dead_objects(fake_s3, spark):
+    """vacuum_dataset on s3://: manifests beyond keep_versions and the
+    data keys (plus bloom sidecars) no retained version references are
+    deleted through fsspec — manifests FIRST (crash-safe order), key
+    listings only, no data IO."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.maintenance import vacuum_dataset
+
+    url = "s3://bucket/wh/db1/vac"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3, bloom_columns=["id"])
+    storage = s3.to_storage_options()
+    write_dataset(spark.range(40).selectExpr("id").repartition(2), url,
+                  mode="overwrite", options=opts)
+    write_dataset(spark.range(40, 60).selectExpr("id").repartition(2), url,
+                  mode="overwrite", options=opts)  # v1 replaces all of v0
+
+    local_data = os.path.join(fake_s3, "bucket", "wh", "db1", "vac", "data")
+    files_before = set(os.listdir(local_data))
+    rep = vacuum_dataset(url, keep_versions=1, dry_run=True,
+                         storage_options=storage)
+    assert rep["dropped_versions"] == 1
+    assert rep["deleted_files"] == 4  # v0's 2 fragments + 2 bloom sidecars
+    assert rep["reclaimed_bytes"] > 0
+    assert set(os.listdir(local_data)) == files_before  # dry run deletes nothing
+
+    rep = vacuum_dataset(url, keep_versions=1, storage_options=storage)
+    assert rep["deleted_files"] == 4 and rep["staging_dirs_removed"] == 0
+    survivors = set(os.listdir(local_data))
+    assert len(survivors) == 4 and survivors < files_before
+    # the retained version still reads fully
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert sorted(r.id for r in got.collect()) == list(range(40, 60))
+    # the vacuumed version fails fast on its missing manifest
+    with pytest.raises(Exception):
+        (spark.read.format("lance")
+         .option("s3-endpoint", f"fake://{fake_s3}")
+         .option("version", "0").load(url).collect())

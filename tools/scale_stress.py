@@ -75,6 +75,11 @@ QUERIES = [
     # candidates, so the ratio reads as index-build scaling plus
     # near-flat search. source_version_travel also gained the
     # auto-maintenance pass (compact+vacuum policy run + describe).
+    # round-9: source_version_travel adds the native_evolve stage
+    # (evolving append + metadata-only drop on a REAL Lance v2 binary
+    # dataset — O(new rows) write + O(1) drop, so the stage tracks the
+    # appended slice, not the table); source_format_api's native branch
+    # now rides a struct column through the codec.
     "vector_search_udtf",
 ]
 
