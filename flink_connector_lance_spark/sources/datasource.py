@@ -397,9 +397,24 @@ class LanceDataSourceReader(DataSourceReader):
         self._delta_allow_rewrites = str(
             options.get("read.delta-allow-rewrites", "false")
         ).lower() == "true"
+        # file attribution: `read.file-column=<name>` appends each row's
+        # RELATIVE fragment file as a string column — the remote-capable
+        # twin of input_file_name() (which evaluates to '' across Python
+        # data sources), and the handle the copy-on-write rewrites key
+        # on. EqualTo/In filters on this column prune PARTITIONS at
+        # planning time (a fragment-subset scan expressed as a
+        # predicate); every other filter shape on it stays residual.
+        self._file_col = options.get("read.file-column") or None
+        self._file_filters: List[Filter] = []
         # the planned Spark schema (picklable): executors align each
         # fragment's batches to it by name, null-filling columns an older
-        # (pre-evolution) fragment doesn't carry
+        # (pre-evolution) fragment doesn't carry. The synthetic file
+        # column is OURS to append — strip it from the data alignment
+        # target (no fragment physically carries it).
+        if (self._file_col is not None and schema is not None
+                and self._file_col in schema.names):
+            schema = StructType(
+                [f for f in schema.fields if f.name != self._file_col])
         self._schema = schema
         # typed Filter dataclasses are picklable; converted to pyarrow
         # expressions lazily on the executor (expressions don't need to
@@ -414,12 +429,25 @@ class LanceDataSourceReader(DataSourceReader):
         # unfiltered count on the same df returned the filtered count)
         pushed = []
         residual = []
+        file_filters = []
         for f in filters:
-            if _filter_to_arrow(f) is not None and not _nan_unsafe(f):
+            attrs = _filter_attrs(f)
+            if (self._file_col is not None and attrs is not None
+                    and self._file_col in attrs):
+                # EqualTo/In on the file column are FULLY satisfied by
+                # partition selection (every row of a surviving fragment
+                # carries that exact value) — accept them; anything else
+                # on it stays residual
+                if isinstance(f, (EqualTo, In)) and len(attrs) == 1:
+                    file_filters.append(f)
+                else:
+                    residual.append(f)
+            elif _filter_to_arrow(f) is not None and not _nan_unsafe(f):
                 pushed.append(f)
             else:
                 residual.append(f)
         self._pushed = pushed
+        self._file_filters = file_filters
         return residual
 
     def partitions(self) -> List[FragmentPartition]:
@@ -453,6 +481,9 @@ class LanceDataSourceReader(DataSourceReader):
                     "read.delta-allow-rewrites=true to accept the raw file diff."
                 )
             fragments = [f for f in fragments if f.file not in known]
+        for ff in self._file_filters:
+            allowed = {ff.value} if isinstance(ff, EqualTo) else set(ff.value)
+            fragments = [f for f in fragments if f.file in allowed]
         kept = [
             f
             for f in fragments
@@ -494,7 +525,59 @@ class LanceDataSourceReader(DataSourceReader):
         if partition is None:  # every fragment was pruned
             return
         for file in (partition.file, *partition.packed_files):
-            yield from self._read_one(file)
+            if self._file_col is None:
+                yield from self._read_one(file)
+                continue
+            import pyarrow as pa
+
+            rel = self._rel_file(file)
+            if self._schema is not None and not self._schema.fields:
+                # projection touched ONLY the file column (e.g. a
+                # groupBy('__frag').count() probe): no data column to
+                # decode — emit the attribution column alone, sized by
+                # the pushed-filter row count
+                n = self._count_one(file)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([rel] * n, pa.string())], names=[self._file_col])
+                continue
+            for batch in self._read_one(file):
+                yield pa.RecordBatch.from_arrays(
+                    list(batch.columns)
+                    + [pa.array([rel] * batch.num_rows, pa.string())],
+                    names=list(batch.schema.names) + [self._file_col])
+
+    def _rel_file(self, file: str) -> str:
+        base = str(self._path).rstrip("/")
+        f = str(file)
+        return f[len(base) + 1:] if f.startswith(base + "/") else f
+
+    def _count_one(self, file: str) -> int:
+        """Pushed-filter row count of one fragment, decoding as little
+        as possible (metadata-only when no filter is pushed)."""
+        import pyarrow.dataset as pads
+
+        expr = None
+        for f in self._pushed:
+            e = _filter_to_arrow(f)
+            expr = e if expr is None else (expr & e)
+        if self._remote:
+            import pyarrow.parquet as papq
+
+            from .fs import get_fs
+
+            with get_fs(file, self._storage).open(file, "rb") as fobj:
+                pf = papq.ParquetFile(fobj)
+                if expr is None:
+                    return pf.metadata.num_rows
+                return pf.read().filter(expr).num_rows
+        if file.endswith(".lance"):
+            from . import lance_format as LF
+
+            if expr is None:
+                return LF.read_file_descriptor(file)[1]
+            return LF.read_native_file(file).filter(expr).num_rows
+        d = pads.dataset(file, format="parquet")
+        return d.count_rows(filter=expr)
 
     def _read_one(self, file: str) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -1168,6 +1251,19 @@ class LanceDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
+        base = self._data_schema()
+        fc = self.options.get("read.file-column")
+        if not fc:
+            return base
+        if fc in base.names:
+            raise ValueError(
+                f"read.file-column={fc!r} collides with a dataset column; "
+                "pick an unused name")
+        from pyspark.sql.types import StringType, StructField
+
+        return StructType(list(base.fields) + [StructField(fc, StringType())])
+
+    def _data_schema(self) -> StructType:
         import pyarrow.parquet as pq
 
         from ..types import arrow_schema_to_spark

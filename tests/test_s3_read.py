@@ -339,3 +339,110 @@ def test_s3_vacuum_reclaims_dead_objects(fake_s3, spark):
         (spark.read.format("lance")
          .option("s3-endpoint", f"fake://{fake_s3}")
          .option("version", "0").load(url).collect())
+
+
+def test_file_column_attribution_and_partition_pruning(fake_s3, spark):
+    """read.file-column appends each row's RELATIVE fragment file (the
+    remote-capable twin of input_file_name(), which Python data sources
+    evaluate to ''), and EqualTo/In filters on it prune PARTITIONS at
+    planning time — a fragment-subset scan expressed as a predicate."""
+    from pyspark.sql import functions as F
+
+    from flink_connector_lance_spark.sources.datasource import (
+        LanceDataSourceReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    url = _make_remote_table(spark, fake_s3, table="attr", n=40)
+    register_lance_datasource(spark)
+    rd = (spark.read.format("lance")
+          .option("s3-endpoint", f"fake://{fake_s3}")
+          .option("read.file-column", "__frag"))
+    df = rd.load(url)
+    assert df.columns[-1] == "__frag"
+    per_file = {r.f: r.c for r in
+                df.groupBy(F.col("__frag").alias("f")).count()
+                .withColumnRenamed("count", "c").collect()}
+    assert len(per_file) == 2 and sum(per_file.values()) == 40
+    assert all(f.startswith("data/") for f in per_file)
+    one = sorted(per_file)[0]
+    # data filter + attribution compose
+    got = rd.load(url).filter("g = 2").select("__frag").distinct().collect()
+    assert {r[0] for r in got} <= set(per_file)
+    # planning-time partition pruning on the file column
+    r = LanceDataSourceReader({"path": url, "s3-endpoint": f"fake://{fake_s3}",
+                               "read.file-column": "__frag"})
+    r.pushFilters([EqualTo(("__frag",), one)])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].file.endswith(one)
+    # and the values really are that fragment's rows
+    sub = rd.load(url).filter(F.col("__frag") == one)
+    assert sub.count() == per_file[one]
+
+
+def test_s3_delete_rows_executor_direct(fake_s3, spark):
+    """Row-level DELETE on an s3:// dataset: only affected fragments
+    rewrite (untouched keys carry over), survivor bytes are PUT from
+    worker processes, blooms rebuild on the rewritten fragments, and the
+    commit is a conditional PUT under CAS. MVCC: the pre-delete version
+    still reads."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    url = "s3://bucket/wh/db1/del"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3, bloom_columns=["id"])
+    # two fragments with disjoint ranges: only one holds matches
+    write_dataset(spark.range(50).selectExpr("id", "id % 4 AS g").coalesce(1),
+                  url, mode="overwrite", options=opts)
+    write_dataset(spark.range(50, 100).selectExpr("id", "id % 4 AS g").coalesce(1),
+                  url, mode="append", options=opts)
+    m0 = FR.read_manifest(url, storage_options=s3.to_storage_options())
+    untouched = [f.file for f in m0.fragments if f.file.endswith(".parquet")]
+
+    log = os.path.join(fake_s3, "_put_pids.log")
+    open(log, "w").close()  # reset the audit trail
+    m = delete_rows(spark, url, "id >= 80", s3=s3)
+    assert sum(f.row_count for f in m.fragments) == 80
+    files_after = {f.file for f in m.fragments}
+    # the id<50 fragment carried over by key; the other was rewritten
+    assert untouched[0] in files_after and untouched[1] not in files_after
+    # rewritten fragment keeps the bloom contract
+    from flink_connector_lance_spark.sources.bloom import BLOOM_STATS_KEY
+    rewritten = [f for f in m.fragments if f.file != untouched[0]]
+    assert rewritten and all(BLOOM_STATS_KEY in (f.stats or {}) for f in rewritten)
+    # survivor bytes were PUT by worker processes, not the driver
+    frag_puts = [ln.split() for ln in open(log).read().splitlines()
+                 if "/data/" in ln and not ln.endswith(".bloom.json")]
+    assert frag_puts and all(int(p) != os.getpid() for p, _ in frag_puts)
+    register_lance_datasource(spark)
+    rd = spark.read.format("lance").option("s3-endpoint", f"fake://{fake_s3}")
+    assert rd.load(url).count() == 80
+    assert rd.load(url).filter("id >= 80").count() == 0
+    assert rd.option("version", str(m0.version)).load(url).count() == 100
+
+
+def test_s3_compact_merges_runts(fake_s3, spark):
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.maintenance import compact_dataset
+
+    url = "s3://bucket/wh/db1/cmp"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3)
+    write_dataset(spark.range(500).selectExpr("id").coalesce(1), url,
+                  mode="overwrite", options=opts)
+    for i in range(4):  # micro-appends -> runts
+        write_dataset(spark.range(500 + i * 10, 510 + i * 10).selectExpr("id")
+                      .coalesce(1), url, mode="append", options=opts)
+    m0 = FR.read_manifest(url, storage_options=s3.to_storage_options())
+    assert len(m0.fragments) == 5
+    m = compact_dataset(spark, url, target_rows_per_fragment=400,
+                        small_threshold=100, s3=s3)
+    assert len(m.fragments) == 2  # big one kept + merged runts
+    assert sum(f.row_count for f in m.fragments) == 540
+    big = [f for f in m0.fragments if f.row_count == 500][0]
+    assert big.file in {f.file for f in m.fragments}  # carried by key
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert got.count() == 540
