@@ -21,8 +21,12 @@ being importable:
   manifest through ``create_exclusive`` — on s3fs an S3 conditional PUT
   (``If-None-Match: *``), giving the same single-winner semantics as
   the local ``O_EXCL`` path. Backends without exclusive-create keep
-  the old clear refusal (a lost-update window is worse than an error).
-  Maintenance rewrites (compact/vacuum/DELETE/MERGE) stay local-only.
+  the old clear refusal (a lost-update window is worse than an error);
+- **maintenance** (DELETE/MERGE/compact) runs executor-direct too — a
+  file-attributed probe plus a partition-pruned rescan whose tasks PUT
+  rewritten fragments straight to s3 (sources/maintenance.py
+  _delete_remote/_merge_remote/_compact_remote), and **vacuum**
+  garbage-collects dead keys from listings alone (_vacuum_remote).
 
 Without fsspec installed, every remote call degrades to the same clear
 error the catalog always raised.

@@ -846,6 +846,68 @@ def _compact_remote(spark: SparkSession, path: str, target_rows: int,
         storage_options=storage)
 
 
+def _merge_remote(spark: SparkSession, path: str, updates: DataFrame,
+                  key: str, commit_meta: dict | None, s3) -> FR.Manifest:
+    """MERGE (upsert) for an s3:// dataset — same atomic copy-on-write
+    shape as the local path, executor-direct: a semi-join probe over the
+    file-attributed read finds the fragments holding updated keys, the
+    partition-pruned rescan anti-joins out the replaced rows, survivors
+    and the (schema-aligned) update rows re-encode together in one job
+    whose tasks PUT fragments straight to s3, and the driver commits ONE
+    conditional-PUT manifest under CAS — a reader sees pre- or
+    post-merge, never a delete-without-insert intermediate."""
+    import pyspark.sql.functions as F
+
+    from .bloom import BLOOM_STATS_KEY
+    from .writer import _put_fragments_from_tasks
+
+    storage = s3.to_storage_options() if s3 is not None else None
+    manifest = FR.read_manifest(path, storage_options=storage)
+    if not manifest.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments")
+    keys = updates.select(key).distinct()
+    probe = _remote_reader(spark, path, s3, file_col="__frag")
+    affected = {
+        r.f for r in probe.join(keys, on=key, how="left_semi")
+        .select(F.col("__frag").alias("f")).distinct().collect()
+    }
+    keep = [f for f in manifest.fragments if f.file not in affected]
+    data_cols = [c for c in probe.columns if c != "__frag"]
+    sschema = {f.name: f.dataType
+               for f in probe.drop("__frag").schema.fields}
+    new_src = updates.select(
+        *[F.col(c).cast(sschema[c]) for c in data_cols])
+    if affected:
+        survivors = (
+            _remote_reader(spark, path, s3, file_col="__frag")
+            .filter(F.col("__frag").isin(*affected))
+            .drop("__frag")
+            .join(keys, on=key, how="left_anti")
+            .select(*data_cols)
+        )
+        new_src = survivors.unionByName(new_src)
+    bloom_cols = sorted({
+        c for f in manifest.fragments
+        for c in ((f.stats or {}).get(BLOOM_STATS_KEY, {}).get("cols", {}))
+    })
+    results = _put_fragments_from_tasks(
+        new_src, str(path).rstrip("/"), storage,
+        max_rows=1_000_000, bloom_columns=bloom_cols)
+    new = [FR.FragmentInfo(0, f"{FR.DATA_DIR}/{fn}", rows, stats)
+           for fn, rows, stats in results]
+    fragments = [
+        FR.FragmentInfo(i, f.file, f.row_count, f.stats)
+        for i, f in enumerate(keep + new)
+    ]
+    return FR.commit(
+        path, fragments, mode="overwrite",
+        meta={**(commit_meta or {}),
+              "merge": {"rewrote": len(affected), "key": key,
+                        "base_version": manifest.version}},
+        expected_base_version=manifest.version,
+        storage_options=storage)
+
+
 def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str,
                   commit_meta: dict | None = None):
     """MERGE (upsert) for a REAL Lance binary dataset: semi-join probe
@@ -904,6 +966,7 @@ def merge_rows(
     updates: DataFrame,
     key: str,
     commit_meta: dict | None = None,
+    s3=None,
 ) -> FR.Manifest:
     """MERGE (upsert) by key in ONE atomic commit: rows whose ``key``
     appears in ``updates`` are replaced, new keys are inserted.
@@ -936,7 +999,10 @@ def merge_rows(
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         return _merge_lance(path, updates, key)
     from . import lance_format as LF
+    from .fs import is_remote
 
+    if is_remote(path):
+        return _merge_remote(spark, path, updates, key, commit_meta, s3)
     if LF.is_native_dataset(path):
         return _merge_native(spark, path, updates, key, commit_meta)
     path = os.path.abspath(path)  # same relative-path contract as delete_rows

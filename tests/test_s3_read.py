@@ -2,8 +2,10 @@
 data plane through the Python DataSource's worker-side fsspec opens, and
 the catalog's read surface over an s3:// warehouse — driven by the fake
 fsspec fixture (tests/fixtures/fsspec.py), which routes the identical
-credential/option plumbing a real s3fs deployment uses. Writes stay
-refused (S3 has no atomic create-if-absent for the commit protocol)."""
+credential/option plumbing a real s3fs deployment uses. Writes are
+executor-direct (per-task fsspec PUTs + one conditional-PUT manifest
+commit), and so are the maintenance rewrites (DELETE/MERGE/compact)
+and vacuum."""
 
 from __future__ import annotations
 
@@ -446,3 +448,36 @@ def test_s3_compact_merges_runts(fake_s3, spark):
     got = (spark.read.format("lance")
            .option("s3-endpoint", f"fake://{fake_s3}").load(url))
     assert got.count() == 540
+
+
+def test_s3_merge_rows_upsert(fake_s3, spark):
+    """MERGE on an s3:// dataset: updated keys replace in one atomic
+    conditional-PUT commit, new keys insert, untouched fragments carry
+    over by key, and the pre-merge version still time-travels."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.maintenance import merge_rows
+
+    url = "s3://bucket/wh/db1/mrg"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3)
+    write_dataset(spark.range(30).selectExpr("id", "id AS v").coalesce(1),
+                  url, mode="overwrite", options=opts)
+    write_dataset(spark.range(30, 60).selectExpr("id", "id AS v").coalesce(1),
+                  url, mode="append", options=opts)
+    m0 = FR.read_manifest(url, storage_options=s3.to_storage_options())
+
+    upd = spark.createDataFrame([(5, 500), (70, 700)], "id long, v long")
+    m = merge_rows(spark, url, upd, key="id", s3=s3)
+    assert sum(f.row_count for f in m.fragments) == 61
+    # only the id<30 fragment was affected; the other carried by key
+    other = [f.file for f in m0.fragments][1]
+    assert other in {f.file for f in m.fragments}
+    register_lance_datasource(spark)
+    rd = spark.read.format("lance").option("s3-endpoint", f"fake://{fake_s3}")
+    got = {r.id: r.v for r in rd.load(url).collect()}
+    assert got[5] == 500 and got[70] == 700 and got[6] == 6 and len(got) == 61
+    assert rd.option("version", str(m0.version)).load(url).count() == 60
+    # duplicate update keys stay refused (upsert contract, both backends)
+    dup = spark.createDataFrame([(1, 10), (1, 11)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_rows(spark, url, dup, key="id", s3=s3)
