@@ -560,6 +560,14 @@ class LanceDataSourceReader(DataSourceReader):
         for f in self._pushed:
             e = _filter_to_arrow(f)
             expr = e if expr is None else (expr & e)
+        if file.endswith(".lance"):
+            from . import lance_format as LF
+
+            storage = self._storage if self._remote else None
+            if expr is None:
+                return LF.read_file_descriptor(file, storage)[1]
+            return LF.read_native_file(
+                file, storage_options=storage).filter(expr).num_rows
         if self._remote:
             import pyarrow.parquet as papq
 
@@ -570,12 +578,6 @@ class LanceDataSourceReader(DataSourceReader):
                 if expr is None:
                     return pf.metadata.num_rows
                 return pf.read().filter(expr).num_rows
-        if file.endswith(".lance"):
-            from . import lance_format as LF
-
-            if expr is None:
-                return LF.read_file_descriptor(file)[1]
-            return LF.read_native_file(file).filter(expr).num_rows
         d = pads.dataset(file, format="parquet")
         return d.count_rows(filter=expr)
 
@@ -587,11 +589,13 @@ class LanceDataSourceReader(DataSourceReader):
         for f in self._pushed:
             e = _filter_to_arrow(f)
             expr = e if expr is None else (expr & e)
+        if file.endswith(".lance"):
+            # REAL Lance fragment — local or s3:// (the stdlib decoder
+            # seeks through an fsspec stream with the threaded creds)
+            yield from self._read_one_native(file, expr)
+            return
         if self._remote:
             yield from self._read_one_remote(file, expr)
-            return
-        if file.endswith(".lance"):
-            yield from self._read_one_native(file, expr)
             return
         dset = pads.dataset(file, format="parquet")
 
@@ -652,21 +656,24 @@ class LanceDataSourceReader(DataSourceReader):
             # plain lists, so FSL columns flatten to list at the batch
             # boundary (the dimension stays recorded in the schema
             # metadata and the manifest)
+            storage = self._storage if self._remote else None
             target = pa.schema([
                 pa.field(f.name, spark_type_to_arrow(f.dataType))
                 for f in self._schema
             ])
-            ffields, fn_rows = LF.read_file_descriptor(file)
+            ffields, fn_rows = LF.read_file_descriptor(file, storage)
             avail = {f.name for f in ffields if f.parent == -1}
             present = [n for n in target.names if n in avail]
             if present:
                 tbl = LF.align_decoded_table(
-                    LF.read_native_file(file, columns=present), target)
+                    LF.read_native_file(file, columns=present,
+                                        storage_options=storage), target)
             else:
                 tbl = pa.Table.from_arrays(
                     [pa.nulls(fn_rows, f.type) for f in target], schema=target)
         else:
-            tbl = LF.read_native_file(file)
+            tbl = LF.read_native_file(
+                file, storage_options=self._storage if self._remote else None)
         if expr is not None:
             tbl = tbl.filter(expr)
         yield from tbl.to_batches(max_chunksize=self._batch_size)
@@ -1277,14 +1284,12 @@ class LanceDataSource(DataSource):
             manifest = FR.read_manifest(path, int(v) if v is not None else None,
                                         storage_options=storage)
         except FR.LanceUnavailableError:
-            # REAL Lance dataset: schema straight from the binary manifest
-            from .fs import is_remote
-
-            if is_remote(path):
-                raise
+            # REAL Lance dataset: schema straight from the binary
+            # manifest (local, or s3:// through fsspec)
             from . import lance_format as LF
 
-            mf = LF.read_native_manifest(path, int(v) if v is not None else None)
+            mf = LF.read_native_manifest(path, int(v) if v is not None else None,
+                                         storage)
             return arrow_schema_to_spark(LF.arrow_schema_of(mf.fields))
         # schema evolution: the manifest's recorded schema is authoritative
         # (pre-evolution fragments lack the newer columns)

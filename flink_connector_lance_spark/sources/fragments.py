@@ -167,19 +167,16 @@ def read_manifest_compat(root: str, version: int | None = None,
     pruning conservatively disabled) and the decoded schema FIELDS ride
     in ``meta['native_fields']`` so scan helpers can route the
     ``.lance`` files through the pure decoder
-    (reader.read_fragment_files). Local filesystems only for the native
-    branch — remote binary manifests still raise."""
+    (reader.read_fragment_files). Remote (s3://) binary manifests decode
+    through the same stdlib codec over fsspec with the caller's
+    storage options."""
     try:
         return read_manifest(root, version, storage_options=storage_options)
     except LanceUnavailableError:
-        from .fs import is_remote
-
-        if is_remote(root):
-            raise
         from . import lance_format as LF
 
-        mf = LF.read_native_manifest(root, version)
-        stats = LF.read_native_stats(root, mf.version)
+        mf = LF.read_native_manifest(root, version, storage_options)
+        stats = LF.read_native_stats(root, mf.version, storage_options)
         meta = {"native_lance": True, "native_fields": mf.fields}
         meta.update(native_config_meta(mf))
         return Manifest(

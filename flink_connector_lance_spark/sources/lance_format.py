@@ -282,24 +282,47 @@ VERSIONS_DIR = "_versions"
 DATA_DIR = "data"
 
 
-def native_manifest_versions(root: str) -> list[int]:
+def _open_binary(path: str, storage_options: dict | None = None):
+    """One binary stream, local or s3:// — fsspec file objects support
+    the same seek/read surface the decoders use, so the REAL Lance
+    read plane works over object storage with the credentials the
+    caller mapped (the reference's own S3 story is native lance —
+    ref table/LanceCatalogFactory.java:77-111)."""
+    from .fs import get_fs, is_remote
+
+    if is_remote(path):
+        return get_fs(path, storage_options).open(path, "rb")
+    return open(path, "rb")
+
+
+def native_manifest_versions(root: str,
+                             storage_options: dict | None = None) -> list[int]:
+    from .fs import get_fs, is_remote
+
     vdir = os.path.join(root, VERSIONS_DIR)
-    if not os.path.isdir(vdir):
-        return []
-    return sorted(int(n.split(".")[0]) for n in os.listdir(vdir)
+    if is_remote(root):
+        from .fs import remote_ls_names
+
+        names = remote_ls_names(get_fs(root, storage_options), vdir)
+    else:
+        if not os.path.isdir(vdir):
+            return []
+        names = os.listdir(vdir)
+    return sorted(int(n.split(".")[0]) for n in names
                   if n.endswith(".manifest"))
 
 
-def read_native_manifest(root: str, version: int | None = None) -> NativeManifest:
+def read_native_manifest(root: str, version: int | None = None,
+                         storage_options: dict | None = None) -> NativeManifest:
     """Parse ``_versions/N.manifest`` (binary protobuf, 4-byte LE length
     prefix + Manifest message + 16-byte magic tail)."""
     if version is None:
-        versions = native_manifest_versions(root)
+        versions = native_manifest_versions(root, storage_options)
         if not versions:
             raise FileNotFoundError(f"no native manifest under {root}/{VERSIONS_DIR}")
         version = versions[-1]
     path = os.path.join(root, VERSIONS_DIR, f"{version}.manifest")
-    with open(path, "rb") as fh:
+    with _open_binary(path, storage_options) as fh:
         blob = fh.read()
     if blob[-4:] != MAGIC:
         raise ValueError(f"{path}: missing {MAGIC!r} magic — not a lance manifest")
@@ -390,13 +413,14 @@ def read_file_schema(path: str) -> list[NativeField]:
     return read_file_descriptor(path)[0]
 
 
-def read_file_descriptor(path: str) -> "tuple[list[NativeField], int]":
+def read_file_descriptor(path: str, storage_options: dict | None = None
+                         ) -> "tuple[list[NativeField], int]":
     """(fields, num_rows) from the FileDescriptor with BOUNDED IO: the
     40-byte footer, one 16-byte offset entry, and the descriptor buffer
     — never the data bytes (read_file_schema slurps nothing either; the
     per-task alignment probe of a mixed-schema dataset calls this once
     per fragment)."""
-    with open(path, "rb") as fh:
+    with _open_binary(path, storage_options) as fh:
         fh.seek(0, os.SEEK_END)
         fsize = fh.tell()
         if fsize < FOOTER_LEN:
@@ -669,7 +693,8 @@ def _structural_order(fields: list[NativeField]) -> dict[int, int]:
     return {i: i for i in range(len(fields))}
 
 
-def read_native_file(path: str, columns: list[str] | None = None):
+def read_native_file(path: str, columns: list[str] | None = None,
+                     storage_options: dict | None = None):
     """Decode one ``.lance`` v2 data file into a ``pyarrow.Table``.
 
     IO shape (what makes projection a real win, not just decode CPU):
@@ -680,7 +705,7 @@ def read_native_file(path: str, columns: list[str] | None = None):
     wide fragment reads 2 columns' bytes plus O(metadata)."""
     import pyarrow as pa
 
-    with open(path, "rb") as fh:
+    with _open_binary(path, storage_options) as fh:
         fh.seek(0, os.SEEK_END)
         fsize = fh.tell()
         if fsize < FOOTER_LEN:
@@ -796,14 +821,15 @@ def read_native_dataset(root: str, version: int | None = None,
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
-def native_count_rows(root: str, version: int | None = None) -> int:
+def native_count_rows(root: str, version: int | None = None,
+                      storage_options: dict | None = None) -> int:
     """COUNT(*) from manifest metadata (Fragment.physical_rows) — no data
     IO, same contract as the emulated backend's count fast path."""
-    return read_native_manifest(root, version).row_count
+    return read_native_manifest(root, version, storage_options).row_count
 
 
-def is_native_dataset(root: str) -> bool:
-    return bool(native_manifest_versions(root))
+def is_native_dataset(root: str, storage_options: dict | None = None) -> bool:
+    return bool(native_manifest_versions(root, storage_options))
 
 
 # =============================================================================
@@ -1312,14 +1338,15 @@ def _stats_sidecar(root: str, version: int) -> str:
     return os.path.join(root, VERSIONS_DIR, f"{version}.stats.json")
 
 
-def read_native_stats(root: str, version: int) -> dict:
+def read_native_stats(root: str, version: int,
+                      storage_options: dict | None = None) -> dict:
     """Zone-map sidecar for a manifest version: ``{file_name: stats}``.
     OUR extension beside the binary layout (real lance ignores it);
     missing/unreadable -> {} (pruning conservatively disabled)."""
     import json
 
     try:
-        with open(_stats_sidecar(root, version)) as fh:
+        with _open_binary(_stats_sidecar(root, version), storage_options) as fh:
             return json.load(fh)
     except (FileNotFoundError, ValueError):
         return {}

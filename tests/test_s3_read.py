@@ -481,3 +481,53 @@ def test_s3_merge_rows_upsert(fake_s3, spark):
     dup = spark.createDataFrame([(1, 10), (1, 11)], "id long, v long")
     with pytest.raises(ValueError, match="duplicate"):
         merge_rows(spark, url, dup, key="id", s3=s3)
+
+
+def test_s3_native_binary_dataset_reads(fake_s3, spark):
+    """A REAL Lance v2 binary dataset living on s3:// reads through the
+    stdlib codec over fsspec — manifest, schema, fragments, filters, and
+    version travel; this is the reference's own S3 surface (its catalog
+    hands s3 credentials to native lance, ref
+    LanceCatalogFactory.java:77-111)."""
+    import shutil
+
+    from flink_connector_lance_spark.sources import lance_format as LF
+
+    ref = "/root/reference/test-data/lance-db1"
+    if not LF.is_native_dataset(ref):
+        pytest.skip("reference fixtures not present")
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "ndb")
+    shutil.copytree(ref, local)
+    url = "s3://bucket/wh/db1/ndb"
+    storage = S3Options(endpoint=f"fake://{fake_s3}").to_storage_options()
+
+    assert LF.is_native_dataset(url, storage)
+    mf = LF.read_native_manifest(url, storage_options=storage)
+    assert mf.version == 1 and mf.row_count == 5
+    compat = FR.read_manifest_compat(url, storage_options=storage)
+    assert compat.meta["native_lance"] is True
+
+    register_lance_datasource(spark)
+    rd = spark.read.format("lance").option("s3-endpoint", f"fake://{fake_s3}")
+    df = rd.load(url)
+    assert set(df.columns) == {"id", "title", "embedding"}
+    assert df.count() == 5
+    # the demo's literal rows come back through fsspec + the decoder
+    titles = {r.id: r.title for r in df.collect()}
+    assert titles[1] == "Introduction to AI" and len(titles) == 5
+    assert df.filter("id >= 4").count() == 2
+    # native dataset written by THIS engine, pushed to s3, reads too
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    nds = os.path.join(tmp, "mine")
+    import pyarrow as pa
+
+    LF.write_native_dataset(
+        nds, pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                       "s": pa.array(["a", None, "c"], pa.string())}),
+        "create")
+    dest = os.path.join(fake_s3, "bucket", "wh", "db1", "mine")
+    shutil.copytree(nds, dest)
+    got = rd.load("s3://bucket/wh/db1/mine")
+    assert got.count() == 3 and got.filter("s IS NULL").count() == 1
