@@ -330,7 +330,8 @@ def commit(root: str, new_fragments: list[FragmentInfo], mode: str = "append",
     raise RuntimeError(f"commit conflict: gave up after {max_retries} retries at {root}")
 
 
-def meta_value_committed(root: str, key: str, value) -> bool:
+def meta_value_committed(root: str, key: str, value,
+                         storage_options: dict | None = None) -> bool:
     """True iff any committed manifest carries ``meta[key] == value`` —
     the authoritative idempotency check for epoch-tagged commits (the
     meta rides inside the atomic manifest write, so there is no
@@ -340,16 +341,17 @@ def meta_value_committed(root: str, key: str, value) -> bool:
     landed)."""
     from . import lance_format as LF
 
-    if LF.is_native_dataset(root):
-        for nv in reversed(LF.native_manifest_versions(root)):
-            m = native_config_meta(LF.read_native_manifest(root, nv))
+    if LF.is_native_dataset(root, storage_options):
+        for nv in reversed(LF.native_manifest_versions(root, storage_options)):
+            m = native_config_meta(
+                LF.read_native_manifest(root, nv, storage_options))
             if key in m and m[key] == value:
                 return True
         return False
-    v = latest_version(root)
+    v = latest_version(root, storage_options)
     while v is not None and v >= 0:
         try:
-            m = read_manifest(root, v)
+            m = read_manifest(root, v, storage_options)
         except FileNotFoundError:
             break
         if m.meta.get(key) == value:

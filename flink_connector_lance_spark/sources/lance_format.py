@@ -1358,7 +1358,8 @@ def commit_native(root: str, fields: list[NativeField],
                   timestamp: tuple[int, int] | None = None,
                   expected_base_version: "int | None" = None,
                   config: "dict | None" = None,
-                  allow_widen: bool = False) -> NativeManifest:
+                  allow_widen: bool = False,
+                  storage_options: dict | None = None) -> NativeManifest:
     """Commit already-written ``data/`` files (``[(file_name, rows)]``
     or ``[(file_name, rows, stats|None)]``) as a new manifest version.
     ``append`` keeps the live fragment list; ``overwrite`` replaces it
@@ -1408,9 +1409,12 @@ def commit_native(root: str, fields: list[NativeField],
     import uuid as _uuid
 
     from .fragments import CommitConflict
+    from .fs import create_exclusive, get_fs, is_remote
 
-    os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
-    os.makedirs(os.path.join(root, "_transactions"), exist_ok=True)
+    remote_fs = get_fs(root, storage_options) if is_remote(root) else None
+    if remote_fs is None:
+        os.makedirs(os.path.join(root, VERSIONS_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, "_transactions"), exist_ok=True)
     if timestamp is None:
         now = time.time()
         timestamp = (int(now), int((now % 1) * 1e9))
@@ -1420,7 +1424,7 @@ def commit_native(root: str, fields: list[NativeField],
              e[4] if len(e) > 4 else None) for e in new_files]
 
     while True:
-        versions = native_manifest_versions(root)
+        versions = native_manifest_versions(root, storage_options)
         if mode == "create" and versions:
             raise FileExistsError(f"{root} already holds a native dataset "
                                   f"(versions {versions}); use append/overwrite")
@@ -1436,9 +1440,9 @@ def commit_native(root: str, fields: list[NativeField],
         out_fields = fields
         out_config: dict = {}
         if versions:
-            prev = read_native_manifest(root)
+            prev = read_native_manifest(root, storage_options=storage_options)
             read_version = prev.version
-            prev_stats = read_native_stats(root, prev.version)
+            prev_stats = read_native_stats(root, prev.version, storage_options)
             out_config = dict(prev.config or {})
             if mode == "append":
                 if _schema_shape(prev.fields) == _schema_shape(fields):
@@ -1482,23 +1486,36 @@ def commit_native(root: str, fields: list[NativeField],
 
         tuid = txn_uuid or str(_uuid.uuid4())
         txn_file = f"{read_version}-{tuid}.txn"
-        with open(os.path.join(root, "_transactions", txn_file), "wb") as fh:
-            fh.write(_txn_bytes(tuid, out_fields, fragments))
+        txn_path = os.path.join(root, "_transactions", txn_file)
+        if remote_fs is not None:
+            with remote_fs.open(txn_path, "wb") as fh:
+                fh.write(_txn_bytes(tuid, out_fields, fragments))
+        else:
+            with open(txn_path, "wb") as fh:
+                fh.write(_txn_bytes(tuid, out_fields, fragments))
 
         version = (versions[-1] + 1) if versions else 1
         mpath = os.path.join(root, VERSIONS_DIR, f"{version}.manifest")
+        mbytes = _manifest_bytes(out_fields, fragments, version,
+                                 txn_file, timestamp, config=out_config)
         try:
-            with open(mpath, "xb") as fh:  # single-winner commit
-                fh.write(_manifest_bytes(out_fields, fragments, version,
-                                         txn_file, timestamp,
-                                         config=out_config))
+            if remote_fs is not None:
+                # S3 conditional PUT (If-None-Match: *) — the same
+                # single-winner semantics as the local O_EXCL create
+                create_exclusive(remote_fs, mpath, mbytes)
+            else:
+                with open(mpath, "xb") as fh:  # single-winner commit
+                    fh.write(mbytes)
         except FileExistsError:
             # lost the race: this round's txn file references a manifest
             # that will never exist — collect it NOW rather than leaving
             # an orphan for vacuum (and, with a caller-pinned txn_uuid,
             # rather than accreting one orphan per retried read_version)
             try:
-                os.remove(os.path.join(root, "_transactions", txn_file))
+                if remote_fs is not None:
+                    remote_fs.rm(txn_path)
+                else:
+                    os.remove(txn_path)
             except OSError:
                 pass
             if mode == "create":
@@ -1507,11 +1524,17 @@ def commit_native(root: str, fields: list[NativeField],
         if stats_map:
             # after the win: a crash here leaves manifest-without-sidecar,
             # which readers treat as stats-absent (no pruning — safe)
-            tmp = _stats_sidecar(root, version) + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(stats_map, fh)
-            os.rename(tmp, _stats_sidecar(root, version))
-        return read_native_manifest(root, version)
+            if remote_fs is not None:
+                # a PUT is atomic per key — no tmp+rename dance needed
+                with remote_fs.open(_stats_sidecar(root, version), "wb") as fh:
+                    fh.write(json.dumps(stats_map).encode())
+            else:
+                tmp = _stats_sidecar(root, version) + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(stats_map, fh)
+                os.rename(tmp, _stats_sidecar(root, version))
+        return read_native_manifest(root, version,
+                                    storage_options=storage_options)
 
 
 def write_native_dataset(root: str, table, mode: str = "create",

@@ -259,12 +259,14 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
 _DROPPED_CFG = "spark.flc.meta.dropped_columns"
 
 
-def native_dropped_columns(path: str) -> list[str]:
+def native_dropped_columns(path: str,
+                           storage_options: dict | None = None) -> list[str]:
     """The resurrection guard for a native binary dataset: dropped names
     recorded in the manifest's table-config slot."""
     from . import lance_format as LF
 
-    cfg = (LF.read_native_manifest(path).config or {}).get(_DROPPED_CFG)
+    cfg = (LF.read_native_manifest(path, storage_options=storage_options)
+           .config or {}).get(_DROPPED_CFG)
     return list(json.loads(cfg)) if cfg else []
 
 

@@ -83,12 +83,19 @@ def write_dataset(
                 "lance write path — use lance's own read_version contract"
             )
         return _write_lance(df, path, mode, opts)
+    from . import lance_format as LF
     from .fs import is_remote
 
     if is_remote(path):
+        storage = opts.s3.to_storage_options() if opts.s3 else None
+        if LF.is_native_dataset(path, storage):
+            # REAL Lance dataset on s3: route through the codec (a JSON
+            # manifest beside the binary chain would fork the dataset)
+            return write_native_pure(df, path, mode, opts,
+                                     commit_meta=commit_meta,
+                                     expected_base_version=expected_base_version)
         return _write_remote(df, path, mode, opts, commit_meta,
                              expected_base_version)
-    from . import lance_format as LF
 
     if LF.is_native_dataset(path):
         # REAL Lance dataset (binary manifests) and no lance package:
@@ -382,9 +389,12 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     (ref LanceSink.java:133-199 buffers + commits per subtask instead).
 
     A failed/retried task leaves an unreferenced ``.lance`` file that no
-    manifest points at — garbage, never a correctness hazard (same
-    contract as the S3 staging path). Local filesystems only, like the
-    pure decoder. Returns the committed ``NativeManifest``."""
+    manifest points at — garbage, never a correctness hazard. On an
+    s3:// path (credentials in ``options.s3``) every task PUTs its
+    encoded files straight to the object store and the manifest commits
+    with a conditional PUT — real Lance datasets written executor-direct
+    onto S3, the reference's own deployment story. Returns the committed
+    ``NativeManifest``."""
     import pyarrow as pa
 
     from ..types import spark_schema_to_arrow
@@ -394,8 +404,9 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     mode = WriteMode.parse(mode)
     if mode not in (WriteMode.APPEND, WriteMode.OVERWRITE):
         raise ValueError(f"unsupported mode {mode} for native-format write")
+    storage = opts.s3.to_storage_options() if opts.s3 else None
     widened_fields = None
-    if mode is WriteMode.APPEND and LF.native_manifest_versions(path):
+    if mode is WriteMode.APPEND and LF.native_manifest_versions(path, storage):
         # append-time contract: reorder the batch to the live manifest's
         # column order here (one driver-side select) and let each task
         # arrow-cast to the recorded types (e.g. Spark's µs timestamps
@@ -407,11 +418,11 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
         from ..types import arrow_schema_to_spark
         from .schema_evolution import align_for_append, native_dropped_columns
 
-        live = LF.read_native_manifest(path)
+        live = LF.read_native_manifest(path, storage_options=storage)
         base = LF.arrow_schema_of(live.fields)
         df = align_for_append(df, arrow_schema_to_spark(base),
                               opts.schema_evolution,
-                              dropped=native_dropped_columns(path))
+                              dropped=native_dropped_columns(path, storage))
         extras = [c for c in df.columns if c not in set(base.names)]
         if extras:
             import pyarrow as pa
@@ -433,7 +444,8 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
         df = df.sortWithinPartitions(*opts.sort_columns)
     new_files = produce_native_fragments(df, path, schema,
                                          opts.write_max_rows_per_file,
-                                         bloom_columns=opts.bloom_columns)
+                                         bloom_columns=opts.bloom_columns,
+                                         storage_options=storage)
     fields = (widened_fields if widened_fields is not None
               else LF.fields_of_arrow_schema(schema))
     # commit metadata rides in the manifest's public table-config slot
@@ -450,7 +462,8 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     return LF.commit_native(path, fields, new_files, mode.value,
                             config=config,
                             expected_base_version=expected_base_version,
-                            allow_widen=widened_fields is not None)
+                            allow_widen=widened_fields is not None,
+                            storage_options=storage)
 
 
 META_CONFIG_PREFIX = "spark.flc.meta."
@@ -472,6 +485,7 @@ def _meta_to_config(commit_meta: dict | None) -> "dict | None":
 def produce_native_fragments(df: DataFrame, path: str, schema,
                              max_rows: int,
                              bloom_columns: "list[str] | None" = None,
+                             storage_options: dict | None = None,
                              ) -> "list[tuple[str, int]]":
     """Executor fan-out of the native write: every task encodes its
     partition into ``data/<uuid>.lance`` v2 files (sliced at ``max_rows``
@@ -479,11 +493,18 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
     decoder and lance 0.24 expect) and reports ``(file_name, rows)``
     back. NOTHING is committed — callers (write_native_pure, native
     compaction) decide the fragment list; uncommitted files are
-    invisible garbage."""
+    invisible garbage. On an s3:// ``path`` each task encodes to a
+    worker-local scratch file and PUTs it (and its bloom sidecar)
+    straight to the object store — executor-direct, like the parquet
+    remote write."""
     from . import lance_format as LF
+    from .fs import is_remote
 
-    data_dir = os.path.join(path, LF.DATA_DIR)
-    os.makedirs(data_dir, exist_ok=True)
+    remote = is_remote(path)
+    data_dir = (f"{str(path).rstrip('/')}/{LF.DATA_DIR}" if remote
+                else os.path.join(path, LF.DATA_DIR))
+    if not remote:
+        os.makedirs(data_dir, exist_ok=True)
 
     def produce(iterator):
         import uuid as _uuid
@@ -504,7 +525,19 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
             if piece.num_rows == 0:
                 continue
             fname = f"{_uuid.uuid4()}.lance"
-            _LF.write_native_file(piece, os.path.join(data_dir, fname))
+            if remote:
+                import tempfile as _tempfile
+
+                from flink_connector_lance_spark.sources.fs import (
+                    get_fs as _get_fs,
+                )
+
+                fs = _get_fs(path, storage_options)
+                with _tempfile.NamedTemporaryFile(suffix=".lance") as tmp:
+                    _LF.write_native_file(piece, tmp.name)
+                    fs.put(tmp.name, f"{data_dir}/{fname}")
+            else:
+                _LF.write_native_file(piece, os.path.join(data_dir, fname))
             out_files.append(fname)
             out_rows.append(piece.num_rows)
             # zone map for the commit's stats sidecar: planning-time
@@ -517,11 +550,23 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
                 # same stats sidecar the zone maps use
                 from flink_connector_lance_spark.sources.bloom import (
                     BLOOM_STATS_KEY,
+                    BLOOM_SUFFIX,
+                    build_bloom_payload,
                     build_bloom_sidecar_from_table,
                 )
 
-                entry = build_bloom_sidecar_from_table(
-                    piece, os.path.join(data_dir, fname), bloom_columns)
+                if remote:
+                    built = build_bloom_payload(piece, bloom_columns)
+                    entry = None
+                    if built is not None:
+                        payload, cols_meta = built
+                        side = fname + BLOOM_SUFFIX
+                        with fs.open(f"{data_dir}/{side}", "wb") as fh:
+                            fh.write(_json.dumps(payload).encode())
+                        entry = {"file": side, "cols": cols_meta}
+                else:
+                    entry = build_bloom_sidecar_from_table(
+                        piece, os.path.join(data_dir, fname), bloom_columns)
                 if entry is not None:
                     st[BLOOM_STATS_KEY] = entry
             out_stats.append(_json.dumps(st) if st else None)
