@@ -740,6 +740,48 @@ def _remote_reader(spark, path: str, s3, file_col: "str | None" = None):
     return r.load(path)
 
 
+def _rewrite_commit_remote(spark, path: str, storage, manifest, affected,
+                           new_src, meta: dict, bloom_cols,
+                           max_rows: int = 1_000_000):
+    """Shared tail of the remote copy-on-write rewrites (DELETE / MERGE /
+    compaction): produce fresh fragments from ``new_src`` executor-direct
+    (tasks PUT straight to s3), carry unaffected fragments by key, commit
+    ONE conditional-PUT version under CAS — for BOTH remote backends
+    (emulated parquet chain via FR.commit, native binary chain via
+    commit_native with the engine meta in the table-config slot and
+    per-fragment field mappings preserved)."""
+    from . import lance_format as LF
+    from .writer import (_meta_to_config, _put_fragments_from_tasks,
+                         produce_native_fragments)
+
+    if manifest.meta.get("native_lance"):
+        nmf = LF.read_native_manifest(path, storage_options=storage)
+        keep = [fr for fr in nmf.fragments
+                if f"{LF.DATA_DIR}/{fr.file}" not in affected]
+        new = produce_native_fragments(
+            new_src, path, LF.arrow_schema_of(nmf.fields), max_rows,
+            bloom_columns=bloom_cols or None, storage_options=storage)
+        pairs = [(fr.file, fr.physical_rows, None,
+                  fr.field_ids, fr.column_indices) for fr in keep] + new
+        return LF.commit_native(path, nmf.fields, pairs, "overwrite",
+                                expected_base_version=nmf.version,
+                                config=_meta_to_config(meta),
+                                storage_options=storage)
+    keep = [f for f in manifest.fragments if f.file not in affected]
+    results = _put_fragments_from_tasks(
+        new_src, str(path).rstrip("/"), storage,
+        max_rows=max_rows, bloom_columns=bloom_cols)
+    new = [FR.FragmentInfo(0, f"{FR.DATA_DIR}/{fn}", rows, stats)
+           for fn, rows, stats in results]
+    fragments = [
+        FR.FragmentInfo(i, f.file, f.row_count, f.stats)
+        for i, f in enumerate(keep + new)
+    ]
+    return FR.commit(path, fragments, mode="overwrite", meta=meta,
+                     expected_base_version=manifest.version,
+                     storage_options=storage)
+
+
 def _delete_remote(spark: SparkSession, path: str, pred, s3) -> FR.Manifest:
     """Row-level DELETE for an s3:// dataset — the executor-direct twin
     of the local copy-on-write: one file-attributed probe finds the
@@ -760,7 +802,7 @@ def _delete_remote(spark: SparkSession, path: str, pred, s3) -> FR.Manifest:
     from .writer import _put_fragments_from_tasks
 
     storage = s3.to_storage_options() if s3 is not None else None
-    manifest = FR.read_manifest(path, storage_options=storage)
+    manifest = FR.read_manifest_compat(path, storage_options=storage)
     if not manifest.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments")
     probe = _remote_reader(spark, path, s3, file_col="__frag")
@@ -770,7 +812,6 @@ def _delete_remote(spark: SparkSession, path: str, pred, s3) -> FR.Manifest:
     }
     if not affected:
         return manifest  # nothing matched: no new version
-    keep = [f for f in manifest.fragments if f.file not in affected]
     survivors = (
         _remote_reader(spark, path, s3, file_col="__frag")
         .filter(F.col("__frag").isin(*affected))  # partition-pruned rescan
@@ -783,21 +824,11 @@ def _delete_remote(spark: SparkSession, path: str, pred, s3) -> FR.Manifest:
         c for f in manifest.fragments if f.file in affected
         for c in ((f.stats or {}).get(BLOOM_STATS_KEY, {}).get("cols", {}))
     })
-    results = _put_fragments_from_tasks(
-        survivors, str(path).rstrip("/"), storage,
-        max_rows=1_000_000, bloom_columns=bloom_cols)
-    new = [FR.FragmentInfo(0, f"{FR.DATA_DIR}/{fn}", rows, stats)
-           for fn, rows, stats in results]
-    fragments = [
-        FR.FragmentInfo(i, f.file, f.row_count, f.stats)
-        for i, f in enumerate(keep + new)
-    ]
-    return FR.commit(
-        path, fragments, mode="overwrite",
+    return _rewrite_commit_remote(
+        spark, path, storage, manifest, affected, survivors,
         meta={"delete": {"rewrote": len(affected),
                          "base_version": manifest.version}},
-        expected_base_version=manifest.version,
-        storage_options=storage)
+        bloom_cols=bloom_cols)
 
 
 def _compact_remote(spark: SparkSession, path: str, target_rows: int,
@@ -814,12 +845,11 @@ def _compact_remote(spark: SparkSession, path: str, target_rows: int,
     from .writer import _put_fragments_from_tasks
 
     storage = s3.to_storage_options() if s3 is not None else None
-    manifest = FR.read_manifest(path, storage_options=storage)
+    manifest = FR.read_manifest_compat(path, storage_options=storage)
     small = [f for f in manifest.fragments if f.row_count < threshold]
     if len(small) < 2:
         return manifest
-    keep = [f for f in manifest.fragments if f.row_count >= threshold]
-    small_files = [f.file for f in small]
+    small_files = {f.file for f in small}
     df = (_remote_reader(spark, path, s3, file_col="__frag")
           .filter(F.col("__frag").isin(*small_files))
           .drop("__frag"))
@@ -829,21 +859,11 @@ def _compact_remote(spark: SparkSession, path: str, target_rows: int,
         c for f in small
         for c in ((f.stats or {}).get(BLOOM_STATS_KEY, {}).get("cols", {}))
     })
-    results = _put_fragments_from_tasks(
-        df, str(path).rstrip("/"), storage,
-        max_rows=target_rows, bloom_columns=bloom_cols)
-    new = [FR.FragmentInfo(0, f"{FR.DATA_DIR}/{fn}", rows, stats)
-           for fn, rows, stats in results]
-    fragments = [
-        FR.FragmentInfo(i, f.file, f.row_count, f.stats)
-        for i, f in enumerate(keep + new)
-    ]
-    return FR.commit(
-        path, fragments, mode="overwrite",
+    return _rewrite_commit_remote(
+        spark, path, storage, manifest, small_files, df,
         meta={"compaction": {"merged": len(small),
                              "base_version": manifest.version}},
-        expected_base_version=manifest.version,
-        storage_options=storage)
+        bloom_cols=bloom_cols, max_rows=target_rows)
 
 
 def _merge_remote(spark: SparkSession, path: str, updates: DataFrame,
@@ -862,7 +882,7 @@ def _merge_remote(spark: SparkSession, path: str, updates: DataFrame,
     from .writer import _put_fragments_from_tasks
 
     storage = s3.to_storage_options() if s3 is not None else None
-    manifest = FR.read_manifest(path, storage_options=storage)
+    manifest = FR.read_manifest_compat(path, storage_options=storage)
     if not manifest.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments")
     keys = updates.select(key).distinct()
@@ -871,7 +891,6 @@ def _merge_remote(spark: SparkSession, path: str, updates: DataFrame,
         r.f for r in probe.join(keys, on=key, how="left_semi")
         .select(F.col("__frag").alias("f")).distinct().collect()
     }
-    keep = [f for f in manifest.fragments if f.file not in affected]
     data_cols = [c for c in probe.columns if c != "__frag"]
     sschema = {f.name: f.dataType
                for f in probe.drop("__frag").schema.fields}
@@ -890,22 +909,12 @@ def _merge_remote(spark: SparkSession, path: str, updates: DataFrame,
         c for f in manifest.fragments
         for c in ((f.stats or {}).get(BLOOM_STATS_KEY, {}).get("cols", {}))
     })
-    results = _put_fragments_from_tasks(
-        new_src, str(path).rstrip("/"), storage,
-        max_rows=1_000_000, bloom_columns=bloom_cols)
-    new = [FR.FragmentInfo(0, f"{FR.DATA_DIR}/{fn}", rows, stats)
-           for fn, rows, stats in results]
-    fragments = [
-        FR.FragmentInfo(i, f.file, f.row_count, f.stats)
-        for i, f in enumerate(keep + new)
-    ]
-    return FR.commit(
-        path, fragments, mode="overwrite",
+    return _rewrite_commit_remote(
+        spark, path, storage, manifest, affected, new_src,
         meta={**(commit_meta or {}),
               "merge": {"rewrote": len(affected), "key": key,
                         "base_version": manifest.version}},
-        expected_base_version=manifest.version,
-        storage_options=storage)
+        bloom_cols=bloom_cols)
 
 
 def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str,

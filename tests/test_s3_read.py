@@ -583,3 +583,54 @@ def test_s3_native_write_and_roundtrip(fake_s3, spark):
     assert got.count() == 50
     assert got.filter("id >= 45").count() == 5
     assert rd.option("version", "1").load(url).count() == 40  # MVCC travel
+
+
+def test_s3_native_delete_and_compact(fake_s3, spark):
+    """The remote copy-on-write rewrites serve the NATIVE binary chain
+    too: DELETE and compaction on a real Lance dataset living on s3 —
+    probe + partition-pruned rescan through the codec-over-fsspec
+    reader, .lance survivors PUT from tasks, one conditional-PUT binary
+    manifest under CAS with per-fragment field mappings preserved."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.maintenance import (
+        compact_dataset,
+        delete_rows,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    url = "s3://bucket/wh/db1/ndel"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3)
+    storage = s3.to_storage_options()
+    write_native_pure(spark.range(50).selectExpr("id", "concat('v', id) AS v")
+                      .coalesce(1), url, mode="overwrite", options=opts)
+    write_native_pure(spark.range(50, 100).selectExpr("id", "concat('v', id) AS v")
+                      .coalesce(1), url, mode="append", options=opts)
+    m0 = LF.read_native_manifest(url, storage_options=storage)
+
+    m = delete_rows(spark, url, "id >= 90", s3=s3)
+    assert m.row_count == 90
+    # the untouched fragment carried over byte-identical (same name)
+    assert m0.fragments[0].file in {fr.file for fr in m.fragments}
+    register_lance_datasource(spark)
+
+    def rd():  # fresh reader per query (DataFrameReader.option mutates)
+        return (spark.read.format("lance")
+                .option("s3-endpoint", f"fake://{fake_s3}"))
+
+    assert rd().load(url).count() == 90
+    assert rd().load(url).filter("id >= 90").count() == 0
+    assert rd().option("version", str(m0.version)).load(url).count() == 100
+
+    # compaction: micro-appends merge into one fragment, big one carries
+    for i in range(3):
+        write_native_pure(
+            spark.range(1000 + i * 5, 1005 + i * 5)
+            .selectExpr("id", "concat('v', id) AS v").coalesce(1),
+            url, mode="append", options=opts)
+    mc = compact_dataset(spark, url, target_rows_per_fragment=500,
+                         small_threshold=30, s3=s3)
+    assert mc.row_count == 105
+    assert rd().load(url).count() == 105
+    assert rd().load(url).filter("id >= 1000").count() == 15
