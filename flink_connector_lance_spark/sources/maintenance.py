@@ -397,15 +397,18 @@ def _vacuum_remote(path: str, keep_versions: int, dry_run: bool,
     a local-backend construct (indexes are refused on s3 datasets) and
     staging dirs do not exist remotely (the executor-direct write stages
     nothing), so neither applies here."""
+    from . import lance_format as LF
     from .bloom import BLOOM_SUFFIX
     from .fs import get_fs, remote_ls_names
 
     fs = get_fs(path, storage_options)
     base = str(path).rstrip("/")
+    names = remote_ls_names(fs, f"{base}/{FR.VERSIONS_DIR}")
+    if any(n.endswith(".manifest") for n in names):
+        return _vacuum_remote_native(fs, base, names, keep_versions, dry_run,
+                                     storage_options)
     all_versions = sorted(
-        int(n.split(".")[0])
-        for n in remote_ls_names(fs, f"{base}/{FR.VERSIONS_DIR}")
-        if n.endswith(".manifest.json"))
+        int(n.split(".")[0]) for n in names if n.endswith(".manifest.json"))
     if not all_versions:
         raise FileNotFoundError(f"not a dataset (no {FR.VERSIONS_DIR}/): {path}")
     kept = all_versions[-keep_versions:]
@@ -418,12 +421,7 @@ def _vacuum_remote(path: str, keep_versions: int, dry_run: bool,
     data_names = remote_ls_names(fs, f"{base}/{FR.DATA_DIR}")
     dead = [os.path.join(FR.DATA_DIR, n) for n in data_names
             if os.path.join(FR.DATA_DIR, n) not in live]
-    reclaimed = 0
-    for f in dead:
-        try:
-            reclaimed += int(fs.info(f"{base}/{f}").get("size", 0) or 0)
-        except (OSError, KeyError, AttributeError):
-            pass  # size is reporting-only; deletion proceeds regardless
+    reclaimed = _remote_sizes(fs, base, dead)
     if not dry_run:
         for v in dropped:  # manifests first: crash-safety note above
             fs.rm(f"{base}/{FR.VERSIONS_DIR}/{v}.manifest.json")
@@ -436,6 +434,66 @@ def _vacuum_remote(path: str, keep_versions: int, dry_run: bool,
         "reclaimed_bytes": reclaimed,
         "staging_dirs_removed": 0,
     }
+
+
+def _remote_sizes(fs, base: str, rel_files: list) -> int:
+    total = 0
+    for f in rel_files:
+        try:
+            total += int(fs.info(f"{base}/{f}").get("size", 0) or 0)
+        except (OSError, KeyError, AttributeError):
+            pass  # size is reporting-only; deletion proceeds regardless
+    return total
+
+
+def _vacuum_remote_native(fs, base: str, names: list, keep_versions: int,
+                          dry_run: bool,
+                          storage_options: dict | None) -> dict:
+    """Remote twin of ``_vacuum_native``: a REAL Lance binary chain on
+    s3 — manifests (and their stats sidecars) drop first, then
+    transaction files and data keys no retained version references. ANN
+    index pinning is a local-backend construct and does not apply."""
+    from . import lance_format as LF
+    from .bloom import BLOOM_SUFFIX
+
+    versions = sorted(int(n.split(".")[0]) for n in names
+                      if n.endswith(".manifest"))
+    kept = versions[-keep_versions:]
+    dropped = [v for v in versions if v not in kept]
+    live_files: set[str] = set()
+    live_txns: set[str] = set()
+    for v in kept:
+        mf = LF.read_native_manifest(base, v, storage_options)
+        live_files |= {fr.file for fr in mf.fragments}
+        # the txn file name rides in the manifest; re-read it raw
+        import struct as _s
+
+        with fs.open(f"{base}/{LF.VERSIONS_DIR}/{v}.manifest", "rb") as fh:
+            blob = fh.read()
+        msg = LF._pb_fields(blob[4:4 + _s.unpack_from("<I", blob, 0)[0]])
+        live_txns.add(LF._one(msg, 12, b"").decode("utf-8"))
+    live_files |= {f + BLOOM_SUFFIX for f in live_files}
+    from .fs import remote_ls_names
+
+    data_names = remote_ls_names(fs, f"{base}/{LF.DATA_DIR}")
+    dead = [n for n in data_names if n not in live_files]
+    txn_names = remote_ls_names(fs, f"{base}/_transactions")
+    dead_txns = [n for n in txn_names if n not in live_txns]
+    reclaimed = _remote_sizes(fs, f"{base}/{LF.DATA_DIR}", dead)
+    if not dry_run:
+        for v in dropped:  # manifests first (crash-safe order)
+            fs.rm(f"{base}/{LF.VERSIONS_DIR}/{v}.manifest")
+            try:
+                fs.rm(f"{base}/{LF.VERSIONS_DIR}/{v}.stats.json")
+            except (FileNotFoundError, OSError):
+                pass
+        for n in dead_txns:
+            fs.rm(f"{base}/_transactions/{n}")
+        for n in dead:
+            fs.rm(f"{base}/{LF.DATA_DIR}/{n}")
+    return {"kept_versions": kept, "dropped_versions": len(dropped),
+            "deleted_files": len(dead), "reclaimed_bytes": reclaimed,
+            "staging_dirs_removed": 0}
 
 
 def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:

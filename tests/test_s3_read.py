@@ -634,3 +634,31 @@ def test_s3_native_delete_and_compact(fake_s3, spark):
     assert mc.row_count == 105
     assert rd().load(url).count() == 105
     assert rd().load(url).filter("id >= 1000").count() == 15
+
+
+def test_s3_native_vacuum(fake_s3, spark):
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.maintenance import vacuum_dataset
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    url = "s3://bucket/wh/db1/nvac"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3)
+    storage = s3.to_storage_options()
+    write_native_pure(spark.range(20).selectExpr("id").coalesce(1), url,
+                      mode="overwrite", options=opts)
+    write_native_pure(spark.range(20, 40).selectExpr("id").coalesce(1), url,
+                      mode="overwrite", options=opts)  # v2 replaces v1
+    rep = vacuum_dataset(url, keep_versions=1, storage_options=storage)
+    assert rep["dropped_versions"] == 1 and rep["deleted_files"] == 1
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "nvac")
+    assert sorted(os.listdir(os.path.join(local, "_versions"))) == \
+        ["2.manifest", "2.stats.json"]
+    assert len(os.listdir(os.path.join(local, "data"))) == 1
+    assert len(os.listdir(os.path.join(local, "_transactions"))) == 1
+    assert LF.native_count_rows(url, storage_options=storage) == 20
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert sorted(r.id for r in got.collect()) == list(range(20, 40))
