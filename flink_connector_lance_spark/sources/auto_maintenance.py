@@ -71,7 +71,16 @@ def run_maintenance(
     carries its triggering measurement so the skip/run reasoning is
     auditable."""
     from ..index import refresh_index
+    from .fs import is_remote
     from .rollup import refresh_rollup
+
+    if is_remote(path):
+        raise NotImplementedError(
+            "run_maintenance orchestrates describe_dataset and the index/"
+            "rollup refreshers, which are local-backend constructs; on "
+            "s3:// datasets call the individual remote-capable steps "
+            "directly — compact_dataset / cluster_dataset / delete_rows / "
+            "merge_rows / vacuum_dataset all take s3=/storage_options")
 
     p = policy or MaintenancePolicy()
     desc = describe_dataset(path)

@@ -1235,7 +1235,8 @@ def _last_clustering_files(path: str) -> set:
     return set()
 
 
-def _last_clustering_files_native(path: str) -> set:
+def _last_clustering_files_native(path: str,
+                                  storage_options: dict | None = None) -> set:
     """Native twin of ``_last_clustering_files``: the clustering meta
     rides in the table-config slot and CARRIES FORWARD, so the commit
     that introduced the head's current value is the lowest readable
@@ -1244,10 +1245,10 @@ def _last_clustering_files_native(path: str) -> set:
     clustering commit)."""
     from . import lance_format as LF
 
-    versions = LF.native_manifest_versions(path)
+    versions = LF.native_manifest_versions(path, storage_options)
     if not versions:
         return set()
-    head = LF.read_native_manifest(path)
+    head = LF.read_native_manifest(path, storage_options=storage_options)
     key = "spark.flc.meta.clustering"
     cur = (head.config or {}).get(key)
     if cur is None:
@@ -1255,13 +1256,93 @@ def _last_clustering_files_native(path: str) -> set:
     commit_m = head
     for v in reversed(versions[:-1]):
         try:
-            m = LF.read_native_manifest(path, v)
+            m = LF.read_native_manifest(path, v, storage_options)
         except (FileNotFoundError, ValueError):
             break
         if (m.config or {}).get(key) != cur:
             break
         commit_m = m
     return {fr.file for fr in commit_m.fragments}
+
+
+def _cluster_remote(spark: SparkSession, path: str, by: list[str],
+                    target_rows: int, scope: str, zorder: bool,
+                    s3) -> FR.Manifest:
+    """OPTIMIZE for an s3:// dataset (either backend): the rescan flows
+    through the file-attributed remote reader, ONE range exchange +
+    within-task sorts, tasks PUT the re-encoded fragments straight to
+    s3, and the shared rewrite tail commits under CAS with the
+    clustering meta recorded (manifest meta or the binary chain's
+    table-config slot). scope='tail' re-sorts only fragments appended
+    since the last clustering pass."""
+    import pyspark.sql.functions as F
+
+    from .bloom import BLOOM_STATS_KEY
+
+    storage = s3.to_storage_options() if s3 is not None else None
+    manifest = FR.read_manifest_compat(path, storage_options=storage)
+    if not manifest.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments to cluster")
+    if not by:
+        raise ValueError("cluster_dataset requires at least one column")
+    native = bool(manifest.meta.get("native_lance"))
+    to_sort = list(manifest.fragments)
+    if scope == "tail":
+        if native:
+            prev = {f"{FR.DATA_DIR}/{n}"
+                    for n in _last_clustering_files_native(path, storage)}
+        else:
+            prev = _last_clustering_files_remote(path, storage)
+        clustered = prev & {f.file for f in manifest.fragments}
+        to_sort = [f for f in manifest.fragments if f.file not in clustered]
+        if not to_sort:
+            return manifest  # nothing new since the last clustering pass
+    sort_files = {f.file for f in to_sort}
+    df = (_remote_reader(spark, path, s3, file_col="__frag")
+          .filter(F.col("__frag").isin(*sort_files))
+          .drop("__frag"))
+    total = sum(f.row_count for f in to_sort)
+    n_frags = max(1, -(-total // target_rows))
+    if zorder and len(by) >= 2:
+        mm: dict[str, tuple] = {}
+        for c in by:
+            mins = [f.stats[c]["min"] for f in to_sort
+                    if f.stats and f.stats.get(c, {}).get("min") is not None]
+            maxs = [f.stats[c]["max"] for f in to_sort
+                    if f.stats and f.stats.get(c, {}).get("max") is not None]
+            if not mins or not maxs:
+                raise ValueError(f"no zone-map stats for z-order column {c!r}")
+            mm[c] = (min(mins), max(maxs))
+        keyed = df.withColumn("__z", _zorder_key(df, by, mm))
+        out = (keyed.repartitionByRange(n_frags, "__z")
+               .sortWithinPartitions("__z").drop("__z"))
+        layout = {"zorder": by}
+    else:
+        out = df.repartitionByRange(n_frags, *by).sortWithinPartitions(*by)
+        layout = {"cluster_by": by}
+    bloom_cols = sorted({
+        c for f in to_sort
+        for c in ((f.stats or {}).get(BLOOM_STATS_KEY, {}).get("cols", {}))
+    })
+    return _rewrite_commit_remote(
+        spark, path, storage, manifest, sort_files, out,
+        meta={"clustering": {**layout, "base_version": manifest.version,
+                             "scope": scope}},
+        bloom_cols=bloom_cols, max_rows=target_rows)
+
+
+def _last_clustering_files_remote(path: str, storage: dict | None) -> set:
+    """Emulated-chain remote twin of ``_last_clustering_files``."""
+    v = FR.latest_version(path, storage)
+    while v is not None and v >= 0:
+        try:
+            m = FR.read_manifest(path, v, storage_options=storage)
+        except (FileNotFoundError, FR.LanceUnavailableError):
+            break
+        if "clustering" in m.meta:
+            return {f.file for f in m.fragments}
+        v -= 1
+    return set()
 
 
 def _cluster_native(spark: SparkSession, path: str, by: list[str],
@@ -1335,6 +1416,7 @@ def cluster_dataset(
     target_rows_per_fragment: int = 1_000_000,
     zorder: bool = False,
     scope: str = "full",
+    s3=None,
 ) -> FR.Manifest:
     """Rewrite the dataset with rows range-clustered on ``by`` so the
     per-fragment zone maps become SELECTIVE — the OPTIMIZE/ZORDER-style
@@ -1368,7 +1450,11 @@ def cluster_dataset(
     if scope not in ("full", "tail"):
         raise ValueError("scope must be 'full' or 'tail'")
     from . import lance_format as LF
+    from .fs import is_remote
 
+    if is_remote(path):
+        return _cluster_remote(spark, path, by, target_rows_per_fragment,
+                               scope, zorder, s3)
     if LF.is_native_dataset(path):
         return _cluster_native(spark, path, by, target_rows_per_fragment,
                                scope=scope, zorder=zorder)
@@ -1468,8 +1554,19 @@ def describe_dataset(path: str) -> dict:
     auxiliary structures (ANN indexes, rollups, bloom sidecars,
     clustering layout) are present and how stale each is. Everything
     comes from manifests, index/rollup metadata files, and directory
-    listings — no Spark session, no file scans.
+    listings — no Spark session, no file scans. Local roots only: the
+    auxiliary structures it reports have no remote contract — read the
+    manifest directly for s3:// datasets
+    (``fragments.read_manifest_compat(path, storage_options=...)``).
     """
+    from .fs import is_remote
+
+    if is_remote(path):
+        raise NotImplementedError(
+            "describe_dataset reports local auxiliary structures (ANN/FTS "
+            "indexes, rollups, clustering staleness) that have no remote "
+            "contract; read the manifest directly for s3:// datasets "
+            "(fragments.read_manifest_compat(path, storage_options=...))")
     import json
 
     from ..index import INDEXES_DIR

@@ -662,3 +662,46 @@ def test_s3_native_vacuum(fake_s3, spark):
     got = (spark.read.format("lance")
            .option("s3-endpoint", f"fake://{fake_s3}").load(url))
     assert sorted(r.id for r in got.collect()) == list(range(20, 40))
+
+
+def test_s3_clustering_both_backends(fake_s3, spark):
+    """cluster_dataset on s3:// serves BOTH backends: range clustering
+    makes the remote zone maps selective (planning-time pruning to one
+    partition), the clustered run carries through a tail pass, and the
+    native binary chain records the layout in its table-config slot."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.datasource import (
+        LanceDataSourceReader,
+    )
+    from flink_connector_lance_spark.sources.maintenance import cluster_dataset
+    from flink_connector_lance_spark.sources.writer import (
+        write_dataset,
+        write_native_pure,
+    )
+
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    for backend in ("emulated", "native"):
+        url = f"s3://bucket/wh/db1/clu-{backend}"
+        opts = DatasetOptions(path=url, s3=s3)
+        df = spark.range(400).selectExpr("id", "id % 13 AS g")
+        if backend == "emulated":
+            write_dataset(df.repartition(4), url, mode="overwrite",
+                          options=opts)
+        else:
+            write_native_pure(df.repartition(4), url, mode="overwrite",
+                              options=opts)
+        m = cluster_dataset(spark, url, ["id"], 100, s3=s3)
+        assert sum(fr.row_count if hasattr(fr, "row_count")
+                   else fr.physical_rows for fr in m.fragments) == 400
+        r = LanceDataSourceReader({"path": url,
+                                   "s3-endpoint": f"fake://{fake_s3}"})
+        r.pushFilters([GreaterThan(("id",), 390)])
+        assert len(r.partitions()) == 1  # disjoint ranges prune remotely
+        # tail pass right after a full pass is a no-op
+        m2 = cluster_dataset(spark, url, ["id"], 100, scope="tail", s3=s3)
+        assert m2.version == m.version
+        got = (spark.read.format("lance")
+               .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+        assert got.count() == 400, backend
