@@ -255,8 +255,6 @@ def test_stream_read_tails_appended_versions(registered, tmp_path):
     """readStream.format('lance'): version = offset; each micro-batch
     delivers exactly the fragments added since the checkpointed version,
     across query restarts."""
-    import time
-
     spark = registered
     path = str(tmp_path / "ds")
     _sample(spark).write.format("lance").option("path", path).mode("overwrite").save()
@@ -266,20 +264,21 @@ def test_stream_read_tails_appended_versions(registered, tmp_path):
     def fold(batch_df, epoch_id):
         seen.extend(r["id"] for r in batch_df.collect())
 
-    def run_until(expected_total, timeout_s=90):
+    def run_until(expected_total):
+        # availableNow: process every committed version then stop
+        # GRACEFULLY — a polling loop + q.stop() could kill the query
+        # between foreachBatch and the checkpoint commit, and the
+        # restart would legitimately redeliver that batch (at-least-once
+        # by design); the deterministic trigger removes the race instead
+        # of papering over it with a bigger timeout
         q = (
             spark.readStream.format("lance").option("path", path).load()
             .writeStream.foreachBatch(fold)
             .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(processingTime="500 milliseconds")
+            .trigger(availableNow=True)
             .start()
         )
-        try:
-            deadline = time.time() + timeout_s
-            while len(seen) < expected_total and time.time() < deadline:
-                time.sleep(0.5)
-        finally:
-            q.stop()
+        q.awaitTermination(300)
 
     run_until(100)
     assert sorted(seen) == list(range(100))
