@@ -409,3 +409,49 @@ def test_multi_page_dataset_through_spark(spark, tmp_path):
     got = spark.read.format("lance").load(root)
     assert got.count() == 10
     assert got.filter("s IS NULL").count() == 3
+
+
+# --- round-9 property net: struct/FSL columns, paged layouts ----------------
+
+structs = st.builds(
+    lambda a, t: {"a": a, "t": t},
+    st.integers(min_value=-(2 ** 31), max_value=2 ** 31 - 1),
+    texts,
+)
+
+
+@st.composite
+def round9_tables(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    dim = draw(st.integers(min_value=1, max_value=6))
+    fsl = pa.list_(pa.field("item", pa.float32()), dim)
+    return pa.table({
+        "i": pa.array(draw(st.lists(i64, min_size=n, max_size=n)), pa.int64()),
+        "m": pa.array(draw(st.lists(structs, min_size=n, max_size=n)),
+                      pa.struct([pa.field("a", pa.int32()),
+                                 pa.field("t", pa.string())])),
+        "vec": pa.array(
+            [draw(st.lists(f32, min_size=dim, max_size=dim)) for _ in range(n)],
+            fsl),
+        "tags": pa.array(draw(st.lists(
+            st.one_of(st.none(), st.lists(texts.filter(lambda x: x is not None),
+                                          max_size=3)),
+            min_size=n, max_size=n)), pa.list_(pa.string())),
+    })
+
+
+@settings(max_examples=80, deadline=None)
+@given(round9_tables(), st.sampled_from([None, 1, 3, 7]))
+def test_round9_encodings_roundtrip(tmp_path_factory, tbl, page_rows):
+    """Struct, fixed-size-list, and nullable list-of-string columns
+    round-trip through the codec at every page split — the property net
+    over the round-9 encoders (SimpleStruct headers, FSL headers,
+    multi-page self-contained pages)."""
+    path = str(tmp_path_factory.mktemp("r9") / "t.lance")
+    LF.write_native_file(tbl, path, page_rows=page_rows)
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+    # projection pruning composes with every layout
+    pruned = LF.read_native_file(path, columns=["m", "vec"])
+    assert pruned.to_pylist() == tbl.select(["m", "vec"]).to_pylist()
