@@ -46,9 +46,68 @@ HEADLINE = [
 ]
 
 
+def _competing_cpu(sample_sec: float = 0.5) -> float:
+    """CPU cores currently burned by OTHER java/python processes on this
+    box (two /proc/<pid>/stat samples). The official bench snapshot must
+    not share its window with a just-finished-or-running pytest sweep or
+    a neighbor's Spark JVM — same-code spread measured across rounds is
+    10.8-12.1s purely from this (round-9 verdict, "What's wrong #3")."""
+    import time as _t
+
+    def sample() -> dict[int, int]:
+        ticks: dict[int, int] = {}
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read().decode("utf-8", "replace")
+                if "java" not in cmd and "python" not in cmd:
+                    continue
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                ticks[int(pid)] = int(parts[11]) + int(parts[12])  # utime+stime
+            except (OSError, IndexError, ValueError):
+                continue
+        return ticks
+
+    a = sample()
+    _t.sleep(sample_sec)
+    b = sample()
+    hz = os.sysconf("SC_CLK_TCK")
+    return sum(max(0, b[p] - a[p]) for p in b if p in a) / hz / sample_sec
+
+
+def _settle_window() -> tuple[float, bool]:
+    """Wait (bounded) for competing Spark/pytest load to drain before
+    timing. Returns (residual_competing_cores, polluted_flag). Knobs:
+    SPARK_GRAFT_BENCH_SETTLE (max wait sec, default 90; 0 disables),
+    SPARK_GRAFT_BENCH_BUSY_CORES (threshold, default 2.0)."""
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "90"))
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_CORES", "2.0"))
+    load = _competing_cpu()
+    waited = 0.0
+    while load > thresh and waited < budget:
+        print(f"bench: waiting for quiet window — {load:.1f} competing "
+              f"java/python cores (> {thresh})", file=sys.stderr)
+        import time as _t
+
+        _t.sleep(5)
+        waited += 5.5
+        load = _competing_cpu()
+    polluted = load > thresh
+    if polluted:
+        print(f"bench: WARNING — timing window polluted by {load:.1f} "
+              "competing cores after settle budget; numbers will read "
+              "high (see README bench protocol)", file=sys.stderr)
+    return round(load, 2), polluted
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    competing_cores, polluted = _settle_window()
     spark = get_spark(app_name="fcls-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = _registry.queries()
@@ -85,6 +144,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement hygiene: competing java/python cores observed right
+        # before timing started, after the bounded settle wait. polluted
+        # == true means the window never went quiet — read `value`
+        # against the recorded same-code noise band, not point-to-point.
+        "competing_cores": competing_cores,
+        "polluted": polluted,
     }))
     spark.stop()
 

@@ -552,22 +552,48 @@ class LanceDataSourceReader(DataSourceReader):
         return f[len(base) + 1:] if f.startswith(base + "/") else f
 
     def _count_one(self, file: str) -> int:
-        """Pushed-filter row count of one fragment, decoding as little
-        as possible (metadata-only when no filter is pushed)."""
+        """Pushed-filter row count of one fragment, decoding as little as
+        possible: metadata-only when no filter is pushed, else only the
+        FILTER's columns are read. Filters referencing a column this
+        (pre-evolution) fragment predates resolve by null semantics
+        instead of raising — an absent column is all-null, so IsNull
+        passes every row and every other pushed shape (comparisons, In,
+        Not(EqualTo), IsNotNull) passes none."""
         import pyarrow.dataset as pads
 
-        expr = None
-        for f in self._pushed:
-            e = _filter_to_arrow(f)
-            expr = e if expr is None else (expr & e)
+        attrs = sorted({n for f in self._pushed
+                        for n in (_filter_attrs(f) or ())})
         if file.endswith(".lance"):
             from . import lance_format as LF
 
             storage = self._storage if self._remote else None
-            if expr is None:
-                return LF.read_file_descriptor(file, storage)[1]
-            return LF.read_native_file(
-                file, storage_options=storage).filter(expr).num_rows
+            n_rows = None
+            if self._pushed:
+                ffields, n_rows = LF.read_file_descriptor(file, storage)
+                avail = {f.name for f in ffields if f.parent == -1}
+                present_filters, expr = [], None
+                for f in self._pushed:
+                    a = _filter_attrs(f) or ()
+                    if set(a) <= avail:
+                        present_filters.append(f)
+                        continue
+                    if not isinstance(f, IsNull):
+                        return 0  # null semantics on the absent column
+                for f in present_filters:
+                    e = _filter_to_arrow(f)
+                    expr = e if expr is None else (expr & e)
+                if expr is not None:
+                    cols = sorted({n for f in present_filters
+                                   for n in _filter_attrs(f)})
+                    return LF.read_native_file(
+                        file, columns=cols,
+                        storage_options=storage).filter(expr).num_rows
+                return n_rows
+            return LF.read_file_descriptor(file, storage)[1]
+        expr = None
+        for f in self._pushed:
+            e = _filter_to_arrow(f)
+            expr = e if expr is None else (expr & e)
         if self._remote:
             import pyarrow.parquet as papq
 
@@ -577,7 +603,25 @@ class LanceDataSourceReader(DataSourceReader):
                 pf = papq.ParquetFile(fobj)
                 if expr is None:
                     return pf.metadata.num_rows
-                return pf.read().filter(expr).num_rows
+                # project to the filter's columns — a count probe must
+                # not pull every column of a wide fragment over the wire
+                cols = [c for c in attrs if c in pf.schema_arrow.names]
+                if len(cols) < len(attrs):
+                    # pre-evolution fragment: same null semantics as above
+                    missing_ok = all(
+                        isinstance(f, IsNull)
+                        for f in self._pushed
+                        if not set(_filter_attrs(f) or ()) <= set(pf.schema_arrow.names))
+                    if not missing_ok:
+                        return 0
+                    expr = None
+                    for f in self._pushed:
+                        if set(_filter_attrs(f) or ()) <= set(pf.schema_arrow.names):
+                            e = _filter_to_arrow(f)
+                            expr = e if expr is None else (expr & e)
+                    if expr is None:
+                        return pf.metadata.num_rows
+                return pf.read(columns=cols).filter(expr).num_rows
         d = pads.dataset(file, format="parquet")
         return d.count_rows(filter=expr)
 

@@ -342,7 +342,28 @@ def meta_value_committed(root: str, key: str, value,
     from . import lance_format as LF
 
     if LF.is_native_dataset(root, storage_options):
-        for nv in reversed(LF.native_manifest_versions(root, storage_options)):
+        # O(1) head answer for the hot path: table config CARRIES FORWARD
+        # across every commit (commit_native overlays the previous map),
+        # so the head manifest holds the key's NEWEST value — and epoch
+        # tags are monotonically increasing ints that are never deleted.
+        # A fresh micro-batch (value = head+1) must answer False without
+        # walking the chain: on s3 every streaming commit would otherwise
+        # cost O(versions) manifest GETs, growing with each batch.
+        versions = LF.native_manifest_versions(root, storage_options)
+        if not versions:
+            return False
+        head = native_config_meta(
+            LF.read_native_manifest(root, versions[-1], storage_options))
+        if key not in head:
+            return False  # carried forward: absent at head == never set
+        if head[key] == value:
+            return True
+        try:
+            return int(value) <= int(head[key])  # monotonic epoch contract
+        except (TypeError, ValueError):
+            pass
+        # non-integer values (no monotonic order): fall back to the walk
+        for nv in reversed(versions[:-1]):
             m = native_config_meta(
                 LF.read_native_manifest(root, nv, storage_options))
             if key in m and m[key] == value:

@@ -1127,6 +1127,17 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         dim = int(lt.split(":")[-1])
         child_idx = _child_index(fields, idx)
         child_lt = fields[child_idx].logical_type
+        if (child_lt not in _FLAT_TYPES
+                and not child_lt.startswith("timestamp:")
+                and child_lt != "date32:day"):
+            # validate BEFORE planning the child: a non-fixed-width item
+            # type (e.g. fixed_size_list<string>) must hit the module
+            # contract's named refusal, not a raw KeyError from
+            # _width_bits after the child column was already planned
+            raise NotImplementedError(
+                f"{what}: fixed-size-list items of type {child_lt!r} have "
+                "no native-lance write mapping (supported: flat "
+                "fixed-width primitives)")
         child_arr = arr.flatten()  # rows*dim values, offset-safe
         _plan_column(child_arr, fields, child_idx, plans)
         plans[idx] = _ColPlan([], _enc_fsl(_width_bits(child_lt), dim),
@@ -1381,7 +1392,12 @@ def commit_native(root: str, fields: list[NativeField],
     maintenance rewrites (compact/delete/merge/cluster) MUST pass it —
     their fragment list was derived FROM a snapshot, so blind-retrying
     the same list onto a moved head silently drops whatever a concurrent
-    append committed in between.
+    append committed in between. A plain overwrite WITHOUT
+    ``expected_base_version`` is deliberately LAST-WRITER-WINS: losing
+    the version race re-reads the tip and retries the same replacement
+    fragment list onto it, which is exactly what "overwrite the table
+    with these rows" means for a user-issued write — it is NOT the CAS
+    contract, and maintenance must never use it.
 
     ``config`` updates the manifest's table-config map
     (``Manifest.config``, table.proto field 16 — the public

@@ -280,7 +280,8 @@ def vacuum_dataset(
     from .fs import is_remote
 
     if is_remote(path):
-        return _vacuum_remote(path, keep_versions, dry_run, storage_options)
+        return _vacuum_remote(path, keep_versions, dry_run, storage_options,
+                              staging_grace_seconds)
     if LF.is_native_dataset(path):
         return _vacuum_native(path, keep_versions, dry_run)
     latest = FR.latest_version(path)
@@ -385,8 +386,51 @@ def _inherit_blooms(spark, path, manifest: FR.Manifest, new_fragments):
     return attach_blooms(spark, path, new_fragments, cols)
 
 
+def _remote_object_age(fs, url: str) -> "float | None":
+    """Age in seconds of one remote object, or None when the backend
+    reports no creation/modification timestamp. Used by the remote
+    vacuum's grace window: the executor-direct writes PUT fragment keys
+    to ``data/`` for the whole job duration BEFORE the manifest commit,
+    so an unreferenced key younger than the grace window may be an
+    in-flight write, not garbage — deleting it would let the write's
+    conditional-PUT commit land a manifest referencing deleted objects.
+    s3fs reports ``LastModified`` (a datetime); fsspec local/memory
+    backends report ``mtime`` (epoch float) — both are accepted."""
+    import datetime
+    import time
+
+    try:
+        info = fs.info(url)
+    except (OSError, KeyError, AttributeError):
+        return None
+    ts = info.get("LastModified") or info.get("mtime") or info.get("created")
+    if ts is None:
+        return None
+    if isinstance(ts, datetime.datetime):
+        return (datetime.datetime.now(ts.tzinfo) - ts).total_seconds()
+    try:
+        return time.time() - float(ts)
+    except (TypeError, ValueError):
+        return None
+
+
+def _split_young(fs, base: str, dead: list, grace_seconds: int) -> tuple[list, list]:
+    """Partition candidate-dead keys into (deletable, skipped-young).
+    A key whose age is unknown is treated as YOUNG — never delete blind
+    (the cost of keeping an orphan one more vacuum pass is storage; the
+    cost of deleting an in-flight fragment is silent data loss)."""
+    if grace_seconds <= 0:
+        return list(dead), []
+    old, young = [], []
+    for rel in dead:
+        age = _remote_object_age(fs, f"{base}/{rel}")
+        (old if age is not None and age > grace_seconds else young).append(rel)
+    return old, young
+
+
 def _vacuum_remote(path: str, keep_versions: int, dry_run: bool,
-                   storage_options: dict | None) -> dict:
+                   storage_options: dict | None,
+                   staging_grace_seconds: int = 24 * 3600) -> dict:
     """MVCC garbage collection for an s3:// dataset — the fs-plane twin
     of the local vacuum (same crash-safe order: manifests first, then
     unreferenced data keys; a crash mid-vacuum leaves only invisible
@@ -406,7 +450,7 @@ def _vacuum_remote(path: str, keep_versions: int, dry_run: bool,
     names = remote_ls_names(fs, f"{base}/{FR.VERSIONS_DIR}")
     if any(n.endswith(".manifest") for n in names):
         return _vacuum_remote_native(fs, base, names, keep_versions, dry_run,
-                                     storage_options)
+                                     storage_options, staging_grace_seconds)
     all_versions = sorted(
         int(n.split(".")[0]) for n in names if n.endswith(".manifest.json"))
     if not all_versions:
@@ -421,6 +465,10 @@ def _vacuum_remote(path: str, keep_versions: int, dry_run: bool,
     data_names = remote_ls_names(fs, f"{base}/{FR.DATA_DIR}")
     dead = [os.path.join(FR.DATA_DIR, n) for n in data_names
             if os.path.join(FR.DATA_DIR, n) not in live]
+    # grace window: an unreferenced key younger than the grace may be an
+    # IN-FLIGHT executor-direct write (fragments land before the commit)
+    # — the remote twin of the local staging-dir grace contract
+    dead, young = _split_young(fs, base, dead, staging_grace_seconds)
     reclaimed = _remote_sizes(fs, base, dead)
     if not dry_run:
         for v in dropped:  # manifests first: crash-safety note above
@@ -433,6 +481,7 @@ def _vacuum_remote(path: str, keep_versions: int, dry_run: bool,
         "deleted_files": len(dead),
         "reclaimed_bytes": reclaimed,
         "staging_dirs_removed": 0,
+        "skipped_young_keys": len(young),
     }
 
 
@@ -448,11 +497,15 @@ def _remote_sizes(fs, base: str, rel_files: list) -> int:
 
 def _vacuum_remote_native(fs, base: str, names: list, keep_versions: int,
                           dry_run: bool,
-                          storage_options: dict | None) -> dict:
+                          storage_options: dict | None,
+                          staging_grace_seconds: int = 24 * 3600) -> dict:
     """Remote twin of ``_vacuum_native``: a REAL Lance binary chain on
     s3 — manifests (and their stats sidecars) drop first, then
     transaction files and data keys no retained version references. ANN
-    index pinning is a local-backend construct and does not apply."""
+    index pinning is a local-backend construct and does not apply.
+    Unreferenced data keys (and txn files) younger than the grace window
+    are SKIPPED — they may belong to an in-flight executor-direct write
+    whose manifest has not committed yet (see ``_split_young``)."""
     from . import lance_format as LF
     from .bloom import BLOOM_SUFFIX
 
@@ -479,6 +532,10 @@ def _vacuum_remote_native(fs, base: str, names: list, keep_versions: int,
     dead = [n for n in data_names if n not in live_files]
     txn_names = remote_ls_names(fs, f"{base}/_transactions")
     dead_txns = [n for n in txn_names if n not in live_txns]
+    dead, young = _split_young(fs, f"{base}/{LF.DATA_DIR}", dead,
+                               staging_grace_seconds)
+    dead_txns, young_txns = _split_young(fs, f"{base}/_transactions",
+                                         dead_txns, staging_grace_seconds)
     reclaimed = _remote_sizes(fs, f"{base}/{LF.DATA_DIR}", dead)
     if not dry_run:
         for v in dropped:  # manifests first (crash-safe order)
@@ -493,7 +550,8 @@ def _vacuum_remote_native(fs, base: str, names: list, keep_versions: int,
             fs.rm(f"{base}/{LF.DATA_DIR}/{n}")
     return {"kept_versions": kept, "dropped_versions": len(dropped),
             "deleted_files": len(dead), "reclaimed_bytes": reclaimed,
-            "staging_dirs_removed": 0}
+            "staging_dirs_removed": 0,
+            "skipped_young_keys": len(young) + len(young_txns)}
 
 
 def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:

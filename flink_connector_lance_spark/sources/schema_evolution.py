@@ -152,18 +152,30 @@ def align_check_for_commit(path: str, incoming: StructType,
     return {"schema": evolved.json()}
 
 
-def drop_columns(path: str, cols: list[str]) -> FR.Manifest:
+def drop_columns(path: str, cols: list[str],
+                 storage_options: dict | None = None) -> FR.Manifest:
     """Drop columns in O(1): a metadata-only commit that narrows the
     manifest schema — NO fragment is touched, the physical bytes simply
     become invisible to readers (both read paths resolve by the manifest
     schema). The native twin forwards to ``lance.dataset(path)
     .drop_columns`` (Lance's own metadata-only drop). Old versions keep
     the column (time travel); the name is recorded in
-    ``dropped_columns`` so a later append cannot resurrect stale values."""
+    ``dropped_columns`` so a later append cannot resurrect stale values.
+    Works on s3:// native datasets too (metadata-only: one manifest read
+    + one CAS commit through fsspec with ``storage_options``)."""
     from . import lance_format as LF
+    from .fs import is_remote
 
     if not cols:
         raise ValueError("drop_columns requires at least one column")
+    if is_remote(path):
+        if not LF.is_native_dataset(path, storage_options):
+            raise NotImplementedError(
+                "drop_columns on a remote EMULATED dataset is not wired "
+                "(its manifest meta lives in JSON, not the native config "
+                "slot); native s3:// datasets work, or run drop_columns "
+                "against a local checkout")
+        return _drop_columns_native(path, cols, storage_options)
     if LF.is_native_dataset(path):
         return _drop_columns_native(path, cols)
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
@@ -211,7 +223,18 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
     evolving append): the rewrite leaves no old fragment to resurrect
     stale values from, and the name is cleared from the dropped set."""
     from . import lance_format as LF
+    from .fs import is_remote
 
+    if is_remote(path):
+        # the backfill is a full copy-on-write rewrite; its fragment
+        # scan (read_native_files / read_dataset) is not wired for
+        # remote paths yet — refuse loudly instead of failing deep
+        # inside a manifest read with a credentials error
+        raise NotImplementedError(
+            "add_column on an s3:// dataset is not supported (the "
+            "backfill rewrites every fragment); metadata-only "
+            "drop_columns and evolving appends (write.schema-evolution) "
+            "work remotely, or run add_column against a local checkout")
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         import lance
 
@@ -270,7 +293,8 @@ def native_dropped_columns(path: str,
     return list(json.loads(cfg)) if cfg else []
 
 
-def _drop_columns_native(path: str, cols: list[str]):
+def _drop_columns_native(path: str, cols: list[str],
+                         storage_options: dict | None = None):
     """Metadata-only drop for a native binary dataset — the SAME shape
     lance's own drop_columns commits: the new manifest's field list
     omits the dropped subtrees while every fragment carries over
@@ -281,7 +305,7 @@ def _drop_columns_native(path: str, cols: list[str]):
     dropped names join the config-recorded resurrection guard."""
     from . import lance_format as LF
 
-    mf = LF.read_native_manifest(path)
+    mf = LF.read_native_manifest(path, storage_options=storage_options)
     top = [f for f in mf.fields if f.parent == -1]
     names = [f.name for f in top]
     missing = [c for c in cols if c not in names]
@@ -310,11 +334,13 @@ def _drop_columns_native(path: str, cols: list[str]):
           else list(range(len(old_ids)))))
         for fr in mf.fragments
     ]
-    guard = sorted(set(native_dropped_columns(path)) | set(cols))
+    guard = sorted(set(native_dropped_columns(path, storage_options))
+                   | set(cols))
     LF.commit_native(path, narrowed, pairs, "overwrite",
                      expected_base_version=mf.version,
-                     config={_DROPPED_CFG: json.dumps(guard)})
-    return FR.read_manifest_compat(path)
+                     config={_DROPPED_CFG: json.dumps(guard)},
+                     storage_options=storage_options)
+    return FR.read_manifest_compat(path, storage_options=storage_options)
 
 
 def _add_column_native(spark, path: str, name: str, expr):

@@ -519,6 +519,11 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
         if not batches:
             return
         tbl = _pa.Table.from_batches(batches).cast(schema)
+        fs = None  # lazy-init ONCE per task, like _put_fragments_from_tasks
+        if remote:
+            from flink_connector_lance_spark.sources.fs import get_fs as _get_fs
+
+            fs = _get_fs(path, storage_options)
         out_files, out_rows, out_stats = [], [], []
         for start in range(0, max(tbl.num_rows, 1), max_rows):
             piece = tbl.slice(start, max_rows)
@@ -528,11 +533,6 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
             if remote:
                 import tempfile as _tempfile
 
-                from flink_connector_lance_spark.sources.fs import (
-                    get_fs as _get_fs,
-                )
-
-                fs = _get_fs(path, storage_options)
                 with _tempfile.NamedTemporaryFile(suffix=".lance") as tmp:
                     _LF.write_native_file(piece, tmp.name)
                     fs.put(tmp.name, f"{data_dir}/{fname}")

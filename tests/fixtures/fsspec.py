@@ -68,8 +68,12 @@ class _FakeS3FS:
         local = self._local(path)
         if not os.path.exists(local):
             raise FileNotFoundError(str(path))
+        # "mtime" mirrors what fsspec local/memory filesystems report;
+        # real s3fs reports "LastModified" (a datetime) — product code
+        # (maintenance._remote_object_age) accepts either
         return {"name": str(path), "size": os.path.getsize(local),
-                "type": "directory" if os.path.isdir(local) else "file"}
+                "type": "directory" if os.path.isdir(local) else "file",
+                "mtime": os.path.getmtime(local)}
 
     def rm(self, path) -> None:
         local = self._local(path)

@@ -297,6 +297,11 @@ def test_write_dataset_routes_native_and_carries_meta(spark, tmp_path):
     assert compat.meta["k"] == {"nested": 1} and compat.meta["epoch"] == 7
     assert FR.meta_value_committed(root, "epoch", 7)
     assert not FR.meta_value_committed(root, "epoch", 8)
+    # the answer comes from the HEAD manifest alone (config carries
+    # forward + epochs are monotonic ints): an older epoch is committed,
+    # a newer one is not — no O(versions) chain walk per streaming batch
+    assert FR.meta_value_committed(root, "epoch", 5)
+    assert not FR.meta_value_committed(root, "missing_key", 1)
     # table-config semantics: entries carry forward across plain commits
     write_dataset(df, root, mode="append")
     assert FR.read_manifest_compat(root).meta["epoch"] == 7

@@ -320,14 +320,22 @@ def test_s3_vacuum_reclaims_dead_objects(fake_s3, spark):
 
     local_data = os.path.join(fake_s3, "bucket", "wh", "db1", "vac", "data")
     files_before = set(os.listdir(local_data))
+    # default grace window: every unreferenced key is seconds old, so it
+    # is treated as a possible IN-FLIGHT executor-direct write and kept
     rep = vacuum_dataset(url, keep_versions=1, dry_run=True,
                          storage_options=storage)
+    assert rep["deleted_files"] == 0 and rep["skipped_young_keys"] == 4
+    assert set(os.listdir(local_data)) == files_before
+
+    rep = vacuum_dataset(url, keep_versions=1, dry_run=True,
+                         storage_options=storage, staging_grace_seconds=0)
     assert rep["dropped_versions"] == 1
     assert rep["deleted_files"] == 4  # v0's 2 fragments + 2 bloom sidecars
     assert rep["reclaimed_bytes"] > 0
     assert set(os.listdir(local_data)) == files_before  # dry run deletes nothing
 
-    rep = vacuum_dataset(url, keep_versions=1, storage_options=storage)
+    rep = vacuum_dataset(url, keep_versions=1, storage_options=storage,
+                         staging_grace_seconds=0)
     assert rep["deleted_files"] == 4 and rep["staging_dirs_removed"] == 0
     survivors = set(os.listdir(local_data))
     assert len(survivors) == 4 and survivors < files_before
@@ -650,7 +658,12 @@ def test_s3_native_vacuum(fake_s3, spark):
                       mode="overwrite", options=opts)
     write_native_pure(spark.range(20, 40).selectExpr("id").coalesce(1), url,
                       mode="overwrite", options=opts)  # v2 replaces v1
-    rep = vacuum_dataset(url, keep_versions=1, storage_options=storage)
+    # the native chain honors the same grace window (data + txn keys)
+    rep = vacuum_dataset(url, keep_versions=1, dry_run=True,
+                         storage_options=storage)
+    assert rep["deleted_files"] == 0 and rep["skipped_young_keys"] == 2
+    rep = vacuum_dataset(url, keep_versions=1, storage_options=storage,
+                         staging_grace_seconds=0)
     assert rep["dropped_versions"] == 1 and rep["deleted_files"] == 1
     local = os.path.join(fake_s3, "bucket", "wh", "db1", "nvac")
     assert sorted(os.listdir(os.path.join(local, "_versions"))) == \
@@ -705,3 +718,42 @@ def test_s3_clustering_both_backends(fake_s3, spark):
         got = (spark.read.format("lance")
                .option("s3-endpoint", f"fake://{fake_s3}").load(url))
         assert got.count() == 400, backend
+
+
+def test_s3_native_drop_columns_metadata_only_and_add_refusal(fake_s3, spark):
+    """drop_columns on an s3:// NATIVE dataset is metadata-only through
+    fsspec (one manifest read + one CAS commit; no data key changes);
+    add_column (a full copy-on-write rewrite) refuses loudly naming the
+    remote-capable alternatives instead of dying on a credentials error
+    deep inside a manifest read."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.schema_evolution import (
+        add_column,
+        drop_columns,
+        native_dropped_columns,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    url = "s3://bucket/wh/db1/evo"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    storage = s3.to_storage_options()
+    write_native_pure(
+        spark.range(12).selectExpr("id", "id % 3 AS g",
+                                   "concat('d', id) AS name").coalesce(1),
+        url, mode="overwrite", options=DatasetOptions(path=url, s3=s3))
+    local_data = os.path.join(fake_s3, "bucket", "wh", "db1", "evo", "data")
+    keys_before = set(os.listdir(local_data))
+
+    drop_columns(url, ["name"], storage_options=storage)
+    assert set(os.listdir(local_data)) == keys_before  # metadata-only
+    mf = LF.read_native_manifest(url, storage_options=storage)
+    assert [f.name for f in mf.fields if f.parent == -1] == ["id", "g"]
+    assert native_dropped_columns(url, storage) == ["name"]
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert set(got.columns) == {"id", "g"} and got.count() == 12
+
+    with pytest.raises(NotImplementedError, match="drop_columns"):
+        add_column(spark, url, "bonus", "g * 10")

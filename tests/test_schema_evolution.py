@@ -569,3 +569,32 @@ def test_native_rewrite_of_nullable_fixed_width_refuses_loudly(spark, tmp_path):
     # ...so a whole-table rewrite cannot re-encode it
     with pytest.raises(Exception, match="nulls in a fixed-width"):
         add_column(spark, path, "bonus", "g * 100")
+
+
+def test_native_count_probe_with_filter_on_evolved_column(spark, tmp_path):
+    """The file-column-only count probe (datasource._count_one) resolves
+    pushed filters on a POST-evolution column by null semantics on
+    pre-evolution fragments (comparisons pass none, IS NULL passes all)
+    instead of raising a missing-field error inside the decoder."""
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "ds")
+    _native(spark, path)  # 20 rows / 2 fragments, columns id,g,name
+    df2 = spark.range(20, 30).selectExpr(
+        "id", "id % 3 AS g", "concat('d', id) AS name", "concat('T', id) AS tag")
+    write_native_pure(df2, path, mode="append",
+                      options=DatasetOptions(path=path, schema_evolution=True))
+    register_lance_datasource(spark)
+
+    def rd():  # fresh reader chain per query (option state is mutable)
+        return (spark.read.format("lance")
+                .option("read.file-column", "__frag").load(path))
+
+    per_file = rd().filter("tag = 'T25'").groupBy("__frag").count().collect()
+    assert len(per_file) == 1 and per_file[0]["count"] == 1
+    # IS NULL on the evolved column passes every pre-evolution row
+    nulls = rd().filter("tag IS NULL").groupBy("__frag").count().collect()
+    assert sum(r["count"] for r in nulls) == 20
