@@ -406,14 +406,17 @@ def source_version_travel(spark, sf_dir):
 @register(
     "source_format_api",
     oracle="""
-    SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(NULL AS BIGINT) AS sum_opt
     FROM documents WHERE n_chars > 150
     GROUP BY lang
     UNION ALL
-    SELECT '__point_lookup__', count(*), CAST(sum(n_chars) AS BIGINT)
+    SELECT '__point_lookup__', count(*), CAST(sum(n_chars) AS BIGINT),
+           CAST(NULL AS BIGINT)
     FROM documents WHERE doc_id IN (1, 2, 3)
     UNION ALL
-    SELECT '__native_codec__', count(*), CAST(sum(n_chars) AS BIGINT)
+    SELECT '__native_codec__', count(*), CAST(sum(n_chars) AS BIGINT),
+           CAST(sum(CASE WHEN doc_id % 14 = 0 THEN n_chars END) AS BIGINT)
     FROM documents WHERE doc_id % 7 = 0 AND n_chars > 100
     """,
     doc="spark.read.format('lance') / df.write.format('lance') — the "
@@ -453,12 +456,14 @@ def source_format_api(spark, sf_dir):
         base.filter(F.col("n_chars") > 150)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .withColumn("sum_opt", F.lit(None).cast("long"))
     )
     point = (
         spark.read.format("lance").load(path)
         .filter(F.col("doc_id").isin(1, 2, 3))
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
-        .select(F.lit("__point_lookup__").alias("lang"), "cnt", "sum_chars")
+        .select(F.lit("__point_lookup__").alias("lang"), "cnt", "sum_chars",
+                F.lit(None).cast("long").alias("sum_opt"))
     )
     # REAL Lance v2 round trip (stdlib codec, no lance package): every
     # value that lands in the hash traveled through our binary encoder
@@ -470,14 +475,22 @@ def source_format_api(spark, sf_dir):
         d.filter(F.col("doc_id") % 7 == 0)
         .select("doc_id",
                 F.struct(F.col("lang").alias("lang"),
-                         F.col("n_chars").alias("n_chars")).alias("m")),
+                         F.col("n_chars").alias("n_chars")).alias("m"),
+                # NULL-bearing int64 — rides the Nullable.some_nulls
+                # page arm (validity bitmap + zero-filled values) so the
+                # hash gate covers the nullable fixed-width encoder AND
+                # decoder end-to-end
+                F.when(F.col("doc_id") % 14 == 0,
+                       F.col("n_chars")).alias("opt")),
         npath, mode="overwrite")
     native = (
         spark.read.format("lance").load(npath)
         .filter(F.col("m.n_chars") > 100)
         .agg(F.count(F.lit(1)).alias("cnt"),
-             F.sum("m.n_chars").alias("sum_chars"))
-        .select(F.lit("__native_codec__").alias("lang"), "cnt", "sum_chars")
+             F.sum("m.n_chars").alias("sum_chars"),
+             F.sum("opt").alias("sum_opt"))
+        .select(F.lit("__native_codec__").alias("lang"), "cnt", "sum_chars",
+                "sum_opt")
     )
     return agg.unionByName(point).unionByName(native)
 

@@ -29,26 +29,31 @@ Layout of a ``.lance`` v2 file (public spec):
     [40-byte footer: 3x u64 offsets, u32 num_global, u32 num_columns,
      u16 major, u16 minor, magic "LANC"]
 
-Supported: non-null and offset-adjusted-null values, flat fixed-width
-primitives (int8..int64, float, double, timestamp, date32), bit-packed
-bool, variable-width binary/string (int64 end-offsets + data buffer),
-list-of-primitive (end-offsets + child column). The fixture-pinned core
-(byte-identity proven against the reference's committed datasets) is
-the primitive/string/timestamp/list surface; bool, binary, date32, and
-struct extend it per the public spec (the reference's type converter
-carries them, ref LanceTypeConverter.java:146-156 and :179-186 for
-Struct) with round-trip tests — the bool decoder keys on the page's
-DECLARED bits_per_value, so a byte-per-bool file reads correctly too;
-struct header columns are zero-buffer SimpleStruct pages with members
-as their own structural columns (nullable struct VALUES are a 2.1
-encoding and refused); fixed-size lists keep their declared dimension;
+Supported: flat fixed-width primitives (int8..int64, float, double,
+timestamp, date32), bit-packed bool, variable-width binary/string
+(int64 end-offsets + data buffer, offset-adjusted nulls),
+list-of-primitive (end-offsets + child column), struct, and fixed-size
+lists with their declared dimension. NULLS are supported in EVERY type:
+variable-width and list columns shift their end offsets by the
+encoding's null adjustment (fixture-pinned), and fixed-width / bool /
+struct / fixed-size-list columns ride the public ``Nullable`` wrapper
+(encodings.proto oneof: ``no_nulls`` — the fixture-pinned chain —
+``all_nulls`` with zero buffers, ``some_nulls`` with a leading
+Arrow-order validity bitmap buffer; the reference's converter
+null-handles every vector class the same way, ref
+RowDataConverter.java:459-497). The fixture-pinned core (byte-identity
+proven against the reference's committed datasets) is the
+primitive/string/timestamp/list surface; bool, binary, date32, struct,
+and the some_nulls/all_nulls arms extend it per the public spec (ref
+LanceTypeConverter.java:146-156, :179-186) with hypothesis round-trip
+tests — the bool decoder keys on the page's DECLARED bits_per_value, so
+a byte-per-bool file reads correctly too; struct header columns are
+SimpleStruct pages with members as their own structural columns;
 multi-page columns (what lance writes past its page-size threshold)
 decode for every supported type — pages are self-contained, list pages
 advance a child-item base. Anything else — the 2.1 mini-block /
-compressed structural layouts, whose chunk tables and compression
-framing cannot be verified against any fixture or spec text available
-in-repo — raises ``NotImplementedError`` naming the encoding, never a
-silent misread.
+compressed structural layouts — raises ``NotImplementedError`` naming
+the encoding, never a silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
 manifest's file list, mirroring sources/reader.py's native path), and
@@ -475,11 +480,37 @@ def _column_pages(blob: bytes, col: int, cmos: int) -> list[_Page]:
 
 def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
     fmt, width, _ = _FLAT_TYPES[lt]
+    n = page.length
+    parts = _nullable_parts(page.encoding)
+    if parts is not None and parts[0] == "all":
+        if page.buf_pos:
+            raise NotImplementedError(
+                f"{what}: all-null page with {len(page.buf_pos)} buffers")
+        return [None] * n
+    if parts is not None and parts[0] == "some":
+        validity_msg, values_msg = parts[1]
+        if len(page.buf_pos) != 2:
+            raise NotImplementedError(
+                f"{what}: nullable flat page with {len(page.buf_pos)} "
+                "buffers (expected validity + values)")
+        vbits, vidx = _flat_msg_info(validity_msg)
+        bits, didx = _flat_msg_info(values_msg)
+        if vbits not in (None, 1):
+            raise NotImplementedError(
+                f"{what}: validity with bits_per_value={vbits}")
+        if vidx == didx:  # writer skipped indices: spec order is
+            vidx, didx = 0, 1  # validity first, then values
+        valid = _bitmap_bools(fetch, page.buf_pos[vidx], n)
+        if page.buf_size[didx] < n * width:
+            raise NotImplementedError(
+                f"{what}: values buffer smaller than rows x width — "
+                "compressed or bit-packed page, unsupported")
+        vals = struct.unpack(f"<{n}{fmt}", fetch(page.buf_pos[didx], n * width))
+        return [v if ok else None for v, ok in zip(vals, valid)]
     if len(page.buf_pos) != 1:
         raise NotImplementedError(
             f"{what}: flat page with {len(page.buf_pos)} buffers "
-            "(validity buffers / compressed pages unsupported)")
-    n = page.length
+            "(compressed pages unsupported)")
     if page.buf_size[0] < n * width:
         raise NotImplementedError(
             f"{what}: buffer smaller than rows x width — compressed or "
@@ -499,19 +530,61 @@ def _ends_with_nulls(fetch, pos: int, n: int, null_adj: int) -> list[tuple[int, 
     return out
 
 
-# ArrayEncoding oneof field numbers (public file2.proto): the variant
-# present at the top level of the message tells us the page shape.
-_ENC_FLAT = 2        # nested value-encoding chain for fixed-width data
+# ArrayEncoding oneof field numbers (public encodings.proto): the
+# variant present at the top level of the message tells us the page
+# shape. Fixed-width pages arrive wrapped in the Nullable arm (f2) —
+# Nullable{ no_nulls NoNull{values} | all_nulls AllNull{} |
+# some_nulls SomeNull{validity, values} } — whose inner values carry
+# the Flat chain (f1: Flat{bits_per_value, Buffer{buffer_index}}).
+_ENC_NULLABLE = 2    # Nullable wrapper: no_nulls / all_nulls / some_nulls
 _ENC_FSL = 3         # fixed-size list: f1 items encoding, f2 dimension
 _ENC_LIST = 4        # list: f1 offsets encoding, f2 null_offset_adjustment
 _ENC_STRUCT = 5      # struct header (SimpleStruct — empty message, no buffers)
 _ENC_VARIABLE = 6    # binary: f1 offsets, f2 bytes, f3 null_adjustment
 
 
+def _nullable_parts(enc: dict):
+    """Decompose an ArrayEncoding's Nullable arm (encodings.proto
+    Nullable, oneof f2) into ``('none', values_msg)``, ``('all', None)``
+    or ``('some', (validity_msg, values_msg))`` where each ``*_msg`` is
+    the decoded INNER ArrayEncoding message dict. None when the page has
+    no Nullable arm at all (struct/FSL headers written without nulls)."""
+    a = enc.get(_ENC_NULLABLE)
+    if not a:
+        return None
+    m = _pb_fields(a[0][1])
+    if 1 in m:  # NoNull{ values = 1 }
+        return ("none", _pb_fields(_one(_pb_fields(_one(m, 1)), 1, b"")))
+    if 2 in m:  # AllNull{} — zero buffers, length rows of null
+        return ("all", None)
+    if 3 in m:  # SomeNull{ validity = 1, values = 2 }
+        sn = _pb_fields(_one(m, 3))
+        return ("some", (_pb_fields(_one(sn, 1, b"")),
+                         _pb_fields(_one(sn, 2, b""))))
+    raise NotImplementedError(
+        f"Nullable encoding with unknown arm (fields {sorted(m)})")
+
+
+def _flat_msg_info(msg: dict) -> "tuple[int | None, int]":
+    """(bits_per_value, buffer_index) of an inner ArrayEncoding carrying
+    a Flat arm (f1: Flat{f1: bits, f2: Buffer{f1: index}}); bits is None
+    when the arm is absent. buffer_index defaults to 0 (prost skips
+    defaults on the wire)."""
+    flat = _pb_fields(_one(msg, 1, b""))
+    buf = _pb_fields(_one(flat, 2, b""))
+    return _one(flat, 1), _one(buf, 1, 0)
+
+
+def _bitmap_bools(fetch, pos: int, n: int) -> list:
+    """n LSB-first bits (Arrow bitmap order) from one buffer."""
+    packed = fetch(pos, (n + 7) // 8)
+    return [bool(packed[i >> 3] >> (i & 7) & 1) for i in range(n)]
+
+
 def _flat_bits(enc: dict) -> "int | None":
-    """Declared bits_per_value of a flat page's value-encoding chain
-    (ArrayEncoding{f2:{f1:{f1:{f1: bits, ...}}}}); None if absent."""
-    a = enc.get(_ENC_FLAT)
+    """Declared bits_per_value of a no-null flat page's value-encoding
+    chain (ArrayEncoding{f2:{f1:{f1:{f1: bits, ...}}}}); None if absent."""
+    a = enc.get(_ENC_NULLABLE)
     if not a:
         return None
     m = _pb_fields(a[0][1])
@@ -539,7 +612,7 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
         flat_lt = {"timestamp": "int64", "date32": "int32"}.get(base, lt)
         vals: list = []
         for pg in pages:
-            if _ENC_FLAT not in pg.encoding and pg.encoding:
+            if _ENC_NULLABLE not in pg.encoding and pg.encoding:
                 raise NotImplementedError(
                     f"{what}: non-flat encoding (fields {sorted(pg.encoding)})")
             vals.extend(_decode_flat(fetch, pg, flat_lt, what))
@@ -549,26 +622,51 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
         # bit-packed flat values, LSB-first (Arrow's bitmap order — what
         # lance's value encoding declares via bits_per_value=1). Decoded
         # against the page's OWN declared width so a byte-per-bool file
-        # still reads correctly.
+        # still reads correctly. Nullable pages carry a validity bitmap
+        # buffer ahead of the values (Nullable.some_nulls).
         vals = []
         for pg in pages:
-            bits = _flat_bits(pg.encoding)
+            n = pg.length
+            parts = _nullable_parts(pg.encoding)
+            if parts is not None and parts[0] == "all":
+                if pg.buf_pos:
+                    raise NotImplementedError(
+                        f"{what}: all-null page with buffers")
+                vals.extend([None] * n)
+                continue
+            valid = None
+            if parts is not None and parts[0] == "some":
+                validity_msg, values_msg = parts[1]
+                if len(pg.buf_pos) != 2:
+                    raise NotImplementedError(
+                        f"{what}: nullable bool page with "
+                        f"{len(pg.buf_pos)} buffers")
+                _vb, vidx = _flat_msg_info(validity_msg)
+                bits, didx = _flat_msg_info(values_msg)
+                if vidx == didx:
+                    vidx, didx = 0, 1
+                valid = _bitmap_bools(fetch, pg.buf_pos[vidx], n)
+                pos, size = pg.buf_pos[didx], pg.buf_size[didx]
+            else:
+                bits = _flat_bits(pg.encoding)
+                if len(pg.buf_pos) != 1:
+                    raise NotImplementedError(
+                        f"{what}: bool page with {len(pg.buf_pos)} buffers")
+                pos, size = pg.buf_pos[0], pg.buf_size[0]
             if bits not in (1, 8):
                 raise NotImplementedError(
                     f"{what}: bool page with bits_per_value={bits}")
-            if len(pg.buf_pos) != 1:
-                raise NotImplementedError(
-                    f"{what}: bool page with {len(pg.buf_pos)} buffers")
-            pos, n = pg.buf_pos[0], pg.length
             if bits == 8:
-                vals.extend(bool(b) for b in fetch(pos, n))
+                page_vals = [bool(b) for b in fetch(pos, n)]
             else:
-                if pg.buf_size[0] * 8 < n:
+                if size * 8 < n:
                     raise NotImplementedError(
                         f"{what}: bit-packed buffer shorter than rows")
-                packed = fetch(pos, (n + 7) // 8)
-                vals.extend(bool(packed[i >> 3] >> (i & 7) & 1)
-                            for i in range(n))
+                page_vals = _bitmap_bools(fetch, pos, n)
+            if valid is not None:
+                page_vals = [v if ok else None
+                             for v, ok in zip(page_vals, valid)]
+            vals.extend(page_vals)
         return vals
 
     if lt in ("string", "large_string", "binary", "large_binary"):
@@ -627,53 +725,103 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
         return out
 
     if lt.startswith("fixed_size_list:"):
-        # FSL HEADER column: zero-buffer page(s) with the dimension in
-        # the encoding (ArrayEncoding.fixed_size_list f2); the flattened
-        # values (rows*dim) live in the child column, the offset-free
-        # twin of the list layout
+        # FSL HEADER column: page(s) with the dimension in the encoding
+        # (ArrayEncoding.fixed_size_list f2); the flattened values
+        # (rows*dim — null rows keep their dim child slots) live in the
+        # child column, the offset-free twin of the list layout. A
+        # nullable header wraps the FSL arm in Nullable.some_nulls and
+        # carries ONE validity-bitmap buffer (all_nulls carries none).
         dim = int(lt.split(":")[-1])
         n = 0
+        valid: list = []
         for pg in pages:
-            enc = pg.encoding.get(_ENC_FSL)
-            if pg.encoding and enc is None:
-                raise NotImplementedError(
-                    f"{what}: expected fixed-size-list encoding "
-                    f"(got fields {sorted(pg.encoding)})")
+            parts = _nullable_parts(pg.encoding)
+            if parts is not None and parts[0] == "all":
+                if pg.buf_pos:
+                    raise NotImplementedError(
+                        f"{what}: all-null page with buffers")
+                valid.extend([False] * pg.length)
+                n += pg.length
+                continue
+            if parts is not None and parts[0] == "some":
+                _validity_msg, values_msg = parts[1]
+                enc = values_msg.get(_ENC_FSL)
+                if enc is None:
+                    raise NotImplementedError(
+                        f"{what}: nullable header without a "
+                        "fixed-size-list arm "
+                        f"(got fields {sorted(values_msg)})")
+                if len(pg.buf_pos) != 1:
+                    raise NotImplementedError(
+                        f"{what}: nullable fixed-size-list header with "
+                        f"{len(pg.buf_pos)} buffers (expected validity)")
+                valid.extend(_bitmap_bools(fetch, pg.buf_pos[0], pg.length))
+            else:
+                enc = pg.encoding.get(_ENC_FSL)
+                if pg.encoding and enc is None:
+                    raise NotImplementedError(
+                        f"{what}: expected fixed-size-list encoding "
+                        f"(got fields {sorted(pg.encoding)})")
+                if pg.buf_pos:
+                    raise NotImplementedError(
+                        f"{what}: fixed-size-list header with "
+                        f"{len(pg.buf_pos)} buffers and no Nullable arm")
+                valid.extend([True] * pg.length)
             if enc is not None:
                 declared = _one(_pb_fields(enc[0][1]), 2, 0)
                 if declared and declared != dim:
                     raise ValueError(
                         f"{what}: page dimension {declared} != schema {dim}")
-            if pg.buf_pos:
-                raise NotImplementedError(
-                    f"{what}: fixed-size-list header with buffers "
-                    "(nullable vectors are outside the supported surface)")
             n += pg.length
         child = _child_index(fields, idx)
         items = _decode_column(fetch, fields, child, pages_by_col, col_of_field)
         if len(items) != n * dim:
             raise ValueError(
                 f"{what}: {len(items)} child values != {n} rows * dim {dim}")
-        return [items[i * dim:(i + 1) * dim] for i in range(n)]
+        return [items[i * dim:(i + 1) * dim] if valid[i] else None
+                for i in range(n)]
 
     if lt == "struct":
-        # struct HEADER column: zero-buffer page(s) carrying only the row
-        # count, ArrayEncoding.struct (SimpleStruct — public
-        # encodings.proto; the reference's converter carries StructType,
-        # ref LanceTypeConverter.java:179-186). Members follow as their
-        # own structural columns in schema order. Validity buffers on the
-        # header (nullable struct VALUES, a 2.1 encoding) are refused.
+        # struct HEADER column: page(s) carrying only the row count,
+        # ArrayEncoding.struct (SimpleStruct — public encodings.proto;
+        # the reference's converter carries StructType, ref
+        # LanceTypeConverter.java:179-186). Members follow as their own
+        # structural columns in schema order. A nullable header wraps
+        # SimpleStruct in Nullable.some_nulls with ONE validity-bitmap
+        # buffer; member columns still carry a value per row (defaults
+        # under null parents), masked out here.
         n = 0
+        valid = []
         for pg in pages:
-            if pg.encoding and _ENC_STRUCT not in pg.encoding:
-                raise NotImplementedError(
-                    f"{what}: expected struct-header encoding "
-                    f"(got fields {sorted(pg.encoding)})")
-            if pg.buf_pos:
-                raise NotImplementedError(
-                    f"{what}: struct header with {len(pg.buf_pos)} "
-                    "buffer(s) — nullable struct values are outside the "
-                    "supported v2.0 surface")
+            parts = _nullable_parts(pg.encoding)
+            if parts is not None and parts[0] == "all":
+                if pg.buf_pos:
+                    raise NotImplementedError(
+                        f"{what}: all-null page with buffers")
+                valid.extend([False] * pg.length)
+                n += pg.length
+                continue
+            if parts is not None and parts[0] == "some":
+                _validity_msg, values_msg = parts[1]
+                if _ENC_STRUCT not in values_msg:
+                    raise NotImplementedError(
+                        f"{what}: nullable header without a struct arm "
+                        f"(got fields {sorted(values_msg)})")
+                if len(pg.buf_pos) != 1:
+                    raise NotImplementedError(
+                        f"{what}: nullable struct header with "
+                        f"{len(pg.buf_pos)} buffers (expected validity)")
+                valid.extend(_bitmap_bools(fetch, pg.buf_pos[0], pg.length))
+            else:
+                if pg.encoding and _ENC_STRUCT not in pg.encoding:
+                    raise NotImplementedError(
+                        f"{what}: expected struct-header encoding "
+                        f"(got fields {sorted(pg.encoding)})")
+                if pg.buf_pos:
+                    raise NotImplementedError(
+                        f"{what}: struct header with {len(pg.buf_pos)} "
+                        "buffer(s) and no Nullable arm")
+                valid.extend([True] * pg.length)
             n += pg.length
         kids = _children_indices(fields, idx)
         names = [fields[j].name for j in kids]
@@ -682,7 +830,8 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
         if any(len(c) != n for c in cols):
             raise ValueError(
                 f"{what}: member length disagrees with header row count")
-        return [dict(zip(names, vals)) for vals in zip(*cols)] if n else []
+        return [dict(zip(names, vals)) if ok else None
+                for ok, *vals in zip(valid, *cols)] if n else []
 
     raise NotImplementedError(f"{what}: unsupported logical type")
 
@@ -842,10 +991,13 @@ def is_native_dataset(root: str, storage_options: dict | None = None) -> bool:
 # manifest BYTE-FOR-BYTE (tests/test_lance_native_write.py), so what we
 # write is what lance 0.24 writes, not merely what our decoder re-reads.
 #
-# Scope mirrors the read side: non-null flat primitives (int8..64,
-# uint8..64, float, double, timestamp), nullable string, nullable
-# list-of-primitive — the full surface the reference's connector
-# exercises. Unsupported Arrow types raise naming the type.
+# Scope mirrors the read side: flat primitives (int8..64, uint8..64,
+# float, double, timestamp, date32), bool, string/binary, list,
+# struct, fixed-size list — ALL nullable (fixed-width/bool/struct/FSL
+# through Nullable.some_nulls/all_nulls pages; variable-width/list
+# through offset adjustment) — the full surface the reference's
+# converter null-handles (ref RowDataConverter.java:459-497).
+# Unsupported Arrow types raise naming the type.
 # =============================================================================
 
 _ALIGN = 64
@@ -922,6 +1074,31 @@ def _enc_fsl(child_bits: int, dim: int) -> bytes:
     """ArrayEncoding for a fixed-size-list header page: f3
     FixedSizeList{ f1: items encoding (flat chain), f2: dimension }."""
     return _w_len(3, _w_len(1, _enc_flat_chain(child_bits)) + _w_vint(2, dim))
+
+
+def _enc_inner_flat(bits: int, buffer_index: int) -> bytes:
+    """INNER ArrayEncoding{ f1: Flat{ f1: bits, f2: Buffer{ f1: index }}}
+    — the values/validity leaves inside a Nullable.some_nulls wrapper
+    (index 0 is skipped on the wire, prost-style)."""
+    buf = _w_vint(1, buffer_index) if buffer_index else b""
+    return _w_len(1, _w_vint(1, bits) + _w_len(2, buf))
+
+
+def _enc_all_null() -> bytes:
+    """ArrayEncoding{ f2: Nullable{ f2: AllNull{} }} — zero buffers; the
+    page's length is the row count."""
+    return _w_len(2, _w_len(2, b""))
+
+
+def _enc_some_null(values_inner: bytes) -> bytes:
+    """ArrayEncoding{ f2: Nullable{ f3: SomeNull{ f1: validity (flat-1 at
+    buffer 0), f2: values_inner }}} — page buffers are [validity bitmap
+    (LSB-first, 1 = valid — Arrow order), values...]. ``values_inner``
+    is a complete inner ArrayEncoding message (a Flat leaf for
+    fixed-width/bool, the FixedSizeList or SimpleStruct arm for
+    headers)."""
+    return _w_len(2, _w_len(
+        3, _w_len(1, _enc_inner_flat(1, 0)) + _w_len(2, values_inner)))
 
 
 def _field_bytes(f: NativeField) -> bytes:
@@ -1015,16 +1192,41 @@ def widen_fields(live_fields: list[NativeField], extra_arrow_fields) -> list[Nat
     return out
 
 
+def _validity_bitmap(arr) -> bytes:
+    """Arrow-order validity bitmap (LSB-first, 1 = valid) of one array —
+    the buffer a Nullable.some_nulls page leads with."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mask = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    return np.packbits(mask.astype(np.uint8), bitorder="little").tobytes()
+
+
+def _fill_nulls_flat(arr, lt: str):
+    """Null slots of a fixed-width array zero-filled (the values under a
+    some_nulls validity bitmap are arbitrary; zero is deterministic —
+    byte-stable re-encodes). Timestamps/dates drop to their storage ints
+    first so fill_null needs no typed scalar."""
+    import pyarrow as pa
+
+    base = lt.split(":")[0]
+    if base == "timestamp":
+        arr = arr.cast(pa.int64())
+    elif base == "date32":
+        arr = arr.cast(pa.int32())
+    return arr.fill_null(0)
+
+
 def _flat_buffer(arr, lt: str, what: str) -> bytes:
-    """Values of a flat column as little-endian bytes (no validity —
-    nulls in fixed-width columns raise; the decoder can't read them either)."""
+    """Values of a flat column as little-endian bytes (no validity here —
+    nullable columns zero-fill first and ride a some_nulls page)."""
     import numpy as np
     import pyarrow as pa
 
     if arr.null_count:
         raise NotImplementedError(
-            f"{what}: nulls in a fixed-width column (validity buffers "
-            "are outside the supported v2 write surface)")
+            f"{what}: nulls reached the flat value buffer — "
+            "_plan_column must fill them first (internal invariant)")
     base = lt.split(":")[0]
     if base == "timestamp":
         arr = arr.cast(pa.int64())
@@ -1073,19 +1275,33 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
     if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
-        plans[idx] = _ColPlan([_flat_buffer(arr, lt, what)],
-                              _enc_flat_chain(_width_bits(lt)), len(arr))
+        bits = _width_bits(lt)
+        if arr.null_count == len(arr) and len(arr):
+            plans[idx] = _ColPlan([], _enc_all_null(), len(arr))
+        elif arr.null_count:
+            filled = _fill_nulls_flat(arr, lt)
+            plans[idx] = _ColPlan(
+                [_validity_bitmap(arr), _flat_buffer(filled, lt, what)],
+                _enc_some_null(_enc_inner_flat(bits, 1)), len(arr))
+        else:
+            plans[idx] = _ColPlan([_flat_buffer(arr, lt, what)],
+                                  _enc_flat_chain(bits), len(arr))
         return
     if lt == "bool":
         import numpy as np
 
-        if arr.null_count:
-            raise NotImplementedError(
-                f"{what}: nulls in a fixed-width column (validity buffers "
-                "are outside the supported v2 write surface)")
+        if arr.null_count == len(arr) and len(arr):
+            plans[idx] = _ColPlan([], _enc_all_null(), len(arr))
+            return
         packed = np.packbits(
-            np.asarray(arr.to_pylist(), dtype=np.uint8), bitorder="little")
-        plans[idx] = _ColPlan([packed.tobytes()], _enc_flat_chain(1), len(arr))
+            np.asarray(arr.fill_null(False).to_pylist(), dtype=np.uint8),
+            bitorder="little").tobytes()
+        if arr.null_count:
+            plans[idx] = _ColPlan(
+                [_validity_bitmap(arr), packed],
+                _enc_some_null(_enc_inner_flat(1, 1)), len(arr))
+        else:
+            plans[idx] = _ColPlan([packed], _enc_flat_chain(1), len(arr))
         return
     if lt in ("string", "binary"):
         vals = arr.to_pylist()
@@ -1110,20 +1326,21 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         plans[idx] = _ColPlan([ends], _enc_list(null_adj, num_items), len(vals))
         return
     if lt == "struct":
-        if arr.null_count:
-            raise NotImplementedError(
-                f"{what}: NULL struct values (header validity is a 2.1 "
-                "encoding; make the struct column non-null or use the "
-                "emulated parquet backend)")
-        plans[idx] = _ColPlan([], _enc_struct(), len(arr))
+        if arr.null_count == len(arr) and len(arr):
+            plans[idx] = _ColPlan([], _enc_all_null(), len(arr))
+        elif arr.null_count:
+            # nullable struct VALUES: Nullable.some_nulls around the
+            # SimpleStruct arm, one validity-bitmap buffer; members still
+            # write a value per row (arrow materializes defaults under
+            # null parents), masked by the header on decode
+            plans[idx] = _ColPlan([_validity_bitmap(arr)],
+                                  _enc_some_null(_enc_struct()), len(arr))
+        else:
+            plans[idx] = _ColPlan([], _enc_struct(), len(arr))
         for j in _children_indices(fields, idx):
             _plan_column(arr.field(fields[j].name), fields, j, plans)
         return
     if lt.startswith("fixed_size_list:"):
-        if arr.null_count:
-            raise NotImplementedError(
-                f"{what}: NULL vector values (fixed-size-list headers "
-                "carry no validity; null-pad or use a plain list column)")
         dim = int(lt.split(":")[-1])
         child_idx = _child_index(fields, idx)
         child_lt = fields[child_idx].logical_type
@@ -1138,6 +1355,20 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
                 f"{what}: fixed-size-list items of type {child_lt!r} have "
                 "no native-lance write mapping (supported: flat "
                 "fixed-width primitives)")
+        if arr.null_count:
+            # null rows KEEP their dim child slots (.values, offset-
+            # adjusted — .flatten() would drop them and break the
+            # rows*dim contract); the child's own nulls ride its
+            # nullable plan
+            child_arr = arr.values.slice(arr.offset * dim, len(arr) * dim)
+            _plan_column(child_arr, fields, child_idx, plans)
+            enc = (_enc_all_null()
+                   if arr.null_count == len(arr) and len(arr) else
+                   _enc_some_null(_enc_fsl(_width_bits(child_lt), dim)))
+            bufs = ([] if arr.null_count == len(arr) and len(arr)
+                    else [_validity_bitmap(arr)])
+            plans[idx] = _ColPlan(bufs, enc, len(arr))
+            return
         child_arr = arr.flatten()  # rows*dim values, offset-safe
         _plan_column(child_arr, fields, child_idx, plans)
         plans[idx] = _ColPlan([], _enc_fsl(_width_bits(child_lt), dim),

@@ -32,19 +32,37 @@ timestamps = st.datetimes(min_value=datetime.datetime(1, 1, 1),
                           max_value=datetime.datetime(9999, 12, 31))
 
 
+# nullable twins: every fixed-width/bool/struct/FSL shape must survive
+# the Nullable.some_nulls / all_nulls page arms (round-10 write surface)
+opt_i64 = st.one_of(st.none(), i64)
+opt_bool = st.one_of(st.none(), bools)
+opt_ts = st.one_of(st.none(), timestamps)
+opt_struct = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({"a": opt_i64, "b": texts}))
+opt_vec2 = st.one_of(st.none(), st.lists(f32, min_size=2, max_size=2))
+
+
 @st.composite
 def tables(draw):
     n = draw(st.integers(min_value=0, max_value=50))
     return pa.table({
-        "i": pa.array(draw(st.lists(i64, min_size=n, max_size=n)), pa.int64()),
+        "i": pa.array(draw(st.lists(opt_i64, min_size=n, max_size=n)),
+                      pa.int64()),
         "s": pa.array(draw(st.lists(texts, min_size=n, max_size=n)), pa.string()),
         "b": pa.array(draw(st.lists(blobs, min_size=n, max_size=n)), pa.binary()),
-        "f": pa.array(draw(st.lists(bools, min_size=n, max_size=n)), pa.bool_()),
+        "f": pa.array(draw(st.lists(opt_bool, min_size=n, max_size=n)),
+                      pa.bool_()),
         "d": pa.array(draw(st.lists(days, min_size=n, max_size=n)), pa.date32()),
-        "t": pa.array(draw(st.lists(timestamps, min_size=n, max_size=n)),
+        "t": pa.array(draw(st.lists(opt_ts, min_size=n, max_size=n)),
                       pa.timestamp("us")),
         "v": pa.array(draw(st.lists(floats_list, min_size=n, max_size=n)),
                       pa.list_(pa.float32())),
+        "m": pa.array(draw(st.lists(opt_struct, min_size=n, max_size=n)),
+                      pa.struct([pa.field("a", pa.int64()),
+                                 pa.field("b", pa.string())])),
+        "w": pa.array(draw(st.lists(opt_vec2, min_size=n, max_size=n)),
+                      pa.list_(pa.field("item", pa.float32()), 2)),
     })
 
 
@@ -282,14 +300,19 @@ def test_struct_dataset_roundtrip_and_append(tmp_path):
     assert got.num_rows == 2 and got.column("m").to_pylist() == [{"a": 1}] * 2
 
 
-def test_struct_null_values_refused(tmp_path):
+def test_struct_null_values_roundtrip(tmp_path):
+    """NULL struct VALUES ride a Nullable.some_nulls header (one
+    validity-bitmap buffer); members still write a value per row and
+    the header masks them on decode. Nested member nulls compose."""
     p = str(tmp_path / "x.lance")
     tbl = pa.table({
-        "m": pa.array([{"a": 1}, None],
-                      pa.struct([pa.field("a", pa.int64())])),
+        "m": pa.array([{"a": 1, "b": "x"}, None, {"a": None, "b": None}],
+                      pa.struct([pa.field("a", pa.int64()),
+                                 pa.field("b", pa.string())])),
     })
-    with pytest.raises(NotImplementedError, match="NULL struct"):
-        LF.write_native_file(tbl, p)
+    LF.write_native_file(tbl, p)
+    assert LF.read_native_file(p).column("m").to_pylist() == \
+        [{"a": 1, "b": "x"}, None, {"a": None, "b": None}]
 
 
 # --- fixed-size lists (declared-dimension vectors) -------------------------
@@ -327,11 +350,23 @@ def test_fixed_size_list_roundtrip(tmp_path):
         LF.write_native_dataset(root, plain, "append")
 
 
-def test_fixed_size_list_null_vector_refused(tmp_path):
+def test_fixed_size_list_null_vector_roundtrip(tmp_path):
+    """NULL vector rows keep their dim child slots (.values, not
+    .flatten()) under a Nullable.some_nulls header — the rows*dim child
+    contract survives, and the header's validity restores the Nones."""
+    p = str(tmp_path / "x.lance")
     fsl = pa.list_(pa.field("item", pa.float32()), 2)
-    tbl = pa.table({"v": pa.array([[1.0, 2.0], None], fsl)})
-    with pytest.raises(NotImplementedError, match="NULL vector"):
-        LF.write_native_file(tbl, str(tmp_path / "x.lance"))
+    tbl = pa.table({"v": pa.array([[1.0, 2.0], None, [3.0, 4.0]], fsl)})
+    LF.write_native_file(tbl, p)
+    assert LF.read_native_file(p).column("v").to_pylist() == \
+        [[1.0, 2.0], None, [3.0, 4.0]]
+    # all-null column: AllNull page, zero buffers
+    p2 = str(tmp_path / "y.lance")
+    tbl2 = pa.table({"v": pa.array([None, None], fsl),
+                     "i": pa.array([None, None], pa.int64())})
+    LF.write_native_file(tbl2, p2)
+    assert LF.read_native_file(p2).to_pylist() == \
+        [{"v": None, "i": None}, {"v": None, "i": None}]
 
 
 def test_plain_list_still_writes_list(tmp_path):

@@ -86,9 +86,10 @@ def test_roundtrip_types_and_nulls(tmp_path):
 
 
 def test_refusals(tmp_path):
-    with pytest.raises(NotImplementedError, match="fixed-width"):
-        LF.write_native_file(pa.table({"x": pa.array([1, None], pa.int64())}),
-                             str(tmp_path / "a.lance"))
+    # nullable fixed-width now WRITES (Nullable.some_nulls page)
+    p = str(tmp_path / "a.lance")
+    LF.write_native_file(pa.table({"x": pa.array([1, None], pa.int64())}), p)
+    assert LF.read_native_file(p).column("x").to_pylist() == [1, None]
     with pytest.raises(NotImplementedError, match="decimal"):
         # DECIMAL cannot round-trip through the reference's converter
         # either (SURVEY.md §1.2) — refused by name

@@ -548,11 +548,12 @@ def test_native_dropped_name_cannot_resurrect_via_append(spark, tmp_path):
     assert read_dataset(spark, path).filter("name = 'n3'").count() == 1
 
 
-def test_native_rewrite_of_nullable_fixed_width_refuses_loudly(spark, tmp_path):
-    """The v2 encode surface has no validity buffers for flat primitives:
-    a backfill rewrite of an evolved table whose INT column carries nulls
-    must refuse naming the column, never silently drop or zero the
-    nulls."""
+def test_native_rewrite_of_nullable_fixed_width_roundtrips(spark, tmp_path):
+    """The v2 encoder writes validity (Nullable.some_nulls) for flat
+    primitives, so a backfill rewrite of an evolved table whose INT
+    column carries nulls re-encodes them faithfully — the nulls survive
+    the whole-table rewrite instead of refusing (pre-round-10 behavior)
+    or silently zeroing."""
     from flink_connector_lance_spark.sources.schema_evolution import add_column
     from flink_connector_lance_spark.sources.writer import write_native_pure
 
@@ -566,9 +567,12 @@ def test_native_rewrite_of_nullable_fixed_width_refuses_loudly(spark, tmp_path):
         options=DatasetOptions(path=path, schema_evolution=True))
     # the evolved read null-fills the int column...
     assert read_dataset(spark, path).filter("extra IS NULL").count() == 20
-    # ...so a whole-table rewrite cannot re-encode it
-    with pytest.raises(Exception, match="nulls in a fixed-width"):
-        add_column(spark, path, "bonus", "g * 100")
+    # ...and the whole-table rewrite re-encodes those nulls natively
+    add_column(spark, path, "bonus", "g * 100")
+    out = read_dataset(spark, path)
+    assert out.filter("extra IS NULL").count() == 20
+    assert out.filter("extra IS NOT NULL").count() == 5
+    assert out.filter("bonus = g * 100").count() == 25
 
 
 def test_native_count_probe_with_filter_on_evolved_column(spark, tmp_path):
