@@ -770,15 +770,74 @@ class LanceDataSourceReader(DataSourceReader):
                     yield batch
 
 
+def _put_remote_bloom(fs, tbl, path: str, frag_name: str,
+                      bloom_columns) -> "dict | None":
+    """Build a bloom payload from the in-memory table and PUT the sidecar
+    next to its fragment — executor-side, before the commit ever names
+    the fragment (same contract as the local build_bloom_sidecar)."""
+    import json
+
+    from .bloom import BLOOM_SUFFIX, build_bloom_payload
+
+    built = build_bloom_payload(tbl, bloom_columns)
+    if built is None:
+        return None
+    payload, cols_meta = built
+    side = frag_name + BLOOM_SUFFIX
+    with fs.open(f"{str(path).rstrip('/')}/{FR.DATA_DIR}/{side}", "wb") as fh:
+        fh.write(json.dumps(payload).encode())
+    return {"file": side, "cols": cols_meta}
+
+
 def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
-                    bloom_columns: "List[str] | None" = None) -> FragmentCommitMessage:
+                    bloom_columns: "List[str] | None" = None,
+                    storage: "dict | None" = None) -> FragmentCommitMessage:
     """Executor side: stream one task's Arrow batches into one fragment
-    file. Fragments are invisible until a manifest names them."""
+    file. Fragments are invisible until a manifest names them. On an
+    s3:// path the task encodes to worker-local scratch and PUTs the
+    fragment (and bloom sidecar) straight to the object store — the data
+    bytes never touch the driver (same shape as writer._write_remote)."""
     import pyarrow.parquet as pq
 
+    from .fs import is_remote
+
+    frag_name = FR.new_fragment_name()
+    if is_remote(path):
+        import tempfile
+
+        from .fs import get_fs
+
+        with tempfile.NamedTemporaryFile(suffix=".parquet") as tmp:
+            writer = None
+            rows = 0
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp.name, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+            if writer is not None:
+                writer.close()
+            if rows == 0:
+                return FragmentCommitMessage(file=None, row_count=0)
+            stats = FR.parquet_fragment_stats(tmp.name) or {}
+            fs = get_fs(path, storage)
+            fs.put(tmp.name,
+                   f"{str(path).rstrip('/')}/{FR.DATA_DIR}/{frag_name}")
+            if bloom_columns:
+                from .bloom import BLOOM_STATS_KEY
+
+                names = pq.read_schema(tmp.name).names
+                cols = [c for c in bloom_columns if c in names]
+                entry = _put_remote_bloom(
+                    fs, pq.read_table(tmp.name, columns=cols), path,
+                    frag_name, bloom_columns) if cols else None
+                if entry is not None:
+                    stats[BLOOM_STATS_KEY] = entry
+        return FragmentCommitMessage(
+            file=f"{FR.DATA_DIR}/{frag_name}", row_count=rows,
+            stats=stats or None)
     data_dir = os.path.join(path, FR.DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
-    frag_name = FR.new_fragment_name()
     out = os.path.join(data_dir, frag_name)
     writer = None
     rows = 0
@@ -814,17 +873,20 @@ def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
 
 def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
                            fields=None,
-                           bloom_columns=None) -> FragmentCommitMessage:
+                           bloom_columns=None,
+                           storage: "dict | None" = None) -> FragmentCommitMessage:
     """Executor side, REAL-Lance-format twin of ``_write_fragment``: one
     task's batches become one ``data/<uuid>.lance`` v2 file through the
     stdlib codec. ``fields`` (the live manifest schema, shipped from the
     driver) aligns appends — column order + arrow-safe casts — before
-    any byte lands."""
+    any byte lands. s3:// paths PUT from the task, like the parquet
+    twin."""
     import uuid as _uuid
 
     import pyarrow as pa
 
     from . import lance_format as LF
+    from .fs import is_remote
 
     batches = list(iterator)
     rows = sum(b.num_rows for b in batches)
@@ -833,11 +895,29 @@ def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
     tbl = pa.Table.from_batches(batches)
     if fields is not None:
         tbl = LF.align_to_fields(tbl, fields)
+    fname = f"{_uuid.uuid4()}.lance"
+    stats = LF.arrow_fragment_stats(tbl) or {}
+    if is_remote(path):
+        import tempfile
+
+        from .bloom import BLOOM_STATS_KEY
+        from .fs import get_fs
+
+        fs = get_fs(path, storage)
+        with tempfile.NamedTemporaryFile(suffix=".lance") as tmp:
+            LF.write_native_file(tbl, tmp.name)
+            fs.put(tmp.name,
+                   f"{str(path).rstrip('/')}/{LF.DATA_DIR}/{fname}")
+        if bloom_columns:
+            entry = _put_remote_bloom(fs, tbl, path, fname, bloom_columns)
+            if entry is not None:
+                stats[BLOOM_STATS_KEY] = entry
+        return FragmentCommitMessage(
+            file=f"{LF.DATA_DIR}/{fname}", row_count=rows,
+            stats=stats or None)
     data_dir = os.path.join(path, LF.DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
-    fname = f"{_uuid.uuid4()}.lance"
     LF.write_native_file(tbl, os.path.join(data_dir, fname))
-    stats = LF.arrow_fragment_stats(tbl) or {}
     if bloom_columns:
         from .bloom import BLOOM_STATS_KEY, build_bloom_sidecar_from_table
 
@@ -850,9 +930,22 @@ def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
         stats=stats or None)
 
 
-def _drop_fragments(path: str, messages) -> None:
+def _drop_fragments(path: str, messages, storage: "dict | None" = None) -> None:
     from .bloom import BLOOM_SUFFIX
+    from .fs import is_remote
 
+    if is_remote(path):
+        from .fs import get_fs
+
+        fs = get_fs(path, storage)
+        for m in messages:
+            if m is not None and m.file:
+                for victim in (m.file, m.file + BLOOM_SUFFIX):
+                    try:
+                        fs.rm(f"{str(path).rstrip('/')}/{victim}")
+                    except (OSError, FileNotFoundError):
+                        pass
+        return
     for m in messages:
         if m is not None and m.file:
             for victim in (m.file, m.file + BLOOM_SUFFIX):
@@ -868,7 +961,8 @@ def _parse_evolve_option(options: dict) -> bool:
 
 
 def _schema_meta_for_commit(path: str, frags: List[FR.FragmentInfo],
-                            mode: str, evolve: bool) -> "dict | None":
+                            mode: str, evolve: bool,
+                            storage: "dict | None" = None) -> "dict | None":
     """Driver-side append-time schema contract for the format path (batch
     AND streaming sinks — both commit executor-written fragments the
     driver can no longer reshape).
@@ -884,14 +978,23 @@ def _schema_meta_for_commit(path: str, frags: List[FR.FragmentInfo],
     import pyarrow.parquet as pq
 
     from ..types import arrow_schema_to_spark
+    from .fs import is_remote
     from .schema_evolution import align_check_for_commit
 
     if not frags:
         return None
-    incoming = arrow_schema_to_spark(pq.read_schema(os.path.join(path, frags[0].file)))
-    if mode == "overwrite" or FR.latest_version(path) is None:
+    if is_remote(path):
+        from .fs import get_fs
+
+        with get_fs(path, storage).open(
+                f"{str(path).rstrip('/')}/{frags[0].file}", "rb") as fh:
+            incoming = arrow_schema_to_spark(pq.read_schema(fh))
+    else:
+        incoming = arrow_schema_to_spark(
+            pq.read_schema(os.path.join(path, frags[0].file)))
+    if mode == "overwrite" or FR.latest_version(path, storage) is None:
         return {"schema": incoming.json(), "dropped_columns": []}
-    return align_check_for_commit(path, incoming, evolve)
+    return align_check_for_commit(path, incoming, evolve, storage)
 
 
 def _layout_options_requested(options: dict) -> bool:
@@ -911,15 +1014,14 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
-        if is_remote(self._path):
-            raise NotImplementedError(
-                "the format('lance') writer does not support s3:// paths "
-                "(its executor-side fragment writes are local-only); use "
-                "sources.writer.write_dataset — it stages fragments "
-                "locally, uploads through fsspec, and commits the "
-                "manifest with an S3 conditional PUT — or the native "
-                "lance backend"
-            )
+        # s3:// writes are executor-direct: each task PUTs its fragment
+        # through fsspec with these (picklable) credentials and the
+        # driver's only write is the conditional-PUT manifest commit —
+        # the spark-idiomatic spelling of the reference's S3 story
+        # (ref table/LanceCatalogFactory.java:77-111) without its
+        # single-writer serialization
+        self._remote = is_remote(self._path)
+        self._storage = _storage_opts(options) if self._remote else None
         self._mode = "overwrite" if overwrite else "append"
         self._evolve = _parse_evolve_option(options)
         if _layout_options_requested(options):
@@ -951,9 +1053,9 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
 
         want_native = str(options.get("write.native-format", "false")
                           ).strip().lower() in ("true", "1", "yes")
-        self._native = LF.is_native_dataset(self._path)
+        self._native = LF.is_native_dataset(self._path, self._storage)
         if want_native and not self._native:
-            if FR.latest_version(self._path) is not None:
+            if FR.latest_version(self._path, self._storage) is not None:
                 raise ValueError(
                     "write.native-format=true targets an existing EMULATED "
                     f"dataset at {self._path} — mixing binary and JSON "
@@ -970,15 +1072,18 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
                     "could widen the field list); evolve through "
                     "sources.writer.write_dataset / write_native_pure, "
                     "which align the batch driver-side first")
-            if self._mode == "append" and LF.native_manifest_versions(self._path):
-                self._native_fields = LF.read_native_manifest(self._path).fields
+            if (self._mode == "append"
+                    and LF.native_manifest_versions(self._path, self._storage)):
+                self._native_fields = LF.read_native_manifest(
+                    self._path, storage_options=self._storage).fields
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
         if self._native:
             return _write_native_fragment(self._path, iterator,
                                           self._native_fields,
-                                          self._bloom_cols)
-        return _write_fragment(self._path, iterator, self._bloom_cols)
+                                          self._bloom_cols, self._storage)
+        return _write_fragment(self._path, iterator, self._bloom_cols,
+                               self._storage)
 
     def commit(self, messages: List[FragmentCommitMessage]) -> None:
         """Runs on the driver: single-winner manifest commit."""
@@ -990,11 +1095,14 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             for i, m in enumerate(m for m in messages if m is not None and m.file)
         ]
         try:
-            meta = _schema_meta_for_commit(self._path, frags, self._mode, self._evolve)
+            meta = _schema_meta_for_commit(self._path, frags, self._mode,
+                                           self._evolve, self._storage)
         except Exception:
-            _drop_fragments(self._path, messages)  # refuse = no orphans
+            # refuse = no orphans
+            _drop_fragments(self._path, messages, self._storage)
             raise
-        FR.commit(self._path, frags, mode=self._mode, meta=meta)
+        FR.commit(self._path, frags, mode=self._mode, meta=meta,
+                  storage_options=self._storage)
 
     def _commit_native(self, messages: List[FragmentCommitMessage]) -> None:
         from . import lance_format as LF
@@ -1007,8 +1115,9 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
                 # truncate-via-overwrite: the live manifest supplies the
                 # schema (the emulated path commits the empty overwrite
                 # the same way); only a FRESH path has no schema to keep
-                if LF.native_manifest_versions(self._path):
-                    fields = LF.read_native_manifest(self._path).fields
+                if LF.native_manifest_versions(self._path, self._storage):
+                    fields = LF.read_native_manifest(
+                        self._path, storage_options=self._storage).fields
                 else:
                     raise ValueError(
                         "native overwrite of a fresh path with zero "
@@ -1017,12 +1126,16 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             else:
                 # v2 files are self-describing; the first fragment's
                 # FileDescriptor is the (single-plan) schema of them all
-                fields = LF.read_file_schema(
-                    os.path.join(self._path, LF.DATA_DIR, new_files[0][0]))
-        LF.commit_native(self._path, fields, new_files, self._mode)
+                first = (f"{str(self._path).rstrip('/')}/{LF.DATA_DIR}/"
+                         f"{new_files[0][0]}" if self._remote else
+                         os.path.join(self._path, LF.DATA_DIR,
+                                      new_files[0][0]))
+                fields = LF.read_file_descriptor(first, self._storage)[0]
+        LF.commit_native(self._path, fields, new_files, self._mode,
+                         storage_options=self._storage)
 
     def abort(self, messages: List[FragmentCommitMessage]) -> None:
-        _drop_fragments(self._path, messages)
+        _drop_fragments(self._path, messages, self._storage)
 
 
 class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
@@ -1046,14 +1159,12 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         self._path = _norm_path(options.get("path"))
         if not self._path:
             raise ValueError("lance datasource requires a 'path' option")
-        if is_remote(self._path):
-            raise NotImplementedError(
-                "the streaming format('lance') writer does not support "
-                "s3:// paths (executor-side fragment writes are "
-                "local-only); write micro-batches in foreachBatch via "
-                "sources.writer.write_dataset, or stream through the "
-                "native lance backend"
-            )
+        # s3:// micro-batches are executor-direct like the batch writer:
+        # tasks PUT fragments through fsspec, the driver's epoch-tagged
+        # commit is one conditional PUT — redelivery dedup unchanged
+        # (the epoch rides inside the atomic manifest write)
+        self._remote = is_remote(self._path)
+        self._storage = _storage_opts(options) if self._remote else None
         self._evolve = _parse_evolve_option(options)
         if _layout_options_requested(options):
             raise ValueError(
@@ -1067,7 +1178,7 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         self._bloom_cols = parse_bloom_columns(options.get("write.bloom-columns"))
         from . import lance_format as LF
 
-        self._native = LF.is_native_dataset(self._path)
+        self._native = LF.is_native_dataset(self._path, self._storage)
         self._native_fields = None
         if self._native:
             if self._evolve:
@@ -1077,14 +1188,16 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
                     "evolve in foreachBatch through "
                     "sources.writer.write_native_pure, which aligns the "
                     "batch driver-side first")
-            self._native_fields = LF.read_native_manifest(self._path).fields
+            self._native_fields = LF.read_native_manifest(
+                self._path, storage_options=self._storage).fields
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FragmentCommitMessage:
         if self._native:
             return _write_native_fragment(self._path, iterator,
                                           self._native_fields,
-                                          self._bloom_cols)
-        return _write_fragment(self._path, iterator, self._bloom_cols)
+                                          self._bloom_cols, self._storage)
+        return _write_fragment(self._path, iterator, self._bloom_cols,
+                               self._storage)
 
     def commit(self, messages: List[FragmentCommitMessage], batchId: int) -> None:
         # works for BOTH backends: the epoch tag rides in the emulated
@@ -1093,8 +1206,10 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         # way inside the same atomic manifest write, so a redelivered
         # batch (restart between sink commit and checkpoint write-ahead)
         # is detected from the manifest chain alone
-        if FR.meta_value_committed(self._path, self.EPOCH_KEY, batchId):
-            _drop_fragments(self._path, messages)  # redelivery: orphans only
+        if FR.meta_value_committed(self._path, self.EPOCH_KEY, batchId,
+                                   self._storage):
+            # redelivery: orphans only
+            _drop_fragments(self._path, messages, self._storage)
             return
         if self._native:
             from . import lance_format as LF
@@ -1104,7 +1219,8 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
                          for m in messages if m is not None and m.file]
             LF.commit_native(
                 self._path, self._native_fields, new_files, "append",
-                config=_meta_to_config({self.EPOCH_KEY: batchId}))
+                config=_meta_to_config({self.EPOCH_KEY: batchId}),
+                storage_options=self._storage)
             return
         frags = [
             FR.FragmentInfo(i, m.file, m.row_count, m.stats)
@@ -1113,15 +1229,17 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         try:
             # same append-time schema contract as the batch writer: a
             # drifting stream must not silently poison the dataset
-            meta = _schema_meta_for_commit(self._path, frags, "append", self._evolve)
+            meta = _schema_meta_for_commit(self._path, frags, "append",
+                                           self._evolve, self._storage)
         except Exception:
-            _drop_fragments(self._path, messages)
+            _drop_fragments(self._path, messages, self._storage)
             raise
         FR.commit(self._path, frags, mode="append",
-                  meta={**(meta or {}), self.EPOCH_KEY: batchId})
+                  meta={**(meta or {}), self.EPOCH_KEY: batchId},
+                  storage_options=self._storage)
 
     def abort(self, messages: List[FragmentCommitMessage], batchId: int) -> None:
-        _drop_fragments(self._path, messages)
+        _drop_fragments(self._path, messages, self._storage)
 
 
 class LanceDataSourceStreamReader(DataSourceStreamReader):

@@ -1604,7 +1604,113 @@ def _describe_native(path: str) -> dict:
     }
 
 
-def describe_dataset(path: str) -> dict:
+def _describe_remote(path: str, storage: "dict | None") -> dict:
+    """DESCRIBE for an s3:// dataset (either backend) — manifest +
+    key-listing IO only, same key shape as the local report. Versions,
+    row/byte counts, schema, bloom coverage (it rides the manifest's
+    stats sidecar) and clustering staleness are all fs-plane derivable.
+    ANN/FTS indexes and rollups are genuinely LOCAL structures (built
+    and stored beside a local checkout), so a remote describe cannot
+    enumerate them: they report ``None`` (unknown) — distinct from the
+    local report's ``[]`` (checked, none present)."""
+    from . import lance_format as LF
+    from .bloom import BLOOM_STATS_KEY
+    from .fs import get_fs, remote_ls_names
+
+    fs = get_fs(path, storage)
+    base = str(path).rstrip("/")
+    names = remote_ls_names(fs, f"{base}/{FR.VERSIONS_DIR}")
+    native = any(n.endswith(".manifest") for n in names)
+    if native:
+        mf = LF.read_native_manifest(base, None, storage)
+        versions = sorted(int(n.split(".")[0]) for n in names
+                          if n.endswith(".manifest"))
+        frag_files = [fr.file for fr in mf.fragments]
+        num_rows = mf.row_count
+        version = mf.version
+        cols = sorted(f.name for f in mf.fields if f.parent == -1)
+        stats_map = LF.read_native_stats(base, mf.version, storage)
+        frag_stats = [stats_map.get(f) for f in frag_files]
+        clustering_meta = FR.native_config_meta(mf).get("clustering")
+    else:
+        manifest = FR.read_manifest(path, storage_options=storage)
+        versions = sorted(int(n.split(".")[0]) for n in names
+                          if n.endswith(".manifest.json"))
+        frag_files = [fr.file for fr in manifest.fragments]
+        num_rows = manifest.row_count
+        version = manifest.version
+        sj = manifest.meta.get("schema")
+        if sj:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            cols = sorted(StructType.fromJson(_json.loads(sj)).names)
+        else:
+            cols = sorted({c for fr in manifest.fragments
+                           for c in (fr.stats or {})}) or None
+        frag_stats = [fr.stats for fr in manifest.fragments]
+        # emulated meta is per-commit (only schema/rollup/fts inherit):
+        # walk down for the newest clustering commit, like the local path
+        clustering_meta = None
+        v = version
+        while v >= 0 and clustering_meta is None:
+            try:
+                clustering_meta = FR.read_manifest(
+                    path, v, storage_options=storage).meta.get("clustering")
+            except (FileNotFoundError, FR.LanceUnavailableError):
+                break
+            v -= 1
+
+    bloom_cols: set = set()
+    bloom_frags = 0
+    for st in frag_stats:
+        entry = (st or {}).get(BLOOM_STATS_KEY)
+        if entry:
+            bloom_frags += 1
+            bloom_cols |= set(entry.get("cols", {}))
+
+    clustering = None
+    if clustering_meta is not None:
+        if isinstance(clustering_meta, str):
+            import json as _json
+
+            clustering_meta = _json.loads(clustering_meta)
+        if native:
+            cl_files = _last_clustering_files_native(base, storage)
+            rows_by = {fr.file: fr.physical_rows for fr in mf.fragments}
+        else:
+            cl_files = _last_clustering_files_remote(path, storage)
+            rows_by = {fr.file: fr.row_count for fr in manifest.fragments}
+        tail = sum(r for f, r in rows_by.items() if f not in cl_files)
+        clustering = {**clustering_meta, "unclustered_rows": tail}
+
+    data_prefix = f"{base}/{LF.DATA_DIR}" if native else base
+    size = 0
+    for f in frag_files:
+        try:
+            size += int(fs.info(f"{data_prefix}/{f}").get("size", 0) or 0)
+        except (OSError, KeyError, AttributeError):
+            pass
+    return {
+        "path": base,
+        "version": version,
+        "versions": versions,
+        "num_fragments": len(frag_files),
+        "num_rows": num_rows,
+        "size_bytes": size,
+        "schema_columns": cols or None,
+        "bloom": {"columns": sorted(bloom_cols),
+                  "fragments_covered": bloom_frags} if bloom_cols else None,
+        # local-only auxiliary structures: unknown remotely, not absent
+        "indexes": None,
+        "fts": None,
+        "rollups": None,
+        "clustering": clustering,
+    }
+
+
+def describe_dataset(path: str, storage_options: "dict | None" = None) -> dict:
     """One-call metadata report for a dataset — zero data IO.
 
     The operational `DESCRIBE EXTENDED` a table owner actually needs at
@@ -1612,19 +1718,16 @@ def describe_dataset(path: str) -> dict:
     auxiliary structures (ANN indexes, rollups, bloom sidecars,
     clustering layout) are present and how stale each is. Everything
     comes from manifests, index/rollup metadata files, and directory
-    listings — no Spark session, no file scans. Local roots only: the
-    auxiliary structures it reports have no remote contract — read the
-    manifest directly for s3:// datasets
-    (``fragments.read_manifest_compat(path, storage_options=...)``).
+    listings — no Spark session, no file scans. s3:// datasets report
+    the manifest/sidecar-derivable facts (versions, rows, bytes, schema,
+    bloom coverage, clustering staleness) over fsspec; ANN/FTS indexes
+    and rollups are local structures and come back ``None`` (unknown)
+    on a remote describe rather than ``[]`` (checked, none present).
     """
     from .fs import is_remote
 
     if is_remote(path):
-        raise NotImplementedError(
-            "describe_dataset reports local auxiliary structures (ANN/FTS "
-            "indexes, rollups, clustering staleness) that have no remote "
-            "contract; read the manifest directly for s3:// datasets "
-            "(fragments.read_manifest_compat(path, storage_options=...))")
+        return _describe_remote(path, storage_options)
     import json
 
     from ..index import INDEXES_DIR

@@ -39,11 +39,12 @@ from pyspark.sql.types import StructType
 from . import fragments as FR
 
 
-def dataset_schema(path: str, version: int | None = None) -> StructType:
+def dataset_schema(path: str, version: int | None = None,
+                   storage_options: dict | None = None) -> StructType:
     """The table schema at ``version`` (default latest): the manifest's
     recorded schema when present, else derived from the first fragment's
     parquet footer (pre-evolution datasets) — metadata-only either way."""
-    manifest = FR.read_manifest(path, version)
+    manifest = FR.read_manifest(path, version, storage_options)
     sj = manifest.meta.get("schema")
     if sj:
         return StructType.fromJson(json.loads(sj))
@@ -54,18 +55,28 @@ def dataset_schema(path: str, version: int | None = None) -> StructType:
     import pyarrow.parquet as pq
 
     from ..types import arrow_schema_to_spark
+    from .fs import is_remote
 
+    if is_remote(path):
+        from .fs import get_fs
+
+        with get_fs(path, storage_options).open(
+                f"{str(path).rstrip('/')}/{manifest.fragments[0].file}",
+                "rb") as fh:
+            return arrow_schema_to_spark(pq.read_schema(fh))
     first = os.path.join(path, manifest.fragments[0].file)
     return arrow_schema_to_spark(pq.read_schema(first))
 
 
-def dropped_columns(path: str, version: int | None = None) -> list[str]:
+def dropped_columns(path: str, version: int | None = None,
+                    storage_options: dict | None = None) -> list[str]:
     """Column names dropped from this dataset (manifest-tracked): the
     column-resurrection guard — an evolving append may not re-introduce a
     dropped name, because old fragments still physically carry the stale
     values and name-based resolution would silently read them back. A
     rewriting ``add_column`` clears the name (no old fragment survives)."""
-    return list(FR.read_manifest(path, version).meta.get("dropped_columns", []))
+    return list(FR.read_manifest(path, version, storage_options)
+                .meta.get("dropped_columns", []))
 
 
 def align_for_append(df: DataFrame, current: StructType,
@@ -111,7 +122,8 @@ def align_for_append(df: DataFrame, current: StructType,
 
 
 def align_check_for_commit(path: str, incoming: StructType,
-                           allow_evolution: bool) -> dict:
+                           allow_evolution: bool,
+                           storage_options: dict | None = None) -> dict:
     """Append-time schema contract for writers that can no longer reshape
     the data (the format("lance") path validates at COMMIT, after
     executors already wrote fragments): verify ``incoming`` against the
@@ -121,7 +133,7 @@ def align_check_for_commit(path: str, incoming: StructType,
     irrelevant: reads resolve by name). A differing set needs evolution
     opt-in and commits the union schema (table order first, new columns
     after); type changes and resurrected dropped names always raise."""
-    current = dataset_schema(path)
+    current = dataset_schema(path, storage_options=storage_options)
     cur = {f.name: f for f in current.fields}
     inc = {f.name: f for f in incoming.fields}
     conflicts = [
@@ -134,7 +146,9 @@ def align_check_for_commit(path: str, incoming: StructType,
         raise ValueError(f"schema evolution cannot change column types ({detail})")
     added = [n for n in incoming.names if n not in cur]
     missing = [n for n in current.names if n not in inc]
-    resurrected = [n for n in added if n in set(dropped_columns(path))]
+    resurrected = [n for n in added
+                   if n in set(dropped_columns(
+                       path, storage_options=storage_options))]
     if resurrected:
         raise ValueError(
             f"cannot re-add dropped column(s) {resurrected}: old fragments still "
