@@ -167,6 +167,12 @@ class DatasetOptions:
     # fragments at planning time without a later cluster_dataset rewrite)
     sort_columns: list[str] = field(default_factory=list)
     cluster_on_write: bool = False
+    # beyond-reference: page layout of NATIVE (binary v2) writes —
+    # "2.0" (fixture-pinned per-column pages) or "2.1-miniblock"
+    # (chunked structural pages with definition levels for fixed-width
+    # columns; see lance_format._decode_miniblock's reconstruction
+    # contract). Read-side support is automatic per page.
+    native_layout: str = "2.0"
     index_type: IndexType = IndexType.IVF_PQ
     index_column: str | None = None
     index_num_partitions: int = 256
@@ -201,6 +207,10 @@ class DatasetOptions:
             raise ValueError("read.limit must be >= 0")
         if self.write_max_rows_per_file <= 0:
             raise ValueError("write.max-rows-per-file must be positive")
+        if self.native_layout not in ("2.0", "2.1-miniblock"):
+            raise ValueError(
+                "write.native-layout must be '2.0' or '2.1-miniblock' "
+                f"(got {self.native_layout!r})")
         if not (1 <= self.index_num_bits <= 16):
             raise ValueError("index.num-bits must be in [1, 16]")
         for name in ("index_num_partitions", "index_max_level", "index_m",
@@ -231,6 +241,7 @@ class DatasetOptions:
             "write.bloom-columns": "bloom_columns",
             "write.sort-by": "sort_columns",
             "write.cluster": "cluster_on_write",
+            "write.native-layout": "native_layout",
             "index.type": "index_type",
             "index.column": "index_column",
             "index.num-partitions": "index_num_partitions",

@@ -471,6 +471,8 @@ def source_format_api(spark, sf_dir):
     from ..sources.writer import write_native_pure
 
     npath = _workdir("formatapi-native", sf_dir)
+    from ..options import DatasetOptions
+
     write_native_pure(
         d.filter(F.col("doc_id") % 7 == 0)
         .select("doc_id",
@@ -482,7 +484,12 @@ def source_format_api(spark, sf_dir):
                 # decoder end-to-end
                 F.when(F.col("doc_id") % 14 == 0,
                        F.col("n_chars")).alias("opt")),
-        npath, mode="overwrite")
+        npath, mode="overwrite",
+        # 2.1 mini-block structural pages for the fixed-width columns
+        # (doc_id flat, opt with definition levels; the struct keeps its
+        # 2.0 pages — per-page layout mixing): the hash gate now crosses
+        # the mini-block chunk framing too
+        options=DatasetOptions(path=npath, native_layout="2.1-miniblock"))
     native = (
         spark.read.format("lance").load(npath)
         .filter(F.col("m.n_chars") > 100)

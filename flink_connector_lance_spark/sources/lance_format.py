@@ -51,9 +51,18 @@ a byte-per-bool file reads correctly too; struct header columns are
 SimpleStruct pages with members as their own structural columns;
 multi-page columns (what lance writes past its page-size threshold)
 decode for every supported type — pages are self-contained, list pages
-advance a child-item base. Anything else — the 2.1 mini-block /
-compressed structural layouts — raises ``NotImplementedError`` naming
-the encoding, never a silent misread.
+advance a child-item base.
+
+2.1 structural pages: the UNCOMPRESSED mini-block layout decodes (and
+writes, behind ``structural='2.1-miniblock'``) for fixed-width/bool
+columns — chunked value/definition-level streams with the spec's
+u16-per-chunk metadata words — plus the all-null layout; see the
+reconstruction contract at ``_decode_miniblock`` (field numbers and
+intra-chunk framing are best-effort reconstructions of the public spec,
+round-trip- and hash-gate-pinned; no 2.1 fixture exists in this
+environment). Every other 2.1 arm — full-zip, dictionaries, compressed
+streams, nested repdef — raises ``NotImplementedError`` naming the
+encoding, never a silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
 manifest's file list, mirroring sources/reader.py's native path), and
@@ -387,19 +396,23 @@ class _Page:
     buf_pos: list[int]
     buf_size: list[int]
     length: int
-    encoding: dict  # decoded ArrayEncoding message fields
+    encoding: dict  # decoded ArrayEncoding / PageLayout message fields
+    enc_url: bytes = b""  # the Any type_url — discriminates 2.0 vs 2.1
 
 
-def _unwrap_encoding(raw: bytes | None) -> dict:
+def _unwrap_encoding(raw: bytes | None) -> "tuple[bytes, dict]":
     """Page encodings are wrapped as Encoding{ f2: Deferred{ f1: Any{
-    f1: type_url, f2: value }}} (file2.proto); return the decoded value
-    message of the inner ArrayEncoding."""
+    f1: type_url, f2: value }}} (file2.proto); return the Any's type_url
+    plus the decoded value message. 2.0 pages carry
+    ``/lance.encodings.ArrayEncoding``; 2.1 structural pages carry a
+    PageLayout url — the url is the only safe discriminator because the
+    two messages reuse low field numbers for different arms."""
     if not raw:
-        return {}
+        return b"", {}
     wrapper = _pb_fields(raw)
     deferred = _pb_fields(_one(wrapper, 2, b""))
     any_ = _pb_fields(_one(deferred, 1, b""))
-    return _pb_fields(_one(any_, 2, b""))
+    return _one(any_, 1, b""), _pb_fields(_one(any_, 2, b""))
 
 
 def _read_footer(blob: bytes):
@@ -464,11 +477,13 @@ def _pages_from_cm(raw: bytes) -> list[_Page]:
     pages = []
     for _, praw in cm.get(2, []):
         pg = _pb_fields(praw)
+        url, enc = _unwrap_encoding(_one(pg, 4))
         pages.append(_Page(
             buf_pos=_packed_uvarints(_one(pg, 1)),
             buf_size=_packed_uvarints(_one(pg, 2)),
             length=_one(pg, 3, 0),
-            encoding=_unwrap_encoding(_one(pg, 4)),
+            encoding=enc,
+            enc_url=url,
         ))
     return pages
 
@@ -516,6 +531,157 @@ def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
             f"{what}: buffer smaller than rows x width — compressed or "
             "bit-packed page, unsupported")
     return list(struct.unpack(f"<{n}{fmt}", fetch(page.buf_pos[0], n * width)))
+
+
+# --- 2.1 structural page layouts (mini-block) --------------------------------
+#
+# Lance 2.1 replaces the page's ArrayEncoding with a PageLayout carried
+# under its own Any type_url. Per the public spec (lancedb/lance
+# docs/format, "File Format 2.1"): values, repetition levels, and
+# definition levels are compressed as separate streams; the MINI-BLOCK
+# layout (for small data types) splits them into chunks of at most 4KiB
+# where every chunk except the last holds a power-of-two number of
+# values, a chunk-metadata buffer carries one u16 word per chunk (low 4
+# bits = log2 of the chunk's value count, high 12 bits = the chunk's
+# size in 8-byte words), and chunks are word (8-byte) aligned. Rep/def
+# levels are u16 streams; a definition level of 0 means valid for the
+# single nullable-item layer supported here.
+#
+# What the spec text does NOT pin down for us in-repo are the protobuf
+# FIELD NUMBERS of the 2.1 messages and the exact intra-chunk stream
+# framing — there is no 2.1 fixture, proto file, or installable lance in
+# this environment to verify against. The numbers used here (PageLayout:
+# f1 mini_block / f2 full_zip / f3 all_null; MiniBlockLayout: f1 rep,
+# f2 def, f3 value compression, f4 repdef layers; CompressiveEncoding:
+# f1 Flat{f1 bits}) and the chunk framing (streams in [rep][def][values]
+# order, each padded to the 8-byte word boundary) are a best-effort
+# reconstruction of the published spec, pinned by encode->decode
+# round-trips (hypothesis) and a hash-gated query stage. Every arm this
+# reconstruction cannot justify — FullZip, dictionaries, any compression
+# scheme other than uncompressed Flat streams, repdef layers beyond
+# all-valid/nullable items — REFUSES by name, never misreads. A real
+# lance-written 2.1 dataset will therefore either decode (uncompressed
+# mini-block flat data) or refuse loudly; silent misreads stay
+# impossible either way.
+
+_PAGE_LAYOUT_URL = b"/lance.encodings21.PageLayout"
+_MB_CHUNK_VALUES = 256  # power of two; 256 * 8B values + def stream < 4KiB
+_REPDEF_ALL_VALID_ITEM = 1
+_REPDEF_NULLABLE_ITEM = 2
+
+
+def _align8(n: int) -> int:
+    return (n + 7) & ~7
+
+
+def _compressive_bits(raw: bytes, what: str, stream: str) -> int:
+    """bits_per_value of one CompressiveEncoding, refusing every scheme
+    other than uncompressed Flat (f1) by field number."""
+    m = _pb_fields(raw)
+    if 1 not in m:
+        raise NotImplementedError(
+            f"{what}: mini-block {stream} stream uses compression scheme "
+            f"(fields {sorted(m)}) — only uncompressed Flat decodes; "
+            "re-write the dataset without compression")
+    return _one(_pb_fields(_one(m, 1, b"")), 1, 0)
+
+
+def _repdef_layers(mb: dict) -> list[int]:
+    out: list[int] = []
+    for wt, raw in mb.get(4, []):
+        if wt == 0:
+            out.append(raw)
+        else:  # packed
+            out.extend(_packed_uvarints(raw))
+    return out
+
+
+def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
+    """One 2.1 mini-block page of a flat fixed-width or bool column into
+    python values (None for def-level nulls)."""
+    layout = page.encoding
+    if 3 in layout:  # AllNullLayout
+        if page.buf_pos:
+            raise NotImplementedError(
+                f"{what}: all-null 2.1 page with buffers")
+        return [None] * page.length
+    if 2 in layout:
+        raise NotImplementedError(
+            f"{what}: 2.1 full-zip page layout (large data types) is not "
+            "implemented — only the mini-block layout decodes")
+    if 1 not in layout:
+        raise NotImplementedError(
+            f"{what}: unknown 2.1 page layout (fields {sorted(layout)})")
+    mb = _pb_fields(_one(layout, 1, b""))
+    if 1 in mb:  # repetition stream -> list nesting
+        raise NotImplementedError(
+            f"{what}: mini-block page with repetition levels (nested "
+            "lists) is not implemented")
+    if 5 in mb or 6 in mb:
+        raise NotImplementedError(
+            f"{what}: mini-block page with a dictionary is not implemented")
+    layers = _repdef_layers(mb)
+    if any(l not in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)
+           for l in layers) or len(layers) > 1:
+        raise NotImplementedError(
+            f"{what}: mini-block repdef layers {layers} — only a single "
+            "all-valid or nullable item layer decodes")
+    has_def = 2 in mb
+    if has_def:
+        def_bits = _compressive_bits(_one(mb, 2, b""), what, "definition")
+        if def_bits not in (0, 16):
+            raise NotImplementedError(
+                f"{what}: definition levels with bits_per_value={def_bits}")
+    is_bool = lt == "bool"
+    if is_bool:
+        val_bits = _compressive_bits(_one(mb, 3, b""), what, "value")
+        if val_bits not in (0, 1):
+            raise NotImplementedError(
+                f"{what}: bool mini-block with bits_per_value={val_bits}")
+        fmt, width = None, None
+    else:
+        fmt, width, _ = _FLAT_TYPES[lt]
+        val_bits = _compressive_bits(_one(mb, 3, b""), what, "value")
+        if val_bits not in (0, width * 8):
+            raise NotImplementedError(
+                f"{what}: mini-block values with bits_per_value="
+                f"{val_bits} (bit-packed / for-compressed) — only "
+                "uncompressed flat values decode")
+    if len(page.buf_pos) != 2:
+        raise NotImplementedError(
+            f"{what}: mini-block page with {len(page.buf_pos)} buffers "
+            "(expected chunk-metadata + chunk-data)")
+    n_chunks = page.buf_size[0] // 2
+    words = struct.unpack(f"<{n_chunks}H",
+                          fetch(page.buf_pos[0], 2 * n_chunks))
+    data = fetch(page.buf_pos[1], page.buf_size[1])
+    out: list = []
+    remaining = page.length
+    off = 0
+    for ci, word in enumerate(words):
+        n = remaining if ci == n_chunks - 1 else min(1 << (word & 0xF),
+                                                     remaining)
+        chunk_bytes = (word >> 4) * 8
+        p = off
+        valid = None
+        if has_def:
+            defs = struct.unpack_from(f"<{n}H", data, p)
+            p = _align8(p + 2 * n)
+            valid = [d == 0 for d in defs]
+        if is_bool:
+            packed = data[p:p + (n + 7) // 8]
+            vals = [bool(packed[i >> 3] >> (i & 7) & 1) for i in range(n)]
+        else:
+            vals = struct.unpack_from(f"<{n}{fmt}", data, p)
+        out.extend(vals if valid is None else
+                   [v if ok else None for v, ok in zip(vals, valid)])
+        off += chunk_bytes
+        remaining -= n
+    if remaining:
+        raise ValueError(
+            f"{what}: mini-block chunks cover {page.length - remaining} "
+            f"of {page.length} rows")
+    return out
 
 
 def _ends_with_nulls(fetch, pos: int, n: int, null_adj: int) -> list[tuple[int, bool]]:
@@ -607,11 +773,23 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
     lt = f.logical_type
     what = f"column {f.name!r} ({lt})"
 
+    is_flat_lt = (lt in _FLAT_TYPES or lt.startswith("timestamp:")
+                  or lt == "date32:day" or lt == "bool")
+    if not is_flat_lt and any(pg.enc_url.endswith(b"PageLayout")
+                              for pg in pages):
+        raise NotImplementedError(
+            f"{what}: 2.1 structural page layout on a non-fixed-width "
+            "column (variable-width mini-block / full-zip) is not "
+            "implemented")
+
     if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
         base = lt.split(":")[0]
         flat_lt = {"timestamp": "int64", "date32": "int32"}.get(base, lt)
         vals: list = []
         for pg in pages:
+            if pg.enc_url.endswith(b"PageLayout"):  # 2.1 structural page
+                vals.extend(_decode_miniblock(fetch, pg, flat_lt, what))
+                continue
             if _ENC_NULLABLE not in pg.encoding and pg.encoding:
                 raise NotImplementedError(
                     f"{what}: non-flat encoding (fields {sorted(pg.encoding)})")
@@ -626,6 +804,9 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
         # buffer ahead of the values (Nullable.some_nulls).
         vals = []
         for pg in pages:
+            if pg.enc_url.endswith(b"PageLayout"):  # 2.1 structural page
+                vals.extend(_decode_miniblock(fetch, pg, "bool", what))
+                continue
             n = pg.length
             parts = _nullable_parts(pg.encoding)
             if parts is not None and parts[0] == "all":
@@ -1258,21 +1439,94 @@ def _ends_buffer(lengths: list[int], nulls: list[bool], null_adj: int) -> bytes:
 @dataclass
 class _ColPlan:
     buffers: list[bytes]
-    encoding: bytes  # ArrayEncoding message bytes
+    encoding: bytes  # ArrayEncoding / PageLayout message bytes
     length: int
+    enc_url: bytes = _ARRAY_ENC_URL  # Any type_url the page is wrapped in
+
+
+def _enc_compressive_flat(bits: int) -> bytes:
+    """CompressiveEncoding{ f1: Flat{ f1: bits_per_value }} — the only
+    2.1 stream compression this codec speaks (uncompressed)."""
+    return _w_len(1, _w_vint(1, bits))
+
+
+def _enc_miniblock_layout(bits: int, has_def: bool) -> bytes:
+    """PageLayout{ f1: MiniBlockLayout{ [f2: def compression (flat-16),]
+    f3: value compression (flat-bits), f4: repdef layers }} — field
+    numbers per the reconstruction documented at _decode_miniblock."""
+    mb = b""
+    if has_def:
+        mb += _w_len(2, _enc_compressive_flat(16))
+    mb += _w_len(3, _enc_compressive_flat(bits))
+    mb += _w_packed(4, [_REPDEF_NULLABLE_ITEM if has_def
+                        else _REPDEF_ALL_VALID_ITEM])
+    return _w_len(1, mb)
+
+
+def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
+    """One 2.1 mini-block page for a flat fixed-width or bool column:
+    buffer 0 = chunk metadata (u16 per chunk: num_words<<4 | log2 values),
+    buffer 1 = word-aligned chunks of [def levels (u16, 0=valid)][values],
+    each stream padded to the 8-byte word boundary. Nulls ride the
+    definition-level stream (the 2.1 shape), not a validity bitmap."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if n and arr.null_count == n:
+        return _ColPlan([], _w_len(3, b""), n, _PAGE_LAYOUT_URL)  # AllNull
+    has_def = arr.null_count > 0
+    is_bool = lt == "bool"
+    bits = 1 if is_bool else _width_bits(lt)
+    meta = bytearray()
+    data = bytearray()
+    for s in range(0, n, _MB_CHUNK_VALUES):
+        piece = arr.slice(s, _MB_CHUNK_VALUES)
+        cn = len(piece)
+        chunk = bytearray()
+        if has_def:
+            defs = [0 if ok else 1
+                    for ok in pc.is_valid(piece).to_pylist()]
+            chunk += struct.pack(f"<{cn}H", *defs)
+            chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        if is_bool:
+            packed = np.packbits(
+                np.asarray(piece.fill_null(False).to_pylist(), np.uint8),
+                bitorder="little").tobytes()
+            chunk += packed
+        else:
+            chunk += _flat_buffer(_fill_nulls_flat(piece, lt), lt, what)
+        chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        log_nv = (cn.bit_length() - 1) if cn and not (cn & (cn - 1)) else 0
+        meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
+        data += chunk
+    return _ColPlan([bytes(meta), bytes(data)],
+                    _enc_miniblock_layout(bits, has_def), n,
+                    _PAGE_LAYOUT_URL)
 
 
 def _plan_column(arr, fields: list[NativeField], idx: int,
-                 plans: dict[int, "_ColPlan"]) -> None:
+                 plans: dict[int, "_ColPlan"],
+                 structural: str = "2.0") -> None:
     """Encode fields[idx] (and, for lists, its child) into buffer plans.
     One page per column — the shape lance 0.24 writes at fixture scale;
-    the distributed path bounds fragment size instead of paging."""
+    the distributed path bounds fragment size instead of paging.
+    ``structural='2.1-miniblock'`` opts fixed-width/bool columns into the
+    2.1 mini-block page layout (chunked streams + definition levels);
+    every other type keeps its 2.0 page shape — layouts are per-page, so
+    mixing is exactly what a real 2.1 writer produces."""
     import pyarrow as pa
 
     f = fields[idx]
     lt = f.logical_type
     what = f"column {f.name!r} ({lt})"
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+    if (structural == "2.1-miniblock"
+            and (lt in _FLAT_TYPES or lt.startswith("timestamp:")
+                 or lt == "date32:day" or lt == "bool")):
+        plans[idx] = _plan_miniblock_flat(arr, lt, what)
+        return
 
     if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
         bits = _width_bits(lt)
@@ -1318,7 +1572,7 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         child_idx = _child_index(fields, idx)
         items = [x for v in vals if v is not None for x in v]
         child_arr = pa.array(items, type=arrow_type_for(fields, child_idx))
-        _plan_column(child_arr, fields, child_idx, plans)
+        _plan_column(child_arr, fields, child_idx, plans, structural)
         num_items = len(items)
         null_adj = num_items + 1
         lens = [0 if v is None else len(v) for v in vals]
@@ -1338,7 +1592,7 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         else:
             plans[idx] = _ColPlan([], _enc_struct(), len(arr))
         for j in _children_indices(fields, idx):
-            _plan_column(arr.field(fields[j].name), fields, j, plans)
+            _plan_column(arr.field(fields[j].name), fields, j, plans, structural)
         return
     if lt.startswith("fixed_size_list:"):
         dim = int(lt.split(":")[-1])
@@ -1361,7 +1615,7 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
             # rows*dim contract); the child's own nulls ride its
             # nullable plan
             child_arr = arr.values.slice(arr.offset * dim, len(arr) * dim)
-            _plan_column(child_arr, fields, child_idx, plans)
+            _plan_column(child_arr, fields, child_idx, plans, structural)
             enc = (_enc_all_null()
                    if arr.null_count == len(arr) and len(arr) else
                    _enc_some_null(_enc_fsl(_width_bits(child_lt), dim)))
@@ -1370,7 +1624,7 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
             plans[idx] = _ColPlan(bufs, enc, len(arr))
             return
         child_arr = arr.flatten()  # rows*dim values, offset-safe
-        _plan_column(child_arr, fields, child_idx, plans)
+        _plan_column(child_arr, fields, child_idx, plans, structural)
         plans[idx] = _ColPlan([], _enc_fsl(_width_bits(child_lt), dim),
                               len(arr))
         return
@@ -1386,7 +1640,8 @@ def _width_bits(lt: str) -> int:
     return _FLAT_TYPES[lt][1] * 8
 
 
-def write_native_file(table, path: str, page_rows: int | None = None) -> int:
+def write_native_file(table, path: str, page_rows: int | None = None,
+                      structural: str = "2.0") -> int:
     """Encode an Arrow table as one Lance v2 data file; returns row count.
     Layout (matches the fixtures byte-for-byte): 64-aligned data buffers
     in structural-column order, FileDescriptor global buffer, packed
@@ -1397,7 +1652,12 @@ def write_native_file(table, path: str, page_rows: int | None = None) -> int:
     threshold on large columns. Default (None) keeps the fixture-pinned
     one-page-per-column layout; the paged layout changes only WHERE
     buffers land and how many page entries each ColumnMetadata carries,
-    both of which the reader resolves from recorded positions."""
+    both of which the reader resolves from recorded positions.
+
+    ``structural='2.1-miniblock'`` writes fixed-width/bool columns as
+    2.1 mini-block structural pages (see the reconstruction contract at
+    ``_decode_miniblock``); other column types keep their 2.0 pages —
+    per-page layout mixing is the 2.1 writer's own shape."""
     fields = fields_of_arrow_schema(table.schema)
     top = [(i, f) for i, f in enumerate(fields) if f.parent == -1]
     if page_rows:
@@ -1409,7 +1669,7 @@ def write_native_file(table, path: str, page_rows: int | None = None) -> int:
     for chunk in chunks:
         plans: dict[int, _ColPlan] = {}
         for (i, f), name in zip(top, chunk.column_names):
-            _plan_column(chunk.column(name), fields, i, plans)
+            _plan_column(chunk.column(name), fields, i, plans, structural)
         page_plans.append(plans)
 
     blob = bytearray()
@@ -1448,7 +1708,7 @@ def write_native_file(table, path: str, page_rows: int | None = None) -> int:
                 _w_packed(1, buf_pos[(idx, pg_i)]) +
                 _w_packed(2, [len(b) for b in p.buffers]) +
                 _w_vint(3, p.length) +
-                _w_len(4, _w_any(_ARRAY_ENC_URL, p.encoding))))
+                _w_len(4, _w_any(p.enc_url, p.encoding))))
         cm_offsets.append((len(blob), len(cm)))
         blob.extend(cm)
 

@@ -445,7 +445,8 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
     new_files = produce_native_fragments(df, path, schema,
                                          opts.write_max_rows_per_file,
                                          bloom_columns=opts.bloom_columns,
-                                         storage_options=storage)
+                                         storage_options=storage,
+                                         structural=opts.native_layout)
     fields = (widened_fields if widened_fields is not None
               else LF.fields_of_arrow_schema(schema))
     # commit metadata rides in the manifest's public table-config slot
@@ -486,6 +487,7 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
                              max_rows: int,
                              bloom_columns: "list[str] | None" = None,
                              storage_options: dict | None = None,
+                             structural: str = "2.0",
                              ) -> "list[tuple[str, int]]":
     """Executor fan-out of the native write: every task encodes its
     partition into ``data/<uuid>.lance`` v2 files (sliced at ``max_rows``
@@ -534,10 +536,12 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
                 import tempfile as _tempfile
 
                 with _tempfile.NamedTemporaryFile(suffix=".lance") as tmp:
-                    _LF.write_native_file(piece, tmp.name)
+                    _LF.write_native_file(piece, tmp.name,
+                                          structural=structural)
                     fs.put(tmp.name, f"{data_dir}/{fname}")
             else:
-                _LF.write_native_file(piece, os.path.join(data_dir, fname))
+                _LF.write_native_file(piece, os.path.join(data_dir, fname),
+                                      structural=structural)
             out_files.append(fname)
             out_rows.append(piece.num_rows)
             # zone map for the commit's stats sidecar: planning-time

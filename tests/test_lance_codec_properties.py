@@ -490,3 +490,127 @@ def test_round9_encodings_roundtrip(tmp_path_factory, tbl, page_rows):
     # projection pruning composes with every layout
     pruned = LF.read_native_file(path, columns=["m", "vec"])
     assert pruned.to_pylist() == tbl.select(["m", "vec"]).to_pylist()
+
+
+# --- 2.1 mini-block structural pages ----------------------------------------
+#
+# Field-number / chunk-framing contract documented at
+# lance_format._decode_miniblock: verified by encode->decode round-trips
+# (no 2.1 fixture or installable lance exists in this environment) plus
+# loud refusals for every arm the reconstruction cannot justify.
+
+mb_i64 = st.lists(opt_i64, max_size=600)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(opt_i64, max_size=600), st.lists(opt_bool, max_size=40))
+def test_miniblock_roundtrip(tmp_path_factory, ints, flags):
+    n = len(ints)
+    tbl = pa.table({
+        "i": pa.array(ints, pa.int64()),
+        "f": pa.array((flags * ((n // max(len(flags), 1)) + 1))[:n]
+                      if flags else [None] * n, pa.bool_()),
+        "t": pa.array([v % 10_000 if v is not None else None
+                       for v in ints], pa.timestamp("us")),
+        "s": pa.array([None if v is None else f"s{v % 97}"
+                       for v in ints], pa.string()),  # stays a 2.0 page
+    })
+    path = str(tmp_path_factory.mktemp("mb") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+
+
+def test_miniblock_chunking_and_pruning(tmp_path):
+    """>256 rows spill into multiple power-of-two chunks with a
+    non-power-of-two tail; column pruning never touches unselected
+    columns' chunk buffers (independent page buffers)."""
+    n = 1000  # 3 x 256-value chunks + a 232-value tail
+    tbl = pa.table({
+        "a": pa.array(range(n), pa.int64()),
+        "b": pa.array([v if v % 3 else None for v in range(n)], pa.int32()),
+    })
+    p = str(tmp_path / "t.lance")
+    LF.write_native_file(tbl, p, structural="2.1-miniblock")
+    assert LF.read_native_file(p).to_pylist() == tbl.to_pylist()
+    assert LF.read_native_file(p, columns=["b"]).to_pylist() == \
+        tbl.select(["b"]).to_pylist()
+    # paging composes: each page re-chunks independently
+    p2 = str(tmp_path / "t2.lance")
+    LF.write_native_file(tbl, p2, page_rows=300, structural="2.1-miniblock")
+    assert LF.read_native_file(p2).to_pylist() == tbl.to_pylist()
+
+
+def test_miniblock_refusals_are_loud(tmp_path):
+    """Every 2.1 arm beyond the reconstruction refuses BY NAME: full-zip
+    layout, compressed streams, dictionaries, deep repdef layers, and
+    structural pages on non-fixed-width columns."""
+    import flink_connector_lance_spark.sources.lance_format as LFm
+
+    # build a valid miniblock file, then corrupt the layout message shape
+    tbl = pa.table({"i": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "ok.lance")
+    LF.write_native_file(tbl, p, structural="2.1-miniblock")
+
+    def rewrite(layout_bytes):
+        blob = bytearray(open(p, "rb").read())
+        # decode helpers: replay write path with a patched encoding
+        import struct as _s
+        (cms, cmos, gbos, num_global, num_cols, _maj, _min) = _s.unpack_from(
+            "<QQQIIHH", blob, len(blob) - LFm.FOOTER_LEN)
+        pos, size = _s.unpack_from("<QQ", blob, cmos)
+        return blob, pos, size
+
+    # full-zip arm (PageLayout f2)
+    fz = LFm._w_len(2, b"")
+    # compressed value stream (CompressiveEncoding arm f9)
+    comp = LFm._w_len(1, LFm._w_len(3, LFm._w_len(9, b"")) +
+                      LFm._w_packed(4, [1]))
+    # dictionary arm (MiniBlockLayout f5)
+    dic = LFm._w_len(1, LFm._w_len(3, LFm._enc_compressive_flat(64)) +
+                     LFm._w_packed(4, [1]) + LFm._w_len(5, b""))
+    # deep repdef layers
+    deep = LFm._w_len(1, LFm._w_len(3, LFm._enc_compressive_flat(64)) +
+                      LFm._w_packed(4, [2, 3]))
+    cases = [(fz, "full-zip"), (comp, "compression scheme"),
+             (dic, "dictionary"), (deep, "repdef layers")]
+    for layout, needle in cases:
+        q = str(tmp_path / f"bad-{needle.split()[0]}.lance")
+        plan = LFm._plan_miniblock_flat(pa.array([1, 2, 3], pa.int64()),
+                                        "int64", "column 'i' (int64)")
+        plan.encoding = layout
+        # hand-assemble a one-column file around the patched plan
+        import flink_connector_lance_spark.sources.lance_format as L
+        fields = L.fields_of_arrow_schema(tbl.schema)
+        blob = bytearray()
+        bufpos = []
+        for b in plan.buffers:
+            pad = (-len(blob)) % 64
+            blob.extend(b"\x48" * pad)
+            bufpos.append(len(blob))
+            blob.extend(b)
+        schema_msg = b"".join(L._w_len(1, L._field_bytes(f)) for f in fields)
+        fd = L._w_len(1, schema_msg) + L._w_vint(2, 3)
+        pad = (-len(blob)) % 64
+        blob.extend(b"\x48" * pad)
+        gpos = len(blob)
+        blob.extend(fd)
+        col_enc = L._w_len(1, L._w_any(L._COL_ENC_URL, L._w_len(1, b"")))
+        cm = col_enc + L._w_len(2, (
+            L._w_packed(1, bufpos) +
+            L._w_packed(2, [len(b) for b in plan.buffers]) +
+            L._w_vint(3, plan.length) +
+            L._w_len(4, L._w_any(L._PAGE_LAYOUT_URL, plan.encoding))))
+        cm_off = len(blob)
+        blob.extend(cm)
+        import struct as _s
+        cmos = len(blob)
+        blob.extend(_s.pack("<QQ", cm_off, len(cm)))
+        gbos = len(blob)
+        blob.extend(_s.pack("<QQ", gpos, len(fd)))
+        blob.extend(_s.pack("<QQQIIHH", cm_off, cmos, gbos, 1, 1, 0, 3))
+        blob.extend(LF.MAGIC)
+        open(q, "wb").write(bytes(blob))
+        with pytest.raises(NotImplementedError, match=needle):
+            LF.read_native_file(q)

@@ -1032,3 +1032,36 @@ def test_spark_write_declared_dim_produces_fsl(spark, tmp_path):
     r = spark.read.format("lance").load(root)
     assert r.count() == 10
     assert r.select(F.sum(F.element_at("emb", 2))).collect()[0][0] == 10.0
+
+
+def test_write_native_pure_miniblock_layout(spark, tmp_path):
+    """write.native-layout=2.1-miniblock: the distributed native write
+    emits 2.1 structural pages for fixed-width columns (chunked streams,
+    definition levels for nulls) and the whole read surface — format
+    reader, pushed filters, count fast path, DELETE rewrite — serves the
+    dataset unchanged."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "mb")
+    df = spark.range(700).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN id * 2 END AS opt",
+        "concat('d', id) AS name")
+    write_native_pure(df.repartition(2), path, mode="overwrite",
+                      options=DatasetOptions(path=path,
+                                             native_layout="2.1-miniblock"))
+    assert LF.native_count_rows(path) == 700  # manifest-only fast path
+    register_lance_datasource(spark)
+    got = spark.read.format("lance").load(path)
+    assert got.count() == 700
+    assert got.filter("opt IS NULL").count() == 466
+    assert got.filter("id >= 690").count() == 10  # pushed filter over chunks
+    assert got.filter("name = 'd699'").count() == 1
+    # copy-on-write DELETE re-encodes through the default 2.0 layout;
+    # survivors and untouched mini-block fragments read uniformly
+    delete_rows(spark, path, "id < 100")
+    assert spark.read.format("lance").load(path).count() == 600
