@@ -188,6 +188,13 @@ def source_roundtrip_agg(spark, sf_dir):
         SELECT doc_id + 50000000, n_chars, CAST(n_chars + 3 AS BIGINT)
         FROM documents WHERE doc_id % 13 = 0
     )
+    UNION ALL
+    SELECT 'native_dv_delete', count(*), CAST(sum(n_chars) AS BIGINT)
+    FROM (
+        SELECT n_chars FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT n_chars FROM documents WHERE doc_id % 13 = 0
+    ) WHERE n_chars >= 100
     """,
     doc="Full MVCC maintenance + schema-evolution lifecycle under the hash "
         "gate: overwrite v0, append v1 (en copies with NULL lang + de "
@@ -225,7 +232,12 @@ def source_roundtrip_agg(spark, sf_dir):
         "per-file descriptor alignment) and a metadata-only native "
         "drop_columns narrows the manifest while the pre-drop version "
         "time-travels intact — every summed value crossed the binary "
-        "encoder AND decoder across the evolution. Each stage's "
+        "encoder AND decoder across the evolution. The "
+        "'native_dv_delete' stage then runs a deletion-VECTOR DELETE "
+        "(lance's own DELETE shape: data files byte-identical, one Arrow "
+        "tombstone sidecar per affected fragment, O(deleted rows) IO) — "
+        "the hash catches any read route that fails to mask the "
+        "tombstones. Each stage's "
         "(count, sum) is reproduced relationally by the DuckDB oracle "
         "(sources/maintenance.py, sources/schema_evolution.py; ref "
         "LanceSink.java:163-189).",
@@ -400,6 +412,18 @@ def source_version_travel(spark, sf_dir):
               F.sum(F.coalesce(F.col("extra"), F.lit(0))).alias("s"))
          .first())
     rows.append(("native_evolve", r.cnt, r.s))
+
+    # --- deletion-vector DELETE under the hash gate ---
+    # lance's own DELETE shape: the data files stay byte-identical, one
+    # tiny Arrow tombstone sidecar per affected fragment, O(deleted
+    # rows) IO — and every read route must mask the tombstones or the
+    # summed value here resurrects them
+    delete_rows(spark, npath, "n_chars < 100", use_deletion_vectors=True)
+    r = (rd(spark, npath)
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum("n_chars").alias("s"))
+         .first())
+    rows.append(("native_dv_delete", r.cnt, r.s))
     return spark.createDataFrame(rows, "stage string, cnt bigint, sum_chars bigint")
 
 

@@ -106,12 +106,15 @@ class FragmentPartition(InputPartition):
 
     ``packed_files``: additional fragment files scanned by the SAME task
     (split packing — ``read.max-rows-per-partition``). Empty by default:
-    the 1-fragment-1-split contract stands unless packing is opted in."""
+    the 1-fragment-1-split contract stands unless packing is opted in.
+    ``deletions``: per-file deletion-vector paths aligned with
+    ``(file, *packed_files)`` — None entries mean no tombstones."""
 
     fragment_id: int
     file: str
     row_count: int
     packed_files: tuple = ()
+    deletions: tuple = ()
 
 
 @dataclass
@@ -491,9 +494,21 @@ class LanceDataSourceReader(DataSourceReader):
             and _bloom_may_match(self._path, f, self._pushed,
                                  self._storage if self._remote else None)
         ]
+        def _del_path(f) -> "str | None":
+            if not getattr(f, "deletion", None):
+                return None
+            from . import lance_format as LF
+
+            rel = f.file[len(LF.DATA_DIR) + 1:] if f.file.startswith(
+                LF.DATA_DIR + "/") else f.file
+            return LF._deletion_path(self._path, LF.NativeFragmentInfo(
+                f.fragment_id, rel, f.row_count, deletion=f.deletion))
+
         if self._pack_rows is None:
             return [
-                FragmentPartition(f.fragment_id, os.path.join(self._path, f.file), f.row_count)
+                FragmentPartition(f.fragment_id,
+                                  os.path.join(self._path, f.file),
+                                  f.row_count, deletions=(_del_path(f),))
                 for f in kept
             ]
         # greedy pack in manifest order: consecutive runt fragments share
@@ -517,6 +532,7 @@ class LanceDataSourceReader(DataSourceReader):
                 os.path.join(self._path, p[0].file),
                 sum(f.row_count for f in p),
                 packed_files=tuple(os.path.join(self._path, f.file) for f in p[1:]),
+                deletions=tuple(_del_path(f) for f in p),
             )
             for p in packs
         ]
@@ -524,9 +540,11 @@ class LanceDataSourceReader(DataSourceReader):
     def read(self, partition: "FragmentPartition | None") -> Iterator["pa.RecordBatch"]:
         if partition is None:  # every fragment was pruned
             return
-        for file in (partition.file, *partition.packed_files):
+        dels = partition.deletions or (None,) * (1 + len(partition.packed_files))
+        for file, del_path in zip((partition.file, *partition.packed_files),
+                                  dels):
             if self._file_col is None:
-                yield from self._read_one(file)
+                yield from self._read_one(file, del_path)
                 continue
             import pyarrow as pa
 
@@ -536,11 +554,11 @@ class LanceDataSourceReader(DataSourceReader):
                 # groupBy('__frag').count() probe): no data column to
                 # decode — emit the attribution column alone, sized by
                 # the pushed-filter row count
-                n = self._count_one(file)
+                n = self._count_one(file, del_path)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([rel] * n, pa.string())], names=[self._file_col])
                 continue
-            for batch in self._read_one(file):
+            for batch in self._read_one(file, del_path):
                 yield pa.RecordBatch.from_arrays(
                     list(batch.columns)
                     + [pa.array([rel] * batch.num_rows, pa.string())],
@@ -551,7 +569,7 @@ class LanceDataSourceReader(DataSourceReader):
         f = str(file)
         return f[len(base) + 1:] if f.startswith(base + "/") else f
 
-    def _count_one(self, file: str) -> int:
+    def _count_one(self, file: str, del_path: "str | None" = None) -> int:
         """Pushed-filter row count of one fragment, decoding as little as
         possible: metadata-only when no filter is pushed, else only the
         FILTER's columns are read. Filters referencing a column this
@@ -567,6 +585,8 @@ class LanceDataSourceReader(DataSourceReader):
             from . import lance_format as LF
 
             storage = self._storage if self._remote else None
+            del_offsets = (LF.read_deletion_offsets_at(del_path, storage)
+                           if del_path is not None else [])
             n_rows = None
             if self._pushed:
                 ffields, n_rows = LF.read_file_descriptor(file, storage)
@@ -585,11 +605,12 @@ class LanceDataSourceReader(DataSourceReader):
                 if expr is not None:
                     cols = sorted({n for f in present_filters
                                    for n in _filter_attrs(f)})
-                    return LF.read_native_file(
-                        file, columns=cols,
-                        storage_options=storage).filter(expr).num_rows
-                return n_rows
-            return LF.read_file_descriptor(file, storage)[1]
+                    return LF.apply_deletion_mask(
+                        LF.read_native_file(file, columns=cols,
+                                            storage_options=storage),
+                        del_offsets).filter(expr).num_rows
+                return n_rows - len(del_offsets)
+            return LF.read_file_descriptor(file, storage)[1] - len(del_offsets)
         expr = None
         for f in self._pushed:
             e = _filter_to_arrow(f)
@@ -625,7 +646,8 @@ class LanceDataSourceReader(DataSourceReader):
         d = pads.dataset(file, format="parquet")
         return d.count_rows(filter=expr)
 
-    def _read_one(self, file: str) -> Iterator["pa.RecordBatch"]:
+    def _read_one(self, file: str,
+                  del_path: "str | None" = None) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
         import pyarrow.dataset as pads
 
@@ -636,7 +658,7 @@ class LanceDataSourceReader(DataSourceReader):
         if file.endswith(".lance"):
             # REAL Lance fragment — local or s3:// (the stdlib decoder
             # seeks through an fsspec stream with the threaded creds)
-            yield from self._read_one_native(file, expr)
+            yield from self._read_one_native(file, expr, del_path)
             return
         if self._remote:
             yield from self._read_one_remote(file, expr)
@@ -677,7 +699,9 @@ class LanceDataSourceReader(DataSourceReader):
             else:
                 yield aligned
 
-    def _read_one_native(self, file: str, expr) -> Iterator["pa.RecordBatch"]:
+    def _read_one_native(self, file: str, expr,
+                         del_path: "str | None" = None
+                         ) -> Iterator["pa.RecordBatch"]:
         """One REAL ``.lance`` v2 data file through the stdlib decoder
         (sources/lance_format.py) — same per-fragment task shape as the
         parquet route. The decode is cast to the planned Spark schema's
@@ -718,6 +742,12 @@ class LanceDataSourceReader(DataSourceReader):
         else:
             tbl = LF.read_native_file(
                 file, storage_options=self._storage if self._remote else None)
+        if del_path is not None:
+            # deletion-vector tombstones mask BEFORE the pushed filter
+            # (offsets are physical row positions in the decoded file)
+            tbl = LF.apply_deletion_mask(
+                tbl, LF.read_deletion_offsets_at(
+                    del_path, self._storage if self._remote else None))
         if expr is not None:
             tbl = tbl.filter(expr)
         yield from tbl.to_batches(max_chunksize=self._batch_size)

@@ -63,6 +63,11 @@ class FragmentInfo:
     file: str  # relative to dataset root
     row_count: int
     stats: dict | None = None
+    # native deletion vector (lance_format.NativeFragmentInfo.deletion,
+    # adapted by read_manifest_compat): rows of this fragment are
+    # tombstoned in a `_deletions/` sidecar; ``row_count`` already
+    # excludes them. Always None on emulated datasets.
+    deletion: dict | None = None
 
 
 @dataclass
@@ -184,8 +189,9 @@ def read_manifest_compat(root: str, version: int | None = None,
             fragments=[
                 FragmentInfo(fragment_id=fr.fragment_id,
                              file=f"{LF.DATA_DIR}/{fr.file}",
-                             row_count=fr.physical_rows,
-                             stats=stats.get(fr.file))
+                             row_count=fr.live_rows,
+                             stats=stats.get(fr.file),
+                             deletion=fr.deletion)
                 for fr in mf.fragments
             ],
             meta=meta,

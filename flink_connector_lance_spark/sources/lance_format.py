@@ -183,6 +183,16 @@ class NativeFragmentInfo:
     # mapping across metadata-only commits (e.g. drop_columns).
     field_ids: "list[int] | None" = None
     column_indices: "list[int] | None" = None
+    # Fragment.deletion_file (table.proto f3): a deletion VECTOR beside
+    # the untouched data file — {"read_version", "id", "file_type"
+    # ("arrow"|"bitmap"), "num_deleted"}. physical_rows still counts the
+    # deleted rows; every read path masks them out (resurrecting deleted
+    # rows is the one thing this module must never do).
+    deletion: "dict | None" = None
+
+    @property
+    def live_rows(self) -> int:
+        return self.physical_rows - ((self.deletion or {}).get("num_deleted", 0))
 
 
 @dataclass
@@ -201,7 +211,9 @@ class NativeManifest:
 
     @property
     def row_count(self) -> int:
-        return sum(f.physical_rows for f in self.fragments)
+        """LIVE rows: physical rows minus deletion-vector tombstones —
+        the COUNT(*) a reader must report."""
+        return sum(f.live_rows for f in self.fragments)
 
 
 def _parse_fields(msg: dict) -> list[NativeField]:
@@ -346,16 +358,20 @@ def read_native_manifest(root: str, version: int | None = None,
     fragments = []
     for _, raw in msg.get(2, []):
         fr = _pb_fields(raw)
+        deletion = None
         if 3 in fr:
-            # table.proto Fragment.deletion_file: physical_rows still
-            # counts the deleted rows and the data file still carries
-            # them — decoding without applying the deletion vector would
-            # RESURRECT deleted rows (silent misread, the one thing this
-            # module must never do)
-            raise NotImplementedError(
-                "fragment carries a deletion file (rows were deleted via "
-                "the native lance API) — deletion-vector decode is not "
-                "implemented; compact the dataset with lance first")
+            # table.proto Fragment.deletion_file {f1 read_version, f2 id,
+            # f3 file_type (ARROW_ARRAY=0 | BITMAP=1), f4 num_deleted_rows}
+            # — a deletion VECTOR beside the untouched data file. Arrow
+            # deletion files decode (read_deletion_offsets); roaring
+            # bitmaps refuse there, never misread.
+            dmsg = _pb_fields(_one(fr, 3))
+            deletion = {
+                "read_version": _one(dmsg, 1, 0),
+                "id": _one(dmsg, 2, 0),
+                "file_type": "bitmap" if _one(dmsg, 3, 0) == 1 else "arrow",
+                "num_deleted": _one(dmsg, 4, 0),
+            }
         files = fr.get(2, [])
         if len(files) != 1:
             raise NotImplementedError(
@@ -371,6 +387,7 @@ def read_native_manifest(root: str, version: int | None = None,
             physical_rows=_one(fr, 4, 0),
             field_ids=_packed_uvarints(_one(df, 2)) or None,
             column_indices=_packed_uvarints(_one(df, 3)) or None,
+            deletion=deletion,
         ))
     wv = _pb_fields(_one(msg, 13, b""))
     dfm = _pb_fields(_one(msg, 15, b""))
@@ -1114,13 +1131,15 @@ def align_decoded_table(tbl, target_schema):
 
 def read_fragment_aligned(root: str, fragment_file: str, fields,
                           columns: list[str] | None = None,
-                          num_rows: int | None = None):
+                          num_rows: int | None = None,
+                          deletion_offsets: "list[int] | None" = None):
     """One fragment decoded and aligned to the manifest schema: only the
     requested columns PRESENT in the file are decoded (projection IO
     pruning survives), missing ones null-fill, extra (dropped) ones are
     never requested. ``num_rows`` (the manifest's physical_rows) sizes
     the all-null case where the projection touches only columns this
-    file predates."""
+    file predates. ``deletion_offsets`` masks out deletion-vector
+    tombstones AFTER decode (physical row positions)."""
     import pyarrow as pa
 
     fpath = os.path.join(root, DATA_DIR, fragment_file)
@@ -1129,10 +1148,13 @@ def read_fragment_aligned(root: str, fragment_file: str, fields,
     avail = {f.name for f in ffields if f.parent == -1}
     present = [n for n in target.names if n in avail]
     if not present:
-        return pa.Table.from_arrays(
+        tbl = pa.Table.from_arrays(
             [pa.nulls(num_rows if num_rows is not None else fn_rows, f.type)
              for f in target], schema=target)
-    return align_decoded_table(read_native_file(fpath, columns=present), target)
+    else:
+        tbl = align_decoded_table(read_native_file(fpath, columns=present),
+                                  target)
+    return apply_deletion_mask(tbl, deletion_offsets or [])
 
 
 def read_native_dataset(root: str, version: int | None = None,
@@ -1146,7 +1168,9 @@ def read_native_dataset(root: str, version: int | None = None,
 
     mf = read_native_manifest(root, version)
     tables = [read_fragment_aligned(root, fr.file, mf.fields, columns,
-                                    num_rows=fr.physical_rows)
+                                    num_rows=fr.physical_rows,
+                                    deletion_offsets=read_deletion_offsets(
+                                        root, fr))
               for fr in mf.fragments]
     return pa.concat_tables(tables) if tables else pa.table({})
 
@@ -1725,12 +1749,125 @@ def write_native_file(table, path: str, page_rows: int | None = None,
     return table.num_rows
 
 
+DELETIONS_DIR = "_deletions"
+
+
+def deletion_file_name(fragment_id: int, deletion: dict) -> str:
+    """Key of one deletion vector (public layout:
+    ``_deletions/{fragment_id}-{read_version}-{id}.{arrow|bin}``)."""
+    suffix = "bin" if deletion.get("file_type") == "bitmap" else "arrow"
+    return (f"{fragment_id}-{deletion['read_version']}-"
+            f"{deletion['id']}.{suffix}")
+
+
+def read_deletion_offsets_at(path: str,
+                             storage_options: dict | None = None) -> list[int]:
+    """Deleted LOCAL row offsets from one Arrow deletion file (an Arrow
+    IPC file whose first column holds the int32 offsets)."""
+    import pyarrow as pa
+
+    with _open_binary(path, storage_options) as fh:
+        tbl = pa.ipc.open_file(fh).read_all()
+    return sorted(int(v) for v in tbl.column(0).to_pylist() if v is not None)
+
+
+def _deletion_path(root: str, frag: NativeFragmentInfo) -> str:
+    d = frag.deletion
+    if d.get("file_type") == "bitmap":
+        raise NotImplementedError(
+            f"fragment {frag.fragment_id} carries a ROARING-BITMAP "
+            "deletion file — only Arrow deletion vectors decode; "
+            "compact the dataset (materializes the deletes) first")
+    return (f"{str(root).rstrip('/')}/{DELETIONS_DIR}/"
+            f"{deletion_file_name(frag.fragment_id, d)}")
+
+
+def read_deletion_offsets(root: str, frag: NativeFragmentInfo,
+                          storage_options: dict | None = None) -> list[int]:
+    """Deleted LOCAL row offsets of one fragment. Arrow deletion files
+    decode; roaring bitmaps (.bin) refuse by name — never misread."""
+    if not frag.deletion:
+        return []
+    return read_deletion_offsets_at(_deletion_path(root, frag),
+                                    storage_options)
+
+
+def native_deletion_paths(root: str, mf: "NativeManifest") -> dict:
+    """abs data-file path -> abs deletion-file path, for every fragment
+    of ``mf`` that carries a deletion vector — the picklable map scan
+    tasks use to mask their own fragment (each task reads only ITS
+    deletion file; the driver reads none)."""
+    base = str(root).rstrip("/")
+    out = {}
+    for fr in mf.fragments:
+        if fr.deletion:
+            out[f"{base}/{DATA_DIR}/{fr.file}"] = _deletion_path(base, fr)
+    return out
+
+
+def write_deletion_arrow(root: str, fragment_id: int, read_version: int,
+                         deletion_id: int, offsets: "list[int]",
+                         storage_options: dict | None = None) -> dict:
+    """Write one Arrow deletion vector and return the fragment's
+    ``deletion`` descriptor for the commit. O(deleted rows) — the whole
+    point over a copy-on-write rewrite of the fragment."""
+    import io
+
+    import pyarrow as pa
+
+    d = {"read_version": read_version, "id": deletion_id,
+         "file_type": "arrow", "num_deleted": len(offsets)}
+    tbl = pa.table({"row_id": pa.array(sorted(offsets), pa.int32())})
+    buf = io.BytesIO()
+    with pa.ipc.new_file(buf, tbl.schema) as w:
+        w.write_table(tbl)
+    payload = buf.getvalue()
+    key = f"{DELETIONS_DIR}/{deletion_file_name(fragment_id, d)}"
+    if storage_options is not None or str(root).lower().startswith(
+            ("s3://", "s3a://", "s3n://")):
+        from .fs import get_fs
+
+        fs = get_fs(root, storage_options)
+        with fs.open(f"{str(root).rstrip('/')}/{key}", "wb") as fh:
+            fh.write(payload)
+    else:
+        os.makedirs(os.path.join(root, DELETIONS_DIR), exist_ok=True)
+        with open(os.path.join(root, key), "wb") as fh:
+            fh.write(payload)
+    return d
+
+
+def apply_deletion_mask(table, offsets: "list[int]"):
+    """Drop the deleted local offsets from one decoded fragment table."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not offsets:
+        return table
+    mask = np.ones(table.num_rows, dtype=bool)
+    mask[np.asarray(offsets, dtype=np.int64)] = False
+    return table.filter(pa.array(mask))
+
+
+def _deletion_bytes(d: dict) -> bytes:
+    out = b""
+    if d.get("read_version"):
+        out += _w_vint(1, d["read_version"])
+    if d.get("id"):
+        out += _w_vint(2, d["id"])
+    if d.get("file_type") == "bitmap":
+        out += _w_vint(3, 1)
+    if d.get("num_deleted"):
+        out += _w_vint(4, d["num_deleted"])
+    return out
+
+
 def _fragment_bytes(frag: NativeFragmentInfo, fields: list[NativeField]) -> bytes:
     """table.proto Fragment{f1: id, f2: DataFile{f1: path, f2: field ids,
-    f3: column indices, f4: file major}, f4: physical_rows}. A fragment
-    carried over from a previous version keeps ITS recorded field-id ->
-    column mapping (schema evolution relies on the indirection); fresh
-    fragments get the dense default."""
+    f3: column indices, f4: file major}, f3: deletion_file,
+    f4: physical_rows}. A fragment carried over from a previous version
+    keeps ITS recorded field-id -> column mapping (schema evolution
+    relies on the indirection); fresh fragments get the dense default."""
     ids = frag.field_ids if frag.field_ids is not None else [f.id for f in fields]
     cols = (frag.column_indices if frag.column_indices is not None
             else list(range(len(ids))))
@@ -1739,7 +1876,10 @@ def _fragment_bytes(frag: NativeFragmentInfo, fields: list[NativeField]) -> byte
     out = b""
     if frag.fragment_id:
         out += _w_vint(1, frag.fragment_id)
-    return out + _w_len(2, df) + _w_vint(4, frag.physical_rows)
+    out += _w_len(2, df)
+    if frag.deletion:
+        out += _w_len(3, _deletion_bytes(frag.deletion))
+    return out + _w_vint(4, frag.physical_rows)
 
 
 _MANIFEST_TAIL = b"\x00" * 8 + struct.pack("<HH", 0, 1) + MAGIC
@@ -1910,7 +2050,13 @@ def commit_native(root: str, fields: list[NativeField],
     ``new_files`` entries may also be 5-tuples
     ``(file, rows, stats, field_ids, column_indices)`` when the caller
     re-commits files that carry a non-default field mapping
-    (metadata-only drop_columns)."""
+    (metadata-only drop_columns), 6-tuples with a ``deletion``
+    descriptor (deletion-vector DELETE re-commits the untouched data
+    file plus its new tombstone list), or 7-tuples with an explicit
+    ``fragment_id`` — REQUIRED for any carried fragment with a deletion
+    vector, because the deletion file's key embeds the fragment id and
+    renumbering would orphan it. Entries without an explicit id number
+    past the highest carried/explicit id."""
     import json
     import time
     import uuid as _uuid
@@ -1928,7 +2074,9 @@ def commit_native(root: str, fields: list[NativeField],
     norm = [(e[0], e[1],
              e[2] if len(e) > 2 else None,
              e[3] if len(e) > 3 else None,
-             e[4] if len(e) > 4 else None) for e in new_files]
+             e[4] if len(e) > 4 else None,
+             e[5] if len(e) > 5 else None,
+             e[6] if len(e) > 6 else None) for e in new_files]
 
     while True:
         versions = native_manifest_versions(root, storage_options)
@@ -1971,7 +2119,8 @@ def commit_native(root: str, fields: list[NativeField],
                                        else list(old_ids)),
                             column_indices=(fr.column_indices
                                             if fr.column_indices is not None
-                                            else list(range(len(old_ids)))))
+                                            else list(range(len(old_ids)))),
+                            deletion=fr.deletion)
                         for fr in prev.fragments
                     ]
                 else:
@@ -1981,15 +2130,22 @@ def commit_native(root: str, fields: list[NativeField],
                 out_config.pop(k, None)
             else:
                 out_config[k] = str(v)
-        next_id = max((fr.fragment_id for fr in prev_frags), default=-1) + 1
-        fragments = prev_frags + [
-            NativeFragmentInfo(next_id + i, fname, rows,
-                               field_ids=fids, column_indices=cidx)
-            for i, (fname, rows, _, fids, cidx) in enumerate(norm)
-        ]
+        explicit = [e[6] for e in norm if e[6] is not None]
+        next_id = max([fr.fragment_id for fr in prev_frags] + explicit,
+                      default=-1) + 1
+        fragments = list(prev_frags)
+        auto = 0
+        for fname, rows, _, fids, cidx, deln, fid in norm:
+            if fid is None:
+                fid = next_id + auto
+                auto += 1
+            fragments.append(NativeFragmentInfo(
+                fid, fname, rows, field_ids=fids, column_indices=cidx,
+                deletion=deln))
         stats_map = {fr.file: prev_stats[fr.file] for fr in fragments
                      if fr.file in prev_stats}
-        stats_map.update({fname: st for fname, _, st, _f, _c in norm if st})
+        stats_map.update(
+            {fname: st for fname, _, st, _f, _c, _d, _i in norm if st})
 
         tuid = txn_uuid or str(_uuid.uuid4())
         txn_file = f"{read_version}-{tuid}.txn"

@@ -515,9 +515,12 @@ def _vacuum_remote_native(fs, base: str, names: list, keep_versions: int,
     dropped = [v for v in versions if v not in kept]
     live_files: set[str] = set()
     live_txns: set[str] = set()
+    live_dels: set[str] = set()
     for v in kept:
         mf = LF.read_native_manifest(base, v, storage_options)
         live_files |= {fr.file for fr in mf.fragments}
+        live_dels |= {LF.deletion_file_name(fr.fragment_id, fr.deletion)
+                      for fr in mf.fragments if fr.deletion}
         # the txn file name rides in the manifest; re-read it raw
         import struct as _s
 
@@ -532,10 +535,17 @@ def _vacuum_remote_native(fs, base: str, names: list, keep_versions: int,
     dead = [n for n in data_names if n not in live_files]
     txn_names = remote_ls_names(fs, f"{base}/_transactions")
     dead_txns = [n for n in txn_names if n not in live_txns]
+    try:
+        del_names = remote_ls_names(fs, f"{base}/{LF.DELETIONS_DIR}")
+    except (FileNotFoundError, OSError):
+        del_names = []
+    dead_dels = [n for n in del_names if n not in live_dels]
     dead, young = _split_young(fs, f"{base}/{LF.DATA_DIR}", dead,
                                staging_grace_seconds)
     dead_txns, young_txns = _split_young(fs, f"{base}/_transactions",
                                          dead_txns, staging_grace_seconds)
+    dead_dels, young_dels = _split_young(fs, f"{base}/{LF.DELETIONS_DIR}",
+                                         dead_dels, staging_grace_seconds)
     reclaimed = _remote_sizes(fs, f"{base}/{LF.DATA_DIR}", dead)
     if not dry_run:
         for v in dropped:  # manifests first (crash-safe order)
@@ -548,10 +558,13 @@ def _vacuum_remote_native(fs, base: str, names: list, keep_versions: int,
             fs.rm(f"{base}/_transactions/{n}")
         for n in dead:
             fs.rm(f"{base}/{LF.DATA_DIR}/{n}")
+        for n in dead_dels:
+            fs.rm(f"{base}/{LF.DELETIONS_DIR}/{n}")
     return {"kept_versions": kept, "dropped_versions": len(dropped),
-            "deleted_files": len(dead), "reclaimed_bytes": reclaimed,
+            "deleted_files": len(dead) + len(dead_dels),
+            "reclaimed_bytes": reclaimed,
             "staging_dirs_removed": 0,
-            "skipped_young_keys": len(young) + len(young_txns)}
+            "skipped_young_keys": len(young) + len(young_txns) + len(young_dels)}
 
 
 def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:
@@ -576,12 +589,16 @@ def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:
     dropped = [v for v in versions if v not in kept]
     live_files: set[str] = set()
     live_txns: set[str] = set()
+    live_dels: set[str] = set()
     for v in kept:
         mpath = os.path.join(path, LF.VERSIONS_DIR, f"{v}.manifest")
         blob = open(mpath, "rb").read()
         msg = LF._pb_fields(blob[4:4 + _s.unpack_from("<I", blob, 0)[0]])
         live_txns.add(LF._one(msg, 12, b"").decode("utf-8"))
-        live_files |= {fr.file for fr in LF.read_native_manifest(path, v).fragments}
+        vmf = LF.read_native_manifest(path, v)
+        live_files |= {fr.file for fr in vmf.fragments}
+        live_dels |= {LF.deletion_file_name(fr.fragment_id, fr.deletion)
+                      for fr in vmf.fragments if fr.deletion}
     from .bloom import BLOOM_SUFFIX
 
     # a bloom sidecar lives exactly as long as its fragment
@@ -592,6 +609,11 @@ def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:
     txn_dir = os.path.join(path, "_transactions")
     dead_txns = [n for n in (os.listdir(txn_dir) if os.path.isdir(txn_dir) else [])
                  if n not in live_txns]
+    # deletion vectors live as long as any retained manifest references
+    # them (superseded vectors from re-deletes become dead keys)
+    del_dir = os.path.join(path, LF.DELETIONS_DIR)
+    dead_dels = [n for n in (os.listdir(del_dir) if os.path.isdir(del_dir)
+                             else []) if n not in live_dels]
     reclaimed = sum(os.path.getsize(os.path.join(data_dir, n)) for n in dead)
     if not dry_run:
         for v in dropped:
@@ -604,8 +626,11 @@ def _vacuum_native(path: str, keep_versions: int, dry_run: bool) -> dict:
             os.remove(os.path.join(txn_dir, n))
         for n in dead:
             os.remove(os.path.join(data_dir, n))
+        for n in dead_dels:
+            os.remove(os.path.join(del_dir, n))
     return {"kept_versions": kept, "dropped_versions": len(dropped),
-            "deleted_files": len(dead), "reclaimed_bytes": reclaimed,
+            "deleted_files": len(dead) + len(dead_dels),
+            "reclaimed_bytes": reclaimed,
             "staging_dirs_removed": 0}
 
 
@@ -697,7 +722,8 @@ def _compact_native(spark: SparkSession, path: str, target_rows: int,
         return mf
     keep = [fr for fr in mf.fragments if fr.physical_rows >= threshold]
     files = [os.path.join(path, LF.DATA_DIR, fr.file) for fr in small]
-    df = read_native_files(spark, mf.fields, files)
+    df = read_native_files(spark, mf.fields, files,
+                           deletions=LF.native_deletion_paths(path, mf))
     if len(small) > 1:
         # runts merge INTO shared files, not 1:1 — funnel them into
         # ceil(total/target) tasks so the output hits the target size
@@ -706,7 +732,11 @@ def _compact_native(spark: SparkSession, path: str, target_rows: int,
     merged = produce_native_fragments(df, path, LF.arrow_schema_of(mf.fields),
                                       target_rows,
                                       bloom_columns=_native_bloom_columns(path, mf) or None)
-    pairs = [(fr.file, fr.physical_rows) for fr in keep] + merged
+    # carried fragments keep their field mapping AND deletion vector —
+    # dropping either would resurrect deleted rows / break evolved reads
+    pairs = [(fr.file, fr.physical_rows, None, fr.field_ids,
+              fr.column_indices, fr.deletion, fr.fragment_id)
+             for fr in keep] + merged
     return LF.commit_native(path, mf.fields, pairs, "overwrite",
                             expected_base_version=mf.version)
 
@@ -716,6 +746,7 @@ def delete_rows(
     path: str,
     predicate,
     s3=None,
+    use_deletion_vectors: bool = False,
 ) -> FR.Manifest:
     """Row-level DELETE as copy-on-write: rewrite ONLY the fragments that
     contain matching rows; untouched fragments carry over byte-identical
@@ -736,7 +767,13 @@ def delete_rows(
     negated predicate by executors; the driver commits one new version.
 
     ``predicate``: a Column or SQL-string boolean expression (rows
-    matching it are deleted)."""
+    matching it are deleted).
+
+    ``use_deletion_vectors`` (native binary datasets only): instead of
+    rewriting affected fragments, write an Arrow deletion VECTOR per
+    fragment (lance's own DELETE shape) — O(deleted rows) IO instead of
+    O(affected fragments), the right trade when deletes are sparse;
+    a later compaction materializes the tombstones."""
     import pyspark.sql.functions as F
 
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
@@ -745,6 +782,14 @@ def delete_rows(
     from . import lance_format as LF
     from .fs import is_remote
 
+    if use_deletion_vectors:
+        if is_remote(path) or not LF.is_native_dataset(path):
+            raise NotImplementedError(
+                "use_deletion_vectors requires a LOCAL native binary "
+                "dataset (the tombstone sidecar contract is the native "
+                "format's); the copy-on-write rewrite serves every other "
+                "combination")
+        return _delete_native_vectors(spark, path, pred)
     if is_remote(path):
         return _delete_remote(spark, path, pred, s3)
     if LF.is_native_dataset(path):
@@ -823,21 +868,78 @@ def _delete_native(spark: SparkSession, path: str, pred):
         raise FileNotFoundError(f"dataset {path} has no fragments")
     by_abs = {os.path.join(path, LF.DATA_DIR, fr.file): fr
               for fr in mf.fragments}
+    dels = LF.native_deletion_paths(path, mf)
     probe = read_native_files(spark, mf.fields, sorted(by_abs),
-                              file_col="__frag")
+                              file_col="__frag", deletions=dels)
     affected = {r.f for r in probe.filter(pred)
                 .select(F.col("__frag").alias("f")).distinct().collect()}
     if not affected:
         return mf  # nothing matched: no new version
     keep = [fr for abs_p, fr in by_abs.items() if abs_p not in affected]
-    survivors = (read_native_files(spark, mf.fields, sorted(affected))
+    survivors = (read_native_files(spark, mf.fields, sorted(affected),
+                                   deletions=dels)
                  .filter(~F.coalesce(pred, F.lit(False))))
     new = produce_native_fragments(survivors, path,
                                    LF.arrow_schema_of(mf.fields), 1_000_000,
                                    bloom_columns=_native_bloom_columns(path, mf) or None)
-    pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
+    pairs = [(fr.file, fr.physical_rows, None, fr.field_ids,
+              fr.column_indices, fr.deletion, fr.fragment_id)
+             for fr in keep] + new
     return LF.commit_native(path, mf.fields, pairs, "overwrite",
                             expected_base_version=mf.version)
+
+
+def _delete_native_vectors(spark: SparkSession, path: str, pred) -> FR.Manifest:
+    """Row-level DELETE as deletion VECTORS (lance's own DELETE shape):
+    one file+position-attributed probe finds the matching rows' physical
+    offsets, the driver writes one tiny Arrow tombstone sidecar per
+    affected fragment (union-merged with any existing vector) and
+    commits ONE version under CAS — every data file carries over
+    byte-identical, fragment ids preserved (the tombstone key embeds
+    them). IO is O(deleted rows), not O(affected fragments): the sparse
+    takedown shape. The driver materializes the matched offsets (bounded
+    by the delete's row count — use the copy-on-write path for bulk
+    deletes); a later compact_dataset materializes the tombstones."""
+    import pyspark.sql.functions as F
+
+    from . import lance_format as LF
+    from .reader import read_native_files
+
+    path = os.path.abspath(path)
+    mf = LF.read_native_manifest(path)
+    if not mf.fragments:
+        raise FileNotFoundError(f"dataset {path} has no fragments")
+    dels = LF.native_deletion_paths(path, mf)
+    by_abs = {os.path.join(path, LF.DATA_DIR, fr.file): fr
+              for fr in mf.fragments}
+    # already-tombstoned rows are masked by the probe (deletions=...) so
+    # they can never re-match; offsets are physical (pos_col rides ahead
+    # of the mask)
+    probe = read_native_files(spark, mf.fields, sorted(by_abs),
+                              file_col="__frag", pos_col="__pos",
+                              deletions=dels)
+    hits = (probe.filter(pred)
+            .groupBy("__frag").agg(F.collect_list("__pos").alias("pos"))
+            .collect())
+    if not hits:
+        return FR.read_manifest_compat(path)
+    new_offsets = {r["__frag"]: r["pos"] for r in hits}
+    pairs = []
+    for fr in mf.fragments:
+        abs_p = os.path.join(path, LF.DATA_DIR, fr.file)
+        if abs_p in new_offsets:
+            merged = sorted(set(new_offsets[abs_p])
+                            | set(LF.read_deletion_offsets(path, fr)))
+            d = LF.write_deletion_arrow(path, fr.fragment_id, mf.version, 1,
+                                        merged)
+            pairs.append((fr.file, fr.physical_rows, None, fr.field_ids,
+                          fr.column_indices, d, fr.fragment_id))
+        else:
+            pairs.append((fr.file, fr.physical_rows, None, fr.field_ids,
+                          fr.column_indices, fr.deletion, fr.fragment_id))
+    LF.commit_native(path, mf.fields, pairs, "overwrite",
+                     expected_base_version=mf.version)
+    return FR.read_manifest_compat(path)
 
 
 def _remote_reader(spark, path: str, s3, file_col: "str | None" = None):
@@ -877,8 +979,9 @@ def _rewrite_commit_remote(spark, path: str, storage, manifest, affected,
         new = produce_native_fragments(
             new_src, path, LF.arrow_schema_of(nmf.fields), max_rows,
             bloom_columns=bloom_cols or None, storage_options=storage)
-        pairs = [(fr.file, fr.physical_rows, None,
-                  fr.field_ids, fr.column_indices) for fr in keep] + new
+        pairs = [(fr.file, fr.physical_rows, None, fr.field_ids,
+                  fr.column_indices, fr.deletion, fr.fragment_id)
+                 for fr in keep] + new
         return LF.commit_native(path, nmf.fields, pairs, "overwrite",
                                 expected_base_version=nmf.version,
                                 config=_meta_to_config(meta),
@@ -1057,8 +1160,9 @@ def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str,
     by_abs = {os.path.join(path, LF.DATA_DIR, fr.file): fr
               for fr in mf.fragments}
     keys = updates.select(key).distinct()
+    dels = LF.native_deletion_paths(path, mf)
     probe = read_native_files(spark, mf.fields, sorted(by_abs),
-                              file_col="__frag")
+                              file_col="__frag", deletions=dels)
     affected = {r.f for r in probe.join(keys, on=key, how="left_semi")
                 .select(F.col("__frag").alias("f")).distinct().collect()}
     keep = [fr for abs_p, fr in by_abs.items() if abs_p not in affected]
@@ -1071,7 +1175,8 @@ def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str,
     new_src = updates.select(
         *[F.col(c).cast(sschema[c].dataType) for c in want])
     if affected:
-        survivors = (read_native_files(spark, mf.fields, sorted(affected))
+        survivors = (read_native_files(spark, mf.fields, sorted(affected),
+                                       deletions=dels)
                      .join(keys, on=key, how="left_anti").select(*want))
         new_src = survivors.unionByName(new_src)
     new = produce_native_fragments(new_src, path,
@@ -1079,7 +1184,9 @@ def _merge_native(spark: SparkSession, path: str, updates: DataFrame, key: str,
                                    bloom_columns=_native_bloom_columns(path, mf) or None)
     from .writer import _meta_to_config
 
-    pairs = [(fr.file, fr.physical_rows) for fr in keep] + new
+    pairs = [(fr.file, fr.physical_rows, None, fr.field_ids,
+              fr.column_indices, fr.deletion, fr.fragment_id)
+             for fr in keep] + new
     return LF.commit_native(path, mf.fields, pairs, "overwrite",
                             expected_base_version=mf.version,
                             config=_meta_to_config(commit_meta))
@@ -1438,7 +1545,8 @@ def _cluster_native(spark: SparkSession, path: str, by: list[str],
     n_frags = max(1, -(-total // target_rows))
     df = read_native_files(
         spark, mf.fields,
-        [os.path.join(path, LF.DATA_DIR, fr.file) for fr in to_sort])
+        [os.path.join(path, LF.DATA_DIR, fr.file) for fr in to_sort],
+        deletions=LF.native_deletion_paths(path, mf))
     if zorder and len(by) >= 2:
         mm: dict[str, tuple] = {}
         for c in by:
@@ -1458,7 +1566,8 @@ def _cluster_native(spark: SparkSession, path: str, by: list[str],
     new = produce_native_fragments(out, path, LF.arrow_schema_of(mf.fields),
                                    target_rows,
                                    bloom_columns=_native_bloom_columns(path, mf) or None)
-    pairs = [(fr.file, fr.physical_rows, None, fr.field_ids, fr.column_indices)
+    pairs = [(fr.file, fr.physical_rows, None, fr.field_ids,
+              fr.column_indices, fr.deletion, fr.fragment_id)
              for fr in carried] + new
     meta = {"clustering": {**layout, "base_version": mf.version,
                            "scope": scope}}

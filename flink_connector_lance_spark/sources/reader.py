@@ -77,7 +77,20 @@ def read_fragment_files(spark, manifest: "FR.Manifest", files: list[str]) -> Dat
     Lance dataset) routes its ``.lance`` files through the pure decoder
     — same one-task-per-file shape."""
     if manifest.meta.get("native_lance"):
-        return read_native_files(spark, manifest.meta["native_fields"], files)
+        from . import lance_format as LF
+
+        deletions = {}
+        for fr in manifest.fragments:
+            if not fr.deletion:
+                continue
+            for f in files:
+                if f.endswith("/" + fr.file):
+                    root = f[: -len("/" + fr.file)]
+                    deletions[f] = LF._deletion_path(root, LF.NativeFragmentInfo(
+                        fr.fragment_id, fr.file, fr.row_count,
+                        deletion=fr.deletion))
+        return read_native_files(spark, manifest.meta["native_fields"], files,
+                                 deletions=deletions)
     schema_json = manifest.meta.get("schema")
     if schema_json:
         import json
@@ -128,20 +141,28 @@ def _read_native_pure(spark, path, columns, filter, limit, version, opts) -> Dat
     files = [f"{str(path).rstrip('/')}/{LF.DATA_DIR}/{fr.file}" for fr in mf.fragments]
     if not files:
         raise FileNotFoundError(f"dataset {path} (v{mf.version}) has no fragments")
-    df = read_native_files(spark, mf.fields, files, decode_cols)
+    df = read_native_files(spark, mf.fields, files, decode_cols,
+                           deletions=LF.native_deletion_paths(path, mf))
     return _apply_pushdowns(df, select_cols, filter, limit, opts)
 
 
 def read_native_files(spark, fields, files: "list[str]",
                       columns: "list[str] | None" = None,
-                      file_col: "str | None" = None) -> DataFrame:
+                      file_col: "str | None" = None,
+                      deletions: "dict[str, str] | None" = None,
+                      pos_col: "str | None" = None) -> DataFrame:
     """Fragment-subset scan of native v2 files (full absolute paths) —
     the core of ``_read_native_pure``, exposed for maintenance rewrites
     that touch only SOME fragments (compaction of runts, copy-on-write
     DELETE/MERGE). One file == one mapInArrow task; pruning stays inside
     the decoder. ``file_col`` appends the source file path to every row
     (the native twin of ``input_file_name()`` — the affected-fragment
-    probe the copy-on-write rewrites key on)."""
+    probe the copy-on-write rewrites key on). ``deletions`` maps data
+    file -> deletion-vector file (lance_format.native_deletion_paths):
+    each task masks its own fragment's tombstones right after decode —
+    the driver never reads a deletion file. ``pos_col`` appends each
+    row's PHYSICAL offset within its file (assigned before the deletion
+    mask — the handle a deletion-vector DELETE tombstones by)."""
     import pandas as pd
 
     from ..types import arrow_schema_to_spark, spark_type_to_arrow
@@ -149,11 +170,20 @@ def read_native_files(spark, fields, files: "list[str]",
 
     arrow_schema = LF.arrow_schema_of(fields, columns)
     spark_schema = arrow_schema_to_spark(arrow_schema)
-    if file_col is not None:
-        from pyspark.sql.types import StringType, StructField, StructType
+    extra_fields = []
+    if pos_col is not None:
+        from pyspark.sql.types import LongType, StructField
 
-        spark_schema = StructType(
-            list(spark_schema.fields) + [StructField(file_col, StringType())])
+        extra_fields.append(StructField(pos_col, LongType()))
+    if file_col is not None:
+        from pyspark.sql.types import StringType, StructField
+
+        extra_fields.append(StructField(file_col, StringType()))
+    if extra_fields:
+        from pyspark.sql.types import StructType
+
+        spark_schema = StructType(list(spark_schema.fields) + extra_fields)
+    deletions = dict(deletions or {})
 
     def scan(iterator):
         import pyarrow as pa
@@ -168,7 +198,7 @@ def read_native_files(spark, fields, files: "list[str]",
         # columns are never requested.
         target = pa.schema([
             pa.field(f.name, spark_type_to_arrow(f.dataType))
-            for f in spark_schema if f.name != file_col
+            for f in spark_schema if f.name not in (file_col, pos_col)
         ])
         for batch in iterator:
             for fpath in batch.column("file").to_pylist():
@@ -182,6 +212,12 @@ def read_native_files(spark, fields, files: "list[str]",
                     tbl = pa.Table.from_arrays(
                         [pa.nulls(fn_rows, f.type) for f in target],
                         schema=target)
+                if pos_col is not None:  # physical offsets: BEFORE the mask
+                    tbl = tbl.append_column(
+                        pos_col, pa.array(range(tbl.num_rows), pa.int64()))
+                if fpath in deletions:
+                    tbl = _LF.apply_deletion_mask(
+                        tbl, _LF.read_deletion_offsets_at(deletions[fpath]))
                 if file_col is not None:
                     tbl = tbl.append_column(
                         file_col, pa.array([fpath] * tbl.num_rows, pa.string()))

@@ -345,7 +345,8 @@ def _drop_columns_native(path: str, cols: list[str],
         (fr.file, fr.physical_rows, None,
          fr.field_ids if fr.field_ids is not None else list(old_ids),
          (fr.column_indices if fr.column_indices is not None
-          else list(range(len(old_ids)))))
+          else list(range(len(old_ids)))),
+         fr.deletion, fr.fragment_id)
         for fr in mf.fragments
     ]
     guard = sorted(set(native_dropped_columns(path, storage_options))
@@ -383,7 +384,9 @@ def _add_column_native(spark, path: str, name: str, expr):
                          f"table schema is {top_names}")
     col = F.expr(expr) if isinstance(expr, str) else expr
     files = [os.path.join(path, LF.DATA_DIR, fr.file) for fr in mf.fragments]
-    out = read_native_files(spark, mf.fields, files).withColumn(name, col)
+    out = (read_native_files(spark, mf.fields, files,
+                             deletions=LF.native_deletion_paths(path, mf))
+           .withColumn(name, col))
     new_field = spark_schema_to_arrow(out.schema).field(name)
     schema = pa.schema(list(LF.arrow_schema_of(mf.fields)) + [new_field])
     widened = LF.widen_fields(mf.fields, [new_field])
