@@ -50,6 +50,10 @@ class MaintenancePolicy:
     max_unclustered_fraction: float = 0.2
     # refresh an ANN index when its unindexed tail exceeds this fraction
     max_unindexed_fraction: float = 0.2
+    # compact (materializing deletion-vector tombstones) when tombstoned
+    # rows exceed this fraction of live rows — unbounded tombstone debt
+    # makes every scan pay the masking cost forever
+    max_tombstone_fraction: float = 0.2
     # MVCC versions to retain at vacuum; None disables the vacuum step
     keep_versions: "int | None" = 2
     refresh_rollups: bool = True
@@ -93,17 +97,26 @@ def run_maintenance(
             entry["result"] = action()
         report["steps"].append(entry)
 
-    # 1. compact
+    # 1. compact — due on runt-fragment debt OR deletion-vector
+    # tombstone debt (compaction materializes the tombstones; every scan
+    # pays the masking cost until then)
     manifest = FR.read_manifest_compat(path)
     runts = [f for f in manifest.fragments
              if f.row_count < p.target_rows_per_fragment // 2]
     runt_frac = len(runts) / max(1, len(manifest.fragments))
+    tomb_frac = desc.get("tombstoned_rows", 0) / total_rows
     step(
         "compact",
-        len(runts) >= 2 and runt_frac > p.max_runt_fraction,
-        f"runt fraction {runt_frac:.2f} (threshold {p.max_runt_fraction})",
+        (len(runts) >= 2 and runt_frac > p.max_runt_fraction)
+        or tomb_frac > p.max_tombstone_fraction,
+        f"runt fraction {runt_frac:.2f} (threshold {p.max_runt_fraction}), "
+        f"tombstone fraction {tomb_frac:.2f} "
+        f"(threshold {p.max_tombstone_fraction})",
         lambda: {"new_version": compact_dataset(
-            spark, path, target_rows_per_fragment=p.target_rows_per_fragment
+            spark, path, target_rows_per_fragment=p.target_rows_per_fragment,
+            small_threshold=(p.target_rows_per_fragment
+                             if tomb_frac > p.max_tombstone_fraction
+                             else None),
         ).version},
     )
     if report["steps"][-1]["due"] and not dry_run:

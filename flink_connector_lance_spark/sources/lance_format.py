@@ -362,9 +362,9 @@ def read_native_manifest(root: str, version: int | None = None,
         if 3 in fr:
             # table.proto Fragment.deletion_file {f1 read_version, f2 id,
             # f3 file_type (ARROW_ARRAY=0 | BITMAP=1), f4 num_deleted_rows}
-            # — a deletion VECTOR beside the untouched data file. Arrow
-            # deletion files decode (read_deletion_offsets); roaring
-            # bitmaps refuse there, never misread.
+            # — a deletion VECTOR beside the untouched data file. Both
+            # file types decode (read_deletion_offsets): Arrow int32
+            # arrays and portable-format roaring bitmaps.
             dmsg = _pb_fields(_one(fr, 3))
             deletion = {
                 "read_version": _one(dmsg, 1, 0),
@@ -1760,32 +1760,118 @@ def deletion_file_name(fragment_id: int, deletion: dict) -> str:
             f"{deletion['id']}.{suffix}")
 
 
+# Roaring bitmap portable serialization (public spec:
+# RoaringBitmap/RoaringFormatSpec — the format Rust's roaring crate
+# reads/writes, which is what lance's `.bin` deletion files carry).
+_ROARING_NO_RUN = 12346   # SERIAL_COOKIE_NO_RUNCONTAINER
+_ROARING_RUN = 12347      # SERIAL_COOKIE (run containers present)
+_ROARING_NO_OFFSET_THRESHOLD = 4
+
+
+def _roaring_deserialize(blob: bytes) -> list[int]:
+    """Sorted u32 members of one portable-format roaring bitmap.
+    Sequential container walk (the offset header, when present, is
+    skipped — containers are stored in key order)."""
+    cookie = struct.unpack_from("<I", blob, 0)[0]
+    pos = 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == _ROARING_RUN:
+        size = (cookie >> 16) + 1
+        nflag = (size + 7) // 8
+        run_flags = blob[pos:pos + nflag]
+        pos += nflag
+    elif cookie == _ROARING_NO_RUN:
+        size = struct.unpack_from("<I", blob, pos)[0]
+        pos += 4
+    else:
+        raise NotImplementedError(
+            f"roaring deletion file with unknown cookie {cookie & 0xFFFF} "
+            "— not the portable serialization format")
+    headers = [struct.unpack_from("<HH", blob, pos + 4 * i)
+               for i in range(size)]
+    pos += 4 * size
+    if cookie == _ROARING_NO_RUN or size >= _ROARING_NO_OFFSET_THRESHOLD:
+        pos += 4 * size  # offset header — containers follow in order
+    out: list[int] = []
+    for i, (key, card_m1) in enumerate(headers):
+        card = card_m1 + 1
+        base = key << 16
+        is_run = bool(run_flags) and (run_flags[i >> 3] >> (i & 7)) & 1
+        if is_run:
+            n_runs = struct.unpack_from("<H", blob, pos)[0]
+            pos += 2
+            for _ in range(n_runs):
+                start, ln_m1 = struct.unpack_from("<HH", blob, pos)
+                pos += 4
+                out.extend(base + v for v in range(start, start + ln_m1 + 1))
+        elif card > 4096:  # bitmap container: 1024 u64, LSB-first
+            words = struct.unpack_from("<1024Q", blob, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    low = w & -w
+                    out.append(base + (wi << 6) + low.bit_length() - 1)
+                    w ^= low
+        else:  # array container: sorted u16 values
+            vals = struct.unpack_from(f"<{card}H", blob, pos)
+            pos += 2 * card
+            out.extend(base + v for v in vals)
+    return out
+
+
+def _roaring_serialize(offsets: list[int]) -> bytes:
+    """Portable-format roaring bitmap (no run containers: array/bitmap
+    chosen per container by the spec's 4096-cardinality rule)."""
+    containers: dict[int, list[int]] = {}
+    for v in sorted(set(offsets)):
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    size = len(keys)
+    bodies = []
+    for k in keys:
+        vals = containers[k]
+        if len(vals) > 4096:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            bodies.append(struct.pack("<1024Q", *words))
+        else:
+            bodies.append(struct.pack(f"<{len(vals)}H", *vals))
+    out = struct.pack("<II", _ROARING_NO_RUN, size)
+    out += b"".join(struct.pack("<HH", k, len(containers[k]) - 1)
+                    for k in keys)
+    off = len(out) + 4 * size
+    offsets_hdr = b""
+    for b in bodies:
+        offsets_hdr += struct.pack("<I", off)
+        off += len(b)
+    return out + offsets_hdr + b"".join(bodies)
+
+
 def read_deletion_offsets_at(path: str,
                              storage_options: dict | None = None) -> list[int]:
-    """Deleted LOCAL row offsets from one Arrow deletion file (an Arrow
-    IPC file whose first column holds the int32 offsets)."""
+    """Deleted LOCAL row offsets from one deletion file: an Arrow IPC
+    file (first column = int32 offsets) or a portable-format roaring
+    bitmap (``.bin`` — what lance writes for dense deletes)."""
     import pyarrow as pa
 
     with _open_binary(path, storage_options) as fh:
-        tbl = pa.ipc.open_file(fh).read_all()
+        blob = fh.read()
+    if str(path).endswith(".bin"):
+        return _roaring_deserialize(blob)
+    tbl = pa.ipc.open_file(pa.BufferReader(blob)).read_all()
     return sorted(int(v) for v in tbl.column(0).to_pylist() if v is not None)
 
 
 def _deletion_path(root: str, frag: NativeFragmentInfo) -> str:
-    d = frag.deletion
-    if d.get("file_type") == "bitmap":
-        raise NotImplementedError(
-            f"fragment {frag.fragment_id} carries a ROARING-BITMAP "
-            "deletion file — only Arrow deletion vectors decode; "
-            "compact the dataset (materializes the deletes) first")
     return (f"{str(root).rstrip('/')}/{DELETIONS_DIR}/"
-            f"{deletion_file_name(frag.fragment_id, d)}")
+            f"{deletion_file_name(frag.fragment_id, frag.deletion)}")
 
 
 def read_deletion_offsets(root: str, frag: NativeFragmentInfo,
                           storage_options: dict | None = None) -> list[int]:
-    """Deleted LOCAL row offsets of one fragment. Arrow deletion files
-    decode; roaring bitmaps (.bin) refuse by name — never misread."""
+    """Deleted LOCAL row offsets of one fragment — Arrow deletion files
+    and portable roaring bitmaps both decode."""
     if not frag.deletion:
         return []
     return read_deletion_offsets_at(_deletion_path(root, frag),
@@ -1807,21 +1893,30 @@ def native_deletion_paths(root: str, mf: "NativeManifest") -> dict:
 
 def write_deletion_arrow(root: str, fragment_id: int, read_version: int,
                          deletion_id: int, offsets: "list[int]",
-                         storage_options: dict | None = None) -> dict:
-    """Write one Arrow deletion vector and return the fragment's
-    ``deletion`` descriptor for the commit. O(deleted rows) — the whole
-    point over a copy-on-write rewrite of the fragment."""
+                         storage_options: dict | None = None,
+                         file_type: str | None = None) -> dict:
+    """Write one deletion vector and return the fragment's ``deletion``
+    descriptor for the commit. O(deleted rows) — the whole point over a
+    copy-on-write rewrite of the fragment. ``file_type`` defaults by
+    density (lance's own shape): sparse sets -> an Arrow int32 array,
+    dense sets (>4096 offsets) -> a portable roaring bitmap ``.bin``."""
     import io
 
     import pyarrow as pa
 
+    offsets = sorted(set(int(v) for v in offsets))
+    if file_type is None:
+        file_type = "bitmap" if len(offsets) > 4096 else "arrow"
     d = {"read_version": read_version, "id": deletion_id,
-         "file_type": "arrow", "num_deleted": len(offsets)}
-    tbl = pa.table({"row_id": pa.array(sorted(offsets), pa.int32())})
-    buf = io.BytesIO()
-    with pa.ipc.new_file(buf, tbl.schema) as w:
-        w.write_table(tbl)
-    payload = buf.getvalue()
+         "file_type": file_type, "num_deleted": len(offsets)}
+    if file_type == "bitmap":
+        payload = _roaring_serialize(offsets)
+    else:
+        tbl = pa.table({"row_id": pa.array(offsets, pa.int32())})
+        buf = io.BytesIO()
+        with pa.ipc.new_file(buf, tbl.schema) as w:
+            w.write_table(tbl)
+        payload = buf.getvalue()
     key = f"{DELETIONS_DIR}/{deletion_file_name(fragment_id, d)}"
     if storage_options is not None or str(root).lower().startswith(
             ("s3://", "s3a://", "s3n://")):

@@ -717,10 +717,14 @@ def _compact_native(spark: SparkSession, path: str, target_rows: int,
     from .writer import produce_native_fragments
 
     mf = LF.read_native_manifest(path)
-    small = [fr for fr in mf.fragments if fr.physical_rows < threshold]
-    if len(small) < 2:
+    # rewrite candidates: runts, plus ANY fragment carrying a deletion
+    # vector — compaction is what materializes the tombstones (until
+    # then every scan pays the masking cost)
+    small = [fr for fr in mf.fragments
+             if fr.physical_rows < threshold or fr.deletion]
+    if len(small) < 2 and not any(fr.deletion for fr in small):
         return mf
-    keep = [fr for fr in mf.fragments if fr.physical_rows >= threshold]
+    keep = [fr for fr in mf.fragments if fr not in small]
     files = [os.path.join(path, LF.DATA_DIR, fr.file) for fr in small]
     df = read_native_files(spark, mf.fields, files,
                            deletions=LF.native_deletion_paths(path, mf))
@@ -1701,6 +1705,10 @@ def _describe_native(path: str) -> dict:
         "versions": LF.native_manifest_versions(path),
         "num_fragments": len(mf.fragments),
         "num_rows": mf.row_count,
+        # deletion-vector tombstones awaiting materialization: the
+        # compaction-debt signal (num_rows already excludes them)
+        "tombstoned_rows": sum((fr.deletion or {}).get("num_deleted", 0)
+                               for fr in mf.fragments),
         "size_bytes": size,
         "schema_columns": sorted(f.name for f in mf.fields if f.parent == -1) or None,
         "bloom": None,

@@ -48,20 +48,45 @@ def test_codec_deletion_roundtrip(tmp_path):
                                          "num_deleted": 3}
 
 
-def test_bitmap_deletion_refuses_loudly(tmp_path):
+def test_roaring_bitmap_deletion_roundtrip(tmp_path):
+    """Roaring (.bin) deletion files decode via the portable
+    serialization: array containers, a dense (>4096) bitmap container,
+    multi-container keys, and a run-container stream — plus the writer's
+    density-based format choice."""
+    # pure serializer round trip across container shapes
+    sparse = [1, 5, 70_000, 70_001]                      # two array containers
+    dense = list(range(0, 10_000, 2)) + [1 << 20]        # bitmap + array
+    for offs in (sparse, dense, [], [65_535, 65_536]):
+        assert LF._roaring_deserialize(LF._roaring_serialize(offs)) == \
+            sorted(set(offs))
+    # run-container stream (what a contiguous delete serializes to):
+    # cookie 12347, one run container [10, 14]
+    import struct as _s
+
+    blob = (_s.pack("<I", (0 << 16) | 12347) + b"\x01"   # 1 container, run
+            + _s.pack("<HH", 0, 4)                        # key 0, card-1=4
+            + _s.pack("<H", 1) + _s.pack("<HH", 10, 4))   # 1 run: 10 len 5
+    assert LF._roaring_deserialize(blob) == [10, 11, 12, 13, 14]
+
+    # end-to-end: a dense delete writes .bin and every read masks it
     root = str(tmp_path / "ds")
-    tbl = pa.table({"id": pa.array(range(4), pa.int64())})
+    n = 6000
+    tbl = pa.table({"id": pa.array(range(n), pa.int64())})
     os.makedirs(os.path.join(root, LF.DATA_DIR))
     LF.write_native_file(tbl, os.path.join(root, LF.DATA_DIR, "a.lance"))
     fields = LF.fields_of_arrow_schema(tbl.schema)
-    d = {"read_version": 1, "id": 1, "file_type": "bitmap", "num_deleted": 1}
+    LF.commit_native(root, fields, [("a.lance", n, None)], "overwrite")
+    offsets = list(range(0, n, 1))[:4097]  # > 4096 -> bitmap by density
+    d = LF.write_deletion_arrow(root, 0, 1, 1, offsets)
+    assert d["file_type"] == "bitmap"
+    assert os.listdir(os.path.join(root, LF.DELETIONS_DIR)) == \
+        [f"0-1-1.bin"]
     LF.commit_native(root, fields,
-                     [("a.lance", 4, None, None, None, d, 0)], "overwrite")
-    # counting works from the manifest alone (num_deleted_rows)...
-    assert LF.native_count_rows(root) == 3
-    # ...but a row-level read refuses by name instead of misreading
-    with pytest.raises(NotImplementedError, match="ROARING-BITMAP"):
-        LF.read_native_dataset(root)
+                     [("a.lance", n, None, None, None, d, 0)], "overwrite",
+                     expected_base_version=1)
+    assert LF.native_count_rows(root) == n - 4097
+    assert LF.read_native_dataset(root).column("id").to_pylist() == \
+        list(range(4097, n))
 
 
 def test_delete_rows_with_deletion_vectors(spark, tmp_path):
@@ -163,3 +188,37 @@ def test_cow_delete_and_merge_respect_existing_vectors(spark, tmp_path):
     assert out.count() == 350
     assert out.filter("g = 99").count() == 1
     assert out.filter("id < 40").count() == 0
+
+
+def test_auto_maintenance_materializes_tombstone_debt(spark, tmp_path):
+    """run_maintenance treats deletion-vector tombstones as compaction
+    debt: past max_tombstone_fraction the compact step is due, rewrites
+    the tombstoned fragment (even a lone one), and describe reports the
+    debt gone."""
+    from flink_connector_lance_spark.sources.auto_maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+    from flink_connector_lance_spark.sources.maintenance import (
+        delete_rows,
+        describe_dataset,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "ds")
+    write_native_pure(spark.range(1000).selectExpr("id").coalesce(1), path,
+                      mode="overwrite")
+    delete_rows(spark, path, "id % 3 = 0", use_deletion_vectors=True)
+    desc = describe_dataset(path)
+    assert desc["tombstoned_rows"] == 334 and desc["num_rows"] == 666
+
+    report = run_maintenance(
+        spark, path,
+        MaintenancePolicy(target_rows_per_fragment=10_000,
+                          max_tombstone_fraction=0.2, keep_versions=1))
+    compact = next(s for s in report["steps"] if s["step"] == "compact")
+    assert compact["due"], compact["why"]
+    desc2 = describe_dataset(path)
+    assert desc2["tombstoned_rows"] == 0 and desc2["num_rows"] == 666
+    mf = LF.read_native_manifest(path)
+    assert all(fr.deletion is None for fr in mf.fragments)
