@@ -102,13 +102,18 @@ def read_changes(
     plus its insert post-image (multiset semantics — duplicate rows
     change counts correctly).
 
-    Scale shape: fragments present in BOTH versions are immutable and
-    identical, so they cannot contribute changes and are never read —
-    only rewritten (removed) and added fragment files scan, making the
-    cost O(changed data), never O(table). Rows a rewrite carried over
-    byte-identical (compaction, the untouched remainder of a
-    DELETE/MERGE fragment) cancel in the multiset difference: a
-    compaction-only version step yields ZERO changes. Both sides read
+    Scale shape: fragments present in BOTH versions with the SAME
+    deletion state are immutable and identical, so they cannot
+    contribute changes and are never read — only rewritten (removed)
+    and added fragment files scan, plus the newly tombstoned offsets of
+    fragments whose deletion VECTOR grew (a vector DELETE changes no
+    file; those deltas read by physical position, O(changed
+    tombstones)). Cost is O(changed data), never O(table). Rows a
+    rewrite carried over byte-identical (compaction, the untouched
+    remainder of a DELETE/MERGE fragment) cancel in the multiset
+    difference: a compaction-only version step yields ZERO changes —
+    including the compaction that merely materializes tombstones
+    (pre-images mask with the from-version's vectors). Both sides read
     under the ``to_version`` manifest schema (evolution-safe: old rows
     null-fill added columns; dropped columns are projected away — a
     backfilled ``add_column`` therefore reports as updates, which it
@@ -145,10 +150,51 @@ def read_changes(
             raise FileNotFoundError(f"dataset {path} (v{m_to.version}) has no fragments")
         return read_fragment_files(spark, m_to, any_file).limit(0)
 
-    old_rows, new_rows = _read(removed), _read(added)
+    # pre-images mask with the FROM version's deletion vectors (the
+    # to-version manifest no longer carries a removed file's vector —
+    # without this, a rewrite of a tombstoned fragment would emit
+    # already-deleted rows as fresh deletes)
+    old_rows = (read_fragment_files(spark, m_to, removed,
+                                    deletion_source=m_from)
+                if removed else _read([]))
+    new_rows = _read(added)
     inserts = new_rows.exceptAll(old_rows).withColumn(change_type_col, F.lit("insert"))
     deletes = old_rows.exceptAll(new_rows).withColumn(change_type_col, F.lit("delete"))
-    return inserts.unionByName(deletes)
+    out = inserts.unionByName(deletes)
+
+    # deletion-vector deltas: a vector DELETE commits the SAME file with
+    # a grown tombstone set — no file-set change, but rows died. Emit
+    # exactly the newly tombstoned offsets as deletes (read by physical
+    # position, O(changed tombstones) IO).
+    if m_to.meta.get("native_lance"):
+        from . import lance_format as LF
+        from .reader import read_native_files
+
+        from_by = {f.file: f for f in m_from.fragments}
+        for fb in m_to.fragments:
+            fa = from_by.get(fb.file)
+            if fa is None or fa.deletion == fb.deletion:
+                continue
+            rel = fb.file[len(LF.DATA_DIR) + 1:]
+            new_offs = sorted(
+                set(LF.read_deletion_offsets(
+                    path, LF.NativeFragmentInfo(fb.fragment_id, rel,
+                                                fb.row_count,
+                                                deletion=fb.deletion)))
+                - set(LF.read_deletion_offsets(
+                    path, LF.NativeFragmentInfo(fa.fragment_id, rel,
+                                                fa.row_count,
+                                                deletion=fa.deletion))
+                      if fa.deletion else []))
+            if not new_offs:
+                continue
+            part = (read_native_files(
+                        spark, m_to.meta["native_fields"],
+                        [os.path.join(path, fb.file)], pos_col="__pos")
+                    .filter(F.col("__pos").isin(new_offs)).drop("__pos")
+                    .withColumn(change_type_col, F.lit("delete")))
+            out = out.unionByName(part)
+    return out
 
 
 def table_statistics(path: str, version: int | None = None) -> dict:

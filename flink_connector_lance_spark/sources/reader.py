@@ -61,7 +61,8 @@ def _apply_pushdowns(df: DataFrame, columns, filter, limit, opts: DatasetOptions
     return df
 
 
-def read_fragment_files(spark, manifest: "FR.Manifest", files: list[str]) -> DataFrame:
+def read_fragment_files(spark, manifest: "FR.Manifest", files: list[str],
+                        deletion_source: "FR.Manifest | None" = None) -> DataFrame:
     """Scan explicit fragment files RESOLVED AGAINST the manifest schema.
 
     Every internal scan (reads, maintenance rewrites) must go through
@@ -75,12 +76,16 @@ def read_fragment_files(spark, manifest: "FR.Manifest", files: list[str]) -> Dat
 
     A native-adapted manifest (FR.read_manifest_compat over a binary
     Lance dataset) routes its ``.lance`` files through the pure decoder
-    — same one-task-per-file shape."""
+    — same one-task-per-file shape. Deletion-vector tombstones mask per
+    the fragments of ``deletion_source`` (default: ``manifest``) — a
+    CDC pre-image read of files REMOVED since ``from_version`` must
+    mask with the FROM version's vectors, which the to-version manifest
+    no longer carries."""
     if manifest.meta.get("native_lance"):
         from . import lance_format as LF
 
         deletions = {}
-        for fr in manifest.fragments:
+        for fr in (deletion_source or manifest).fragments:
             if not fr.deletion:
                 continue
             for f in files:

@@ -222,3 +222,43 @@ def test_auto_maintenance_materializes_tombstone_debt(spark, tmp_path):
     assert desc2["tombstoned_rows"] == 0 and desc2["num_rows"] == 666
     mf = LF.read_native_manifest(path)
     assert all(fr.deletion is None for fr in mf.fragments)
+
+
+def test_read_changes_across_deletion_vectors(spark, tmp_path):
+    """CDC over vector deletes: a tombstone-only commit (no file-set
+    change) emits exactly the newly deleted rows as deletes; a later
+    compaction that merely materializes the tombstones emits ZERO
+    changes (pre-images mask with the from-version's vectors)."""
+    from flink_connector_lance_spark.sources.maintenance import (
+        compact_dataset,
+        delete_rows,
+        read_changes,
+    )
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "ds")
+    write_native_pure(spark.range(200).selectExpr("id", "id % 4 AS g")
+                      .repartition(2), path, mode="overwrite")
+    v1 = LF.read_native_manifest(path).version
+    delete_rows(spark, path, "id < 30", use_deletion_vectors=True)
+    v2 = LF.read_native_manifest(path).version
+
+    ch = read_changes(spark, path, v1, v2)
+    rows = ch.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r.id for r in rows) == list(range(30))
+
+    # second vector delete: only the NEW tombstones appear
+    delete_rows(spark, path, "id < 40", use_deletion_vectors=True)
+    v3 = LF.read_native_manifest(path).version
+    ch2 = read_changes(spark, path, v2, v3).collect()
+    assert sorted(r.id for r in ch2) == list(range(30, 40))
+    assert all(r["_change_type"] == "delete" for r in ch2)
+    # full span composes
+    assert read_changes(spark, path, v1, v3).count() == 40
+
+    # compaction materializes tombstones: zero changes
+    compact_dataset(spark, path, target_rows_per_fragment=10_000)
+    v4 = LF.read_native_manifest(path).version
+    assert v4 > v3
+    assert read_changes(spark, path, v3, v4).count() == 0
