@@ -833,13 +833,14 @@ def delete_rows(
     from .fs import is_remote
 
     if use_deletion_vectors:
-        if is_remote(path) or not LF.is_native_dataset(path):
+        storage = s3.to_storage_options() if s3 is not None else None
+        if not LF.is_native_dataset(path, storage):
             raise NotImplementedError(
-                "use_deletion_vectors requires a LOCAL native binary "
-                "dataset (the tombstone sidecar contract is the native "
-                "format's); the copy-on-write rewrite serves every other "
-                "combination")
-        return _delete_native_vectors(spark, path, pred)
+                "use_deletion_vectors requires a native binary dataset "
+                "(the tombstone sidecar contract is the native "
+                "format's); the copy-on-write rewrite serves the "
+                "emulated backend")
+        return _delete_native_vectors(spark, path, pred, storage)
     if is_remote(path):
         return _delete_remote(spark, path, pred, s3)
     if LF.is_native_dataset(path):
@@ -939,57 +940,63 @@ def _delete_native(spark: SparkSession, path: str, pred):
                             expected_base_version=mf.version)
 
 
-def _delete_native_vectors(spark: SparkSession, path: str, pred) -> FR.Manifest:
+def _delete_native_vectors(spark: SparkSession, path: str, pred,
+                           storage: "dict | None" = None) -> FR.Manifest:
     """Row-level DELETE as deletion VECTORS (lance's own DELETE shape):
     one file+position-attributed probe finds the matching rows' physical
-    offsets, the driver writes one tiny Arrow tombstone sidecar per
-    affected fragment (union-merged with any existing vector) and
+    offsets, the driver writes one tiny Arrow/roaring tombstone sidecar
+    per affected fragment (union-merged with any existing vector) and
     commits ONE version under CAS — every data file carries over
     byte-identical, fragment ids preserved (the tombstone key embeds
     them). IO is O(deleted rows), not O(affected fragments): the sparse
-    takedown shape. The driver materializes the matched offsets (bounded
-    by the delete's row count — use the copy-on-write path for bulk
-    deletes); a later compact_dataset materializes the tombstones."""
+    takedown shape, local or s3:// (the probe's tasks open their
+    fragments through fsspec; the driver PUTs only tombstones + one
+    conditional-PUT manifest). The driver materializes the matched
+    offsets (bounded by the delete's row count — use the copy-on-write
+    path for bulk deletes); a later compact_dataset materializes the
+    tombstones."""
     import pyspark.sql.functions as F
 
     from . import lance_format as LF
+    from .fs import is_remote
     from .reader import read_native_files
 
-    path = os.path.abspath(path)
-    mf = LF.read_native_manifest(path)
+    base = str(path).rstrip("/") if is_remote(path) else os.path.abspath(path)
+    mf = LF.read_native_manifest(base, storage_options=storage)
     if not mf.fragments:
         raise FileNotFoundError(f"dataset {path} has no fragments")
-    dels = LF.native_deletion_paths(path, mf)
-    by_abs = {os.path.join(path, LF.DATA_DIR, fr.file): fr
-              for fr in mf.fragments}
+    dels = LF.native_deletion_paths(base, mf)
+    by_abs = {f"{base}/{LF.DATA_DIR}/{fr.file}": fr for fr in mf.fragments}
     # already-tombstoned rows are masked by the probe (deletions=...) so
     # they can never re-match; offsets are physical (pos_col rides ahead
     # of the mask)
     probe = read_native_files(spark, mf.fields, sorted(by_abs),
                               file_col="__frag", pos_col="__pos",
-                              deletions=dels)
+                              deletions=dels, storage_options=storage)
     hits = (probe.filter(pred)
             .groupBy("__frag").agg(F.collect_list("__pos").alias("pos"))
             .collect())
     if not hits:
-        return FR.read_manifest_compat(path)
+        return FR.read_manifest_compat(base, storage_options=storage)
     new_offsets = {r["__frag"]: r["pos"] for r in hits}
     pairs = []
     for fr in mf.fragments:
-        abs_p = os.path.join(path, LF.DATA_DIR, fr.file)
+        abs_p = f"{base}/{LF.DATA_DIR}/{fr.file}"
         if abs_p in new_offsets:
             merged = sorted(set(new_offsets[abs_p])
-                            | set(LF.read_deletion_offsets(path, fr)))
-            d = LF.write_deletion_arrow(path, fr.fragment_id, mf.version, 1,
-                                        merged)
+                            | set(LF.read_deletion_offsets(base, fr,
+                                                           storage)))
+            d = LF.write_deletion_arrow(base, fr.fragment_id, mf.version, 1,
+                                        merged, storage_options=storage)
             pairs.append((fr.file, fr.physical_rows, None, fr.field_ids,
                           fr.column_indices, d, fr.fragment_id))
         else:
             pairs.append((fr.file, fr.physical_rows, None, fr.field_ids,
                           fr.column_indices, fr.deletion, fr.fragment_id))
-    LF.commit_native(path, mf.fields, pairs, "overwrite",
-                     expected_base_version=mf.version)
-    return FR.read_manifest_compat(path)
+    LF.commit_native(base, mf.fields, pairs, "overwrite",
+                     expected_base_version=mf.version,
+                     storage_options=storage)
+    return FR.read_manifest_compat(base, storage_options=storage)
 
 
 def _remote_reader(spark, path: str, s3, file_col: "str | None" = None):

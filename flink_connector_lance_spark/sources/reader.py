@@ -155,7 +155,8 @@ def read_native_files(spark, fields, files: "list[str]",
                       columns: "list[str] | None" = None,
                       file_col: "str | None" = None,
                       deletions: "dict[str, str] | None" = None,
-                      pos_col: "str | None" = None) -> DataFrame:
+                      pos_col: "str | None" = None,
+                      storage_options: "dict | None" = None) -> DataFrame:
     """Fragment-subset scan of native v2 files (full absolute paths) —
     the core of ``_read_native_pure``, exposed for maintenance rewrites
     that touch only SOME fragments (compaction of runts, copy-on-write
@@ -207,12 +208,15 @@ def read_native_files(spark, fields, files: "list[str]",
         ])
         for batch in iterator:
             for fpath in batch.column("file").to_pylist():
-                ffields, fn_rows = _LF.read_file_descriptor(fpath)
+                ffields, fn_rows = _LF.read_file_descriptor(fpath,
+                                                            storage_options)
                 avail = {f.name for f in ffields if f.parent == -1}
                 present = [n for n in target.names if n in avail]
                 if present:
                     tbl = _LF.align_decoded_table(
-                        _LF.read_native_file(fpath, columns=present), target)
+                        _LF.read_native_file(fpath, columns=present,
+                                             storage_options=storage_options),
+                        target)
                 else:
                     tbl = pa.Table.from_arrays(
                         [pa.nulls(fn_rows, f.type) for f in target],
@@ -222,7 +226,8 @@ def read_native_files(spark, fields, files: "list[str]",
                         pos_col, pa.array(range(tbl.num_rows), pa.int64()))
                 if fpath in deletions:
                     tbl = _LF.apply_deletion_mask(
-                        tbl, _LF.read_deletion_offsets_at(deletions[fpath]))
+                        tbl, _LF.read_deletion_offsets_at(deletions[fpath],
+                                                          storage_options))
                 if file_col is not None:
                     tbl = tbl.append_column(
                         file_col, pa.array([fpath] * tbl.num_rows, pa.string()))

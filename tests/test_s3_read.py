@@ -906,3 +906,41 @@ def test_s3_describe_dataset_both_backends(fake_s3, spark):
     assert nrep["num_rows"] == 25 and nrep["num_fragments"] == 1
     assert nrep["size_bytes"] > 0 and nrep["schema_columns"] == ["id"]
     assert nrep["versions"] == [1]
+
+
+def test_s3_deletion_vector_delete(fake_s3, spark):
+    """delete_rows(use_deletion_vectors=True) on an s3:// native dataset:
+    the probe's tasks open fragments through fsspec, the driver PUTs
+    only the tiny tombstone sidecars plus one conditional-PUT manifest —
+    every data key byte-identical — and all remote read routes mask."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    url = "s3://bucket/wh/db1/dv"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    storage = s3.to_storage_options()
+    write_native_pure(spark.range(300).selectExpr("id", "id % 3 AS g")
+                      .repartition(2), url, mode="overwrite",
+                      options=DatasetOptions(path=url, s3=s3))
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "dv")
+    keys_before = {n: os.path.getsize(os.path.join(local, "data", n))
+                   for n in os.listdir(os.path.join(local, "data"))}
+
+    m = delete_rows(spark, url, "id % 5 = 0", s3=s3,
+                    use_deletion_vectors=True)
+    assert sum(f.row_count for f in m.fragments) == 240
+    # data keys untouched; tombstones PUT beside them
+    assert {n: os.path.getsize(os.path.join(local, "data", n))
+            for n in os.listdir(os.path.join(local, "data"))} == keys_before
+    assert len(os.listdir(os.path.join(local, "_deletions"))) == 2
+    assert LF.native_count_rows(url, storage_options=storage) == 240
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert got.count() == 240 and got.filter("id % 5 = 0").count() == 0
+    # MVCC: the pre-delete version still reads in full
+    assert (spark.read.format("lance")
+            .option("s3-endpoint", f"fake://{fake_s3}")
+            .option("version", "1").load(url).count() == 300)
