@@ -904,13 +904,16 @@ def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
 def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
                            fields=None,
                            bloom_columns=None,
-                           storage: "dict | None" = None) -> FragmentCommitMessage:
+                           storage: "dict | None" = None,
+                           evolve: bool = False) -> FragmentCommitMessage:
     """Executor side, REAL-Lance-format twin of ``_write_fragment``: one
     task's batches become one ``data/<uuid>.lance`` v2 file through the
     stdlib codec. ``fields`` (the live manifest schema, shipped from the
     driver) aligns appends — column order + arrow-safe casts — before
-    any byte lands. s3:// paths PUT from the task, like the parquet
-    twin."""
+    any byte lands; with ``evolve`` the alignment permits new columns
+    after the live schema (every task shares one Spark plan, so all
+    fragments of a commit agree on the evolved shape). s3:// paths PUT
+    from the task, like the parquet twin."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -924,7 +927,8 @@ def _write_native_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
         return FragmentCommitMessage(file=None, row_count=0)
     tbl = pa.Table.from_batches(batches)
     if fields is not None:
-        tbl = LF.align_to_fields(tbl, fields)
+        tbl = (LF.align_evolving(tbl, fields) if evolve
+               else LF.align_to_fields(tbl, fields))
     fname = f"{_uuid.uuid4()}.lance"
     stats = LF.arrow_fragment_stats(tbl) or {}
     if is_remote(path):
@@ -983,6 +987,38 @@ def _drop_fragments(path: str, messages, storage: "dict | None" = None) -> None:
                     os.remove(os.path.join(path, victim))
                 except OSError:
                     pass
+
+
+def _widen_native_for_commit(path: str, remote: bool,
+                             storage: "dict | None", live_fields,
+                             first_file: str):
+    """(fields, allow_widen) for an EVOLVING native format-writer commit:
+    the tasks aligned live-schema-prefix + new columns (align_evolving),
+    so the first fragment's FileDescriptor is the evolved shape — widen
+    the field list here (live ids preserved, extras numbered past them)
+    and let commit_native's shape check + CAS enforce the contract.
+    Dropped names must not resurrect (old fragments still carry the
+    stale bytes) — raises ValueError, caller drops the orphans."""
+    from . import lance_format as LF
+    from .schema_evolution import native_dropped_columns
+
+    first = (f"{str(path).rstrip('/')}/{LF.DATA_DIR}/{first_file}"
+             if remote else os.path.join(path, LF.DATA_DIR, first_file))
+    incoming = LF.read_file_descriptor(first, storage)[0]
+    live_names = {f.name for f in live_fields if f.parent == -1}
+    extra = [f.name for f in incoming
+             if f.parent == -1 and f.name not in live_names]
+    if not extra:
+        return live_fields, False
+    guard = set(native_dropped_columns(path, storage))
+    bad = sorted(set(extra) & guard)
+    if bad:
+        raise ValueError(
+            f"cannot re-add dropped column(s) {bad}: old fragments "
+            "still carry the stale values")
+    inc_schema = LF.arrow_schema_of(incoming)
+    return LF.widen_fields(live_fields,
+                           [inc_schema.field(n) for n in extra]), True
 
 
 def _parse_evolve_option(options: dict) -> bool:
@@ -1094,14 +1130,6 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
             self._native = True
         self._native_fields = None
         if self._native:
-            if self._evolve:
-                raise NotImplementedError(
-                    "write.schema-evolution is not supported on the "
-                    "format('lance') writer for native datasets (tasks "
-                    "write fragments before the commit-time schema check "
-                    "could widen the field list); evolve through "
-                    "sources.writer.write_dataset / write_native_pure, "
-                    "which align the batch driver-side first")
             if (self._mode == "append"
                     and LF.native_manifest_versions(self._path, self._storage)):
                 self._native_fields = LF.read_native_manifest(
@@ -1111,7 +1139,8 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
         if self._native:
             return _write_native_fragment(self._path, iterator,
                                           self._native_fields,
-                                          self._bloom_cols, self._storage)
+                                          self._bloom_cols, self._storage,
+                                          self._evolve)
         return _write_fragment(self._path, iterator, self._bloom_cols,
                                self._storage)
 
@@ -1161,8 +1190,23 @@ class LanceDataSourceWriter(DataSourceArrowWriter):
                          os.path.join(self._path, LF.DATA_DIR,
                                       new_files[0][0]))
                 fields = LF.read_file_descriptor(first, self._storage)[0]
-        LF.commit_native(self._path, fields, new_files, self._mode,
-                         storage_options=self._storage)
+        allow_widen = False
+        if (self._evolve and self._native_fields is not None and new_files):
+            try:
+                fields, allow_widen = _widen_native_for_commit(
+                    self._path, self._remote, self._storage,
+                    self._native_fields, new_files[0][0])
+            except ValueError:
+                _drop_fragments(self._path, messages, self._storage)
+                raise
+        try:
+            LF.commit_native(self._path, fields, new_files, self._mode,
+                             allow_widen=allow_widen,
+                             storage_options=self._storage)
+        except ValueError:
+            # schema contract refused at commit: no orphans
+            _drop_fragments(self._path, messages, self._storage)
+            raise
 
     def abort(self, messages: List[FragmentCommitMessage]) -> None:
         _drop_fragments(self._path, messages, self._storage)
@@ -1211,13 +1255,6 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         self._native = LF.is_native_dataset(self._path, self._storage)
         self._native_fields = None
         if self._native:
-            if self._evolve:
-                raise NotImplementedError(
-                    "write.schema-evolution is not supported on the "
-                    "streaming format('lance') writer for native datasets; "
-                    "evolve in foreachBatch through "
-                    "sources.writer.write_native_pure, which aligns the "
-                    "batch driver-side first")
             self._native_fields = LF.read_native_manifest(
                 self._path, storage_options=self._storage).fields
 
@@ -1225,7 +1262,8 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
         if self._native:
             return _write_native_fragment(self._path, iterator,
                                           self._native_fields,
-                                          self._bloom_cols, self._storage)
+                                          self._bloom_cols, self._storage,
+                                          self._evolve)
         return _write_fragment(self._path, iterator, self._bloom_cols,
                                self._storage)
 
@@ -1247,9 +1285,22 @@ class LanceDataSourceStreamWriter(DataSourceStreamArrowWriter):
 
             new_files = [(os.path.basename(m.file), m.row_count, m.stats)
                          for m in messages if m is not None and m.file]
+            fields, allow_widen = self._native_fields, False
+            if self._evolve and new_files:
+                try:
+                    fields, allow_widen = _widen_native_for_commit(
+                        self._path, self._remote, self._storage,
+                        self._native_fields, new_files[0][0])
+                except ValueError:
+                    _drop_fragments(self._path, messages, self._storage)
+                    raise
+                if allow_widen:
+                    # later micro-batches align against the widened schema
+                    self._native_fields = fields
             LF.commit_native(
-                self._path, self._native_fields, new_files, "append",
+                self._path, fields, new_files, "append",
                 config=_meta_to_config({self.EPOCH_KEY: batchId}),
+                allow_widen=allow_widen,
                 storage_options=self._storage)
             return
         frags = [

@@ -2035,6 +2035,35 @@ def align_to_fields(table, fields: list[NativeField]):
     return table.cast(target) if table.schema != target else table
 
 
+def align_evolving(table, fields: list[NativeField]):
+    """``align_to_fields`` that PERMITS evolution: the live columns
+    reorder/cast to the manifest's recorded types (batch-missing ones
+    land as typed nulls — the Nullable page arms carry them), and
+    genuinely NEW columns ride after the live schema in the batch's own
+    order — the exact column layout ``commit_native(allow_widen=True)``
+    expects (live shape as a prefix, extras after)."""
+    import pyarrow as pa
+
+    target = arrow_schema_of(fields)
+    live = set(target.names)
+    arrays = []
+    names = []
+    for f in target:
+        if f.name in table.column_names:
+            col = table.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+        else:
+            col = pa.nulls(table.num_rows, f.type)
+        arrays.append(col)
+        names.append(f.name)
+    for name in table.column_names:
+        if name not in live:
+            arrays.append(table.column(name))
+            names.append(name)
+    return pa.table(dict(zip(names, arrays)))
+
+
 def _schema_shape(fields: list[NativeField]) -> list[tuple]:
     return [(-1 if f.parent < 0 else f.parent, f.name, f.logical_type)
             for f in fields]

@@ -5,6 +5,8 @@ refusal, inheritance across maintenance commits, and both read paths
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -602,3 +604,104 @@ def test_native_count_probe_with_filter_on_evolved_column(spark, tmp_path):
     # IS NULL on the evolved column passes every pre-evolution row
     nulls = rd().filter("tag IS NULL").groupBy("__frag").count().collect()
     assert sum(r["count"] for r in nulls) == 20
+
+
+def test_native_format_writer_schema_evolution(spark, tmp_path):
+    """write.schema-evolution on the format('lance') writer for NATIVE
+    datasets (previously refused): tasks align live-prefix + new columns
+    (align_evolving), the commit widens the field list with fresh ids
+    past the live space, pre-evolution fragments null-fill on read, and
+    the dropped-name resurrection guard still refuses with no orphans."""
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+    from flink_connector_lance_spark.sources.schema_evolution import (
+        drop_columns,
+    )
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "ds")
+    (spark.range(20).selectExpr("id", "id % 3 AS g")
+     .write.format("lance").option("write.native-format", "true")
+     .mode("overwrite").save(path))
+    # evolving append through the format writer: new column + missing none
+    (spark.range(20, 30).selectExpr("id", "id % 3 AS g",
+                                    "concat('T', id) AS tag")
+     .write.format("lance").option("write.schema-evolution", "true")
+     .mode("append").save(path))
+    out = spark.read.format("lance").load(path)
+    assert out.columns == ["id", "g", "tag"]
+    assert out.count() == 30 and out.filter("tag IS NULL").count() == 20
+    mf = LF.read_native_manifest(path)
+    ids = {f.name: f.id for f in mf.fields if f.parent == -1}
+    assert ids["tag"] > max(ids["id"], ids["g"])  # numbered past live ids
+    # batch-missing live column lands as typed nulls
+    (spark.range(30, 35).selectExpr("id", "concat('U', id) AS tag")
+     .write.format("lance").option("write.schema-evolution", "true")
+     .mode("append").save(path))
+    out = spark.read.format("lance").load(path)
+    assert out.count() == 35 and out.filter("g IS NULL").count() == 5
+    # plain append must now match the widened schema
+    with pytest.raises(Exception, match="match the dataset schema"):
+        (spark.range(3).selectExpr("id", "id % 3 AS g")
+         .write.format("lance").mode("append").save(path))
+    # dropped names cannot resurrect through the evolving format append
+    drop_columns(path, ["tag"])
+    n_data = len(os.listdir(os.path.join(path, "data")))
+    with pytest.raises(Exception, match="re-add dropped"):
+        (spark.range(3).selectExpr("id", "id % 3 AS g",
+                                   "concat('X', id) AS tag")
+         .write.format("lance").option("write.schema-evolution", "true")
+         .mode("append").save(path))
+    # refusal left no orphan fragments behind
+    assert len(os.listdir(os.path.join(path, "data"))) == n_data
+    assert spark.read.format("lance").load(path).count() == 35
+
+
+def test_native_stream_format_write_evolution(spark, tmp_path):
+    """writeStream.format('lance') with write.schema-evolution on a
+    NATIVE dataset: the first micro-batch widens the manifest (live ids
+    preserved, extras past them), pre-evolution fragments null-fill, and
+    without the option a drifting stream still refuses with nothing
+    committed."""
+    from flink_connector_lance_spark.sources import lance_format as LF
+    from flink_connector_lance_spark.sources.datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    path, src = str(tmp_path / "ds"), str(tmp_path / "in")
+    os.makedirs(src)
+    (spark.range(10).selectExpr("id", "id % 2 AS g")
+     .write.format("lance").option("write.native-format", "true")
+     .mode("overwrite").save(path))
+    v0 = LF.read_native_manifest(path).version
+
+    spark.createDataFrame([(100, 0, "s1")], "id long, g long, tag string") \
+        .coalesce(1).write.parquet(src + "/b1")
+    stream = spark.readStream.schema("id long, g long, tag string") \
+        .parquet(src + "/*")
+    # no evolution option: the drifting stream refuses, nothing commits
+    q = (stream.writeStream.format("lance").option("path", path)
+         .option("checkpointLocation", str(tmp_path / "c1"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        failed = q.exception() is not None
+    except Exception:
+        failed = True
+    assert failed and LF.read_native_manifest(path).version == v0
+
+    q2 = (stream.writeStream.format("lance").option("path", path)
+          .option("write.schema-evolution", "true")
+          .option("checkpointLocation", str(tmp_path / "c2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    out = spark.read.format("lance").load(path)
+    assert out.columns == ["id", "g", "tag"]
+    assert out.count() == 11 and out.filter("tag IS NULL").count() == 10
+    mf = LF.read_native_manifest(path)
+    ids = {f.name: f.id for f in mf.fields if f.parent == -1}
+    assert ids["tag"] > max(ids["id"], ids["g"])
