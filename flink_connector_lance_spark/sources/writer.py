@@ -202,12 +202,16 @@ def _write_remote(df: DataFrame, path: str, mode: WriteMode,
 
         m = FR.read_manifest(path, storage_options=storage)
         sj = m.meta.get("schema")
-        if not sj:
-            raise NotImplementedError(
-                "appending to a remote dataset without a recorded "
-                "manifest schema (pre-evolution layout) is not supported")
-        df = align_for_append(df, StructType.fromJson(json.loads(sj)),
-                              opts.schema_evolution,
+        if sj:
+            current = StructType.fromJson(json.loads(sj))
+        else:
+            # pre-evolution layout (no recorded schema): derive it from
+            # the first fragment's parquet footer over fsspec — the same
+            # fallback the local path uses
+            from .schema_evolution import dataset_schema
+
+            current = dataset_schema(path, storage_options=storage)
+        df = align_for_append(df, current, opts.schema_evolution,
                               dropped=list(m.meta.get("dropped_columns", [])))
     results = _put_fragments_from_tasks(
         df, str(path).rstrip("/"), storage,

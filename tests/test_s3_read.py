@@ -944,3 +944,34 @@ def test_s3_deletion_vector_delete(fake_s3, spark):
     assert (spark.read.format("lance")
             .option("s3-endpoint", f"fake://{fake_s3}")
             .option("version", "1").load(url).count() == 300)
+
+
+def test_s3_append_to_pre_evolution_layout(fake_s3, spark):
+    """Appending to a remote dataset whose manifest predates the
+    recorded-schema convention derives the table schema from the first
+    fragment's parquet footer over fsspec (previously a refusal)."""
+    import json
+
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    url = _make_remote_table(spark, fake_s3, table="prev", n=20)
+    # strip the recorded schema to simulate the pre-evolution layout
+    mpath = os.path.join(fake_s3, "bucket", "wh", "db1", "prev",
+                         "_versions", "0.manifest.json")
+    raw = json.load(open(mpath))
+    raw["meta"].pop("schema", None)
+    json.dump(raw, open(mpath, "w"))
+
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    m = write_dataset(spark.range(20, 25).selectExpr("id", "id % 4 AS g"),
+                      url, mode="append",
+                      options=DatasetOptions(path=url, s3=s3))
+    assert m.version == 1
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert got.count() == 25
+    # the footer-derived contract still refuses drift
+    with pytest.raises(Exception, match="schema|column"):
+        write_dataset(spark.range(3).selectExpr("id AS zz"), url,
+                      mode="append", options=DatasetOptions(path=url, s3=s3))
