@@ -13,7 +13,7 @@ import datetime
 
 import pyarrow as pa
 import pytest
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from flink_connector_lance_spark.sources import lance_format as LF
@@ -469,13 +469,18 @@ def round9_tables(draw):
             [draw(st.lists(f32, min_size=dim, max_size=dim)) for _ in range(n)],
             fsl),
         "tags": pa.array(draw(st.lists(
-            st.one_of(st.none(), st.lists(texts.filter(lambda x: x is not None),
-                                          max_size=3)),
+            # plain st.text (no .filter) — a rejection-sampling strategy
+            # here tripped hypothesis's filter_too_much health check
+            # under unlucky seeds in full-suite runs (seed differs per
+            # run, so the flake never reproduced in isolation)
+            st.one_of(st.none(), st.lists(st.text(max_size=40), max_size=3)),
             min_size=n, max_size=n)), pa.list_(pa.string())),
     })
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
 @given(round9_tables(), st.sampled_from([None, 1, 3, 7]))
 def test_round9_encodings_roundtrip(tmp_path_factory, tbl, page_rows):
     """Struct, fixed-size-list, and nullable list-of-string columns
