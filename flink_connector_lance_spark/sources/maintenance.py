@@ -1868,6 +1868,8 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
         "versions": versions,
         "num_fragments": len(frag_files),
         "num_rows": num_rows,
+        "tombstoned_rows": (sum((fr.deletion or {}).get("num_deleted", 0)
+                                for fr in mf.fragments) if native else 0),
         "size_bytes": size,
         "schema_columns": cols or None,
         "bloom": {"columns": sorted(bloom_cols),

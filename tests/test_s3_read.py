@@ -906,6 +906,12 @@ def test_s3_describe_dataset_both_backends(fake_s3, spark):
     assert nrep["num_rows"] == 25 and nrep["num_fragments"] == 1
     assert nrep["size_bytes"] > 0 and nrep["schema_columns"] == ["id"]
     assert nrep["versions"] == [1]
+    # deletion-vector debt is fs-plane derivable on remote datasets too
+    from flink_connector_lance_spark.sources.maintenance import delete_rows
+
+    delete_rows(spark, nurl, "id < 5", s3=s3, use_deletion_vectors=True)
+    nrep2 = describe_dataset(nurl, storage_options=storage)
+    assert nrep2["num_rows"] == 20 and nrep2["tombstoned_rows"] == 5
 
 
 def test_s3_deletion_vector_delete(fake_s3, spark):
