@@ -431,16 +431,17 @@ def source_version_travel(spark, sf_dir):
     "source_format_api",
     oracle="""
     SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           CAST(NULL AS BIGINT) AS sum_opt
+           CAST(NULL AS BIGINT) AS sum_opt, CAST(NULL AS BIGINT) AS lang_bytes
     FROM documents WHERE n_chars > 150
     GROUP BY lang
     UNION ALL
     SELECT '__point_lookup__', count(*), CAST(sum(n_chars) AS BIGINT),
-           CAST(NULL AS BIGINT)
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM documents WHERE doc_id IN (1, 2, 3)
     UNION ALL
     SELECT '__native_codec__', count(*), CAST(sum(n_chars) AS BIGINT),
-           CAST(sum(CASE WHEN doc_id % 14 = 0 THEN n_chars END) AS BIGINT)
+           CAST(sum(CASE WHEN doc_id % 14 = 0 THEN n_chars END) AS BIGINT),
+           CAST(sum(strlen(lang)) AS BIGINT)
     FROM documents WHERE doc_id % 7 = 0 AND n_chars > 100
     """,
     doc="spark.read.format('lance') / df.write.format('lance') — the "
@@ -462,7 +463,11 @@ def source_version_travel(spark, sf_dir):
         "batches. The measured columns ride inside a STRUCT column "
         "(SimpleStruct header + member columns, ref "
         "LanceTypeConverter.java:179-186), so the hash gate covers the "
-        "struct encoder/decoder too.",
+        "struct encoder/decoder too; under the 2.1 layout the integer "
+        "members travel the inline-BITPACKED mini-block stream and the "
+        "string member the variable-width mini-block stream, with "
+        "sum(octet_length(lang)) binding the decoded string BYTES into "
+        "the hash.",
 )
 def source_format_api(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -481,13 +486,15 @@ def source_format_api(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
         .withColumn("sum_opt", F.lit(None).cast("long"))
+        .withColumn("lang_bytes", F.lit(None).cast("long"))
     )
     point = (
         spark.read.format("lance").load(path)
         .filter(F.col("doc_id").isin(1, 2, 3))
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
         .select(F.lit("__point_lookup__").alias("lang"), "cnt", "sum_chars",
-                F.lit(None).cast("long").alias("sum_opt"))
+                F.lit(None).cast("long").alias("sum_opt"),
+                F.lit(None).cast("long").alias("lang_bytes"))
     )
     # REAL Lance v2 round trip (stdlib codec, no lance package): every
     # value that lands in the hash traveled through our binary encoder
@@ -509,19 +516,21 @@ def source_format_api(spark, sf_dir):
                 F.when(F.col("doc_id") % 14 == 0,
                        F.col("n_chars")).alias("opt")),
         npath, mode="overwrite",
-        # 2.1 mini-block structural pages for the fixed-width columns
-        # (doc_id flat, opt with definition levels; the struct keeps its
-        # 2.0 pages — per-page layout mixing): the hash gate now crosses
-        # the mini-block chunk framing too
+        # 2.1 mini-block structural pages: doc_id/opt/m.n_chars ride the
+        # inline-bitpacked integer stream (per-chunk width word), m.lang
+        # the variable-width length+bytes stream; the struct HEADER keeps
+        # its 2.0 page (per-page layout mixing) while its members recurse
+        # into 2.1 — the hash gate crosses every arm end-to-end
         options=DatasetOptions(path=npath, native_layout="2.1-miniblock"))
     native = (
         spark.read.format("lance").load(npath)
         .filter(F.col("m.n_chars") > 100)
         .agg(F.count(F.lit(1)).alias("cnt"),
              F.sum("m.n_chars").alias("sum_chars"),
-             F.sum("opt").alias("sum_opt"))
+             F.sum("opt").alias("sum_opt"),
+             F.sum(F.octet_length(F.col("m.lang"))).alias("lang_bytes"))
         .select(F.lit("__native_codec__").alias("lang"), "cnt", "sum_chars",
-                "sum_opt")
+                "sum_opt", "lang_bytes")
     )
     return agg.unionByName(point).unionByName(native)
 

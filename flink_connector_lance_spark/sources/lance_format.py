@@ -53,16 +53,22 @@ multi-page columns (what lance writes past its page-size threshold)
 decode for every supported type — pages are self-contained, list pages
 advance a child-item base.
 
-2.1 structural pages: the UNCOMPRESSED mini-block layout decodes (and
-writes, behind ``structural='2.1-miniblock'``) for fixed-width/bool
-columns — chunked value/definition-level streams with the spec's
-u16-per-chunk metadata words — plus the all-null layout; see the
-reconstruction contract at ``_decode_miniblock`` (field numbers and
-intra-chunk framing are best-effort reconstructions of the public spec,
-round-trip- and hash-gate-pinned; no 2.1 fixture exists in this
-environment). Every other 2.1 arm — full-zip, dictionaries, compressed
-streams, nested repdef — raises ``NotImplementedError`` naming the
-encoding, never a silent misread.
+2.1 structural pages decode (and write, behind
+``structural='2.1-miniblock'``): the MINI-BLOCK layout for
+fixed-width/bool columns — chunked value/definition-level streams with
+the spec's u16-per-chunk metadata words, integer value streams
+inline-BITPACKED (per-chunk width word, LSB-first) — and for
+string/binary columns (per-chunk u32 length stream + bytes, adaptive
+power-of-two chunk counts under the 4KiB budget); the FULL-ZIP layout
+for large variable-width values (per-item zipped [def][length][bytes]
+records — the spec's large-data-type path, auto-selected at write time
+when any value exceeds the mini-block budget); and the all-null layout.
+See the reconstruction contract at ``_decode_miniblock`` (field numbers
+and intra-chunk framing are best-effort reconstructions of the public
+spec, round-trip- and hash-gate-pinned; no 2.1 fixture exists in this
+environment). Every other 2.1 arm — dictionaries, FSST/RLE/
+byte-stream-split/block-compressed streams, nested repdef — raises
+``NotImplementedError`` naming the encoding, never a silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
 manifest's file list, mirroring sources/reader.py's native path), and
@@ -569,17 +575,20 @@ def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
 # framing — there is no 2.1 fixture, proto file, or installable lance in
 # this environment to verify against. The numbers used here (PageLayout:
 # f1 mini_block / f2 full_zip / f3 all_null; MiniBlockLayout: f1 rep,
-# f2 def, f3 value compression, f4 repdef layers; CompressiveEncoding:
-# f1 Flat{f1 bits}) and the chunk framing (streams in [rep][def][values]
-# order, each padded to the 8-byte word boundary) are a best-effort
-# reconstruction of the published spec, pinned by encode->decode
-# round-trips (hypothesis) and a hash-gated query stage. Every arm this
-# reconstruction cannot justify — FullZip, dictionaries, any compression
-# scheme other than uncompressed Flat streams, repdef layers beyond
-# all-valid/nullable items — REFUSES by name, never misreads. A real
-# lance-written 2.1 dataset will therefore either decode (uncompressed
-# mini-block flat data) or refuse loudly; silent misreads stay
-# impossible either way.
+# f2 def, f3 value compression, f4 repdef layers; FullZipLayout: f3
+# value compression, f4 repdef layers; CompressiveEncoding: f1 Flat{f1
+# bits}, f2 InlineBitpacking{f1 uncompressed bits}, f3 Variable{f1
+# offset_bits}) and the chunk framing (streams in [rep][def][lengths]
+# [values] order, each padded to the 8-byte word boundary; bitpacked
+# chunks lead with a u64 width word; full-zip zips [def][u32 len][bytes]
+# per item in one buffer) are a best-effort reconstruction of the
+# published spec, pinned by encode->decode round-trips (hypothesis) and
+# a hash-gated query stage. Every arm this reconstruction cannot
+# justify — dictionaries, FSST/RLE/byte-stream-split/block compression,
+# repdef layers beyond all-valid/nullable items — REFUSES by name,
+# never misreads. A real lance-written 2.1 dataset will therefore
+# either decode or refuse loudly; silent misreads stay impossible
+# either way.
 
 _PAGE_LAYOUT_URL = b"/lance.encodings21.PageLayout"
 _MB_CHUNK_VALUES = 256  # power of two; 256 * 8B values + def stream < 4KiB
@@ -591,16 +600,62 @@ def _align8(n: int) -> int:
     return (n + 7) & ~7
 
 
-def _compressive_bits(raw: bytes, what: str, stream: str) -> int:
-    """bits_per_value of one CompressiveEncoding, refusing every scheme
-    other than uncompressed Flat (f1) by field number."""
+def _compressive_info(raw: bytes, what: str, stream: str) -> tuple[str, int]:
+    """(scheme, bits) of one CompressiveEncoding. Reconstruction field
+    numbers (same caveat as the layout messages — documented at
+    _decode_miniblock): f1 Flat{f1 bits_per_value},
+    f2 InlineBitpacking{f1 uncompressed_bits_per_value} (each chunk
+    leads with one u64 word holding that chunk's packed bit width),
+    f3 Variable{f1 offset_bits} (per-chunk u32 length stream + bytes).
+    Every other arm — FSST, RLE, byte-stream-split, general-purpose
+    block compression — refuses by field number."""
     m = _pb_fields(raw)
-    if 1 not in m:
+    if 1 in m:
+        return "flat", _one(_pb_fields(_one(m, 1, b"")), 1, 0)
+    if 2 in m:
+        return "bitpack", _one(_pb_fields(_one(m, 2, b"")), 1, 0)
+    if 3 in m:
+        return "variable", _one(_pb_fields(_one(m, 3, b"")), 1, 0)
+    raise NotImplementedError(
+        f"{what}: mini-block {stream} stream uses compression scheme "
+        f"(fields {sorted(m)}) — only Flat / InlineBitpacking / "
+        "Variable streams decode; re-write the dataset without "
+        "compression")
+
+
+def _compressive_bits(raw: bytes, what: str, stream: str) -> int:
+    """bits_per_value of one CompressiveEncoding that must be
+    uncompressed Flat (definition/repetition streams)."""
+    scheme, bits = _compressive_info(raw, what, stream)
+    if scheme != "flat":
         raise NotImplementedError(
             f"{what}: mini-block {stream} stream uses compression scheme "
-            f"(fields {sorted(m)}) — only uncompressed Flat decodes; "
-            "re-write the dataset without compression")
-    return _one(_pb_fields(_one(m, 1, b"")), 1, 0)
+            f"({scheme}) — only uncompressed Flat level streams decode")
+    return bits
+
+
+def _unpack_bits_le(data: bytes, off: int, n: int, width: int) -> list[int]:
+    """n unsigned ints of ``width`` bits each, packed LSB-first starting
+    at byte ``off`` (InlineBitpacking's chunk payload)."""
+    import numpy as np
+
+    nb = (n * width + 7) // 8
+    bits = np.unpackbits(np.frombuffer(data, np.uint8, nb, off),
+                         bitorder="little")[:n * width]
+    bits = bits.reshape(n, width).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
+    return (bits * weights).sum(axis=1, dtype=np.uint64).tolist()
+
+
+def _pack_bits_le(vals: list, width: int) -> bytes:
+    """LSB-first bit-packing of non-negative ints (two's-complement
+    masked to ``width`` bits by the caller)."""
+    import numpy as np
+
+    a = np.asarray(vals, np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((a[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
 def _repdef_layers(mb: dict) -> list[int]:
@@ -614,8 +669,10 @@ def _repdef_layers(mb: dict) -> list[int]:
 
 
 def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
-    """One 2.1 mini-block page of a flat fixed-width or bool column into
-    python values (None for def-level nulls)."""
+    """One 2.1 structural page into python values (None for def-level
+    nulls). Dispatches on the PageLayout arm: mini-block (f1) for flat
+    fixed-width / bool / small variable-width columns, full-zip (f2)
+    for large variable-width columns, all-null (f3)."""
     layout = page.encoding
     if 3 in layout:  # AllNullLayout
         if page.buf_pos:
@@ -623,9 +680,8 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
                 f"{what}: all-null 2.1 page with buffers")
         return [None] * page.length
     if 2 in layout:
-        raise NotImplementedError(
-            f"{what}: 2.1 full-zip page layout (large data types) is not "
-            "implemented — only the mini-block layout decodes")
+        return _decode_fullzip(fetch, page,
+                               _pb_fields(_one(layout, 2, b"")), lt, what)
     if 1 not in layout:
         raise NotImplementedError(
             f"{what}: unknown 2.1 page layout (fields {sorted(layout)})")
@@ -650,20 +706,31 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
             raise NotImplementedError(
                 f"{what}: definition levels with bits_per_value={def_bits}")
     is_bool = lt == "bool"
+    is_var = lt in ("string", "large_string", "binary", "large_binary")
+    is_text = lt in ("string", "large_string")
+    scheme, val_bits = _compressive_info(_one(mb, 3, b""), what, "value")
+    fmt = width = None
     if is_bool:
-        val_bits = _compressive_bits(_one(mb, 3, b""), what, "value")
-        if val_bits not in (0, 1):
+        if scheme != "flat" or val_bits not in (0, 1):
             raise NotImplementedError(
-                f"{what}: bool mini-block with bits_per_value={val_bits}")
-        fmt, width = None, None
+                f"{what}: bool mini-block with {scheme} "
+                f"bits_per_value={val_bits}")
+    elif is_var:
+        if scheme != "variable" or val_bits not in (0, 32):
+            raise NotImplementedError(
+                f"{what}: variable-width mini-block with {scheme} "
+                f"offset_bits={val_bits} — only u32 length streams decode")
     else:
         fmt, width, _ = _FLAT_TYPES[lt]
-        val_bits = _compressive_bits(_one(mb, 3, b""), what, "value")
-        if val_bits not in (0, width * 8):
+        if scheme == "flat" and val_bits in (0, width * 8):
+            pass
+        elif scheme == "bitpack" and val_bits == width * 8 and fmt not in "fd":
+            pass
+        else:
             raise NotImplementedError(
-                f"{what}: mini-block values with bits_per_value="
-                f"{val_bits} (bit-packed / for-compressed) — only "
-                "uncompressed flat values decode")
+                f"{what}: mini-block values with {scheme} bits_per_value="
+                f"{val_bits} — only flat or inline-bitpacked "
+                "(integer) values decode")
     if len(page.buf_pos) != 2:
         raise NotImplementedError(
             f"{what}: mini-block page with {len(page.buf_pos)} buffers "
@@ -672,6 +739,8 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
     words = struct.unpack(f"<{n_chunks}H",
                           fetch(page.buf_pos[0], 2 * n_chunks))
     data = fetch(page.buf_pos[1], page.buf_size[1])
+    signed_fmt = fmt in ("b", "h", "i", "q") if fmt else False
+    type_bits = (width or 0) * 8
     out: list = []
     remaining = page.length
     off = 0
@@ -688,6 +757,31 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
         if is_bool:
             packed = data[p:p + (n + 7) // 8]
             vals = [bool(packed[i >> 3] >> (i & 7) & 1) for i in range(n)]
+        elif is_var:
+            lens = struct.unpack_from(f"<{n}I", data, p)
+            p = _align8(p + 4 * n)
+            vals = []
+            for ln in lens:
+                piece = data[p:p + ln]
+                vals.append(piece.decode("utf-8") if is_text else piece)
+                p += ln
+        elif scheme == "bitpack":
+            # chunk leads with one u64 word = this chunk's packed width;
+            # width == the type's full bits means raw two's complement
+            # (the writer packs full-width only when negatives exist)
+            cw = struct.unpack_from("<Q", data, p)[0]
+            p += 8
+            if not 1 <= cw <= type_bits:
+                raise NotImplementedError(
+                    f"{what}: bitpacked chunk width {cw} outside "
+                    f"1..{type_bits}")
+            uvals = _unpack_bits_le(data, p, n, cw)
+            if signed_fmt and cw == type_bits:
+                half = 1 << (type_bits - 1)
+                full = 1 << type_bits
+                vals = [v - full if v >= half else v for v in uvals]
+            else:
+                vals = uvals
         else:
             vals = struct.unpack_from(f"<{n}{fmt}", data, p)
         out.extend(vals if valid is None else
@@ -698,6 +792,52 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
         raise ValueError(
             f"{what}: mini-block chunks cover {page.length - remaining} "
             f"of {page.length} rows")
+    return out
+
+
+def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
+    """One 2.1 full-zip page (large data types): definition levels are
+    zipped WITH each value — per item [u16 def (nullable layer only)]
+    [u32 length][bytes] in one contiguous buffer. Reconstruction field
+    numbers mirror the mini-block message: f3 value compression
+    (Variable), f4 repdef layers; see _decode_miniblock's contract."""
+    if lt not in ("string", "large_string", "binary", "large_binary"):
+        raise NotImplementedError(
+            f"{what}: 2.1 full-zip page layout on a non-variable-width "
+            "column is not implemented")
+    scheme, off_bits = _compressive_info(_one(fz, 3, b""), what, "value")
+    if scheme != "variable" or off_bits not in (0, 32):
+        raise NotImplementedError(
+            f"{what}: full-zip values with {scheme} offset_bits="
+            f"{off_bits} — only u32-length variable streams decode")
+    layers = _repdef_layers(fz)
+    if any(l not in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)
+           for l in layers) or len(layers) > 1:
+        raise NotImplementedError(
+            f"{what}: full-zip repdef layers {layers} — only a single "
+            "all-valid or nullable item layer decodes")
+    has_def = layers == [_REPDEF_NULLABLE_ITEM]
+    if len(page.buf_pos) != 1:
+        raise NotImplementedError(
+            f"{what}: full-zip page with {len(page.buf_pos)} buffers "
+            "(expected one zipped buffer)")
+    is_text = lt in ("string", "large_string")
+    data = fetch(page.buf_pos[0], page.buf_size[0])
+    out: list = []
+    p = 0
+    for _ in range(page.length):
+        d = 0
+        if has_def:
+            d = struct.unpack_from("<H", data, p)[0]
+            p += 2
+        ln = struct.unpack_from("<I", data, p)[0]
+        p += 4
+        if d:
+            out.append(None)
+        else:
+            piece = data[p:p + ln]
+            out.append(piece.decode("utf-8") if is_text else piece)
+        p += ln
     return out
 
 
@@ -792,11 +932,12 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
 
     is_flat_lt = (lt in _FLAT_TYPES or lt.startswith("timestamp:")
                   or lt == "date32:day" or lt == "bool")
-    if not is_flat_lt and any(pg.enc_url.endswith(b"PageLayout")
-                              for pg in pages):
+    is_var_lt = lt in ("string", "large_string", "binary", "large_binary")
+    if not is_flat_lt and not is_var_lt and any(
+            pg.enc_url.endswith(b"PageLayout") for pg in pages):
         raise NotImplementedError(
-            f"{what}: 2.1 structural page layout on a non-fixed-width "
-            "column (variable-width mini-block / full-zip) is not "
+            f"{what}: 2.1 structural page layout on a nested column "
+            "(list/struct repetition-definition layers) is not "
             "implemented")
 
     if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
@@ -875,6 +1016,9 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
         is_text = lt in ("string", "large_string")
         out = []
         for pg in pages:
+            if pg.enc_url.endswith(b"PageLayout"):  # 2.1 structural page
+                out.extend(_decode_miniblock(fetch, pg, lt, what))
+                continue
             enc = pg.encoding.get(_ENC_VARIABLE)
             if enc is None:
                 raise NotImplementedError(
@@ -1469,22 +1613,46 @@ class _ColPlan:
 
 
 def _enc_compressive_flat(bits: int) -> bytes:
-    """CompressiveEncoding{ f1: Flat{ f1: bits_per_value }} — the only
-    2.1 stream compression this codec speaks (uncompressed)."""
+    """CompressiveEncoding{ f1: Flat{ f1: bits_per_value }}."""
     return _w_len(1, _w_vint(1, bits))
 
 
-def _enc_miniblock_layout(bits: int, has_def: bool) -> bytes:
+def _enc_compressive_bitpack(bits: int) -> bytes:
+    """CompressiveEncoding{ f2: InlineBitpacking{ f1: uncompressed
+    bits_per_value }} — each chunk leads with a u64 width word."""
+    return _w_len(2, _w_vint(1, bits))
+
+
+def _enc_compressive_variable(offset_bits: int = 32) -> bytes:
+    """CompressiveEncoding{ f3: Variable{ f1: offset_bits }} — per-chunk
+    u32 length stream ahead of the bytes."""
+    return _w_len(3, _w_vint(1, offset_bits))
+
+
+def _enc_miniblock_layout(value_comp: bytes, has_def: bool) -> bytes:
     """PageLayout{ f1: MiniBlockLayout{ [f2: def compression (flat-16),]
-    f3: value compression (flat-bits), f4: repdef layers }} — field
-    numbers per the reconstruction documented at _decode_miniblock."""
+    f3: value compression, f4: repdef layers }} — field numbers per the
+    reconstruction documented at _decode_miniblock."""
     mb = b""
     if has_def:
         mb += _w_len(2, _enc_compressive_flat(16))
-    mb += _w_len(3, _enc_compressive_flat(bits))
+    mb += _w_len(3, value_comp)
     mb += _w_packed(4, [_REPDEF_NULLABLE_ITEM if has_def
                         else _REPDEF_ALL_VALID_ITEM])
     return _w_len(1, mb)
+
+
+def _enc_fullzip_layout(has_def: bool) -> bytes:
+    """PageLayout{ f2: FullZipLayout{ f3: value compression (variable),
+    f4: repdef layers }} — mirrors the mini-block message slots; see
+    _decode_fullzip's contract."""
+    fz = _w_len(3, _enc_compressive_variable(32))
+    fz += _w_packed(4, [_REPDEF_NULLABLE_ITEM if has_def
+                        else _REPDEF_ALL_VALID_ITEM])
+    return _w_len(2, fz)
+
+
+_MB_INT_FMTS = set("bBhHiIqQ")  # bitpack-able storage formats
 
 
 def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
@@ -1492,7 +1660,13 @@ def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
     buffer 0 = chunk metadata (u16 per chunk: num_words<<4 | log2 values),
     buffer 1 = word-aligned chunks of [def levels (u16, 0=valid)][values],
     each stream padded to the 8-byte word boundary. Nulls ride the
-    definition-level stream (the 2.1 shape), not a validity bitmap."""
+    definition-level stream (the 2.1 shape), not a validity bitmap.
+    Integer-typed columns (incl. timestamp/date storage ints) write
+    inline-bitpacked value streams — each chunk leads with a u64 width
+    word then ceil(n*width/8) LSB-first packed bytes; an all-non-negative
+    chunk packs at its max bit length, a chunk with negatives packs raw
+    two's complement at the full type width (still correct, no savings).
+    Floats stay flat, bool stays the 1-bit flat stream."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -1502,6 +1676,10 @@ def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
     has_def = arr.null_count > 0
     is_bool = lt == "bool"
     bits = 1 if is_bool else _width_bits(lt)
+    base = lt.split(":")[0]
+    fmt = ("q" if base == "timestamp" else "i" if base == "date32"
+           else _FLAT_TYPES[lt][0] if lt in _FLAT_TYPES else None)
+    bitpack = not is_bool and fmt in _MB_INT_FMTS
     meta = bytearray()
     data = bytearray()
     for s in range(0, n, _MB_CHUNK_VALUES):
@@ -1518,14 +1696,101 @@ def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
                 np.asarray(piece.fill_null(False).to_pylist(), np.uint8),
                 bitorder="little").tobytes()
             chunk += packed
+        elif bitpack:
+            ivals = _fill_nulls_flat(piece, lt).to_pylist()
+            if any(v < 0 for v in ivals):
+                cw = bits
+                mask = (1 << bits) - 1
+                ivals = [v & mask for v in ivals]
+            else:
+                cw = max(1, max((v.bit_length() for v in ivals),
+                                default=1))
+            chunk += struct.pack("<Q", cw)
+            chunk += _pack_bits_le(ivals, cw)
         else:
             chunk += _flat_buffer(_fill_nulls_flat(piece, lt), lt, what)
         chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         log_nv = (cn.bit_length() - 1) if cn and not (cn & (cn - 1)) else 0
         meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
         data += chunk
+    value_comp = (_enc_compressive_bitpack(bits) if bitpack
+                  else _enc_compressive_flat(bits))
     return _ColPlan([bytes(meta), bytes(data)],
-                    _enc_miniblock_layout(bits, has_def), n,
+                    _enc_miniblock_layout(value_comp, has_def), n,
+                    _PAGE_LAYOUT_URL)
+
+
+_MB_CHUNK_BYTES = 4096        # spec: mini-block chunks stay under 4KiB
+_FULLZIP_VALUE_BYTES = 4000   # any single value above this -> full-zip
+
+
+def _plan_structural_variable(arr, lt: str, what: str) -> "_ColPlan":
+    """One 2.1 structural page for a string/binary column. Small values
+    take the mini-block layout: per chunk [def levels (u16, 0=valid)]
+    [u32 lengths][bytes], each stream word-padded, adaptive power-of-two
+    chunk value counts so every chunk stays under 4KiB. A column with
+    any single value above the full-zip threshold takes the FULL-ZIP
+    layout instead (the spec's large-data-type path): one buffer of
+    per-item [u16 def][u32 length][bytes] zipped records."""
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if n and arr.null_count == n:
+        return _ColPlan([], _w_len(3, b""), n, _PAGE_LAYOUT_URL)  # AllNull
+    has_def = arr.null_count > 0
+    is_text = lt == "string"
+    pieces = [b"" if v is None
+              else (v.encode("utf-8") if is_text else bytes(v))
+              for v in arr.to_pylist()]
+    valid = (pc.is_valid(arr).to_pylist() if has_def else None)
+
+    if any(len(b) > _FULLZIP_VALUE_BYTES for b in pieces):
+        data = bytearray()
+        for i, b in enumerate(pieces):
+            if has_def:
+                data += struct.pack("<H", 0 if valid[i] else 1)
+            data += struct.pack("<I", len(b))
+            data += b
+        return _ColPlan([bytes(data)], _enc_fullzip_layout(has_def), n,
+                        _PAGE_LAYOUT_URL)
+
+    def chunk_size(i: int, cnt: int) -> int:
+        sz = 0
+        if has_def:
+            sz = _align8(2 * cnt)
+        sz += _align8(4 * cnt)
+        sz += sum(len(b) for b in pieces[i:i + cnt])
+        return _align8(sz)
+
+    meta = bytearray()
+    data = bytearray()
+    i = 0
+    while i < n:
+        rem = n - i
+        cnt = min(_MB_CHUNK_VALUES, rem)
+        while cnt > 1 and chunk_size(i, cnt) > _MB_CHUNK_BYTES:
+            cnt //= 2
+            if i + cnt < n:  # non-last chunks need power-of-two counts
+                cnt = 1 << (cnt.bit_length() - 1)
+        chunk = bytearray()
+        if has_def:
+            chunk += struct.pack(
+                f"<{cnt}H", *[0 if ok else 1 for ok in valid[i:i + cnt]])
+            chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        chunk += struct.pack(f"<{cnt}I",
+                             *[len(b) for b in pieces[i:i + cnt]])
+        chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        for b in pieces[i:i + cnt]:
+            chunk += b
+        chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        log_nv = (cnt.bit_length() - 1) if cnt and not (cnt & (cnt - 1)) \
+            else 0
+        meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
+        data += chunk
+        i += cnt
+    return _ColPlan([bytes(meta), bytes(data)],
+                    _enc_miniblock_layout(_enc_compressive_variable(32),
+                                          has_def), n,
                     _PAGE_LAYOUT_URL)
 
 
@@ -1536,9 +1801,11 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
     One page per column — the shape lance 0.24 writes at fixture scale;
     the distributed path bounds fragment size instead of paging.
     ``structural='2.1-miniblock'`` opts fixed-width/bool columns into the
-    2.1 mini-block page layout (chunked streams + definition levels);
-    every other type keeps its 2.0 page shape — layouts are per-page, so
-    mixing is exactly what a real 2.1 writer produces."""
+    2.1 mini-block page layout (chunked streams + definition levels,
+    integer values inline-bitpacked) and string/binary columns into the
+    variable-width mini-block (or full-zip when any value exceeds the
+    chunk budget); nested types keep their 2.0 page shape — layouts are
+    per-page, so mixing is exactly what a real 2.1 writer produces."""
     import pyarrow as pa
 
     f = fields[idx]
@@ -1546,11 +1813,14 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
     what = f"column {f.name!r} ({lt})"
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
-    if (structural == "2.1-miniblock"
-            and (lt in _FLAT_TYPES or lt.startswith("timestamp:")
-                 or lt == "date32:day" or lt == "bool")):
-        plans[idx] = _plan_miniblock_flat(arr, lt, what)
-        return
+    if structural == "2.1-miniblock":
+        if (lt in _FLAT_TYPES or lt.startswith("timestamp:")
+                or lt == "date32:day" or lt == "bool"):
+            plans[idx] = _plan_miniblock_flat(arr, lt, what)
+            return
+        if lt in ("string", "binary"):
+            plans[idx] = _plan_structural_variable(arr, lt, what)
+            return
 
     if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
         bits = _width_bits(lt)

@@ -547,6 +547,88 @@ def test_miniblock_chunking_and_pruning(tmp_path):
     assert LF.read_native_file(p2).to_pylist() == tbl.to_pylist()
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(texts, max_size=600), st.lists(blobs, max_size=600))
+def test_miniblock_variable_roundtrip(tmp_path_factory, strs, bins):
+    """String/binary columns under the 2.1 variable-width mini-block
+    layout: per-chunk u32 length stream + bytes, unicode byte-length
+    arithmetic, nulls on the definition-level stream, empties."""
+    n = max(len(strs), len(bins))
+    tbl = pa.table({
+        "s": pa.array((strs + [None] * n)[:n], pa.string()),
+        "b": pa.array((bins + [None] * n)[:n], pa.binary()),
+    })
+    path = str(tmp_path_factory.mktemp("mbv") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(opt_i64, max_size=600),
+       st.lists(st.one_of(st.none(),
+                          st.integers(min_value=0, max_value=10 ** 9)),
+                max_size=600))
+def test_miniblock_bitpack_roundtrip(tmp_path_factory, full_range, small):
+    """Inline-bitpacked integer value streams: full-range i64 chunks
+    (negatives force raw two's complement at type width), small
+    non-negative chunks pack at their max bit length — both arms must
+    round-trip exactly, including nulls and the per-chunk width word."""
+    n = max(len(full_range), len(small))
+    tbl = pa.table({
+        "w": pa.array((full_range + [None] * n)[:n], pa.int64()),
+        "n32": pa.array((small + [None] * n)[:n], pa.int32()),
+    })
+    path = str(tmp_path_factory.mktemp("mbp") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+
+
+def test_miniblock_bitpack_shrinks_storage(tmp_path):
+    """The point of the bitpacked stream: small-domain int64 columns
+    write a fraction of the flat 2.0 bytes (100k values in 0..99 pack at
+    7 bits -> ~8x file-level shrink after framing overhead)."""
+    small = pa.table({"i": pa.array([v % 100 for v in range(100_000)],
+                                    pa.int64())})
+    p20 = str(tmp_path / "s20.lance")
+    p21 = str(tmp_path / "s21.lance")
+    LF.write_native_file(small, p20)
+    LF.write_native_file(small, p21, structural="2.1-miniblock")
+    import os
+    assert os.path.getsize(p21) < os.path.getsize(p20) / 4
+    assert LF.read_native_file(p21).to_pylist() == small.to_pylist()
+
+
+def test_fullzip_large_values_roundtrip(tmp_path):
+    """A column with any value above the mini-block budget auto-routes
+    to the FULL-ZIP layout (per-item zipped [def][len][bytes] records);
+    values beyond the u16 chunk-word ceiling (32KiB) must survive —
+    full-zip has no per-chunk framing to overflow."""
+    n = 300
+    tbl = pa.table({
+        "big": pa.array([("x" * 40_000 if v % 90 == 0 else
+                          None if v % 7 == 0 else f"t{v}")
+                         for v in range(n)], pa.string()),
+        "bigb": pa.array([bytes([v % 256]) * 5000 if v % 50 == 0 else b"z"
+                          for v in range(n)], pa.binary()),
+        "i": pa.array(range(n), pa.int64()),  # mixes layouts per page
+    })
+    p = str(tmp_path / "fz.lance")
+    LF.write_native_file(tbl, p, structural="2.1-miniblock")
+    got = LF.read_native_file(p)
+    assert got.to_pylist() == tbl.to_pylist()
+    # pruning composes across mixed layouts
+    assert LF.read_native_file(p, columns=["big"]).to_pylist() == \
+        tbl.select(["big"]).to_pylist()
+    # paging composes
+    p2 = str(tmp_path / "fz2.lance")
+    LF.write_native_file(tbl, p2, page_rows=100, structural="2.1-miniblock")
+    assert LF.read_native_file(p2).to_pylist() == tbl.to_pylist()
+
+
 def test_miniblock_refusals_are_loud(tmp_path):
     """Every 2.1 arm beyond the reconstruction refuses BY NAME: full-zip
     layout, compressed streams, dictionaries, deep repdef layers, and
