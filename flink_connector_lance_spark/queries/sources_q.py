@@ -518,9 +518,10 @@ def source_format_api(spark, sf_dir):
         npath, mode="overwrite",
         # 2.1 mini-block structural pages: doc_id/opt/m.n_chars ride the
         # inline-bitpacked integer stream (per-chunk width word), m.lang
-        # the variable-width length+bytes stream; the struct HEADER keeps
-        # its 2.0 page (per-page layout mixing) while its members recurse
-        # into 2.1 — the hash gate crosses every arm end-to-end
+        # (low-cardinality) the DICTIONARY arm — items buffer + bitpacked
+        # index stream; the struct HEADER keeps its 2.0 page (per-page
+        # layout mixing) while its members recurse into 2.1 — the hash
+        # gate crosses every arm end-to-end
         options=DatasetOptions(path=npath, native_layout="2.1-miniblock"))
     native = (
         spark.read.format("lance").load(npath)

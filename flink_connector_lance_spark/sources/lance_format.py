@@ -59,15 +59,17 @@ fixed-width/bool columns — chunked value/definition-level streams with
 the spec's u16-per-chunk metadata words, integer value streams
 inline-BITPACKED (per-chunk width word, LSB-first) — and for
 string/binary columns (per-chunk u32 length stream + bytes, adaptive
-power-of-two chunk counts under the 4KiB budget); the FULL-ZIP layout
+power-of-two chunk counts under the 4KiB budget; LOW-CARDINALITY
+columns dictionary-encode — unique items once per page in a third
+buffer, the value stream becomes bitpacked indices); the FULL-ZIP layout
 for large variable-width values (per-item zipped [def][length][bytes]
 records — the spec's large-data-type path, auto-selected at write time
 when any value exceeds the mini-block budget); and the all-null layout.
 See the reconstruction contract at ``_decode_miniblock`` (field numbers
 and intra-chunk framing are best-effort reconstructions of the public
 spec, round-trip- and hash-gate-pinned; no 2.1 fixture exists in this
-environment). Every other 2.1 arm — dictionaries, FSST/RLE/
-byte-stream-split/block-compressed streams, nested repdef — raises
+environment). Every other 2.1 arm — FSST/RLE/byte-stream-split/
+block-compressed streams, nested repdef — raises
 ``NotImplementedError`` naming the encoding, never a silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
@@ -583,10 +585,13 @@ def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
 # chunks lead with a u64 width word; full-zip zips [def][u32 len][bytes]
 # per item in one buffer) are a best-effort reconstruction of the
 # published spec, pinned by encode->decode round-trips (hypothesis) and
-# a hash-gated query stage. Every arm this reconstruction cannot
-# justify — dictionaries, FSST/RLE/byte-stream-split/block compression,
-# repdef layers beyond all-valid/nullable items — REFUSES by name,
-# never misreads. A real lance-written 2.1 dataset will therefore
+# a hash-gated query stage. MiniBlockLayout f5 carries the dictionary
+# arm — DictionaryEncoding{f1 items compression (variable), f2 item
+# count}, unique items in a third page buffer ([u32 lengths][bytes]),
+# the value stream becoming inline-bitpacked indices. Every arm this
+# reconstruction cannot justify — FSST/RLE/byte-stream-split/block
+# compression, repdef layers beyond all-valid/nullable items — REFUSES
+# by name, never misreads. A real lance-written 2.1 dataset will therefore
 # either decode or refuse loudly; silent misreads stay impossible
 # either way.
 
@@ -690,9 +695,10 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
         raise NotImplementedError(
             f"{what}: mini-block page with repetition levels (nested "
             "lists) is not implemented")
-    if 5 in mb or 6 in mb:
+    if 6 in mb:
         raise NotImplementedError(
-            f"{what}: mini-block page with a dictionary is not implemented")
+            f"{what}: mini-block page with field-6 metadata is not "
+            "implemented")
     layers = _repdef_layers(mb)
     if any(l not in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)
            for l in layers) or len(layers) > 1:
@@ -710,7 +716,38 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
     is_text = lt in ("string", "large_string")
     scheme, val_bits = _compressive_info(_one(mb, 3, b""), what, "value")
     fmt = width = None
-    if is_bool:
+    dict_items = None
+    if 5 in mb:  # DictionaryEncoding{f1 items compression, f2 num items}
+        if not is_var:
+            raise NotImplementedError(
+                f"{what}: dictionary mini-block on a non-variable-width "
+                "column is not implemented")
+        dmsg = _pb_fields(_one(mb, 5, b""))
+        dscheme, dbits = _compressive_info(_one(dmsg, 1, b""), what,
+                                           "dictionary")
+        if dscheme != "variable" or dbits not in (0, 32):
+            raise NotImplementedError(
+                f"{what}: dictionary items with {dscheme} offset_bits="
+                f"{dbits} — only u32-length variable items decode")
+        if scheme != "bitpack" or val_bits not in (0, 32):
+            raise NotImplementedError(
+                f"{what}: dictionary indices with {scheme} bits="
+                f"{val_bits} — only inline-bitpacked u32 indices decode")
+        n_items = _one(dmsg, 2, 0)
+        if len(page.buf_pos) != 3:
+            raise NotImplementedError(
+                f"{what}: dictionary mini-block page with "
+                f"{len(page.buf_pos)} buffers (expected chunk-metadata + "
+                "chunk-data + dictionary)")
+        draw = fetch(page.buf_pos[2], page.buf_size[2])
+        dlens = struct.unpack_from(f"<{n_items}I", draw, 0)
+        dp = _align8(4 * n_items)
+        dict_items = []
+        for ln in dlens:
+            piece = draw[dp:dp + ln]
+            dict_items.append(piece.decode("utf-8") if is_text else piece)
+            dp += ln
+    elif is_bool:
         if scheme != "flat" or val_bits not in (0, 1):
             raise NotImplementedError(
                 f"{what}: bool mini-block with {scheme} "
@@ -731,7 +768,7 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
                 f"{what}: mini-block values with {scheme} bits_per_value="
                 f"{val_bits} — only flat or inline-bitpacked "
                 "(integer) values decode")
-    if len(page.buf_pos) != 2:
+    if dict_items is None and len(page.buf_pos) != 2:
         raise NotImplementedError(
             f"{what}: mini-block page with {len(page.buf_pos)} buffers "
             "(expected chunk-metadata + chunk-data)")
@@ -757,6 +794,16 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
         if is_bool:
             packed = data[p:p + (n + 7) // 8]
             vals = [bool(packed[i >> 3] >> (i & 7) & 1) for i in range(n)]
+        elif dict_items is not None:
+            # indices ride the inline-bitpacked stream; null slots pack
+            # index 0 and are masked by the definition levels after
+            cw = struct.unpack_from("<Q", data, p)[0]
+            p += 8
+            if not 1 <= cw <= 32:
+                raise NotImplementedError(
+                    f"{what}: dictionary index width {cw} outside 1..32")
+            vals = [dict_items[v]
+                    for v in _unpack_bits_le(data, p, n, cw)]
         elif is_var:
             lens = struct.unpack_from(f"<{n}I", data, p)
             p = _align8(p + 4 * n)
@@ -1629,16 +1676,20 @@ def _enc_compressive_variable(offset_bits: int = 32) -> bytes:
     return _w_len(3, _w_vint(1, offset_bits))
 
 
-def _enc_miniblock_layout(value_comp: bytes, has_def: bool) -> bytes:
+def _enc_miniblock_layout(value_comp: bytes, has_def: bool,
+                          dict_msg: bytes | None = None) -> bytes:
     """PageLayout{ f1: MiniBlockLayout{ [f2: def compression (flat-16),]
-    f3: value compression, f4: repdef layers }} — field numbers per the
-    reconstruction documented at _decode_miniblock."""
+    f3: value compression, f4: repdef layers [, f5: dictionary] }} —
+    field numbers per the reconstruction documented at
+    _decode_miniblock."""
     mb = b""
     if has_def:
         mb += _w_len(2, _enc_compressive_flat(16))
     mb += _w_len(3, value_comp)
     mb += _w_packed(4, [_REPDEF_NULLABLE_ITEM if has_def
                         else _REPDEF_ALL_VALID_ITEM])
+    if dict_msg is not None:
+        mb += _w_len(5, dict_msg)
     return _w_len(1, mb)
 
 
@@ -1753,6 +1804,46 @@ def _plan_structural_variable(arr, lt: str, what: str) -> "_ColPlan":
             data += b
         return _ColPlan([bytes(data)], _enc_fullzip_layout(has_def), n,
                         _PAGE_LAYOUT_URL)
+
+    # low-cardinality columns dictionary-encode (what real lance does):
+    # unique items in first-appearance order ride a third page buffer,
+    # the value stream becomes inline-bitpacked indices — a 'lang'-like
+    # column stores each distinct string once per page
+    uniq = list(dict.fromkeys(
+        b for i, b in enumerate(pieces) if valid is None or valid[i]))
+    if n and 0 < len(uniq) <= max(16, n // 4) and len(uniq) < (1 << 32):
+        index_of = {b: i for i, b in enumerate(uniq)}
+        idxs = [index_of[b] if (valid is None or valid[i]) else 0
+                for i, b in enumerate(pieces)]
+        meta = bytearray()
+        data = bytearray()
+        for s in range(0, n, _MB_CHUNK_VALUES):
+            cn = min(_MB_CHUNK_VALUES, n - s)
+            chunk = bytearray()
+            if has_def:
+                chunk += struct.pack(
+                    f"<{cn}H", *[0 if ok else 1 for ok in valid[s:s + cn]])
+                chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+            cvals = idxs[s:s + cn]
+            cw = max(1, max(cvals).bit_length())
+            chunk += struct.pack("<Q", cw)
+            chunk += _pack_bits_le(cvals, cw)
+            chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+            log_nv = (cn.bit_length() - 1) if cn and not (cn & (cn - 1)) \
+                else 0
+            meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
+            data += chunk
+        dict_buf = bytearray(struct.pack(f"<{len(uniq)}I",
+                                         *[len(b) for b in uniq]))
+        dict_buf += b"\x00" * (_align8(len(dict_buf)) - len(dict_buf))
+        for b in uniq:
+            dict_buf += b
+        dict_msg = (_w_len(1, _enc_compressive_variable(32))
+                    + _w_vint(2, len(uniq)))
+        return _ColPlan(
+            [bytes(meta), bytes(data), bytes(dict_buf)],
+            _enc_miniblock_layout(_enc_compressive_bitpack(32), has_def,
+                                  dict_msg), n, _PAGE_LAYOUT_URL)
 
     def chunk_size(i: int, cnt: int) -> int:
         sz = 0
