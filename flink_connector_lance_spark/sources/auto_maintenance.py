@@ -24,6 +24,11 @@ Every step is optional, individually skippable, and reported; a
 ``dry_run`` returns the decisions without mutating anything. Policies
 are plain numbers, not magic: the defaults suit a table receiving
 steady micro-batch appends.
+
+s3:// datasets run the same pass (``s3=S3Options(...)``): compact /
+tail-cluster / vacuum route to their executor-direct remote twins;
+rollup/FTS/ANN refreshers — local-checkout structures — are skipped
+with the reason in the report.
 """
 
 from __future__ import annotations
@@ -69,25 +74,29 @@ def run_maintenance(
     path: str,
     policy: "MaintenancePolicy | None" = None,
     dry_run: bool = False,
+    s3=None,
 ) -> dict:
     """One maintenance pass under ``policy``. Returns a report of what
     ran (or would run, with ``dry_run=True``) and why — every decision
     carries its triggering measurement so the skip/run reasoning is
-    auditable."""
+    auditable.
+
+    Works on s3:// datasets too (pass ``s3=S3Options(...)``): the
+    storage-plane passes — compact (incl. tombstone materialization),
+    tail-cluster, vacuum — run through their executor-direct remote
+    twins off the remote describe report. ANN/FTS indexes and rollups
+    are LOCAL structures a remote describe cannot enumerate (it reports
+    them ``None``, not ``[]``), so those refreshers are SKIPPED with a
+    reported reason rather than refused — the report stays auditable."""
     from ..index import refresh_index
     from .fs import is_remote
     from .rollup import refresh_rollup
 
-    if is_remote(path):
-        raise NotImplementedError(
-            "run_maintenance orchestrates describe_dataset and the index/"
-            "rollup refreshers, which are local-backend constructs; on "
-            "s3:// datasets call the individual remote-capable steps "
-            "directly — compact_dataset / cluster_dataset / delete_rows / "
-            "merge_rows / vacuum_dataset all take s3=/storage_options")
+    remote = is_remote(path)
+    storage = s3.to_storage_options() if (remote and s3 is not None) else None
 
     p = policy or MaintenancePolicy()
-    desc = describe_dataset(path)
+    desc = describe_dataset(path, storage_options=storage)
     total_rows = max(1, desc["num_rows"])
     report: dict = {"path": path, "dry_run": dry_run, "steps": []}
 
@@ -100,7 +109,7 @@ def run_maintenance(
     # 1. compact — due on runt-fragment debt OR deletion-vector
     # tombstone debt (compaction materializes the tombstones; every scan
     # pays the masking cost until then)
-    manifest = FR.read_manifest_compat(path)
+    manifest = FR.read_manifest_compat(path, storage_options=storage)
     runts = [f for f in manifest.fragments
              if f.row_count < p.target_rows_per_fragment // 2]
     runt_frac = len(runts) / max(1, len(manifest.fragments))
@@ -117,13 +126,14 @@ def run_maintenance(
             small_threshold=(p.target_rows_per_fragment
                              if tomb_frac > p.max_tombstone_fraction
                              else None),
+            s3=s3,
         ).version},
     )
     if report["steps"][-1]["due"] and not dry_run:
         # compaction rewrote the layout: re-snapshot so the passes below
         # see its effects NOW (rewritten-into-unclustered fragments, a
         # rollup flipped to needs_full), not on the next maintenance cycle
-        desc = describe_dataset(path)
+        desc = describe_dataset(path, storage_options=storage)
         total_rows = max(1, desc["num_rows"])
 
     # 2. tail clustering (only when a layout exists to maintain)
@@ -139,12 +149,24 @@ def run_maintenance(
             lambda: {"new_version": cluster_dataset(
                 spark, path, by=list(by), zorder="zorder" in cl,
                 target_rows_per_fragment=p.target_rows_per_fragment,
-                scope="tail",
+                scope="tail", s3=s3,
             ).version},
         )
 
+    if remote:
+        # rollups / FTS / ANN indexes are local structures beside a
+        # checkout; the remote describe reports them None (unknown) —
+        # skip with the reason on record instead of refusing the whole
+        # pass, then vacuum below (fs-plane, remote-capable)
+        for skipped in ("refresh_rollups", "refresh_fts", "refresh_indexes"):
+            report["steps"].append({
+                "step": skipped, "due": False,
+                "why": "skipped on s3://: rollup/FTS/ANN structures are "
+                       "local-checkout constructs a remote describe "
+                       "cannot enumerate"})
+
     # 3. rollups
-    if p.refresh_rollups:
+    if p.refresh_rollups and desc.get("rollups"):
         for r in desc["rollups"]:
             step(
                 f"refresh_rollup:{r['name']}",
@@ -156,10 +178,10 @@ def run_maintenance(
 
     # 3b. FTS inverted indexes (append deltas merge incrementally; a
     # covered-file rewrite triggers the full rebuild inside refresh)
-    if p.refresh_fts:
+    if p.refresh_fts and desc.get("fts"):
         from .fts import fts_index_path, refresh_fts_index
 
-        for fx in desc.get("fts", []):
+        for fx in desc["fts"]:
             step(
                 f"refresh_fts:{fx['column']}",
                 fx["pending_rows"] > 0 or fx["needs_full"],
@@ -194,7 +216,7 @@ def run_maintenance(
                 )
 
     # 4. indexes (refresh_index itself re-checks and no-ops below the bar)
-    for idx in desc["indexes"]:
+    for idx in desc.get("indexes") or []:
         frac = idx["unindexed_rows"] / total_rows
         step(
             f"refresh_index:{idx['column']}",
@@ -214,6 +236,7 @@ def run_maintenance(
             "vacuum",
             True,
             f"keep_versions {p.keep_versions}",
-            lambda: vacuum_dataset(path, keep_versions=p.keep_versions),
+            lambda: vacuum_dataset(path, keep_versions=p.keep_versions,
+                                   storage_options=storage),
         )
     return report

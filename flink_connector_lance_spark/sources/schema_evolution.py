@@ -184,11 +184,28 @@ def drop_columns(path: str, cols: list[str],
         raise ValueError("drop_columns requires at least one column")
     if is_remote(path):
         if not LF.is_native_dataset(path, storage_options):
-            raise NotImplementedError(
-                "drop_columns on a remote EMULATED dataset is not wired "
-                "(its manifest meta lives in JSON, not the native config "
-                "slot); native s3:// datasets work, or run drop_columns "
-                "against a local checkout")
+            # remote EMULATED chain: the same metadata-only commit as the
+            # local branch, through fsspec (one manifest read + one
+            # conditional-PUT JSON manifest)
+            current = dataset_schema(path, storage_options=storage_options)
+            manifest = FR.read_manifest(path, None, storage_options)
+            missing = [c for c in cols if c not in current.names]
+            if missing:
+                raise ValueError(
+                    f"cannot drop non-existent column(s) {missing}; "
+                    f"table schema is {current.names}")
+            if set(cols) >= set(current.names):
+                raise ValueError("cannot drop every column of the table")
+            new_st = StructType(
+                [f for f in current.fields if f.name not in set(cols)])
+            dropped = sorted(set(manifest.meta.get("dropped_columns", []))
+                             | set(cols))
+            return FR.commit(
+                path, [], mode="append",
+                meta={"schema": new_st.json(), "dropped_columns": dropped,
+                      "drop": {"columns": list(cols),
+                               "base_version": manifest.version}},
+                storage_options=storage_options)
         return _drop_columns_native(path, cols, storage_options)
     if LF.is_native_dataset(path):
         return _drop_columns_native(path, cols)
@@ -224,7 +241,7 @@ def drop_columns(path: str, cols: list[str],
     )
 
 
-def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
+def add_column(spark, path: str, name: str, expr, s3=None) -> FR.Manifest:
     """Backfill a NEW computed column over the whole table as one commit.
 
     ``expr`` is a SQL string or Column over the existing columns. The
@@ -235,20 +252,15 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
     shape, which is why this routes native whenever the library exists.
     Re-introducing a previously dropped name is allowed HERE (unlike an
     evolving append): the rewrite leaves no old fragment to resurrect
-    stale values from, and the name is cleared from the dropped set."""
+    stale values from, and the name is cleared from the dropped set.
+    s3:// datasets (pass ``s3=S3Options(...)``) rewrite executor-direct:
+    the remote reader scans, tasks PUT the widened fragments straight to
+    s3, the driver commits one conditional-PUT version under CAS."""
     from . import lance_format as LF
     from .fs import is_remote
 
     if is_remote(path):
-        # the backfill is a full copy-on-write rewrite; its fragment
-        # scan (read_native_files / read_dataset) is not wired for
-        # remote paths yet — refuse loudly instead of failing deep
-        # inside a manifest read with a credentials error
-        raise NotImplementedError(
-            "add_column on an s3:// dataset is not supported (the "
-            "backfill rewrites every fragment); metadata-only "
-            "drop_columns and evolving appends (write.schema-evolution) "
-            "work remotely, or run add_column against a local checkout")
+        return _add_column_remote(spark, path, name, expr, s3)
     if FR.HAVE_LANCE:  # native path (exercised via the fake lance in tests)
         import lance
 
@@ -289,6 +301,60 @@ def add_column(spark, path: str, name: str, expr) -> FR.Manifest:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _add_column_remote(spark, path: str, name: str, expr, s3) -> FR.Manifest:
+    """Computed-column backfill for an s3:// dataset (either backend):
+    the file-attributed remote reader scans the current version, every
+    task PUTs its widened fragment straight to s3 (no driver funnel —
+    the same executor-direct shape as the remote DELETE/MERGE rewrites),
+    and the driver commits ONE conditional-PUT overwrite under CAS. The
+    full rewrite clears the dropped-name resurrection guard, same
+    contract as the local twins."""
+    import pyarrow as pa
+
+    from ..types import spark_schema_to_arrow
+    from . import lance_format as LF
+    from .maintenance import _remote_reader
+    from .writer import _put_fragments_from_tasks, produce_native_fragments
+
+    storage = s3.to_storage_options() if s3 is not None else None
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    if LF.is_native_dataset(path, storage):
+        mf = LF.read_native_manifest(path, storage_options=storage)
+        if not mf.fragments:
+            raise FileNotFoundError(f"dataset {path} has no fragments")
+        top_names = [f.name for f in mf.fields if f.parent == -1]
+        if name in top_names:
+            raise ValueError(f"column {name!r} already exists; "
+                             f"table schema is {top_names}")
+        out = _remote_reader(spark, path, s3).withColumn(name, col)
+        new_field = spark_schema_to_arrow(out.schema).field(name)
+        schema = pa.schema(list(LF.arrow_schema_of(mf.fields)) + [new_field])
+        widened = LF.widen_fields(mf.fields, [new_field])
+        new = produce_native_fragments(out, path, schema, 1_000_000,
+                                       storage_options=storage)
+        LF.commit_native(path, widened, new, "overwrite",
+                         expected_base_version=mf.version,
+                         config={_DROPPED_CFG: None},
+                         storage_options=storage)
+        return FR.read_manifest_compat(path, storage_options=storage)
+    manifest = FR.read_manifest(path, None, storage)
+    current = dataset_schema(path, storage_options=storage)
+    if name in current.names:
+        raise ValueError(f"column {name!r} already exists; "
+                         f"table schema is {current.names}")
+    out = _remote_reader(spark, path, s3).withColumn(name, col)
+    results = _put_fragments_from_tasks(out, str(path).rstrip("/"), storage,
+                                        max_rows=1_000_000,
+                                        bloom_columns=[])
+    fragments = [FR.FragmentInfo(i, f"{FR.DATA_DIR}/{fn}", rows, stats)
+                 for i, (fn, rows, stats) in enumerate(results)]
+    return FR.commit(
+        path, fragments, mode="overwrite",
+        meta={"schema": out.schema.json(), "dropped_columns": [],
+              "add_column": {"name": name, "base_version": manifest.version}},
+        expected_base_version=manifest.version, storage_options=storage)
 
 
 # --- native (stdlib codec) twins --------------------------------------------

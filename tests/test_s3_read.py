@@ -716,12 +716,12 @@ def test_s3_clustering_both_backends(fake_s3, spark):
         assert got.count() == 400, backend
 
 
-def test_s3_native_drop_columns_metadata_only_and_add_refusal(fake_s3, spark):
+def test_s3_native_drop_columns_metadata_only_and_add_column(fake_s3, spark):
     """drop_columns on an s3:// NATIVE dataset is metadata-only through
     fsspec (one manifest read + one CAS commit; no data key changes);
-    add_column (a full copy-on-write rewrite) refuses loudly naming the
-    remote-capable alternatives instead of dying on a credentials error
-    deep inside a manifest read."""
+    add_column backfills executor-direct — the widened fragments are PUT
+    from Spark worker processes and one CAS overwrite lands the evolved
+    schema, clearing the dropped-name resurrection guard."""
     from flink_connector_lance_spark.options import DatasetOptions
     from flink_connector_lance_spark.sources import lance_format as LF
     from flink_connector_lance_spark.sources.schema_evolution import (
@@ -751,8 +751,100 @@ def test_s3_native_drop_columns_metadata_only_and_add_refusal(fake_s3, spark):
            .option("s3-endpoint", f"fake://{fake_s3}").load(url))
     assert set(got.columns) == {"id", "g"} and got.count() == 12
 
-    with pytest.raises(NotImplementedError, match="drop_columns"):
-        add_column(spark, url, "bonus", "g * 10")
+    log = os.path.join(fake_s3, "_put_pids.log")
+    open(log, "w").close()
+    add_column(spark, url, "bonus", "g * 10", s3=s3)
+    puts = [ln.split() for ln in open(log).read().splitlines() if ln]
+    frag_puts = [(p, k) for p, k in puts if "/evo/data/" in k]
+    assert frag_puts and all(int(p) != os.getpid() for p, _ in frag_puts), \
+        "backfill fragments were uploaded by the driver process"
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert set(got.columns) == {"id", "g", "bonus"}
+    assert got.selectExpr("sum(bonus)").first()[0] == \
+        sum((i % 3) * 10 for i in range(12))
+    assert native_dropped_columns(url, storage) == []  # rewrite clears it
+
+
+def test_s3_emulated_schema_evolution(fake_s3, spark):
+    """The remote EMULATED chain evolves too: drop_columns is one JSON
+    manifest commit (metadata-only, no data key changes) and add_column
+    rewrites executor-direct with the evolved schema recorded in the
+    manifest meta."""
+    from flink_connector_lance_spark.sources.schema_evolution import (
+        add_column,
+        drop_columns,
+    )
+
+    url = _make_remote_table(spark, fake_s3, table="evo2", n=40)
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    storage = s3.to_storage_options()
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "evo2")
+    keys_before = set(os.listdir(os.path.join(local, "data")))
+
+    mf = drop_columns(url, ["g"], storage_options=storage)
+    assert set(os.listdir(os.path.join(local, "data"))) == keys_before
+    assert "dropped_columns" in mf.meta and mf.meta["dropped_columns"] == ["g"]
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert set(got.columns) == {"id"} and got.count() == 40
+    # guards still fire remotely
+    with pytest.raises(ValueError, match="non-existent"):
+        drop_columns(url, ["nope"], storage_options=storage)
+
+    log = os.path.join(fake_s3, "_put_pids.log")
+    open(log, "w").close()
+    add_column(spark, url, "double_id", "id * 2", s3=s3)
+    puts = [ln.split() for ln in open(log).read().splitlines() if ln]
+    frag_puts = [(p, k) for p, k in puts if "/evo2/data/" in k]
+    assert frag_puts and all(int(p) != os.getpid() for p, _ in frag_puts)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert set(got.columns) == {"id", "double_id"}
+    assert got.selectExpr("sum(double_id)").first()[0] == \
+        sum(2 * i for i in range(40))
+
+
+def test_s3_run_maintenance_orchestrates_remote_steps(fake_s3, spark):
+    """run_maintenance works on s3:// datasets: compact and vacuum route
+    to their executor-direct remote twins off the remote describe
+    report, while the rollup/FTS/index refreshers (local-checkout
+    structures) are SKIPPED with the reason in the report — never
+    silently and never a refusal of the whole pass."""
+    from flink_connector_lance_spark.sources.auto_maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "mnt")
+    url = "s3://bucket/wh/db1/mnt"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    # three runt fragments -> compact is due under a tiny target
+    df = spark.range(30).selectExpr("id", "id % 3 AS g")
+    write_dataset(df.repartition(3), local, mode="overwrite")
+
+    policy = MaintenancePolicy(target_rows_per_fragment=100,
+                               keep_versions=1)
+    dry = run_maintenance(spark, url, policy, dry_run=True, s3=s3)
+    by_name = {s["step"]: s for s in dry["steps"]}
+    assert by_name["compact"]["due"] is True
+    assert "skipped on s3" in by_name["refresh_rollups"]["why"]
+    assert len(FR.read_manifest_compat(
+        url, storage_options=s3.to_storage_options()).fragments) == 3
+
+    report = run_maintenance(spark, url, policy, s3=s3)
+    by_name = {s["step"]: s for s in report["steps"]}
+    assert "result" in by_name["compact"]
+    assert "result" in by_name["vacuum"]
+    mf = FR.read_manifest_compat(url,
+                                 storage_options=s3.to_storage_options())
+    assert len(mf.fragments) == 1 and sum(
+        f.row_count for f in mf.fragments) == 30
+    register_lance_datasource(spark)
+    got = (spark.read.format("lance")
+           .option("s3-endpoint", f"fake://{fake_s3}").load(url))
+    assert got.count() == 30
 
 
 def test_s3_format_writer_executor_direct_both_backends(fake_s3, spark):
