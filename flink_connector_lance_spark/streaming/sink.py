@@ -28,20 +28,32 @@ def _epoch_marker(path: str, epoch_id: int) -> str:
     return os.path.join(path, EPOCHS_DIR, f"{epoch_id}.json")
 
 
-def epoch_committed(path: str, epoch_id: int) -> bool:
+def epoch_committed(path: str, epoch_id: int,
+                    storage_options: dict | None = None) -> bool:
     """True iff this epoch's rows are already in a committed version.
 
     The authoritative record is the epoch id INSIDE the manifest (written
     atomically with the version commit — no crash window); the ``_epochs``
     marker file is only a fast path that avoids walking the manifest
-    chain on the common no-redelivery case."""
-    if os.path.exists(_epoch_marker(path, epoch_id)):
+    chain on the common no-redelivery case. s3:// datasets skip the
+    marker and answer from the head manifest (an O(1) read — epoch
+    values carry forward table-level)."""
+    from ..sources.fs import is_remote
+
+    if not is_remote(path) and os.path.exists(_epoch_marker(path, epoch_id)):
         return True
-    return FR.meta_value_committed(path, EPOCH_META_KEY, epoch_id)
+    return FR.meta_value_committed(path, EPOCH_META_KEY, epoch_id,
+                                   storage_options)
 
 
 def _write_epoch_marker(path: str, epoch_id: int, version: int) -> None:
-    """Fast-path marker (the manifest meta is the authoritative record)."""
+    """Fast-path marker (the manifest meta is the authoritative record);
+    remote datasets skip it — their idempotency check is already O(1)
+    against the head manifest."""
+    from ..sources.fs import is_remote
+
+    if is_remote(path):
+        return
     os.makedirs(os.path.join(path, EPOCHS_DIR), exist_ok=True)
     marker = _epoch_marker(path, epoch_id)
     with open(marker + ".tmp", "w") as fh:
@@ -67,7 +79,9 @@ def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
     stale; the next refresh's covered-file diff catches it up — rollup
     freshness is eventually-consistent, rollup CORRECTNESS never at
     risk."""
-    if epoch_committed(path, epoch_id):
+    storage = (options.s3.to_storage_options()
+               if options is not None and options.s3 is not None else None)
+    if epoch_committed(path, epoch_id, storage):
         return None
     manifest = write_dataset(batch_df, path, mode=WriteMode.APPEND, options=options,
                              commit_meta={EPOCH_META_KEY: epoch_id})
@@ -98,7 +112,8 @@ def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
 
 
 def commit_epoch_upsert(batch_df: DataFrame, epoch_id: int, path: str, key: str,
-                        order_col: str | None = None) -> FR.Manifest | None:
+                        order_col: str | None = None,
+                        s3=None) -> FR.Manifest | None:
     """Idempotent per-epoch MERGE: upsert the micro-batch by ``key`` into
     the dataset as ONE atomic commit (sources.maintenance.merge_rows —
     copy-on-write, only affected fragments rewrite), skipping epochs
@@ -114,13 +129,18 @@ def commit_epoch_upsert(batch_df: DataFrame, epoch_id: int, path: str, key: str,
     keys in one batch are an error (merge_rows' upsert contract).
 
     The first epoch against a non-existent dataset degrades to a plain
-    append (there is nothing to merge into)."""
+    append (there is nothing to merge into).
+
+    s3:// datasets work too (pass ``s3=S3Options(...)``): the MERGE is
+    the executor-direct remote rewrite, the epoch idempotency check is
+    one head-manifest read."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
     from ..sources.maintenance import merge_rows
 
-    if epoch_committed(path, epoch_id):
+    storage = s3.to_storage_options() if s3 is not None else None
+    if epoch_committed(path, epoch_id, storage):
         return None
     b = batch_df
     if order_col is not None:
@@ -130,18 +150,19 @@ def commit_epoch_upsert(batch_df: DataFrame, epoch_id: int, path: str, key: str,
         )
         b = (b.withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") == 1).drop("__rn"))
-    if not FR.is_dataset(path):
+    if not FR.is_dataset(path, storage):
         manifest = write_dataset(b, path, mode=WriteMode.APPEND,
+                                 options=DatasetOptions(path=path, s3=s3),
                                  commit_meta={EPOCH_META_KEY: epoch_id})
     else:
         manifest = merge_rows(b.sparkSession, path, b, key,
-                              commit_meta={EPOCH_META_KEY: epoch_id})
+                              commit_meta={EPOCH_META_KEY: epoch_id}, s3=s3)
     _write_epoch_marker(path, epoch_id, manifest.version)
     return manifest
 
 
 def commit_epoch_dedup_append(batch_df: DataFrame, epoch_id: int, path: str,
-                              key: str) -> FR.Manifest | None:
+                              key: str, s3=None) -> FR.Manifest | None:
     """Idempotent-by-KEY ingestion: append only rows whose ``key`` is not
     already in the dataset (first write wins, existing rows never touched)
     — the ingestion-dedup complement to the watermarked in-flight dedup
@@ -162,17 +183,26 @@ def commit_epoch_dedup_append(batch_df: DataFrame, epoch_id: int, path: str,
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    if epoch_committed(path, epoch_id):
+    from ..sources.fs import is_remote
+
+    storage = s3.to_storage_options() if s3 is not None else None
+    if epoch_committed(path, epoch_id, storage):
         return None
     w = Window.partitionBy(key).orderBy(F.md5(F.to_json(F.struct(*batch_df.columns))))
     b = (batch_df.withColumn("__rn", F.row_number().over(w))
          .filter(F.col("__rn") == 1).drop("__rn"))
-    if FR.is_dataset(path):
-        from ..sources.reader import read_dataset
+    if FR.is_dataset(path, storage):
+        if is_remote(path):
+            from ..sources.maintenance import _remote_reader
 
-        existing = read_dataset(path=path, spark=b.sparkSession).select(key)
+            existing = _remote_reader(b.sparkSession, path, s3).select(key)
+        else:
+            from ..sources.reader import read_dataset
+
+            existing = read_dataset(path=path, spark=b.sparkSession).select(key)
         b = b.join(existing, on=key, how="left_anti")
     manifest = write_dataset(b, path, mode=WriteMode.APPEND,
+                             options=DatasetOptions(path=path, s3=s3),
                              commit_meta={EPOCH_META_KEY: epoch_id})
     _write_epoch_marker(path, epoch_id, manifest.version)
     return manifest
@@ -184,13 +214,16 @@ def stream_dedup_append_dataset(
     checkpoint_dir: str,
     key: str,
     trigger_available_now: bool = False,
+    s3=None,
 ):
     """``writeStream.foreachBatch`` first-wins ingestion wiring: each
-    micro-batch appends only never-seen keys (exactly-once epochs)."""
+    micro-batch appends only never-seen keys (exactly-once epochs);
+    ``s3=S3Options(...)`` targets an s3:// dataset."""
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda bdf, eid: commit_epoch_dedup_append(bdf, eid, path, key))
+        .foreachBatch(lambda bdf, eid: commit_epoch_dedup_append(
+            bdf, eid, path, key, s3=s3))
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
@@ -204,15 +237,19 @@ def stream_upsert_dataset(
     key: str,
     order_col: str | None = None,
     trigger_available_now: bool = False,
+    s3=None,
 ):
     """``writeStream.foreachBatch`` upsert wiring: each micro-batch MERGEs
     by ``key`` (exactly-once via the same epoch ledger as
     stream_write_dataset) — reading the dataset always shows the latest
-    row per key, with full MVCC history across epochs."""
+    row per key, with full MVCC history across epochs. Works against
+    s3:// datasets (``s3=S3Options(...)``) — the per-epoch MERGE runs
+    executor-direct."""
     writer = (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda bdf, eid: commit_epoch_upsert(bdf, eid, path, key, order_col))
+        .foreachBatch(lambda bdf, eid: commit_epoch_upsert(
+            bdf, eid, path, key, order_col, s3=s3))
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
