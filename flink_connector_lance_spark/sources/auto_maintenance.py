@@ -154,18 +154,19 @@ def run_maintenance(
         )
 
     if remote:
-        # rollups / FTS / ANN indexes are local structures beside a
-        # checkout; the remote describe reports them None (unknown) —
-        # skip with the reason on record instead of refusing the whole
-        # pass, then vacuum below (fs-plane, remote-capable)
-        for skipped in ("refresh_rollups", "refresh_fts", "refresh_indexes"):
+        # FTS / ANN indexes are local structures beside a checkout; the
+        # remote describe reports them None (unknown) — skip with the
+        # reason on record instead of refusing the whole pass. Rollups
+        # are datasets under the same key prefix, so they enumerate and
+        # refresh remotely like everything else.
+        for skipped in ("refresh_fts", "refresh_indexes"):
             report["steps"].append({
                 "step": skipped, "due": False,
-                "why": "skipped on s3://: rollup/FTS/ANN structures are "
+                "why": "skipped on s3://: FTS/ANN structures are "
                        "local-checkout constructs a remote describe "
                        "cannot enumerate"})
 
-    # 3. rollups
+    # 3. rollups (local AND remote — the state is itself a dataset)
     if p.refresh_rollups and desc.get("rollups"):
         for r in desc["rollups"]:
             step(
@@ -173,7 +174,7 @@ def run_maintenance(
                 r["pending_rows"] > 0 or r["needs_full"],
                 f"pending_rows {r['pending_rows']}, needs_full {r['needs_full']}",
                 lambda name=r["name"]: refresh_rollup(
-                    spark, path, name, vacuum_keep_versions=2),
+                    spark, path, name, vacuum_keep_versions=2, s3=s3),
             )
 
     # 3b. FTS inverted indexes (append deltas merge incrementally; a

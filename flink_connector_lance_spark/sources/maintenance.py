@@ -1778,11 +1778,13 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
     """DESCRIBE for an s3:// dataset (either backend) — manifest +
     key-listing IO only, same key shape as the local report. Versions,
     row/byte counts, schema, bloom coverage (it rides the manifest's
-    stats sidecar) and clustering staleness are all fs-plane derivable.
-    ANN/FTS indexes and rollups are genuinely LOCAL structures (built
-    and stored beside a local checkout), so a remote describe cannot
-    enumerate them: they report ``None`` (unknown) — distinct from the
-    local report's ``[]`` (checked, none present)."""
+    stats sidecar), clustering staleness, and ROLLUP staleness (the
+    state is itself a dataset under ``_rollups/`` — one listing + its
+    manifest reads) are all fs-plane derivable. ANN/FTS indexes are
+    genuinely LOCAL structures (built and stored beside a local
+    checkout), so a remote describe cannot enumerate them: they report
+    ``None`` (unknown) — distinct from the local report's ``[]``
+    (checked, none present)."""
     from . import lance_format as LF
     from .bloom import BLOOM_STATS_KEY
     from .fs import get_fs, remote_ls_names
@@ -1862,6 +1864,25 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
             size += int(fs.info(f"{data_prefix}/{f}").get("size", 0) or 0)
         except (OSError, KeyError, AttributeError):
             pass
+
+    # rollup state is itself a dataset under the same key prefix, so a
+    # remote describe CAN enumerate it (one listing + manifest reads) —
+    # unlike ANN/FTS indexes, which stay local-checkout structures
+    from .rollup import ROLLUPS_DIR, rollup_status
+
+    rollups = []
+    try:
+        r_names = sorted({n.split("/")[0] for n in
+                          remote_ls_names(fs, f"{base}/{ROLLUPS_DIR}")})
+    except (OSError, FileNotFoundError):
+        r_names = []
+    for rname in r_names:
+        try:
+            rollups.append(rollup_status(base, rname,
+                                         storage_options=storage))
+        except (ValueError, FileNotFoundError):
+            continue  # not a rollup dir (partial write, foreign key)
+
     return {
         "path": base,
         "version": version,
@@ -1877,7 +1898,7 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
         # local-only auxiliary structures: unknown remotely, not absent
         "indexes": None,
         "fts": None,
-        "rollups": None,
+        "rollups": rollups,
         "clustering": clustering,
     }
 
@@ -1892,9 +1913,10 @@ def describe_dataset(path: str, storage_options: "dict | None" = None) -> dict:
     comes from manifests, index/rollup metadata files, and directory
     listings — no Spark session, no file scans. s3:// datasets report
     the manifest/sidecar-derivable facts (versions, rows, bytes, schema,
-    bloom coverage, clustering staleness) over fsspec; ANN/FTS indexes
-    and rollups are local structures and come back ``None`` (unknown)
-    on a remote describe rather than ``[]`` (checked, none present).
+    bloom coverage, clustering staleness, rollup staleness) over fsspec;
+    ANN/FTS indexes are local structures and come back ``None``
+    (unknown) on a remote describe rather than ``[]`` (checked, none
+    present).
     """
     from .fs import is_remote
 

@@ -214,9 +214,43 @@ def _partial_state(df: DataFrame, group_cols: "list[str]", spec) -> DataFrame:
     return df.groupBy(*group_cols).agg(*_partial_exprs(spec))
 
 
+def _source_scan(spark: SparkSession, path: str, manifest: FR.Manifest,
+                 files: "list[str] | None", s3) -> DataFrame:
+    """The rollup's source scan: local datasets resolve explicit fragment
+    files against the manifest schema; s3:// datasets flow through the
+    file-attributed remote reader (``files`` — manifest-relative names —
+    prune PARTITIONS at planning time, so a delta refresh scans only the
+    added fragments remotely too)."""
+    from .fs import is_remote
+
+    if not is_remote(path):
+        paths = (FR.fragment_paths(path, manifest) if files is None
+                 else [os.path.join(path, f) for f in files])
+        return read_fragment_files(spark, manifest, paths)
+    from .maintenance import _remote_reader
+
+    if files is None:
+        return _remote_reader(spark, path, s3)
+    return (_remote_reader(spark, path, s3, file_col="__frag")
+            .filter(F.col("__frag").isin(*files)).drop("__frag"))
+
+
+def _read_state(spark: SparkSession, rp: str, s3) -> DataFrame:
+    from .fs import is_remote
+
+    if not is_remote(rp):
+        return read_dataset(spark, rp)
+    from .maintenance import _remote_reader
+
+    return _remote_reader(spark, rp, s3)
+
+
 def _commit_state(state: DataFrame, rp: str, group_cols, spec,
                   source_manifest: FR.Manifest,
-                  pre_transform: "list[str] | None" = None) -> None:
+                  pre_transform: "list[str] | None" = None,
+                  s3=None) -> None:
+    from ..options import DatasetOptions
+
     meta = {
         _META_KEY: {
             "group_cols": list(group_cols),
@@ -226,7 +260,8 @@ def _commit_state(state: DataFrame, rp: str, group_cols, spec,
             "covered_files": sorted(f.file for f in source_manifest.fragments),
         }
     }
-    write_dataset(state, rp, mode="overwrite", commit_meta=meta)
+    write_dataset(state, rp, mode="overwrite", commit_meta=meta,
+                  options=DatasetOptions(path=rp, s3=s3))
 
 
 def create_rollup(
@@ -236,6 +271,7 @@ def create_rollup(
     group_cols: "list[str]",
     aggs: dict,
     pre_transform: "list[str] | None" = None,
+    s3=None,
 ) -> dict:
     """Materialize a rollup over the table's CURRENT version.
 
@@ -247,14 +283,19 @@ def create_rollup(
     delta before aggregation (see ``_apply_transform`` — the inverted-
     index enabler). The produced columns must cover group_cols and the
     aggregate source columns.
+
+    s3:// datasets work end-to-end (``s3=S3Options(...)``): the state is
+    itself a dataset and lives under the same ``_rollups/`` key prefix —
+    materialized views ON object storage, refreshed at O(delta).
     """
     spec = _normalize_aggs(aggs)
-    m = FR.read_manifest_compat(path)
-    df = _apply_transform(
-        read_fragment_files(spark, m, FR.fragment_paths(path, m)), pre_transform)
+    storage = s3.to_storage_options() if s3 is not None else None
+    m = FR.read_manifest_compat(path, storage_options=storage)
+    df = _apply_transform(_source_scan(spark, path, m, None, s3),
+                          pre_transform)
     _missing_transform_cols(df, group_cols, spec)
     _commit_state(_partial_state(df, group_cols, spec), rollup_path(path, name),
-                  group_cols, spec, m, pre_transform)
+                  group_cols, spec, m, pre_transform, s3=s3)
     return {"name": name, "source_version": m.version,
             "covered_fragments": len(m.fragments)}
 
@@ -270,7 +311,8 @@ def _missing_transform_cols(df: DataFrame, group_cols, spec) -> None:
 
 
 def refresh_rollup(spark: SparkSession, path: str, name: str,
-                   vacuum_keep_versions: "int | None" = None) -> dict:
+                   vacuum_keep_versions: "int | None" = None,
+                   s3=None) -> dict:
     """Bring a rollup up to the table's current version.
 
     Returns ``{"mode": "noop" | "incremental" | "full", ...}`` —
@@ -287,29 +329,30 @@ def refresh_rollup(spark: SparkSession, path: str, name: str,
     full history unless they ask otherwise.
     """
     rp = rollup_path(path, name)
-    rm = FR.read_manifest(rp)
+    storage = s3.to_storage_options() if s3 is not None else None
+    rm = FR.read_manifest(rp, None, storage)
     info = rm.meta.get(_META_KEY)
     if not info:
         raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
     group_cols, spec = info["group_cols"], info["spec"]
     pre_transform = info.get("pre_transform")
-    cur = FR.read_manifest_compat(path)
+    cur = FR.read_manifest_compat(path, storage_options=storage)
     covered = set(info["covered_files"])
     cur_files = {f.file for f in cur.fragments}
     def _vacuum_state() -> None:
         if vacuum_keep_versions is not None:
             from .maintenance import vacuum_dataset
 
-            vacuum_dataset(rp, keep_versions=vacuum_keep_versions)
+            vacuum_dataset(rp, keep_versions=vacuum_keep_versions,
+                           storage_options=storage)
 
     if covered - cur_files:
         # DELETE/MERGE/compaction/overwrite rewrote covered data: partials
         # for the vanished files can't be subtracted out — recompute
-        df = _apply_transform(
-            read_fragment_files(spark, cur, FR.fragment_paths(path, cur)),
-            pre_transform)
+        df = _apply_transform(_source_scan(spark, path, cur, None, s3),
+                              pre_transform)
         _commit_state(_partial_state(df, group_cols, spec), rp, group_cols,
-                      spec, cur, pre_transform)
+                      spec, cur, pre_transform, s3=s3)
         _vacuum_state()
         return {"mode": "full", "source_version": cur.version,
                 "reason": f"{len(covered - cur_files)} covered fragment(s) rewritten"}
@@ -317,29 +360,31 @@ def refresh_rollup(spark: SparkSession, path: str, name: str,
     if not added:
         return {"mode": "noop", "source_version": info["source_version"]}
     delta = _apply_transform(
-        read_fragment_files(spark, cur, [os.path.join(path, f.file) for f in added]),
+        _source_scan(spark, path, cur, [f.file for f in added], s3),
         pre_transform)
     merged = (
-        read_dataset(spark, rp)
+        _read_state(spark, rp, s3)
         .unionByName(_partial_state(delta, group_cols, spec))
         .groupBy(*group_cols)
         .agg(*_merge_exprs(spec))
     )
-    _commit_state(merged, rp, group_cols, spec, cur, pre_transform)
+    _commit_state(merged, rp, group_cols, spec, cur, pre_transform, s3=s3)
     _vacuum_state()
     return {"mode": "incremental", "source_version": cur.version,
             "delta_fragments": len(added),
             "delta_rows": sum(f.row_count for f in added)}
 
 
-def read_rollup(spark: SparkSession, path: str, name: str) -> DataFrame:
+def read_rollup(spark: SparkSession, path: str, name: str,
+                s3=None) -> DataFrame:
     """Finalized rollup: AVG states resolve to sum/count; everything else
     reads straight from the partial state (they are their own finals)."""
     rp = rollup_path(path, name)
-    info = FR.read_manifest(rp).meta.get(_META_KEY)
+    storage = s3.to_storage_options() if s3 is not None else None
+    info = FR.read_manifest(rp, None, storage).meta.get(_META_KEY)
     if not info:
         raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
-    df = read_dataset(spark, rp)
+    df = _read_state(spark, rp, s3)
     cols = [F.col(c) for c in info["group_cols"]]
     for a in info["spec"]:
         out = a["out"]
@@ -379,14 +424,15 @@ def quantile_from_histogram(counts: "list[int]", lo: float, hi: float,
     return hi
 
 
-def rollup_status(path: str, name: str) -> dict:
+def rollup_status(path: str, name: str,
+                  storage_options: "dict | None" = None) -> dict:
     """Metadata-only staleness report (no Spark job): how far behind the
     table is this rollup, and would a refresh be incremental?"""
     rp = rollup_path(path, name)
-    info = FR.read_manifest(rp).meta.get(_META_KEY)
+    info = FR.read_manifest(rp, None, storage_options).meta.get(_META_KEY)
     if not info:
         raise ValueError(f"{rp} is not a rollup (no {_META_KEY!r} commit meta)")
-    cur = FR.read_manifest_compat(path)
+    cur = FR.read_manifest_compat(path, storage_options=storage_options)
     covered = set(info["covered_files"])
     cur_files = {f.file for f in cur.fragments}
     added = [f for f in cur.fragments if f.file not in covered]

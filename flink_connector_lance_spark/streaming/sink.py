@@ -87,15 +87,25 @@ def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
                              commit_meta={EPOCH_META_KEY: epoch_id})
     _write_epoch_marker(path, epoch_id, manifest.version)
     if refresh_rollups:
+        from ..sources.fs import is_remote
         from ..sources.rollup import ROLLUPS_DIR, refresh_rollup
 
-        r_root = os.path.join(path, ROLLUPS_DIR)
-        if os.path.isdir(r_root):
-            for name in sorted(os.listdir(r_root)):
-                # per-epoch refresher: opt into state vacuum or the
-                # rollup's version chain grows one commit per epoch
-                refresh_rollup(batch_df.sparkSession, path, name,
-                               vacuum_keep_versions=2)
+        s3 = options.s3 if options is not None else None
+        if is_remote(path):
+            from ..sources.fs import get_fs, remote_ls_names
+
+            names = sorted({n.split("/")[0] for n in remote_ls_names(
+                get_fs(path, storage),
+                f"{str(path).rstrip('/')}/{ROLLUPS_DIR}")})
+        else:
+            r_root = os.path.join(path, ROLLUPS_DIR)
+            names = (sorted(os.listdir(r_root))
+                     if os.path.isdir(r_root) else [])
+        for name in names:
+            # per-epoch refresher: opt into state vacuum or the
+            # rollup's version chain grows one commit per epoch
+            refresh_rollup(batch_df.sparkSession, path, name,
+                           vacuum_keep_versions=2, s3=s3)
     if refresh_fts:
         # same eventual-freshness contract as the rollup refresh: pure
         # epoch appends keep every FTS refresh on the incremental path

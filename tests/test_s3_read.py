@@ -852,6 +852,99 @@ def test_s3_streaming_upsert_and_dedup_append_sinks(fake_s3, spark):
         {(1, "a1"), (2, "b1"), (4, "d1")}
 
 
+def test_s3_rollups_end_to_end(fake_s3, spark):
+    """Incremental materialized rollups live ON object storage: the
+    state is a dataset under the table's own _rollups/ prefix, the
+    append delta refreshes at O(delta) through the file-attributed
+    remote reader (only the added fragments scan), the remote describe
+    enumerates rollup staleness, and run_maintenance refreshes a stale
+    remote rollup."""
+    import pyspark.sql.functions as F
+
+    from flink_connector_lance_spark.sources.auto_maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+    from flink_connector_lance_spark.sources.maintenance import describe_dataset
+    from flink_connector_lance_spark.sources.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+        rollup_status,
+    )
+
+    url = _make_remote_table(spark, fake_s3, table="rup", n=60)
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    storage = s3.to_storage_options()
+
+    create_rollup(spark, url, "by_g", ["g"],
+                  {"cnt": "count", "total": ("sum", "id")}, s3=s3)
+    got = {r.g: (r.cnt, r.total) for r in
+           read_rollup(spark, url, "by_g", s3=s3).collect()}
+    assert got == {g: (15, sum(i for i in range(60) if i % 4 == g))
+                   for g in range(4)}
+
+    # append -> stale; refresh is INCREMENTAL (delta fragments only)
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "rup")
+    write_dataset(spark.range(60, 80).selectExpr("id", "id % 4 AS g"),
+                  local, mode="append")
+    st = rollup_status(url, "by_g", storage_options=storage)
+    assert st["pending_rows"] == 20 and not st["needs_full"]
+    r = refresh_rollup(spark, url, "by_g", s3=s3)
+    assert r["mode"] == "incremental" and r["delta_rows"] == 20
+    got = {r.g: r.cnt for r in
+           read_rollup(spark, url, "by_g", s3=s3).collect()}
+    assert got == {g: 20 for g in range(4)}
+
+    # the remote describe enumerates the rollup; run_maintenance
+    # refreshes it once it goes stale again
+    write_dataset(spark.range(80, 90).selectExpr("id", "id % 4 AS g"),
+                  local, mode="append")
+    desc = describe_dataset(url, storage_options=storage)
+    assert desc["rollups"] and desc["rollups"][0]["name"] == "by_g"
+    assert desc["rollups"][0]["pending_rows"] == 10
+    # target=1 row/fragment -> nothing is a runt -> compact stays out of
+    # the way, so the rollup refresh takes the incremental path
+    report = run_maintenance(
+        spark, url,
+        MaintenancePolicy(target_rows_per_fragment=1, keep_versions=None),
+        s3=s3)
+    by_name = {s["step"]: s for s in report["steps"]}
+    assert by_name["refresh_rollup:by_g"]["due"] is True
+    assert by_name["refresh_rollup:by_g"]["result"]["mode"] == "incremental"
+    total = (read_rollup(spark, url, "by_g", s3=s3)
+             .agg(F.sum("cnt")).first()[0])
+    assert total == 90
+
+
+def test_s3_streaming_epoch_refreshes_remote_rollup(fake_s3, spark):
+    """stream_write_dataset's per-epoch materialized-view refresh works
+    on s3://: each exactly-once epoch append also incrementally refreshes
+    the remote rollup (commit_epoch lists _rollups/ through fsspec)."""
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.rollup import (
+        create_rollup,
+        read_rollup,
+    )
+    from flink_connector_lance_spark.streaming.sink import commit_epoch
+
+    url = _make_remote_table(spark, fake_s3, table="mv", n=40)
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    create_rollup(spark, url, "by_g", ["g"], {"cnt": "count"}, s3=s3)
+
+    b = spark.createDataFrame([(100 + i, i % 4) for i in range(8)],
+                              "id long, g long")
+    opts = DatasetOptions(path=url, s3=s3)
+    assert commit_epoch(b, 0, url, options=opts,
+                        refresh_rollups=True) is not None
+    # redelivered epoch: nothing twice
+    assert commit_epoch(b, 0, url, options=opts,
+                        refresh_rollups=True) is None
+    got = {r.g: r.cnt for r in
+           read_rollup(spark, url, "by_g", s3=s3).collect()}
+    assert got == {g: 12 for g in range(4)}  # 10 + 2 per group
+
+
 def test_s3_run_maintenance_orchestrates_remote_steps(fake_s3, spark):
     """run_maintenance works on s3:// datasets: compact and vacuum route
     to their executor-direct remote twins off the remote describe
@@ -875,7 +968,7 @@ def test_s3_run_maintenance_orchestrates_remote_steps(fake_s3, spark):
     dry = run_maintenance(spark, url, policy, dry_run=True, s3=s3)
     by_name = {s["step"]: s for s in dry["steps"]}
     assert by_name["compact"]["due"] is True
-    assert "skipped on s3" in by_name["refresh_rollups"]["why"]
+    assert "skipped on s3" in by_name["refresh_fts"]["why"]
     assert len(FR.read_manifest_compat(
         url, storage_options=s3.to_storage_options()).fragments) == 3
 
@@ -1034,7 +1127,10 @@ def test_s3_describe_dataset_both_backends(fake_s3, spark):
     assert rep["versions"] == [0, 1, 2] and rep["version"] == 2
     assert rep["schema_columns"] == ["g", "id"]
     assert rep["bloom"]["columns"] == ["id"]
-    assert rep["indexes"] is None and rep["rollups"] is None
+    # ANN/FTS stay local-checkout constructs (None = unknown remotely);
+    # rollups ARE enumerable remotely — [] means checked, none present
+    assert rep["indexes"] is None and rep["fts"] is None
+    assert rep["rollups"] == []
     assert rep["clustering"]["unclustered_rows"] == 10  # the tail append
 
     nurl = "s3://bucket/wh/db1/ndesc"
