@@ -154,17 +154,16 @@ def run_maintenance(
         )
 
     if remote:
-        # FTS / ANN indexes are local structures beside a checkout; the
-        # remote describe reports them None (unknown) — skip with the
-        # reason on record instead of refusing the whole pass. Rollups
-        # are datasets under the same key prefix, so they enumerate and
-        # refresh remotely like everything else.
-        for skipped in ("refresh_fts", "refresh_indexes"):
-            report["steps"].append({
-                "step": skipped, "due": False,
-                "why": "skipped on s3://: FTS/ANN structures are "
-                       "local-checkout constructs a remote describe "
-                       "cannot enumerate"})
+        # ANN indexes are local structures beside a checkout; the remote
+        # describe reports them None (unknown) — skip with the reason on
+        # record instead of refusing the whole pass. Rollups and FTS
+        # postings are datasets under the same key prefix, so they
+        # enumerate and refresh remotely like everything else.
+        report["steps"].append({
+            "step": "refresh_indexes", "due": False,
+            "why": "skipped on s3://: ANN index structures are "
+                   "local-checkout constructs a remote describe "
+                   "cannot enumerate"})
 
     # 3. rollups (local AND remote — the state is itself a dataset)
     if p.refresh_rollups and desc.get("rollups"):
@@ -187,7 +186,8 @@ def run_maintenance(
                 f"refresh_fts:{fx['column']}",
                 fx["pending_rows"] > 0 or fx["needs_full"],
                 f"pending_rows {fx['pending_rows']}, needs_full {fx['needs_full']}",
-                lambda col=fx["column"]: refresh_fts_index(spark, path, col),
+                lambda col=fx["column"]: refresh_fts_index(spark, path, col,
+                                                           s3=s3),
             )
             # 3c. postings-layout upkeep: incremental refreshes append
             # term-range-overlapping fragments; past the threshold,
@@ -197,7 +197,7 @@ def run_maintenance(
             if p.max_fts_fragments is not None:
                 idxp = fts_index_path(path, fx["column"])
                 try:
-                    im = FR.read_manifest(idxp)
+                    im = FR.read_manifest(idxp, None, storage)
                 except FileNotFoundError:
                     continue
                 nfrag = len(im.fragments)
@@ -213,6 +213,7 @@ def run_maintenance(
                     f"(threshold {p.max_fts_fragments})",
                     lambda ip=idxp, r=rows_per: {"new_version": cluster_dataset(
                         spark, ip, by=["term"], target_rows_per_fragment=r,
+                        s3=s3,
                     ).version},
                 )
 

@@ -137,7 +137,8 @@ def _delta_stats(df: DataFrame, text_col: str, id_col: str,
 
 def _commit_postings(post: DataFrame, idx_path: str, meta: dict,
                      mode: str, max_rows_per_fragment: int,
-                     expected_base_version: "int | None" = None) -> None:
+                     expected_base_version: "int | None" = None,
+                     s3=None) -> None:
     # maxRecordsPerFile splits a range partition into SEQUENTIAL sorted
     # runs, so every emitted fragment still owns a tight term range —
     # fragment count scales with posting volume without losing pruning
@@ -147,27 +148,55 @@ def _commit_postings(post: DataFrame, idx_path: str, meta: dict,
         cluster_on_write=True,
         bloom_columns=["term"],
         write_max_rows_per_file=max_rows_per_fragment,
+        s3=s3,
     )
     write_dataset(post, idx_path, mode=mode, options=opts,
                   commit_meta={_META_KEY: meta},
                   expected_base_version=expected_base_version)
 
 
+def _fts_source_scan(spark: SparkSession, path: str, manifest,
+                     files: "list[str] | None", s3) -> DataFrame:
+    """The index build/refresh corpus scan: local datasets resolve
+    explicit fragment files against the manifest schema; s3:// corpora
+    flow through the file-attributed remote reader (``files`` prune
+    PARTITIONS at planning time — a delta refresh explodes only the
+    added fragments remotely too)."""
+    from .fs import is_remote
+
+    if not is_remote(path):
+        paths = (FR.fragment_paths(path, manifest) if files is None
+                 else [os.path.join(path, f) for f in files])
+        return read_fragment_files(spark, manifest, paths)
+    from .maintenance import _remote_reader
+
+    if files is None:
+        return _remote_reader(spark, path, s3)
+    return (_remote_reader(spark, path, s3, file_col="__frag")
+            .filter(F.col("__frag").isin(*files)).drop("__frag"))
+
+
 def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_rows_per_fragment: int = 1_000_000,
                      with_positions: bool = False,
-                     analyzer: str = "whitespace") -> dict:
+                     analyzer: str = "whitespace",
+                     s3=None) -> dict:
     """Build (or rebuild) the inverted index for ``text_col``. One
     explode pass + one range shuffle; postings land term-clustered with
     term blooms. ``with_positions=True`` stores per-occurrence token
     offsets, enabling ``fts_search_phrase``; ``analyzer`` picks the
     tokenizer (see ``_analyze_col`` — queries are analyzed identically
-    at search time). Returns a summary dict."""
+    at search time). Returns a summary dict.
+
+    s3:// corpora work end-to-end (``s3=S3Options(...)``): the postings
+    dataset lives under the same ``_indexes/<col>/fts`` key prefix —
+    the continuously indexed search corpus ON object storage."""
     if analyzer not in _ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r}; one of {_ANALYZERS}")
-    m = FR.read_manifest_compat(path)
-    base = read_fragment_files(spark, m, FR.fragment_paths(path, m))
+    storage = s3.to_storage_options() if s3 is not None else None
+    m = FR.read_manifest_compat(path, storage_options=storage)
+    base = _fts_source_scan(spark, path, m, None, s3)
     n_docs, sum_dl = _delta_stats(base, text_col, id_col, analyzer)
     meta = {
         "text_col": text_col,
@@ -183,7 +212,7 @@ def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
     _commit_postings(
         _postings(base, text_col, id_col, with_positions, analyzer),
         fts_index_path(path, text_col), meta, "overwrite",
-        max_rows_per_fragment)
+        max_rows_per_fragment, s3=s3)
     return {"text_col": text_col, "n_docs": n_docs,
             "source_version": m.version,
             "covered_fragments": len(m.fragments)}
@@ -191,7 +220,7 @@ def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
 
 def refresh_fts_index(spark: SparkSession, path: str,
                       text_col: str = "text",
-                      max_retries: int = 5) -> dict:
+                      max_retries: int = 5, s3=None) -> dict:
     """Bring the index up to the table's current version — incremental
     for pure appends (explode the delta only), full rebuild when a
     covered fragment was rewritten, noop otherwise.
@@ -206,35 +235,36 @@ def refresh_fts_index(spark: SparkSession, path: str,
     covered the delta (``tests/test_fts.py`` races two refreshers)."""
     for _ in range(max_retries):
         try:
-            return _refresh_fts_once(spark, path, text_col)
+            return _refresh_fts_once(spark, path, text_col, s3)
         except FR.CommitConflict:
             continue
     raise RuntimeError(
         f"fts refresh lost the commit race {max_retries} times at {path}")
 
 
-def _refresh_fts_once(spark: SparkSession, path: str, text_col: str) -> dict:
+def _refresh_fts_once(spark: SparkSession, path: str, text_col: str,
+                      s3=None) -> dict:
     idx = fts_index_path(path, text_col)
-    idx_m = FR.read_manifest(idx)
+    storage = s3.to_storage_options() if s3 is not None else None
+    idx_m = FR.read_manifest(idx, None, storage)
     info = idx_m.meta.get(_META_KEY)
     if not info:
         raise ValueError(f"{idx} is not an fts index (no {_META_KEY!r} meta)")
     id_col = info["id_col"]
-    cur = FR.read_manifest_compat(path)
+    cur = FR.read_manifest_compat(path, storage_options=storage)
     covered = set(info["covered_files"])
     cur_files = {f.file for f in cur.fragments}
     if covered - cur_files:
         out = create_fts_index(spark, path, text_col, id_col,
                                info.get("max_rows_per_fragment", 1_000_000),
                                info.get("with_positions", False),
-                               info.get("analyzer", "whitespace"))
+                               info.get("analyzer", "whitespace"), s3=s3)
         return {"mode": "full", **out,
                 "reason": f"{len(covered - cur_files)} covered fragment(s) rewritten"}
     added = [f for f in cur.fragments if f.file not in covered]
     if not added:
         return {"mode": "noop", "source_version": info["source_version"]}
-    delta = read_fragment_files(
-        spark, cur, [os.path.join(path, f.file) for f in added])
+    delta = _fts_source_scan(spark, path, cur, [f.file for f in added], s3)
     dn, ds = _delta_stats(delta, text_col, id_col,
                           info.get("analyzer", "whitespace"))
     meta = dict(info)
@@ -248,7 +278,7 @@ def _refresh_fts_once(spark: SparkSession, path: str, text_col: str) -> dict:
         _postings(delta, text_col, id_col, info.get("with_positions", False),
                   info.get("analyzer", "whitespace")),
         idx, meta, "append", info.get("max_rows_per_fragment", 1_000_000),
-        expected_base_version=idx_m.version)
+        expected_base_version=idx_m.version, s3=s3)
     return {"mode": "incremental", "source_version": cur.version,
             "delta_fragments": len(added), "delta_docs": dn}
 
@@ -272,7 +302,8 @@ def fts_search(spark: SparkSession, path: str, query: str,
                text_col: str = "text", k: int = 10,
                k1: float = BM25_K1, b: float = BM25_B,
                match_all: bool = False,
-               max_unroll_terms: int = MAX_UNROLL_TERMS) -> DataFrame:
+               max_unroll_terms: int = MAX_UNROLL_TERMS,
+               s3=None) -> DataFrame:
     """Top-k documents by BM25, touching only the query terms' postings.
 
     Returns ``(id, bm25)`` descending (ties on id), id named after the
@@ -295,8 +326,9 @@ def fts_search(spark: SparkSession, path: str, query: str,
     if k < 0:
         raise ValueError("k must be >= 0")
     idx = fts_index_path(path, text_col)
+    storage = s3.to_storage_options() if s3 is not None else None
     try:
-        info = FR.read_manifest(idx).meta.get(_META_KEY)
+        info = FR.read_manifest(idx, None, storage).meta.get(_META_KEY)
     except FileNotFoundError:
         info = None
     if not info:
@@ -312,9 +344,12 @@ def fts_search(spark: SparkSession, path: str, query: str,
     register_lance_datasource(spark)
     # pushdown scan: term IN (...) prunes fragments via zone maps (the
     # clustered write gave them disjoint term ranges), then blooms, then
-    # parquet row groups — IO is O(matching postings)
+    # parquet row groups — IO is O(matching postings), locally or on s3
+    rd = spark.read.format("lance")
+    if s3 is not None:
+        rd = rd.options(**s3.to_option_map())
     post = (
-        spark.read.format("lance").load(idx)
+        rd.load(idx)
         .filter(F.col("term").isin(terms))
         .select("term", "id", "tf", "dl")
     )
@@ -369,7 +404,8 @@ def fts_search(spark: SparkSession, path: str, query: str,
 
 def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
                       text_col: str = "text", k: int = 10,
-                      k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+                      k1: float = BM25_K1, b: float = BM25_B,
+                      s3=None) -> DataFrame:
     """Top-k documents containing ``phrase`` as CONSECUTIVE tokens,
     ranked by BM25 over the phrase frequency.
 
@@ -391,8 +427,9 @@ def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
     if k < 0:
         raise ValueError("k must be >= 0")
     idx = fts_index_path(path, text_col)
+    storage = s3.to_storage_options() if s3 is not None else None
     try:
-        info = FR.read_manifest(idx).meta.get(_META_KEY)
+        info = FR.read_manifest(idx, None, storage).meta.get(_META_KEY)
     except FileNotFoundError:
         info = None
     if not info:
@@ -418,8 +455,11 @@ def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
     from .datasource import register_lance_datasource
 
     register_lance_datasource(spark)
+    rd = spark.read.format("lance")
+    if s3 is not None:
+        rd = rd.options(**s3.to_option_map())
     post = (
-        spark.read.format("lance").load(idx)
+        rd.load(idx)
         .filter(F.col("term").isin(list(dict.fromkeys(terms))))
         .select("term", "id", "dl", "positions")
     )

@@ -1883,6 +1883,38 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
         except (ValueError, FileNotFoundError):
             continue  # not a rollup dir (partial write, foreign key)
 
+    # FTS postings are datasets too (_indexes/<col>/fts) — staleness is
+    # manifest-derivable remotely, same covered-file bookkeeping as local
+    from ..index import INDEXES_DIR
+
+    fts_indexes = []
+    try:
+        idx_cols = sorted({n.split("/")[0] for n in
+                           remote_ls_names(fs, f"{base}/{INDEXES_DIR}")})
+    except (OSError, FileNotFoundError):
+        idx_cols = []
+    if idx_cols:
+        cur_m = FR.read_manifest_compat(base, storage_options=storage)
+        cur_files = {f.file for f in cur_m.fragments}
+        rows_by = {f.file: f.row_count for f in cur_m.fragments}
+        for column in idx_cols:
+            try:
+                info = FR.read_manifest(
+                    f"{base}/{INDEXES_DIR}/{column}/fts", None, storage
+                ).meta.get("fts")
+            except (FileNotFoundError, FR.LanceUnavailableError):
+                continue  # ANN-only column dir, or partial write
+            if info:
+                covered = set(info["covered_files"])
+                fts_indexes.append({
+                    "column": column,
+                    "built_at_version": info["source_version"],
+                    "n_docs": info["n_docs"],
+                    "pending_rows": sum(rows_by[f]
+                                        for f in cur_files - covered),
+                    "needs_full": bool(covered - cur_files),
+                })
+
     return {
         "path": base,
         "version": version,
@@ -1895,9 +1927,11 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
         "schema_columns": cols or None,
         "bloom": {"columns": sorted(bloom_cols),
                   "fragments_covered": bloom_frags} if bloom_cols else None,
-        # local-only auxiliary structures: unknown remotely, not absent
+        # ANN indexes stay local-checkout structures: unknown remotely,
+        # not absent. Rollups and FTS postings are datasets under the
+        # table's key prefix — enumerated like everything else.
         "indexes": None,
-        "fts": None,
+        "fts": fts_indexes,
         "rollups": rollups,
         "clustering": clustering,
     }

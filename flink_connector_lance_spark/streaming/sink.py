@@ -111,13 +111,30 @@ def commit_epoch(batch_df: DataFrame, epoch_id: int, path: str,
         # epoch appends keep every FTS refresh on the incremental path
         # (explode the micro-batch only), and a missed refresh is caught
         # up by the next epoch's covered-file diff
+        from ..sources.fs import is_remote
         from ..sources.fts import refresh_fts_index
 
-        idx_root = os.path.join(path, "_indexes")
-        if os.path.isdir(idx_root):
-            for col in sorted(os.listdir(idx_root)):
-                if os.path.isdir(os.path.join(idx_root, col, "fts")):
-                    refresh_fts_index(batch_df.sparkSession, path, col)
+        s3 = options.s3 if options is not None else None
+        if is_remote(path):
+            from ..sources import fragments as _FR
+            from ..sources.fs import get_fs, remote_ls_names
+
+            base = str(path).rstrip("/")
+            fs = get_fs(path, storage)
+            for col in sorted({n.split("/")[0] for n in
+                               remote_ls_names(fs, f"{base}/_indexes")}):
+                try:
+                    _FR.read_manifest(f"{base}/_indexes/{col}/fts",
+                                      None, storage)
+                except FileNotFoundError:
+                    continue
+                refresh_fts_index(batch_df.sparkSession, path, col, s3=s3)
+        else:
+            idx_root = os.path.join(path, "_indexes")
+            if os.path.isdir(idx_root):
+                for col in sorted(os.listdir(idx_root)):
+                    if os.path.isdir(os.path.join(idx_root, col, "fts")):
+                        refresh_fts_index(batch_df.sparkSession, path, col)
     return manifest
 
 

@@ -945,6 +945,70 @@ def test_s3_streaming_epoch_refreshes_remote_rollup(fake_s3, spark):
     assert got == {g: 12 for g in range(4)}  # 10 + 2 per group
 
 
+def test_s3_fts_index_end_to_end(fake_s3, spark):
+    """The FTS inverted index lives ON object storage: postings build
+    term-clustered under _indexes/<col>/fts, BM25 search IO stays
+    O(query-term postings) through the remote pushdown reader,
+    incremental refresh explodes only the appended fragments, the
+    remote describe reports staleness, and run_maintenance refreshes a
+    stale remote index — results identical to a local twin."""
+    from flink_connector_lance_spark.sources.auto_maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+    from flink_connector_lance_spark.sources.fts import (
+        create_fts_index,
+        fts_search,
+        refresh_fts_index,
+    )
+    from flink_connector_lance_spark.sources.maintenance import describe_dataset
+
+    docs = [(i, f"alpha beta doc{i}" if i % 3 == 0 else f"beta gamma doc{i}")
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    local_twin = os.path.join(fake_s3, "_local_twin")
+    write_dataset(df.coalesce(1), local_twin, mode="overwrite")
+    create_fts_index(spark, local_twin, "text")
+
+    url = "s3://bucket/wh/db1/fts"
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "fts")
+    write_dataset(df.coalesce(1), local, mode="overwrite")
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    storage = s3.to_storage_options()
+    create_fts_index(spark, url, "text", s3=s3)
+
+    want = [(r.doc_id, r.bm25) for r in
+            fts_search(spark, local_twin, "alpha beta", k=5).collect()]
+    got = [(r.doc_id, r.bm25) for r in
+           fts_search(spark, url, "alpha beta", k=5, s3=s3).collect()]
+    assert got == want and len(got) == 5
+
+    # append -> stale -> incremental refresh (delta fragments only)
+    extra = spark.createDataFrame(
+        [(100 + i, "alpha alpha special") for i in range(4)],
+        "doc_id long, text string")
+    write_dataset(extra.coalesce(1), local, mode="append")
+    desc = describe_dataset(url, storage_options=storage)
+    assert desc["fts"] and desc["fts"][0]["pending_rows"] == 4
+    r = refresh_fts_index(spark, url, "text", s3=s3)
+    assert r["mode"] == "incremental" and r["delta_docs"] == 4
+    top = fts_search(spark, url, "special", k=2, s3=s3).collect()
+    assert {row.doc_id for row in top} <= {100, 101, 102, 103}
+
+    # run_maintenance refreshes it once stale again
+    write_dataset(spark.createDataFrame([(200, "omega unique")],
+                                        "doc_id long, text string"),
+                  local, mode="append")
+    report = run_maintenance(
+        spark, url,
+        MaintenancePolicy(target_rows_per_fragment=1, keep_versions=None),
+        s3=s3)
+    by_name = {s["step"]: s for s in report["steps"]}
+    assert by_name["refresh_fts:text"]["due"] is True
+    assert by_name["refresh_fts:text"]["result"]["mode"] == "incremental"
+    assert fts_search(spark, url, "omega", k=1, s3=s3).first().doc_id == 200
+
+
 def test_s3_run_maintenance_orchestrates_remote_steps(fake_s3, spark):
     """run_maintenance works on s3:// datasets: compact and vacuum route
     to their executor-direct remote twins off the remote describe
@@ -968,7 +1032,7 @@ def test_s3_run_maintenance_orchestrates_remote_steps(fake_s3, spark):
     dry = run_maintenance(spark, url, policy, dry_run=True, s3=s3)
     by_name = {s["step"]: s for s in dry["steps"]}
     assert by_name["compact"]["due"] is True
-    assert "skipped on s3" in by_name["refresh_fts"]["why"]
+    assert "skipped on s3" in by_name["refresh_indexes"]["why"]
     assert len(FR.read_manifest_compat(
         url, storage_options=s3.to_storage_options()).fragments) == 3
 
@@ -1127,10 +1191,11 @@ def test_s3_describe_dataset_both_backends(fake_s3, spark):
     assert rep["versions"] == [0, 1, 2] and rep["version"] == 2
     assert rep["schema_columns"] == ["g", "id"]
     assert rep["bloom"]["columns"] == ["id"]
-    # ANN/FTS stay local-checkout constructs (None = unknown remotely);
-    # rollups ARE enumerable remotely — [] means checked, none present
-    assert rep["indexes"] is None and rep["fts"] is None
-    assert rep["rollups"] == []
+    # ANN indexes stay local-checkout constructs (None = unknown
+    # remotely); rollups and FTS postings ARE enumerable remotely —
+    # [] means checked, none present
+    assert rep["indexes"] is None
+    assert rep["fts"] == [] and rep["rollups"] == []
     assert rep["clustering"]["unclustered_rows"] == 10  # the tail append
 
     nurl = "s3://bucket/wh/db1/ndesc"
