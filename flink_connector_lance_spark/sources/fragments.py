@@ -375,14 +375,31 @@ def meta_value_committed(root: str, key: str, value,
             if key in m and m[key] == value:
                 return True
         return False
+    # Emulated chain: meta is per-commit (no carry-forward), but epoch
+    # values are monotonically increasing ints that are never deleted —
+    # the FIRST manifest from the head that carries the key holds the
+    # NEWEST value, so integer values answer there. That bounds the walk
+    # to the commits since the last epoch commit (a few maintenance
+    # passes at most), not O(all versions): on s3 a fresh micro-batch
+    # (always a miss) would otherwise cost one GET per chain version,
+    # growing with every committed batch. Non-integer values keep the
+    # full any-manifest-matches walk (no order to exploit).
     v = latest_version(root, storage_options)
+    newest_checked = False
     while v is not None and v >= 0:
         try:
             m = read_manifest(root, v, storage_options)
         except FileNotFoundError:
             break
-        if m.meta.get(key) == value:
-            return True
+        if key in m.meta:
+            if m.meta[key] == value:
+                return True
+            if not newest_checked:
+                newest_checked = True
+                try:
+                    return int(value) <= int(m.meta[key])
+                except (TypeError, ValueError):
+                    pass  # not monotonic ints: continue the full walk
         v -= 1
     return False
 

@@ -143,6 +143,44 @@ def test_stream_dedup_append_epochs_idempotent(spark, tmp_path):
     assert FR2.latest_version(out) == v and read_dataset(spark, out).count() == 1
 
 
+def test_epoch_miss_check_is_bounded_on_emulated_chains(spark, tmp_path):
+    """A FRESH epoch (always a miss) must not walk the whole emulated
+    manifest chain: epoch values are monotonic ints, so the first
+    manifest from the head that carries the key answers. The walk is
+    bounded by the commits since the last epoch commit — on s3 an
+    O(versions) walk would grow with every committed batch."""
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    out = str(tmp_path / "ds")
+    b = spark.createDataFrame([(1, "x", 1)], "id long, val string, seq long")
+    for e in range(6):
+        write_dataset(b, out, mode="append",
+                      commit_meta={"stream_epoch": e})
+    # two non-epoch commits on top (e.g. maintenance passes)
+    write_dataset(b, out, mode="append")
+    write_dataset(b, out, mode="append")
+
+    calls = {"n": 0}
+    real = FR.read_manifest
+
+    def counting(root, version=None, storage_options=None):
+        calls["n"] += 1
+        return real(root, version, storage_options)
+
+    FR.read_manifest = counting
+    try:
+        assert not FR.meta_value_committed(out, "stream_epoch", 6)  # fresh
+        fresh_cost = calls["n"]
+        calls["n"] = 0
+        assert FR.meta_value_committed(out, "stream_epoch", 2)  # old epoch
+        old_cost = calls["n"]
+    finally:
+        FR.read_manifest = real
+    # walk stops at the first key-bearing manifest: 2 bare commits + it
+    assert fresh_cost <= 3, f"fresh-epoch check read {fresh_cost} manifests"
+    assert old_cost <= 3, f"old-epoch check read {old_cost} manifests"
+
+
 def test_stream_upsert_order_col_ties_break_deterministically(spark, tmp_path):
     from flink_connector_lance_spark.streaming.sink import commit_epoch_upsert
 
