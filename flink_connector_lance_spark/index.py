@@ -422,7 +422,25 @@ def search_dataset(
     from .hnsw import has_hnsw_index, hnsw_search
     from .operators.knn import knn
     from .pq import has_pq_index, pq_search
+    from .sources.fs import is_remote
     from .sources.reader import read_dataset
+
+    if is_remote(path):
+        # ANN index structures are local-checkout constructs (cell
+        # partitions, codebooks, graphs); s3:// datasets serve the EXACT
+        # distributed scan — the recall baseline — through the remote
+        # pushdown reader. use_index=True has nothing to route to.
+        if use_index is True:
+            raise NotImplementedError(
+                "ANN indexes are local-checkout structures — an s3:// "
+                "dataset searches brute-force (use_index=False or None); "
+                "build and search the index against a local checkout")
+        from .sources.maintenance import _remote_reader
+
+        s3 = options.s3 if options is not None else None
+        return knn(_remote_reader(spark, path, s3), column, query, k=k,
+                   metric=metric, filter=filter, tiebreak_cols=tiebreak_cols,
+                   round_digits=round_digits)
 
     use = (has_index(path, column) or has_pq_index(path, column)
            or has_hnsw_index(path, column)) if use_index is None else use_index

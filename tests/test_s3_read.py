@@ -945,6 +945,36 @@ def test_s3_streaming_epoch_refreshes_remote_rollup(fake_s3, spark):
     assert got == {g: 12 for g in range(4)}  # 10 + 2 per group
 
 
+def test_s3_vector_search_brute_force(fake_s3, spark):
+    """search_dataset on an s3:// dataset serves the EXACT distributed
+    scan through the remote reader (identical to the local twin);
+    use_index=True refuses loudly — ANN structures are local-checkout
+    constructs."""
+    from flink_connector_lance_spark.index import search_dataset
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    local_twin = os.path.join(fake_s3, "_knn_twin")
+    write_dataset(df.coalesce(1), local_twin, mode="overwrite")
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "knn")
+    write_dataset(df.coalesce(1), local, mode="overwrite")
+    url = "s3://bucket/wh/db1/knn"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+
+    q = [1.0, 2.0]
+    want = [(r.id, r["_distance"]) for r in
+            search_dataset(spark, local_twin, "vec", q, k=5).collect()]
+    got = [(r.id, r["_distance"]) for r in
+           search_dataset(spark, url, "vec", q, k=5,
+                          options=DatasetOptions(path=url, s3=s3)).collect()]
+    assert got == want and len(got) == 5
+
+    with pytest.raises(NotImplementedError, match="local-checkout"):
+        search_dataset(spark, url, "vec", q, k=5, use_index=True,
+                       options=DatasetOptions(path=url, s3=s3))
+
+
 def test_s3_fts_index_end_to_end(fake_s3, spark):
     """The FTS inverted index lives ON object storage: postings build
     term-clustered under _indexes/<col>/fts, BM25 search IO stays
