@@ -1778,13 +1778,13 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
     """DESCRIBE for an s3:// dataset (either backend) — manifest +
     key-listing IO only, same key shape as the local report. Versions,
     row/byte counts, schema, bloom coverage (it rides the manifest's
-    stats sidecar), clustering staleness, and ROLLUP staleness (the
-    state is itself a dataset under ``_rollups/`` — one listing + its
-    manifest reads) are all fs-plane derivable. ANN/FTS indexes are
-    genuinely LOCAL structures (built and stored beside a local
-    checkout), so a remote describe cannot enumerate them: they report
-    ``None`` (unknown) — distinct from the local report's ``[]``
-    (checked, none present)."""
+    stats sidecar), clustering staleness, and ROLLUP + FTS staleness
+    (both states are themselves datasets under ``_rollups/`` /
+    ``_indexes/<col>/fts`` — one listing + manifest reads each) are all
+    fs-plane derivable. ANN indexes are genuinely LOCAL structures
+    (built and stored beside a local checkout), so a remote describe
+    cannot enumerate them: they report ``None`` (unknown) — distinct
+    from the local report's ``[]`` (checked, none present)."""
     from . import lance_format as LF
     from .bloom import BLOOM_STATS_KEY
     from .fs import get_fs, remote_ls_names
@@ -1947,8 +1947,8 @@ def describe_dataset(path: str, storage_options: "dict | None" = None) -> dict:
     comes from manifests, index/rollup metadata files, and directory
     listings — no Spark session, no file scans. s3:// datasets report
     the manifest/sidecar-derivable facts (versions, rows, bytes, schema,
-    bloom coverage, clustering staleness, rollup staleness) over fsspec;
-    ANN/FTS indexes are local structures and come back ``None``
+    bloom coverage, clustering staleness, rollup + FTS staleness) over
+    fsspec; ANN indexes are local structures and come back ``None``
     (unknown) on a remote describe rather than ``[]`` (checked, none
     present).
     """
