@@ -104,10 +104,63 @@ def _settle_window() -> tuple[float, bool]:
     return round(load, 2), polluted
 
 
+def _calibrate() -> tuple[float, float, float]:
+    """Fixed-work calibration probe (round-10 verdict, "What's wrong #2"):
+    the competing-cores flag only sees guest-visible processes, but the
+    dominant noise source is host-neighbor contention OUTSIDE the VM —
+    same-code headline totals spanned 9.1–21.5s across rounds. This probe
+    times a deterministic workload so any snapshot can be normalized with
+    evidence instead of narrative.
+
+    Returns (calib_1c, calib_32c, effective_cores):
+      calib_1c  — wall seconds for ONE unit of work on one thread.
+      calib_32c — wall seconds for N units on N threads (N =
+                  $SPARK_GRAFT_CPUS, default 32). On an idle 32-core box
+                  this ≈ calib_1c; contention inflates it linearly.
+      effective_cores — calib_1c * N / calib_32c (≈ N when idle).
+
+    The unit is sha256 over a 1 MiB buffer ×300 — hashlib releases the
+    GIL for large buffers, so the N-thread leg genuinely exercises N
+    cores. To normalize a bench series point-to-point: divide each
+    round's headline total by (its calib_32c / the series-min calib_32c).
+    """
+    import hashlib
+    import threading
+
+    buf = b"\x5a" * (1 << 20)
+    reps = 300
+
+    def unit() -> None:
+        h = hashlib.sha256()
+        for _ in range(reps):
+            h.update(buf)
+        h.digest()
+
+    unit()  # warm: page in the buffer, JIT nothing (CPython), prime caches
+    c1 = float("inf")
+    for _ in range(3):  # best-of-3, matching the bench's min semantics
+        t0 = time.perf_counter()
+        unit()
+        c1 = min(c1, time.perf_counter() - t0)
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cn = float("inf")
+    for _ in range(3):
+        threads = [threading.Thread(target=unit) for _ in range(n)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        cn = min(cn, time.perf_counter() - t0)
+    eff = round(c1 * n / cn, 1) if cn > 0 else float(n)
+    return round(c1, 3), round(cn, 3), eff
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     competing_cores, polluted = _settle_window()
+    calib_1c, calib_32c, calib_eff_cores = _calibrate()
     spark = get_spark(app_name="fcls-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = _registry.queries()
@@ -150,6 +203,11 @@ def main() -> None:
         # against the recorded same-code noise band, not point-to-point.
         "competing_cores": competing_cores,
         "polluted": polluted,
+        # fixed-work calibration (see _calibrate): normalize cross-round
+        # totals by this round's calib_32c relative to the series minimum.
+        "calib_1c": calib_1c,
+        "calib_32c": calib_32c,
+        "calib_eff_cores": calib_eff_cores,
     }))
     spark.stop()
 
