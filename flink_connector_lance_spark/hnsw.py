@@ -53,16 +53,51 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .index import INDEXES_DIR, _index_dir as _ivf_dir, has_index as has_ivf_index
+from .index import (
+    INDEXES_DIR,
+    _idx_load_remote,
+    _idx_meta_remote,
+    _idx_store_remote,
+    _index_dir as _ivf_dir,
+    _remote_subdir,
+    has_index as has_ivf_index,
+)
 from .sources import fragments as FR
 
 
 def _hnsw_dir(path: str, column: str) -> str:
+    from .sources.fs import is_remote
+
+    if is_remote(path):
+        return _remote_subdir(path, INDEXES_DIR, column, "hnsw")
     return os.path.join(path, INDEXES_DIR, column, "hnsw")
 
 
-def has_hnsw_index(path: str, column: str) -> bool:
+def has_hnsw_index(path: str, column: str,
+                   storage: dict | None = None) -> bool:
+    from .sources.fs import is_remote
+
+    if is_remote(path):
+        return _idx_meta_remote(
+            _remote_subdir(_hnsw_dir(path, column), "graph"),
+            storage) is not None
     return os.path.exists(os.path.join(_hnsw_dir(path, column), "index_meta.json"))
+
+
+def read_hnsw_meta(path: str, column: str,
+                   storage: dict | None = None) -> dict:
+    """HNSW index metadata: local JSON or (s3://) the graph dataset's
+    commit meta."""
+    from .sources.fs import is_remote
+
+    if is_remote(path):
+        meta = _idx_meta_remote(
+            _remote_subdir(_hnsw_dir(path, column), "graph"), storage)
+        if meta is None:
+            raise FileNotFoundError(f"no HNSW index on {path}:{column}")
+        return meta
+    with open(os.path.join(_hnsw_dir(path, column), "index_meta.json")) as fh:
+        return json.load(fh)
 
 
 def _node_level(node_id: int, m: int, max_level: int) -> int:
@@ -218,22 +253,33 @@ def build_hnsw_index(
     max_level: int = 7,
     metric: str = "l2",
     replace: bool = False,
+    s3=None,
 ) -> dict:
     """Build per-cell HNSW graphs over the dataset (requires the emulated
     IVF index for the cell assignment — build_index(IVF_*) first; a
     dataset without one gets a single cell). Returns the index metadata.
+    s3:// datasets build over the remote reader and persist graph/vector
+    slabs as cell-clustered engine datasets under ``_indexes/<col>/hnsw``.
 
     Reference parameter surface: ``index.m`` / ``index.ef-construction`` /
     ``index.max-level`` (ref config/LanceOptions.java:166-190)."""
+    from .sources.fs import is_remote
     from .sources.reader import read_dataset
 
-    if has_hnsw_index(path, column) and not replace:
+    remote = is_remote(path)
+    storage = s3.to_storage_options() if (remote and s3) else None
+    if has_hnsw_index(path, column, storage) and not replace:
         raise ValueError(f"HNSW index on {column!r} already exists; pass replace=True")
     if m < 2:
         raise ValueError("index.m must be >= 2")
     if ef_construction < 1 or max_level < 0:
         raise ValueError("index.ef-construction must be >= 1 and index.max-level >= 0")
-    df = read_dataset(spark, path)
+    if remote:
+        from .sources.maintenance import _remote_reader
+
+        df = _remote_reader(spark, path, s3)
+    else:
+        df = read_dataset(spark, path)
     if column not in df.columns:
         raise ValueError(f"index column {column!r} not in dataset schema {df.columns}")
     vecs = df.select(F.col(id_col).alias("__hid"),
@@ -243,10 +289,15 @@ def build_hnsw_index(
         raise ValueError("cannot index an empty dataset")
     dim = len(first[0])
 
-    if has_ivf_index(path, column):
-        assigns = spark.read.parquet(
-            os.path.join(_ivf_dir(path, column), "assignments.parquet")
-        )
+    if has_ivf_index(path, column, storage):
+        if remote:
+            assigns = _idx_load_remote(
+                spark, _remote_subdir(_ivf_dir(path, column), "assignments"),
+                s3)
+        else:
+            assigns = spark.read.parquet(
+                os.path.join(_ivf_dir(path, column), "assignments.parquet")
+            )
         ivf_id = [c for c in assigns.columns if c != "cell"][0]
         cells = vecs.join(
             assigns.select(F.col(ivf_id).alias("__hid"), "cell"), on="__hid"
@@ -276,14 +327,6 @@ def build_hnsw_index(
         schema="cell int, id long, node_level int, layer int, neighbors array<long>",
     )
     idx_dir = _hnsw_dir(path, column)
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    os.makedirs(idx_dir, exist_ok=True)
-    graph.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(idx_dir, "graph.parquet")
-    )
-    (cells.select("cell", F.col("__hid").alias("id"), F.col("__hvd").alias("vec"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(os.path.join(idx_dir, "vectors.parquet")))
     meta = {
         "index_type": "ivf_hnsw_emulated",
         "column": column,
@@ -293,8 +336,27 @@ def build_hnsw_index(
         "ef_construction": efc,
         "max_level": ml,
         "dim": dim,
-        "dataset_version": FR.latest_version(path),
+        "dataset_version": FR.latest_version(path, storage),
     }
+    vec_slab = cells.select("cell", F.col("__hid").alias("id"),
+                            F.col("__hvd").alias("vec"))
+    if remote:
+        # cell-clustered engine datasets: a probe's `cell IN (...)` prunes
+        # whole graph/vector fragments via zone maps — the remote twin of
+        # the local partitionBy static pruning. Meta rides the graph.
+        _idx_store_remote(graph, _remote_subdir(idx_dir, "graph"), s3,
+                          meta=meta, cluster_cols=["cell"],
+                          bloom_cols=["cell"])
+        _idx_store_remote(vec_slab, _remote_subdir(idx_dir, "vectors"), s3,
+                          cluster_cols=["cell"], bloom_cols=["cell"])
+        return meta
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.makedirs(idx_dir, exist_ok=True)
+    graph.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(idx_dir, "graph.parquet")
+    )
+    (vec_slab.write.mode("overwrite").partitionBy("cell")
+             .parquet(os.path.join(idx_dir, "vectors.parquet")))
     tmp = os.path.join(idx_dir, "index_meta.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -337,18 +399,21 @@ def hnsw_candidates(
     k: int = 10,
     nprobes: int | None = None,
     ef: int | None = None,
+    s3=None,
 ) -> tuple[DataFrame, dict]:
     """The skinny per-cell candidate relation (id, _hnsw_d) an
     ef-bounded traversal emits for ``query`` — at most ``max(ef, k)``
     rows per probed cell. Exposed separately so the ef/nprobes knobs
     have a directly observable effect; ``hnsw_search`` consumes it."""
     from .functions import vector as V
+    from .sources.fs import is_remote
 
-    if not has_hnsw_index(path, column):
+    remote = is_remote(path)
+    storage = s3.to_storage_options() if (remote and s3) else None
+    if not has_hnsw_index(path, column, storage):
         raise FileNotFoundError(f"no HNSW index on {path}:{column}; build_hnsw_index first")
     idx_dir = _hnsw_dir(path, column)
-    with open(os.path.join(idx_dir, "index_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = read_hnsw_meta(path, column, storage)
     q = V.validate_query_vector(query)
     if len(q) != meta["dim"]:
         raise ValueError(f"query dim {len(q)} != indexed dim {meta['dim']}")
@@ -356,16 +421,24 @@ def hnsw_candidates(
     if eff <= 0:
         raise ValueError("ef must be positive")
 
-    graph = spark.read.parquet(os.path.join(idx_dir, "graph.parquet"))
-    vecs = spark.read.parquet(os.path.join(idx_dir, "vectors.parquet"))
+    if remote:
+        graph = _idx_load_remote(spark, _remote_subdir(idx_dir, "graph"), s3)
+        vecs = _idx_load_remote(spark, _remote_subdir(idx_dir, "vectors"), s3)
+    else:
+        graph = spark.read.parquet(os.path.join(idx_dir, "graph.parquet"))
+        vecs = spark.read.parquet(os.path.join(idx_dir, "vectors.parquet"))
     if nprobes is not None:
         if nprobes <= 0:
             raise ValueError("nprobes must be positive")
-        if not has_ivf_index(path, column):
+        if not has_ivf_index(path, column, storage):
             raise FileNotFoundError(
                 f"nprobes given but no IVF index on {path}:{column}; build_index first"
             )
-        cents = spark.read.parquet(os.path.join(_ivf_dir(path, column), "centroids.parquet"))
+        if remote:
+            cents = _idx_load_remote(
+                spark, _remote_subdir(_ivf_dir(path, column), "centroids"), s3)
+        else:
+            cents = spark.read.parquet(os.path.join(_ivf_dir(path, column), "centroids.parquet"))
         chosen = [
             r.cell
             for r in cents.select("cell", V.l2_distance("centroid", q).alias("cd"))
@@ -411,6 +484,7 @@ def hnsw_search(
     tiebreak_cols: Sequence[str] = (),
     round_digits: int | None = None,
     filter=None,
+    s3=None,
 ) -> DataFrame:
     """Graph-ANN search: probe ``nprobes`` cells, traverse each cell's
     HNSW graph with an ``ef``-bounded candidate list (ref
@@ -424,10 +498,13 @@ def hnsw_search(
     (semi-join) for the final k."""
     from .functions import vector as V
     from .operators.knn import knn
+    from .sources.fs import is_remote
     from .sources.reader import read_dataset, read_fragment_files
 
+    remote = is_remote(path)
+    storage = s3.to_storage_options() if (remote and s3) else None
     cand, meta = hnsw_candidates(spark, path, column, query, k=k,
-                                 nprobes=nprobes, ef=ef)
+                                 nprobes=nprobes, ef=ef, s3=s3)
     q = V.validate_query_vector(query)
     metric = meta.get("metric", "l2")
     id_col = meta["id_col"]
@@ -438,18 +515,36 @@ def hnsw_search(
 
     from .index import split_by_index_coverage
 
-    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
-    df = read_dataset(spark, path)
+    covered, uncovered = split_by_index_coverage(
+        path, meta.get("dataset_version", 0), storage=storage,
+        relative=remote)
+    if remote:
+        from .sources.maintenance import _remote_reader
+
+        df = _remote_reader(spark, path, s3)
+    else:
+        df = read_dataset(spark, path)
     if not covered:
         survivors = df  # stale beyond recognition: exact brute force
     else:
-        m_now = FR.read_manifest_compat(path)
-        survivors = read_fragment_files(spark, m_now, covered).select(*df.columns).join(
+        if remote:
+            from .sources.maintenance import _remote_reader as _rr
+
+            def _files_scan(files):
+                return (_rr(spark, path, s3, file_col="__frag")
+                        .filter(F.col("__frag").isin(*files))
+                        .drop("__frag"))
+        else:
+            m_now = FR.read_manifest_compat(path)
+
+            def _files_scan(files):
+                return read_fragment_files(spark, m_now, files)
+        survivors = _files_scan(covered).select(*df.columns).join(
             winners, on=id_col, how="left_semi"
         )
         if uncovered:
             survivors = survivors.unionByName(
-                read_fragment_files(spark, m_now, uncovered).select(*df.columns)
+                _files_scan(uncovered).select(*df.columns)
             )
     return knn(survivors, column, q, k=k, metric=metric, filter=filter,
                tiebreak_cols=tiebreak_cols, round_digits=round_digits)

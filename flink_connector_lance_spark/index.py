@@ -36,6 +36,60 @@ from .sources import fragments as FR
 
 INDEXES_DIR = "_indexes"
 
+# Commit-meta key carrying an ANN index's metadata when the index lives
+# on object storage (the same pattern sources/fts.py uses for BM25
+# postings: the index IS a versioned engine dataset under
+# ``<dataset>/_indexes/<column>/<kind>/...``, its meta rides the
+# manifest, and reads flow through the pushdown format('lance') reader —
+# no driver-side file IO, no hadoop-aws dependency).
+_ANN_META_KEY = "ann"
+
+
+def _remote_subdir(path: str, *parts: str) -> str:
+    return "/".join([str(path).rstrip("/"), *parts])
+
+
+def _idx_store_remote(df, idx_path: str, s3, meta: dict | None = None,
+                      cluster_cols=None, bloom_cols=None) -> None:
+    """Persist one index relation as an engine dataset on object storage
+    — executor-direct fragment PUTs + one conditional-PUT commit (the
+    write_dataset s3 plane). ``cluster_cols`` range-clusters fragments so
+    a pushed equality/IN filter on them prunes whole fragments via zone
+    maps; ``meta`` rides the commit (storage-agnostic index_meta)."""
+    from .sources.writer import write_dataset
+
+    opts = DatasetOptions(
+        path=idx_path, s3=s3,
+        sort_columns=list(cluster_cols or []),
+        cluster_on_write=bool(cluster_cols),
+        bloom_columns=list(bloom_cols or []),
+    )
+    write_dataset(df, idx_path, mode="overwrite", options=opts,
+                  commit_meta={_ANN_META_KEY: meta} if meta is not None
+                  else None)
+
+
+def _idx_load_remote(spark, idx_path: str, s3):
+    """The pushdown reader over one remote index relation — filters on
+    clustered columns prune fragments at planning time (zone maps), then
+    blooms, then parquet row groups."""
+    from .sources.datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    rd = spark.read.format("lance")
+    if s3 is not None:
+        rd = rd.options(**s3.to_option_map())
+    return rd.load(idx_path)
+
+
+def _idx_meta_remote(idx_path: str, storage: dict | None) -> dict | None:
+    """The index metadata from the index dataset's commit meta, or None
+    when no index exists at that key prefix."""
+    try:
+        return FR.read_manifest(idx_path, None, storage).meta.get(_ANN_META_KEY)
+    except FileNotFoundError:
+        return None
+
 
 @dataclass
 class IndexBuildResult:
@@ -56,10 +110,20 @@ def validate_index_params(opts: DatasetOptions, column: str, schema_names: list[
 
 
 def _index_dir(path: str, column: str) -> str:
+    from .sources.fs import is_remote
+
+    if is_remote(path):
+        return _remote_subdir(path, INDEXES_DIR, column, "ivf")
     return os.path.join(path, INDEXES_DIR, column, "ivf")
 
 
-def has_index(path: str, column: str) -> bool:
+def has_index(path: str, column: str, storage: dict | None = None) -> bool:
+    from .sources.fs import is_remote
+
+    if is_remote(path):
+        return _idx_meta_remote(
+            _remote_subdir(_index_dir(path, column), "centroids"),
+            storage) is not None
     return os.path.exists(os.path.join(_index_dir(path, column), "index_meta.json"))
 
 
@@ -118,13 +182,21 @@ def lloyd_kmeans_centroids(vecs, k: int, dim: int, iterations: int):
 def _emulated_ivf_build(spark, path: str, column: str, id_col: str,
                         opts: DatasetOptions, metric: DistanceMetric,
                         replace: bool, iterations: int = 4) -> None:
+    from .sources.fs import is_remote
     from .sources.reader import read_dataset
 
+    remote = is_remote(path)
+    storage = opts.s3.to_storage_options() if (remote and opts.s3) else None
     idx_dir = _index_dir(path, column)
-    if has_index(path, column) and not replace:
+    if has_index(path, column, storage) and not replace:
         # ref LanceIndexBuilder.java:173-179 replace flag semantics
         raise ValueError(f"index on {column!r} already exists; pass replace=True")
-    df = read_dataset(spark, path)
+    if remote:
+        from .sources.maintenance import _remote_reader
+
+        df = _remote_reader(spark, path, opts.s3)
+    else:
+        df = read_dataset(spark, path)
     validate_index_params(opts, column, df.columns)
     vecs = df.select(
         F.col(id_col).alias("rid"),
@@ -139,16 +211,6 @@ def _emulated_ivf_build(spark, path: str, column: str, id_col: str,
 
     cents = lloyd_kmeans_centroids(vecs, k, dim, iterations)
     final = _assign_cells(vecs, cents, dim)
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    os.makedirs(idx_dir, exist_ok=True)
-    cents.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids.parquet"))
-    # partitionBy(cell): probing nprobes cells reads ONLY those cells'
-    # files (static partition pruning) — at scale the un-probed ~99% of
-    # the assignment index is never touched, mirroring how Lance's IVF
-    # only opens the probed partitions' row-id lists
-    final.select(F.col("rid").alias(id_col), "cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(idx_dir, "assignments.parquet"))
     meta = {
         "index_type": "ivf_flat_emulated",
         "column": column,
@@ -156,8 +218,32 @@ def _emulated_ivf_build(spark, path: str, column: str, id_col: str,
         "metric": metric.value,
         "num_partitions": k,
         "dim": dim,
-        "dataset_version": FR.latest_version(path),
+        "dataset_version": FR.latest_version(path, storage),
     }
+    assigns = final.select(F.col("rid").alias(id_col), "cell")
+    if remote:
+        # object-storage plane: both relations are engine datasets under
+        # the same _indexes/<col>/ivf prefix; the assignments cluster on
+        # `cell` so a probe's `cell IN (...)` prunes whole fragments via
+        # zone maps (the remote twin of partitionBy static pruning), with
+        # cell blooms as the second skip level. Meta rides the centroids
+        # dataset's commit — no driver-side JSON file on s3.
+        _idx_store_remote(cents, _remote_subdir(idx_dir, "centroids"),
+                          opts.s3, meta=meta)
+        _idx_store_remote(assigns, _remote_subdir(idx_dir, "assignments"),
+                          opts.s3, cluster_cols=["cell"],
+                          bloom_cols=["cell"])
+        return
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.makedirs(idx_dir, exist_ok=True)
+    cents.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids.parquet"))
+    # partitionBy(cell): probing nprobes cells reads ONLY those cells'
+    # files (static partition pruning) — at scale the un-probed ~99% of
+    # the assignment index is never touched, mirroring how Lance's IVF
+    # only opens the probed partitions' row-id lists
+    assigns.write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(idx_dir, "assignments.parquet"))
     tmp = os.path.join(idx_dir, "index_meta.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -215,7 +301,7 @@ def build_index(
                 spark, path, column, id_col=id_col,
                 m=opts.index_m, ef_construction=opts.index_ef_construction,
                 max_level=opts.index_max_level, metric=metric.value,
-                replace=replace,
+                replace=replace, s3=opts.s3,
             )
         if itype in (IndexType.IVF_PQ, IndexType.IVF_HNSW_PQ):
             # the PQ half of IVF_PQ: per-sub-space codebooks + compact codes
@@ -226,14 +312,16 @@ def build_index(
                 spark, path, column, id_col=id_col,
                 num_sub_vectors=opts.index_num_sub_vectors or 16,
                 num_bits=min(opts.index_num_bits, 8),
-                metric=metric.value, replace=replace,
+                metric=metric.value, replace=replace, s3=opts.s3,
             )
         return IndexBuildResult(True, time.perf_counter() - start, None, itype, column)
     except Exception as e:  # noqa: BLE001 - result object carries the error (ref :380-435)
         return IndexBuildResult(False, time.perf_counter() - start, str(e), itype, column)
 
 
-def split_by_index_coverage(path: str, indexed_version: int) -> tuple[list[str], list[str]]:
+def split_by_index_coverage(path: str, indexed_version: int,
+                            storage: dict | None = None,
+                            relative: bool = False) -> tuple[list[str], list[str]]:
     """Partition the CURRENT manifest's fragment files into (covered,
     uncovered) by an index built at ``indexed_version``.
 
@@ -247,12 +335,22 @@ def split_by_index_coverage(path: str, indexed_version: int) -> tuple[list[str],
 
     If the indexed version's manifest was vacuumed, every current file is
     conservatively uncovered — the search degrades to exact brute force,
-    trading speed for correctness."""
-    current = FR.read_manifest_compat(path)
+    trading speed for correctness.
+
+    ``relative=True`` returns manifest-relative file names (what the
+    remote reader's ``read.file-column`` yields) instead of local joins
+    — the s3:// twin of this split."""
+    current = FR.read_manifest_compat(path, storage_options=storage)
     try:
-        at_build = {f.file for f in FR.read_manifest_compat(path, indexed_version).fragments}
+        at_build = {f.file for f in FR.read_manifest_compat(
+            path, indexed_version, storage_options=storage).fragments}
     except FileNotFoundError:
         at_build = set()
+    if relative:
+        covered = [f.file for f in current.fragments if f.file in at_build]
+        uncovered = [f.file for f in current.fragments
+                     if f.file not in at_build]
+        return covered, uncovered
     covered = [os.path.join(path, f.file) for f in current.fragments if f.file in at_build]
     uncovered = [os.path.join(path, f.file) for f in current.fragments if f.file not in at_build]
     return covered, uncovered
@@ -279,21 +377,35 @@ def ivf_index_knn(
     (ref LanceVectorSearch.java:146-201) without the native library.
     ``ef`` bounds the scored candidate pool to the max(ef, k)
     coarse-nearest probed rows (``vector.ef``, the same contract as
-    lsh_candidate_pool / pq_search)."""
+    lsh_candidate_pool / pq_search). s3:// datasets serve the same plan
+    against the ``_indexes/`` object-storage plane: centroids/assignments
+    are engine datasets, the probe's cell filter prunes assignment
+    fragments via zone maps + blooms (nprobes-bounded GETs), and the
+    candidate fetch rides the remote pushdown reader."""
     from .functions import vector as V
     from .operators.knn import knn
+    from .sources.fs import is_remote
     from .sources.reader import read_dataset
 
-    if not has_index(path, column):
+    opts = options or DatasetOptions(path=path)
+    remote = is_remote(path)
+    storage = opts.s3.to_storage_options() if (remote and opts.s3) else None
+    if not has_index(path, column, storage):
         raise FileNotFoundError(f"no IVF index on {path}:{column}; build_index first")
     idx_dir = _index_dir(path, column)
-    with open(os.path.join(idx_dir, "index_meta.json")) as fh:
-        meta = json.load(fh)
-    opts = options or DatasetOptions(path=path)
+    if remote:
+        meta = _idx_meta_remote(_remote_subdir(idx_dir, "centroids"), storage)
+    else:
+        with open(os.path.join(idx_dir, "index_meta.json")) as fh:
+            meta = json.load(fh)
     nprobes = nprobes if nprobes is not None else opts.vector_nprobes
     q = V.validate_query_vector(query)
 
-    cents = spark.read.parquet(os.path.join(idx_dir, "centroids.parquet"))
+    if remote:
+        cents = _idx_load_remote(spark, _remote_subdir(idx_dir, "centroids"),
+                                 opts.s3)
+    else:
+        cents = spark.read.parquet(os.path.join(idx_dir, "centroids.parquet"))
     # centroid selection is driver-side over a num_partitions-row relation
     # (ref: Lance scans the centroid table in-process too); the chosen
     # cell ids are a handful of ints, so collecting them turns the probe
@@ -305,27 +417,52 @@ def ivf_index_knn(
             "cell", V.l2_distance("centroid", [float(v) for v in q]).alias("cd")
         ).orderBy("cd", "cell").limit(nprobes).collect()
     ]
-    assigns = spark.read.parquet(os.path.join(idx_dir, "assignments.parquet"))
+    if remote:
+        # cell IN (...) is PUSHED into the assignments dataset's scan —
+        # fragment zone maps (clustered write) + cell blooms skip every
+        # un-probed fragment's GET
+        assigns = _idx_load_remote(spark,
+                                   _remote_subdir(idx_dir, "assignments"),
+                                   opts.s3)
+    else:
+        assigns = spark.read.parquet(os.path.join(idx_dir, "assignments.parquet"))
     probe_ids = assigns.filter(F.col("cell").isin(chosen))
     id_col = meta["id_col"]
-    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
-    df = read_dataset(spark, path)
+    covered, uncovered = split_by_index_coverage(
+        path, meta.get("dataset_version", 0), storage=storage,
+        relative=remote)
+    if remote:
+        from .sources.maintenance import _remote_reader
+
+        df = _remote_reader(spark, path, opts.s3)
+    else:
+        df = read_dataset(spark, path)
     if not covered:
         candidates = df  # index covers nothing current: exact brute force
     else:
         # no broadcast hint: probed ids can be a few % of the dataset — far
         # too big to broadcast at 100 TB. AQE broadcasts when it IS small.
-        from .sources.reader import read_fragment_files
+        if remote:
+            def _files_scan(files):
+                return (_remote_reader(spark, path, opts.s3,
+                                       file_col="__frag")
+                        .filter(F.col("__frag").isin(*files))
+                        .drop("__frag"))
+        else:
+            from .sources.reader import read_fragment_files
 
-        m_now = FR.read_manifest_compat(path)
-        candidates = read_fragment_files(spark, m_now, covered).select(*df.columns).join(
+            m_now = FR.read_manifest_compat(path)
+
+            def _files_scan(files):
+                return read_fragment_files(spark, m_now, files)
+        candidates = _files_scan(covered).select(*df.columns).join(
             probe_ids.select(id_col), on=id_col, how="left_semi"
         )
         if uncovered:
             # unindexed tail (rows appended/rewritten since the build):
             # exact-scored in full and unioned with the probed candidates
             candidates = candidates.unionByName(
-                read_fragment_files(spark, m_now, uncovered).select(*df.columns)
+                _files_scan(uncovered).select(*df.columns)
             )
     eff = ef if ef is not None else (options.vector_ef if options is not None else None)
     if eff is not None:
@@ -356,22 +493,45 @@ def refresh_index(
     ``max_uncovered_fraction`` of the table's rows — the maintenance
     counterpart of the staleness-aware search: the tail is always
     CORRECT (exact-scanned), this bounds how much of every query pays
-    the brute-force price. Returns None when the index is fresh enough."""
+    the brute-force price. Returns None when the index is fresh enough.
+    Works against the s3:// index plane too (meta rides the index
+    datasets' manifests; the rebuild needs ``options.s3``)."""
     import json as _json
 
-    meta_p = None
-    for kind in ("hnsw", "pq", "ivf"):
-        p = os.path.join(path, INDEXES_DIR, column, kind, "index_meta.json")
-        if os.path.exists(p):
-            meta_p = p
-            break
-    if meta_p is None:
-        raise FileNotFoundError(f"no index on {path}:{column}")
-    with open(meta_p) as fh:
-        meta = _json.load(fh)
-    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
-    manifest = FR.read_manifest_compat(path)
-    rows_by_file = {os.path.join(path, f.file): f.row_count for f in manifest.fragments}
+    from .sources.fs import is_remote
+
+    remote = is_remote(path)
+    storage = (options.s3.to_storage_options()
+               if (remote and options is not None and options.s3) else None)
+    meta = None
+    if remote:
+        # meta rides the kind's primary relation (graph/codebooks/centroids)
+        for kind, rel in (("hnsw", "graph"), ("pq", "codebooks"),
+                          ("ivf", "centroids")):
+            meta = _idx_meta_remote(
+                _remote_subdir(path, INDEXES_DIR, column, kind, rel), storage)
+            if meta is not None:
+                break
+        if meta is None:
+            raise FileNotFoundError(f"no index on {path}:{column}")
+    else:
+        meta_p = None
+        for kind in ("hnsw", "pq", "ivf"):
+            p = os.path.join(path, INDEXES_DIR, column, kind, "index_meta.json")
+            if os.path.exists(p):
+                meta_p = p
+                break
+        if meta_p is None:
+            raise FileNotFoundError(f"no index on {path}:{column}")
+        with open(meta_p) as fh:
+            meta = _json.load(fh)
+    covered, uncovered = split_by_index_coverage(
+        path, meta.get("dataset_version", 0), storage=storage,
+        relative=remote)
+    manifest = FR.read_manifest_compat(path, storage_options=storage)
+    rows_by_file = {
+        (f.file if remote else os.path.join(path, f.file)): f.row_count
+        for f in manifest.fragments}
     total = sum(rows_by_file.values()) or 1
     stale = sum(rows_by_file[f] for f in uncovered)
     if stale / total <= max_uncovered_fraction:
@@ -419,55 +579,40 @@ def search_dataset(
     refine (pq.pq_search, composing IVF cell pruning when the coarse
     index coexists); IVF only → exact search in probed cells; no index →
     brute force."""
-    from .hnsw import has_hnsw_index, hnsw_search
+    from .hnsw import has_hnsw_index, hnsw_search, read_hnsw_meta
     from .operators.knn import knn
-    from .pq import has_pq_index, pq_search
+    from .pq import has_pq_index, pq_search, read_pq_meta
     from .sources.fs import is_remote
     from .sources.reader import read_dataset
 
-    if is_remote(path):
-        # ANN index structures are local-checkout constructs (cell
-        # partitions, codebooks, graphs); s3:// datasets serve the EXACT
-        # distributed scan — the recall baseline — through the remote
-        # pushdown reader. use_index=True has nothing to route to.
-        if use_index is True:
-            raise NotImplementedError(
-                "ANN indexes are local-checkout structures — an s3:// "
-                "dataset searches brute-force (use_index=False or None); "
-                "build and search the index against a local checkout")
-        from .sources.maintenance import _remote_reader
+    remote = is_remote(path)
+    s3 = options.s3 if options is not None else None
+    storage = s3.to_storage_options() if (remote and s3) else None
 
-        s3 = options.s3 if options is not None else None
-        return knn(_remote_reader(spark, path, s3), column, query, k=k,
-                   metric=metric, filter=filter, tiebreak_cols=tiebreak_cols,
-                   round_digits=round_digits)
-
-    use = (has_index(path, column) or has_pq_index(path, column)
-           or has_hnsw_index(path, column)) if use_index is None else use_index
-    if use and has_hnsw_index(path, column):
-        hnsw_dir = os.path.join(path, INDEXES_DIR, column, "hnsw")
-        with open(os.path.join(hnsw_dir, "index_meta.json")) as fh:
-            h_meta = json.load(fh)
+    use = (has_index(path, column, storage)
+           or has_pq_index(path, column, storage)
+           or has_hnsw_index(path, column, storage)) \
+        if use_index is None else use_index
+    if use and has_hnsw_index(path, column, storage):
+        h_meta = read_hnsw_meta(path, column, storage)
         if metric and h_meta.get("metric", metric) != metric:
             raise ValueError(
                 f"HNSW index on {path}:{column} was built for metric "
                 f"{h_meta['metric']!r}, not {metric!r} — rebuild or search brute-force"
             )
-        np_ = nprobes if has_index(path, column) else None
+        np_ = nprobes if has_index(path, column, storage) else None
         eff = ef if ef is not None else (options.vector_ef if options is not None else None)
         return hnsw_search(spark, path, column, query, k=k, nprobes=np_, ef=eff,
                            tiebreak_cols=tiebreak_cols, round_digits=round_digits,
-                           filter=filter)
-    if use and has_pq_index(path, column):
-        pq_dir = os.path.join(path, INDEXES_DIR, column, "pq")
-        with open(os.path.join(pq_dir, "index_meta.json")) as fh:
-            pq_meta = json.load(fh)
+                           filter=filter, s3=s3)
+    if use and has_pq_index(path, column, storage):
+        pq_meta = read_pq_meta(path, column, storage)
         if metric and pq_meta.get("metric", metric) != metric:
             raise ValueError(
                 f"PQ index on {path}:{column} was built for metric "
                 f"{pq_meta['metric']!r}, not {metric!r} — rebuild or search brute-force"
             )
-        np_ = nprobes if has_index(path, column) else None
+        np_ = nprobes if has_index(path, column, storage) else None
         refine = (options.vector_refine_factor if options is not None
                   and options.vector_refine_factor else 10)
         # vector.ef bounds the ADC candidate pool on the DataFrame path
@@ -475,11 +620,19 @@ def search_dataset(
         eff = ef if ef is not None else (options.vector_ef if options is not None else None)
         return pq_search(spark, path, column, query, k=k, refine_factor=refine,
                          nprobes=np_, ef=eff, tiebreak_cols=tiebreak_cols,
-                         round_digits=round_digits, filter=filter)
+                         round_digits=round_digits, filter=filter, s3=s3)
     if use:
+        if not has_index(path, column, storage):
+            raise FileNotFoundError(
+                f"use_index=True but no ANN index on {path}:{column}; "
+                "build_index first")
         idx_dir = _index_dir(path, column)
-        with open(os.path.join(idx_dir, "index_meta.json")) as fh:
-            meta = json.load(fh)
+        if remote:
+            meta = _idx_meta_remote(_remote_subdir(idx_dir, "centroids"),
+                                    storage)
+        else:
+            with open(os.path.join(idx_dir, "index_meta.json")) as fh:
+                meta = json.load(fh)
         if metric and meta.get("metric", metric) != metric:
             raise ValueError(
                 f"index on {path}:{column} was built for metric "
@@ -488,5 +641,11 @@ def search_dataset(
         return ivf_index_knn(spark, path, column, query, k=k, nprobes=nprobes,
                              ef=ef, options=options, tiebreak_cols=tiebreak_cols,
                              round_digits=round_digits, filter=filter)
-    return knn(read_dataset(spark, path), column, query, k=k, metric=metric,
+    if remote:
+        from .sources.maintenance import _remote_reader
+
+        base = _remote_reader(spark, path, s3)
+    else:
+        base = read_dataset(spark, path)
+    return knn(base, column, query, k=k, metric=metric,
                filter=filter, tiebreak_cols=tiebreak_cols, round_digits=round_digits)

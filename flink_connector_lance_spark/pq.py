@@ -45,16 +45,50 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .index import INDEXES_DIR, _index_dir as _ivf_dir, has_index as has_ivf_index
+from .index import (
+    INDEXES_DIR,
+    _idx_load_remote,
+    _idx_meta_remote,
+    _idx_store_remote,
+    _index_dir as _ivf_dir,
+    _remote_subdir,
+    has_index as has_ivf_index,
+)
 from .functions import vector as V
 
 
 def _pq_dir(path: str, column: str) -> str:
+    from .sources.fs import is_remote
+
+    if is_remote(path):
+        return _remote_subdir(path, INDEXES_DIR, column, "pq")
     return os.path.join(path, INDEXES_DIR, column, "pq")
 
 
-def has_pq_index(path: str, column: str) -> bool:
+def has_pq_index(path: str, column: str, storage: dict | None = None) -> bool:
+    from .sources.fs import is_remote
+
+    if is_remote(path):
+        return _idx_meta_remote(
+            _remote_subdir(_pq_dir(path, column), "codebooks"),
+            storage) is not None
     return os.path.exists(os.path.join(_pq_dir(path, column), "index_meta.json"))
+
+
+def read_pq_meta(path: str, column: str,
+                 storage: dict | None = None) -> dict:
+    """PQ index metadata: local JSON or (s3://) the codebooks dataset's
+    commit meta."""
+    from .sources.fs import is_remote
+
+    if is_remote(path):
+        meta = _idx_meta_remote(
+            _remote_subdir(_pq_dir(path, column), "codebooks"), storage)
+        if meta is None:
+            raise FileNotFoundError(f"no PQ index on {path}:{column}")
+        return meta
+    with open(os.path.join(_pq_dir(path, column), "index_meta.json")) as fh:
+        return json.load(fh)
 
 
 def _subvectors(vecs: DataFrame, m: int, subdim: int) -> DataFrame:
@@ -115,19 +149,30 @@ def build_pq_index(
     metric: str = "l2",
     iterations: int = 4,
     replace: bool = False,
+    s3=None,
 ) -> dict:
     """Train per-sub-space codebooks and encode every row; returns the
     index metadata dict. Reference parameter surface:
     ``index.num-sub-vectors`` / ``index.num-bits``
-    (ref config/LanceOptions.java:150-163)."""
+    (ref config/LanceOptions.java:150-163). s3:// datasets train over
+    the remote reader and persist codebooks/codes as engine datasets
+    under the same ``_indexes/<col>/pq`` prefix."""
     from .sources import fragments as FR
+    from .sources.fs import is_remote
     from .sources.reader import read_dataset
 
-    if has_pq_index(path, column) and not replace:
+    remote = is_remote(path)
+    storage = s3.to_storage_options() if (remote and s3) else None
+    if has_pq_index(path, column, storage) and not replace:
         raise ValueError(f"PQ index on {column!r} already exists; pass replace=True")
     if num_bits < 1 or num_bits > 8:
         raise ValueError("num_bits must be in [1, 8]")
-    df = read_dataset(spark, path)
+    if remote:
+        from .sources.maintenance import _remote_reader
+
+        df = _remote_reader(spark, path, s3)
+    else:
+        df = read_dataset(spark, path)
     if column not in df.columns:
         raise ValueError(f"index column {column!r} not in dataset schema {df.columns}")
     # repartition up front: codebook training is CPU-dense and a small
@@ -171,12 +216,6 @@ def build_pq_index(
                     lambda s: s["code"].cast("int")).alias("codes")
     )
     idx_dir = _pq_dir(path, column)
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    os.makedirs(idx_dir, exist_ok=True)
-    books.write.mode("overwrite").parquet(os.path.join(idx_dir, "codebooks.parquet"))
-    codes.select(F.col("rid").alias(id_col), "codes").write.mode("overwrite").parquet(
-        os.path.join(idx_dir, "codes.parquet")
-    )
     meta = {
         "index_type": "ivf_pq_emulated",
         "column": column,
@@ -185,8 +224,23 @@ def build_pq_index(
         "num_sub_vectors": num_sub_vectors,
         "num_bits": num_bits,
         "dim": dim,
-        "dataset_version": FR.latest_version(path),
+        "dataset_version": FR.latest_version(path, storage),
     }
+    codes_rel = codes.select(F.col("rid").alias(id_col), "codes")
+    if remote:
+        # codebooks (m*k rows, collected at search time) carry the meta;
+        # codes are the skinny full-scan ADC relation — no clustering
+        # needed, the whole point is scanning every row's m small ints
+        _idx_store_remote(books, _remote_subdir(idx_dir, "codebooks"),
+                          s3, meta=meta)
+        _idx_store_remote(codes_rel, _remote_subdir(idx_dir, "codes"), s3)
+        return meta
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.makedirs(idx_dir, exist_ok=True)
+    books.write.mode("overwrite").parquet(os.path.join(idx_dir, "codebooks.parquet"))
+    codes_rel.write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "codes.parquet")
+    )
     tmp = os.path.join(idx_dir, "index_meta.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -234,6 +288,7 @@ def pq_search(
     tiebreak_cols: Sequence[str] = (),
     round_digits: int | None = None,
     filter=None,
+    s3=None,
 ) -> DataFrame:
     """ADC search over the PQ codes + exact refine (ref refine-factor,
     config/LanceOptions.java:232-237).
@@ -248,13 +303,15 @@ def pq_search(
     IVF index, the ADC scan first prunes to the probed cells (IVF_PQ
     composition)."""
     from .operators.knn import knn
+    from .sources.fs import is_remote
     from .sources.reader import read_dataset
 
-    if not has_pq_index(path, column):
+    remote = is_remote(path)
+    storage = s3.to_storage_options() if (remote and s3) else None
+    if not has_pq_index(path, column, storage):
         raise FileNotFoundError(f"no PQ index on {path}:{column}; build_pq_index first")
     idx_dir = _pq_dir(path, column)
-    with open(os.path.join(idx_dir, "index_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = read_pq_meta(path, column, storage)
     q = V.validate_query_vector(query)
     if len(q) != meta["dim"]:
         raise ValueError(f"query dim {len(q)} != indexed dim {meta['dim']}")
@@ -262,26 +319,38 @@ def pq_search(
     subdim = meta["dim"] // m
     id_col = meta["id_col"]
 
-    books = spark.read.parquet(os.path.join(idx_dir, "codebooks.parquet")).collect()
+    if remote:
+        books = _idx_load_remote(
+            spark, _remote_subdir(idx_dir, "codebooks"), s3).collect()
+        codes = _idx_load_remote(spark, _remote_subdir(idx_dir, "codes"), s3)
+    else:
+        books = spark.read.parquet(os.path.join(idx_dir, "codebooks.parquet")).collect()
+        codes = spark.read.parquet(os.path.join(idx_dir, "codes.parquet"))
     lut = _adc_lut(books, q, m, subdim)
-    codes = spark.read.parquet(os.path.join(idx_dir, "codes.parquet"))
 
     if nprobes is not None:
         # IVF_PQ composition: restrict the ADC scan to probed cells
-        if not has_ivf_index(path, column):
+        if not has_ivf_index(path, column, storage):
             raise FileNotFoundError(
                 f"nprobes given but no IVF index on {path}:{column}; build_index first"
             )
-        cents = spark.read.parquet(os.path.join(_ivf_dir(path, column), "centroids.parquet"))
+        if remote:
+            cents = _idx_load_remote(
+                spark, _remote_subdir(_ivf_dir(path, column), "centroids"), s3)
+            assigns = _idx_load_remote(
+                spark, _remote_subdir(_ivf_dir(path, column), "assignments"),
+                s3)
+        else:
+            cents = spark.read.parquet(os.path.join(_ivf_dir(path, column), "centroids.parquet"))
+            assigns = spark.read.parquet(
+                os.path.join(_ivf_dir(path, column), "assignments.parquet")
+            )
         chosen = [
             r.cell
             for r in cents.select(
                 "cell", V.l2_distance("centroid", q).alias("cd")
             ).orderBy("cd", "cell").limit(nprobes).collect()
         ]
-        assigns = spark.read.parquet(
-            os.path.join(_ivf_dir(path, column), "assignments.parquet")
-        )
         probe_ids = assigns.filter(F.col("cell").isin(chosen)).select(id_col)
         codes = codes.join(probe_ids, on=id_col, how="left_semi")
 
@@ -305,18 +374,36 @@ def pq_search(
 
     from .index import split_by_index_coverage
 
-    covered, uncovered = split_by_index_coverage(path, meta.get("dataset_version", 0))
-    df = read_dataset(spark, path)
+    covered, uncovered = split_by_index_coverage(
+        path, meta.get("dataset_version", 0), storage=storage,
+        relative=remote)
+    if remote:
+        from .sources.maintenance import _remote_reader
+
+        df = _remote_reader(spark, path, s3)
+    else:
+        df = read_dataset(spark, path)
     if not covered:
         survivors = df  # stale beyond recognition: exact brute force
     else:
         # candidate fetch ONLY from index-covered files (an id rewritten
         # into an uncovered file would otherwise be fetched twice)
-        from .sources import fragments as FR
-        from .sources.reader import read_fragment_files
+        if remote:
+            from .sources.maintenance import _remote_reader as _rr
 
-        m_now = FR.read_manifest_compat(path)
-        survivors = read_fragment_files(spark, m_now, covered).select(*df.columns).join(
+            def _files_scan(files):
+                return (_rr(spark, path, s3, file_col="__frag")
+                        .filter(F.col("__frag").isin(*files))
+                        .drop("__frag"))
+        else:
+            from .sources import fragments as FR
+            from .sources.reader import read_fragment_files
+
+            m_now = FR.read_manifest_compat(path)
+
+            def _files_scan(files):
+                return read_fragment_files(spark, m_now, files)
+        survivors = _files_scan(covered).select(*df.columns).join(
             cand.select(id_col), on=id_col, how="left_semi"
         )
         if uncovered:
@@ -324,7 +411,7 @@ def pq_search(
             # unindexed-fraction contract — appends are searchable
             # immediately, the index just covers less until rebuilt)
             survivors = survivors.unionByName(
-                read_fragment_files(spark, m_now, uncovered).select(*df.columns)
+                _files_scan(uncovered).select(*df.columns)
             )
     return knn(survivors, column, q, k=k, metric=meta.get("metric", "l2"),
                filter=filter, tiebreak_cols=tiebreak_cols, round_digits=round_digits)

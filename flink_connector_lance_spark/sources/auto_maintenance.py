@@ -84,11 +84,11 @@ def run_maintenance(
     Works on s3:// datasets too (pass ``s3=S3Options(...)``): the
     storage-plane passes — compact (incl. tombstone materialization),
     tail-cluster, vacuum — run through their executor-direct remote
-    twins off the remote describe report. ANN/FTS indexes and rollups
-    are LOCAL structures a remote describe cannot enumerate (it reports
-    them ``None``, not ``[]``), so those refreshers are SKIPPED with a
-    reported reason rather than refused — the report stays auditable."""
+    twins off the remote describe report, and ANN/FTS indexes and
+    rollups are all datasets under the table's key prefix (the remote
+    describe enumerates them), so their refreshers run remotely too."""
     from ..index import refresh_index
+    from ..options import DatasetOptions as _DatasetOptions
     from .fs import is_remote
     from .rollup import refresh_rollup
 
@@ -153,18 +153,6 @@ def run_maintenance(
             ).version},
         )
 
-    if remote:
-        # ANN indexes are local structures beside a checkout; the remote
-        # describe reports them None (unknown) — skip with the reason on
-        # record instead of refusing the whole pass. Rollups and FTS
-        # postings are datasets under the same key prefix, so they
-        # enumerate and refresh remotely like everything else.
-        report["steps"].append({
-            "step": "refresh_indexes", "due": False,
-            "why": "skipped on s3://: ANN index structures are "
-                   "local-checkout constructs a remote describe "
-                   "cannot enumerate"})
-
     # 3. rollups (local AND remote — the state is itself a dataset)
     if p.refresh_rollups and desc.get("rollups"):
         for r in desc["rollups"]:
@@ -228,6 +216,7 @@ def run_maintenance(
                 "rebuilt": refresh_index(
                     path, col, spark=spark,
                     max_uncovered_fraction=p.max_unindexed_fraction,
+                    options=_DatasetOptions(path=path, s3=s3),
                 ) is not None
             },
         )

@@ -1809,13 +1809,10 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
     """DESCRIBE for an s3:// dataset (either backend) — manifest +
     key-listing IO only, same key shape as the local report. Versions,
     row/byte counts, schema, bloom coverage (it rides the manifest's
-    stats sidecar), clustering staleness, and ROLLUP + FTS staleness
-    (both states are themselves datasets under ``_rollups/`` /
-    ``_indexes/<col>/fts`` — one listing + manifest reads each) are all
-    fs-plane derivable. ANN indexes are genuinely LOCAL structures
-    (built and stored beside a local checkout), so a remote describe
-    cannot enumerate them: they report ``None`` (unknown) — distinct
-    from the local report's ``[]`` (checked, none present)."""
+    stats sidecar), clustering staleness, and ROLLUP + FTS + ANN
+    staleness (all three states are themselves datasets under
+    ``_rollups/`` / ``_indexes/<col>/<kind>`` — one listing + manifest
+    reads each) are all fs-plane derivable."""
     from . import lance_format as LF
     from .bloom import BLOOM_STATS_KEY
     from .fs import get_fs, remote_ls_names
@@ -1914,11 +1911,14 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
         except (ValueError, FileNotFoundError):
             continue  # not a rollup dir (partial write, foreign key)
 
-    # FTS postings are datasets too (_indexes/<col>/fts) — staleness is
-    # manifest-derivable remotely, same covered-file bookkeeping as local
-    from ..index import INDEXES_DIR
+    # FTS postings AND ANN index relations are datasets under
+    # _indexes/<col>/<kind> — staleness is manifest-derivable remotely,
+    # same covered-file bookkeeping as local (ANN meta rides the kind's
+    # primary relation's commit: graph/codebooks/centroids)
+    from ..index import INDEXES_DIR, _idx_meta_remote
 
     fts_indexes = []
+    ann_indexes = []
     try:
         idx_cols = sorted({n.split("/")[0] for n in
                            remote_ls_names(fs, f"{base}/{INDEXES_DIR}")})
@@ -1934,7 +1934,7 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
                     f"{base}/{INDEXES_DIR}/{column}/fts", None, storage
                 ).meta.get("fts")
             except (FileNotFoundError, FR.LanceUnavailableError):
-                continue  # ANN-only column dir, or partial write
+                info = None  # ANN-only column dir, or partial write
             if info:
                 covered = set(info["covered_files"])
                 fts_indexes.append({
@@ -1944,6 +1944,27 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
                     "pending_rows": sum(rows_by[f]
                                         for f in cur_files - covered),
                     "needs_full": bool(covered - cur_files),
+                })
+            for kind, rel in (("hnsw", "graph"), ("pq", "codebooks"),
+                              ("ivf", "centroids")):
+                meta = _idx_meta_remote(
+                    f"{base}/{INDEXES_DIR}/{column}/{kind}/{rel}", storage)
+                if meta is None:
+                    continue
+                built_at = meta.get("dataset_version", 0)
+                try:
+                    built_files = {f.file for f in FR.read_manifest_compat(
+                        base, built_at, storage_options=storage).fragments}
+                except (FileNotFoundError, FR.LanceUnavailableError):
+                    built_files = set()
+                stale_rows = sum(rows_by[f]
+                                 for f in cur_files - built_files)
+                ann_indexes.append({
+                    "column": column,
+                    "type": meta.get("index_type", kind),
+                    "metric": meta.get("metric"),
+                    "built_at_version": built_at,
+                    "unindexed_rows": stale_rows,
                 })
 
     return {
@@ -1958,10 +1979,9 @@ def _describe_remote(path: str, storage: "dict | None") -> dict:
         "schema_columns": cols or None,
         "bloom": {"columns": sorted(bloom_cols),
                   "fragments_covered": bloom_frags} if bloom_cols else None,
-        # ANN indexes stay local-checkout structures: unknown remotely,
-        # not absent. Rollups and FTS postings are datasets under the
-        # table's key prefix — enumerated like everything else.
-        "indexes": None,
+        # ANN/FTS/rollup structures are all datasets under the table's
+        # key prefix — a remote describe enumerates them like local
+        "indexes": ann_indexes,
         "fts": fts_indexes,
         "rollups": rollups,
         "clustering": clustering,
@@ -1977,11 +1997,9 @@ def describe_dataset(path: str, storage_options: "dict | None" = None) -> dict:
     clustering layout) are present and how stale each is. Everything
     comes from manifests, index/rollup metadata files, and directory
     listings — no Spark session, no file scans. s3:// datasets report
-    the manifest/sidecar-derivable facts (versions, rows, bytes, schema,
-    bloom coverage, clustering staleness, rollup + FTS staleness) over
-    fsspec; ANN indexes are local structures and come back ``None``
-    (unknown) on a remote describe rather than ``[]`` (checked, none
-    present).
+    the same facts over fsspec (versions, rows, bytes, schema, bloom
+    coverage, clustering staleness, rollup + FTS + ANN staleness — the
+    index states are themselves datasets under the table's key prefix).
     """
     from .fs import is_remote
 

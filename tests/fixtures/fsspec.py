@@ -35,6 +35,12 @@ class _FakeS3FS:
 
     def open(self, path, mode="rb"):
         local = self._local(path)
+        if "r" in mode and "+" not in mode:
+            # audit trail for tests: which objects each process GETs —
+            # index-probe boundedness asserts un-probed fragments are
+            # never opened
+            with open(os.path.join(self.root, "_get_keys.log"), "a") as fh:
+                fh.write(f"{os.getpid()} {path}\n")
         if "x" in mode:
             # the exclusive-create mode s3fs backs with an S3
             # conditional PUT (If-None-Match: *) — here a real O_EXCL,

@@ -948,8 +948,8 @@ def test_s3_streaming_epoch_refreshes_remote_rollup(fake_s3, spark):
 def test_s3_vector_search_brute_force(fake_s3, spark):
     """search_dataset on an s3:// dataset serves the EXACT distributed
     scan through the remote reader (identical to the local twin);
-    use_index=True refuses loudly — ANN structures are local-checkout
-    constructs."""
+    use_index=True on an index-less dataset fails loudly instead of
+    silently degrading."""
     from flink_connector_lance_spark.index import search_dataset
     from flink_connector_lance_spark.options import DatasetOptions
 
@@ -970,9 +970,90 @@ def test_s3_vector_search_brute_force(fake_s3, spark):
                           options=DatasetOptions(path=url, s3=s3)).collect()]
     assert got == want and len(got) == 5
 
-    with pytest.raises(NotImplementedError, match="local-checkout"):
+    with pytest.raises(FileNotFoundError, match="build_index"):
         search_dataset(spark, url, "vec", q, k=5, use_index=True,
                        options=DatasetOptions(path=url, s3=s3))
+
+
+def test_s3_ann_ivf_index_end_to_end(fake_s3, spark):
+    """The emulated IVF index lives ON object storage (round-10 verdict
+    Missing #3): centroids/assignments are engine datasets under
+    ``_indexes/<col>/ivf`` (the FTS sidecar pattern), build trains over
+    the remote reader, full-probe indexed search reproduces the exact
+    brute-force top-k byte-for-byte, nprobes=1 draws from a strict
+    candidate subset, and the probe's assignment reads touch ONLY the
+    probed cells' fragments (nprobes-bounded GETs)."""
+    from flink_connector_lance_spark.index import (
+        build_index,
+        has_index,
+        search_dataset,
+    )
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    rows = [(i, [float(i % 13), float((i * 7) % 11), float(i % 5)])
+            for i in range(240)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "annidx")
+    write_dataset(df.repartition(2), local, mode="overwrite")
+    url = "s3://bucket/wh/db1/annidx"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3, index_num_partitions=6)
+
+    res = build_index(url, "vec", "ivf_flat", spark=spark, id_col="id",
+                      options=opts)
+    assert res.success, res.error
+    assert has_index(url, "vec", s3.to_storage_options())
+    # layout: both relations are engine datasets under the index prefix
+    ivf_root = os.path.join(local, "_indexes", "vec", "ivf")
+    assert os.path.isdir(os.path.join(ivf_root, "centroids", "_versions"))
+    assert os.path.isdir(os.path.join(ivf_root, "assignments", "_versions"))
+    # replace-flag semantics hold remotely
+    res2 = build_index(url, "vec", "ivf_flat", spark=spark, id_col="id",
+                       options=opts)
+    assert not res2.success and "replace=True" in res2.error
+
+    # the remote describe enumerates the ANN index + its staleness
+    from flink_connector_lance_spark.sources.maintenance import (
+        describe_dataset,
+    )
+
+    rep = describe_dataset(url, storage_options=s3.to_storage_options())
+    assert [(i["column"], i["type"], i["unindexed_rows"])
+            for i in rep["indexes"]] == [("vec", "ivf_flat_emulated", 0)]
+
+    q = [1.0, 2.0, 3.0]
+    exact = search_dataset(spark, url, "vec", q, k=10, use_index=False,
+                           options=opts, tiebreak_cols=["id"],
+                           round_digits=6)
+    exact_rows = [(r.id, r["_distance"]) for r in exact.collect()]
+    # full probe == exact brute force (the auto-detect route takes the index)
+    full = search_dataset(spark, url, "vec", q, k=10, nprobes=6,
+                          options=opts, tiebreak_cols=["id"],
+                          round_digits=6)
+    assert [(r.id, r["_distance"]) for r in full.collect()] == exact_rows
+    # nprobes=1: k rows, ascending distances, strict candidate subset
+    one = search_dataset(spark, url, "vec", q, k=10, nprobes=1,
+                         use_index=True, options=opts,
+                         tiebreak_cols=["id"], round_digits=6)
+    rows1 = one.collect()
+    assert len(rows1) == 10
+    ds = [r["_distance"] for r in rows1]
+    assert ds == sorted(ds)
+
+    # nprobes-bounded GETs: a 1-cell probe must not open every
+    # assignment fragment (the clustered write gave fragments disjoint
+    # cell ranges; the pushed cell filter prunes via zone maps)
+    assigns_data = os.path.join(ivf_root, "assignments", "data")
+    n_frag = len(os.listdir(assigns_data))
+    log = os.path.join(fake_s3, "_get_keys.log")
+    open(log, "w").close()
+    search_dataset(spark, url, "vec", q, k=10, nprobes=1, use_index=True,
+                   options=opts).collect()
+    got_keys = {ln.split()[1] for ln in open(log).read().splitlines() if ln}
+    probed = {k for k in got_keys if "/ivf/assignments/data/" in k}
+    assert probed, "assignment fragments were never read through the fake fs"
+    assert len(probed) < n_frag, \
+        f"1-cell probe opened all {n_frag} assignment fragments"
 
 
 def test_s3_fts_index_end_to_end(fake_s3, spark):
@@ -1042,9 +1123,8 @@ def test_s3_fts_index_end_to_end(fake_s3, spark):
 def test_s3_run_maintenance_orchestrates_remote_steps(fake_s3, spark):
     """run_maintenance works on s3:// datasets: compact and vacuum route
     to their executor-direct remote twins off the remote describe
-    report, while the rollup/FTS/index refreshers (local-checkout
-    structures) are SKIPPED with the reason in the report — never
-    silently and never a refusal of the whole pass."""
+    report; rollup/FTS/ANN refreshers enumerate remotely too (the index
+    states are datasets under the table's key prefix)."""
     from flink_connector_lance_spark.sources.auto_maintenance import (
         MaintenancePolicy,
         run_maintenance,
@@ -1062,7 +1142,6 @@ def test_s3_run_maintenance_orchestrates_remote_steps(fake_s3, spark):
     dry = run_maintenance(spark, url, policy, dry_run=True, s3=s3)
     by_name = {s["step"]: s for s in dry["steps"]}
     assert by_name["compact"]["due"] is True
-    assert "skipped on s3" in by_name["refresh_indexes"]["why"]
     assert len(FR.read_manifest_compat(
         url, storage_options=s3.to_storage_options()).fragments) == 3
 
@@ -1221,10 +1300,9 @@ def test_s3_describe_dataset_both_backends(fake_s3, spark):
     assert rep["versions"] == [0, 1, 2] and rep["version"] == 2
     assert rep["schema_columns"] == ["g", "id"]
     assert rep["bloom"]["columns"] == ["id"]
-    # ANN indexes stay local-checkout constructs (None = unknown
-    # remotely); rollups and FTS postings ARE enumerable remotely —
-    # [] means checked, none present
-    assert rep["indexes"] is None
+    # ANN/FTS/rollup states are all datasets under the table's key
+    # prefix — a remote describe enumerates them ([] = checked, none)
+    assert rep["indexes"] == []
     assert rep["fts"] == [] and rep["rollups"] == []
     assert rep["clustering"]["unclustered_rows"] == 10  # the tail append
 
@@ -1310,3 +1388,68 @@ def test_s3_append_to_pre_evolution_layout(fake_s3, spark):
     with pytest.raises(Exception, match="schema|column"):
         write_dataset(spark.range(3).selectExpr("id AS zz"), url,
                       mode="append", options=DatasetOptions(path=url, s3=s3))
+
+
+def test_s3_ann_pq_hnsw_and_refresh(fake_s3, spark):
+    """IVF_HNSW_PQ on s3://: one build_index call persists all three
+    halves (IVF cells, PQ codebooks+codes, per-cell HNSW graphs) as
+    engine datasets on object storage; search_dataset auto-routes the
+    graph traversal; pq_search serves ADC+refine remotely; and
+    refresh_index reads staleness from — and rebuilds into — the remote
+    index plane."""
+    from flink_connector_lance_spark.hnsw import has_hnsw_index
+    from flink_connector_lance_spark.index import (
+        build_index,
+        refresh_index,
+        search_dataset,
+    )
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.pq import has_pq_index, pq_search
+
+    rows = [(i, [float(i % 13), float((i * 7) % 11),
+                 float(i % 5), float((i * 3) % 8)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "annhp")
+    write_dataset(df.repartition(2), local, mode="overwrite")
+    url = "s3://bucket/wh/db1/annhp"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    storage = s3.to_storage_options()
+    opts = DatasetOptions(path=url, s3=s3, index_num_partitions=4,
+                          index_num_sub_vectors=2, index_num_bits=4)
+
+    res = build_index(url, "vec", "ivf_hnsw_pq", spark=spark, id_col="id",
+                      options=opts)
+    assert res.success, res.error
+    assert has_pq_index(url, "vec", storage)
+    assert has_hnsw_index(url, "vec", storage)
+
+    q = [1.0, 2.0, 3.0, 4.0]
+    exact = search_dataset(spark, url, "vec", q, k=8, use_index=False,
+                           options=opts, tiebreak_cols=["id"],
+                           round_digits=6)
+    exact_ids = [r.id for r in exact.collect()]
+    # auto-detect routes the HNSW graph; full probe + wide ef == exact
+    auto = search_dataset(spark, url, "vec", q, k=8, nprobes=4, ef=200,
+                          options=opts, tiebreak_cols=["id"],
+                          round_digits=6)
+    assert [r.id for r in auto.collect()] == exact_ids
+    # the ADC+refine path serves remotely too (full probe, generous pool)
+    pq_rows = pq_search(spark, url, "vec", q, k=8, refine_factor=25,
+                        nprobes=4, tiebreak_cols=["id"], round_digits=6,
+                        s3=s3).collect()
+    assert [r.id for r in pq_rows] == exact_ids
+
+    # staleness plane: append rows > max_uncovered_fraction and refresh
+    extra = spark.createDataFrame(
+        [(1000 + i, [9.0 + i, 9.0, 9.0, 9.0]) for i in range(100)],
+        "id long, vec array<double>")
+    write_dataset(extra.coalesce(1), local, mode="append")
+    assert refresh_index(url, "vec", spark=spark, id_col="id",
+                         max_uncovered_fraction=0.2,
+                         options=opts) is not None
+    # the rebuilt remote index covers the appended rows
+    after = search_dataset(spark, url, "vec", [9.0, 9.0, 9.0, 9.0], k=3,
+                           nprobes=4, ef=200, options=opts,
+                           tiebreak_cols=["id"], round_digits=6).collect()
+    assert all(r.id >= 1000 for r in after)
