@@ -173,6 +173,12 @@ class DatasetOptions:
     # columns; see lance_format._decode_miniblock's reconstruction
     # contract). Read-side support is automatic per page.
     native_layout: str = "2.0"
+    # write.native-compression: per-chunk general-purpose compression of
+    # 2.1 mini-block VALUE streams — "none" or "zlib" (stdlib; floats
+    # additionally byte-stream-split so same-position bytes compress
+    # together). Requires native_layout='2.1-miniblock'; level streams
+    # stay flat so chunk skipping never decompresses what it skips.
+    native_compression: str = "none"
     index_type: IndexType = IndexType.IVF_PQ
     index_column: str | None = None
     index_num_partitions: int = 256
@@ -211,6 +217,15 @@ class DatasetOptions:
             raise ValueError(
                 "write.native-layout must be '2.0' or '2.1-miniblock' "
                 f"(got {self.native_layout!r})")
+        if self.native_compression not in ("none", "zlib"):
+            raise ValueError(
+                "write.native-compression must be 'none' or 'zlib' "
+                f"(got {self.native_compression!r})")
+        if self.native_compression != "none" and self.native_layout == "2.0":
+            raise ValueError(
+                "write.native-compression requires "
+                "write.native-layout=2.1-miniblock (2.0 pages are "
+                "fixture-pinned uncompressed)")
         if not (1 <= self.index_num_bits <= 16):
             raise ValueError("index.num-bits must be in [1, 16]")
         for name in ("index_num_partitions", "index_max_level", "index_m",
@@ -242,6 +257,7 @@ class DatasetOptions:
             "write.sort-by": "sort_columns",
             "write.cluster": "cluster_on_write",
             "write.native-layout": "native_layout",
+            "write.native-compression": "native_compression",
             "index.type": "index_type",
             "index.column": "index_column",
             "index.num-partitions": "index_num_partitions",

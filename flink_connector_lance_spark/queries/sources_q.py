@@ -431,17 +431,23 @@ def source_version_travel(spark, sf_dir):
     "source_format_api",
     oracle="""
     SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           CAST(NULL AS BIGINT) AS sum_opt, CAST(NULL AS BIGINT) AS lang_bytes
+           CAST(NULL AS BIGINT) AS sum_opt, CAST(NULL AS BIGINT) AS lang_bytes,
+           CAST(NULL AS BIGINT) AS extra_hash
     FROM documents WHERE n_chars > 150
     GROUP BY lang
     UNION ALL
     SELECT '__point_lookup__', count(*), CAST(sum(n_chars) AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM documents WHERE doc_id IN (1, 2, 3)
     UNION ALL
     SELECT '__native_codec__', count(*), CAST(sum(n_chars) AS BIGINT),
            CAST(sum(CASE WHEN doc_id % 14 = 0 THEN n_chars END) AS BIGINT),
-           CAST(sum(strlen(lang)) AS BIGINT)
+           CAST(sum(strlen(lang)) AS BIGINT),
+           CAST(sum(CAST(floor(doc_id / 350) AS BIGINT))
+                + CAST(sum(CAST(n_chars % 16 AS DOUBLE)) AS BIGINT)
+                + sum(CASE WHEN doc_id % 3 = 0 THEN 0
+                           WHEN doc_id % 5 = 0 THEN 0
+                           ELSE (doc_id % 5) + n_chars END) AS BIGINT)
     FROM documents WHERE doc_id % 7 = 0 AND n_chars > 100
     """,
     doc="spark.read.format('lance') / df.write.format('lance') — the "
@@ -467,7 +473,11 @@ def source_version_travel(spark, sf_dir):
         "members travel the inline-BITPACKED mini-block stream and the "
         "string member the variable-width mini-block stream, with "
         "sum(octet_length(lang)) binding the decoded string BYTES into "
-        "the hash.",
+        "the hash. Round 11: the stage also rides an RLE integer stream "
+        "(run-heavy 'bucket'), a byte-stream-split + zlib-block double "
+        "('score', write.native-compression=zlib), and a nested-repdef "
+        "list<long> page ('toks' — null/empty lists + null items on "
+        "repetition/definition streams), all bound into 'extra_hash'.",
 )
 def source_format_api(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -487,6 +497,7 @@ def source_format_api(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
         .withColumn("sum_opt", F.lit(None).cast("long"))
         .withColumn("lang_bytes", F.lit(None).cast("long"))
+        .withColumn("extra_hash", F.lit(None).cast("long"))
     )
     point = (
         spark.read.format("lance").load(path)
@@ -494,7 +505,8 @@ def source_format_api(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
         .select(F.lit("__point_lookup__").alias("lang"), "cnt", "sum_chars",
                 F.lit(None).cast("long").alias("sum_opt"),
-                F.lit(None).cast("long").alias("lang_bytes"))
+                F.lit(None).cast("long").alias("lang_bytes"),
+                F.lit(None).cast("long").alias("extra_hash"))
     )
     # REAL Lance v2 round trip (stdlib codec, no lance package): every
     # value that lands in the hash traveled through our binary encoder
@@ -514,24 +526,52 @@ def source_format_api(spark, sf_dir):
                 # hash gate covers the nullable fixed-width encoder AND
                 # decoder end-to-end
                 F.when(F.col("doc_id") % 14 == 0,
-                       F.col("n_chars")).alias("opt")),
+                       F.col("n_chars")).alias("opt"),
+                # run-heavy int64 (runs of ~50) — rides the RLE value
+                # stream ([u16 run count][values][u16 lengths] per chunk)
+                F.floor(F.col("doc_id") / 350).cast("long").alias("bucket"),
+                # small-domain double — BYTE-STREAM-SPLIT + zlib-block
+                # under write.native-compression=zlib
+                (F.col("n_chars") % 16).cast("double").alias("score"),
+                # list<long> with null lists, empty lists, and null
+                # items — rides the NESTED-REPDEF mini-block page
+                # (repetition + definition streams, placeholder slots)
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.array().cast("array<long>"))
+                .when(F.col("doc_id") % 5 == 0,
+                      F.lit(None).cast("array<long>"))
+                .otherwise(F.array(
+                    (F.col("doc_id") % 5).cast("long"),
+                    F.col("n_chars").cast("long"),
+                    F.when(F.col("n_chars") % 2 == 1,
+                           F.lit(None).cast("long"))))
+                .alias("toks")),
         npath, mode="overwrite",
         # 2.1 mini-block structural pages: doc_id/opt/m.n_chars ride the
-        # inline-bitpacked integer stream (per-chunk width word), m.lang
+        # inline-bitpacked integer stream (per-chunk width word), bucket
+        # the RLE stream, score the byte-stream-split + zlib-block
+        # stream, toks the nested-repdef list page, m.lang
         # (low-cardinality) the DICTIONARY arm — items buffer + bitpacked
         # index stream; the struct HEADER keeps its 2.0 page (per-page
         # layout mixing) while its members recurse into 2.1 — the hash
         # gate crosses every arm end-to-end
-        options=DatasetOptions(path=npath, native_layout="2.1-miniblock"))
+        options=DatasetOptions(path=npath, native_layout="2.1-miniblock",
+                               native_compression="zlib"))
+    toks_sum = F.aggregate(
+        F.coalesce(F.col("toks"), F.array().cast("array<long>")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.coalesce(v, F.lit(0).cast("long")))
     native = (
         spark.read.format("lance").load(npath)
         .filter(F.col("m.n_chars") > 100)
         .agg(F.count(F.lit(1)).alias("cnt"),
              F.sum("m.n_chars").alias("sum_chars"),
              F.sum("opt").alias("sum_opt"),
-             F.sum(F.octet_length(F.col("m.lang"))).alias("lang_bytes"))
+             F.sum(F.octet_length(F.col("m.lang"))).alias("lang_bytes"),
+             (F.sum("bucket") + F.sum("score").cast("long")
+              + F.sum(toks_sum)).alias("extra_hash"))
         .select(F.lit("__native_codec__").alias("lang"), "cnt", "sum_chars",
-                "sum_opt", "lang_bytes")
+                "sum_opt", "lang_bytes", "extra_hash")
     )
     return agg.unionByName(point).unionByName(native)
 

@@ -57,20 +57,30 @@ advance a child-item base.
 ``structural='2.1-miniblock'``): the MINI-BLOCK layout for
 fixed-width/bool columns — chunked value/definition-level streams with
 the spec's u16-per-chunk metadata words, integer value streams
-inline-BITPACKED (per-chunk width word, LSB-first) — and for
+inline-BITPACKED (per-chunk width word, LSB-first) or RLE (run-heavy
+columns: [u16 run count][values][u16 lengths] per chunk), float streams
+optionally BYTE-STREAM-SPLIT (byte planes, the parquet shape) — and for
 string/binary columns (per-chunk u32 length stream + bytes, adaptive
 power-of-two chunk counts under the 4KiB budget; LOW-CARDINALITY
 columns dictionary-encode — unique items once per page in a third
-buffer, the value stream becomes bitpacked indices); the FULL-ZIP layout
-for large variable-width values (per-item zipped [def][length][bytes]
-records — the spec's large-data-type path, auto-selected at write time
-when any value exceeds the mini-block budget); and the all-null layout.
-See the reconstruction contract at ``_decode_miniblock`` (field numbers
-and intra-chunk framing are best-effort reconstructions of the public
-spec, round-trip- and hash-gate-pinned; no 2.1 fixture exists in this
-environment). Every other 2.1 arm — FSST/RLE/byte-stream-split/
-block-compressed streams, nested repdef — raises
-``NotImplementedError`` naming the encoding, never a silent misread.
+buffer, the value stream becomes bitpacked indices); NESTED REPDEF for
+list<leaf> columns (the whole column in one structural page whose
+chunks carry [repetition][definition][values] streams — rep 1 opens a
+row, def codes distinguish valid/null item/empty list/null list; struct
+members recurse into their own structural pages); general-purpose BLOCK
+COMPRESSION of value streams (``compression='zlib'`` — stdlib; chunk
+value streams become [u32 compressed][u32 raw][deflate], level streams
+stay uncompressed so chunk skipping never inflates skipped data); the
+FULL-ZIP layout for large variable-width values (per-item zipped
+[def][length][bytes] records — the spec's large-data-type path,
+auto-selected at write time when any value exceeds the mini-block
+budget); and the all-null layout. See the reconstruction contract at
+``_decode_miniblock`` (field numbers and intra-chunk framing are
+best-effort reconstructions of the public spec, round-trip- and
+hash-gate-pinned; no 2.1 fixture exists in this environment). Every
+remaining 2.1 arm — FSST, non-zlib block codecs, repdef beyond one list
+layer — raises ``NotImplementedError`` naming the encoding, never a
+silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
 manifest's file list, mirroring sources/reader.py's native path), and
@@ -580,59 +590,102 @@ def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
 # f2 def, f3 value compression, f4 repdef layers; FullZipLayout: f3
 # value compression, f4 repdef layers; CompressiveEncoding: f1 Flat{f1
 # bits}, f2 InlineBitpacking{f1 uncompressed bits}, f3 Variable{f1
-# offset_bits}) and the chunk framing (streams in [rep][def][lengths]
+# offset_bits}, f4 Rle{f1 bits}, f5 ByteStreamSplit{f1 bits}, f6
+# Block{f1 codec, f2 inner}) and the chunk framing (streams in [rep][def][lengths]
 # [values] order, each padded to the 8-byte word boundary; bitpacked
-# chunks lead with a u64 width word; full-zip zips [def][u32 len][bytes]
-# per item in one buffer) are a best-effort reconstruction of the
-# published spec, pinned by encode->decode round-trips (hypothesis) and
-# a hash-gated query stage. MiniBlockLayout f5 carries the dictionary
-# arm — DictionaryEncoding{f1 items compression (variable), f2 item
-# count}, unique items in a third page buffer ([u32 lengths][bytes]),
-# the value stream becoming inline-bitpacked indices. Every arm this
-# reconstruction cannot justify — FSST/RLE/byte-stream-split/block
-# compression, repdef layers beyond all-valid/nullable items — REFUSES
-# by name, never misreads. A real lance-written 2.1 dataset will therefore
-# either decode or refuse loudly; silent misreads stay impossible
-# either way.
+# chunks lead with a u64 width word; RLE chunks are [u16 run count]
+# [run values at full width][u16 run lengths]; byte-stream-split chunks
+# hold width byte-planes of n bytes each; zlib-block-wrapped value
+# streams are [u32 compressed][u32 raw][deflate bytes] around the inner
+# framing; full-zip zips [def][u32 len][bytes] per item in one buffer)
+# are a best-effort reconstruction of the published spec, pinned by
+# encode->decode round-trips (hypothesis) and a hash-gated query stage.
+# MiniBlockLayout f5 carries the dictionary arm —
+# DictionaryEncoding{f1 items compression (variable), f2 item count},
+# unique items in a third page buffer ([u32 lengths][bytes]), the value
+# stream becoming inline-bitpacked indices. f1 carries the repetition
+# stream's compression and f6 the page's total leaf-slot count for
+# NESTED REPDEF list pages (repdef layers [list, item]; repetition
+# level 1 opens a row, 0 continues its list; definition codes 0/1/2/3 =
+# valid item / null item / empty list / null list, placeholder slots
+# carrying dummy values). Every arm this reconstruction cannot justify
+# — FSST, non-zlib block codecs, repdef beyond one list layer —
+# REFUSES by name, never misreads. A real lance-written 2.1 dataset
+# will therefore either decode or refuse loudly; silent misreads stay
+# impossible either way.
 
 _PAGE_LAYOUT_URL = b"/lance.encodings21.PageLayout"
 _MB_CHUNK_VALUES = 256  # power of two; 256 * 8B values + def stream < 4KiB
 _REPDEF_ALL_VALID_ITEM = 1
 _REPDEF_NULLABLE_ITEM = 2
+_REPDEF_ALL_VALID_LIST = 3
+_REPDEF_NULLABLE_LIST = 4
+# definition-level codes under a list layer (0 = valid item; higher =
+# null/empty at some layer — lance's inverted-Dremel shape where valid
+# is always 0). Placeholder slots (empty/null list) consume one slot
+# with repetition level 1 and a dummy value.
+_DEF_NULL_ITEM = 1
+_DEF_EMPTY_LIST = 2
+_DEF_NULL_LIST = 3
 
 
 def _align8(n: int) -> int:
     return (n + 7) & ~7
 
 
-def _compressive_info(raw: bytes, what: str, stream: str) -> tuple[str, int]:
-    """(scheme, bits) of one CompressiveEncoding. Reconstruction field
-    numbers (same caveat as the layout messages — documented at
+def _compressive_info(raw: bytes, what: str,
+                      stream: str) -> tuple[str, int, str | None]:
+    """(scheme, bits, codec) of one CompressiveEncoding. Reconstruction
+    field numbers (same caveat as the layout messages — documented at
     _decode_miniblock): f1 Flat{f1 bits_per_value},
     f2 InlineBitpacking{f1 uncompressed_bits_per_value} (each chunk
     leads with one u64 word holding that chunk's packed bit width),
-    f3 Variable{f1 offset_bits} (per-chunk u32 length stream + bytes).
-    Every other arm — FSST, RLE, byte-stream-split, general-purpose
-    block compression — refuses by field number."""
+    f3 Variable{f1 offset_bits} (per-chunk u32 length stream + bytes),
+    f4 Rle{f1 bits_per_value} (per-chunk [u16 run count][run values at
+    full width][u16 run lengths]), f5 ByteStreamSplit{f1 bits_per_value}
+    (the chunk's n values stored as bits/8 byte planes — all byte-0s,
+    then all byte-1s, ... — the parquet BYTE_STREAM_SPLIT shape that
+    makes same-position bytes adjacent for a general-purpose
+    compressor), f6 Block{f1 codec name, f2 inner CompressiveEncoding}
+    (the chunk's value stream is [u32 compressed size][u32 raw size]
+    [codec bytes] around the inner framing; only 'zlib' — stdlib —
+    decodes). FSST refuses by field number."""
     m = _pb_fields(raw)
     if 1 in m:
-        return "flat", _one(_pb_fields(_one(m, 1, b"")), 1, 0)
+        return "flat", _one(_pb_fields(_one(m, 1, b"")), 1, 0), None
     if 2 in m:
-        return "bitpack", _one(_pb_fields(_one(m, 2, b"")), 1, 0)
+        return "bitpack", _one(_pb_fields(_one(m, 2, b"")), 1, 0), None
     if 3 in m:
-        return "variable", _one(_pb_fields(_one(m, 3, b"")), 1, 0)
+        return "variable", _one(_pb_fields(_one(m, 3, b"")), 1, 0), None
+    if 4 in m:
+        return "rle", _one(_pb_fields(_one(m, 4, b"")), 1, 0), None
+    if 5 in m:
+        return "bss", _one(_pb_fields(_one(m, 5, b"")), 1, 0), None
+    if 6 in m:
+        blk = _pb_fields(_one(m, 6, b""))
+        codec = _one(blk, 1, b"").decode("utf-8", "replace")
+        if codec != "zlib":
+            raise NotImplementedError(
+                f"{what}: mini-block {stream} stream block-compressed "
+                f"with codec {codec!r} — only 'zlib' (stdlib) decodes")
+        scheme, bits, inner_codec = _compressive_info(
+            _one(blk, 2, b""), what, stream)
+        if inner_codec is not None:
+            raise NotImplementedError(
+                f"{what}: nested block compression on the {stream} stream")
+        return scheme, bits, codec
     raise NotImplementedError(
         f"{what}: mini-block {stream} stream uses compression scheme "
         f"(fields {sorted(m)}) — only Flat / InlineBitpacking / "
-        "Variable streams decode; re-write the dataset without "
-        "compression")
+        "Variable / Rle / ByteStreamSplit / zlib-Block streams decode; "
+        "re-write the dataset without compression")
 
 
 def _compressive_bits(raw: bytes, what: str, stream: str) -> int:
     """bits_per_value of one CompressiveEncoding that must be
     uncompressed Flat (definition/repetition streams)."""
-    scheme, bits = _compressive_info(raw, what, stream)
-    if scheme != "flat":
+    scheme, bits, codec = _compressive_info(raw, what, stream)
+    if scheme != "flat" or codec is not None:
         raise NotImplementedError(
             f"{what}: mini-block {stream} stream uses compression scheme "
             f"({scheme}) — only uncompressed Flat level streams decode")
@@ -691,20 +744,33 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
         raise NotImplementedError(
             f"{what}: unknown 2.1 page layout (fields {sorted(layout)})")
     mb = _pb_fields(_one(layout, 1, b""))
-    if 1 in mb:  # repetition stream -> list nesting
-        raise NotImplementedError(
-            f"{what}: mini-block page with repetition levels (nested "
-            "lists) is not implemented")
-    if 6 in mb:
-        raise NotImplementedError(
-            f"{what}: mini-block page with field-6 metadata is not "
-            "implemented")
     layers = _repdef_layers(mb)
-    if any(l not in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)
-           for l in layers) or len(layers) > 1:
+    has_rep = 1 in mb
+    item_layers = [l for l in layers
+                   if l in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)]
+    list_layers = [l for l in layers
+                   if l in (_REPDEF_ALL_VALID_LIST, _REPDEF_NULLABLE_LIST)]
+    if (len(item_layers) != 1 or len(list_layers) > 1
+            or len(layers) != len(item_layers) + len(list_layers)
+            or bool(list_layers) != has_rep):
         raise NotImplementedError(
-            f"{what}: mini-block repdef layers {layers} — only a single "
-            "all-valid or nullable item layer decodes")
+            f"{what}: mini-block repdef layers {layers} — only an item "
+            "layer, optionally under ONE list layer (with a repetition "
+            "stream), decodes")
+    num_slots = _one(mb, 6, None)
+    if has_rep:
+        rep_bits = _compressive_bits(_one(mb, 1, b""), what, "repetition")
+        if rep_bits not in (0, 16):
+            raise NotImplementedError(
+                f"{what}: repetition levels with bits_per_value={rep_bits}")
+        if num_slots is None:
+            raise NotImplementedError(
+                f"{what}: repetition mini-block without the f6 leaf-slot "
+                "count")
+    elif num_slots is not None:
+        raise NotImplementedError(
+            f"{what}: mini-block page with field-6 metadata but no "
+            "repetition stream")
     has_def = 2 in mb
     if has_def:
         def_bits = _compressive_bits(_one(mb, 2, b""), what, "definition")
@@ -714,7 +780,8 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
     is_bool = lt == "bool"
     is_var = lt in ("string", "large_string", "binary", "large_binary")
     is_text = lt in ("string", "large_string")
-    scheme, val_bits = _compressive_info(_one(mb, 3, b""), what, "value")
+    scheme, val_bits, codec = _compressive_info(_one(mb, 3, b""), what,
+                                                "value")
     fmt = width = None
     dict_items = None
     if 5 in mb:  # DictionaryEncoding{f1 items compression, f2 num items}
@@ -723,13 +790,14 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
                 f"{what}: dictionary mini-block on a non-variable-width "
                 "column is not implemented")
         dmsg = _pb_fields(_one(mb, 5, b""))
-        dscheme, dbits = _compressive_info(_one(dmsg, 1, b""), what,
-                                           "dictionary")
-        if dscheme != "variable" or dbits not in (0, 32):
+        dscheme, dbits, dcodec = _compressive_info(_one(dmsg, 1, b""), what,
+                                                   "dictionary")
+        if dscheme != "variable" or dbits not in (0, 32) or dcodec:
             raise NotImplementedError(
                 f"{what}: dictionary items with {dscheme} offset_bits="
-                f"{dbits} — only u32-length variable items decode")
-        if scheme != "bitpack" or val_bits not in (0, 32):
+                f"{dbits} — only uncompressed u32-length variable items "
+                "decode")
+        if scheme != "bitpack" or val_bits not in (0, 32) or codec:
             raise NotImplementedError(
                 f"{what}: dictionary indices with {scheme} bits="
                 f"{val_bits} — only inline-bitpacked u32 indices decode")
@@ -763,11 +831,15 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
             pass
         elif scheme == "bitpack" and val_bits == width * 8 and fmt not in "fd":
             pass
+        elif scheme == "rle" and val_bits in (0, width * 8):
+            pass
+        elif scheme == "bss" and val_bits in (0, width * 8):
+            pass
         else:
             raise NotImplementedError(
                 f"{what}: mini-block values with {scheme} bits_per_value="
-                f"{val_bits} — only flat or inline-bitpacked "
-                "(integer) values decode")
+                f"{val_bits} — only flat / inline-bitpacked (integer) / "
+                "RLE / byte-stream-split values decode")
     if dict_items is None and len(page.buf_pos) != 2:
         raise NotImplementedError(
             f"{what}: mini-block page with {len(page.buf_pos)} buffers "
@@ -779,67 +851,144 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
     signed_fmt = fmt in ("b", "h", "i", "q") if fmt else False
     type_bits = (width or 0) * 8
     out: list = []
-    remaining = page.length
+    slot_reps: list = []
+    slot_defs: list = []
+    slot_vals: list = []
+    remaining = num_slots if has_rep else page.length
     off = 0
     for ci, word in enumerate(words):
         n = remaining if ci == n_chunks - 1 else min(1 << (word & 0xF),
                                                      remaining)
         chunk_bytes = (word >> 4) * 8
         p = off
-        valid = None
+        reps = None
+        if has_rep:
+            reps = struct.unpack_from(f"<{n}H", data, p)
+            p = _align8(p + 2 * n)
+        valid = defs = None
         if has_def:
             defs = struct.unpack_from(f"<{n}H", data, p)
             p = _align8(p + 2 * n)
             valid = [d == 0 for d in defs]
+        # the value stream: optionally zlib-wrapped as
+        # [u32 compressed][u32 raw][deflate bytes] around the inner
+        # framing — the level streams above stay uncompressed so chunk
+        # skipping never inflates what it skips
+        vsrc, vp = data, p
+        if codec == "zlib":
+            import zlib
+
+            comp_len, raw_len = struct.unpack_from("<II", data, p)
+            vsrc = zlib.decompress(data[p + 8:p + 8 + comp_len])
+            if len(vsrc) != raw_len:
+                raise ValueError(f"{what}: zlib chunk raw-size mismatch")
+            vp = 0
         if is_bool:
-            packed = data[p:p + (n + 7) // 8]
+            packed = vsrc[vp:vp + (n + 7) // 8]
             vals = [bool(packed[i >> 3] >> (i & 7) & 1) for i in range(n)]
         elif dict_items is not None:
             # indices ride the inline-bitpacked stream; null slots pack
             # index 0 and are masked by the definition levels after
-            cw = struct.unpack_from("<Q", data, p)[0]
-            p += 8
+            cw = struct.unpack_from("<Q", vsrc, vp)[0]
+            vp += 8
             if not 1 <= cw <= 32:
                 raise NotImplementedError(
                     f"{what}: dictionary index width {cw} outside 1..32")
             vals = [dict_items[v]
-                    for v in _unpack_bits_le(data, p, n, cw)]
+                    for v in _unpack_bits_le(vsrc, vp, n, cw)]
         elif is_var:
-            lens = struct.unpack_from(f"<{n}I", data, p)
-            p = _align8(p + 4 * n)
+            lens = struct.unpack_from(f"<{n}I", vsrc, vp)
+            vp = _align8(vp + 4 * n)
             vals = []
             for ln in lens:
-                piece = data[p:p + ln]
+                piece = vsrc[vp:vp + ln]
                 vals.append(piece.decode("utf-8") if is_text else piece)
-                p += ln
+                vp += ln
         elif scheme == "bitpack":
             # chunk leads with one u64 word = this chunk's packed width;
             # width == the type's full bits means raw two's complement
             # (the writer packs full-width only when negatives exist)
-            cw = struct.unpack_from("<Q", data, p)[0]
-            p += 8
+            cw = struct.unpack_from("<Q", vsrc, vp)[0]
+            vp += 8
             if not 1 <= cw <= type_bits:
                 raise NotImplementedError(
                     f"{what}: bitpacked chunk width {cw} outside "
                     f"1..{type_bits}")
-            uvals = _unpack_bits_le(data, p, n, cw)
+            uvals = _unpack_bits_le(vsrc, vp, n, cw)
             if signed_fmt and cw == type_bits:
                 half = 1 << (type_bits - 1)
                 full = 1 << type_bits
                 vals = [v - full if v >= half else v for v in uvals]
             else:
                 vals = uvals
+        elif scheme == "rle":
+            # [u16 run count][run values at full type width][u16 lengths]
+            n_runs = struct.unpack_from("<H", vsrc, vp)[0]
+            vp += 2
+            rvals = struct.unpack_from(f"<{n_runs}{fmt}", vsrc, vp)
+            vp += n_runs * width
+            counts = struct.unpack_from(f"<{n_runs}H", vsrc, vp)
+            vals = []
+            for v, c in zip(rvals, counts):
+                vals.extend([v] * c)
+            if len(vals) != n:
+                raise ValueError(
+                    f"{what}: RLE runs cover {len(vals)} of {n} values")
+        elif scheme == "bss":
+            # byte-stream-split: width planes of n bytes each — all
+            # byte-0s, then all byte-1s, ... (parquet BYTE_STREAM_SPLIT)
+            import numpy as np
+
+            planes = np.frombuffer(vsrc, np.uint8, n * width, vp)
+            vals = struct.unpack(
+                f"<{n}{fmt}", planes.reshape(width, n).T.copy().tobytes())
         else:
-            vals = struct.unpack_from(f"<{n}{fmt}", data, p)
-        out.extend(vals if valid is None else
-                   [v if ok else None for v, ok in zip(vals, valid)])
+            vals = struct.unpack_from(f"<{n}{fmt}", vsrc, vp)
+        if has_rep:
+            slot_reps.extend(reps)
+            slot_defs.extend(defs if defs is not None else [0] * n)
+            slot_vals.extend(vals)
+        else:
+            out.extend(vals if valid is None else
+                       [v if ok else None for v, ok in zip(vals, valid)])
         off += chunk_bytes
         remaining -= n
     if remaining:
+        total = num_slots if has_rep else page.length
         raise ValueError(
-            f"{what}: mini-block chunks cover {page.length - remaining} "
-            f"of {page.length} rows")
-    return out
+            f"{what}: mini-block chunks cover {total - remaining} "
+            f"of {total} {'slots' if has_rep else 'rows'}")
+    if not has_rep:
+        return out
+    # reassemble rows from the slot stream: rep 1 opens a row (flushing
+    # the previous one), rep 0 continues the open row's list; def codes
+    # distinguish valid item / null item / empty list / null list
+    rows: list = []
+    cur: "list | None" = None
+    started = False
+    for r, d, v in zip(slot_reps, slot_defs, slot_vals):
+        if r == 1:
+            if started:
+                rows.append(cur)
+            started = True
+            if d == _DEF_NULL_LIST:
+                cur = None
+            elif d == _DEF_EMPTY_LIST:
+                cur = []
+            else:
+                cur = [None if d == _DEF_NULL_ITEM else v]
+        else:
+            if not started or not isinstance(cur, list):
+                raise ValueError(
+                    f"{what}: repetition continuation outside an open list")
+            cur.append(None if d == _DEF_NULL_ITEM else v)
+    if started:
+        rows.append(cur)
+    if len(rows) != page.length:
+        raise ValueError(
+            f"{what}: repetition stream yields {len(rows)} rows, page "
+            f"declares {page.length}")
+    return rows
 
 
 def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
@@ -852,11 +1001,13 @@ def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
         raise NotImplementedError(
             f"{what}: 2.1 full-zip page layout on a non-variable-width "
             "column is not implemented")
-    scheme, off_bits = _compressive_info(_one(fz, 3, b""), what, "value")
-    if scheme != "variable" or off_bits not in (0, 32):
+    scheme, off_bits, codec = _compressive_info(_one(fz, 3, b""), what,
+                                                "value")
+    if scheme != "variable" or off_bits not in (0, 32) or codec is not None:
         raise NotImplementedError(
             f"{what}: full-zip values with {scheme} offset_bits="
-            f"{off_bits} — only u32-length variable streams decode")
+            f"{off_bits} — only uncompressed u32-length variable "
+            "streams decode")
     layers = _repdef_layers(fz)
     if any(l not in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)
            for l in layers) or len(layers) > 1:
@@ -980,12 +1131,12 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
     is_flat_lt = (lt in _FLAT_TYPES or lt.startswith("timestamp:")
                   or lt == "date32:day" or lt == "bool")
     is_var_lt = lt in ("string", "large_string", "binary", "large_binary")
-    if not is_flat_lt and not is_var_lt and any(
-            pg.enc_url.endswith(b"PageLayout") for pg in pages):
+    if (not is_flat_lt and not is_var_lt and lt != "list" and any(
+            pg.enc_url.endswith(b"PageLayout") for pg in pages)):
         raise NotImplementedError(
-            f"{what}: 2.1 structural page layout on a nested column "
-            "(list/struct repetition-definition layers) is not "
-            "implemented")
+            f"{what}: 2.1 structural page layout on a {lt} header column "
+            "is not implemented (struct members and list leaves ride "
+            "their own structural pages)")
 
     if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
         base = lt.split(":")[0]
@@ -1087,10 +1238,30 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
         return out
 
     if lt == "list":
+        child = _child_index(fields, idx)
+        struct_pages = [pg for pg in pages
+                        if pg.enc_url.endswith(b"PageLayout")]
+        if struct_pages:
+            # 2.1 nested-repdef list: the whole column lives in the
+            # header page's rep/def/value chunks; the child structural
+            # column is an empty placeholder and is never read
+            if len(struct_pages) != len(pages):
+                raise NotImplementedError(
+                    f"{what}: mixed 2.0 offset pages and 2.1 repdef "
+                    "pages in one list column")
+            child_lt = fields[child].logical_type
+            if child_lt not in _FLAT_TYPES and child_lt not in (
+                    "string", "large_string", "binary", "large_binary",
+                    "bool"):
+                raise NotImplementedError(
+                    f"{what}: 2.1 repdef list with {child_lt!r} items")
+            out = []
+            for pg in pages:
+                out.extend(_decode_miniblock(fetch, pg, child_lt, what))
+            return out
         # multi-page lists: each page's end-offsets are page-local; the
         # page's item count (List.num_items) advances the base into the
         # child column's concatenated values
-        child = _child_index(fields, idx)
         items = _decode_column(fetch, fields, child, pages_by_col, col_of_field)
         out = []
         base = 0
@@ -1676,20 +1847,49 @@ def _enc_compressive_variable(offset_bits: int = 32) -> bytes:
     return _w_len(3, _w_vint(1, offset_bits))
 
 
+def _enc_compressive_rle(bits: int) -> bytes:
+    """CompressiveEncoding{ f4: Rle{ f1: bits_per_value }} — per-chunk
+    [u16 run count][run values at full width][u16 run lengths]."""
+    return _w_len(4, _w_vint(1, bits))
+
+
+def _enc_compressive_bss(bits: int) -> bytes:
+    """CompressiveEncoding{ f5: ByteStreamSplit{ f1: bits_per_value }} —
+    the chunk's values stored as bits/8 byte planes."""
+    return _w_len(5, _w_vint(1, bits))
+
+
+def _enc_compressive_block(inner: bytes, codec: str = "zlib") -> bytes:
+    """CompressiveEncoding{ f6: Block{ f1: codec, f2: inner encoding }} —
+    the chunk's value stream becomes [u32 compressed][u32 raw]
+    [codec bytes] around the inner framing."""
+    return _w_len(6, _w_len(1, codec.encode("utf-8")) + _w_len(2, inner))
+
+
 def _enc_miniblock_layout(value_comp: bytes, has_def: bool,
-                          dict_msg: bytes | None = None) -> bytes:
-    """PageLayout{ f1: MiniBlockLayout{ [f2: def compression (flat-16),]
-    f3: value compression, f4: repdef layers [, f5: dictionary] }} —
+                          dict_msg: bytes | None = None,
+                          layers: "list[int] | None" = None,
+                          has_rep: bool = False,
+                          num_slots: int | None = None) -> bytes:
+    """PageLayout{ f1: MiniBlockLayout{ [f1: rep compression (flat-16),]
+    [f2: def compression (flat-16),] f3: value compression, f4: repdef
+    layers [, f5: dictionary][, f6: leaf-slot count (rep pages)] }} —
     field numbers per the reconstruction documented at
-    _decode_miniblock."""
+    _decode_miniblock. ``layers`` defaults to the single item layer."""
     mb = b""
+    if has_rep:
+        mb += _w_len(1, _enc_compressive_flat(16))
     if has_def:
         mb += _w_len(2, _enc_compressive_flat(16))
     mb += _w_len(3, value_comp)
-    mb += _w_packed(4, [_REPDEF_NULLABLE_ITEM if has_def
-                        else _REPDEF_ALL_VALID_ITEM])
+    if layers is None:
+        layers = [_REPDEF_NULLABLE_ITEM if has_def
+                  else _REPDEF_ALL_VALID_ITEM]
+    mb += _w_packed(4, layers)
     if dict_msg is not None:
         mb += _w_len(5, dict_msg)
+    if num_slots is not None:
+        mb += _w_vint(6, num_slots)
     return _w_len(1, mb)
 
 
@@ -1706,7 +1906,52 @@ def _enc_fullzip_layout(has_def: bool) -> bytes:
 _MB_INT_FMTS = set("bBhHiIqQ")  # bitpack-able storage formats
 
 
-def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
+def _zlib_chunk(raw: bytes) -> bytes:
+    """One zlib-block-wrapped value stream: [u32 compressed][u32 raw]
+    [deflate bytes] (the framing _decode_miniblock unwraps)."""
+    import zlib
+
+    comp = zlib.compress(bytes(raw), 6)
+    return struct.pack("<II", len(comp), len(raw)) + comp
+
+
+def _mb_pick_int_scheme(vals: list) -> str:
+    """Page-level value scheme for an integer column: RLE when the
+    column is run-heavy (avg run length >= 4 — constant/sorted/
+    categorical shapes), else inline bitpacking. Deterministic in the
+    values, so re-encodes stay byte-stable."""
+    if not vals:
+        return "bitpack"
+    runs = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+    # RLE chunk cost ≈ runs*(width+2); bitpack ≈ n*width/8 at full width
+    return "rle" if runs * 4 <= len(vals) else "bitpack"
+
+
+def _mb_int_chunk(ivals: list, scheme: str, bits: int, fmt: str,
+                  width: int) -> bytes:
+    """One chunk's integer value stream under ``scheme``."""
+    if scheme == "rle":
+        runs: list[tuple[int, int]] = []
+        for v in ivals:
+            if runs and runs[-1][0] == v and runs[-1][1] < 0xFFFF:
+                runs[-1] = (v, runs[-1][1] + 1)
+            else:
+                runs.append((v, 1))
+        out = struct.pack("<H", len(runs))
+        out += struct.pack(f"<{len(runs)}{fmt}", *[v for v, _ in runs])
+        out += struct.pack(f"<{len(runs)}H", *[c for _, c in runs])
+        return out
+    if any(v < 0 for v in ivals):
+        cw = bits
+        mask = (1 << bits) - 1
+        ivals = [v & mask for v in ivals]
+    else:
+        cw = max(1, max((v.bit_length() for v in ivals), default=1))
+    return struct.pack("<Q", cw) + _pack_bits_le(ivals, cw)
+
+
+def _plan_miniblock_flat(arr, lt: str, what: str,
+                         compression: str = "none") -> "_ColPlan":
     """One 2.1 mini-block page for a flat fixed-width or bool column:
     buffer 0 = chunk metadata (u16 per chunk: num_words<<4 | log2 values),
     buffer 1 = word-aligned chunks of [def levels (u16, 0=valid)][values],
@@ -1717,7 +1962,12 @@ def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
     word then ceil(n*width/8) LSB-first packed bytes; an all-non-negative
     chunk packs at its max bit length, a chunk with negatives packs raw
     two's complement at the full type width (still correct, no savings).
-    Floats stay flat, bool stays the 1-bit flat stream."""
+    Run-heavy integer columns (avg run length >= 4) write RLE streams
+    instead. Floats stay flat — unless ``compression='zlib'``, which
+    byte-stream-splits them (same-position bytes adjacent) and
+    zlib-wraps each chunk's value stream; bool stays the 1-bit flat
+    stream (zlib-wrapped under compression). Level streams are never
+    compressed."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -1730,7 +1980,16 @@ def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
     base = lt.split(":")[0]
     fmt = ("q" if base == "timestamp" else "i" if base == "date32"
            else _FLAT_TYPES[lt][0] if lt in _FLAT_TYPES else None)
-    bitpack = not is_bool and fmt in _MB_INT_FMTS
+    width = bits // 8
+    if is_bool:
+        scheme = "flat"
+    elif fmt in _MB_INT_FMTS:
+        scheme = _mb_pick_int_scheme(_fill_nulls_flat(arr, lt).to_pylist())
+    else:  # float/double
+        scheme = "bss" if compression == "zlib" else "flat"
+    # zlib wraps streams a general-purpose codec actually helps;
+    # bitpack/RLE are already compressed forms and stay raw
+    wrap = compression == "zlib" and scheme in ("flat", "bss")
     meta = bytearray()
     data = bytearray()
     for s in range(0, n, _MB_CHUNK_VALUES):
@@ -1743,29 +2002,29 @@ def _plan_miniblock_flat(arr, lt: str, what: str) -> "_ColPlan":
             chunk += struct.pack(f"<{cn}H", *defs)
             chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         if is_bool:
-            packed = np.packbits(
+            vstream = np.packbits(
                 np.asarray(piece.fill_null(False).to_pylist(), np.uint8),
                 bitorder="little").tobytes()
-            chunk += packed
-        elif bitpack:
-            ivals = _fill_nulls_flat(piece, lt).to_pylist()
-            if any(v < 0 for v in ivals):
-                cw = bits
-                mask = (1 << bits) - 1
-                ivals = [v & mask for v in ivals]
-            else:
-                cw = max(1, max((v.bit_length() for v in ivals),
-                                default=1))
-            chunk += struct.pack("<Q", cw)
-            chunk += _pack_bits_le(ivals, cw)
+        elif scheme in ("bitpack", "rle"):
+            vstream = _mb_int_chunk(_fill_nulls_flat(piece, lt).to_pylist(),
+                                    scheme, bits, fmt, width)
+        elif scheme == "bss":
+            flat = _flat_buffer(_fill_nulls_flat(piece, lt), lt, what)
+            vstream = (np.frombuffer(flat, np.uint8)
+                       .reshape(cn, width).T.copy().tobytes())
         else:
-            chunk += _flat_buffer(_fill_nulls_flat(piece, lt), lt, what)
+            vstream = _flat_buffer(_fill_nulls_flat(piece, lt), lt, what)
+        chunk += _zlib_chunk(vstream) if wrap else vstream
         chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         log_nv = (cn.bit_length() - 1) if cn and not (cn & (cn - 1)) else 0
         meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
         data += chunk
-    value_comp = (_enc_compressive_bitpack(bits) if bitpack
-                  else _enc_compressive_flat(bits))
+    value_comp = {"bitpack": _enc_compressive_bitpack,
+                  "rle": _enc_compressive_rle,
+                  "bss": _enc_compressive_bss,
+                  "flat": _enc_compressive_flat}[scheme](bits)
+    if wrap:
+        value_comp = _enc_compressive_block(value_comp)
     return _ColPlan([bytes(meta), bytes(data)],
                     _enc_miniblock_layout(value_comp, has_def), n,
                     _PAGE_LAYOUT_URL)
@@ -1775,14 +2034,18 @@ _MB_CHUNK_BYTES = 4096        # spec: mini-block chunks stay under 4KiB
 _FULLZIP_VALUE_BYTES = 4000   # any single value above this -> full-zip
 
 
-def _plan_structural_variable(arr, lt: str, what: str) -> "_ColPlan":
+def _plan_structural_variable(arr, lt: str, what: str,
+                              compression: str = "none") -> "_ColPlan":
     """One 2.1 structural page for a string/binary column. Small values
     take the mini-block layout: per chunk [def levels (u16, 0=valid)]
     [u32 lengths][bytes], each stream word-padded, adaptive power-of-two
-    chunk value counts so every chunk stays under 4KiB. A column with
-    any single value above the full-zip threshold takes the FULL-ZIP
-    layout instead (the spec's large-data-type path): one buffer of
-    per-item [u16 def][u32 length][bytes] zipped records."""
+    chunk value counts so every chunk stays under 4KiB
+    (``compression='zlib'`` wraps each chunk's lengths+bytes value
+    stream in a zlib block; the dictionary arm stays uncompressed — its
+    indices are already bitpacked). A column with any single value above
+    the full-zip threshold takes the FULL-ZIP layout instead (the spec's
+    large-data-type path): one buffer of per-item [u16 def][u32 length]
+    [bytes] zipped records."""
     import pyarrow.compute as pc
 
     n = len(arr)
@@ -1868,35 +2131,142 @@ def _plan_structural_variable(arr, lt: str, what: str) -> "_ColPlan":
             chunk += struct.pack(
                 f"<{cnt}H", *[0 if ok else 1 for ok in valid[i:i + cnt]])
             chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
-        chunk += struct.pack(f"<{cnt}I",
-                             *[len(b) for b in pieces[i:i + cnt]])
-        chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        vstream = bytearray(struct.pack(
+            f"<{cnt}I", *[len(b) for b in pieces[i:i + cnt]]))
+        vstream += b"\x00" * (_align8(len(vstream)) - len(vstream))
         for b in pieces[i:i + cnt]:
-            chunk += b
+            vstream += b
+        chunk += (_zlib_chunk(bytes(vstream)) if compression == "zlib"
+                  else vstream)
         chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         log_nv = (cnt.bit_length() - 1) if cnt and not (cnt & (cnt - 1)) \
             else 0
         meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
         data += chunk
         i += cnt
+    value_comp = _enc_compressive_variable(32)
+    if compression == "zlib":
+        value_comp = _enc_compressive_block(value_comp)
     return _ColPlan([bytes(meta), bytes(data)],
-                    _enc_miniblock_layout(_enc_compressive_variable(32),
-                                          has_def), n,
+                    _enc_miniblock_layout(value_comp, has_def), n,
                     _PAGE_LAYOUT_URL)
+
+
+def _plan_miniblock_list(arr, child_lt: str, what: str,
+                         compression: str = "none") -> "_ColPlan":
+    """One 2.1 mini-block page for a list<leaf> column — the nested
+    repdef shape: the whole column (offsets AND items) collapses into a
+    single structural page whose chunks carry THREE streams,
+    [repetition u16][definition u16][leaf values], one slot per leaf
+    item (a null or empty list consumes one placeholder slot with a
+    dummy value). Repetition 1 opens a row, 0 continues its list;
+    definition codes: 0 valid item, 1 null item, 2 empty list, 3 null
+    list. The layout message carries [list layer, item layer] repdef
+    layers and the page's total leaf-slot count (f6) so the chunk walk
+    knows its budget — the page's ``length`` stays the ROW count.
+    Leaf value streams reuse the flat encoders (bitpack/RLE/flat/bss for
+    fixed-width, u32-length variable for string/binary, zlib-wrapped
+    under ``compression='zlib'``)."""
+    import numpy as np
+
+    n = len(arr)
+    rows = arr.to_pylist()
+    is_var = child_lt in ("string", "binary")
+    is_text = child_lt == "string"
+    fmt, width, _ = (None, None, None) if is_var else _FLAT_TYPES[child_lt]
+    bits = 32 if is_var else width * 8
+    dummy = b"" if is_var else 0
+    slots: list[tuple[int, int, object]] = []  # (rep, def, value)
+    for v in rows:
+        if v is None:
+            slots.append((1, _DEF_NULL_LIST, dummy))
+        elif len(v) == 0:
+            slots.append((1, _DEF_EMPTY_LIST, dummy))
+        else:
+            for j, x in enumerate(v):
+                slots.append((1 if j == 0 else 0,
+                              _DEF_NULL_ITEM if x is None else 0,
+                              dummy if x is None else x))
+    has_def = any(d for _, d, _ in slots)
+    item_nullable = any(d == _DEF_NULL_ITEM for _, d, _ in slots)
+    list_nullable = any(v is None for v in rows)
+    if is_var:
+        scheme = "variable"
+    elif fmt in _MB_INT_FMTS:
+        scheme = _mb_pick_int_scheme([v for _, _, v in slots])
+    else:
+        scheme = "bss" if compression == "zlib" else "flat"
+    wrap = compression == "zlib" and scheme in ("flat", "bss", "variable")
+    meta = bytearray()
+    data = bytearray()
+    for s in range(0, len(slots), _MB_CHUNK_VALUES):
+        cslots = slots[s:s + _MB_CHUNK_VALUES]
+        cn = len(cslots)
+        chunk = bytearray(struct.pack(f"<{cn}H", *[r for r, _, _ in cslots]))
+        chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        if has_def:
+            chunk += struct.pack(f"<{cn}H", *[d for _, d, _ in cslots])
+            chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        cvals = [v for _, _, v in cslots]
+        if is_var:
+            pieces = [x.encode("utf-8") if is_text and isinstance(x, str)
+                      else bytes(x) for x in cvals]
+            vstream = bytearray(struct.pack(
+                f"<{cn}I", *[len(b) for b in pieces]))
+            vstream += b"\x00" * (_align8(len(vstream)) - len(vstream))
+            for b in pieces:
+                vstream += b
+            vstream = bytes(vstream)
+        elif scheme in ("bitpack", "rle"):
+            vstream = _mb_int_chunk([int(v) for v in cvals], scheme, bits,
+                                    fmt, width)
+        elif scheme == "bss":
+            flat = np.asarray(cvals, dtype=f"<{fmt}").tobytes()
+            vstream = (np.frombuffer(flat, np.uint8)
+                       .reshape(cn, width).T.copy().tobytes())
+        else:
+            vstream = struct.pack(f"<{cn}{fmt}", *cvals)
+        chunk += _zlib_chunk(vstream) if wrap else vstream
+        chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
+        log_nv = (cn.bit_length() - 1) if cn and not (cn & (cn - 1)) else 0
+        meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
+        data += chunk
+    value_comp = {"bitpack": _enc_compressive_bitpack,
+                  "rle": _enc_compressive_rle,
+                  "bss": _enc_compressive_bss,
+                  "variable": _enc_compressive_variable,
+                  "flat": _enc_compressive_flat}[scheme](bits)
+    if wrap:
+        value_comp = _enc_compressive_block(value_comp)
+    layers = [
+        _REPDEF_NULLABLE_LIST if list_nullable else _REPDEF_ALL_VALID_LIST,
+        _REPDEF_NULLABLE_ITEM if item_nullable else _REPDEF_ALL_VALID_ITEM,
+    ]
+    return _ColPlan([bytes(meta), bytes(data)],
+                    _enc_miniblock_layout(value_comp, has_def,
+                                          layers=layers, has_rep=True,
+                                          num_slots=len(slots)),
+                    n, _PAGE_LAYOUT_URL)
 
 
 def _plan_column(arr, fields: list[NativeField], idx: int,
                  plans: dict[int, "_ColPlan"],
-                 structural: str = "2.0") -> None:
+                 structural: str = "2.0",
+                 compression: str = "none") -> None:
     """Encode fields[idx] (and, for lists, its child) into buffer plans.
     One page per column — the shape lance 0.24 writes at fixture scale;
     the distributed path bounds fragment size instead of paging.
     ``structural='2.1-miniblock'`` opts fixed-width/bool columns into the
     2.1 mini-block page layout (chunked streams + definition levels,
-    integer values inline-bitpacked) and string/binary columns into the
-    variable-width mini-block (or full-zip when any value exceeds the
-    chunk budget); nested types keep their 2.0 page shape — layouts are
-    per-page, so mixing is exactly what a real 2.1 writer produces."""
+    integer values inline-bitpacked or RLE), string/binary columns into
+    the variable-width mini-block (or full-zip when any value exceeds
+    the chunk budget), and list<leaf> columns into the nested-repdef
+    mini-block (repetition + definition streams, the whole column in one
+    structural page — _plan_miniblock_list); struct members recurse into
+    their own 2.1 leaf pages; other nested shapes keep their 2.0 page
+    shape — layouts are per-page, so mixing is exactly what a real 2.1
+    writer produces. ``compression='zlib'`` block-wraps value streams
+    (and byte-stream-splits floats first)."""
     import pyarrow as pa
 
     f = fields[idx]
@@ -1907,11 +2277,25 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
     if structural == "2.1-miniblock":
         if (lt in _FLAT_TYPES or lt.startswith("timestamp:")
                 or lt == "date32:day" or lt == "bool"):
-            plans[idx] = _plan_miniblock_flat(arr, lt, what)
+            plans[idx] = _plan_miniblock_flat(arr, lt, what, compression)
             return
         if lt in ("string", "binary"):
-            plans[idx] = _plan_structural_variable(arr, lt, what)
+            plans[idx] = _plan_structural_variable(arr, lt, what,
+                                                   compression)
             return
+        if lt == "list":
+            child_idx = _child_index(fields, idx)
+            child_lt = fields[child_idx].logical_type
+            if child_lt in _FLAT_TYPES or child_lt in ("string", "binary"):
+                plans[idx] = _plan_miniblock_list(arr, child_lt, what,
+                                                  compression)
+                # the child structural column stays present (schema
+                # bookkeeping) but empty — its values live zipped inside
+                # the header page's repdef chunks
+                plans[child_idx] = _ColPlan([], _w_len(3, b""), 0,
+                                            _PAGE_LAYOUT_URL)
+                return
+            # bool/temporal/nested children keep the 2.0 offsets shape
 
     if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
         bits = _width_bits(lt)
@@ -1957,7 +2341,7 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         child_idx = _child_index(fields, idx)
         items = [x for v in vals if v is not None for x in v]
         child_arr = pa.array(items, type=arrow_type_for(fields, child_idx))
-        _plan_column(child_arr, fields, child_idx, plans, structural)
+        _plan_column(child_arr, fields, child_idx, plans, structural, compression)
         num_items = len(items)
         null_adj = num_items + 1
         lens = [0 if v is None else len(v) for v in vals]
@@ -1977,7 +2361,7 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         else:
             plans[idx] = _ColPlan([], _enc_struct(), len(arr))
         for j in _children_indices(fields, idx):
-            _plan_column(arr.field(fields[j].name), fields, j, plans, structural)
+            _plan_column(arr.field(fields[j].name), fields, j, plans, structural, compression)
         return
     if lt.startswith("fixed_size_list:"):
         dim = int(lt.split(":")[-1])
@@ -2000,7 +2384,7 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
             # rows*dim contract); the child's own nulls ride its
             # nullable plan
             child_arr = arr.values.slice(arr.offset * dim, len(arr) * dim)
-            _plan_column(child_arr, fields, child_idx, plans, structural)
+            _plan_column(child_arr, fields, child_idx, plans, structural, compression)
             enc = (_enc_all_null()
                    if arr.null_count == len(arr) and len(arr) else
                    _enc_some_null(_enc_fsl(_width_bits(child_lt), dim)))
@@ -2009,7 +2393,7 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
             plans[idx] = _ColPlan(bufs, enc, len(arr))
             return
         child_arr = arr.flatten()  # rows*dim values, offset-safe
-        _plan_column(child_arr, fields, child_idx, plans, structural)
+        _plan_column(child_arr, fields, child_idx, plans, structural, compression)
         plans[idx] = _ColPlan([], _enc_fsl(_width_bits(child_lt), dim),
                               len(arr))
         return
@@ -2026,7 +2410,8 @@ def _width_bits(lt: str) -> int:
 
 
 def write_native_file(table, path: str, page_rows: int | None = None,
-                      structural: str = "2.0") -> int:
+                      structural: str = "2.0",
+                      compression: str = "none") -> int:
     """Encode an Arrow table as one Lance v2 data file; returns row count.
     Layout (matches the fixtures byte-for-byte): 64-aligned data buffers
     in structural-column order, FileDescriptor global buffer, packed
@@ -2054,7 +2439,7 @@ def write_native_file(table, path: str, page_rows: int | None = None,
     for chunk in chunks:
         plans: dict[int, _ColPlan] = {}
         for (i, f), name in zip(top, chunk.column_names):
-            _plan_column(chunk.column(name), fields, i, plans, structural)
+            _plan_column(chunk.column(name), fields, i, plans, structural, compression)
         page_plans.append(plans)
 
     blob = bytearray()

@@ -450,7 +450,8 @@ def write_native_pure(df: DataFrame, path: str, mode: "str | WriteMode" = WriteM
                                          opts.write_max_rows_per_file,
                                          bloom_columns=opts.bloom_columns,
                                          storage_options=storage,
-                                         structural=opts.native_layout)
+                                         structural=opts.native_layout,
+                                         compression=opts.native_compression)
     fields = (widened_fields if widened_fields is not None
               else LF.fields_of_arrow_schema(schema))
     # commit metadata rides in the manifest's public table-config slot
@@ -492,6 +493,7 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
                              bloom_columns: "list[str] | None" = None,
                              storage_options: dict | None = None,
                              structural: str = "2.0",
+                             compression: str = "none",
                              ) -> "list[tuple[str, int]]":
     """Executor fan-out of the native write: every task encodes its
     partition into ``data/<uuid>.lance`` v2 files (sliced at ``max_rows``
@@ -541,11 +543,13 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
 
                 with _tempfile.NamedTemporaryFile(suffix=".lance") as tmp:
                     _LF.write_native_file(piece, tmp.name,
-                                          structural=structural)
+                                          structural=structural,
+                                          compression=compression)
                     fs.put(tmp.name, f"{data_dir}/{fname}")
             else:
                 _LF.write_native_file(piece, os.path.join(data_dir, fname),
-                                      structural=structural)
+                                      structural=structural,
+                                      compression=compression)
             out_files.append(fname)
             out_rows.append(piece.num_rows)
             # zone map for the commit's stats sidecar: planning-time

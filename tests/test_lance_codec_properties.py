@@ -10,6 +10,7 @@ milliseconds and shrink well.
 from __future__ import annotations
 
 import datetime
+import math
 
 import pyarrow as pa
 import pytest
@@ -748,3 +749,142 @@ def test_miniblock_refusals_are_loud(tmp_path):
         open(q, "wb").write(bytes(blob))
         with pytest.raises(NotImplementedError, match=needle):
             LF.read_native_file(q)
+
+
+# --- 2.1 round-11 arms: RLE / byte-stream-split / zlib blocks / repdef lists
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(min_value=-3, max_value=3)),
+                max_size=600),
+       st.integers(min_value=1, max_value=64))
+def test_miniblock_rle_roundtrip(tmp_path_factory, vals, stretch):
+    """Run-heavy integer columns auto-select the RLE value stream
+    ([u16 run count][run values][u16 lengths] per chunk) and round-trip
+    exactly — including nulls (zero-filled under the definition stream),
+    negatives, and runs crossing chunk boundaries."""
+    stretched = [v for v in vals for _ in range(stretch)]
+    tbl = pa.table({"r": pa.array(stretched, pa.int64()),
+                    "r16": pa.array([None if v is None else v + 3
+                                     for v in stretched], pa.int16())})
+    path = str(tmp_path_factory.mktemp("rle") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+
+
+def test_miniblock_rle_shrinks_storage(tmp_path):
+    """The point of RLE: a sorted/categorical int64 column (avg run 50)
+    writes far below both the flat 2.0 bytes AND the bitpacked stream."""
+    runs = pa.table({"g": pa.array([v // 50 for v in range(100_000)],
+                                   pa.int64())})
+    p20 = str(tmp_path / "r20.lance")
+    p21 = str(tmp_path / "r21.lance")
+    LF.write_native_file(runs, p20)
+    LF.write_native_file(runs, p21, structural="2.1-miniblock")
+    import os
+    assert os.path.getsize(p21) < os.path.getsize(p20) / 20
+    assert LF.read_native_file(p21).to_pylist() == runs.to_pylist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.floats(allow_nan=False,
+                                               width=64)),
+                max_size=600))
+def test_miniblock_zlib_and_bss_roundtrip(tmp_path_factory, floats):
+    """write.native-compression=zlib: float columns byte-stream-split
+    then zlib-wrap each chunk's value stream; int and string columns
+    compose their own arms under the same knob. Level streams stay
+    uncompressed. Everything round-trips exactly."""
+    n = len(floats)
+    tbl = pa.table({
+        "f": pa.array(floats, pa.float64()),
+        "f32": pa.array([None if v is None or not math.isfinite(v)
+                         else float(int(v) % 100)
+                         for v in floats], pa.float32()),
+        "i": pa.array([None if v is None or not math.isfinite(v)
+                       else int(v) % 1000
+                       for v in floats], pa.int64()),
+        "s": pa.array([None if v is None
+                       else f"val-{int(v) % 7 if math.isfinite(v) else 'x'}"
+                       f"-{i}"
+                       for i, v in enumerate(floats)], pa.string()),
+    })
+    path = str(tmp_path_factory.mktemp("zl") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock",
+                         compression="zlib")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+
+
+def test_miniblock_zlib_shrinks_storage(tmp_path):
+    """zlib blocks shrink compressible value streams: a repetitive
+    high-cardinality string column (dictionary doesn't apply) compresses
+    several-fold; byte-stream-split floats from a small value domain
+    compress too (same-position bytes adjacent)."""
+    import os
+
+    n = 20_000
+    tbl = pa.table({
+        "s": pa.array([f"prefix-prefix-prefix-{v}" for v in range(n)],
+                      pa.string()),
+        "f": pa.array([float(v % 16) for v in range(n)], pa.float64()),
+    })
+    p_raw = str(tmp_path / "raw.lance")
+    p_zip = str(tmp_path / "zip.lance")
+    LF.write_native_file(tbl, p_raw, structural="2.1-miniblock")
+    LF.write_native_file(tbl, p_zip, structural="2.1-miniblock",
+                         compression="zlib")
+    assert os.path.getsize(p_zip) < os.path.getsize(p_raw) / 2
+    assert LF.read_native_file(p_zip).to_pylist() == tbl.to_pylist()
+
+
+list_rows = st.lists(
+    st.one_of(st.none(),
+              st.lists(st.one_of(st.none(), st.integers(
+                  min_value=-2**40, max_value=2**40)), max_size=12)),
+    max_size=300)
+
+
+@settings(max_examples=60, deadline=None)
+@given(list_rows)
+def test_miniblock_list_repdef_roundtrip(tmp_path_factory, rows):
+    """Nested repdef: list<int64> and list<string> columns collapse into
+    single structural pages whose chunks carry [repetition][definition]
+    [values] streams — null lists, empty lists, null items, and rows
+    spanning chunk boundaries all round-trip; projection still prunes."""
+    srows = [None if r is None else [None if x is None else f"s{x % 13}"
+                                     for x in r] for r in rows]
+    tbl = pa.table({
+        "li": pa.array(rows, pa.list_(pa.int64())),
+        "ls": pa.array(srows, pa.list_(pa.string())),
+        "k": pa.array(range(len(rows)), pa.int32()),
+    })
+    path = str(tmp_path_factory.mktemp("rd") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+    assert LF.read_native_file(path, columns=["ls"]).to_pylist() == \
+        tbl.select(["ls"]).to_pylist()
+
+
+def test_miniblock_list_repdef_edge_shapes(tmp_path):
+    """Repdef edge shapes: a single row longer than one chunk (rows span
+    chunks), float lists under zlib (bss composes inside the repdef
+    page), paging, and the mixed-page refusal staying impossible from
+    our writer (each page is self-contained)."""
+    rows = [list(range(700)), [1], None, [], [2, None]] * 3
+    fl = ([[0.5] * 300, None, [], [1.25, 2.5]] * 3 + [[9.0]] * 3)
+    tbl = pa.table({"li": pa.array(rows, pa.list_(pa.int64())),
+                    "lf": pa.array(fl, pa.list_(pa.float64()))})
+    p = str(tmp_path / "edge.lance")
+    LF.write_native_file(tbl, p, structural="2.1-miniblock",
+                         compression="zlib")
+    assert LF.read_native_file(p).to_pylist() == tbl.to_pylist()
+    p2 = str(tmp_path / "edge2.lance")
+    LF.write_native_file(tbl, p2, page_rows=4, structural="2.1-miniblock")
+    assert LF.read_native_file(p2).to_pylist() == tbl.to_pylist()
