@@ -2,11 +2,12 @@
 
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
 metadata, processed through Arrow-batched ``mapInPandas`` — the Spark-side
-schema, partitioning, UDF signature and batch shapes are real and tested;
-the actual media decoding is STUBBED (the image/audio libraries are not in
-this container): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic md5-derived feature
-vector so the pipeline shape is exercisable end-to-end.
+schema, partitioning, UDF signature and batch shapes are real and tested.
+``decode_image`` soft-imports PIL: with Pillow installed it runs a real
+decode (grayscale-resize intensity features); without it (this container)
+it raises ``NotImplementedError`` unless ``fake=True``, which substitutes
+a deterministic md5-derived feature vector so the pipeline shape is
+exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -65,12 +66,43 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return [round(((h[i % 16] << 8 | h[(i + 1) % 16]) % 1000) / 1000.0, 6) for i in range(dim)]
 
 
+def _pil_features(payload: bytes, dim: int) -> list[float]:
+    """Real image decode behind the soft import: grayscale-resize to a
+    dim-pixel strip and return its normalized intensities — a
+    deterministic, library-backed feature vector (not a learned
+    embedding; the plumbing contract is the same either way)."""
+    import io
+
+    from PIL import Image  # soft import — caller verified availability
+
+    with Image.open(io.BytesIO(payload)) as img:
+        strip = img.convert("L").resize((dim, 1))
+        return [round(px / 255.0, 6) for px in strip.getdata()]
+
+
+def have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(payload: bytes, fake: bool = False, dim: int = 8) -> list[float]:
-    """STUB: real image decode requires PIL/libvips (not in container)."""
+    """Decode one image payload into a dim-float feature vector.
+
+    Soft-imports PIL: when Pillow is installed, the REAL decode runs
+    (grayscale-resize intensities). Without it, ``fake=True`` substitutes
+    the deterministic md5 stub (pipeline-shape testing); ``fake=False``
+    refuses loudly naming the missing library."""
     if not fake:
+        if have_pil():
+            return _pil_features(payload, dim)
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "environment; pass fake=True for the deterministic test stub"
+            "image decoding requires Pillow (PIL), which is not present "
+            "in this environment; pip install pillow for real decodes or "
+            "pass fake=True for the deterministic test stub"
         )
     return _fake_features(payload, dim)
 

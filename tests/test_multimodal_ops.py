@@ -29,10 +29,27 @@ def test_media_table_metadata_jvm_side(media):
 
 
 def test_decode_stub_contract():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"payload")  # real decode needs libs not in container
+    if not M.have_pil():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.decode_image(b"payload")  # soft import: no PIL here
     feats = M.decode_image(b"payload", fake=True, dim=4)
     assert len(feats) == 4 and feats == M.decode_image(b"payload", fake=True, dim=4)
+
+
+@pytest.mark.skipif(not __import__(
+    "flink_connector_lance_spark.operators.multimodal",
+    fromlist=["have_pil"]).have_pil(), reason="Pillow not installed")
+def test_decode_real_pil_when_available():
+    """The soft-import branch: with Pillow present, decode_image runs a
+    REAL decode (grayscale-resize intensities in [0, 1])."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (255, 0, 0)).save(buf, format="PNG")
+    feats = M.decode_image(buf.getvalue(), dim=4)
+    assert len(feats) == 4 and all(0.0 <= v <= 1.0 for v in feats)
 
 
 def test_frame_sample_plan_arithmetic(media):
