@@ -1453,3 +1453,47 @@ def test_s3_ann_pq_hnsw_and_refresh(fake_s3, spark):
                            nprobes=4, ef=200, options=opts,
                            tiebreak_cols=["id"], round_digits=6).collect()
     assert all(r.id >= 1000 for r in after)
+
+
+def test_s3_run_maintenance_refreshes_remote_ann_index(fake_s3, spark):
+    """run_maintenance on s3://: the remote describe enumerates the ANN
+    index's staleness, the refresh step comes due past the unindexed
+    threshold, and the rebuild lands back on the remote index plane."""
+    from flink_connector_lance_spark.index import build_index, has_index
+    from flink_connector_lance_spark.sources.auto_maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "annmnt")
+    url = "s3://bucket/wh/db1/annmnt"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    write_dataset(df.coalesce(1), local, mode="overwrite")
+    opts = DatasetOptions(path=url, s3=s3, index_num_partitions=3)
+    assert build_index(url, "vec", "ivf_flat", spark=spark, id_col="id",
+                       options=opts).success
+    # append > threshold of the table's rows -> the index goes stale
+    extra = spark.createDataFrame(
+        [(100 + i, [9.0, 9.0]) for i in range(40)],
+        "id long, vec array<double>")
+    write_dataset(extra.coalesce(1), local, mode="append")
+
+    policy = MaintenancePolicy(target_rows_per_fragment=1000,
+                               keep_versions=None,
+                               max_unindexed_fraction=0.2)
+    report = run_maintenance(spark, url, policy, s3=s3)
+    by_name = {s["step"]: s for s in report["steps"]}
+    step = by_name["refresh_index:vec"]
+    assert step["due"] is True and step["result"]["rebuilt"] is True
+    # rebuilt index is fresh: zero unindexed rows on a re-describe
+    from flink_connector_lance_spark.sources.maintenance import (
+        describe_dataset,
+    )
+
+    rep = describe_dataset(url, storage_options=s3.to_storage_options())
+    assert rep["indexes"][0]["unindexed_rows"] == 0
+    assert has_index(url, "vec", s3.to_storage_options())
