@@ -2197,10 +2197,43 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
     else:
         scheme = "bss" if compression == "zlib" else "flat"
     wrap = compression == "zlib" and scheme in ("flat", "bss", "variable")
+
+    def _slot_chunk_size(i: int, cnt: int) -> int:
+        # uncompressed estimate: rep + def + value streams, word-padded.
+        # zlib can only shrink the value stream, so the bound holds.
+        sz = _align8(2 * cnt)
+        if has_def:
+            sz += _align8(2 * cnt)
+        if is_var:
+            sz += _align8(4 * cnt) + sum(
+                len(v.encode("utf-8")) if is_text and isinstance(v, str)
+                else len(v) for _, _, v in slots[i:i + cnt])
+        else:
+            sz += 8 + cnt * width  # bitpack/rle/flat all fit within this
+        return _align8(sz + (8 if wrap else 0))
+
+    # the u16 chunk-metadata word holds size-in-words in 12 bits, so a
+    # chunk must stay under 32 KiB: halve the slot count (power-of-two
+    # counts for non-last chunks) while over the mini-block budget
+    _CHUNK_WORD_CEIL = 0xFFF * 8
     meta = bytearray()
     data = bytearray()
-    for s in range(0, len(slots), _MB_CHUNK_VALUES):
-        cslots = slots[s:s + _MB_CHUNK_VALUES]
+    s = 0
+    total_slots = len(slots)
+    while s < total_slots:
+        cnt = min(_MB_CHUNK_VALUES, total_slots - s)
+        while cnt > 1 and _slot_chunk_size(s, cnt) > _MB_CHUNK_BYTES:
+            cnt //= 2
+            if s + cnt < total_slots:  # non-last chunks: power-of-two
+                cnt = 1 << (cnt.bit_length() - 1)
+        if _slot_chunk_size(s, cnt) > _CHUNK_WORD_CEIL:
+            raise NotImplementedError(
+                f"{what}: a single list item exceeds the mini-block "
+                f"chunk ceiling ({_CHUNK_WORD_CEIL} bytes) — 2.1 repdef "
+                "lists have no full-zip arm; write this column under "
+                "the 2.0 layout")
+        cslots = slots[s:s + cnt]
+        s += cnt
         cn = len(cslots)
         chunk = bytearray(struct.pack(f"<{cn}H", *[r for r, _, _ in cslots]))
         chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))

@@ -888,3 +888,22 @@ def test_miniblock_list_repdef_edge_shapes(tmp_path):
     p2 = str(tmp_path / "edge2.lance")
     LF.write_native_file(tbl, p2, page_rows=4, structural="2.1-miniblock")
     assert LF.read_native_file(p2).to_pylist() == tbl.to_pylist()
+
+
+def test_miniblock_list_long_values_adapt_chunks(tmp_path):
+    """List chunks adapt their slot counts under the 4KiB budget (the
+    u16 chunk word holds size-in-words in 12 bits, so fixed 256-slot
+    chunks would overflow on long strings); a single item beyond the
+    ~32KiB ceiling refuses loudly — repdef lists have no full-zip arm."""
+    rows = [["y" * 700 for _ in range(8)], None, [], ["z" * 2000]] * 40
+    tbl = pa.table({"ls": pa.array(rows, pa.list_(pa.string()))})
+    p = str(tmp_path / "long.lance")
+    LF.write_native_file(tbl, p, structural="2.1-miniblock")
+    assert LF.read_native_file(p).column("ls").to_pylist() == rows
+    LF.write_native_file(tbl, p, structural="2.1-miniblock",
+                         compression="zlib")
+    assert LF.read_native_file(p).column("ls").to_pylist() == rows
+    big = pa.table({"ls": pa.array([["x" * 40_000]], pa.list_(pa.string()))})
+    with pytest.raises(NotImplementedError, match="chunk ceiling"):
+        LF.write_native_file(big, str(tmp_path / "big.lance"),
+                             structural="2.1-miniblock")
