@@ -681,15 +681,43 @@ def _compressive_info(raw: bytes, what: str,
         "re-write the dataset without compression")
 
 
-def _compressive_bits(raw: bytes, what: str, stream: str) -> int:
-    """bits_per_value of one CompressiveEncoding that must be
-    uncompressed Flat (definition/repetition streams)."""
+def _level_scheme(raw: bytes, what: str, stream: str) -> str:
+    """Scheme of one definition/repetition level stream: 'flat'
+    (u16 words) or 'bitpack' (per-chunk [u64 width][LSB-first bits] —
+    levels are 1-2 bits, so this is the writer's default). Anything
+    else refuses by name."""
     scheme, bits, codec = _compressive_info(raw, what, stream)
-    if scheme != "flat" or codec is not None:
+    if scheme not in ("flat", "bitpack") or bits not in (0, 16) \
+            or codec is not None:
         raise NotImplementedError(
             f"{what}: mini-block {stream} stream uses compression scheme "
-            f"({scheme}) — only uncompressed Flat level streams decode")
-    return bits
+            f"({scheme}, bits={bits}) — only Flat or InlineBitpacking "
+            "level streams decode")
+    return scheme
+
+
+def _read_levels(src, p: int, n: int, scheme: str, what: str,
+                 stream: str) -> tuple[list, int]:
+    """One chunk's level stream -> (levels, next offset). Flat streams
+    are n u16 words; bitpacked streams lead with a u64 width word then
+    ceil(n*width/8) LSB-first bytes. Both pad to the 8-byte boundary."""
+    if scheme == "flat":
+        return list(struct.unpack_from(f"<{n}H", src, p)), _align8(p + 2 * n)
+    cw = struct.unpack_from("<Q", src, p)[0]
+    if not 1 <= cw <= 16:
+        raise NotImplementedError(
+            f"{what}: bitpacked {stream} level width {cw} outside 1..16")
+    nbytes = (n * cw + 7) // 8
+    return (_unpack_bits_le(src, p + 8, n, cw),
+            _align8(p + 8 + nbytes))
+
+
+def _levels_chunk(levels: list[int]) -> bytes:
+    """One chunk's bitpacked level stream: [u64 width][packed bits] —
+    the same framing as inline-bitpacked values. Levels are tiny (rep
+    0..1, def 0..3), so this is 8-16x smaller than flat u16 words."""
+    cw = max(1, max(levels, default=0).bit_length())
+    return struct.pack("<Q", cw) + _pack_bits_le(levels, cw)
 
 
 def _unpack_bits_le(data: bytes, off: int, n: int, width: int) -> list[int]:
@@ -758,11 +786,9 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
             "layer, optionally under ONE list layer (with a repetition "
             "stream), decodes")
     num_slots = _one(mb, 6, None)
+    rep_scheme = def_scheme = None
     if has_rep:
-        rep_bits = _compressive_bits(_one(mb, 1, b""), what, "repetition")
-        if rep_bits not in (0, 16):
-            raise NotImplementedError(
-                f"{what}: repetition levels with bits_per_value={rep_bits}")
+        rep_scheme = _level_scheme(_one(mb, 1, b""), what, "repetition")
         if num_slots is None:
             raise NotImplementedError(
                 f"{what}: repetition mini-block without the f6 leaf-slot "
@@ -773,10 +799,7 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
             "repetition stream")
     has_def = 2 in mb
     if has_def:
-        def_bits = _compressive_bits(_one(mb, 2, b""), what, "definition")
-        if def_bits not in (0, 16):
-            raise NotImplementedError(
-                f"{what}: definition levels with bits_per_value={def_bits}")
+        def_scheme = _level_scheme(_one(mb, 2, b""), what, "definition")
     is_bool = lt == "bool"
     is_var = lt in ("string", "large_string", "binary", "large_binary")
     is_text = lt in ("string", "large_string")
@@ -863,12 +886,12 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
         p = off
         reps = None
         if has_rep:
-            reps = struct.unpack_from(f"<{n}H", data, p)
-            p = _align8(p + 2 * n)
+            reps, p = _read_levels(data, p, n, rep_scheme, what,
+                                   "repetition")
         valid = defs = None
         if has_def:
-            defs = struct.unpack_from(f"<{n}H", data, p)
-            p = _align8(p + 2 * n)
+            defs, p = _read_levels(data, p, n, def_scheme, what,
+                                   "definition")
             valid = [d == 0 for d in defs]
         # the value stream: optionally zlib-wrapped as
         # [u32 compressed][u32 raw][deflate bytes] around the inner
@@ -1878,9 +1901,9 @@ def _enc_miniblock_layout(value_comp: bytes, has_def: bool,
     _decode_miniblock. ``layers`` defaults to the single item layer."""
     mb = b""
     if has_rep:
-        mb += _w_len(1, _enc_compressive_flat(16))
+        mb += _w_len(1, _enc_compressive_bitpack(16))
     if has_def:
-        mb += _w_len(2, _enc_compressive_flat(16))
+        mb += _w_len(2, _enc_compressive_bitpack(16))
     mb += _w_len(3, value_comp)
     if layers is None:
         layers = [_REPDEF_NULLABLE_ITEM if has_def
@@ -1999,7 +2022,7 @@ def _plan_miniblock_flat(arr, lt: str, what: str,
         if has_def:
             defs = [0 if ok else 1
                     for ok in pc.is_valid(piece).to_pylist()]
-            chunk += struct.pack(f"<{cn}H", *defs)
+            chunk += _levels_chunk(defs)
             chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         if is_bool:
             vstream = np.packbits(
@@ -2084,8 +2107,8 @@ def _plan_structural_variable(arr, lt: str, what: str,
             cn = min(_MB_CHUNK_VALUES, n - s)
             chunk = bytearray()
             if has_def:
-                chunk += struct.pack(
-                    f"<{cn}H", *[0 if ok else 1 for ok in valid[s:s + cn]])
+                chunk += _levels_chunk(
+                    [0 if ok else 1 for ok in valid[s:s + cn]])
                 chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
             cvals = idxs[s:s + cn]
             cw = max(1, max(cvals).bit_length())
@@ -2128,8 +2151,8 @@ def _plan_structural_variable(arr, lt: str, what: str,
                 cnt = 1 << (cnt.bit_length() - 1)
         chunk = bytearray()
         if has_def:
-            chunk += struct.pack(
-                f"<{cnt}H", *[0 if ok else 1 for ok in valid[i:i + cnt]])
+            chunk += _levels_chunk(
+                [0 if ok else 1 for ok in valid[i:i + cnt]])
             chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         vstream = bytearray(struct.pack(
             f"<{cnt}I", *[len(b) for b in pieces[i:i + cnt]]))
@@ -2210,7 +2233,7 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
                 else len(v) for _, _, v in slots[i:i + cnt])
         else:
             sz += 8 + cnt * width  # bitpack/rle/flat all fit within this
-        return _align8(sz + (8 if wrap else 0))
+        return _align8(sz + 24 + (8 if wrap else 0))
 
     # the u16 chunk-metadata word holds size-in-words in 12 bits, so a
     # chunk must stay under 32 KiB: halve the slot count (power-of-two
@@ -2235,10 +2258,10 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
         cslots = slots[s:s + cnt]
         s += cnt
         cn = len(cslots)
-        chunk = bytearray(struct.pack(f"<{cn}H", *[r for r, _, _ in cslots]))
+        chunk = bytearray(_levels_chunk([r for r, _, _ in cslots]))
         chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         if has_def:
-            chunk += struct.pack(f"<{cn}H", *[d for _, d, _ in cslots])
+            chunk += _levels_chunk([d for _, d, _ in cslots])
             chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         cvals = [v for _, _, v in cslots]
         if is_var:
