@@ -1026,11 +1026,10 @@ def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
             "column is not implemented")
     scheme, off_bits, codec = _compressive_info(_one(fz, 3, b""), what,
                                                 "value")
-    if scheme != "variable" or off_bits not in (0, 32) or codec is not None:
+    if scheme != "variable" or off_bits not in (0, 32):
         raise NotImplementedError(
             f"{what}: full-zip values with {scheme} offset_bits="
-            f"{off_bits} — only uncompressed u32-length variable "
-            "streams decode")
+            f"{off_bits} — only u32-length variable streams decode")
     layers = _repdef_layers(fz)
     if any(l not in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)
            for l in layers) or len(layers) > 1:
@@ -1044,6 +1043,17 @@ def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
             "(expected one zipped buffer)")
     is_text = lt in ("string", "large_string")
     data = fetch(page.buf_pos[0], page.buf_size[0])
+    if codec == "zlib":
+        # the whole zipped-record buffer is one zlib block ([u32
+        # compressed][u32 raw][deflate]) — full-zip pages are read in
+        # full anyway (no chunk skipping to preserve), and large text
+        # values are THE compressible case
+        import zlib
+
+        comp_len, raw_len = struct.unpack_from("<II", data, 0)
+        data = zlib.decompress(data[8:8 + comp_len])
+        if len(data) != raw_len:
+            raise ValueError(f"{what}: full-zip zlib raw-size mismatch")
     out: list = []
     p = 0
     for _ in range(page.length):
@@ -1916,11 +1926,15 @@ def _enc_miniblock_layout(value_comp: bytes, has_def: bool,
     return _w_len(1, mb)
 
 
-def _enc_fullzip_layout(has_def: bool) -> bytes:
-    """PageLayout{ f2: FullZipLayout{ f3: value compression (variable),
-    f4: repdef layers }} — mirrors the mini-block message slots; see
-    _decode_fullzip's contract."""
-    fz = _w_len(3, _enc_compressive_variable(32))
+def _enc_fullzip_layout(has_def: bool, compression: str = "none") -> bytes:
+    """PageLayout{ f2: FullZipLayout{ f3: value compression (variable,
+    zlib-Block-wrapped under compression), f4: repdef layers }} —
+    mirrors the mini-block message slots; see _decode_fullzip's
+    contract."""
+    value_comp = _enc_compressive_variable(32)
+    if compression == "zlib":
+        value_comp = _enc_compressive_block(value_comp)
+    fz = _w_len(3, value_comp)
     fz += _w_packed(4, [_REPDEF_NULLABLE_ITEM if has_def
                         else _REPDEF_ALL_VALID_ITEM])
     return _w_len(2, fz)
@@ -2088,8 +2102,10 @@ def _plan_structural_variable(arr, lt: str, what: str,
                 data += struct.pack("<H", 0 if valid[i] else 1)
             data += struct.pack("<I", len(b))
             data += b
-        return _ColPlan([bytes(data)], _enc_fullzip_layout(has_def), n,
-                        _PAGE_LAYOUT_URL)
+        payload = (_zlib_chunk(bytes(data)) if compression == "zlib"
+                   else bytes(data))
+        return _ColPlan([payload], _enc_fullzip_layout(has_def, compression),
+                        n, _PAGE_LAYOUT_URL)
 
     # low-cardinality columns dictionary-encode (what real lance does):
     # unique items in first-appearance order ride a third page buffer,

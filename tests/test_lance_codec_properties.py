@@ -907,3 +907,27 @@ def test_miniblock_list_long_values_adapt_chunks(tmp_path):
     with pytest.raises(NotImplementedError, match="chunk ceiling"):
         LF.write_native_file(big, str(tmp_path / "big.lance"),
                              structural="2.1-miniblock")
+
+
+def test_fullzip_zlib_roundtrip_and_shrink(tmp_path):
+    """Large text values (the full-zip path) zlib-compress as one block
+    per page buffer under write.native-compression=zlib — nulls, paging,
+    and byte lengths all survive; repetitive large docs shrink
+    dramatically."""
+    vals = [("paragraph " * 900) + str(i) if i % 3 else None
+            for i in range(200)]
+    tbl = pa.table({"big": pa.array(vals, pa.string()),
+                    "i": pa.array(range(200), pa.int64())})
+    raw = str(tmp_path / "raw.lance")
+    zl = str(tmp_path / "z.lance")
+    LF.write_native_file(tbl, raw, structural="2.1-miniblock")
+    LF.write_native_file(tbl, zl, structural="2.1-miniblock",
+                         compression="zlib")
+    import os
+
+    assert os.path.getsize(zl) < os.path.getsize(raw) / 10
+    assert LF.read_native_file(zl).to_pylist() == tbl.to_pylist()
+    zp = str(tmp_path / "zp.lance")
+    LF.write_native_file(tbl, zp, page_rows=64, structural="2.1-miniblock",
+                         compression="zlib")
+    assert LF.read_native_file(zp).to_pylist() == tbl.to_pylist()
