@@ -578,7 +578,11 @@ def search_dataset(
     the probed cells (hnsw.hnsw_search); else PQ codes present → ADC +
     refine (pq.pq_search, composing IVF cell pruning when the coarse
     index coexists); IVF only → exact search in probed cells; no index →
-    brute force."""
+    brute force. s3:// datasets route IDENTICALLY through the
+    object-storage index plane (``_indexes/<col>/<kind>`` engine
+    datasets, ``options.s3`` credentials); an index-less remote dataset
+    serves the exact distributed scan through the remote pushdown
+    reader."""
     from .hnsw import has_hnsw_index, hnsw_search, read_hnsw_meta
     from .operators.knn import knn
     from .pq import has_pq_index, pq_search, read_pq_meta
