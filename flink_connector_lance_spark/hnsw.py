@@ -343,12 +343,14 @@ def build_hnsw_index(
     if remote:
         # cell-clustered engine datasets: a probe's `cell IN (...)` prunes
         # whole graph/vector fragments via zone maps — the remote twin of
-        # the local partitionBy static pruning. Meta rides the graph.
+        # the local partitionBy static pruning. Meta rides the graph, which
+        # commits LAST: has_hnsw_index() only flips true once the vector
+        # slab it points at is already durable (local meta-rename twin).
+        _idx_store_remote(vec_slab, _remote_subdir(idx_dir, "vectors"), s3,
+                          cluster_cols=["cell"], bloom_cols=["cell"])
         _idx_store_remote(graph, _remote_subdir(idx_dir, "graph"), s3,
                           meta=meta, cluster_cols=["cell"],
                           bloom_cols=["cell"])
-        _idx_store_remote(vec_slab, _remote_subdir(idx_dir, "vectors"), s3,
-                          cluster_cols=["cell"], bloom_cols=["cell"])
         return meta
     shutil.rmtree(idx_dir, ignore_errors=True)
     os.makedirs(idx_dir, exist_ok=True)
@@ -400,6 +402,7 @@ def hnsw_candidates(
     nprobes: int | None = None,
     ef: int | None = None,
     s3=None,
+    _metas: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """The skinny per-cell candidate relation (id, _hnsw_d) an
     ef-bounded traversal emits for ``query`` — at most ``max(ef, k)``
@@ -410,10 +413,14 @@ def hnsw_candidates(
 
     remote = is_remote(path)
     storage = s3.to_storage_options() if (remote and s3) else None
-    if not has_hnsw_index(path, column, storage):
+    # _metas: search_dataset's pre-fetched per-kind metadata — skips the
+    # has_hnsw_index/read_hnsw_meta re-fetch pair (and the IVF presence GET)
+    meta = _metas.get("hnsw") if _metas is not None else (
+        read_hnsw_meta(path, column, storage)
+        if has_hnsw_index(path, column, storage) else None)
+    if meta is None:
         raise FileNotFoundError(f"no HNSW index on {path}:{column}; build_hnsw_index first")
     idx_dir = _hnsw_dir(path, column)
-    meta = read_hnsw_meta(path, column, storage)
     q = V.validate_query_vector(query)
     if len(q) != meta["dim"]:
         raise ValueError(f"query dim {len(q)} != indexed dim {meta['dim']}")
@@ -430,7 +437,9 @@ def hnsw_candidates(
     if nprobes is not None:
         if nprobes <= 0:
             raise ValueError("nprobes must be positive")
-        if not has_ivf_index(path, column, storage):
+        have_ivf = ("ivf" in _metas) if _metas is not None \
+            else has_ivf_index(path, column, storage)
+        if not have_ivf:
             raise FileNotFoundError(
                 f"nprobes given but no IVF index on {path}:{column}; build_index first"
             )
@@ -485,6 +494,7 @@ def hnsw_search(
     round_digits: int | None = None,
     filter=None,
     s3=None,
+    _metas: dict | None = None,
 ) -> DataFrame:
     """Graph-ANN search: probe ``nprobes`` cells, traverse each cell's
     HNSW graph with an ``ef``-bounded candidate list (ref
@@ -504,7 +514,8 @@ def hnsw_search(
     remote = is_remote(path)
     storage = s3.to_storage_options() if (remote and s3) else None
     cand, meta = hnsw_candidates(spark, path, column, query, k=k,
-                                 nprobes=nprobes, ef=ef, s3=s3)
+                                 nprobes=nprobes, ef=ef, s3=s3,
+                                 _metas=_metas)
     q = V.validate_query_vector(query)
     metric = meta.get("metric", "l2")
     id_col = meta["id_col"]

@@ -23,6 +23,7 @@ On-disk layout (emulated): ``<dataset>/_indexes/<column>/ivf/`` with
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
@@ -84,11 +85,43 @@ def _idx_load_remote(spark, idx_path: str, s3):
 
 def _idx_meta_remote(idx_path: str, storage: dict | None) -> dict | None:
     """The index metadata from the index dataset's commit meta, or None
-    when no index exists at that key prefix."""
+    when no index exists at that key prefix. A foreign/native-binary
+    manifest chain at the prefix (LanceUnavailableError) also reports
+    "no index" rather than crashing has_*/describe — the FTS describe
+    loop's contract."""
     try:
         return FR.read_manifest(idx_path, None, storage).meta.get(_ANN_META_KEY)
-    except FileNotFoundError:
+    except (FileNotFoundError, FR.LanceUnavailableError):
         return None
+
+
+_KIND_PRIMARY = (("hnsw", "graph"), ("pq", "codebooks"), ("ivf", "centroids"))
+
+
+def _kind_metas(path: str, column: str,
+                storage: dict | None = None) -> dict[str, dict]:
+    """Presence AND content of every index kind's meta in one pass —
+    on s3:// this is exactly one manifest fetch per kind (the meta rides
+    the kind's primary relation), replacing the separate has_* /
+    read_*_meta pairs that each re-listed ``_versions/`` and re-fetched
+    the manifest. Locally it reads up to three small JSON files."""
+    from .sources.fs import is_remote
+
+    out: dict[str, dict] = {}
+    if is_remote(path):
+        for kind, rel in _KIND_PRIMARY:
+            m = _idx_meta_remote(
+                _remote_subdir(path, INDEXES_DIR, column, kind, rel), storage)
+            if m is not None:
+                out[kind] = m
+    else:
+        for kind, _rel in _KIND_PRIMARY:
+            p = os.path.join(path, INDEXES_DIR, column, kind,
+                             "index_meta.json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    out[kind] = json.load(fh)
+    return out
 
 
 @dataclass
@@ -227,12 +260,15 @@ def _emulated_ivf_build(spark, path: str, column: str, id_col: str,
         # `cell` so a probe's `cell IN (...)` prunes whole fragments via
         # zone maps (the remote twin of partitionBy static pruning), with
         # cell blooms as the second skip level. Meta rides the centroids
-        # dataset's commit — no driver-side JSON file on s3.
-        _idx_store_remote(cents, _remote_subdir(idx_dir, "centroids"),
-                          opts.s3, meta=meta)
+        # dataset's commit — no driver-side JSON file on s3. The
+        # meta-bearing relation commits LAST (the remote twin of the local
+        # atomic index_meta.json rename): a crash mid-build leaves
+        # has_index() False, never a half-index that searches would open.
         _idx_store_remote(assigns, _remote_subdir(idx_dir, "assignments"),
                           opts.s3, cluster_cols=["cell"],
                           bloom_cols=["cell"])
+        _idx_store_remote(cents, _remote_subdir(idx_dir, "centroids"),
+                          opts.s3, meta=meta)
         return
     shutil.rmtree(idx_dir, ignore_errors=True)
     os.makedirs(idx_dir, exist_ok=True)
@@ -368,6 +404,7 @@ def ivf_index_knn(
     tiebreak_cols=(),
     round_digits: int | None = None,
     filter=None,
+    _meta: dict | None = None,
 ):
     """Indexed ANN search over the emulated IVF index: pick the nprobes
     nearest centroids (driver-side on a k_cells-row relation), fetch ONLY
@@ -390,14 +427,19 @@ def ivf_index_knn(
     opts = options or DatasetOptions(path=path)
     remote = is_remote(path)
     storage = opts.s3.to_storage_options() if (remote and opts.s3) else None
-    if not has_index(path, column, storage):
-        raise FileNotFoundError(f"no IVF index on {path}:{column}; build_index first")
+    # _meta: pre-fetched index metadata (search_dataset's single
+    # _kind_metas pass) — skips the has_index listing + meta re-fetch
     idx_dir = _index_dir(path, column)
-    if remote:
-        meta = _idx_meta_remote(_remote_subdir(idx_dir, "centroids"), storage)
-    else:
-        with open(os.path.join(idx_dir, "index_meta.json")) as fh:
-            meta = json.load(fh)
+    meta = _meta
+    if meta is None:
+        if remote:
+            meta = _idx_meta_remote(_remote_subdir(idx_dir, "centroids"),
+                                    storage)
+        elif os.path.exists(os.path.join(idx_dir, "index_meta.json")):
+            with open(os.path.join(idx_dir, "index_meta.json")) as fh:
+                meta = json.load(fh)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF index on {path}:{column}; build_index first")
     nprobes = nprobes if nprobes is not None else opts.vector_nprobes
     q = V.validate_query_vector(query)
 
@@ -495,36 +537,24 @@ def refresh_index(
     CORRECT (exact-scanned), this bounds how much of every query pays
     the brute-force price. Returns None when the index is fresh enough.
     Works against the s3:// index plane too (meta rides the index
-    datasets' manifests; the rebuild needs ``options.s3``)."""
-    import json as _json
+    datasets' manifests; the rebuild needs ``options.s3``).
 
+    The rebuild rehydrates the index geometry (num_partitions / m /
+    ef_construction / num_sub_vectors / num_bits) from the STORED metas —
+    a maintenance-triggered refresh must reproduce what was built, not
+    silently reshape the index to whatever the caller's option defaults
+    happen to be."""
     from .sources.fs import is_remote
 
     remote = is_remote(path)
     storage = (options.s3.to_storage_options()
                if (remote and options is not None and options.s3) else None)
-    meta = None
-    if remote:
-        # meta rides the kind's primary relation (graph/codebooks/centroids)
-        for kind, rel in (("hnsw", "graph"), ("pq", "codebooks"),
-                          ("ivf", "centroids")):
-            meta = _idx_meta_remote(
-                _remote_subdir(path, INDEXES_DIR, column, kind, rel), storage)
-            if meta is not None:
-                break
-        if meta is None:
-            raise FileNotFoundError(f"no index on {path}:{column}")
-    else:
-        meta_p = None
-        for kind in ("hnsw", "pq", "ivf"):
-            p = os.path.join(path, INDEXES_DIR, column, kind, "index_meta.json")
-            if os.path.exists(p):
-                meta_p = p
-                break
-        if meta_p is None:
-            raise FileNotFoundError(f"no index on {path}:{column}")
-        with open(meta_p) as fh:
-            meta = _json.load(fh)
+    # gather EVERY kind's meta — a compound IVF_HNSW_PQ index spreads its
+    # params across the hnsw/pq/ivf sidecars; the first found is primary
+    metas = _kind_metas(path, column, storage)
+    if not metas:
+        raise FileNotFoundError(f"no index on {path}:{column}")
+    meta = next(metas[k] for k in ("hnsw", "pq", "ivf") if k in metas)
     covered, uncovered = split_by_index_coverage(
         path, meta.get("dataset_version", 0), storage=storage,
         relative=remote)
@@ -543,9 +573,28 @@ def refresh_index(
         itype = IndexType.IVF_PQ
     else:
         itype = IndexType.IVF_FLAT
+    # rehydrate stored geometry over the caller's option defaults
+    overrides: dict = {}
+    ivf_m = metas.get("ivf") or {}
+    if ivf_m.get("num_partitions"):
+        overrides["index_num_partitions"] = ivf_m["num_partitions"]
+    pq_m = metas.get("pq") or {}
+    if pq_m.get("num_sub_vectors"):
+        overrides["index_num_sub_vectors"] = pq_m["num_sub_vectors"]
+    if pq_m.get("num_bits"):
+        overrides["index_num_bits"] = pq_m["num_bits"]
+    hnsw_m = metas.get("hnsw") or {}
+    if hnsw_m.get("m"):
+        overrides["index_m"] = hnsw_m["m"]
+    if hnsw_m.get("ef_construction"):
+        overrides["index_ef_construction"] = hnsw_m["ef_construction"]
+    if hnsw_m.get("max_level"):
+        overrides["index_max_level"] = hnsw_m["max_level"]
+    base_opts = options if options is not None else DatasetOptions(path=path)
+    opts = dataclasses.replace(base_opts, **overrides) if overrides else base_opts
     return build_index(path, column, index_type=itype,
                        metric=meta.get("metric", "l2"), replace=True,
-                       options=options, spark=spark, id_col=meta.get("id_col", id_col))
+                       options=opts, spark=spark, id_col=meta.get("id_col", id_col))
 
 
 def search_dataset(
@@ -583,9 +632,9 @@ def search_dataset(
     datasets, ``options.s3`` credentials); an index-less remote dataset
     serves the exact distributed scan through the remote pushdown
     reader."""
-    from .hnsw import has_hnsw_index, hnsw_search, read_hnsw_meta
+    from .hnsw import hnsw_search
     from .operators.knn import knn
-    from .pq import has_pq_index, pq_search, read_pq_meta
+    from .pq import pq_search
     from .sources.fs import is_remote
     from .sources.reader import read_dataset
 
@@ -593,30 +642,31 @@ def search_dataset(
     s3 = options.s3 if options is not None else None
     storage = s3.to_storage_options() if (remote and s3) else None
 
-    use = (has_index(path, column, storage)
-           or has_pq_index(path, column, storage)
-           or has_hnsw_index(path, column, storage)) \
-        if use_index is None else use_index
-    if use and has_hnsw_index(path, column, storage):
-        h_meta = read_hnsw_meta(path, column, storage)
+    # ONE metadata pass over the three kinds (presence + content per
+    # _idx_meta_remote call) — on s3:// this is 3 manifest fetches total
+    # instead of the ~5-8 separate has_*/read_*_meta round-trips
+    metas = _kind_metas(path, column, storage)
+    use = bool(metas) if use_index is None else use_index
+    if use and "hnsw" in metas:
+        h_meta = metas["hnsw"]
         if metric and h_meta.get("metric", metric) != metric:
             raise ValueError(
                 f"HNSW index on {path}:{column} was built for metric "
                 f"{h_meta['metric']!r}, not {metric!r} — rebuild or search brute-force"
             )
-        np_ = nprobes if has_index(path, column, storage) else None
+        np_ = nprobes if "ivf" in metas else None
         eff = ef if ef is not None else (options.vector_ef if options is not None else None)
         return hnsw_search(spark, path, column, query, k=k, nprobes=np_, ef=eff,
                            tiebreak_cols=tiebreak_cols, round_digits=round_digits,
-                           filter=filter, s3=s3)
-    if use and has_pq_index(path, column, storage):
-        pq_meta = read_pq_meta(path, column, storage)
+                           filter=filter, s3=s3, _metas=metas)
+    if use and "pq" in metas:
+        pq_meta = metas["pq"]
         if metric and pq_meta.get("metric", metric) != metric:
             raise ValueError(
                 f"PQ index on {path}:{column} was built for metric "
                 f"{pq_meta['metric']!r}, not {metric!r} — rebuild or search brute-force"
             )
-        np_ = nprobes if has_index(path, column, storage) else None
+        np_ = nprobes if "ivf" in metas else None
         refine = (options.vector_refine_factor if options is not None
                   and options.vector_refine_factor else 10)
         # vector.ef bounds the ADC candidate pool on the DataFrame path
@@ -624,19 +674,14 @@ def search_dataset(
         eff = ef if ef is not None else (options.vector_ef if options is not None else None)
         return pq_search(spark, path, column, query, k=k, refine_factor=refine,
                          nprobes=np_, ef=eff, tiebreak_cols=tiebreak_cols,
-                         round_digits=round_digits, filter=filter, s3=s3)
+                         round_digits=round_digits, filter=filter, s3=s3,
+                         _metas=metas)
     if use:
-        if not has_index(path, column, storage):
+        meta = metas.get("ivf")
+        if meta is None:
             raise FileNotFoundError(
                 f"use_index=True but no ANN index on {path}:{column}; "
                 "build_index first")
-        idx_dir = _index_dir(path, column)
-        if remote:
-            meta = _idx_meta_remote(_remote_subdir(idx_dir, "centroids"),
-                                    storage)
-        else:
-            with open(os.path.join(idx_dir, "index_meta.json")) as fh:
-                meta = json.load(fh)
         if metric and meta.get("metric", metric) != metric:
             raise ValueError(
                 f"index on {path}:{column} was built for metric "
@@ -644,7 +689,8 @@ def search_dataset(
             )
         return ivf_index_knn(spark, path, column, query, k=k, nprobes=nprobes,
                              ef=ef, options=options, tiebreak_cols=tiebreak_cols,
-                             round_digits=round_digits, filter=filter)
+                             round_digits=round_digits, filter=filter,
+                             _meta=meta)
     if remote:
         from .sources.maintenance import _remote_reader
 

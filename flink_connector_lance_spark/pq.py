@@ -230,10 +230,12 @@ def build_pq_index(
     if remote:
         # codebooks (m*k rows, collected at search time) carry the meta;
         # codes are the skinny full-scan ADC relation — no clustering
-        # needed, the whole point is scanning every row's m small ints
+        # needed, the whole point is scanning every row's m small ints.
+        # Codes commit FIRST so the meta-bearing codebooks commit is the
+        # atomic "index exists" flip (local index_meta.json semantics).
+        _idx_store_remote(codes_rel, _remote_subdir(idx_dir, "codes"), s3)
         _idx_store_remote(books, _remote_subdir(idx_dir, "codebooks"),
                           s3, meta=meta)
-        _idx_store_remote(codes_rel, _remote_subdir(idx_dir, "codes"), s3)
         return meta
     shutil.rmtree(idx_dir, ignore_errors=True)
     os.makedirs(idx_dir, exist_ok=True)
@@ -289,6 +291,7 @@ def pq_search(
     round_digits: int | None = None,
     filter=None,
     s3=None,
+    _metas: dict | None = None,
 ) -> DataFrame:
     """ADC search over the PQ codes + exact refine (ref refine-factor,
     config/LanceOptions.java:232-237).
@@ -308,10 +311,14 @@ def pq_search(
 
     remote = is_remote(path)
     storage = s3.to_storage_options() if (remote and s3) else None
-    if not has_pq_index(path, column, storage):
+    # _metas: search_dataset's pre-fetched per-kind metadata — skips the
+    # has_pq_index/read_pq_meta re-fetch pair (and the IVF presence GET)
+    meta = _metas.get("pq") if _metas is not None else (
+        read_pq_meta(path, column, storage)
+        if has_pq_index(path, column, storage) else None)
+    if meta is None:
         raise FileNotFoundError(f"no PQ index on {path}:{column}; build_pq_index first")
     idx_dir = _pq_dir(path, column)
-    meta = read_pq_meta(path, column, storage)
     q = V.validate_query_vector(query)
     if len(q) != meta["dim"]:
         raise ValueError(f"query dim {len(q)} != indexed dim {meta['dim']}")
@@ -330,7 +337,9 @@ def pq_search(
 
     if nprobes is not None:
         # IVF_PQ composition: restrict the ADC scan to probed cells
-        if not has_ivf_index(path, column, storage):
+        have_ivf = ("ivf" in _metas) if _metas is not None \
+            else has_ivf_index(path, column, storage)
+        if not have_ivf:
             raise FileNotFoundError(
                 f"nprobes given but no IVF index on {path}:{column}; build_index first"
             )

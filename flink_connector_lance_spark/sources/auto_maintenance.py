@@ -26,9 +26,10 @@ are plain numbers, not magic: the defaults suit a table receiving
 steady micro-batch appends.
 
 s3:// datasets run the same pass (``s3=S3Options(...)``): compact /
-tail-cluster / vacuum route to their executor-direct remote twins;
-rollup/FTS/ANN refreshers — local-checkout structures — are skipped
-with the reason in the report.
+tail-cluster / vacuum route to their executor-direct remote twins, and
+rollup / FTS / ANN refreshers run against the object-storage sidecar
+planes (``_rollups/``, ``_fts/``, ``_indexes/`` engine datasets) — no
+local checkout required.
 """
 
 from __future__ import annotations
