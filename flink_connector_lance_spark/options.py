@@ -173,11 +173,14 @@ class DatasetOptions:
     # columns; see lance_format._decode_miniblock's reconstruction
     # contract). Read-side support is automatic per page.
     native_layout: str = "2.0"
-    # write.native-compression: per-chunk general-purpose compression of
-    # 2.1 mini-block VALUE streams — "none" or "zlib" (stdlib; floats
+    # write.native-compression: compression of 2.1 mini-block VALUE
+    # streams — "none", "zlib" (stdlib per-chunk blocks; floats
     # additionally byte-stream-split so same-position bytes compress
-    # together). Requires native_layout='2.1-miniblock'; level streams
-    # stay flat so chunk skipping never decompresses what it skips.
+    # together) or "fsst" (per-page symbol table over string/binary
+    # columns, per-string substitution streams preserving random
+    # access; sources/fsst.py). Requires native_layout='2.1-miniblock';
+    # level streams stay flat so chunk skipping never decompresses what
+    # it skips.
     native_compression: str = "none"
     index_type: IndexType = IndexType.IVF_PQ
     index_column: str | None = None
@@ -217,10 +220,10 @@ class DatasetOptions:
             raise ValueError(
                 "write.native-layout must be '2.0' or '2.1-miniblock' "
                 f"(got {self.native_layout!r})")
-        if self.native_compression not in ("none", "zlib"):
+        if self.native_compression not in ("none", "zlib", "fsst"):
             raise ValueError(
-                "write.native-compression must be 'none' or 'zlib' "
-                f"(got {self.native_compression!r})")
+                "write.native-compression must be 'none', 'zlib' or "
+                f"'fsst' (got {self.native_compression!r})")
         if self.native_compression != "none" and self.native_layout == "2.0":
             raise ValueError(
                 "write.native-compression requires "

@@ -449,6 +449,21 @@ def source_version_travel(spark, sf_dir):
                            WHEN doc_id % 5 = 0 THEN 0
                            ELSE (doc_id % 5) + n_chars END) AS BIGINT)
     FROM documents WHERE doc_id % 7 = 0 AND n_chars > 100
+    UNION ALL
+    SELECT '__native_fsst__', count(*), CAST(sum(n_chars) AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(sum(strlen('u-' || doc_id || '-' || lang || '-'
+                           || n_chars)) AS BIGINT),
+           CAST(count(*) * ascii('u')
+                + sum(ascii(substr(CAST(n_chars AS VARCHAR),
+                                   strlen(CAST(n_chars AS VARCHAR)), 1)))
+                + sum(CASE WHEN doc_id % 3 = 0 THEN 0
+                           WHEN doc_id % 5 = 0 THEN 0
+                           ELSE strlen(lang) + 1
+                                + strlen(CAST(doc_id % 13 AS VARCHAR))
+                                + CASE WHEN n_chars % 2 = 1 THEN 0
+                                       ELSE 1 END END) AS BIGINT)
+    FROM documents WHERE doc_id % 9 = 0 AND n_chars > 120
     """,
     doc="spark.read.format('lance') / df.write.format('lance') — the "
         "registered PySpark DataSource (sources/datasource.py; ref "
@@ -477,7 +492,14 @@ def source_version_travel(spark, sf_dir):
         "(run-heavy 'bucket'), a byte-stream-split + zlib-block double "
         "('score', write.native-compression=zlib), and a nested-repdef "
         "list<long> page ('toks' — null/empty lists + null items on "
-        "repetition/definition streams), all bound into 'extra_hash'.",
+        "repetition/definition streams), all bound into 'extra_hash'. "
+        "Round 12: a second native dataset written under "
+        "write.native-compression=fsst drives the FSST arm "
+        "(sources/fsst.py — per-page symbol table, per-string "
+        "substitution streams) over a high-cardinality 'uri' string "
+        "(dictionary can't fire) AND a list<string> leaf stream; the "
+        "__native_fsst__ row binds decoded byte lengths and first/last "
+        "character codes into the gate.",
 )
 def source_format_api(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -573,7 +595,50 @@ def source_format_api(spark, sf_dir):
         .select(F.lit("__native_codec__").alias("lang"), "cnt", "sum_chars",
                 "sum_opt", "lang_bytes", "extra_hash")
     )
-    return agg.unionByName(point).unionByName(native)
+    # FSST arm: a high-cardinality string (dictionary can't fire — every
+    # uri is unique) plus a list<string> leaf stream, written under
+    # write.native-compression=fsst and read back through the same
+    # format('lance') route; decoded byte lengths and first/last
+    # character codes bind the substitution decode into the hash
+    fpath = _workdir("formatapi-fsst", sf_dir)
+    write_native_pure(
+        d.filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id", "n_chars",
+                F.concat_ws("-", F.lit("u"), F.col("doc_id"),
+                            F.col("lang"), F.col("n_chars")).alias("uri"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.array().cast("array<string>"))
+                .when(F.col("doc_id") % 5 == 0,
+                      F.lit(None).cast("array<string>"))
+                .otherwise(F.array(
+                    F.col("lang"),
+                    F.concat(F.lit("c"),
+                             (F.col("doc_id") % 13).cast("string")),
+                    F.when(F.col("n_chars") % 2 == 0, F.lit("z"))))
+                .alias("chars")),
+        fpath, mode="overwrite",
+        options=DatasetOptions(path=fpath, native_layout="2.1-miniblock",
+                               native_compression="fsst"))
+    chars_len = F.aggregate(
+        F.coalesce(F.col("chars"), F.array().cast("array<string>")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.coalesce(F.octet_length(v),
+                                        F.lit(0)).cast("long"))
+    fsst_stage = (
+        spark.read.format("lance").load(fpath)
+        .filter(F.col("n_chars") > 120)
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("n_chars").alias("sum_chars"),
+             F.sum(F.octet_length("uri")).alias("lang_bytes"),
+             (F.sum(F.ascii(F.substring(F.col("uri"), 1, 1))).cast("long")
+              + F.sum(F.ascii(F.substring(F.col("uri"), -1, 1))).cast("long")
+              + F.sum(chars_len)).alias("extra_hash"))
+        .select(F.lit("__native_fsst__").alias("lang"), "cnt", "sum_chars",
+                F.lit(None).cast("long").alias("sum_opt"),
+                "lang_bytes", "extra_hash")
+    )
+    return (agg.unionByName(point).unionByName(native)
+            .unionByName(fsst_stage))
 
 
 @register(

@@ -74,11 +74,14 @@ stay uncompressed so chunk skipping never inflates skipped data); the
 FULL-ZIP layout for large variable-width values (per-item zipped
 [def][length][bytes] records — the spec's large-data-type path,
 auto-selected at write time when any value exceeds the mini-block
-budget); and the all-null layout. See the reconstruction contract at
+budget); FSST string compression (``compression='fsst'`` — per-page
+symbol table, per-string substitution streams preserving random
+access; sources/fsst.py implements the public-paper algorithm); and
+the all-null layout. See the reconstruction contract at
 ``_decode_miniblock`` (field numbers and intra-chunk framing are
 best-effort reconstructions of the public spec, round-trip- and
 hash-gate-pinned; no 2.1 fixture exists in this environment). Every
-remaining 2.1 arm — FSST, non-zlib block codecs, repdef beyond one list
+remaining 2.1 arm — non-zlib block codecs, repdef beyond one list
 layer — raises ``NotImplementedError`` naming the encoding, never a
 silent misread.
 
@@ -94,6 +97,8 @@ from __future__ import annotations
 import os
 import struct
 from dataclasses import dataclass
+
+from . import fsst as _FSST
 
 MAGIC = b"LANC"
 FOOTER_LEN = 40
@@ -591,7 +596,11 @@ def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
 # value compression, f4 repdef layers; CompressiveEncoding: f1 Flat{f1
 # bits}, f2 InlineBitpacking{f1 uncompressed bits}, f3 Variable{f1
 # offset_bits}, f4 Rle{f1 bits}, f5 ByteStreamSplit{f1 bits}, f6
-# Block{f1 codec, f2 inner}) and the chunk framing (streams in [rep][def][lengths]
+# Block{f1 codec, f2 inner}, f7 Fsst{f1 symbol table blob, f2 inner
+# Variable} — fsst.py documents the table blob's framing and the
+# substitution stream per the public FSST paper; lengths in the inner
+# Variable stream are COMPRESSED lengths so per-string random access
+# survives) and the chunk framing (streams in [rep][def][lengths]
 # [values] order, each padded to the 8-byte word boundary; bitpacked
 # chunks lead with a u64 width word; RLE chunks are [u16 run count]
 # [run values at full width][u16 run lengths]; byte-stream-split chunks
@@ -609,7 +618,7 @@ def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
 # level 1 opens a row, 0 continues its list; definition codes 0/1/2/3 =
 # valid item / null item / empty list / null list, placeholder slots
 # carrying dummy values). Every arm this reconstruction cannot justify
-# — FSST, non-zlib block codecs, repdef beyond one list layer —
+# — non-zlib block codecs, repdef beyond one list layer —
 # REFUSES by name, never misreads. A real lance-written 2.1 dataset
 # will therefore either decode or refuse loudly; silent misreads stay
 # impossible either way.
@@ -649,7 +658,9 @@ def _compressive_info(raw: bytes, what: str,
     compressor), f6 Block{f1 codec name, f2 inner CompressiveEncoding}
     (the chunk's value stream is [u32 compressed size][u32 raw size]
     [codec bytes] around the inner framing; only 'zlib' — stdlib —
-    decodes). FSST refuses by field number."""
+    decodes), f7 Fsst{f1 symbol table blob, f2 inner Variable} (the
+    bytes stream holds per-string FSST substitution streams, lengths
+    are compressed lengths; fsst.py)."""
     m = _pb_fields(raw)
     if 1 in m:
         return "flat", _one(_pb_fields(_one(m, 1, b"")), 1, 0), None
@@ -674,11 +685,32 @@ def _compressive_info(raw: bytes, what: str,
             raise NotImplementedError(
                 f"{what}: nested block compression on the {stream} stream")
         return scheme, bits, codec
+    if 7 in m:
+        fs = _pb_fields(_one(m, 7, b""))
+        inner_scheme, bits, inner_codec = _compressive_info(
+            _one(fs, 2, b""), what, stream)
+        if inner_scheme != "variable" or inner_codec is not None:
+            raise NotImplementedError(
+                f"{what}: FSST wrapping a non-Variable {stream} stream "
+                f"({inner_scheme}) is not implemented")
+        return "fsst", bits, None
     raise NotImplementedError(
         f"{what}: mini-block {stream} stream uses compression scheme "
         f"(fields {sorted(m)}) — only Flat / InlineBitpacking / "
-        "Variable / Rle / ByteStreamSplit / zlib-Block streams decode; "
-        "re-write the dataset without compression")
+        "Variable / Rle / ByteStreamSplit / zlib-Block / FSST streams "
+        "decode; re-write the dataset without compression")
+
+
+def _fsst_symbols(raw: bytes, what: str) -> list[bytes]:
+    """The symbol table of a CompressiveEncoding whose scheme resolved
+    to 'fsst' — f7 Fsst's f1 blob, deserialized (fsst.py framing). Also
+    descends through a Block (f6) wrapper so zlib-of-fsst composes."""
+    m = _pb_fields(raw)
+    if 6 in m:  # Block{f1 codec, f2 inner} — table lives on the inner msg
+        return _fsst_symbols(_one(_pb_fields(_one(m, 6, b"")), 2, b""), what)
+    if 7 not in m:
+        raise ValueError(f"{what}: no FSST arm on a scheme-resolved fsst stream")
+    return _FSST.deserialize_table(_one(_pb_fields(_one(m, 7, b"")), 1, b""))
 
 
 def _level_scheme(raw: bytes, what: str, stream: str) -> str:
@@ -805,6 +837,8 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
     is_text = lt in ("string", "large_string")
     scheme, val_bits, codec = _compressive_info(_one(mb, 3, b""), what,
                                                 "value")
+    fsst_table = (_fsst_symbols(_one(mb, 3, b""), what)
+                  if scheme == "fsst" else None)
     fmt = width = None
     dict_items = None
     if 5 in mb:  # DictionaryEncoding{f1 items compression, f2 num items}
@@ -815,11 +849,14 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
         dmsg = _pb_fields(_one(mb, 5, b""))
         dscheme, dbits, dcodec = _compressive_info(_one(dmsg, 1, b""), what,
                                                    "dictionary")
-        if dscheme != "variable" or dbits not in (0, 32) or dcodec:
+        if dscheme not in ("variable", "fsst") or dbits not in (0, 32) \
+                or dcodec:
             raise NotImplementedError(
                 f"{what}: dictionary items with {dscheme} offset_bits="
-                f"{dbits} — only uncompressed u32-length variable items "
-                "decode")
+                f"{dbits} — only uncompressed or FSST u32-length "
+                "variable items decode")
+        dict_fsst = (_fsst_symbols(_one(dmsg, 1, b""), what)
+                     if dscheme == "fsst" else None)
         if scheme != "bitpack" or val_bits not in (0, 32) or codec:
             raise NotImplementedError(
                 f"{what}: dictionary indices with {scheme} bits="
@@ -836,6 +873,8 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
         dict_items = []
         for ln in dlens:
             piece = draw[dp:dp + ln]
+            if dict_fsst is not None:
+                piece = _FSST.decompress(bytes(piece), dict_fsst)
             dict_items.append(piece.decode("utf-8") if is_text else piece)
             dp += ln
     elif is_bool:
@@ -844,10 +883,15 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
                 f"{what}: bool mini-block with {scheme} "
                 f"bits_per_value={val_bits}")
     elif is_var:
-        if scheme != "variable" or val_bits not in (0, 32):
+        if scheme not in ("variable", "fsst") or val_bits not in (0, 32):
             raise NotImplementedError(
                 f"{what}: variable-width mini-block with {scheme} "
-                f"offset_bits={val_bits} — only u32 length streams decode")
+                f"offset_bits={val_bits} — only u32 length streams "
+                "(plain or FSST-compressed) decode")
+    elif scheme == "fsst":
+        raise NotImplementedError(
+            f"{what}: FSST on a non-variable-width column is not "
+            "implemented")
     else:
         fmt, width, _ = _FLAT_TYPES[lt]
         if scheme == "flat" and val_bits in (0, width * 8):
@@ -925,6 +969,10 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
             vals = []
             for ln in lens:
                 piece = vsrc[vp:vp + ln]
+                if fsst_table is not None:
+                    # lengths are COMPRESSED lengths — decompress per
+                    # string so random access never reads neighbors
+                    piece = _FSST.decompress(bytes(piece), fsst_table)
                 vals.append(piece.decode("utf-8") if is_text else piece)
                 vp += ln
         elif scheme == "bitpack":
@@ -1026,10 +1074,13 @@ def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
             "column is not implemented")
     scheme, off_bits, codec = _compressive_info(_one(fz, 3, b""), what,
                                                 "value")
-    if scheme != "variable" or off_bits not in (0, 32):
+    if scheme not in ("variable", "fsst") or off_bits not in (0, 32):
         raise NotImplementedError(
             f"{what}: full-zip values with {scheme} offset_bits="
-            f"{off_bits} — only u32-length variable streams decode")
+            f"{off_bits} — only u32-length variable streams (plain or "
+            "FSST-compressed) decode")
+    fsst_table = (_fsst_symbols(_one(fz, 3, b""), what)
+                  if scheme == "fsst" else None)
     layers = _repdef_layers(fz)
     if any(l not in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)
            for l in layers) or len(layers) > 1:
@@ -1067,6 +1118,8 @@ def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
             out.append(None)
         else:
             piece = data[p:p + ln]
+            if fsst_table is not None:
+                piece = _FSST.decompress(bytes(piece), fsst_table)
             out.append(piece.decode("utf-8") if is_text else piece)
         p += ln
     return out
@@ -1899,6 +1952,14 @@ def _enc_compressive_block(inner: bytes, codec: str = "zlib") -> bytes:
     return _w_len(6, _w_len(1, codec.encode("utf-8")) + _w_len(2, inner))
 
 
+def _enc_compressive_fsst(table_blob: bytes) -> bytes:
+    """CompressiveEncoding{ f7: Fsst{ f1: symbol table blob, f2: inner
+    Variable }} — per-string substitution streams, COMPRESSED lengths in
+    the u32 stream (fsst.py)."""
+    return _w_len(7, _w_len(1, table_blob)
+                  + _w_len(2, _enc_compressive_variable(32)))
+
+
 def _enc_miniblock_layout(value_comp: bytes, has_def: bool,
                           dict_msg: bytes | None = None,
                           layers: "list[int] | None" = None,
@@ -1926,12 +1987,15 @@ def _enc_miniblock_layout(value_comp: bytes, has_def: bool,
     return _w_len(1, mb)
 
 
-def _enc_fullzip_layout(has_def: bool, compression: str = "none") -> bytes:
+def _enc_fullzip_layout(has_def: bool, compression: str = "none",
+                        fsst_blob: bytes | None = None) -> bytes:
     """PageLayout{ f2: FullZipLayout{ f3: value compression (variable,
-    zlib-Block-wrapped under compression), f4: repdef layers }} —
-    mirrors the mini-block message slots; see _decode_fullzip's
+    zlib-Block-wrapped under compression, Fsst-wrapped when
+    ``fsst_blob`` carries the page's symbol table), f4: repdef layers }}
+    — mirrors the mini-block message slots; see _decode_fullzip's
     contract."""
-    value_comp = _enc_compressive_variable(32)
+    value_comp = (_enc_compressive_fsst(fsst_blob) if fsst_blob is not None
+                  else _enc_compressive_variable(32))
     if compression == "zlib":
         value_comp = _enc_compressive_block(value_comp)
     fz = _w_len(3, value_comp)
@@ -2078,9 +2142,12 @@ def _plan_structural_variable(arr, lt: str, what: str,
     [u32 lengths][bytes], each stream word-padded, adaptive power-of-two
     chunk value counts so every chunk stays under 4KiB
     (``compression='zlib'`` wraps each chunk's lengths+bytes value
-    stream in a zlib block; the dictionary arm stays uncompressed — its
-    indices are already bitpacked). A column with any single value above
-    the full-zip threshold takes the FULL-ZIP layout instead (the spec's
+    stream in a zlib block; ``compression='fsst'`` builds one symbol
+    table per page and stores per-string FSST substitution streams with
+    compressed lengths — random access per string survives; the
+    dictionary arm stays uncompressed — its indices are already
+    bitpacked). A column with any single value above the full-zip
+    threshold takes the FULL-ZIP layout instead (the spec's
     large-data-type path): one buffer of per-item [u16 def][u32 length]
     [bytes] zipped records."""
     import pyarrow.compute as pc
@@ -2095,7 +2162,19 @@ def _plan_structural_variable(arr, lt: str, what: str,
               for v in arr.to_pylist()]
     valid = (pc.is_valid(arr).to_pylist() if has_def else None)
 
+    # layout decisions on RAW sizes/cardinality; FSST (if chosen)
+    # applies inside the fullzip/plain layouts — the dictionary arm
+    # already dedups, its items stay uncompressed
+    def _fsst_encode():
+        table = _FSST.build_symbol_table(
+            [b for i, b in enumerate(pieces) if valid is None or valid[i]])
+        return (_FSST.serialize_table(table),
+                [_FSST.compress(b, table) for b in pieces])
+
+    fsst_blob = None
     if any(len(b) > _FULLZIP_VALUE_BYTES for b in pieces):
+        if compression == "fsst":
+            fsst_blob, pieces = _fsst_encode()
         data = bytearray()
         for i, b in enumerate(pieces):
             if has_def:
@@ -2104,7 +2183,9 @@ def _plan_structural_variable(arr, lt: str, what: str,
             data += b
         payload = (_zlib_chunk(bytes(data)) if compression == "zlib"
                    else bytes(data))
-        return _ColPlan([payload], _enc_fullzip_layout(has_def, compression),
+        return _ColPlan([payload],
+                        _enc_fullzip_layout(has_def, compression,
+                                            fsst_blob=fsst_blob),
                         n, _PAGE_LAYOUT_URL)
 
     # low-cardinality columns dictionary-encode (what real lance does):
@@ -2147,6 +2228,9 @@ def _plan_structural_variable(arr, lt: str, what: str,
             _enc_miniblock_layout(_enc_compressive_bitpack(32), has_def,
                                   dict_msg), n, _PAGE_LAYOUT_URL)
 
+    if compression == "fsst":
+        fsst_blob, pieces = _fsst_encode()
+
     def chunk_size(i: int, cnt: int) -> int:
         sz = 0
         if has_def:
@@ -2183,7 +2267,8 @@ def _plan_structural_variable(arr, lt: str, what: str,
         meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
         data += chunk
         i += cnt
-    value_comp = _enc_compressive_variable(32)
+    value_comp = (_enc_compressive_fsst(fsst_blob) if fsst_blob is not None
+                  else _enc_compressive_variable(32))
     if compression == "zlib":
         value_comp = _enc_compressive_block(value_comp)
     return _ColPlan([bytes(meta), bytes(data)],
@@ -2205,7 +2290,8 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
     knows its budget — the page's ``length`` stays the ROW count.
     Leaf value streams reuse the flat encoders (bitpack/RLE/flat/bss for
     fixed-width, u32-length variable for string/binary, zlib-wrapped
-    under ``compression='zlib'``)."""
+    under ``compression='zlib'``, FSST-compressed per item under
+    ``compression='fsst'``)."""
     import numpy as np
 
     n = len(arr)
@@ -2229,8 +2315,21 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
     has_def = any(d for _, d, _ in slots)
     item_nullable = any(d == _DEF_NULL_ITEM for _, d, _ in slots)
     list_nullable = any(v is None for v in rows)
+    fsst_blob = None
     if is_var:
         scheme = "variable"
+        if compression == "fsst":
+            # pre-compress every leaf slot against one per-page table;
+            # the chunk loop below then treats slot values as opaque
+            # bytes (compressed lengths ride the u32 stream)
+            raw = [x.encode("utf-8") if is_text and isinstance(x, str)
+                   else bytes(x) for _, _, x in slots]
+            table = _FSST.build_symbol_table(
+                [b for (_, d, _), b in zip(slots, raw) if d == 0])
+            fsst_blob = _FSST.serialize_table(table)
+            slots = [(r, d, _FSST.compress(b, table))
+                     for (r, d, _), b in zip(slots, raw)]
+            scheme = "fsst"
     elif fmt in _MB_INT_FMTS:
         scheme = _mb_pick_int_scheme([v for _, _, v in slots])
     else:
@@ -2303,11 +2402,12 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
         log_nv = (cn.bit_length() - 1) if cn and not (cn & (cn - 1)) else 0
         meta += struct.pack("<H", ((len(chunk) // 8) << 4) | log_nv)
         data += chunk
-    value_comp = {"bitpack": _enc_compressive_bitpack,
-                  "rle": _enc_compressive_rle,
-                  "bss": _enc_compressive_bss,
-                  "variable": _enc_compressive_variable,
-                  "flat": _enc_compressive_flat}[scheme](bits)
+    value_comp = (_enc_compressive_fsst(fsst_blob) if scheme == "fsst"
+                  else {"bitpack": _enc_compressive_bitpack,
+                        "rle": _enc_compressive_rle,
+                        "bss": _enc_compressive_bss,
+                        "variable": _enc_compressive_variable,
+                        "flat": _enc_compressive_flat}[scheme](bits))
     if wrap:
         value_comp = _enc_compressive_block(value_comp)
     layers = [

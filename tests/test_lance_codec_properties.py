@@ -931,3 +931,106 @@ def test_fullzip_zlib_roundtrip_and_shrink(tmp_path):
     LF.write_native_file(tbl, zp, page_rows=64, structural="2.1-miniblock",
                          compression="zlib")
     assert LF.read_native_file(zp).to_pylist() == tbl.to_pylist()
+
+
+# --- FSST (sources/fsst.py + the codec's f7 arm) -----------------------------
+
+def test_fsst_paper_semantics_vector():
+    """Transcribed-from-paper semantics (Boncz/Neumann/Leis, PVLDB 2020):
+    each output byte is a symbol code substituted from the static table,
+    except the escape byte 255 which passes the next byte through. Greedy
+    longest-match encoding of 'tumcwitumvldb' over {tum,cwi,vldb} yields
+    exactly the 4-code stream; an uncovered byte escapes as [255, byte]."""
+    from flink_connector_lance_spark.sources import fsst
+
+    table = [b"tum", b"cwi", b"vldb"]
+    assert fsst.compress(b"tumcwitumvldb", table) == bytes([0, 1, 0, 2])
+    assert fsst.decompress(bytes([0, 1, 0, 2]), table) == b"tumcwitumvldb"
+    assert fsst.compress(b"tumX", table) == bytes([0, 0xFF, ord("X")])
+    assert fsst.decompress(bytes([0, 0xFF, ord("X")]), table) == b"tumX"
+    # table blob framing round-trips
+    assert fsst.deserialize_table(fsst.serialize_table(table)) == table
+
+
+def test_fsst_corruption_is_loud():
+    """Corrupt FSST inputs raise named ValueErrors, never wrong bytes:
+    out-of-table codes, a truncated escape, and malformed table blobs."""
+    from flink_connector_lance_spark.sources import fsst
+
+    table = [b"ab", b"c"]
+    with pytest.raises(ValueError, match="beyond the 2-symbol table"):
+        fsst.decompress(bytes([5]), table)
+    with pytest.raises(ValueError, match="escape byte at end"):
+        fsst.decompress(bytes([0xFF]), table)
+    with pytest.raises(ValueError, match="empty"):
+        fsst.deserialize_table(b"")
+    with pytest.raises(ValueError, match="truncated"):
+        fsst.deserialize_table(bytes([3, 1]))
+    with pytest.raises(ValueError, match="size mismatch"):
+        fsst.deserialize_table(bytes([1, 2]) + b"x")
+    with pytest.raises(ValueError, match="outside 1..8"):
+        fsst.deserialize_table(bytes([1, 9]) + b"123456789")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(texts, blobs), max_size=300))
+def test_miniblock_fsst_roundtrip(tmp_path_factory, pairs):
+    """write.native-compression=fsst: string/binary mini-block and
+    full-zip pages store per-string FSST substitution streams against a
+    per-page symbol table (compressed lengths in the u32 stream — random
+    access survives); list<string> leaf streams compose the same arm.
+    Unicode, empties, nulls, and arbitrary bytes round-trip exactly."""
+    svals = [s for s, _ in pairs]
+    bvals = [b for _, b in pairs]
+    rows = [None if s is None else [s, None, s[:5]] for s in svals]
+    tbl = pa.table({
+        "s": pa.array(svals, pa.string()),
+        "b": pa.array(bvals, pa.binary()),
+        "ls": pa.array(rows, pa.list_(pa.string())),
+        "i": pa.array(range(len(svals)), pa.int64()),
+    })
+    path = str(tmp_path_factory.mktemp("fsst") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock",
+                         compression="fsst")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+    # column pruning still skips the other columns' buffers
+    assert LF.read_native_file(path, columns=["s"]).to_pylist() == \
+        tbl.select(["s"]).to_pylist()
+
+
+def test_fsst_shrinks_storage(tmp_path):
+    """The point of FSST: high-cardinality repetitive text (dictionary
+    doesn't apply) shrinks several-fold in BOTH layouts — mini-block
+    (short values) and full-zip (values past the 4KB threshold) — while
+    each string stays independently decodable."""
+    import os
+
+    n = 20_000
+    small = pa.table({"s": pa.array(
+        [f"https://example.com/products/category-{v % 97}/item?id={v}"
+         for v in range(n)], pa.string())})
+    raw = str(tmp_path / "raw.lance")
+    fz = str(tmp_path / "f.lance")
+    LF.write_native_file(small, raw, structural="2.1-miniblock")
+    LF.write_native_file(small, fz, structural="2.1-miniblock",
+                         compression="fsst")
+    assert os.path.getsize(fz) < os.path.getsize(raw) / 2
+    assert LF.read_native_file(fz).to_pylist() == small.to_pylist()
+
+    big = pa.table({"doc": pa.array(
+        [None if i % 7 == 0 else ("the common crawl paragraph " * 200)
+         + str(i) for i in range(120)], pa.string())})
+    braw = str(tmp_path / "braw.lance")
+    bf = str(tmp_path / "bf.lance")
+    LF.write_native_file(big, braw, structural="2.1-miniblock")
+    LF.write_native_file(big, bf, structural="2.1-miniblock",
+                         compression="fsst")
+    assert os.path.getsize(bf) < os.path.getsize(braw) / 3
+    assert LF.read_native_file(bf).to_pylist() == big.to_pylist()
+    # paging composes
+    bp = str(tmp_path / "bp.lance")
+    LF.write_native_file(big, bp, page_rows=32, structural="2.1-miniblock",
+                         compression="fsst")
+    assert LF.read_native_file(bp).to_pylist() == big.to_pylist()
