@@ -462,7 +462,11 @@ def source_version_travel(spark, sf_dir):
                            ELSE strlen(lang) + 1
                                 + strlen(CAST(doc_id % 13 AS VARCHAR))
                                 + CASE WHEN n_chars % 2 = 1 THEN 0
-                                       ELSE 1 END END) AS BIGINT)
+                                       ELSE 1 END END)
+                + sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 0
+                           ELSE strlen(lang) + (n_chars % 100)
+                                + CASE WHEN n_chars % 3 = 0 THEN 13
+                                       ELSE doc_id % 7 END END) AS BIGINT)
     FROM documents WHERE doc_id % 9 = 0 AND n_chars > 120
     """,
     doc="spark.read.format('lance') / df.write.format('lance') — the "
@@ -497,9 +501,13 @@ def source_version_travel(spark, sf_dir):
         "write.native-compression=fsst drives the FSST arm "
         "(sources/fsst.py — per-page symbol table, per-string "
         "substitution streams) over a high-cardinality 'uri' string "
-        "(dictionary can't fire) AND a list<string> leaf stream; the "
-        "__native_fsst__ row binds decoded byte lengths and first/last "
-        "character codes into the gate.",
+        "(dictionary can't fire), a list<string> leaf stream, AND a "
+        "list<struct<t,w>> column riding the SHREDDED multi-layer "
+        "repdef pages ([list, struct, item] path per member, null "
+        "structs vs null members distinguished by definition code); "
+        "the __native_fsst__ row binds decoded byte lengths, first/"
+        "last character codes, and the struct items' bytes+weights "
+        "(null-struct marker 13) into the gate.",
 )
 def source_format_api(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -615,7 +623,24 @@ def source_format_api(spark, sf_dir):
                     F.concat(F.lit("c"),
                              (F.col("doc_id") % 13).cast("string")),
                     F.when(F.col("n_chars") % 2 == 0, F.lit("z"))))
-                .alias("chars")),
+                .alias("chars"),
+                # list<struct<t,w>> — the SHREDDED multi-layer repdef
+                # page ([list, struct, item] path per member; null
+                # structs ride definition code 2, null members code 1)
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.lit(None)
+                       .cast("array<struct<t:string,w:bigint>>"))
+                .when(F.col("doc_id") % 4 == 1,
+                      F.array().cast("array<struct<t:string,w:bigint>>"))
+                .otherwise(F.array(
+                    F.struct(F.col("lang").alias("t"),
+                             (F.col("n_chars") % 100).cast("long")
+                             .alias("w")),
+                    F.when(F.col("n_chars") % 3 != 0,
+                           F.struct(F.lit(None).cast("string").alias("t"),
+                                    (F.col("doc_id") % 7).cast("long")
+                                    .alias("w")))))
+                .alias("st")),
         fpath, mode="overwrite",
         options=DatasetOptions(path=fpath, native_layout="2.1-miniblock",
                                native_compression="fsst"))
@@ -624,6 +649,18 @@ def source_format_api(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, v: acc + F.coalesce(F.octet_length(v),
                                         F.lit(0)).cast("long"))
+    # null struct contributes a fixed marker (13), a valid struct its
+    # member bytes + weight — so a struct/member null confusion in the
+    # shredded decode breaks the hash
+    st_sum = F.aggregate(
+        F.coalesce(F.col("st"),
+                   F.array().cast("array<struct<t:string,w:bigint>>")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(
+            x.isNull(), F.lit(13).cast("long")
+        ).otherwise(
+            F.coalesce(F.octet_length(x["t"]), F.lit(0)).cast("long")
+            + F.coalesce(x["w"], F.lit(0).cast("long"))))
     fsst_stage = (
         spark.read.format("lance").load(fpath)
         .filter(F.col("n_chars") > 120)
@@ -632,7 +669,7 @@ def source_format_api(spark, sf_dir):
              F.sum(F.octet_length("uri")).alias("lang_bytes"),
              (F.sum(F.ascii(F.substring(F.col("uri"), 1, 1))).cast("long")
               + F.sum(F.ascii(F.substring(F.col("uri"), -1, 1))).cast("long")
-              + F.sum(chars_len)).alias("extra_hash"))
+              + F.sum(chars_len) + F.sum(st_sum)).alias("extra_hash"))
         .select(F.lit("__native_fsst__").alias("lang"), "cnt", "sum_chars",
                 F.lit(None).cast("long").alias("sum_opt"),
                 "lang_bytes", "extra_hash")

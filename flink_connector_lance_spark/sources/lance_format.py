@@ -80,10 +80,13 @@ access; sources/fsst.py implements the public-paper algorithm); and
 the all-null layout. See the reconstruction contract at
 ``_decode_miniblock`` (field numbers and intra-chunk framing are
 best-effort reconstructions of the public spec, round-trip- and
-hash-gate-pinned; no 2.1 fixture exists in this environment). Every
-remaining 2.1 arm — non-zlib block codecs, repdef beyond one list
-layer — raises ``NotImplementedError`` naming the encoding, never a
-silent misread.
+hash-gate-pinned; no 2.1 fixture exists in this environment). NESTED
+repdef covers list<leaf>, list<list<leaf>> (two repetition layers in
+one page) and list<struct<leafs>> (members shred into their own pages
+carrying the full repdef path — the Dremel model). Every remaining 2.1
+arm — non-zlib block codecs, repdef beyond those stacks (three-deep
+lists, struct-of-list inside a list) — raises ``NotImplementedError``
+naming the encoding, never a silent misread.
 
 Scale shape: one fragment file == one Spark task (mapInArrow over the
 manifest's file list, mirroring sources/reader.py's native path), and
@@ -617,11 +620,13 @@ def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
 # NESTED REPDEF list pages (repdef layers [list, item]; repetition
 # level 1 opens a row, 0 continues its list; definition codes 0/1/2/3 =
 # valid item / null item / empty list / null list, placeholder slots
-# carrying dummy values). Every arm this reconstruction cannot justify
-# — non-zlib block codecs, repdef beyond one list layer —
-# REFUSES by name, never misreads. A real lance-written 2.1 dataset
-# will therefore either decode or refuse loudly; silent misreads stay
-# impossible either way.
+# carrying dummy values; list<list> stacks a second repetition level,
+# list<struct> shreds per-member pages with struct layer codes 5/6).
+# Every arm this reconstruction cannot justify — non-zlib block codecs,
+# repdef beyond the [list[,list|struct],item] stacks — REFUSES by name,
+# never misreads. A real lance-written 2.1 dataset will therefore
+# either decode or refuse loudly; silent misreads stay impossible
+# either way.
 
 _PAGE_LAYOUT_URL = b"/lance.encodings21.PageLayout"
 _MB_CHUNK_VALUES = 256  # power of two; 256 * 8B values + def stream < 4KiB
@@ -629,13 +634,29 @@ _REPDEF_ALL_VALID_ITEM = 1
 _REPDEF_NULLABLE_ITEM = 2
 _REPDEF_ALL_VALID_LIST = 3
 _REPDEF_NULLABLE_LIST = 4
+# struct layers are DEFINITION-ONLY (no repetition contribution): a
+# null struct consumes one slot at its list position; members shred
+# into their own structural pages carrying the full repdef path
+# (the Dremel model — reconstruction codes, same caveat as above)
+_REPDEF_ALL_VALID_STRUCT = 5
+_REPDEF_NULLABLE_STRUCT = 6
 # definition-level codes under a list layer (0 = valid item; higher =
 # null/empty at some layer — lance's inverted-Dremel shape where valid
 # is always 0). Placeholder slots (empty/null list) consume one slot
-# with repetition level 1 and a dummy value.
+# with repetition level 1 and a dummy value. Codes are allocated
+# walking layers innermost -> outermost: the item's null takes 1, a
+# struct's null takes the next, each list takes two (empty, then null)
+# — for the single-list stack this yields the round-11 constants below;
+# for [list,list,item]: 1 null item, 2/3 empty/null INNER, 4/5
+# empty/null OUTER; for [list,struct,item]: 1 null member, 2 null
+# struct, 3/4 empty/null list.
 _DEF_NULL_ITEM = 1
 _DEF_EMPTY_LIST = 2
 _DEF_NULL_LIST = 3
+# marker distinguishing "null struct" from "struct with a null member"
+# in a shredded member page's decoded rows (in-process only — the
+# list<struct> assembler converts it to a None struct)
+_NULL_STRUCT = object()
 
 
 def _align8(n: int) -> int:
@@ -806,17 +827,29 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
     mb = _pb_fields(_one(layout, 1, b""))
     layers = _repdef_layers(mb)
     has_rep = 1 in mb
-    item_layers = [l for l in layers
-                   if l in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)]
-    list_layers = [l for l in layers
-                   if l in (_REPDEF_ALL_VALID_LIST, _REPDEF_NULLABLE_LIST)]
-    if (len(item_layers) != 1 or len(list_layers) > 1
-            or len(layers) != len(item_layers) + len(list_layers)
-            or bool(list_layers) != has_rep):
+    kinds = []
+    for l in layers:
+        if l in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM):
+            kinds.append("item")
+        elif l in (_REPDEF_ALL_VALID_LIST, _REPDEF_NULLABLE_LIST):
+            kinds.append("list")
+        elif l in (_REPDEF_ALL_VALID_STRUCT, _REPDEF_NULLABLE_STRUCT):
+            kinds.append("struct")
+        else:
+            kinds.append(f"?{l}")
+    # supported layer stacks (outer -> inner): [item], [list, item],
+    # [list, list, item], [list, struct, item]; a repetition stream is
+    # present exactly when a list layer is
+    stack = tuple(kinds)
+    if stack not in ((), ("item",), ("list", "item"),
+                     ("list", "list", "item"), ("list", "struct", "item")) \
+            or bool([k for k in kinds if k == "list"]) != has_rep:
         raise NotImplementedError(
-            f"{what}: mini-block repdef layers {layers} — only an item "
-            "layer, optionally under ONE list layer (with a repetition "
-            "stream), decodes")
+            f"{what}: mini-block repdef layers {layers} ({kinds}) — only "
+            "an item layer, optionally under one or two list layers or a "
+            "list-of-struct (with a repetition stream), decodes")
+    n_list_layers = sum(1 for k in kinds if k == "list")
+    has_struct_layer = "struct" in kinds
     num_slots = _one(mb, 6, None)
     rep_scheme = def_scheme = None
     if has_rep:
@@ -1031,34 +1064,119 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
             f"of {total} {'slots' if has_rep else 'rows'}")
     if not has_rep:
         return out
-    # reassemble rows from the slot stream: rep 1 opens a row (flushing
-    # the previous one), rep 0 continues the open row's list; def codes
-    # distinguish valid item / null item / empty list / null list
-    rows: list = []
-    cur: "list | None" = None
-    started = False
-    for r, d, v in zip(slot_reps, slot_defs, slot_vals):
-        if r == 1:
-            if started:
-                rows.append(cur)
-            started = True
-            if d == _DEF_NULL_LIST:
-                cur = None
-            elif d == _DEF_EMPTY_LIST:
-                cur = []
-            else:
-                cur = [None if d == _DEF_NULL_ITEM else v]
-        else:
-            if not started or not isinstance(cur, list):
-                raise ValueError(
-                    f"{what}: repetition continuation outside an open list")
-            cur.append(None if d == _DEF_NULL_ITEM else v)
-    if started:
-        rows.append(cur)
+    rows = _assemble_repdef_rows(slot_reps, slot_defs, slot_vals,
+                                 n_list_layers, has_struct_layer, what)
     if len(rows) != page.length:
         raise ValueError(
             f"{what}: repetition stream yields {len(rows)} rows, page "
             f"declares {page.length}")
+    return rows
+
+
+def _assemble_repdef_rows(slot_reps, slot_defs, slot_vals,
+                          n_list_layers: int, has_struct_layer: bool,
+                          what: str) -> list:
+    """Rows from a structural page's slot stream. Repetition value r > 0
+    opens a new list at depth ``n_list_layers - r + 1`` (the max value
+    opens a new row); 0 continues the innermost open list. Definition
+    codes follow the innermost-first allocation documented at
+    _DEF_NULL_ITEM. Struct-stack pages yield the _NULL_STRUCT marker for
+    null structs (the list<struct> assembler zips members and converts)."""
+    rows: list = []
+    if n_list_layers == 1 and not has_struct_layer:
+        # [list, item]: def 1 null item, 2 empty list, 3 null list
+        cur: "list | None" = None
+        started = False
+        for r, d, v in zip(slot_reps, slot_defs, slot_vals):
+            if r == 1:
+                if started:
+                    rows.append(cur)
+                started = True
+                if d == _DEF_NULL_LIST:
+                    cur = None
+                elif d == _DEF_EMPTY_LIST:
+                    cur = []
+                else:
+                    cur = [None if d == _DEF_NULL_ITEM else v]
+            else:
+                if not started or not isinstance(cur, list):
+                    raise ValueError(
+                        f"{what}: repetition continuation outside an open list")
+                cur.append(None if d == _DEF_NULL_ITEM else v)
+        if started:
+            rows.append(cur)
+        return rows
+    if n_list_layers == 1 and has_struct_layer:
+        # [list, struct, item]: def 1 null member, 2 null struct,
+        # 3 empty list, 4 null list
+        cur = None
+        started = False
+        for r, d, v in zip(slot_reps, slot_defs, slot_vals):
+            item = (_NULL_STRUCT if d == 2
+                    else (None if d == _DEF_NULL_ITEM else v))
+            if r == 1:
+                if started:
+                    rows.append(cur)
+                started = True
+                if d == 4:
+                    cur = None
+                elif d == 3:
+                    cur = []
+                else:
+                    cur = [item]
+            else:
+                if not started or not isinstance(cur, list):
+                    raise ValueError(
+                        f"{what}: repetition continuation outside an open list")
+                cur.append(item)
+        if started:
+            rows.append(cur)
+        return rows
+    # [list, list, item]: rep 2 new outer row, 1 new inner list,
+    # 0 continue inner; def 1 null item, 2 empty inner, 3 null inner,
+    # 4 empty outer, 5 null outer
+    outer: "list | None" = None
+    inner: "list | None" = None
+    started = False
+    for r, d, v in zip(slot_reps, slot_defs, slot_vals):
+        if r == 2:
+            if started:
+                rows.append(outer)
+            started = True
+            inner = None
+            if d == 5:
+                outer = None
+            elif d == 4:
+                outer = []
+            elif d == 3:
+                outer = [None]
+            elif d == 2:
+                inner = []
+                outer = [inner]
+            else:
+                inner = [None if d == 1 else v]
+                outer = [inner]
+        elif r == 1:
+            if not started or not isinstance(outer, list):
+                raise ValueError(
+                    f"{what}: inner-list repetition outside an open row")
+            inner = None
+            if d == 3:
+                outer.append(None)
+            elif d == 2:
+                inner = []
+                outer.append(inner)
+            else:
+                inner = [None if d == 1 else v]
+                outer.append(inner)
+        else:
+            if not isinstance(inner, list):
+                raise ValueError(
+                    f"{what}: repetition continuation outside an open "
+                    "inner list")
+            inner.append(None if d == 1 else v)
+    if started:
+        rows.append(outer)
     return rows
 
 
@@ -1336,6 +1454,66 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
                     f"{what}: mixed 2.0 offset pages and 2.1 repdef "
                     "pages in one list column")
             child_lt = fields[child].logical_type
+            if child_lt == "struct" and all(
+                    pg.length == 0 and not pg.buf_pos for pg in pages):
+                # shredded list<struct>: zero-length placeholder header;
+                # every member column carries the full repdef path and
+                # decodes independently, then rows zip back into structs
+                # (the _NULL_STRUCT marker distinguishes a null struct
+                # from a struct whose member is null)
+                member_idxs = _children_indices(fields, child)
+                names = [fields[j].name for j in member_idxs]
+                member_rows = [
+                    _decode_column(fetch, fields, j, pages_by_col,
+                                   col_of_field)
+                    for j in member_idxs]
+                n = len(member_rows[0])
+                if any(len(mr) != n for mr in member_rows):
+                    raise ValueError(
+                        f"{what}: shredded member row counts disagree "
+                        f"({[len(mr) for mr in member_rows]})")
+                out = []
+                for r in range(n):
+                    base_row = member_rows[0][r]
+                    if base_row is None or isinstance(base_row, list) \
+                            and not base_row:
+                        if any((mr[r] is None) != (base_row is None)
+                               or (mr[r] is not None
+                                   and len(mr[r]) != len(base_row or []))
+                               for mr in member_rows[1:]):
+                            raise ValueError(
+                                f"{what}: shredded members disagree on "
+                                f"row {r}'s list shape")
+                        out.append(None if base_row is None else [])
+                        continue
+                    ln = len(base_row)
+                    if any(mr[r] is None or len(mr[r]) != ln
+                           for mr in member_rows[1:]):
+                        raise ValueError(
+                            f"{what}: shredded members disagree on "
+                            f"row {r}'s list shape")
+                    row = []
+                    for i in range(ln):
+                        vals = [mr[r][i] for mr in member_rows]
+                        if any(v is _NULL_STRUCT for v in vals):
+                            if not all(v is _NULL_STRUCT for v in vals):
+                                raise ValueError(
+                                    f"{what}: shredded members disagree "
+                                    f"on a null struct at row {r}")
+                            row.append(None)
+                        else:
+                            row.append(dict(zip(names, vals)))
+                    out.append(row)
+                return out
+            if child_lt == "list":
+                # list<list<leaf>>: the outer header page carries TWO
+                # repdef list layers; inner list + leaf are placeholders
+                leaf = _child_index(fields, child)
+                leaf_lt = fields[leaf].logical_type
+                out = []
+                for pg in pages:
+                    out.extend(_decode_miniblock(fetch, pg, leaf_lt, what))
+                return out
             if child_lt not in _FLAT_TYPES and child_lt not in (
                     "string", "large_string", "binary", "large_binary",
                     "bool"):
@@ -2292,15 +2470,8 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
     fixed-width, u32-length variable for string/binary, zlib-wrapped
     under ``compression='zlib'``, FSST-compressed per item under
     ``compression='fsst'``)."""
-    import numpy as np
-
-    n = len(arr)
     rows = arr.to_pylist()
-    is_var = child_lt in ("string", "binary")
-    is_text = child_lt == "string"
-    fmt, width, _ = (None, None, None) if is_var else _FLAT_TYPES[child_lt]
-    bits = 32 if is_var else width * 8
-    dummy = b"" if is_var else 0
+    dummy = b"" if child_lt in ("string", "binary") else 0
     slots: list[tuple[int, int, object]] = []  # (rep, def, value)
     for v in rows:
         if v is None:
@@ -2312,9 +2483,110 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
                 slots.append((1 if j == 0 else 0,
                               _DEF_NULL_ITEM if x is None else 0,
                               dummy if x is None else x))
-    has_def = any(d for _, d, _ in slots)
     item_nullable = any(d == _DEF_NULL_ITEM for _, d, _ in slots)
     list_nullable = any(v is None for v in rows)
+    layers = [
+        _REPDEF_NULLABLE_LIST if list_nullable else _REPDEF_ALL_VALID_LIST,
+        _REPDEF_NULLABLE_ITEM if item_nullable else _REPDEF_ALL_VALID_ITEM,
+    ]
+    return _emit_repdef_page(slots, len(rows), child_lt, what, compression,
+                             layers)
+
+
+def _plan_miniblock_list_list(arr, leaf_lt: str, what: str,
+                              compression: str = "none") -> "_ColPlan":
+    """One 2.1 structural page for a list<list<leaf>> column — TWO list
+    layers over the item layer. Repetition 2 opens a new row, 1 a new
+    inner list within it, 0 continues the innermost; definition codes
+    (innermost-first allocation, see _DEF_NULL_ITEM): 1 null item,
+    2 empty inner list, 3 null inner list, 4 empty outer list, 5 null
+    outer list — each null/empty subtree consumes ONE placeholder slot
+    at the level that cuts it."""
+    rows = arr.to_pylist()
+    dummy = b"" if leaf_lt in ("string", "binary") else 0
+    slots: list[tuple[int, int, object]] = []
+    for row in rows:
+        if row is None:
+            slots.append((2, 5, dummy))
+        elif len(row) == 0:
+            slots.append((2, 4, dummy))
+        else:
+            for i, inner in enumerate(row):
+                r0 = 2 if i == 0 else 1
+                if inner is None:
+                    slots.append((r0, 3, dummy))
+                elif len(inner) == 0:
+                    slots.append((r0, 2, dummy))
+                else:
+                    for j, x in enumerate(inner):
+                        slots.append((r0 if j == 0 else 0,
+                                      1 if x is None else 0,
+                                      dummy if x is None else x))
+    outer_nullable = any(r is None for r in rows)
+    inner_nullable = any(d == 3 for _, d, _ in slots)
+    item_nullable = any(d == 1 for _, d, _ in slots)
+    layers = [
+        _REPDEF_NULLABLE_LIST if outer_nullable else _REPDEF_ALL_VALID_LIST,
+        _REPDEF_NULLABLE_LIST if inner_nullable else _REPDEF_ALL_VALID_LIST,
+        _REPDEF_NULLABLE_ITEM if item_nullable else _REPDEF_ALL_VALID_ITEM,
+    ]
+    return _emit_repdef_page(slots, len(rows), leaf_lt, what, compression,
+                             layers)
+
+
+def _plan_miniblock_list_struct_member(rows: list, member: str,
+                                       member_lt: str, what: str,
+                                       compression: str = "none") -> "_ColPlan":
+    """One member's shredded structural page for a list<struct<...>>
+    column (``rows`` is the whole column as python values). Every member
+    page carries the FULL repdef path — [list, struct, item] layers —
+    so each decodes independently (the Dremel model); definition codes:
+    1 null member value, 2 null struct, 3 empty list, 4 null list. The
+    struct layer adds no repetition contribution."""
+    dummy = b"" if member_lt in ("string", "binary") else 0
+    slots: list[tuple[int, int, object]] = []
+    for row in rows:
+        if row is None:
+            slots.append((1, 4, dummy))
+        elif len(row) == 0:
+            slots.append((1, 3, dummy))
+        else:
+            for i, item in enumerate(row):
+                r0 = 1 if i == 0 else 0
+                if item is None:
+                    slots.append((r0, 2, dummy))
+                else:
+                    v = item.get(member)
+                    slots.append((r0, 1 if v is None else 0,
+                                  dummy if v is None else v))
+    list_nullable = any(r is None for r in rows)
+    struct_nullable = any(d == 2 for _, d, _ in slots)
+    item_nullable = any(d == 1 for _, d, _ in slots)
+    layers = [
+        _REPDEF_NULLABLE_LIST if list_nullable else _REPDEF_ALL_VALID_LIST,
+        _REPDEF_NULLABLE_STRUCT if struct_nullable
+        else _REPDEF_ALL_VALID_STRUCT,
+        _REPDEF_NULLABLE_ITEM if item_nullable else _REPDEF_ALL_VALID_ITEM,
+    ]
+    return _emit_repdef_page(slots, len(rows), member_lt, what, compression,
+                             layers)
+
+
+def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
+                      compression: str, layers: list[int]) -> "_ColPlan":
+    """Shared emission of one structural repdef page from a prebuilt
+    (rep, def, value) slot stream: adaptive chunking under the 4KiB
+    budget, bitpacked level streams, the leaf value scheme
+    (bitpack/RLE/flat/bss/variable/FSST, zlib-wrapped under
+    ``compression='zlib'``), and the layout message carrying ``layers``
+    plus the total leaf-slot count (f6)."""
+    import numpy as np
+
+    is_var = child_lt in ("string", "binary")
+    is_text = child_lt == "string"
+    fmt, width, _ = (None, None, None) if is_var else _FLAT_TYPES[child_lt]
+    bits = 32 if is_var else width * 8
+    has_def = any(d for _, d, _ in slots)
     fsst_blob = None
     if is_var:
         scheme = "variable"
@@ -2410,15 +2682,11 @@ def _plan_miniblock_list(arr, child_lt: str, what: str,
                         "flat": _enc_compressive_flat}[scheme](bits))
     if wrap:
         value_comp = _enc_compressive_block(value_comp)
-    layers = [
-        _REPDEF_NULLABLE_LIST if list_nullable else _REPDEF_ALL_VALID_LIST,
-        _REPDEF_NULLABLE_ITEM if item_nullable else _REPDEF_ALL_VALID_ITEM,
-    ]
     return _ColPlan([bytes(meta), bytes(data)],
                     _enc_miniblock_layout(value_comp, has_def,
                                           layers=layers, has_rep=True,
                                           num_slots=len(slots)),
-                    n, _PAGE_LAYOUT_URL)
+                    n_rows, _PAGE_LAYOUT_URL)
 
 
 def _plan_column(arr, fields: list[NativeField], idx: int,
@@ -2458,16 +2726,47 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
         if lt == "list":
             child_idx = _child_index(fields, idx)
             child_lt = fields[child_idx].logical_type
+            placeholder = _ColPlan([], _w_len(3, b""), 0, _PAGE_LAYOUT_URL)
             if child_lt in _FLAT_TYPES or child_lt in ("string", "binary"):
                 plans[idx] = _plan_miniblock_list(arr, child_lt, what,
                                                   compression)
                 # the child structural column stays present (schema
                 # bookkeeping) but empty — its values live zipped inside
                 # the header page's repdef chunks
-                plans[child_idx] = _ColPlan([], _w_len(3, b""), 0,
-                                            _PAGE_LAYOUT_URL)
+                plans[child_idx] = placeholder
                 return
-            # bool/temporal/nested children keep the 2.0 offsets shape
+            if child_lt == "list":
+                # list<list<leaf>>: TWO repdef list layers in ONE page on
+                # the outer column; inner list + leaf stay placeholders
+                leaf_idx = _child_index(fields, child_idx)
+                leaf_lt = fields[leaf_idx].logical_type
+                if leaf_lt in _FLAT_TYPES or leaf_lt in ("string",
+                                                         "binary"):
+                    plans[idx] = _plan_miniblock_list_list(
+                        arr, leaf_lt, what, compression)
+                    plans[child_idx] = placeholder
+                    plans[leaf_idx] = placeholder
+                    return
+            if child_lt == "struct":
+                # list<struct<leafs>>: each member SHREDS into its own
+                # structural page carrying the full [list, struct, item]
+                # repdef path; list + struct headers stay placeholders
+                member_idxs = _children_indices(fields, child_idx)
+                if all(fields[j].logical_type in _FLAT_TYPES
+                       or fields[j].logical_type in ("string", "binary")
+                       for j in member_idxs):
+                    rows = arr.to_pylist()
+                    for j in member_idxs:
+                        mf = fields[j]
+                        plans[j] = _plan_miniblock_list_struct_member(
+                            rows, mf.name, mf.logical_type,
+                            f"column {mf.name!r} ({mf.logical_type})",
+                            compression)
+                    plans[idx] = placeholder
+                    plans[child_idx] = placeholder
+                    return
+            # bool/temporal/deeper-nested children keep the 2.0 offsets
+            # shape
 
     if lt in _FLAT_TYPES or lt.startswith("timestamp:") or lt == "date32:day":
         bits = _width_bits(lt)

@@ -933,6 +933,100 @@ def test_fullzip_zlib_roundtrip_and_shrink(tmp_path):
     assert LF.read_native_file(zp).to_pylist() == tbl.to_pylist()
 
 
+# --- multi-layer repdef: list<list<T>> and list<struct<leafs>> ---------------
+
+nested_list_rows = st.lists(
+    st.one_of(st.none(), st.lists(
+        st.one_of(st.none(), st.lists(
+            st.one_of(st.none(), st.integers(min_value=-2**40,
+                                             max_value=2**40)),
+            max_size=6)),
+        max_size=5)),
+    max_size=120)
+
+
+@settings(max_examples=60, deadline=None)
+@given(nested_list_rows)
+def test_miniblock_list_of_list_roundtrip(tmp_path_factory, rows):
+    """Two repdef list layers in one structural page: repetition 2 opens
+    a row, 1 an inner list, 0 continues; definition codes cut null/empty
+    subtrees at either layer with one placeholder slot. int64 and string
+    leaves, all null/empty shapes, rows spanning chunks — exact
+    round-trip, projection intact."""
+    srows = [None if r is None else
+             [None if inner is None else
+              [None if x is None else f"v{x % 17}" for x in inner]
+              for inner in r] for r in rows]
+    tbl = pa.table({
+        "ll": pa.array(rows, pa.list_(pa.list_(pa.int64()))),
+        "lls": pa.array(srows, pa.list_(pa.list_(pa.string()))),
+        "k": pa.array(range(len(rows)), pa.int32()),
+    })
+    path = str(tmp_path_factory.mktemp("ll") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+    assert LF.read_native_file(path, columns=["ll"]).to_pylist() == \
+        tbl.select(["ll"]).to_pylist()
+
+
+struct_item = st.one_of(
+    st.none(),  # null struct (distinct from null members)
+    st.fixed_dictionaries({
+        "a": st.one_of(st.none(), st.integers(min_value=-2**40,
+                                              max_value=2**40)),
+        "b": texts,
+    }))
+list_struct_rows = st.lists(
+    st.one_of(st.none(), st.lists(struct_item, max_size=6)),
+    max_size=120)
+
+
+@settings(max_examples=60, deadline=None)
+@given(list_struct_rows)
+def test_miniblock_list_of_struct_roundtrip(tmp_path_factory, rows):
+    """list<struct<int64,string>> shreds per member: each member page
+    carries the full [list, struct, item] repdef path (null struct =
+    def 2, null member = def 1) and decodes independently; the assembler
+    zips members back, refusing inconsistent shapes. Null lists, empty
+    lists, null structs, null members, unicode — exact round-trip in
+    every compression mode."""
+    typ = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    tbl = pa.table({"ls": pa.array(rows, typ),
+                    "k": pa.array(range(len(rows)), pa.int64())})
+    base = tmp_path_factory.mktemp("ls")
+    for comp in ("none", "fsst"):
+        path = str(base / f"t-{comp}.lance")
+        LF.write_native_file(tbl, path, structural="2.1-miniblock",
+                             compression=comp)
+        got = LF.read_native_file(path)
+        assert got.schema == tbl.schema
+        assert got.to_pylist() == tbl.to_pylist()
+
+
+def test_miniblock_multilayer_edge_shapes(tmp_path):
+    """Edge shapes for the multi-layer stacks: paging, zlib over the
+    leaf stream, a row whose inner list spans chunks, and the deeper
+    nesting refusal (list<list<list<T>>> keeps the 2.0 offsets shape —
+    never a misread)."""
+    rows = [[list(range(700))], None, [], [None], [[], [1, None]]] * 3
+    tbl = pa.table({"ll": pa.array(rows, pa.list_(pa.list_(pa.int64())))})
+    p = str(tmp_path / "edge.lance")
+    LF.write_native_file(tbl, p, structural="2.1-miniblock",
+                         compression="zlib")
+    assert LF.read_native_file(p).to_pylist() == tbl.to_pylist()
+    p2 = str(tmp_path / "paged.lance")
+    LF.write_native_file(tbl, p2, page_rows=4, structural="2.1-miniblock")
+    assert LF.read_native_file(p2).to_pylist() == tbl.to_pylist()
+    # 3-deep lists fall back to the 2.0 offsets shape and still round-trip
+    t3 = pa.table({"lll": pa.array([[[[1]]], None, [[[2], None], []]],
+                                   pa.list_(pa.list_(pa.list_(pa.int64()))))})
+    p3 = str(tmp_path / "deep.lance")
+    LF.write_native_file(t3, p3, structural="2.1-miniblock")
+    assert LF.read_native_file(p3).to_pylist() == t3.to_pylist()
+
+
 # --- FSST (sources/fsst.py + the codec's f7 arm) -----------------------------
 
 def test_fsst_paper_semantics_vector():
