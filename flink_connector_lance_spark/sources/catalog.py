@@ -41,13 +41,20 @@ class DatasetCatalog:
     mirrored from ref table/LanceCatalogS3Test.java) carry the mapped
     ``aws_*`` storage options (ref table/LanceCatalogFactory.java:148-176,
     applied at table/LanceCatalog.java:743-773) for the native Lance
-    layer. On the emulated backend, S3 support is READ-only and gated on
-    fsspec/s3fs (sources/fs.py): listing/detection/manifests go through
-    fsspec, data reads go through the Python DataSource whose workers
-    open fragments via fsspec with these credentials. Mutations (and
-    everything, when fsspec is absent) degrade with a clear error rather
-    than mis-resolving paths — S3 cannot provide the atomic
-    create-if-absent the commit protocol needs."""
+    layer. On the emulated backend, S3 support is gated on fsspec/s3fs
+    (sources/fs.py): listing/detection/manifests go through fsspec, data
+    reads go through the Python DataSource whose workers open fragments
+    via fsspec with these credentials, and the lifecycle mutations
+    (create/drop database, drop table) run through the same plane — a
+    database is a key prefix pinned by a zero-byte ``.database`` marker,
+    a drop is a recursive prefix delete. This is parity-PLUS: the
+    reference advertises the S3 catalog (LanceCatalog.java:77-96) but
+    its own mutations would fail there (``Paths.get``/``Files.move`` on
+    an s3 URI, :518/:549). ``rename_table`` stays a loud refusal on
+    s3:// — object stores have no atomic multi-key rename, and a
+    copy+delete window that can lose a concurrent commit is worse than
+    an error. When fsspec is absent every remote call degrades with the
+    same clear error."""
 
     def __init__(self, warehouse: str, default_database: str = "default",
                  s3: S3Options | None = None):
@@ -59,16 +66,18 @@ class DatasetCatalog:
         if not self.is_remote:
             os.makedirs(os.path.join(warehouse, default_database), exist_ok=True)
 
-    def _require_local(self, op: str) -> None:
-        """Mutating operations stay local-only: S3 support in the emulated
-        backend is READ-only (no atomic create-if-absent for the commit
-        protocol). Read operations route through fsspec — see _fs()."""
+    def _refuse_remote_rename(self) -> None:
+        """rename_table stays local-only: object stores have no atomic
+        multi-key rename — a copy+delete emulation leaves a window where
+        a concurrent writer's commit lands in the doomed prefix and is
+        silently lost. Say so instead (create/drop DO work remotely)."""
         if self.is_remote:
             raise Unsupported(
-                f"{op} on an S3 warehouse requires the native lance backend; "
-                "the emulated parquet backend's S3 support is read-only "
-                "(storage options are mapped and ready: "
-                f"{sorted(self.storage_options)})"
+                "rename_table on an S3 warehouse: object stores have no "
+                "atomic rename, and a copy+delete emulation can lose a "
+                "concurrent commit — copy to a new table "
+                "(write_dataset(get_table(...), new_path)) and drop_table "
+                "the old one instead"
             )
 
     def _fs(self):
@@ -106,22 +115,33 @@ class DatasetCatalog:
         return os.path.isdir(self._db_path(db))
 
     def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
-        self._require_local("create_database")
         if self.database_exists(db):
             if ignore_if_exists:
                 return
             raise CatalogError(f"database already exists: {db}")
+        if self.is_remote:
+            # object stores have no directories: the database is a key
+            # prefix, pinned into existence (and into isdir/listings) by
+            # a zero-byte marker object
+            with self._fs().open(self._db_path(db) + "/.database",
+                                 "wb") as fh:
+                fh.write(b"")
+            return
         os.makedirs(self._db_path(db))
 
     def drop_database(self, db: str, ignore_if_not_exists: bool = False,
                       cascade: bool = False) -> None:
-        self._require_local("drop_database")
         if not self.database_exists(db):
             if ignore_if_not_exists:
                 return
             raise CatalogError(f"database does not exist: {db}")
         if self.list_tables(db) and not cascade:
             raise CatalogError(f"database not empty: {db}")
+        if self.is_remote:
+            # recursive prefix delete (s3fs: one bulk delete of every
+            # key under the prefix)
+            self._fs().rm(self._db_path(db), recursive=True)
+            return
         shutil.rmtree(self._db_path(db))
 
     # -- tables (ref LanceCatalog.java:379-593) -----------------------------
@@ -158,16 +178,19 @@ class DatasetCatalog:
         return self._table_path(db, table)
 
     def drop_table(self, db: str, table: str, ignore_if_not_exists: bool = False) -> None:
-        self._require_local("drop_table")
         if not self.table_exists(db, table):
             if ignore_if_not_exists:
                 return
             raise CatalogError(f"table does not exist: {db}.{table}")
+        if self.is_remote:
+            self._fs().rm(self._table_path(db, table), recursive=True)
+            return
         shutil.rmtree(self._table_path(db, table))
 
     def rename_table(self, db: str, table: str, new_name: str) -> None:
-        """Filesystem move (ref LanceCatalog.java:560-578)."""
-        self._require_local("rename_table")
+        """Filesystem move (ref LanceCatalog.java:560-578). Loud refusal
+        on s3:// — no atomic multi-key rename exists there."""
+        self._refuse_remote_rename()
         if not self.table_exists(db, table):
             raise CatalogError(f"table does not exist: {db}.{table}")
         dst = self._table_path(db, new_name)

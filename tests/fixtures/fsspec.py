@@ -81,10 +81,16 @@ class _FakeS3FS:
                 "type": "directory" if os.path.isdir(local) else "file",
                 "mtime": os.path.getmtime(local)}
 
-    def rm(self, path) -> None:
+    def rm(self, path, recursive: bool = False) -> None:
         local = self._local(path)
         if os.path.isdir(local):
-            raise IsADirectoryError(str(path))
+            if not recursive:
+                raise IsADirectoryError(str(path))
+            # s3fs rm(recursive=True) deletes every key under the prefix
+            import shutil
+
+            shutil.rmtree(local)
+            return
         os.remove(local)
 
     def isdir(self, path) -> bool:

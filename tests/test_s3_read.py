@@ -16,7 +16,11 @@ import pytest
 
 from flink_connector_lance_spark.options import S3Options
 from flink_connector_lance_spark.sources import fragments as FR
-from flink_connector_lance_spark.sources.catalog import DatasetCatalog, Unsupported
+from flink_connector_lance_spark.sources.catalog import (
+    CatalogError,
+    DatasetCatalog,
+    Unsupported,
+)
 from flink_connector_lance_spark.sources.datasource import register_lance_datasource
 from flink_connector_lance_spark.sources.writer import write_dataset
 
@@ -85,11 +89,47 @@ def test_s3_catalog_read_surface_and_write_refusals(fake_s3, spark):
     assert got.count() == 80
     cat.register_table(spark, "db1", "t1", view_name="s3_t1")
     assert spark.sql("SELECT count(*) AS c FROM s3_t1").collect()[0].c == 80
-    # catalog mutations stay refused (read-only catalog surface)
-    with pytest.raises(Unsupported, match="read-only"):
-        cat.create_database("db2")
-    with pytest.raises(Unsupported, match="read-only"):
+    # rename stays refused (no atomic multi-key rename on object stores)
+    with pytest.raises(Unsupported, match="no.*atomic rename"):
         cat.rename_table("db1", "t1", "t9")
+
+
+def test_s3_catalog_lifecycle(fake_s3, spark):
+    """create_database / drop_table / drop_database on an s3://
+    warehouse run through the fsspec plane (round-12 parity-plus: the
+    reference's own mutations would fail on S3 — Paths.get/Files.move
+    on a URI, LanceCatalog.java:518/:549): a database is a key prefix
+    pinned by a zero-byte .database marker, drops are recursive prefix
+    deletes, and the empty-database guard still holds."""
+    cat = DatasetCatalog("s3://bucket/wh",
+                         s3=S3Options(endpoint=f"fake://{fake_s3}"))
+    cat.create_database("db2")
+    assert cat.database_exists("db2")
+    assert "db2" in cat.list_databases()
+    with pytest.raises(CatalogError, match="already exists"):
+        cat.create_database("db2")
+    cat.create_database("db2", ignore_if_exists=True)  # no-op
+    assert cat.list_tables("db2") == []  # marker is not a table
+
+    url = _make_remote_table(spark, fake_s3, db="db2", table="tx", n=12)
+    assert cat.table_exists("db2", "tx")
+    assert cat.get_table(spark, "db2", "tx").count() == 12
+    with pytest.raises(CatalogError, match="not empty"):
+        cat.drop_database("db2")
+    cat.drop_table("db2", "tx")
+    assert not cat.table_exists("db2", "tx")
+    assert not FR.is_dataset(url, cat.storage_options)
+    with pytest.raises(CatalogError, match="does not exist"):
+        cat.drop_table("db2", "tx")
+    cat.drop_table("db2", "tx", ignore_if_not_exists=True)  # no-op
+    cat.drop_database("db2")
+    assert not cat.database_exists("db2")
+    cat.drop_database("db2", ignore_if_not_exists=True)  # no-op
+    # cascade drops tables with the database
+    cat.create_database("db3")
+    _make_remote_table(spark, fake_s3, db="db3", table="ty", n=6)
+    cat.drop_database("db3", cascade=True)
+    assert not cat.database_exists("db3")
 
 
 def test_s3_write_then_read_round_trip(fake_s3, spark):
