@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 
 import pyarrow as pa
 import pytest
@@ -931,6 +932,115 @@ def test_fullzip_zlib_roundtrip_and_shrink(tmp_path):
     LF.write_native_file(tbl, zp, page_rows=64, structural="2.1-miniblock",
                          compression="zlib")
     assert LF.read_native_file(zp).to_pylist() == tbl.to_pylist()
+
+
+# --- adversarial corruption net ----------------------------------------------
+#
+# The decoder's "never a silent misread" contract is enforced by named
+# refusals for unknown encodings; this net attacks KNOWN encodings with
+# flipped/truncated bytes. Honest scope: the format carries no
+# checksums (neither does lance's), so a bit flip inside a value
+# payload CAN change a value undetectably — what the net pins is that
+# corruption of the page bytes never hangs, never crashes the process,
+# and never changes the result's SHAPE silently: every outcome is
+# either a loud Python exception or a table with the original schema
+# and row count. Truncation (the partial-download failure mode) must
+# always raise.
+
+def _corruption_subject(tmp_path, compression: str) -> tuple[bytes, int]:
+    """One file exercising every 2.1 arm (bitpack, RLE, bss, variable,
+    dictionary, single/multi-layer repdef, fullzip, bool, nulls) under
+    ``compression``; returns (file bytes, end of the page-data region —
+    corruption stays inside the pages, as the net targets page bytes,
+    not the self-describing schema)."""
+    n = 60
+    tbl = pa.table({
+        "i": pa.array([None if v % 7 == 0 else v - 30 for v in range(n)],
+                      pa.int64()),
+        "runs": pa.array([v // 10 for v in range(n)], pa.int64()),
+        "f": pa.array([float(v % 8) / 4 for v in range(n)], pa.float64()),
+        "s": pa.array([None if v % 9 == 0 else f"value-{v}-{'x' * (v % 11)}"
+                       for v in range(n)], pa.string()),
+        "lang": pa.array(["en", "fr", "de"][0:1] * n, pa.string()),
+        "flag": pa.array([v % 3 == 0 for v in range(n)], pa.bool_()),
+        "li": pa.array([None if v % 5 == 0 else
+                        ([] if v % 5 == 1 else [v, None, v + 1])
+                        for v in range(n)], pa.list_(pa.int64())),
+        "ll": pa.array([None if v % 6 == 0 else [[v], None, []]
+                        for v in range(n)],
+                       pa.list_(pa.list_(pa.int64()))),
+        "ls": pa.array([None if v % 4 == 0 else
+                        [{"a": v, "b": f"s{v}"}, None]
+                        for v in range(n)],
+                       pa.list_(pa.struct([("a", pa.int64()),
+                                           ("b", pa.string())]))),
+        "big": pa.array([("paragraph " * 500) + str(v) if v % 10 == 0
+                         else "short" for v in range(n)], pa.string()),
+    })
+    p = str(tmp_path / f"subject-{compression}.lance")
+    LF.write_native_file(tbl, p, structural="2.1-miniblock",
+                         compression=compression)
+    blob = open(p, "rb").read()
+    (_cms, _cmos, glob_off, _ng, _nc, _ma, _mi) = __import__("struct").unpack_from(
+        "<QQQIIHH", blob, len(blob) - LF.FOOTER_LEN)
+    desc_pos = __import__("struct").unpack_from("<Q", blob, glob_off)[0]
+    return blob, int(desc_pos)
+
+
+_SUBJECT_CACHE: dict = {}
+
+
+def _get_subject(tmp_path_factory, compression):
+    if compression not in _SUBJECT_CACHE:
+        base = tmp_path_factory.mktemp(f"corrupt-{compression}")
+        blob, data_end = _corruption_subject(base, compression)
+        good = LF.read_native_file(str(base / f"subject-{compression}.lance"))
+        _SUBJECT_CACHE[compression] = (blob, data_end, good.schema,
+                                       good.num_rows, str(base))
+    return _SUBJECT_CACHE[compression]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(["none", "zlib", "fsst"]), st.data())
+def test_codec_bitflip_corruption_is_bounded(tmp_path_factory, compression,
+                                             data):
+    """Flip one page byte (any arm, any stream): decode either raises a
+    loud exception or returns a table with the ORIGINAL schema and row
+    count — corruption never hangs, never segfaults, never silently
+    reshapes the result."""
+    blob, data_end, schema, nrows, base = _get_subject(tmp_path_factory,
+                                                       compression)
+    if data_end == 0:
+        return
+    pos = data.draw(st.integers(min_value=0, max_value=data_end - 1))
+    mask = data.draw(st.integers(min_value=1, max_value=255))
+    mutated = bytearray(blob)
+    mutated[pos] ^= mask
+    p = os.path.join(base, "mutated.lance")
+    with open(p, "wb") as fh:
+        fh.write(bytes(mutated))
+    try:
+        got = LF.read_native_file(p)
+    except Exception:
+        return  # loud — the accepted outcome
+    assert got.schema == schema
+    assert got.num_rows == nrows
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.sampled_from(["none", "zlib", "fsst"]), st.data())
+def test_codec_truncation_always_raises(tmp_path_factory, compression, data):
+    """A truncated file (the partial-download / interrupted-PUT failure
+    mode) must ALWAYS raise — the footer, offset tables, or buffer
+    fetches land past EOF; no prefix of a file is a valid file."""
+    blob, _data_end, _schema, _nrows, base = _get_subject(tmp_path_factory,
+                                                          compression)
+    cut = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    p = os.path.join(base, "truncated.lance")
+    with open(p, "wb") as fh:
+        fh.write(blob[:cut])
+    with pytest.raises(Exception):
+        LF.read_native_file(p)
 
 
 # --- multi-layer repdef: list<list<T>> and list<struct<leafs>> ---------------
