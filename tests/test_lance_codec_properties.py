@@ -1204,6 +1204,34 @@ def test_miniblock_fsst_roundtrip(tmp_path_factory, pairs):
         tbl.select(["s"]).to_pylist()
 
 
+def test_fsst_expansion_stays_inside_chunk_words(tmp_path):
+    """FSST can EXPAND incompressible bytes (escapes double uncovered
+    bytes): raw values at the 4000-byte full-zip threshold can become
+    ~8KB substitution streams, overflowing the 4KiB chunk budget down
+    to 1-value chunks — which must still fit the u16 chunk word's
+    12-bit size-in-words field (≤32760B). Pinned with deterministic
+    incompressible values in both layouts."""
+    import random
+
+    rnd = random.Random(7)
+    vals = [bytes(rnd.randrange(256) for _ in range(3999))
+            for _ in range(6)] + [None, b""]
+    t = pa.table({"b": pa.array(vals, pa.binary())})
+    p = str(tmp_path / "near.lance")
+    LF.write_native_file(t, p, structural="2.1-miniblock",
+                         compression="fsst")
+    assert LF.read_native_file(p).to_pylist() == t.to_pylist()
+    # past the threshold: full-zip with expansion, plus a compressible
+    # neighbor sharing the page's symbol table
+    vals2 = [bytes(rnd.randrange(256) for _ in range(9000)), None,
+             b"compressible " * 400]
+    t2 = pa.table({"b": pa.array(vals2, pa.binary())})
+    p2 = str(tmp_path / "fz.lance")
+    LF.write_native_file(t2, p2, structural="2.1-miniblock",
+                         compression="fsst")
+    assert LF.read_native_file(p2).to_pylist() == t2.to_pylist()
+
+
 def test_fsst_shrinks_storage(tmp_path):
     """The point of FSST: high-cardinality repetitive text (dictionary
     doesn't apply) shrinks several-fold in BOTH layouts — mini-block

@@ -1096,6 +1096,46 @@ def test_s3_ann_ivf_index_end_to_end(fake_s3, spark):
         f"1-cell probe opened all {n_frag} assignment fragments"
 
 
+def test_s3_index_meta_commits_last(fake_s3, spark):
+    """Crash-safe remote build ordering (round-12 ADVICE): the
+    meta-bearing relation (centroids) commits LAST, so a build that died
+    after the companion commit — simulated by deleting the centroids
+    prefix — leaves has_index() False, searches falling back to exact
+    brute force (not FileNotFoundError), and a re-build with
+    replace=False SUCCEEDING instead of refusing against a half-index."""
+    import shutil as _shutil
+
+    from flink_connector_lance_spark.index import (
+        build_index,
+        has_index,
+        search_dataset,
+    )
+    from flink_connector_lance_spark.options import DatasetOptions
+
+    rows = [(i, [float(i % 9), float(i % 4)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    local = os.path.join(fake_s3, "bucket", "wh", "db1", "crashidx")
+    write_dataset(df, local, mode="overwrite")
+    url = "s3://bucket/wh/db1/crashidx"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3, index_num_partitions=4)
+    assert build_index(url, "vec", "ivf_flat", spark=spark, id_col="id",
+                       options=opts).success
+    # simulate the crash window: companion (assignments) present,
+    # meta-bearing relation (centroids) never committed
+    _shutil.rmtree(os.path.join(local, "_indexes", "vec", "ivf",
+                                "centroids"))
+    storage = s3.to_storage_options()
+    assert not has_index(url, "vec", storage)
+    got = search_dataset(spark, url, "vec", [1.0, 2.0], k=5, options=opts,
+                         tiebreak_cols=["id"])
+    assert got.count() == 5  # brute-force fallback, no crash
+    rebuilt = build_index(url, "vec", "ivf_flat", spark=spark, id_col="id",
+                          options=opts)  # replace=False must succeed
+    assert rebuilt.success, rebuilt.error
+    assert has_index(url, "vec", storage)
+
+
 def test_s3_fts_index_end_to_end(fake_s3, spark):
     """The FTS inverted index lives ON object storage: postings build
     term-clustered under _indexes/<col>/fts, BM25 search IO stays
