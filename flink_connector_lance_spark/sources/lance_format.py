@@ -926,6 +926,11 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
             f"{what}: FSST on a non-variable-width column is not "
             "implemented")
     else:
+        if lt not in _FLAT_TYPES:
+            # named refusal, never a raw KeyError — the decode contract
+            raise NotImplementedError(
+                f"{what}: 2.1 mini-block values of type {lt!r} are not "
+                "implemented")
         fmt, width, _ = _FLAT_TYPES[lt]
         if scheme == "flat" and val_bits in (0, width * 8):
             pass
@@ -1071,6 +1076,16 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
             f"{what}: repetition stream yields {len(rows)} rows, page "
             f"declares {page.length}")
     return rows
+
+
+def _repdef_storage_lt(lt: str) -> str:
+    """Storage logical type of a repdef leaf: temporal leaves ride their
+    epoch-integer streams (the schema maps them back — pyarrow accepts
+    epoch ints for timestamp/date items); everything else passes
+    through (unsupported types then hit _decode_miniblock's named
+    refusal, never a raw KeyError)."""
+    base = lt.split(":")[0]
+    return {"timestamp": "int64", "date32": "int32"}.get(base, lt)
 
 
 def _assemble_repdef_rows(slot_reps, slot_defs, slot_vals,
@@ -1509,19 +1524,15 @@ def _decode_column(fetch, fields: list[NativeField], idx: int,
                 # list<list<leaf>>: the outer header page carries TWO
                 # repdef list layers; inner list + leaf are placeholders
                 leaf = _child_index(fields, child)
-                leaf_lt = fields[leaf].logical_type
+                leaf_lt = _repdef_storage_lt(fields[leaf].logical_type)
                 out = []
                 for pg in pages:
                     out.extend(_decode_miniblock(fetch, pg, leaf_lt, what))
                 return out
-            if child_lt not in _FLAT_TYPES and child_lt not in (
-                    "string", "large_string", "binary", "large_binary",
-                    "bool"):
-                raise NotImplementedError(
-                    f"{what}: 2.1 repdef list with {child_lt!r} items")
             out = []
             for pg in pages:
-                out.extend(_decode_miniblock(fetch, pg, child_lt, what))
+                out.extend(_decode_miniblock(
+                    fetch, pg, _repdef_storage_lt(child_lt), what))
             return out
         # multi-page lists: each page's end-offsets are page-local; the
         # page's item count (List.num_items) advances the base into the
@@ -2584,11 +2595,17 @@ def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
 
     is_var = child_lt in ("string", "binary")
     is_text = child_lt == "string"
-    fmt, width, _ = (None, None, None) if is_var else _FLAT_TYPES[child_lt]
-    bits = 32 if is_var else width * 8
+    is_bool = child_lt == "bool"
+    fmt, width, _ = ((None, None, None) if (is_var or is_bool)
+                     else _FLAT_TYPES[child_lt])
+    bits = 32 if is_var else (1 if is_bool else width * 8)
     has_def = any(d for _, d, _ in slots)
     fsst_blob = None
-    if is_var:
+    if is_bool:
+        # LSB-first packed bits, the flat bool stream shape (decode's
+        # is_bool arm reads (n+7)//8 bytes per chunk)
+        scheme = "flat"
+    elif is_var:
         scheme = "variable"
         if compression == "fsst":
             # pre-compress every leaf slot against one per-page table;
@@ -2618,6 +2635,8 @@ def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
             sz += _align8(4 * cnt) + sum(
                 len(v.encode("utf-8")) if is_text and isinstance(v, str)
                 else len(v) for _, _, v in slots[i:i + cnt])
+        elif is_bool:
+            sz += (cnt + 7) // 8
         else:
             sz += 8 + cnt * width  # bitpack/rle/flat all fit within this
         return _align8(sz + 24 + (8 if wrap else 0))
@@ -2651,7 +2670,11 @@ def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
             chunk += _levels_chunk([d for _, d, _ in cslots])
             chunk += b"\x00" * (_align8(len(chunk)) - len(chunk))
         cvals = [v for _, _, v in cslots]
-        if is_var:
+        if is_bool:
+            vstream = np.packbits(
+                np.asarray([bool(v) for v in cvals], dtype=np.uint8),
+                bitorder="little").tobytes()
+        elif is_var:
             pieces = [x.encode("utf-8") if is_text and isinstance(x, str)
                       else bytes(x) for x in cvals]
             vstream = bytearray(struct.pack(
@@ -2727,8 +2750,27 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
             child_idx = _child_index(fields, idx)
             child_lt = fields[child_idx].logical_type
             placeholder = _ColPlan([], _w_len(3, b""), 0, _PAGE_LAYOUT_URL)
-            if child_lt in _FLAT_TYPES or child_lt in ("string", "binary"):
-                plans[idx] = _plan_miniblock_list(arr, child_lt, what,
+
+            def _repdef_leaf(a, leaf_lt, inner_name, two_layer=False):
+                """(array, storage lt) for a repdef leaf: temporal leaves
+                cast to their epoch-integer storage (the schema maps them
+                back on decode — _repdef_storage_lt)."""
+                storage = _repdef_storage_lt(leaf_lt)
+                if storage == leaf_lt:
+                    return a, leaf_lt
+                t = pa.int64() if storage == "int64" else pa.int32()
+                inner = pa.field(inner_name, t)
+                target = (pa.list_(pa.field(fields[child_idx].name,
+                                            pa.list_(inner)))
+                          if two_layer else pa.list_(inner))
+                return a.cast(target), storage
+
+            if (child_lt in _FLAT_TYPES or child_lt in ("string", "binary")
+                    or child_lt == "bool"
+                    or _repdef_storage_lt(child_lt) != child_lt):
+                arr2, st_lt = _repdef_leaf(arr, child_lt,
+                                           fields[child_idx].name)
+                plans[idx] = _plan_miniblock_list(arr2, st_lt, what,
                                                   compression)
                 # the child structural column stays present (schema
                 # bookkeeping) but empty — its values live zipped inside
@@ -2740,10 +2782,15 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
                 # the outer column; inner list + leaf stay placeholders
                 leaf_idx = _child_index(fields, child_idx)
                 leaf_lt = fields[leaf_idx].logical_type
-                if leaf_lt in _FLAT_TYPES or leaf_lt in ("string",
-                                                         "binary"):
+                if (leaf_lt in _FLAT_TYPES or leaf_lt in ("string",
+                                                          "binary")
+                        or leaf_lt == "bool"
+                        or _repdef_storage_lt(leaf_lt) != leaf_lt):
+                    arr2, st_lt = _repdef_leaf(arr, leaf_lt,
+                                               fields[leaf_idx].name,
+                                               two_layer=True)
                     plans[idx] = _plan_miniblock_list_list(
-                        arr, leaf_lt, what, compression)
+                        arr2, st_lt, what, compression)
                     plans[child_idx] = placeholder
                     plans[leaf_idx] = placeholder
                     return

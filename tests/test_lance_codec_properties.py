@@ -1115,6 +1115,41 @@ def test_miniblock_list_of_struct_roundtrip(tmp_path_factory, rows):
         assert got.to_pylist() == tbl.to_pylist()
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.lists(
+    st.one_of(st.none(), st.tuples(opt_ts, st.one_of(st.none(), days),
+                                   opt_bool)),
+    max_size=5)), max_size=80))
+def test_miniblock_repdef_temporal_bool_leaves(tmp_path_factory, rows):
+    """Repdef leaves beyond the numeric/string set (round 12): timestamp
+    and date32 leaves cast to their epoch-integer storage streams (the
+    schema maps them back — pyarrow accepts epoch ints for temporal
+    items), bool leaves ride LSB-first packed-bit streams; single- and
+    double-layer stacks, zlib composition, and paging all round-trip."""
+    lt_rows = [None if r is None else
+               [None if x is None else x[0] for x in r] for r in rows]
+    ld_rows = [None if r is None else
+               [None if x is None else x[1] for x in r] for r in rows]
+    lb_rows = [None if r is None else
+               [None if x is None else x[2] for x in r] for r in rows]
+    ll_rows = [None if r is None else [lt_rows[i], None]
+               for i, r in enumerate(rows)]
+    tbl = pa.table({
+        "lt": pa.array(lt_rows, pa.list_(pa.timestamp("us"))),
+        "ld": pa.array(ld_rows, pa.list_(pa.date32())),
+        "lb": pa.array(lb_rows, pa.list_(pa.bool_())),
+        "llt": pa.array(ll_rows, pa.list_(pa.list_(pa.timestamp("us")))),
+    })
+    base = tmp_path_factory.mktemp("tb")
+    for comp in ("none", "zlib"):
+        p = str(base / f"t-{comp}.lance")
+        LF.write_native_file(tbl, p, structural="2.1-miniblock",
+                             compression=comp)
+        got = LF.read_native_file(p)
+        assert got.schema == tbl.schema
+        assert got.to_pylist() == tbl.to_pylist()
+
+
 def test_miniblock_multilayer_edge_shapes(tmp_path):
     """Edge shapes for the multi-layer stacks: paging, zlib over the
     leaf stream, a row whose inner list spans chunks, and the deeper
