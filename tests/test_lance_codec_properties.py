@@ -947,12 +947,12 @@ def test_fullzip_zlib_roundtrip_and_shrink(tmp_path):
 # and row count. Truncation (the partial-download failure mode) must
 # always raise.
 
-def _corruption_subject(tmp_path, compression: str) -> tuple[bytes, int]:
-    """One file exercising every 2.1 arm (bitpack, RLE, bss, variable,
-    dictionary, single/multi-layer repdef, fullzip, bool, nulls) under
-    ``compression``; returns (file bytes, end of the page-data region —
-    corruption stays inside the pages, as the net targets page bytes,
-    not the self-describing schema)."""
+def _corruption_subject(tmp_path, mode: str) -> tuple[bytes, int]:
+    """One file exercising every codec arm under ``mode`` (a 2.1
+    compression, or '2.0' for the fixture-pinned layout: flat/validity/
+    variable-offset/list-offset/struct pages); returns (file bytes, end
+    of the page-data region — corruption stays inside the pages, as the
+    net targets page bytes, not the self-describing schema)."""
     n = 60
     tbl = pa.table({
         "i": pa.array([None if v % 7 == 0 else v - 30 for v in range(n)],
@@ -977,9 +977,12 @@ def _corruption_subject(tmp_path, compression: str) -> tuple[bytes, int]:
         "big": pa.array([("paragraph " * 500) + str(v) if v % 10 == 0
                          else "short" for v in range(n)], pa.string()),
     })
-    p = str(tmp_path / f"subject-{compression}.lance")
-    LF.write_native_file(tbl, p, structural="2.1-miniblock",
-                         compression=compression)
+    p = str(tmp_path / f"subject-{mode}.lance")
+    if mode == "2.0":
+        LF.write_native_file(tbl, p)
+    else:
+        LF.write_native_file(tbl, p, structural="2.1-miniblock",
+                             compression=mode)
     blob = open(p, "rb").read()
     (_cms, _cmos, glob_off, _ng, _nc, _ma, _mi) = __import__("struct").unpack_from(
         "<QQQIIHH", blob, len(blob) - LF.FOOTER_LEN)
@@ -990,18 +993,18 @@ def _corruption_subject(tmp_path, compression: str) -> tuple[bytes, int]:
 _SUBJECT_CACHE: dict = {}
 
 
-def _get_subject(tmp_path_factory, compression):
-    if compression not in _SUBJECT_CACHE:
-        base = tmp_path_factory.mktemp(f"corrupt-{compression}")
-        blob, data_end = _corruption_subject(base, compression)
-        good = LF.read_native_file(str(base / f"subject-{compression}.lance"))
-        _SUBJECT_CACHE[compression] = (blob, data_end, good.schema,
-                                       good.num_rows, str(base))
-    return _SUBJECT_CACHE[compression]
+def _get_subject(tmp_path_factory, mode):
+    if mode not in _SUBJECT_CACHE:
+        base = tmp_path_factory.mktemp(f"corrupt-{mode}")
+        blob, data_end = _corruption_subject(base, mode)
+        good = LF.read_native_file(str(base / f"subject-{mode}.lance"))
+        _SUBJECT_CACHE[mode] = (blob, data_end, good.schema,
+                                good.num_rows, str(base))
+    return _SUBJECT_CACHE[mode]
 
 
 @settings(max_examples=150, deadline=None)
-@given(st.sampled_from(["none", "zlib", "fsst"]), st.data())
+@given(st.sampled_from(["none", "zlib", "fsst", "2.0"]), st.data())
 def test_codec_bitflip_corruption_is_bounded(tmp_path_factory, compression,
                                              data):
     """Flip one page byte (any arm, any stream): decode either raises a
@@ -1028,7 +1031,7 @@ def test_codec_bitflip_corruption_is_bounded(tmp_path_factory, compression,
 
 
 @settings(max_examples=120, deadline=None)
-@given(st.sampled_from(["none", "zlib", "fsst"]), st.data())
+@given(st.sampled_from(["none", "zlib", "fsst", "2.0"]), st.data())
 def test_codec_truncation_always_raises(tmp_path_factory, compression, data):
     """A truncated file (the partial-download / interrupted-PUT failure
     mode) must ALWAYS raise — the footer, offset tables, or buffer
