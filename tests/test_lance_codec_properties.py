@@ -1270,6 +1270,44 @@ def test_fsst_expansion_stays_inside_chunk_words(tmp_path):
     assert LF.read_native_file(p2).to_pylist() == t2.to_pylist()
 
 
+def test_fsst_and_shredded_pages_nonvacuous(tmp_path):
+    """The hash-gated stages could pass vacuously if the writer silently
+    fell back to plain variable pages — pin the WIRE: under
+    write.native-compression=fsst a high-cardinality string column's
+    page really carries the CompressiveEncoding f7 Fsst arm, and a
+    list<struct> member page really carries the [list, struct, item]
+    repdef layer codes."""
+    tbl = pa.table({
+        "uri": pa.array([f"https://example.com/items/{i}"
+                         for i in range(300)], pa.string()),
+        "ls": pa.array([[{"a": i, "b": f"x{i}"}, None] for i in range(300)],
+                       pa.list_(pa.struct([("a", pa.int64()),
+                                           ("b", pa.string())]))),
+    })
+    p = str(tmp_path / "nv.lance")
+    LF.write_native_file(tbl, p, structural="2.1-miniblock",
+                         compression="fsst")
+    blob = open(p, "rb").read()
+    (_cms, cmos, _gbos, _ng, num_cols, _ma, _mi) = LF._read_footer(blob)
+    fsst_pages = 0
+    struct_layer_pages = 0
+    for col in range(num_cols):
+        for pg in LF._column_pages(blob, col, cmos):
+            if not pg.enc_url.endswith(b"PageLayout") or 1 not in pg.encoding:
+                continue
+            mb = LF._pb_fields(LF._one(pg.encoding, 1, b""))
+            comp = LF._pb_fields(LF._one(mb, 3, b""))
+            if 7 in comp:
+                fsst_pages += 1
+            layers = LF._repdef_layers(mb)
+            if any(l in (5, 6) for l in layers):  # struct layer codes
+                struct_layer_pages += 1
+    assert fsst_pages >= 2, "no page carries the Fsst (f7) arm"
+    assert struct_layer_pages == 2, \
+        "expected exactly the two shredded member pages to carry a struct layer"
+    assert LF.read_native_file(p).to_pylist() == tbl.to_pylist()
+
+
 def test_fsst_shrinks_storage(tmp_path):
     """The point of FSST: high-cardinality repetitive text (dictionary
     doesn't apply) shrinks several-fold in BOTH layouts — mini-block
