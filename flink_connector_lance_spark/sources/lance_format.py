@@ -71,10 +71,12 @@ members recurse into their own structural pages); general-purpose BLOCK
 COMPRESSION of value streams (``compression='zlib'`` — stdlib; chunk
 value streams become [u32 compressed][u32 raw][deflate], level streams
 stay uncompressed so chunk skipping never inflates skipped data); the
-FULL-ZIP layout for large variable-width values (per-item zipped
-[def][length][bytes] records — the spec's large-data-type path,
+FULL-ZIP layout for large variable-width values (per-slot zipped
+[rep][def][length][bytes] records — the spec's large-data-type path,
 auto-selected at write time when any value exceeds the mini-block
-budget); FSST string compression (``compression='fsst'`` — per-page
+budget, composing with the repdef list/struct layer stacks so giant
+list items take the full-zip twin instead of refusing); FSST string
+compression (``compression='fsst'`` — per-page
 symbol table, per-string substitution streams preserving random
 access; sources/fsst.py implements the public-paper algorithm); and
 the all-null layout. See the reconstruction contract at
@@ -630,6 +632,7 @@ def _decode_flat(fetch, page: _Page, lt: str, what: str) -> list:
 
 _PAGE_LAYOUT_URL = b"/lance.encodings21.PageLayout"
 _MB_CHUNK_VALUES = 256  # power of two; 256 * 8B values + def stream < 4KiB
+_CHUNK_WORD_CEIL = 0xFFF * 8  # u16 chunk word: size-in-words in 12 bits
 _REPDEF_ALL_VALID_ITEM = 1
 _REPDEF_NULLABLE_ITEM = 2
 _REPDEF_ALL_VALID_LIST = 3
@@ -827,29 +830,8 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
     mb = _pb_fields(_one(layout, 1, b""))
     layers = _repdef_layers(mb)
     has_rep = 1 in mb
-    kinds = []
-    for l in layers:
-        if l in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM):
-            kinds.append("item")
-        elif l in (_REPDEF_ALL_VALID_LIST, _REPDEF_NULLABLE_LIST):
-            kinds.append("list")
-        elif l in (_REPDEF_ALL_VALID_STRUCT, _REPDEF_NULLABLE_STRUCT):
-            kinds.append("struct")
-        else:
-            kinds.append(f"?{l}")
-    # supported layer stacks (outer -> inner): [item], [list, item],
-    # [list, list, item], [list, struct, item]; a repetition stream is
-    # present exactly when a list layer is
-    stack = tuple(kinds)
-    if stack not in ((), ("item",), ("list", "item"),
-                     ("list", "list", "item"), ("list", "struct", "item")) \
-            or bool([k for k in kinds if k == "list"]) != has_rep:
-        raise NotImplementedError(
-            f"{what}: mini-block repdef layers {layers} ({kinds}) — only "
-            "an item layer, optionally under one or two list layers or a "
-            "list-of-struct (with a repetition stream), decodes")
-    n_list_layers = sum(1 for k in kinds if k == "list")
-    has_struct_layer = "struct" in kinds
+    n_list_layers, has_struct_layer = _parse_layer_stack(
+        layers, has_rep, what, "mini-block")
     num_slots = _one(mb, 6, None)
     rep_scheme = def_scheme = None
     if has_rep:
@@ -1078,6 +1060,34 @@ def _decode_miniblock(fetch, page: _Page, lt: str, what: str) -> list:
     return rows
 
 
+def _parse_layer_stack(layers: list[int], has_rep: bool, what: str,
+                       where: str) -> tuple[int, bool]:
+    """Validate a structural page's repdef layer stack and return
+    (number of list layers, struct layer present). Supported stacks
+    (outer -> inner): [item], [list, item], [list, list, item],
+    [list, struct, item]; a repetition stream/field is present exactly
+    when a list layer is. Anything else refuses by name."""
+    kinds = []
+    for l in layers:
+        if l in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM):
+            kinds.append("item")
+        elif l in (_REPDEF_ALL_VALID_LIST, _REPDEF_NULLABLE_LIST):
+            kinds.append("list")
+        elif l in (_REPDEF_ALL_VALID_STRUCT, _REPDEF_NULLABLE_STRUCT):
+            kinds.append("struct")
+        else:
+            kinds.append(f"?{l}")
+    stack = tuple(kinds)
+    if stack not in ((), ("item",), ("list", "item"),
+                     ("list", "list", "item"), ("list", "struct", "item")) \
+            or bool([k for k in kinds if k == "list"]) != has_rep:
+        raise NotImplementedError(
+            f"{what}: {where} repdef layers {layers} ({kinds}) — only "
+            "an item layer, optionally under one or two list layers or a "
+            "list-of-struct (with a repetition stream), decodes")
+    return sum(1 for k in kinds if k == "list"), "struct" in kinds
+
+
 def _repdef_storage_lt(lt: str) -> str:
     """Storage logical type of a repdef leaf: temporal leaves ride their
     epoch-integer streams (the schema maps them back — pyarrow accepts
@@ -1196,11 +1206,15 @@ def _assemble_repdef_rows(slot_reps, slot_defs, slot_vals,
 
 
 def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
-    """One 2.1 full-zip page (large data types): definition levels are
-    zipped WITH each value — per item [u16 def (nullable layer only)]
-    [u32 length][bytes] in one contiguous buffer. Reconstruction field
-    numbers mirror the mini-block message: f3 value compression
-    (Variable), f4 repdef layers; see _decode_miniblock's contract."""
+    """One 2.1 full-zip page (large data types): levels are zipped WITH
+    each value — per slot [u16 rep (list layers only)][u16 def (when the
+    page carries one)][u32 length][bytes] in one contiguous buffer.
+    Reconstruction field numbers mirror the mini-block message: f1/f2
+    mark the rep/def presence, f3 value compression (Variable, optionally
+    FSST/zlib-wrapped), f4 repdef layers, f6 total slot count for list
+    stacks (the page ``length`` stays the ROW count); see
+    _decode_miniblock's contract. Legacy item-only pages (no f2 marker)
+    derive the def presence from a nullable item layer."""
     if lt not in ("string", "large_string", "binary", "large_binary"):
         raise NotImplementedError(
             f"{what}: 2.1 full-zip page layout on a non-variable-width "
@@ -1215,12 +1229,14 @@ def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
     fsst_table = (_fsst_symbols(_one(fz, 3, b""), what)
                   if scheme == "fsst" else None)
     layers = _repdef_layers(fz)
-    if any(l not in (_REPDEF_ALL_VALID_ITEM, _REPDEF_NULLABLE_ITEM)
-           for l in layers) or len(layers) > 1:
+    has_rep = 1 in fz
+    n_list_layers, has_struct_layer = _parse_layer_stack(
+        layers, has_rep, what, "full-zip")
+    has_def = 2 in fz or (not has_rep and layers == [_REPDEF_NULLABLE_ITEM])
+    num_slots = _one(fz, 6, None)
+    if has_rep and num_slots is None:
         raise NotImplementedError(
-            f"{what}: full-zip repdef layers {layers} — only a single "
-            "all-valid or nullable item layer decodes")
-    has_def = layers == [_REPDEF_NULLABLE_ITEM]
+            f"{what}: full-zip list page without the f6 slot count")
     if len(page.buf_pos) != 1:
         raise NotImplementedError(
             f"{what}: full-zip page with {len(page.buf_pos)} buffers "
@@ -1238,24 +1254,43 @@ def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
         data = zlib.decompress(data[8:8 + comp_len])
         if len(data) != raw_len:
             raise ValueError(f"{what}: full-zip zlib raw-size mismatch")
+    n = num_slots if has_rep else page.length
+    slot_reps: list = []
+    slot_defs: list = []
+    slot_vals: list = []
     out: list = []
     p = 0
-    for _ in range(page.length):
+    for _ in range(n):
+        if has_rep:
+            slot_reps.append(struct.unpack_from("<H", data, p)[0])
+            p += 2
         d = 0
         if has_def:
             d = struct.unpack_from("<H", data, p)[0]
             p += 2
         ln = struct.unpack_from("<I", data, p)[0]
         p += 4
-        if d:
-            out.append(None)
-        else:
+        piece = None
+        if not d:
             piece = data[p:p + ln]
             if fsst_table is not None:
                 piece = _FSST.decompress(bytes(piece), fsst_table)
-            out.append(piece.decode("utf-8") if is_text else piece)
+            piece = piece.decode("utf-8") if is_text else piece
         p += ln
-    return out
+        if has_rep:
+            slot_defs.append(d)
+            slot_vals.append(piece)
+        else:
+            out.append(None if d else piece)
+    if not has_rep:
+        return out
+    rows = _assemble_repdef_rows(slot_reps, slot_defs, slot_vals,
+                                 n_list_layers, has_struct_layer, what)
+    if len(rows) != page.length:
+        raise ValueError(
+            f"{what}: full-zip repetition stream yields {len(rows)} rows, "
+            f"page declares {page.length}")
+    return rows
 
 
 def _ends_with_nulls(fetch, pos: int, n: int, null_adj: int) -> list[tuple[int, bool]]:
@@ -2177,19 +2212,32 @@ def _enc_miniblock_layout(value_comp: bytes, has_def: bool,
 
 
 def _enc_fullzip_layout(has_def: bool, compression: str = "none",
-                        fsst_blob: bytes | None = None) -> bytes:
-    """PageLayout{ f2: FullZipLayout{ f3: value compression (variable,
-    zlib-Block-wrapped under compression, Fsst-wrapped when
-    ``fsst_blob`` carries the page's symbol table), f4: repdef layers }}
+                        fsst_blob: bytes | None = None,
+                        layers: "list[int] | None" = None,
+                        has_rep: bool = False,
+                        num_slots: int | None = None) -> bytes:
+    """PageLayout{ f2: FullZipLayout{ [f1: rep marker,] [f2: def
+    marker,] f3: value compression (variable, zlib-Block-wrapped under
+    compression, Fsst-wrapped when ``fsst_blob`` carries the page's
+    symbol table), f4: repdef layers [, f6: slot count (list stacks)] }}
     — mirrors the mini-block message slots; see _decode_fullzip's
-    contract."""
+    contract. Levels zip inline per slot, so f1/f2 carry only presence
+    (flat-16 markers)."""
     value_comp = (_enc_compressive_fsst(fsst_blob) if fsst_blob is not None
                   else _enc_compressive_variable(32))
     if compression == "zlib":
         value_comp = _enc_compressive_block(value_comp)
-    fz = _w_len(3, value_comp)
-    fz += _w_packed(4, [_REPDEF_NULLABLE_ITEM if has_def
-                        else _REPDEF_ALL_VALID_ITEM])
+    fz = b""
+    if has_rep:
+        fz += _w_len(1, _enc_compressive_flat(16))
+    if has_def and has_rep:
+        fz += _w_len(2, _enc_compressive_flat(16))
+    fz += _w_len(3, value_comp)
+    fz += _w_packed(4, layers if layers is not None
+                    else [_REPDEF_NULLABLE_ITEM if has_def
+                          else _REPDEF_ALL_VALID_ITEM])
+    if num_slots is not None:
+        fz += _w_vint(6, num_slots)
     return _w_len(2, fz)
 
 
@@ -2583,6 +2631,34 @@ def _plan_miniblock_list_struct_member(rows: list, member: str,
                              layers)
 
 
+def _emit_fullzip_repdef(slots: list, n_rows: int, is_text: bool,
+                         compression: str, layers: list[int],
+                         fsst_blob: "bytes | None") -> "_ColPlan":
+    """One full-zip structural page for a repdef slot stream whose
+    values outgrow the mini-block chunk ceiling (the spec's
+    large-data-type path, composed with list/struct layers): per slot
+    [u16 rep][u16 def (when any)][u32 length][bytes] zipped in one
+    buffer; ``slots`` values are already bytes (FSST-compressed when
+    ``fsst_blob`` is set)."""
+    has_def = any(d for _, d, _ in slots)
+    data = bytearray()
+    for r, d, v in slots:
+        b = v.encode("utf-8") if is_text and isinstance(v, str) else bytes(v)
+        data += struct.pack("<H", r)
+        if has_def:
+            data += struct.pack("<H", d)
+        data += struct.pack("<I", len(b))
+        data += b
+    payload = (_zlib_chunk(bytes(data)) if compression == "zlib"
+               else bytes(data))
+    return _ColPlan(
+        [payload],
+        _enc_fullzip_layout(has_def, compression, fsst_blob=fsst_blob,
+                            layers=layers, has_rep=True,
+                            num_slots=len(slots)),
+        n_rows, _PAGE_LAYOUT_URL)
+
+
 def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
                       compression: str, layers: list[int]) -> "_ColPlan":
     """Shared emission of one structural repdef page from a prebuilt
@@ -2590,7 +2666,9 @@ def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
     budget, bitpacked level streams, the leaf value scheme
     (bitpack/RLE/flat/bss/variable/FSST, zlib-wrapped under
     ``compression='zlib'``), and the layout message carrying ``layers``
-    plus the total leaf-slot count (f6)."""
+    plus the total leaf-slot count (f6). A variable-width stream with
+    any single value past the chunk-word ceiling routes to the FULL-ZIP
+    twin instead (_emit_fullzip_repdef)."""
     import numpy as np
 
     is_var = child_lt in ("string", "binary")
@@ -2625,6 +2703,17 @@ def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
         scheme = "bss" if compression == "zlib" else "flat"
     wrap = compression == "zlib" and scheme in ("flat", "bss", "variable")
 
+    if is_var:
+        # a single value past the 12-bit chunk-word ceiling cannot ride
+        # a mini-block chunk — the full-zip twin zips levels per slot
+        def _blen(v):
+            return (len(v.encode("utf-8"))
+                    if is_text and isinstance(v, str) else len(v))
+
+        if any(_blen(v) > _CHUNK_WORD_CEIL - 64 for _, _, v in slots):
+            return _emit_fullzip_repdef(slots, n_rows, is_text,
+                                        compression, layers, fsst_blob)
+
     def _slot_chunk_size(i: int, cnt: int) -> int:
         # uncompressed estimate: rep + def + value streams, word-padded.
         # zlib can only shrink the value stream, so the bound holds.
@@ -2644,7 +2733,8 @@ def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
     # the u16 chunk-metadata word holds size-in-words in 12 bits, so a
     # chunk must stay under 32 KiB: halve the slot count (power-of-two
     # counts for non-last chunks) while over the mini-block budget
-    _CHUNK_WORD_CEIL = 0xFFF * 8
+    # (oversized single values were routed to the full-zip twin above,
+    # so a 1-slot chunk always fits)
     meta = bytearray()
     data = bytearray()
     s = 0
@@ -2656,11 +2746,10 @@ def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
             if s + cnt < total_slots:  # non-last chunks: power-of-two
                 cnt = 1 << (cnt.bit_length() - 1)
         if _slot_chunk_size(s, cnt) > _CHUNK_WORD_CEIL:
-            raise NotImplementedError(
-                f"{what}: a single list item exceeds the mini-block "
-                f"chunk ceiling ({_CHUNK_WORD_CEIL} bytes) — 2.1 repdef "
-                "lists have no full-zip arm; write this column under "
-                "the 2.0 layout")
+            raise ValueError(
+                f"{what}: internal: a mini-block chunk exceeded the "
+                f"word ceiling ({_CHUNK_WORD_CEIL} bytes) after full-zip "
+                "routing")
         cslots = slots[s:s + cnt]
         s += cnt
         cn = len(cslots)

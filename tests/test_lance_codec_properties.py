@@ -895,7 +895,8 @@ def test_miniblock_list_long_values_adapt_chunks(tmp_path):
     """List chunks adapt their slot counts under the 4KiB budget (the
     u16 chunk word holds size-in-words in 12 bits, so fixed 256-slot
     chunks would overflow on long strings); a single item beyond the
-    ~32KiB ceiling refuses loudly — repdef lists have no full-zip arm."""
+    ~32KiB ceiling routes to the FULL-ZIP repdef twin (round 12 — was a
+    refusal) and still round-trips."""
     rows = [["y" * 700 for _ in range(8)], None, [], ["z" * 2000]] * 40
     tbl = pa.table({"ls": pa.array(rows, pa.list_(pa.string()))})
     p = str(tmp_path / "long.lance")
@@ -904,10 +905,27 @@ def test_miniblock_list_long_values_adapt_chunks(tmp_path):
     LF.write_native_file(tbl, p, structural="2.1-miniblock",
                          compression="zlib")
     assert LF.read_native_file(p).column("ls").to_pylist() == rows
-    big = pa.table({"ls": pa.array([["x" * 40_000]], pa.list_(pa.string()))})
-    with pytest.raises(NotImplementedError, match="chunk ceiling"):
-        LF.write_native_file(big, str(tmp_path / "big.lance"),
-                             structural="2.1-miniblock")
+    big_rows = [["x" * 40_000, None, "s"], None, [], ["y" * 100_000]]
+    big = pa.table({"ls": pa.array(big_rows, pa.list_(pa.string()))})
+    for comp in ("none", "zlib", "fsst"):
+        pb = str(tmp_path / f"big-{comp}.lance")
+        LF.write_native_file(big, pb, structural="2.1-miniblock",
+                             compression=comp)
+        assert LF.read_native_file(pb).column("ls").to_pylist() == big_rows
+    # the full-zip twin composes with BOTH multi-layer stacks
+    ll_rows = [[["a" * 50_000], None], None, [[]], [["b", None]]]
+    t2 = pa.table({"ll": pa.array(ll_rows, pa.list_(pa.list_(pa.string())))})
+    p2 = str(tmp_path / "ll-big.lance")
+    LF.write_native_file(t2, p2, structural="2.1-miniblock")
+    assert LF.read_native_file(p2).to_pylist() == t2.to_pylist()
+    ls_rows = [[{"a": 1, "b": "c" * 60_000}, None], None, []]
+    t3 = pa.table({"ls": pa.array(
+        ls_rows, pa.list_(pa.struct([("a", pa.int64()),
+                                     ("b", pa.string())])))})
+    p3 = str(tmp_path / "ls-big.lance")
+    LF.write_native_file(t3, p3, structural="2.1-miniblock",
+                         compression="zlib")
+    assert LF.read_native_file(p3).to_pylist() == t3.to_pylist()
 
 
 def test_fullzip_zlib_roundtrip_and_shrink(tmp_path):
