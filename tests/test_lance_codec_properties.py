@@ -994,6 +994,10 @@ def _corruption_subject(tmp_path, mode: str) -> tuple[bytes, int]:
                                            ("b", pa.string())]))),
         "big": pa.array([("paragraph " * 500) + str(v) if v % 10 == 0
                          else "short" for v in range(n)], pa.string()),
+        # giant list items -> the full-zip repdef twin (round 12)
+        "lsbig": pa.array([None if v % 9 == 0 else
+                           ["w" * 40_000 if v % 10 == 0 else "s", None]
+                           for v in range(n)], pa.list_(pa.string())),
     })
     p = str(tmp_path / f"subject-{mode}.lance")
     if mode == "2.0":
