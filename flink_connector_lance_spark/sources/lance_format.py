@@ -2886,16 +2886,32 @@ def _plan_column(arr, fields: list[NativeField], idx: int,
             if child_lt == "struct":
                 # list<struct<leafs>>: each member SHREDS into its own
                 # structural page carrying the full [list, struct, item]
-                # repdef path; list + struct headers stay placeholders
+                # repdef path; list + struct headers stay placeholders.
+                # Temporal members cast to their epoch-integer storage
+                # first (schema maps them back), bools ride packed bits.
                 member_idxs = _children_indices(fields, child_idx)
-                if all(fields[j].logical_type in _FLAT_TYPES
-                       or fields[j].logical_type in ("string", "binary")
+                m_storage = {j: _repdef_storage_lt(fields[j].logical_type)
+                             for j in member_idxs}
+                if all(m_storage[j] in _FLAT_TYPES
+                       or m_storage[j] in ("string", "binary", "bool")
                        for j in member_idxs):
-                    rows = arr.to_pylist()
+                    src = arr
+                    if any(m_storage[j] != fields[j].logical_type
+                           for j in member_idxs):
+                        members = [
+                            pa.field(fields[j].name,
+                                     pa.int64() if m_storage[j] == "int64"
+                                     else pa.int32()
+                                     if m_storage[j] == "int32"
+                                     else arrow_type_for(fields, j))
+                            for j in member_idxs]
+                        src = arr.cast(pa.list_(pa.field(
+                            fields[child_idx].name, pa.struct(members))))
+                    rows = src.to_pylist()
                     for j in member_idxs:
                         mf = fields[j]
                         plans[j] = _plan_miniblock_list_struct_member(
-                            rows, mf.name, mf.logical_type,
+                            rows, mf.name, m_storage[j],
                             f"column {mf.name!r} ({mf.logical_type})",
                             compression)
                     plans[idx] = placeholder

@@ -1112,6 +1112,8 @@ struct_item = st.one_of(
         "a": st.one_of(st.none(), st.integers(min_value=-2**40,
                                               max_value=2**40)),
         "b": texts,
+        "t": opt_ts,
+        "f": opt_bool,
     }))
 list_struct_rows = st.lists(
     st.one_of(st.none(), st.lists(struct_item, max_size=6)),
@@ -1121,13 +1123,16 @@ list_struct_rows = st.lists(
 @settings(max_examples=60, deadline=None)
 @given(list_struct_rows)
 def test_miniblock_list_of_struct_roundtrip(tmp_path_factory, rows):
-    """list<struct<int64,string>> shreds per member: each member page
-    carries the full [list, struct, item] repdef path (null struct =
-    def 2, null member = def 1) and decodes independently; the assembler
-    zips members back, refusing inconsistent shapes. Null lists, empty
-    lists, null structs, null members, unicode — exact round-trip in
-    every compression mode."""
-    typ = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    """list<struct<int64,string,timestamp,bool>> shreds per member: each
+    member page carries the full [list, struct, item] repdef path (null
+    struct = def 2, null member = def 1) and decodes independently —
+    temporal members via their epoch-integer storage streams, bool via
+    packed bits; the assembler zips members back, refusing inconsistent
+    shapes. Null lists, empty lists, null structs, null members,
+    unicode — exact round-trip in every compression mode."""
+    typ = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string()),
+                              ("t", pa.timestamp("us")),
+                              ("f", pa.bool_())]))
     tbl = pa.table({"ls": pa.array(rows, typ),
                     "k": pa.array(range(len(rows)), pa.int64())})
     base = tmp_path_factory.mktemp("ls")
