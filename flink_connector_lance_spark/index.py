@@ -88,10 +88,24 @@ def _idx_meta_remote(idx_path: str, storage: dict | None) -> dict | None:
     when no index exists at that key prefix. A foreign/native-binary
     manifest chain at the prefix (LanceUnavailableError) also reports
     "no index" rather than crashing has_*/describe — the FTS describe
-    loop's contract."""
+    loop's contract — but, unlike a genuinely absent index, it warns
+    loudly first: "corrupt/unreadable" silently collapsing into "absent"
+    would let searches quietly fall back to brute force and let
+    ``build_index(replace=False)`` build over a real-but-unreadable
+    index (round-12 advice)."""
     try:
         return FR.read_manifest(idx_path, None, storage).meta.get(_ANN_META_KEY)
-    except (FileNotFoundError, FR.LanceUnavailableError):
+    except FileNotFoundError:
+        return None
+    except FR.LanceUnavailableError as e:
+        import warnings
+
+        warnings.warn(
+            f"index prefix {idx_path!r} holds a manifest chain this "
+            f"reader cannot read ({e}); treating it as 'no index' — "
+            "searches will fall back to brute force and a rebuild will "
+            "overwrite whatever lives there", RuntimeWarning,
+            stacklevel=2)
         return None
 
 

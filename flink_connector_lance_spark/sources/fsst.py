@@ -79,16 +79,36 @@ def build_symbol_table(pieces: "list[bytes]") -> list[bytes]:
     return [sym for sym, _ in scored[:MAX_SYMBOLS]]
 
 
-def compress(data: bytes, table: "list[bytes]") -> bytes:
-    """Greedy longest-match encoding of ``data`` against ``table`` —
-    at each position the longest symbol that matches wins; uncovered
-    bytes escape as ``[0xFF, byte]``."""
+def _match_index(table: "list[bytes]") -> "tuple[dict[int, dict[bytes, int]], list[int]]":
+    """The longest-match lookup for ``table``: symbols grouped by length
+    (longest first). Built once per page — the encode loop runs per
+    string value, and rebuilding this 255-entry index per value costs
+    ~20k redundant constructions on a typical page (round-12 advice)."""
     if len(table) > MAX_SYMBOLS:
         raise ValueError(f"FSST table holds {len(table)} symbols (max {MAX_SYMBOLS})")
     by_len: dict[int, dict[bytes, int]] = {}
     for code, sym in enumerate(table):
         by_len.setdefault(len(sym), {})[sym] = code
-    lens = sorted(by_len, reverse=True)
+    return by_len, sorted(by_len, reverse=True)
+
+
+def compress_many(pieces: "list[bytes]", table: "list[bytes]") -> "list[bytes]":
+    """Encode every piece against one shared lookup (see _match_index) —
+    the page-level entry point; ``compress`` stays for single values."""
+    by_len, lens = _match_index(table)
+    return [_compress_with(b, by_len, lens) for b in pieces]
+
+
+def compress(data: bytes, table: "list[bytes]") -> bytes:
+    """Greedy longest-match encoding of ``data`` against ``table`` —
+    at each position the longest symbol that matches wins; uncovered
+    bytes escape as ``[0xFF, byte]``."""
+    by_len, lens = _match_index(table)
+    return _compress_with(data, by_len, lens)
+
+
+def _compress_with(data: bytes, by_len: "dict[int, dict[bytes, int]]",
+                   lens: "list[int]") -> bytes:
     out = bytearray()
     i, n = 0, len(data)
     while i < n:

@@ -1282,6 +1282,15 @@ def _decode_fullzip(fetch, page: _Page, fz: dict, lt: str, what: str) -> list:
             slot_vals.append(piece)
         else:
             out.append(None if d else piece)
+    # the per-slot unpack_from calls fail loudly on every mid-stream
+    # truncation EXCEPT a corrupt u32 length on the FINAL slot, where the
+    # value slice silently truncates — pin the cursor to the buffer end
+    # so the last slot honors the same loud-or-same-shape contract
+    if p != len(data):
+        raise ValueError(
+            f"{what}: full-zip slot stream {'overran' if p > len(data) else 'undershot'} "
+            f"its buffer (cursor {p}, buffer {len(data)} bytes) — corrupt "
+            "length on the final slot")
     if not has_rep:
         return out
     rows = _assemble_repdef_rows(slot_reps, slot_defs, slot_vals,
@@ -2406,7 +2415,7 @@ def _plan_structural_variable(arr, lt: str, what: str,
         table = _FSST.build_symbol_table(
             [b for i, b in enumerate(pieces) if valid is None or valid[i]])
         return (_FSST.serialize_table(table),
-                [_FSST.compress(b, table) for b in pieces])
+                _FSST.compress_many(pieces, table))
 
     fsst_blob = None
     if any(len(b) > _FULLZIP_VALUE_BYTES for b in pieces):
@@ -2694,8 +2703,8 @@ def _emit_repdef_page(slots: list, n_rows: int, child_lt: str, what: str,
             table = _FSST.build_symbol_table(
                 [b for (_, d, _), b in zip(slots, raw) if d == 0])
             fsst_blob = _FSST.serialize_table(table)
-            slots = [(r, d, _FSST.compress(b, table))
-                     for (r, d, _), b in zip(slots, raw)]
+            slots = [(r, d, cb) for (r, d, _), cb
+                     in zip(slots, _FSST.compress_many(raw, table))]
             scheme = "fsst"
     elif fmt in _MB_INT_FMTS:
         scheme = _mb_pick_int_scheme([v for _, _, v in slots])
