@@ -156,21 +156,50 @@ def _calibrate() -> tuple[float, float, float]:
     return round(c1, 3), round(cn, 3), eff
 
 
-# Series anchor for cross-round normalization (round-11 verdict, "What's
-# wrong #2"): the best OFFICIAL window recorded so far — BENCH_r11.json,
-# calib_32c 0.587 s at 15.5 effective cores. value_normalized expresses
-# every run as "what this code would score in that window":
-# value * (ANCHOR / this run's calib_32c). A genuinely quiet window
-# (calib_eff_cores ≳ 28, calib_32c ≈ calib_1c) should replace this
-# constant and be noted in README's bench-calibration section.
-ANCHOR_CALIB_32C = 0.587
+def _gated_window() -> tuple[float, bool, float, float, float, bool]:
+    """The round-12 verdict's protocol replacement for the retired linear
+    ``value_normalized`` rescale (which provably over- AND under-corrected
+    — queries are not as contention-sensitive as an all-core sha probe):
+    instead of normalizing a bad window's number, GATE on the window
+    itself. Settle guest-side load, calibrate, and if the host delivered
+    fewer than ``SPARK_GRAFT_BENCH_MIN_EFF`` effective cores (default
+    0.375×N — 12 of 32), wait and re-probe within a bounded budget
+    (``SPARK_GRAFT_BENCH_WINDOW_BUDGET`` sec, default 300; 0 disables the
+    gate's retries). Returns (competing_cores, polluted, calib_1c,
+    calib_32c, calib_eff_cores, window_ok). ``window_ok=False`` means the
+    budget ran out with the host still contended — the run's numbers must
+    be read against the README noise band, never point-to-point."""
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    floor = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_EFF",
+                                 str(max(1.0, 0.375 * n))))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_WINDOW_BUDGET", "300"))
+    competing_cores, polluted = _settle_window()
+    best = _calibrate()
+    waited = 0.0
+    while best[2] < floor and waited < budget:
+        print(f"bench: window gate — host delivered {best[2]:.1f} of {n} "
+              f"effective cores (< floor {floor:g}); re-probing "
+              f"({waited:.0f}/{budget:.0f}s budget)", file=sys.stderr)
+        time.sleep(10)
+        waited += 10
+        probe = _calibrate()
+        if probe[2] > best[2]:
+            best = probe
+    window_ok = best[2] >= floor
+    if not window_ok:
+        print(f"bench: WINDOW UNUSABLE — host never delivered {floor:g} "
+              f"effective cores within the {budget:.0f}s gate budget "
+              f"(best probe: {best[2]:.1f} of {n}). Raw totals will read "
+              "high for reasons unrelated to the engine; compare against "
+              "the README noise band only.", file=sys.stderr)
+    return competing_cores, polluted, best[0], best[1], best[2], window_ok
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    competing_cores, polluted = _settle_window()
-    calib_1c, calib_32c, calib_eff_cores = _calibrate()
+    (competing_cores, polluted, calib_1c, calib_32c, calib_eff_cores,
+     window_ok) = _gated_window()
     spark = get_spark(app_name="fcls-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = _registry.queries()
@@ -200,18 +229,26 @@ def main() -> None:
     # the round-1..5 comparable set excludes the round-6 knn_l2_dot
     # append, so rounds stay comparable on one stable number
     legacy15 = round(sum(v for n, v in timings.items() if n != "knn_l2_dot"), 3)
-    norm = (round(total * ANCHOR_CALIB_32C / calib_32c, 3)
-            if calib_32c > 0 else total)
+    # bracket the window: a second probe AFTER the queries catches
+    # contention that arrived mid-run (the pre-gate alone can't)
+    _, calib_32c_post, calib_eff_post = _calibrate()
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    floor = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_EFF",
+                                 str(max(1.0, 0.375 * n_cpus))))
+    if calib_eff_post < floor:
+        print(f"bench: post-run probe read {calib_eff_post:.1f} effective "
+              f"cores (< floor {floor:g}) — contention arrived during the "
+              "run; window_ok downgraded", file=sys.stderr)
+        window_ok_final = False
+    else:
+        window_ok_final = window_ok
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
-        # the series-comparable number: this run rescaled to the anchor
-        # window (ANCHOR_CALIB_32C) via its own fixed-work calibration —
-        # round-over-round comparison without narrative
-        "value_normalized": norm,
         "legacy15_total": legacy15,
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # each is the MIN of runs_per_query passes
+        "runs_per_query": 3,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # measurement hygiene: competing java/python cores observed right
         # before timing started, after the bounded settle wait. polluted
@@ -219,11 +256,18 @@ def main() -> None:
         # against the recorded same-code noise band, not point-to-point.
         "competing_cores": competing_cores,
         "polluted": polluted,
-        # fixed-work calibration (see _calibrate): normalize cross-round
-        # totals by this round's calib_32c relative to the series minimum.
+        # fixed-work calibration (see _calibrate / _gated_window): the
+        # pre-run probe after the window gate, plus a post-run bracket.
+        # window_ok means BOTH probes cleared the effective-core floor —
+        # only then is `value` comparable point-to-point across rounds.
+        # (the round-12 `value_normalized` linear rescale is retired: it
+        # over- and under-corrected, judged both ways — gate, don't scale)
         "calib_1c": calib_1c,
         "calib_32c": calib_32c,
         "calib_eff_cores": calib_eff_cores,
+        "calib_32c_post": calib_32c_post,
+        "calib_eff_cores_post": calib_eff_post,
+        "window_ok": window_ok_final,
     }))
     spark.stop()
 
