@@ -1182,9 +1182,9 @@ def test_miniblock_repdef_temporal_bool_leaves(tmp_path_factory, rows):
 
 def test_miniblock_multilayer_edge_shapes(tmp_path):
     """Edge shapes for the multi-layer stacks: paging, zlib over the
-    leaf stream, a row whose inner list spans chunks, and the deeper
-    nesting refusal (list<list<list<T>>> keeps the 2.0 offsets shape —
-    never a misread)."""
+    leaf stream, a row whose inner list spans chunks, and — since the
+    round-13 recursive assembler — depth-3 lists riding a structural
+    page too (the round-12 per-shape refusal is gone)."""
     rows = [[list(range(700))], None, [], [None], [[], [1, None]]] * 3
     tbl = pa.table({"ll": pa.array(rows, pa.list_(pa.list_(pa.int64())))})
     p = str(tmp_path / "edge.lance")
@@ -1194,12 +1194,202 @@ def test_miniblock_multilayer_edge_shapes(tmp_path):
     p2 = str(tmp_path / "paged.lance")
     LF.write_native_file(tbl, p2, page_rows=4, structural="2.1-miniblock")
     assert LF.read_native_file(p2).to_pylist() == tbl.to_pylist()
-    # 3-deep lists fall back to the 2.0 offsets shape and still round-trip
     t3 = pa.table({"lll": pa.array([[[[1]]], None, [[[2], None], []]],
                                    pa.list_(pa.list_(pa.list_(pa.int64()))))})
     p3 = str(tmp_path / "deep.lance")
     LF.write_native_file(t3, p3, structural="2.1-miniblock")
     assert LF.read_native_file(p3).to_pylist() == t3.to_pylist()
+
+
+# --- round 13: one recursive Dremel shredder/assembler for ANY stack ---------
+
+def test_repdef_def_code_allocation_is_pinned():
+    """The definition-code allocation is part of the on-disk format:
+    files written by rounds 11-12 (hand-rolled per-shape planners) must
+    keep decoding under the recursive generalization. Pin the generic
+    allocator to the documented constants for every legacy stack."""
+    codes = LF._repdef_def_codes(("list",))
+    assert codes == {(0, "empty"): 2, (0, "null"): 3}
+    codes = LF._repdef_def_codes(("list", "list"))
+    assert codes == {(1, "empty"): 2, (1, "null"): 3,
+                     (0, "empty"): 4, (0, "null"): 5}
+    codes = LF._repdef_def_codes(("list", "struct"))
+    assert codes == {(1, "null"): 2, (0, "empty"): 3, (0, "null"): 4}
+    # and the new deep stacks allocate innermost-first past them
+    codes = LF._repdef_def_codes(("list", "struct", "list"))
+    assert codes == {(2, "empty"): 2, (2, "null"): 3, (1, "null"): 4,
+                     (0, "empty"): 5, (0, "null"): 6}
+
+
+deep3_rows = st.lists(
+    st.one_of(st.none(), st.lists(
+        st.one_of(st.none(), st.lists(
+            st.one_of(st.none(), st.lists(
+                st.one_of(st.none(), st.integers(min_value=-2**40,
+                                                 max_value=2**40)),
+                max_size=4)),
+            max_size=4)),
+        max_size=3)),
+    max_size=60)
+
+
+@settings(max_examples=40, deadline=None)
+@given(deep3_rows)
+def test_miniblock_repdef_depth3_lists(tmp_path_factory, rows):
+    """list<list<list<T>>> — THREE repdef list layers in one structural
+    page (rep 3 opens a row, 2/1 inner lists, 0 continues; def codes cut
+    null/empty subtrees at any of the three layers). int64 and string
+    leaves, plain and zlib — exact round-trip, projection intact."""
+    srows = [None if r is None else
+             [None if m is None else
+              [None if inner is None else
+               [None if x is None else f"s{x % 23}" for x in inner]
+               for inner in m] for m in r] for r in rows]
+    tbl = pa.table({
+        "d3": pa.array(rows, pa.list_(pa.list_(pa.list_(pa.int64())))),
+        "d3s": pa.array(srows, pa.list_(pa.list_(pa.list_(pa.string())))),
+        "k": pa.array(range(len(rows)), pa.int32()),
+    })
+    base = tmp_path_factory.mktemp("d3")
+    for comp in ("none", "zlib"):
+        path = str(base / f"t-{comp}.lance")
+        LF.write_native_file(tbl, path, structural="2.1-miniblock",
+                             compression=comp)
+        got = LF.read_native_file(path)
+        assert got.schema == tbl.schema
+        assert got.to_pylist() == tbl.to_pylist()
+    assert LF.read_native_file(path, columns=["d3"]).to_pylist() == \
+        tbl.select(["d3"]).to_pylist()
+
+
+struct_list_member = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({
+        "a": st.one_of(st.none(), st.integers(min_value=-2**40,
+                                              max_value=2**40)),
+        "b": st.one_of(st.none(), st.lists(texts, max_size=4)),
+        "t": opt_ts,
+    }))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(struct_list_member, max_size=4)),
+                max_size=60))
+def test_miniblock_repdef_struct_with_list_member(tmp_path_factory, rows):
+    """list<struct<a, list<b>, t>> — a LIST member inside the shredded
+    struct, so member b's page carries the [list, struct, list, item]
+    stack (rep 2 opens a row, 1 a new outer element, 0 continues b's
+    inner list; def 4 = null struct between the two list layers' codes).
+    Null structs, null member lists, temporal members — exact round-trip
+    plain and FSST."""
+    typ = pa.list_(pa.struct([("a", pa.int64()),
+                              ("b", pa.list_(pa.string())),
+                              ("t", pa.timestamp("us"))]))
+    tbl = pa.table({"ls": pa.array(rows, typ),
+                    "k": pa.array(range(len(rows)), pa.int64())})
+    base = tmp_path_factory.mktemp("slm")
+    for comp in ("none", "fsst"):
+        path = str(base / f"t-{comp}.lance")
+        LF.write_native_file(tbl, path, structural="2.1-miniblock",
+                             compression=comp)
+        got = LF.read_native_file(path)
+        assert got.schema == tbl.schema
+        assert got.to_pylist() == tbl.to_pylist()
+
+
+nested_struct_member = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({
+        "s": st.one_of(st.none(), st.fixed_dictionaries({
+            "x": st.one_of(st.none(), st.integers(min_value=-2**40,
+                                                  max_value=2**40)),
+            "y": texts,
+        })),
+        "t": st.one_of(st.none(), st.floats(allow_nan=False,
+                                            allow_infinity=False,
+                                            width=64)),
+    }))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(nested_struct_member, max_size=4)),
+                max_size=60))
+def test_miniblock_repdef_nested_struct_member(tmp_path_factory, rows):
+    """list<struct<struct<x,y>, t>> — TWO struct layers in one stack, so
+    x/y's pages carry [list, struct, struct, item] and the null-struct
+    markers are depth-tagged: the zip must tell 'outer struct null'
+    (whole element None) from 'inner struct null' (element's s member
+    None) from 'inner members null'. Exact round-trip."""
+    typ = pa.list_(pa.struct([
+        ("s", pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        ("t", pa.float64())]))
+    tbl = pa.table({"ns": pa.array(rows, typ),
+                    "k": pa.array(range(len(rows)), pa.int64())})
+    path = str(tmp_path_factory.mktemp("nsm") / "t.lance")
+    LF.write_native_file(tbl, path, structural="2.1-miniblock")
+    got = LF.read_native_file(path)
+    assert got.schema == tbl.schema
+    assert got.to_pylist() == tbl.to_pylist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_repdef_shred_assemble_inverse_random_stacks(data):
+    """The shredder and assembler are exact inverses for RANDOM container
+    stacks up to depth 5 (property, no file IO): generate a stack of
+    list/struct layers, build random values of that shape, shred, then
+    assemble and compare. Covers stacks no fixture pins (e.g.
+    list<struct<list<list>>>), which is the point of the recursion."""
+    kinds = data.draw(st.lists(st.sampled_from(["list", "struct"]),
+                               min_size=1, max_size=5)
+                      .filter(lambda ks: "list" in ks))
+    # a struct layer at position i descends member "m{i}"
+    stack = tuple(("list",) if k == "list" else ("struct", f"m{i}")
+                  for i, k in enumerate(kinds))
+
+    def value_strategy(li):
+        if li == len(kinds):
+            return st.one_of(st.none(),
+                             st.integers(min_value=-1000, max_value=1000))
+        if kinds[li] == "struct":
+            # null struct, or a dict holding the one member we descend
+            # (extra members don't exist in a shredded leaf's view)
+            return st.one_of(st.none(), st.fixed_dictionaries(
+                {f"m{li}": value_strategy(li + 1)}))
+        return st.one_of(st.none(),
+                         st.lists(value_strategy(li + 1), max_size=3))
+
+    rows = data.draw(st.lists(value_strategy(0), max_size=30))
+    slots = LF._shred_repdef(rows, stack, 0)
+    reps = [r for r, _, _ in slots]
+    defs = [d for _, d, _ in slots]
+    vals = [v for _, _, v in slots]
+    got = LF._assemble_repdef_rows(reps, defs, vals, tuple(kinds), "prop")
+
+    def project(v, li):
+        """rows as the assembler reproduces them: struct layers become
+        transparent (the member value or a depth marker)."""
+        if li == len(kinds):
+            return v
+        if kinds[li] == "struct":
+            if v is None:
+                depth = sum(1 for k in kinds[:li] if k == "struct")
+                return ("NULL_STRUCT", depth)
+            return project(v[f"m{li}"], li + 1)
+        if v is None or v == []:
+            return v
+        return [project(x, li + 1) for x in v]
+
+    def norm(v):
+        if isinstance(v, LF._NullStructMarker):
+            return ("NULL_STRUCT", v.depth)
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        return v
+
+    assert [norm(r) for r in got] == [project(r, 0) for r in rows]
 
 
 # --- FSST (sources/fsst.py + the codec's f7 arm) -----------------------------
