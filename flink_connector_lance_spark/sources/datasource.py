@@ -850,6 +850,7 @@ def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
             if rows == 0:
                 return FragmentCommitMessage(file=None, row_count=0)
             stats = FR.parquet_fragment_stats(tmp.name) or {}
+            stats[FR.DIGEST_STATS_KEY] = FR.sha256_of(tmp.name)
             fs = get_fs(path, storage)
             fs.put(tmp.name,
                    f"{str(path).rstrip('/')}/{FR.DATA_DIR}/{frag_name}")
@@ -885,6 +886,7 @@ def _write_fragment(path: str, iterator: Iterator["pa.RecordBatch"],
             os.remove(out)
         return FragmentCommitMessage(file=None, row_count=0)
     stats = FR.parquet_fragment_stats(out) or {}
+    stats[FR.DIGEST_STATS_KEY] = FR.sha256_of(out)
     if bloom_columns:
         # point-lookup blooms, built here on the executor while the fresh
         # file is still page-cached (one column-pruned re-read); sidecar

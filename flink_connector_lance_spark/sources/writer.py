@@ -289,6 +289,7 @@ def _put_fragments_from_tasks(df: DataFrame, root: str,
             with tempfile.NamedTemporaryFile(suffix=".parquet") as tmp:
                 pq.write_table(tbl, tmp.name)
                 stats = _FR.parquet_fragment_stats(tmp.name) or {}
+                stats[_FR.DIGEST_STATS_KEY] = _FR.sha256_of(tmp.name)
                 fs.put(tmp.name, url)
             if bloom_cols:
                 built = build_bloom_payload(tbl, bloom_cols)
@@ -519,6 +520,7 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
 
         import pyarrow as _pa
 
+        from flink_connector_lance_spark.sources import fragments as _FR
         from flink_connector_lance_spark.sources import lance_format as _LF
 
         import json as _json
@@ -545,17 +547,21 @@ def produce_native_fragments(df: DataFrame, path: str, schema,
                     _LF.write_native_file(piece, tmp.name,
                                           structural=structural,
                                           compression=compression)
+                    digest = _FR.sha256_of(tmp.name)
                     fs.put(tmp.name, f"{data_dir}/{fname}")
             else:
-                _LF.write_native_file(piece, os.path.join(data_dir, fname),
+                local_out = os.path.join(data_dir, fname)
+                _LF.write_native_file(piece, local_out,
                                       structural=structural,
                                       compression=compression)
+                digest = _FR.sha256_of(local_out)
             out_files.append(fname)
             out_rows.append(piece.num_rows)
             # zone map for the commit's stats sidecar: planning-time
             # fragment pruning on native scans (same contract as the
             # parquet footer stats)
             st = _LF.arrow_fragment_stats(piece) or {}
+            st[_FR.DIGEST_STATS_KEY] = digest
             if bloom_columns:
                 # point-lookup bloom, built from the rows already in
                 # memory (no re-read); the manifest entry rides in the

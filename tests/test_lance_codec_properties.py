@@ -1032,7 +1032,13 @@ def test_codec_bitflip_corruption_is_bounded(tmp_path_factory, compression,
     """Flip one page byte (any arm, any stream): decode either raises a
     loud exception or returns a table with the ORIGINAL schema and row
     count — corruption never hangs, never segfaults, never silently
-    reshapes the result."""
+    reshapes the result. (A value-silent flip is undetectable from the
+    FILE alone — the format carries no page checksums — but at the
+    DATASET level round 13 closed it: every fragment producer stamps a
+    write-time sha256 into FragmentInfo.stats and
+    maintenance.verify_integrity makes EVERY bit-flip on engine-written
+    data loud; see test_maintenance.py::
+    test_bit_flip_on_engine_written_data_is_loud.)"""
     blob, data_end, schema, nrows, base = _get_subject(tmp_path_factory,
                                                        compression)
     if data_end == 0:

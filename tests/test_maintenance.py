@@ -306,3 +306,95 @@ class TestReadChanges:
         out = read_changes(spark, path, m1.version, m2.version)
         assert out.filter("_change_type = 'insert'").count() == 10
         assert not (set(scanned) & carried), "carried fragments were scanned"
+
+
+# --- round 13: write-time digests + verify_integrity --------------------------
+
+def _flip_byte(path, offset=100):
+    import os as _os
+
+    with open(path, "r+b") as fh:
+        size = _os.path.getsize(path)
+        pos = min(offset, size - 1)
+        fh.seek(pos)
+        b = fh.read(1)
+        fh.seek(pos)
+        fh.write(bytes([b[0] ^ 0xFF]))
+
+
+def test_write_stamps_digests_and_verify_passes(spark, tmp_path):
+    """Every fragment producer stamps FR.DIGEST_STATS_KEY at write time;
+    verify_integrity over untouched data reports all-checked, nothing
+    mismatched (distributed AND driver-threadpool paths)."""
+    from flink_connector_lance_spark.sources import fragments as FR
+    from flink_connector_lance_spark.sources.maintenance import verify_integrity
+
+    path = str(tmp_path / "ds")
+    write_dataset(_ds(spark, 0, 100).repartition(3), path, mode="overwrite")
+    m = read_manifest(path)
+    assert all((f.stats or {}).get(FR.DIGEST_STATS_KEY) for f in m.fragments)
+    rep = verify_integrity(spark, path)
+    assert rep["checked"] == len(m.fragments)
+    assert rep["skipped"] == 0 and rep["mismatched"] == []
+    rep2 = verify_integrity(None, path)  # threadpool twin
+    assert rep2 == rep
+
+
+def test_bit_flip_on_engine_written_data_is_loud(spark, tmp_path):
+    """THE round-12 fuzz-gap closure: with write-time digests, EVERY
+    bit-flip on engine-written data is loud — a single flipped byte in
+    any fragment makes verify_integrity raise IntegrityError naming the
+    file, even when the flip is value-silent to the decoder."""
+    import os
+
+    import pytest
+
+    from flink_connector_lance_spark.sources.maintenance import (
+        IntegrityError, verify_integrity)
+
+    path = str(tmp_path / "ds")
+    write_dataset(_ds(spark, 0, 60).coalesce(1), path, mode="overwrite")
+    m = read_manifest(path)
+    _flip_byte(os.path.join(path, m.fragments[0].file))
+    with pytest.raises(IntegrityError, match="sha256"):
+        verify_integrity(None, path)
+    rep = verify_integrity(None, path, raise_on_mismatch=False)
+    assert len(rep["mismatched"]) == 1
+    assert rep["mismatched"][0]["file"].endswith(m.fragments[0].file)
+
+
+def test_verify_integrity_native_backend_and_absent_digests(spark, tmp_path):
+    """The native codec path stamps digests too; and a dataset whose
+    stats carry no digest (pre-digest manifest, foreign writer) is
+    SKIPPED, never failed — zero cost when absent."""
+    import json
+    import os
+
+    import pytest
+
+    from flink_connector_lance_spark.sources import fragments as FR
+    from flink_connector_lance_spark.sources.maintenance import (
+        IntegrityError, verify_integrity)
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    path = str(tmp_path / "nds")
+    write_native_pure(_ds(spark, 0, 50).coalesce(1), path, mode="overwrite")
+    rep = verify_integrity(None, path)
+    assert rep["checked"] >= 1 and rep["mismatched"] == []
+    m = FR.read_manifest_compat(path)
+    _flip_byte(os.path.join(path, m.fragments[0].file), offset=200)
+    with pytest.raises(IntegrityError):
+        verify_integrity(None, path)
+
+    # absent digests: strip the key from an emulated manifest -> skipped
+    path2 = str(tmp_path / "plain")
+    write_dataset(_ds(spark, 0, 20).coalesce(1), path2, mode="overwrite")
+    v = FR.latest_version(path2)
+    mp = os.path.join(path2, "_versions", f"{v}.manifest.json")
+    raw = json.load(open(mp))
+    for f in raw["fragments"]:
+        (f.get("stats") or {}).pop(FR.DIGEST_STATS_KEY, None)
+    json.dump(raw, open(mp, "w"))
+    _flip_byte(os.path.join(path2, raw["fragments"][0]["file"]))
+    rep = verify_integrity(None, path2)  # no digest -> cannot check, skips
+    assert rep["checked"] == 0 and rep["skipped"] == len(raw["fragments"])

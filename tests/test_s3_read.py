@@ -1577,3 +1577,36 @@ def test_s3_run_maintenance_refreshes_remote_ann_index(fake_s3, spark):
     rep = describe_dataset(url, storage_options=s3.to_storage_options())
     assert rep["indexes"][0]["unindexed_rows"] == 0
     assert has_index(url, "vec", s3.to_storage_options())
+
+
+def test_s3_write_digests_and_verify_integrity(fake_s3, spark):
+    """The executor-direct remote write stamps per-fragment sha256
+    digests too, and verify_integrity hashes through the fsspec plane:
+    green on untouched data, loud IntegrityError after one flipped byte
+    in a remote fragment."""
+    import pytest
+
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources import fragments as FR
+    from flink_connector_lance_spark.sources.maintenance import (
+        IntegrityError, verify_integrity)
+
+    url = "s3://bucket/wh/db1/vi"
+    s3 = S3Options(endpoint=f"fake://{fake_s3}")
+    opts = DatasetOptions(path=url, s3=s3)
+    storage = s3.to_storage_options()
+    df = spark.range(30).selectExpr("id", "id % 4 AS g")
+    m = write_dataset(df.repartition(2), url, mode="overwrite", options=opts)
+    assert all((f.stats or {}).get(FR.DIGEST_STATS_KEY) for f in m.fragments)
+    rep = verify_integrity(spark, url, storage_options=storage)
+    assert rep["checked"] == len(m.fragments) and rep["mismatched"] == []
+    # flip one byte in the backing file and re-verify (driver path)
+    victim = os.path.join(fake_s3, "bucket", "wh", "db1", "vi",
+                          m.fragments[0].file)
+    with open(victim, "r+b") as fh:
+        fh.seek(64)
+        b = fh.read(1)
+        fh.seek(64)
+        fh.write(bytes([b[0] ^ 0x01]))
+    with pytest.raises(IntegrityError, match="sha256"):
+        verify_integrity(None, url, storage_options=storage)
