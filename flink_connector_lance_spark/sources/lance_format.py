@@ -2108,6 +2108,59 @@ def _field_bytes(f: NativeField) -> bytes:
     return out
 
 
+def encode_decimal128_flat(values: list, scale: int) -> bytes:
+    """SELF-CONSISTENT SCAFFOLD (round-12 verdict "do this" #7; stance
+    in SURVEY §7.0.5): the 16-byte little-endian two's-complement
+    fixed-width stream an Arrow decimal128 column flattens to — the
+    value encoding lance's fixed-width page would carry. DELIBERATELY
+    NOT wired into write_native_file: the decimal LOGICAL-TYPE string
+    and its page framing are unpinnable in this environment (no fixture
+    carries a decimal, no installable lance), so the writer keeps its
+    named refusal and this codec is round-trip-pinned against itself
+    only — the day a decimal-bearing fixture appears, only the
+    logical-type string needs pinning on top of it. Overflow past 128
+    bits raises (the Arrow contract); ``values`` are ``decimal.Decimal``
+    (no NaN/Inf in decimal128)."""
+    import decimal
+
+    out = bytearray()
+    q = 10 ** scale
+    # 128-bit unscaled values reach 39 digits — widen past the default
+    # 28-digit context so scaleb never raises InvalidOperation
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        for v in values:
+            unscaled = (int(v.scaleb(scale).to_integral_value())
+                        if hasattr(v, "scaleb") else int(v * q))
+            try:
+                out += unscaled.to_bytes(16, "little", signed=True)
+            except OverflowError:
+                raise ValueError(
+                    f"decimal value {v} does not fit decimal128 at "
+                    f"scale {scale} (unscaled needs more than 128 bits)"
+                ) from None
+    return bytes(out)
+
+
+def decode_decimal128_flat(buf: bytes, n: int, scale: int) -> list:
+    """Inverse of :func:`encode_decimal128_flat` (same self-consistent
+    caveat): ``n`` 16-byte little-endian two's-complement unscaled
+    values -> ``decimal.Decimal`` at ``scale``. Loud on short buffers."""
+    import decimal
+
+    if len(buf) < 16 * n:
+        raise ValueError(
+            f"decimal128 stream holds {len(buf)} bytes, {16 * n} needed")
+    out = []
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        for i in range(n):
+            unscaled = int.from_bytes(buf[16 * i:16 * (i + 1)], "little",
+                                      signed=True)
+            out.append(decimal.Decimal(unscaled).scaleb(-scale))
+    return out
+
+
 def fields_of_arrow_schema(schema) -> list[NativeField]:
     """Arrow schema -> Lance field list (DFS ids, list children named per
     the Arrow child field, parent links by field id)."""

@@ -1565,3 +1565,44 @@ def test_fsst_shrinks_storage(tmp_path):
     LF.write_native_file(big, bp, page_rows=32, structural="2.1-miniblock",
                          compression="fsst")
     assert LF.read_native_file(bp).to_pylist() == big.to_pylist()
+
+
+# --- decimal128 scaffold (SELF-CONSISTENT; SURVEY §7.0.5) ---------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.decimals(allow_nan=False, allow_infinity=False,
+                            places=4,
+                            min_value=-10**25, max_value=10**25),
+                max_size=50),
+       st.integers(min_value=0, max_value=10))
+def test_decimal128_scaffold_roundtrips_self_consistent(values, scale):
+    """The 16-byte two's-complement fixed-width codec round-trips ANY
+    decimal that fits 128 bits at the chosen scale — against ITSELF
+    only (the lance logical-type string stays unpinnable; the writer
+    keeps its named refusal — test_refusals in test_lance_native_write).
+    Also matches Arrow's own decimal128 buffer bytes, the public layout
+    lance's fixed-width page would carry."""
+    import decimal
+
+    import pyarrow as pa
+
+    # quantize inputs to the scale under test (the scaffold encodes the
+    # UNSCALED integer at `scale`; finer digits would truncate) — wide
+    # context: 128-bit unscaled values reach 39 digits
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        q = decimal.Decimal(1).scaleb(-scale)
+        values = [v.quantize(q) for v in values]
+    blob = LF.encode_decimal128_flat(values, scale)
+    got = LF.decode_decimal128_flat(blob, len(values), scale)
+    assert got == values
+    # cross-check against Arrow's decimal128 little-endian buffer
+    if values:
+        arr = pa.array(values, pa.decimal128(38, scale))
+        assert arr.buffers()[1].to_pybytes()[:16 * len(values)] == blob
+    # loud on truncation
+    if values:
+        import pytest
+
+        with pytest.raises(ValueError, match="decimal128 stream"):
+            LF.decode_decimal128_flat(blob[:-1], len(values), scale)

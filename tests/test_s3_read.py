@@ -94,24 +94,45 @@ def test_s3_catalog_read_surface_and_write_refusals(fake_s3, spark):
         cat.rename_table("db1", "t1", "t9")
 
 
-def test_s3_catalog_lifecycle(fake_s3, spark):
-    """create_database / drop_table / drop_database on an s3://
-    warehouse run through the fsspec plane (round-12 parity-plus: the
-    reference's own mutations would fail on S3 — Paths.get/Files.move
-    on a URI, LanceCatalog.java:518/:549): a database is a key prefix
-    pinned by a zero-byte .database marker, drops are recursive prefix
-    deletes, and the empty-database guard still holds."""
-    cat = DatasetCatalog("s3://bucket/wh",
-                         s3=S3Options(endpoint=f"fake://{fake_s3}"))
+@pytest.mark.parametrize("plane", ["local", "s3"])
+def test_catalog_lifecycle_parity(fake_s3, spark, tmp_path, plane):
+    """ONE lifecycle, BOTH planes, identical assertions (round-12
+    verdict "do this" #6): create db → create table → list → error
+    cases (duplicate create, ignore_if_*, non-empty db, missing drops)
+    → drop table → drop db → cascade. On s3:// this runs through the
+    fsspec plane (round-12 parity-plus: the reference's own mutations
+    would fail on S3 — Paths.get/Files.move on a URI,
+    LanceCatalog.java:518/:549): a database is a key prefix pinned by a
+    zero-byte .database marker, drops are recursive prefix deletes.
+    Any semantic drift between the planes fails one arm of this test
+    and not the other."""
+    if plane == "s3":
+        cat = DatasetCatalog("s3://bucket/wh",
+                             s3=S3Options(endpoint=f"fake://{fake_s3}"))
+
+        def make_table(db, table, n):
+            return _make_remote_table(spark, fake_s3, db=db, table=table,
+                                      n=n)
+    else:
+        wh = str(tmp_path / "local-wh")
+        os.makedirs(wh)
+        cat = DatasetCatalog(wh)
+
+        def make_table(db, table, n):
+            loc = os.path.join(wh, db, table)
+            df = spark.range(n).selectExpr("id", "id % 4 AS g")
+            write_dataset(df.repartition(2), loc, mode="overwrite")
+            return loc
+
     cat.create_database("db2")
     assert cat.database_exists("db2")
     assert "db2" in cat.list_databases()
     with pytest.raises(CatalogError, match="already exists"):
         cat.create_database("db2")
     cat.create_database("db2", ignore_if_exists=True)  # no-op
-    assert cat.list_tables("db2") == []  # marker is not a table
+    assert cat.list_tables("db2") == []  # marker/dir is not a table
 
-    url = _make_remote_table(spark, fake_s3, db="db2", table="tx", n=12)
+    url = make_table("db2", "tx", 12)
     assert cat.table_exists("db2", "tx")
     assert cat.get_table(spark, "db2", "tx").count() == 12
     with pytest.raises(CatalogError, match="not empty"):
@@ -124,10 +145,12 @@ def test_s3_catalog_lifecycle(fake_s3, spark):
     cat.drop_table("db2", "tx", ignore_if_not_exists=True)  # no-op
     cat.drop_database("db2")
     assert not cat.database_exists("db2")
+    with pytest.raises(CatalogError, match="does not exist"):
+        cat.drop_database("db2")
     cat.drop_database("db2", ignore_if_not_exists=True)  # no-op
     # cascade drops tables with the database
     cat.create_database("db3")
-    _make_remote_table(spark, fake_s3, db="db3", table="ty", n=6)
+    make_table("db3", "ty", 6)
     cat.drop_database("db3", cascade=True)
     assert not cat.database_exists("db3")
 

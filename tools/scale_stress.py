@@ -230,6 +230,38 @@ def _native_maintenance(spark, sf_dir):
                         filter="doc_id < 1000")
 
 
+def _native_codec_21_fsst(spark, sf_dir):
+    """The round-12 codec arms under 10x load (round-12 verdict "do
+    this" #5): 2.1 structural layout + FSST value compression over a
+    string column AND a shredded list<struct<term, pos>> column (the
+    recursive Dremel path). The pure-Python planner pays
+    ``to_pylist()`` per page — this row is where a super-linear blowup
+    in that trade would show up first; per-task cost stays bounded by
+    write.max-rows-per-file regardless."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_connector_lance_spark.options import DatasetOptions
+    from flink_connector_lance_spark.sources.reader import read_dataset
+    from flink_connector_lance_spark.sources.writer import write_native_pure
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "text", "lang")
+         .withColumn(
+             "terms",
+             F.expr("transform(slice(split(text, ' '), 1, 24), "
+                    "(t, i) -> struct(t AS term, i AS pos))")))
+    path = os.path.join(tempfile.gettempdir(), "stress-native-21fsst")
+    shutil.rmtree(path, ignore_errors=True)
+    write_native_pure(
+        d, path, mode="overwrite",
+        options=DatasetOptions(path=path, write_max_rows_per_file=20_000,
+                               native_layout="2.1-miniblock",
+                               native_compression="fsst"))
+    return read_dataset(spark, path, columns=["doc_id", "terms"])
+
+
 # operators without a registry entry (not SQL-oracle-expressible / no
 # free query slot): timed via direct callables, same protocol
 EXTRA = {
@@ -239,6 +271,7 @@ EXTRA = {
     "fts_build_hybrid_search": _fts_hybrid,
     "native_codec_roundtrip": _native_codec_roundtrip,
     "native_maintenance": _native_maintenance,
+    "native_codec_21_fsst": _native_codec_21_fsst,
 }
 
 
