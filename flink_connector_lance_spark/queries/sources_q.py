@@ -468,6 +468,28 @@ def source_version_travel(spark, sf_dir):
                                 + CASE WHEN n_chars % 3 = 0 THEN 13
                                        ELSE doc_id % 7 END END) AS BIGINT)
     FROM documents WHERE doc_id % 9 = 0 AND n_chars > 120
+    UNION ALL
+    SELECT '__native_deep__', count(*), CAST(sum(n_chars) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(sum(
+             CASE WHEN doc_id % 24 = 0 THEN 11
+                  WHEN doc_id % 24 = 6 THEN 7
+                  ELSE 2 + (doc_id % 5)
+                       + (CASE WHEN n_chars % 2 = 0 THEN n_chars ELSE 0 END)
+                       + (CASE WHEN n_chars % 3 = 0 THEN 5 ELSE 2 END) END
+             + CASE WHEN doc_id % 30 = 0 THEN 17
+                    WHEN doc_id % 30 = 6 THEN 13
+                    ELSE strlen(lang)
+                         + (CASE WHEN doc_id % 4 = 0 THEN 1
+                                 WHEN n_chars % 5 = 0 THEN 3
+                                 ELSE 10 + (n_chars % 50)
+                                      + (CASE WHEN n_chars % 2 = 1
+                                              THEN doc_id % 11
+                                              ELSE 0 END) END)
+                         + (CASE WHEN n_chars % 4 = 1 THEN 4
+                                 ELSE 10 + (doc_id % 9) END) END
+           ) AS BIGINT)
+    FROM documents WHERE doc_id % 6 = 0 AND n_chars > 110
     """,
     doc="spark.read.format('lance') / df.write.format('lance') — the "
         "registered PySpark DataSource (sources/datasource.py; ref "
@@ -507,7 +529,16 @@ def source_version_travel(spark, sf_dir):
         "structs vs null members distinguished by definition code); "
         "the __native_fsst__ row binds decoded byte lengths, first/"
         "last character codes, and the struct items' bytes+weights "
-        "(null-struct marker 13) into the gate.",
+        "(null-struct marker 13) into the gate. Round 13, the "
+        "__native_deep__ row: the RECURSIVE repdef stacks — a depth-3 "
+        "list ([list,list,list,item]) and a list member inside the "
+        "shredded struct ([list,struct,list,item] for 'ws') — written "
+        "2.1+zlib, with per-level null/empty/value markers folded into "
+        "the hash so any mis-assembly at any nesting level breaks it; "
+        "maintenance.verify_integrity runs over the written dataset at "
+        "build time (every fragment must carry, and match, its "
+        "write-time sha256 digest — the mismatch+skip count lands in "
+        "the hash and a failure raises).",
 )
 def source_format_api(spark, sf_dir):
     from ..sources.datasource import register_lance_datasource
@@ -674,8 +705,103 @@ def source_format_api(spark, sf_dir):
                 F.lit(None).cast("long").alias("sum_opt"),
                 "lang_bytes", "extra_hash")
     )
+    # __native_deep__ (round 13): the RECURSIVE repdef stacks — a
+    # depth-3 list ([list,list,list,item]) and a struct member that is
+    # itself a list ([list,struct,list,item]) — written 2.1+zlib and
+    # read back through the same format('lance') route; per-level
+    # markers (null vs empty vs values at EVERY nesting level) bind the
+    # recursive assembler into the hash. verify_integrity runs over the
+    # written dataset at build time: its mismatch+skip count (must be 0
+    # — every fragment carries a write-time sha256) is added to the
+    # hash, and a digest failure raises, failing the whole query.
+    dpath = _workdir("formatapi-deep", sf_dir)
+    long3 = "array<array<array<bigint>>>"
+    dstype = "array<struct<t:string,ws:array<bigint>>>"
+    write_native_pure(
+        d.filter(F.col("doc_id") % 6 == 0)
+        .select(
+            "doc_id", "n_chars",
+            F.when(F.col("doc_id") % 24 == 0, F.lit(None).cast(long3))
+            .when(F.col("doc_id") % 24 == 6, F.array().cast(long3))
+            .otherwise(F.array(
+                F.array(F.array(
+                    (F.col("doc_id") % 5).cast("long"),
+                    F.when(F.col("n_chars") % 2 == 0,
+                           F.col("n_chars").cast("long")))),
+                F.when(F.col("n_chars") % 3 == 0,
+                       F.lit(None).cast("array<array<bigint>>"))
+                .otherwise(F.array(F.array().cast("array<bigint>")))))
+            .alias("d3"),
+            F.when(F.col("doc_id") % 30 == 0, F.lit(None).cast(dstype))
+            .when(F.col("doc_id") % 30 == 6, F.array().cast(dstype))
+            .otherwise(F.array(
+                F.struct(
+                    F.col("lang").alias("t"),
+                    F.when(F.col("doc_id") % 4 == 0,
+                           F.array().cast("array<bigint>"))
+                    .when(F.col("n_chars") % 5 == 0,
+                          F.lit(None).cast("array<bigint>"))
+                    .otherwise(F.array(
+                        (F.col("n_chars") % 50).cast("long"),
+                        F.when(F.col("n_chars") % 2 == 1,
+                               (F.col("doc_id") % 11).cast("long"))))
+                    .alias("ws")),
+                F.when(F.col("n_chars") % 4 != 1,
+                       F.struct(F.lit(None).cast("string").alias("t"),
+                                F.array((F.col("doc_id") % 9).cast("long"))
+                                .alias("ws")))))
+            .alias("ds")),
+        dpath, mode="overwrite",
+        options=DatasetOptions(path=dpath, native_layout="2.1-miniblock",
+                               native_compression="zlib"))
+    from ..sources.maintenance import verify_integrity
+
+    rep = verify_integrity(spark, dpath)
+    integrity_term = F.lit(len(rep["mismatched"]) + rep["skipped"]).cast("long")
+    lit0 = F.lit(0).cast("long")
+    d3_hash = (
+        F.when(F.col("d3").isNull(), F.lit(11).cast("long"))
+        .when(F.size("d3") == 0, F.lit(7).cast("long"))
+        .otherwise(F.aggregate(
+            "d3", lit0,
+            lambda acc, mid: acc + F.when(
+                mid.isNull(), F.lit(5).cast("long")
+            ).otherwise(
+                F.lit(2).cast("long") + F.aggregate(
+                    mid, lit0,
+                    lambda a2, inner: a2 + F.when(
+                        inner.isNull(), F.lit(3).cast("long")
+                    ).otherwise(F.aggregate(
+                        inner, lit0,
+                        lambda a3, v: a3 + F.coalesce(v, lit0))))))))
+    ds_hash = (
+        F.when(F.col("ds").isNull(), F.lit(17).cast("long"))
+        .when(F.size("ds") == 0, F.lit(13).cast("long"))
+        .otherwise(F.aggregate(
+            "ds", lit0,
+            lambda acc, x: acc + F.when(
+                x.isNull(), F.lit(4).cast("long")
+            ).otherwise(
+                F.coalesce(F.octet_length(x["t"]), F.lit(0)).cast("long")
+                + F.when(x["ws"].isNull(), F.lit(3).cast("long"))
+                .when(F.size(x["ws"]) == 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(10).cast("long") + F.aggregate(
+                    x["ws"], lit0,
+                    lambda a, v: a + F.coalesce(v, lit0)))))))
+    deep_stage = (
+        spark.read.format("lance").load(dpath)
+        .filter(F.col("n_chars") > 110)
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("n_chars").alias("sum_chars"),
+             (F.sum(d3_hash) + F.sum(ds_hash)
+              + integrity_term).alias("extra_hash"))
+        .select(F.lit("__native_deep__").alias("lang"), "cnt", "sum_chars",
+                F.lit(None).cast("long").alias("sum_opt"),
+                F.lit(None).cast("long").alias("lang_bytes"),
+                "extra_hash")
+    )
     return (agg.unionByName(point).unionByName(native)
-            .unionByName(fsst_stage))
+            .unionByName(fsst_stage).unionByName(deep_stage))
 
 
 @register(

@@ -50,8 +50,11 @@ TAGGED_BRANCHES = {
         "stage",
         {"v0", "v1", "v1_meta", "compacted", "deleted", "merged", "vacuumed"},
     ),
-    # the bloom-consulted point-lookup branch must contribute its row
-    "source_format_api": ("lang", {"__point_lookup__"}),
+    # the bloom-consulted point-lookup branch must contribute its row,
+    # and the round-12/13 codec stages theirs (FSST arm; recursive
+    # repdef + integrity-digest arm)
+    "source_format_api": ("lang", {"__point_lookup__", "__native_fsst__",
+                                   "__native_deep__"}),
     # the inverted-index (pre-transform) rollup summary row
     "source_roundtrip_agg": ("lang", {"__vocab__"}),
 }
