@@ -208,29 +208,39 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with a trivial action.
     qs[names[0]](spark, sf_dir).limit(1).collect()
 
+    # best-of-3 per query, INTERLEAVED as three full sweeps over the
+    # list (round 13): three consecutive runs of one query fit inside a
+    # single host-contention burst, which then pins that query's
+    # minimum high while its neighbors time clean (measured: tpch_q1
+    # 5.37 s in a window whose pre- AND post-probes both cleared the
+    # floor, vs 0.97 s minutes earlier). Spreading a query's three
+    # passes across the whole ~10-minute run means a burst must span
+    # the entire window to bias any minimum — and a burst that long
+    # fails the bracketing probes instead. Same total work as the
+    # per-query loop; C2 still reaches steady state by sweep three
+    # (the round-8 best-of-2 -> best-of-3 rationale).
     timings: dict[str, float] = {}
-    for name in names:
-        # best-of-3: early runs absorb JIT/GC/page-cache noise that has
-        # nothing to do with plan quality; min is the steady-state cost.
-        # Was best-of-2 through round 7 — measured on the multi-stage
-        # joins (tpch_q5) that C2 compilation needs three iterations to
-        # reach steady state (1.25s -> 1.2s -> 1.06s), so two runs
-        # systematically over-reported them by ~15%.
-        best = float("inf")
-        for _ in range(3):
+    for _sweep in range(3):
+        for name in names:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            # noop sink materializes every output column (count() would let
-            # Catalyst prune the projection and under-report scan cost).
+            # noop sink materializes every output column (count() would
+            # let Catalyst prune the projection and under-report scan
+            # cost).
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), el)
     total = round(sum(timings.values()), 3)
     # the round-1..5 comparable set excludes the round-6 knn_l2_dot
     # append, so rounds stay comparable on one stable number
     legacy15 = round(sum(v for n, v in timings.items() if n != "knn_l2_dot"), 3)
     # bracket the window: a second probe AFTER the queries catches
-    # contention that arrived mid-run (the pre-gate alone can't)
+    # contention that arrived mid-run (the pre-gate alone can't). Short
+    # settle first — probing in the same second the last noop sink
+    # finishes competes with the JVM's wind-down (GC, shuffle cleanup)
+    # and reads ~1-2 effective cores low, which is decay of OUR OWN
+    # work, not window contention.
+    time.sleep(5)
     _, calib_32c_post, calib_eff_post = _calibrate()
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     floor = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_EFF",
