@@ -143,6 +143,14 @@ class DatasetOptions:
     write.batch-size=1024 (:94-98) | write.mode=append (:103-107) |
     write.max-rows-per-file=1000000 (:112-116) | index.* (:123-190) |
     vector.* (:197-237) | default-database/warehouse (:244-257).
+
+    Beyond the reference (datasource-level, parsed by the format
+    reader): read.max-rows-per-partition (split packing),
+    read.delta-from-version / read.delta-allow-rewrites (incremental
+    batch), read.file-column (row->fragment attribution),
+    read.verify-integrity (per-scan sha256 check of every fragment
+    against its write-time digest — loud IntegrityError on mismatch,
+    skip when unstamped).
     """
 
     path: str = ""

@@ -108,13 +108,18 @@ class FragmentPartition(InputPartition):
     (split packing — ``read.max-rows-per-partition``). Empty by default:
     the 1-fragment-1-split contract stands unless packing is opted in.
     ``deletions``: per-file deletion-vector paths aligned with
-    ``(file, *packed_files)`` — None entries mean no tombstones."""
+    ``(file, *packed_files)`` — None entries mean no tombstones.
+    ``digests``: write-time sha256 per file, same alignment — populated
+    ONLY under ``read.verify-integrity=true`` (the scan task hashes each
+    file before decoding and raises IntegrityError on mismatch); None
+    entries mean no digest was stamped (foreign dataset) and skip."""
 
     fragment_id: int
     file: str
     row_count: int
     packed_files: tuple = ()
     deletions: tuple = ()
+    digests: tuple = ()
 
 
 @dataclass
@@ -408,6 +413,13 @@ class LanceDataSourceReader(DataSourceReader):
         # planning time (a fragment-subset scan expressed as a
         # predicate); every other filter shape on it stays residual.
         self._file_col = options.get("read.file-column") or None
+        # opportunistic read-side integrity: hash each fragment file
+        # against its write-time sha256 INSIDE the scan task, before any
+        # byte is decoded (the task streams the file once extra — an
+        # explicit opt-in trade; maintenance.verify_integrity is the
+        # scan-free standalone check). Fragments without a stamp skip.
+        self._verify = str(
+            options.get("read.verify-integrity", "false")).lower() == "true"
         self._file_filters: List[Filter] = []
         # the planned Spark schema (picklable): executors align each
         # fragment's batches to it by name, null-filling columns an older
@@ -504,11 +516,16 @@ class LanceDataSourceReader(DataSourceReader):
             return LF._deletion_path(self._path, LF.NativeFragmentInfo(
                 f.fragment_id, rel, f.row_count, deletion=f.deletion))
 
+        def _digest(f) -> "str | None":
+            return (f.stats or {}).get(FR.DIGEST_STATS_KEY)
+
         if self._pack_rows is None:
             return [
                 FragmentPartition(f.fragment_id,
                                   os.path.join(self._path, f.file),
-                                  f.row_count, deletions=(_del_path(f),))
+                                  f.row_count, deletions=(_del_path(f),),
+                                  digests=((_digest(f),)
+                                           if self._verify else ()))
                 for f in kept
             ]
         # greedy pack in manifest order: consecutive runt fragments share
@@ -533,6 +550,8 @@ class LanceDataSourceReader(DataSourceReader):
                 sum(f.row_count for f in p),
                 packed_files=tuple(os.path.join(self._path, f.file) for f in p[1:]),
                 deletions=tuple(_del_path(f) for f in p),
+                digests=(tuple(_digest(f) for f in p)
+                         if self._verify else ()),
             )
             for p in packs
         ]
@@ -540,7 +559,30 @@ class LanceDataSourceReader(DataSourceReader):
     def read(self, partition: "FragmentPartition | None") -> Iterator["pa.RecordBatch"]:
         if partition is None:  # every fragment was pruned
             return
-        dels = partition.deletions or (None,) * (1 + len(partition.packed_files))
+        n_files = 1 + len(partition.packed_files)
+        dels = partition.deletions or (None,) * n_files
+        digs = getattr(partition, "digests", ()) or (None,) * n_files
+        if any(digs):
+            # read.verify-integrity: one streaming hash pass per file
+            # BEFORE decoding — a flipped byte in engine-written data
+            # fails the task loudly instead of decoding silently
+            if self._remote:
+                from .fs import get_fs
+
+                fs = get_fs(self._path, self._storage)
+            else:
+                fs = None
+            for file, expected in zip(
+                    (partition.file, *partition.packed_files), digs):
+                if expected is None:
+                    continue  # no write-time stamp (foreign file): skip
+                actual = FR.sha256_of(file, fs)
+                if actual != expected:
+                    raise FR.IntegrityError(
+                        f"fragment {file} fails its write-time sha256 "
+                        f"digest (expected {expected[:16]}..., got "
+                        f"{actual[:16]}...) — the bytes changed since "
+                        "the engine wrote them")
         for file, del_path in zip((partition.file, *partition.packed_files),
                                   dels):
             if self._file_col is None:

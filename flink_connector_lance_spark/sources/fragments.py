@@ -103,6 +103,11 @@ DATA_DIR = "data"
 DIGEST_STATS_KEY = "__sha256__"
 
 
+class IntegrityError(RuntimeError):
+    """A data file's bytes no longer match the sha256 stamped into its
+    FragmentInfo.stats at write time (DIGEST_STATS_KEY)."""
+
+
 def sha256_of(path: str, fs=None) -> str:
     """Streaming sha256 (1 MiB chunks) of one file, local or through an
     fsspec filesystem."""

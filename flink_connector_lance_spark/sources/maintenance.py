@@ -255,9 +255,10 @@ def table_statistics(path: str, version: int | None = None) -> dict:
     }
 
 
-class IntegrityError(RuntimeError):
-    """A data file's bytes no longer match the sha256 stamped into its
-    FragmentInfo.stats at write time (FR.DIGEST_STATS_KEY)."""
+# canonical home is fragments.py (light enough for scan tasks to import
+# — the read-side verify option raises it from inside the DataSource
+# reader); re-exported here because the maintenance op is its public face
+IntegrityError = FR.IntegrityError
 
 
 def verify_integrity(spark, path: str, version: int | None = None,

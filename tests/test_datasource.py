@@ -369,3 +369,49 @@ def test_same_dataframe_reuse_plan_cache(spark, tmp_path):
             "upstream fixed the Python-datasource plan-cache reuse: "
             "drop the fresh-load caveat from README/datasource docstring "
             "and fold this test into the pushdown suite")
+
+
+def test_read_verify_integrity_option(registered, tmp_path):
+    """read.verify-integrity=true hashes every fragment against its
+    write-time sha256 INSIDE the scan task before decoding: clean data
+    reads normally; a flipped byte fails the scan loudly (IntegrityError
+    surfaced through the task); a fragment without a stamp (foreign
+    writer) skips. Composes with split packing (digests ride the pack
+    alignment)."""
+    import json
+
+    path = str(tmp_path / "vds")
+    _sample(spark := registered).repartition(3).write.format("lance") \
+        .mode("overwrite").save(path)
+    rd = (spark.read.format("lance")
+          .option("read.verify-integrity", "true"))
+    assert rd.load(path).count() == 100
+    # packed variant: digests align with (file, *packed_files)
+    assert (rd.option("read.max-rows-per-partition", "100")
+            .load(path).count() == 100)
+
+    # flip one byte -> the scan itself fails loudly
+    m = FR.read_manifest(path)
+    victim = os.path.join(path, m.fragments[0].file)
+    with open(victim, "r+b") as fh:
+        fh.seek(50)
+        b = fh.read(1)
+        fh.seek(50)
+        fh.write(bytes([b[0] ^ 0x40]))
+    with pytest.raises(Exception, match="sha256|IntegrityError"):
+        rd.load(path).count()
+    # restore the byte, then strip the digests from the manifest: a
+    # fragment without a stamp (foreign writer) skips the check and
+    # reads normally even with the option ON
+    with open(victim, "r+b") as fh:
+        fh.seek(50)
+        b = fh.read(1)
+        fh.seek(50)
+        fh.write(bytes([b[0] ^ 0x40]))
+    v = FR.latest_version(path)
+    mp = os.path.join(path, "_versions", f"{v}.manifest.json")
+    raw = json.load(open(mp))
+    for f in raw["fragments"]:
+        (f.get("stats") or {}).pop(FR.DIGEST_STATS_KEY, None)
+    json.dump(raw, open(mp, "w"))
+    assert rd.load(path).count() == 100  # no stamp -> cannot check, skips

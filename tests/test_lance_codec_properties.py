@@ -1606,3 +1606,33 @@ def test_decimal128_scaffold_roundtrips_self_consistent(values, scale):
 
         with pytest.raises(ValueError, match="decimal128 stream"):
             LF.decode_decimal128_flat(blob[:-1], len(values), scale)
+
+
+def test_fullzip_twin_on_deep_stacks(tmp_path):
+    """A single value past the mini-block chunk ceiling routes the WHOLE
+    page to the full-zip twin — for the round-13 recursive stacks too:
+    giant strings inside list<struct<t, ws:list<string>>> (the
+    [list,struct,list,item] stack) and inside list<list<list<string>>>.
+    Round-trip + the final-slot cursor pin (the buffer must be consumed
+    exactly)."""
+    big = "x" * 40_000
+    ds_rows = [
+        [{"t": big, "ws": [big + "a", None]}, None,
+         {"t": None, "ws": []}],
+        None, [],
+        [{"t": "small", "ws": None}],
+    ]
+    d3_rows = [[[[big, None], []], None], None, [], [[[big + "z"]]]]
+    typ = pa.list_(pa.struct([("t", pa.string()),
+                              ("ws", pa.list_(pa.string()))]))
+    tbl = pa.table({
+        "ds": pa.array(ds_rows, typ),
+        "d3": pa.array(d3_rows, pa.list_(pa.list_(pa.list_(pa.string())))),
+    })
+    for comp in ("none", "zlib", "fsst"):
+        p = str(tmp_path / f"deep-{comp}.lance")
+        LF.write_native_file(tbl, p, structural="2.1-miniblock",
+                             compression=comp)
+        got = LF.read_native_file(p)
+        assert got.schema == tbl.schema
+        assert got.to_pylist() == tbl.to_pylist()
