@@ -26,6 +26,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Schema-inference memo: spark.read.parquet() pays a driver-side footer
+# sample (~100ms/call measured) on EVERY call; queries call load_table up
+# to 6 times, so inference alone cost ~2s of the 16-query bench. The memo
+# caches the inferred StructType keyed on (path, mtime_ns, size) — pure
+# FILE METADATA, never rows: every action still scans the parquet bytes,
+# and any rewrite of the file changes the key. (The ts-as-long shape the
+# key'd schema captures depends on the nanosAsLong conf, which load_table
+# pins to true before inferring.)
+_SCHEMA_CACHE: dict = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def _normalize(df: DataFrame) -> DataFrame:
     """Normalize physical quirks of the corpus to engine types.
 
@@ -51,7 +72,8 @@ def _normalize(df: DataFrame) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _normalize(spark.read.parquet(table_path(sf_dir, name)))
+    path = table_path(sf_dir, name)
+    return _normalize(spark.read.schema(_cached_schema(spark, path)).parquet(path))
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:

@@ -140,6 +140,15 @@ def minhash_lsh_pairs(
     bands_df = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # materialize the band keys ONCE: a self-join has no common-subtree
+    # reuse in Catalyst, so without this the md5-heavy signature pipeline
+    # (the query's dominant CPU) executes twice — once per join side. The
+    # banded relation is (id, band, key): bands*~50B per doc, several times
+    # SMALLER than the text it derives from, so storing it beats
+    # recomputing it at any corpus size. localCheckpoint(eager=False):
+    # still lazy (plan-shape tests run zero jobs); blocks are freed with
+    # the DataFrame (no session-cache leak).
+    bands_df = bands_df.localCheckpoint(eager=False)
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (
@@ -199,6 +208,13 @@ def ngram_jaccard_pairs(
         F.explode("shingles").alias("sh"),
         F.size("shingles").alias("n_sh"),
     )
+    # materialize the postings ONCE: they are read three times (the hot-
+    # shingle aggregate and both self-join sides), and each read would
+    # otherwise re-run tokenize+shingle+explode over the corpus. The
+    # postings are roughly corpus-sized (one row per token), so this
+    # trades one local write+read for two recomputed scans — the postings
+    # feed shuffles (hot agg + equi-join) either way.
+    posts = posts.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         hot = (
             posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -399,6 +415,11 @@ def simhash_pairs(
         F.col("sig"),
         F.explode(F.array(*simhash_chunks(F.col("sig"), bits, max_hamming))).alias("c"),
     ).select(id_col, "sig", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    # materialize once before the self-join: the tokenize+hash64+simhash
+    # pipeline would otherwise run twice (no cross-side subtree reuse);
+    # the banded relation is a few small ints per doc — far smaller than
+    # the text it derives from (same rationale as minhash_lsh_pairs).
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -569,6 +590,10 @@ def embedding_cosine_pairs(
     # exploded multiprobe join multiplies the shuffled/streamed volume by
     # ~60x (measured: 37.5M candidates = ~37 GB wide vs ~0.6 GB skinny).
     sig = df.select(F.col(id_col), A.lsh_signature(F.col(vector_col), planes).alias("sig"))
+    # materialize the signatures once: both join sides derive from sig, and
+    # the per-row plane projections (num_planes dot products) would
+    # otherwise run twice; (id, sig) is 16 bytes/row vs ~512B vectors.
+    sig = sig.localCheckpoint(eager=False)
     # single-sided multiprobe: bucket(a) ∋ sig(b)  <=>  hamming(sig_a, sig_b) <= 1;
     # probe values are distinct, so each colliding pair joins exactly once
     probes = F.array(F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))])

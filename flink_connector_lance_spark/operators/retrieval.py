@@ -73,12 +73,20 @@ def hybrid_search(docs: DataFrame, text_col: str, doc_id_col: str,
                   query: str, emb: DataFrame, vector_col: str,
                   vec_id_col: str, query_vector, k: int = 10,
                   leg_k: int = 20, rrf_k: int = RRF_K,
-                  metric: str = "cosine") -> DataFrame:
+                  metric: str = "cosine",
+                  vec_leg: DataFrame | None = None) -> DataFrame:
     """Full-scan hybrid search: BM25 leg + exact-KNN leg, RRF-fused.
 
     Both id columns must address the same document space. Returns
     ``(id, rrf)``. The indexed twin (FTS postings + ANN index legs) is
     ``hybrid_search_indexed`` — identical fusion, sub-linear legs.
+
+    ``vec_leg``: a precomputed vector leg — (``vec_id_col``,
+    ``_distance``) already truncated to the top ``leg_k`` by
+    (distance, id). Callers that compute several metrics from ONE corpus
+    scan (queries.knn.knn_l2_dot) pass their shared leg here instead of
+    paying ``knn`` a second scan; ranks (and thus fusion) are identical
+    because the rank keys are the same (distance, id) pairs.
     """
     from .knn import knn
     from .text import bm25_search
@@ -87,11 +95,10 @@ def hybrid_search(docs: DataFrame, text_col: str, doc_id_col: str,
         bm25_search(docs, text_col, doc_id_col, query, k=leg_k),
         [F.desc("bm25"), F.asc(doc_id_col)],
     )
-    vec = with_rank(
-        knn(emb, vector_col, query_vector, k=leg_k, metric=metric,
-            tiebreak_cols=[vec_id_col], round_digits=6),
-        [F.asc("_distance"), F.asc(vec_id_col)],
-    )
+    if vec_leg is None:
+        vec_leg = knn(emb, vector_col, query_vector, k=leg_k, metric=metric,
+                      tiebreak_cols=[vec_id_col], round_digits=6)
+    vec = with_rank(vec_leg, [F.asc("_distance"), F.asc(vec_id_col)])
     return rrf_fuse([(vec, vec_id_col), (lex, doc_id_col)], k=k, rrf_k=rrf_k)
 
 

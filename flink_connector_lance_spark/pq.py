@@ -266,12 +266,13 @@ def _adc_lut(books: list, q: list[float], m: int, subdim: int) -> list[list[floa
     — microseconds to build, embedded as literals so the per-row cost is
     m array lookups."""
     lut: dict[int, dict[int, float]] = {}
-    for row in books:
-        qs = q[row.sub * subdim:(row.sub + 1) * subdim]
+    for row in books:  # plain dicts (pyarrow to_pylist / Row.asDict)
+        sub, code, centroid = row["sub"], row["code"], row["centroid"]
+        qs = q[sub * subdim:(sub + 1) * subdim]
         d = 0.0
-        for x, y in zip(qs, row.centroid):
+        for x, y in zip(qs, centroid):
             d += (x - y) * (x - y)
-        lut.setdefault(row.sub, {})[row.code] = d
+        lut.setdefault(sub, {})[code] = d
     return [
         [lut[s].get(c, _LUT_GAP) for c in range(max(lut[s]) + 1)]
         for s in sorted(lut)
@@ -327,11 +328,17 @@ def pq_search(
     id_col = meta["id_col"]
 
     if remote:
-        books = _idx_load_remote(
-            spark, _remote_subdir(idx_dir, "codebooks"), s3).collect()
+        books = [r.asDict() for r in _idx_load_remote(
+            spark, _remote_subdir(idx_dir, "codebooks"), s3).collect()]
         codes = _idx_load_remote(spark, _remote_subdir(idx_dir, "codes"), s3)
     else:
-        books = spark.read.parquet(os.path.join(idx_dir, "codebooks.parquet")).collect()
+        # codebooks are m*k rows of index metadata: a direct pyarrow read
+        # is ~5ms where spark.read+collect is ~150ms AND a driver-blocking
+        # Spark job per search (guide §5 — keep jobs off the metadata path)
+        import pyarrow.parquet as _pq
+
+        books = _pq.read_table(
+            os.path.join(idx_dir, "codebooks.parquet")).to_pylist()
         codes = spark.read.parquet(os.path.join(idx_dir, "codes.parquet"))
     lut = _adc_lut(books, q, m, subdim)
 
@@ -363,13 +370,21 @@ def pq_search(
         probe_ids = assigns.filter(F.col("cell").isin(chosen)).select(id_col)
         codes = codes.join(probe_ids, on=id_col, how="left_semi")
 
-    # ONE SQL parse for the whole ADC sum: building m k-entry literal
-    # arrays node-by-node costs a py4j round-trip per literal (~2 s of
-    # driver time at 16x256), the parse costs one (see functions.vector
-    # dot_product for the same pattern)
+    # ONE SQL parse for the whole ADC sum (building literals node-by-node
+    # costs a py4j round-trip each), and each sub-space's k-entry LUT rides
+    # in as a from_json('[...]') STRING literal rather than an inline
+    # array(v1..vk): Catalyst analysis walks every literal node, so the
+    # m*k inline form cost ~300ms of driver time PER ACTION at 16x256;
+    # from_json is 1 node per sub-space and ConstantFolding collapses it
+    # to the identical ArrayData literal before codegen (verified: no
+    # from_json in the optimized plan, per-row code unchanged, sums
+    # bit-identical — json repr round-trips doubles exactly).
+    import json as _json
+
     adc_sql = " + ".join(
-        "element_at(array({vals}), element_at(`codes`, {idx}) + 1)".format(
-            vals=", ".join(f"{float(v)!r}D" for v in lut[s]), idx=s + 1
+        "element_at(from_json('{js}', 'array<double>'), "
+        "element_at(`codes`, {idx}) + 1)".format(
+            js=_json.dumps(lut[s]), idx=s + 1
         )
         for s in range(m)
     )

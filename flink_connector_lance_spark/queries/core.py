@@ -499,15 +499,22 @@ def setop_union_intersect_except(spark, sf_dir):
     doc="Window function: latest order per customer via row_number.",
 )
 def window_latest_order(spark, sf_dir):
+    # row_number-over-window = argmax(o_orderdate, o_orderkey) per customer
+    # (o_orderkey is unique, so the desc/desc rank-1 row IS the
+    # lexicographic max struct). The aggregate form replaces the window's
+    # full shuffle+sort of every order row with a partial+final hash
+    # aggregate: map-side combine means at most one row per customer per
+    # input partition crosses the exchange, and nothing is ever sorted —
+    # strictly less shuffle IO and no sort at any scale (guide §2.3/§2.4).
+    # Measured 0.49s -> 0.28s at sf0.1; rows verified identical.
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        o.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("__b"))
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("latest_order"),
-            F.round("o_totalprice", 2).alias("total"),
+            F.col("__b.o_orderkey").alias("latest_order"),
+            F.round("__b.o_totalprice", 2).alias("total"),
         )
     )
 

@@ -141,21 +141,43 @@ def _rrf_df_sql() -> str:
         "(hybrid_search_indexed) to these exact rows.",
 )
 def knn_l2_dot(spark, sf_dir):
+    from ..functions import vector as V
     from ..operators.retrieval import hybrid_search
 
     e = load_table(spark, sf_dir, "embeddings")
+    # ONE corpus scan computes all three metrics into a skinny
+    # (id, d_l2, d_dot, d_cos) relation, materialized once
+    # (localCheckpoint — a Union has no cross-branch subtree reuse, so the
+    # three top-k legs would otherwise each re-scan the vectors and
+    # re-evaluate a 64-dim distance chain: 3 full passes -> 1 at any
+    # corpus size; the skinny relation is ~32B/row vs ~520B vectors).
+    # Expressions are the exact ones knn() builds (V.distance + round 6),
+    # and each leg orders by (rounded distance, vec_id) — the same total
+    # order — so rows and the fused ranks are identical to the per-leg
+    # formulation.
+    dists = e.select(
+        "vec_id",
+        F.round(V.distance("embedding", QVEC, "l2"), 6).alias("__l2"),
+        F.round(V.distance("embedding", QVEC, "dot"), 6).alias("__dot"),
+        F.round(V.distance("embedding", QVEC, "cosine"), 6).alias("__cos"),
+    ).localCheckpoint(eager=False)
     out = []
-    for metric in ("l2", "dot"):
-        top = knn(e, "embedding", QVEC, k=10, metric=metric,
-                  tiebreak_cols=["vec_id"], round_digits=6, with_similarity=True)
+    for metric, c in (("l2", "__l2"), ("dot", "__dot")):
+        top = dists.orderBy(F.asc(c), F.asc("vec_id")).limit(10)
         out.append(top.select(
-            F.lit(metric).alias("metric"), "vec_id", "_distance",
-            F.round("similarity", 6).alias("similarity")))
+            F.lit(metric).alias("metric"), "vec_id",
+            F.col(c).alias("_distance"),
+            # V.similarity over the rounded distance, rounded to 6 — the
+            # exact operator tree of knn(with_similarity=True) + round
+            F.round(V.similarity(F.col(c)), 6).alias("similarity")))
     d = load_table(spark, sf_dir, "documents")
+    cos_leg = (dists.orderBy(F.asc("__cos"), F.asc("vec_id")).limit(_RRF_LEG_K)
+               .select("vec_id", F.col("__cos").alias("_distance")))
     fused = hybrid_search(
         d, "text", "doc_id", " ".join(_RRF_TERMS),
         e, "embedding", "vec_id", QVEC,
         k=10, leg_k=_RRF_LEG_K, rrf_k=_RRF_KCONST,
+        vec_leg=cos_leg,
     )
     out.append(fused.select(
         F.lit("rrf").alias("metric"),
