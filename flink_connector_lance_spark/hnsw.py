@@ -62,6 +62,7 @@ from .index import (
     _remote_subdir,
     has_index as has_ivf_index,
 )
+from .io import read_parquet_memo
 from .sources import fragments as FR
 
 
@@ -432,8 +433,8 @@ def hnsw_candidates(
         graph = _idx_load_remote(spark, _remote_subdir(idx_dir, "graph"), s3)
         vecs = _idx_load_remote(spark, _remote_subdir(idx_dir, "vectors"), s3)
     else:
-        graph = spark.read.parquet(os.path.join(idx_dir, "graph.parquet"))
-        vecs = spark.read.parquet(os.path.join(idx_dir, "vectors.parquet"))
+        graph = read_parquet_memo(spark, os.path.join(idx_dir, "graph.parquet"))
+        vecs = read_parquet_memo(spark, os.path.join(idx_dir, "vectors.parquet"))
     if nprobes is not None:
         if nprobes <= 0:
             raise ValueError("nprobes must be positive")
@@ -447,7 +448,7 @@ def hnsw_candidates(
             cents = _idx_load_remote(
                 spark, _remote_subdir(_ivf_dir(path, column), "centroids"), s3)
         else:
-            cents = spark.read.parquet(os.path.join(_ivf_dir(path, column), "centroids.parquet"))
+            cents = read_parquet_memo(spark, os.path.join(_ivf_dir(path, column), "centroids.parquet"))
         chosen = [
             r.cell
             for r in cents.select("cell", V.l2_distance("centroid", q).alias("cd"))

@@ -33,6 +33,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 
 from .options import DatasetOptions, DistanceMetric, IndexType
+from .io import read_parquet_memo
 from .sources import fragments as FR
 
 INDEXES_DIR = "_indexes"
@@ -212,7 +213,8 @@ def lloyd_kmeans_centroids(vecs, k: int, dim: int, iterations: int):
         vecs.orderBy("rid").limit(k)
         .select((F.row_number().over(Window.orderBy("rid")) - 1).alias("cell"),
                 F.col("vd").alias("centroid"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: truncates lineage without a
+    # blocking driver job at plan time; materializes inside the first action
     for _ in range(iterations):
         assigned = _assign_cells(vecs, cents, dim)
         # centroid update: per-(cell, dim) mean via posexplode — fully
@@ -461,7 +463,7 @@ def ivf_index_knn(
         cents = _idx_load_remote(spark, _remote_subdir(idx_dir, "centroids"),
                                  opts.s3)
     else:
-        cents = spark.read.parquet(os.path.join(idx_dir, "centroids.parquet"))
+        cents = read_parquet_memo(spark, os.path.join(idx_dir, "centroids.parquet"))
     # centroid selection is driver-side over a num_partitions-row relation
     # (ref: Lance scans the centroid table in-process too); the chosen
     # cell ids are a handful of ints, so collecting them turns the probe
@@ -481,7 +483,7 @@ def ivf_index_knn(
                                    _remote_subdir(idx_dir, "assignments"),
                                    opts.s3)
     else:
-        assigns = spark.read.parquet(os.path.join(idx_dir, "assignments.parquet"))
+        assigns = read_parquet_memo(spark, os.path.join(idx_dir, "assignments.parquet"))
     probe_ids = assigns.filter(F.col("cell").isin(chosen))
     id_col = meta["id_col"]
     covered, uncovered = split_by_index_coverage(

@@ -76,6 +76,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize(spark.read.schema(_cached_schema(spark, path)).parquet(path))
 
 
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the schema served from the metadata memo
+    (see _cached_schema) — for engine-internal relations (index codes,
+    graphs, centroids) that are re-read on every search: skips the
+    ~100ms/driver-call footer inference; any rewrite changes the
+    (path, mtime, size) key and re-infers."""
+    return spark.read.schema(_cached_schema(spark, path)).parquet(path)
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer — the single-file corpus
+    twin of the engine's manifest COUNT(*) fast path (sources/reader.py).
+    Queries that only need n to SIZE something (LSH plane count, k-means
+    k) read the stored footer statistic instead of running a count job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+
+
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread CPU-dense per-row work across all cores — but ONLY when the
     scan under-parallelized.

@@ -69,6 +69,7 @@ def kmeans_assign(
     vector_col: str,
     num_clusters: int,
     iterations: int = 4,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Distributed Lloyd k-means over a DataFrame: returns
     ``(rid, cell)`` assignments. Deterministic: centroids seed from the
@@ -79,13 +80,17 @@ def kmeans_assign(
 
     if int(num_clusters) <= 0:
         raise ValueError("num_clusters must be positive")
-    vecs = _as_vecs(df, id_col, vector_col).localCheckpoint(eager=True)
-    n = vecs.count()
-    if n == 0:
-        raise ValueError("cannot cluster an empty DataFrame")
-    dim = _first_dim(vecs)
-    k = min(int(num_clusters), n)
-    cents = lloyd_kmeans_centroids(vecs, k, dim, int(iterations))
+    # lazy checkpoint: vecs feeds the seed probe, every Lloyd iteration
+    # and the final assignment — one materialization, shared blocks — but
+    # nothing runs until the caller's first action (eager=True here cost
+    # a blocking driver job per kmeans_assign call; the count()-based
+    # k-clamp it fed is redundant — limit(k) over fewer rows already
+    # yields min(k, n) seeds, and _first_dim raises on empty input).
+    vecs = _as_vecs(df, id_col, vector_col).localCheckpoint(eager=False)
+    # ``dim`` passed by callers that know it skips a first()-probe job
+    if dim is None:
+        dim = _first_dim(vecs)
+    cents = lloyd_kmeans_centroids(vecs, int(num_clusters), dim, int(iterations))
     return _assign_cells(vecs, cents, dim).select("rid", "cell")
 
 
@@ -109,6 +114,7 @@ def semantic_duplicate_pairs(
     iterations: int = 4,
     assignments: "DataFrame | None" = None,
     max_cell_size: "int | None" = 4096,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Within-cluster pairs with cosine >= eps:
     ``(id_a, id_b, cell, cosine)`` with id_a < id_b.
@@ -131,14 +137,18 @@ def semantic_duplicate_pairs(
     from .dedup import _dot_chain
 
     vecs = _as_vecs(df, id_col, vector_col)
-    dim = _first_dim(vecs)
+    if dim is None:
+        dim = _first_dim(vecs)
     if assignments is None:
-        assignments = kmeans_assign(df, id_col, vector_col, num_clusters, iterations)
+        assignments = kmeans_assign(df, id_col, vector_col, num_clusters,
+                                    iterations, dim=dim)
     # checkpoint the skinny (rid, cell) relation unconditionally: BOTH
     # pair-join sides (and the guard's size probe) reuse ONE assignment
     # computation — without it the broadcast-centroid argmin cross join
-    # would run once per side
-    assignments = assignments.localCheckpoint(eager=True)
+    # would run once per side. Lazy: blocks materialize inside the
+    # caller's action (or the guard's collect) instead of a blocking
+    # driver job at plan-construction time.
+    assignments = assignments.localCheckpoint(eager=False)
     sub = F.lit(0)
     if max_cell_size is not None:
         if int(max_cell_size) < 2:

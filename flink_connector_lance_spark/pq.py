@@ -55,6 +55,7 @@ from .index import (
     has_index as has_ivf_index,
 )
 from .functions import vector as V
+from .io import read_parquet_memo
 
 
 def _pq_dir(path: str, column: str) -> str:
@@ -339,7 +340,7 @@ def pq_search(
 
         books = _pq.read_table(
             os.path.join(idx_dir, "codebooks.parquet")).to_pylist()
-        codes = spark.read.parquet(os.path.join(idx_dir, "codes.parquet"))
+        codes = read_parquet_memo(spark, os.path.join(idx_dir, "codes.parquet"))
     lut = _adc_lut(books, q, m, subdim)
 
     if nprobes is not None:
@@ -357,9 +358,9 @@ def pq_search(
                 spark, _remote_subdir(_ivf_dir(path, column), "assignments"),
                 s3)
         else:
-            cents = spark.read.parquet(os.path.join(_ivf_dir(path, column), "centroids.parquet"))
-            assigns = spark.read.parquet(
-                os.path.join(_ivf_dir(path, column), "assignments.parquet")
+            cents = read_parquet_memo(spark, os.path.join(_ivf_dir(path, column), "centroids.parquet"))
+            assigns = read_parquet_memo(
+                spark, os.path.join(_ivf_dir(path, column), "assignments.parquet")
             )
         chosen = [
             r.cell

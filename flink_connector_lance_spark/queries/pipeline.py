@@ -395,7 +395,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     from ..operators.dedup import _dot_chain
 
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
+    # n only SIZES the plane count and k — the parquet footer statistic
+    # is the same number without a count job per invocation
+    from ..io import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings")
     planes = _A.make_planes(_A.auto_num_planes(n), dim=_COS_DIM)
     lsh = D.embedding_cosine_pairs(
         e, "embedding", "vec_id", threshold=0.4, planes=planes
@@ -425,7 +429,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     sem = SM.semantic_duplicate_pairs(
         dq.select("vec_id", "dv"), "vec_id", "dv",
         num_clusters=math.ceil(n / _SEM_CELL_ROWS), eps=_SEM_EPS, iterations=0,
-        max_cell_size=None,
+        max_cell_size=None, dim=_COS_DIM,
     ).select(F.lit("semantic").alias("kind"), "id_a", "id_b", "cosine")
     return lsh.unionByName(quant).unionByName(sem)
 

@@ -35,18 +35,23 @@ DEFAULT_CONF = {
     # Files: pack small test files; at 100 TB the default 128MB split size
     # is right, locally we reduce scheduling overhead by packing.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # Per-file open-cost charge. Spark floors a scan's split size at this
-    # value (maxSplitBytes = min(maxPartitionBytes, max(openCost,
-    # totalBytes/defaultParallelism))), so the 4MB default caps a small
-    # corpus at totalBytes/4MB tasks — an 11MB table scans on ~3 of 32
-    # cores (measured: tpch_q1 0.53s -> 0.31s at 64KB). The knob is
-    # self-deactivating at scale: once totalBytes/cores >> 4MB the floor
-    # never binds, so a low value only raises SMALL-scan parallelism
-    # (scale-adaptive splits, optimization guide §2/§6). Deployments on
-    # object storage with many tiny files should export
-    # SPARK_GRAFT_OPEN_COST=4194304 to restore the packing bias.
-    "spark.sql.files.openCostInBytes": os.environ.get(
-        "SPARK_GRAFT_OPEN_COST", str(64 * 1024)),
+    # (spark.sql.files.openCostInBytes deliberately stays at the Spark
+    # default: an interleaved A/B at sf0.1 showed no effect — every corpus
+    # file is a single parquet row group, so split count never changes
+    # effective scan parallelism here — and lowering it would bias
+    # many-small-fragment scans toward under-packing at scale.)
+    # InferFiltersFromGenerate synthesizes `size(e)>0 AND e IS NOT NULL`
+    # under every explode(e) and PushDownPredicates then sinks it below
+    # exchanges — so a generator over a COMPUTED array (shingles, bands,
+    # chunk windows: every generate in this engine) re-evaluates the whole
+    # array expression a second time, on the scan side of the shuffle,
+    # serializing the corpus's heaviest CPU into the scan stage. Measured
+    # on the shingle explode: 5.8s -> 0.34s at sf0.1 with the rule off
+    # (identical output). The rule only ever pays off for STORED array
+    # columns, where the inferred filter can prune at the source; the
+    # engine generates exclusively from derived arrays.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
