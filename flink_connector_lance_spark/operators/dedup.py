@@ -468,6 +468,10 @@ def connected_components(
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        # materialize once: every propagation round joins against edges,
+        # so without this the ENTIRE pair-generation plan (e.g. the
+        # minhash band self-join) re-executes per round x per side
+        .localCheckpoint(eager=False)
     )
     labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp"))
     for _ in range(max_iterations):

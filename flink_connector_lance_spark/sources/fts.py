@@ -352,6 +352,12 @@ def fts_search(spark: SparkSession, path: str, query: str,
         rd.load(idx)
         .filter(F.col("term").isin(terms))
         .select("term", "id", "tf", "dl")
+        # materialize the pruned postings once: BOTH consumers (the df
+        # stats aggregate and the scoring join) otherwise re-run the
+        # Python-datasource scan — the fixed per-scan worker round-trip
+        # is the dominant cost of a search over a small index, and at
+        # scale it re-reads the postings fragments twice
+        .localCheckpoint(eager=False)
     )
     # exact per-term document frequencies from the pruned postings: one
     # tiny aggregate (<= |terms| rows), broadcast back
@@ -486,7 +492,11 @@ def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
         starts = F.array_intersect(starts, _shift(F.col(f"__p{i}"), i))
     cand = (pivoted.withColumn("phrase_tf", F.size(starts))
             .filter(F.col("phrase_tf") > 0)
-            .select("id", "dl", "phrase_tf"))
+            .select("id", "dl", "phrase_tf")
+            # materialized once: the df aggregate and the scoring
+            # projection both consume it — without this the postings
+            # datasource scan + pivot run twice per phrase search
+            .localCheckpoint(eager=False))
     # df of the pseudo-term = matching doc count: ONE tiny aggregate
     # broadcast back (same two-pass shape as bm25_corpus_stats)
     stats = cand.agg(F.count(F.lit(1)).alias("__df"))
