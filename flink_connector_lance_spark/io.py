@@ -86,13 +86,21 @@ def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
 
 
 def table_row_count(sf_dir: str, name: str) -> int:
-    """Exact row count from the parquet footer — the single-file corpus
-    twin of the engine's manifest COUNT(*) fast path (sources/reader.py).
-    Queries that only need n to SIZE something (LSH plane count, k-means
-    k) read the stored footer statistic instead of running a count job."""
+    """Exact row count from the parquet footers — the corpus twin of the
+    engine's manifest COUNT(*) fast path (sources/reader.py). Queries
+    that only need n to SIZE something (LSH plane count, k-means k) read
+    the stored footer statistic instead of running a count job. Handles
+    both a single-file table (the driver's corpus) and a Spark-written
+    directory of part files (e.g. the scale-stress corpus)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in glob.glob(os.path.join(path, "*.parquet")))
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:

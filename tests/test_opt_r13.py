@@ -74,6 +74,18 @@ def test_load_table_schema_memo_invalidates_on_rewrite(spark, tmp_path):
     assert IO.load_table(spark, sf, "t").columns == ["a", "b"]
 
 
+def test_table_row_count_handles_file_and_directory_tables(spark, tmp_path):
+    from flink_connector_lance_spark.io import table_row_count
+
+    sf = str(tmp_path / "sfy")
+    os.makedirs(sf)
+    # directory table (Spark part files — the scale-stress corpus shape)
+    spark.range(7).repartition(3).write.parquet(f"{sf}/d.parquet")
+    assert table_row_count(sf, "d") == 7
+    # single-file table (the driver corpus shape)
+    assert table_row_count("/root/testdata/sf0.001", "embeddings") > 0
+
+
 def test_minhash_self_join_reads_materialized_bands_once(spark, sf_dir):
     from flink_connector_lance_spark.operators.dedup import minhash_lsh_pairs
 
