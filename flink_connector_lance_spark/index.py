@@ -225,6 +225,14 @@ def lloyd_kmeans_centroids(vecs, k: int, dim: int, iterations: int):
             F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
                         lambda s: s["c"]).alias("centroid")
         ).localCheckpoint(eager=True)
+    # loud empty-input contract (kmeans_assign docstring): with dim= passed
+    # the _first_dim probe is skipped, so an empty relation would otherwise
+    # silently yield empty assignments. The check is ~free here: after the
+    # loop cents is an eager-checkpointed <=k-row relation (isEmpty is a
+    # take(1) over local blocks); iterations=0 materializes the lazy seed
+    # limit(k) early, which no hot path uses.
+    if cents.isEmpty():
+        raise ValueError("cannot cluster an empty DataFrame / NULL vectors")
     return cents
 
 

@@ -35,14 +35,39 @@ def table_path(sf_dir: str, name: str) -> str:
 # key'd schema captures depends on the nanosAsLong conf, which load_table
 # pins to true before inferring.)
 _SCHEMA_CACHE: dict = {}
+# Bounded: the engine's run shapes touch a few dozen distinct relations,
+# but a long-lived session over rotating temp datasets must not grow the
+# memo without limit (each entry is a StructType — small, but unbounded
+# is unbounded). FIFO eviction is enough: keys are content-addressed
+# (path + stat), so evicting a live entry only costs one re-inference.
+_SCHEMA_CACHE_MAX = 256
+
+
+def _schema_cache_key(path: str) -> tuple:
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (path, st.st_mtime_ns, st.st_size)
+    # directory table: the dir's own stat misses an in-place rewrite of a
+    # part file (same name/set keeps dir mtime+size) — fold every part
+    # file's (name, mtime_ns, size) into the key instead
+    import glob
+
+    parts = tuple(
+        (f, s.st_mtime_ns, s.st_size)
+        for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
+        for s in (os.stat(f),)
+    )
+    return (path, parts)
 
 
 def _cached_schema(spark: SparkSession, path: str):
-    st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
+    key = _schema_cache_key(path)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
+        if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
         _SCHEMA_CACHE[key] = schema
     return schema
 
@@ -98,8 +123,15 @@ def table_row_count(sf_dir: str, name: str) -> int:
 
     path = table_path(sf_dir, name)
     if os.path.isdir(path):
-        return sum(pq.ParquetFile(f).metadata.num_rows
-                   for f in glob.glob(os.path.join(path, "*.parquet")))
+        # recursive: a hive-partitioned layout nests part files under
+        # key=value dirs — a top-level-only glob would silently return 0
+        # (downstream that mis-sizes LSH planes / k-means k)
+        files = glob.glob(os.path.join(path, "**", "*.parquet"),
+                          recursive=True)
+        if not files:
+            raise FileNotFoundError(
+                f"no parquet part files under directory table {path}")
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     return pq.ParquetFile(path).metadata.num_rows
 
 

@@ -385,7 +385,12 @@ def pq_search(
     adc_sql = " + ".join(
         "element_at(from_json('{js}', 'array<double>'), "
         "element_at(`codes`, {idx}) + 1)".format(
-            js=_json.dumps(lut[s]), idx=s + 1
+            # allow_nan=False: a non-finite codebook distance would emit a
+            # bare NaN/Infinity token (invalid JSON) that PERMISSIVE
+            # from_json folds to NULL — silently-NULL ADC distances where
+            # the old inline-literal form failed loudly at parse. Raise
+            # here instead (finite _LUT_GAP keeps gap sentinels valid).
+            js=_json.dumps(lut[s], allow_nan=False), idx=s + 1
         )
         for s in range(m)
     )

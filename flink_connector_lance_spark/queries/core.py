@@ -496,7 +496,10 @@ def setop_union_intersect_except(spark, sf_dir):
         FROM orders) t
     WHERE rn = 1
     """,
-    doc="Window function: latest order per customer via row_number.",
+    doc="Latest order per customer: the row_number()-over-window shape "
+        "computed as an argmax-per-customer max(struct) aggregate "
+        "(partial+final, map-side combined) — results identical to the "
+        "oracle's row_number form.",
 )
 def window_latest_order(spark, sf_dir):
     # row_number-over-window = argmax(o_orderdate, o_orderkey) per customer

@@ -1,0 +1,156 @@
+"""Round-14 optimization pins.
+
+Batch 1 (hardening items from the round-13 verdict/advice):
+- table_row_count must see nested (hive-partitioned) part files and fail
+  loudly on a parquet-less directory instead of returning 0.
+- the schema memo must invalidate when a DIRECTORY table's part file is
+  rewritten in place (dir mtime/size unchanged).
+- pq_search must raise on a non-finite codebook distance instead of
+  letting PERMISSIVE from_json fold the LUT to NULL.
+- kmeans_assign(dim=...) on an empty relation must raise, not silently
+  return empty assignments.
+- the session-wide InferFiltersFromGenerate exclusion is only safe while
+  no registered query explodes a STORED array column — guard that
+  invariant over every registered query's optimized plan.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from flink_connector_lance_spark.io import load_table
+
+
+def test_table_row_count_recursive_and_loud(spark, tmp_path):
+    from flink_connector_lance_spark.io import table_row_count
+
+    sf = str(tmp_path / "sfr")
+    os.makedirs(sf)
+    # hive-partitioned layout: part files nest under key=value dirs
+    spark.range(9).selectExpr("id", "id % 3 AS p") \
+        .write.partitionBy("p").parquet(f"{sf}/h.parquet")
+    assert table_row_count(sf, "h") == 9
+    # a directory with no parquet anywhere must fail loudly, not size
+    # downstream knobs from a silent 0
+    os.makedirs(f"{sf}/empty.parquet")
+    with pytest.raises(FileNotFoundError):
+        table_row_count(sf, "empty")
+
+
+def test_schema_memo_invalidates_on_inplace_part_rewrite(spark, tmp_path):
+    from flink_connector_lance_spark import io as IO
+
+    d = str(tmp_path / "dirtbl.parquet")
+    spark.range(3).selectExpr("id AS a").coalesce(1).write.parquet(d)
+    assert IO.read_parquet_memo(spark, d).columns == ["a"]
+    part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    # rewrite the part file IN PLACE (same name, same file set): the dir
+    # stat may not change, but the per-part key must
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"a": [1, 2, 3], "b": [4, 5, 6]}),
+                   os.path.join(d, part))
+    crc = os.path.join(d, f".{part}.crc")
+    if os.path.exists(crc):  # stale hadoop-local checksum of the old bytes
+        os.remove(crc)
+    assert IO.read_parquet_memo(spark, d).columns == ["a", "b"]
+
+
+def test_pq_search_raises_on_nonfinite_codebook(spark, sf_dir, tmp_path):
+    from flink_connector_lance_spark import pq as PQ
+    from flink_connector_lance_spark.queries.knn import QVEC
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    path = str(tmp_path / "pqnan")
+    e = load_table(spark, sf_dir, "embeddings").limit(32)
+    write_dataset(e, path, mode="overwrite")
+    PQ.build_pq_index(spark, path, "embedding", id_col="vec_id",
+                      num_sub_vectors=8, num_bits=2, iterations=1)
+    # corrupt one codebook centroid to NaN: the ADC LUT then contains a
+    # non-finite distance, which must raise at plan build (allow_nan=False)
+    # instead of riding into from_json as an invalid-JSON NaN token that
+    # PERMISSIVE mode folds to a silently-NULL LUT
+    import pyarrow.parquet as pq
+
+    books_path = os.path.join(PQ._pq_dir(path, "embedding"),
+                              "codebooks.parquet")
+    part = next(os.path.join(books_path, f) for f in os.listdir(books_path)
+                if f.endswith(".parquet"))
+    tbl = pq.read_table(part).to_pylist()
+    tbl[0]["centroid"] = [float("nan")] * len(tbl[0]["centroid"])
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pylist(tbl), part)
+    with pytest.raises(ValueError):
+        PQ.pq_search(spark, path, "embedding", QVEC, k=5, refine_factor=2)
+
+
+def test_kmeans_assign_empty_input_raises_even_with_dim(spark):
+    from flink_connector_lance_spark.operators.semantic import kmeans_assign
+
+    empty = spark.range(0).selectExpr(
+        "id", "array(double(id), double(id)) AS v")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_assign(empty, "id", "v", num_clusters=2, iterations=1,
+                      dim=2).collect()
+
+
+# --- InferFiltersFromGenerate exclusion guard -------------------------------
+#
+# session.py excludes InferFiltersFromGenerate because every generator in
+# the engine explodes a COMPUTED array, where the synthesized
+# `size(e) > 0` filter re-evaluates the whole array pipeline below the
+# exchange. The exclusion forfeits source-side pruning the day a query
+# explodes a STORED array column — this guard fails loudly on that day.
+
+_GEN_RE = re.compile(r"Generate (?:pos)?explode\(([A-Za-z_][A-Za-z0-9_]*#\d+)\)")
+
+
+def _stored_array_generates(plan: str) -> list[str]:
+    """Bare-attribute generate args whose exprId is produced by a parquet
+    relation in the same optimized plan (computed explodes inline their
+    expression after CollapseProject; checkpointed inputs are LogicalRDDs,
+    where the rule has no source to prune)."""
+    hits = []
+    relation_lines = [ln for ln in plan.splitlines()
+                      if "Relation" in ln and "parquet" in ln]
+    for attr in _GEN_RE.findall(plan):
+        if any(attr in ln for ln in relation_lines):
+            hits.append(attr)
+    return hits
+
+
+# Known-benign stored-array generates: the exclusion's cost there is only
+# the forfeited `size(col)>0 AND col IS NOT NULL` scan pushdown on a BARE
+# column (no computed pipeline to duplicate, so the rule's failure mode
+# cannot occur either way). ann_ivf_coarse posexplodes the stored
+# embedding column for its per-cell centroid means; the corpus has no
+# null/empty embeddings, so the lost pushdown prunes nothing.
+_BENIGN_STORED_GENERATES = {
+    "ann_ivf_coarse": {"embedding"},
+}
+
+
+def test_no_registered_query_explodes_a_stored_array_column(spark, sf_dir):
+    from flink_connector_lance_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        benign = _BENIGN_STORED_GENERATES.get(name, set())
+        hits = [h for h in _stored_array_generates(plan)
+                if h.split("#")[0] not in benign]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "InferFiltersFromGenerate is excluded session-wide (session.py); "
+        "these queries explode a STORED array column and would now lose "
+        f"source-side pruning: {offenders} — scope the exclusion or "
+        "restructure the query before shipping this"
+    )
