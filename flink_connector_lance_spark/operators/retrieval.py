@@ -106,7 +106,8 @@ def hybrid_search_indexed(spark, docs_path: str, query: str, emb: DataFrame,
                           vector_col: str, vec_id_col: str, query_vector,
                           text_col: str = "text", k: int = 10,
                           leg_k: int = 20, rrf_k: int = RRF_K,
-                          metric: str = "cosine") -> DataFrame:
+                          metric: str = "cosine",
+                          lex_post: "DataFrame | None" = None) -> DataFrame:
     """Hybrid search with the lexical leg served from the FTS inverted
     index (sources/fts.py — IO bounded by the query terms' postings).
     Identical to ``hybrid_search`` whenever >= leg_k documents match the
@@ -128,8 +129,11 @@ def hybrid_search_indexed(spark, docs_path: str, query: str, emb: DataFrame,
                          "create_fts_index first (hybrid_search is the "
                          "index-free full-scan twin)")
     id_col = info["id_col"]
+    # lex_post: the fts_search _post hook forwarded (one shared postings
+    # scan when the caller runs several same-query searches in one plan)
     lex = with_rank(
-        fts_search(spark, docs_path, query, text_col=text_col, k=leg_k),
+        fts_search(spark, docs_path, query, text_col=text_col, k=leg_k,
+                   _post=lex_post),
         [F.desc("bm25"), F.asc(id_col)],
     )
     vec = with_rank(

@@ -469,24 +469,46 @@ def vector_search_udtf(spark, sf_dir):
     from .sources_q import _workdir
 
     droot = _workdir("ftsudtf", sf_dir)
-    (load_table(spark, sf_dir, "documents").select("doc_id", "text")
-     .write.format("lance").mode("overwrite").save(droot))
+    # native two-phase write (sources/writer.py): same manifest-committed
+    # dataset the format('lance') sink produces, without the Python
+    # ArrowWriter worker per task — the datasource WRITE capability stays
+    # demonstrated (and gated) by source_format_api
+    from ..sources.writer import write_dataset
+
+    write_dataset(load_table(spark, sf_dir, "documents")
+                  .select("doc_id", "text"), droot, mode="overwrite")
     create_fts_index(spark, droot, "text", "doc_id", with_positions=True)
     txt = spark.sql(f"""
         SELECT 'text' AS kind, doc_id AS id, bm25 AS score
         FROM text_search('{droot}', 'text', '{" ".join(_RRF_TERMS)}', 10)
     """).filter(F.col("score") > 0)
     # phrase branch: positional postings, consecutive-token match
-    from ..sources.fts import fts_search, fts_search_phrase
+    from ..sources.fts import (
+        _postings_scan,
+        analyze_query,
+        fts_index_path,
+        fts_search,
+        fts_search_phrase,
+    )
 
     phr = fts_search_phrase(
         spark, droot, f"{_PHRASE_W1} {_PHRASE_W2}", k=10
     ).select(F.lit("phrase").alias("kind"), F.col("doc_id").alias("id"),
              F.col("bm25").alias("score"))
     query = " ".join(_RRF_TERMS)
+    # three of the branches below (text_all, hybrid's lexical leg, the
+    # rerank candidates) search the SAME query — share ONE materialized
+    # pruned-postings scan via the fts_search _post hook instead of
+    # scanning the postings fragments three times in the union's plan
+    # (scores identical: same relation; pinned by tests/test_opt_r14.py)
+    q_terms = list(dict.fromkeys(analyze_query(query)))
+    post_shared = _postings_scan(
+        spark, fts_index_path(droot, "text"), q_terms,
+        ["term", "id", "tf", "dl"], None).localCheckpoint(eager=False)
     # text_all branch: boolean-AND fts_search(match_all=True) — only
     # documents containing EVERY query term are ranked, scores unchanged
-    txta = fts_search(spark, droot, query, k=10, match_all=True).select(
+    txta = fts_search(spark, droot, query, k=10, match_all=True,
+                      _post=post_shared).select(
         F.lit("text_all").alias("kind"), F.col("doc_id").alias("id"),
         F.col("bm25").alias("score"))
     # hybrid branch: operators.retrieval.hybrid_search_indexed — the
@@ -500,12 +522,12 @@ def vector_search_udtf(spark, sf_dir):
     hyb = hybrid_search_indexed(
         spark, droot, query, e, "embedding", "vec_id", QVEC,
         text_col="text", k=10, leg_k=_RRF_LEG_K, rrf_k=_RRF_KCONST,
-        metric="cosine",
+        metric="cosine", lex_post=post_shared,
     ).select(F.lit("hybrid").alias("kind"), "id", F.col("rrf").alias("score"))
     # rerank branch: retrieve-then-rerank — the FTS top-10 candidates
     # re-scored by the deterministic token-Jaccard scorer (the
     # cross-encoder stand-in), corpus never re-scored
-    cand = fts_search(spark, droot, query, k=10)
+    cand = fts_search(spark, droot, query, k=10, _post=post_shared)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rr = rerank_topk(cand, "doc_id", docs, "text", "doc_id", query, k=10) \
         .select(F.lit("rerank").alias("kind"), F.col("doc_id").alias("id"),

@@ -150,6 +150,12 @@ def _commit_postings(post: DataFrame, idx_path: str, meta: dict,
         write_max_rows_per_file=max_rows_per_fragment,
         s3=s3,
     )
+    # Measured and rejected (round 14): persisting `post` DISK_ONLY
+    # around this write to spare the range-boundary sample pass does NOT
+    # pay — interleaved min-of-4 at sf0.1: plain 1.398s vs persisted
+    # 1.451s. The sample job reuses the groupBy's shuffle output, so the
+    # "second pass" only re-runs the cheap post-shuffle aggregate, while
+    # the persist adds a full disk write+read of the postings.
     write_dataset(post, idx_path, mode=mode, options=opts,
                   commit_meta={_META_KEY: meta},
                   expected_base_version=expected_base_version)
@@ -174,6 +180,62 @@ def _fts_source_scan(spark: SparkSession, path: str, manifest,
         return _remote_reader(spark, path, s3)
     return (_remote_reader(spark, path, s3, file_col="__frag")
             .filter(F.col("__frag").isin(*files)).drop("__frag"))
+
+
+def _prune_postings_files(m, idx_path: str, terms: list) -> list:
+    """Fragment files that may hold postings of ``terms`` — the SAME
+    conservative planning predicates the datasource reader applies
+    (zone maps via _fragment_may_match, then term bloom sidecars), run
+    driver-side so the surviving files can feed a native scan."""
+    from .datasource import In, _bloom_may_match, _fragment_may_match
+
+    pushed = [In(("term",), tuple(terms))]
+    keep = []
+    for f in m.fragments:
+        if not all(_fragment_may_match(f.stats or {}, f.row_count, p)
+                   for p in pushed):
+            continue
+        if not _bloom_may_match(idx_path, f, pushed):
+            continue
+        keep.append(os.path.join(idx_path, f.file))
+    return keep
+
+
+def _postings_scan(spark: SparkSession, idx: str, terms: list,
+                   cols: list, s3) -> DataFrame:
+    """The query-terms postings scan behind fts_search / fts_search_phrase.
+
+    Local indexes take the NATIVE route: fragment pruning (zone maps +
+    term blooms) runs driver-side on the manifest, and the surviving
+    fragments scan through Spark's native parquet reader with
+    ``term IN (...)`` as a pushed scan filter (parquet row-group pruning
+    intact). This removes the Python-datasource boundary from the
+    search path — its fixed per-scan plan+read worker round trip
+    measured 0.94s vs 0.22s for the identical pruned scan at sf0.1 —
+    while keeping IO O(matching postings) through the same pruning
+    predicates (delegated, not reimplemented). s3:// indexes keep the
+    datasource route (its executors carry the fsspec credential plumbing).
+    """
+    from .reader import read_fragment_files
+
+    term_filter = F.col("term").isin(terms)
+    if s3 is None:
+        m = FR.read_manifest(idx, None)
+        files = _prune_postings_files(m, idx, terms)
+        if not files:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(_json.loads(m.meta["schema"]))
+            return spark.createDataFrame([], st).select(*cols)
+        return (read_fragment_files(spark, m, files)
+                .filter(term_filter).select(*cols))
+    from .datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    rd = spark.read.format("lance").options(**s3.to_option_map())
+    return rd.load(idx).filter(term_filter).select(*cols)
 
 
 def create_fts_index(spark: SparkSession, path: str, text_col: str = "text",
@@ -303,7 +365,7 @@ def fts_search(spark: SparkSession, path: str, query: str,
                k1: float = BM25_K1, b: float = BM25_B,
                match_all: bool = False,
                max_unroll_terms: int = MAX_UNROLL_TERMS,
-               s3=None) -> DataFrame:
+               s3=None, _post: "DataFrame | None" = None) -> DataFrame:
     """Top-k documents by BM25, touching only the query terms' postings.
 
     Returns ``(id, bm25)`` descending (ties on id), id named after the
@@ -322,6 +384,14 @@ def fts_search(spark: SparkSession, path: str, query: str,
     (a 500-term query must not compile 500 aggregate columns); the
     full-scan bit-parity contract softens to float-summation-order
     tolerance on that path (``tests/test_fts.py`` pins both).
+
+    ``_post`` (internal hook, the ``vec_leg`` pattern): an already
+    MATERIALIZED ``(term, id, tf, dl)`` relation of exactly this query's
+    terms' postings. Callers that run several searches of the SAME
+    query in one plan (queries.knn.vector_search_udtf: plain, match_all
+    and the hybrid lexical leg) pass one shared scan instead of paying
+    the pruned postings scan per search; scores are identical because
+    the relation is identical (pinned by tests/test_opt_r14.py).
     """
     if k < 0:
         raise ValueError("k must be >= 0")
@@ -339,24 +409,14 @@ def fts_search(spark: SparkSession, path: str, query: str,
     if not terms:
         raise ValueError("empty query")
     n, avgdl = info["n_docs"], info["sum_dl"] / max(info["n_docs"], 1)
-    from .datasource import register_lance_datasource
-
-    register_lance_datasource(spark)
-    # pushdown scan: term IN (...) prunes fragments via zone maps (the
-    # clustered write gave them disjoint term ranges), then blooms, then
-    # parquet row groups — IO is O(matching postings), locally or on s3
-    rd = spark.read.format("lance")
-    if s3 is not None:
-        rd = rd.options(**s3.to_option_map())
-    post = (
-        rd.load(idx)
-        .filter(F.col("term").isin(terms))
-        .select("term", "id", "tf", "dl")
-        # materialize the pruned postings once: BOTH consumers (the df
-        # stats aggregate and the scoring join) otherwise re-run the
-        # Python-datasource scan — the fixed per-scan worker round-trip
-        # is the dominant cost of a search over a small index, and at
-        # scale it re-reads the postings fragments twice
+    # pruned-postings scan: term IN (...) prunes fragments via zone maps
+    # (the clustered write gave them disjoint term ranges), then blooms,
+    # then parquet row groups — IO is O(matching postings), locally or on
+    # s3 (local indexes scan natively; see _postings_scan). Materialized
+    # once: BOTH consumers (the df stats aggregate and the scoring join)
+    # otherwise re-run the postings scan.
+    post = _post if _post is not None else (
+        _postings_scan(spark, idx, terms, ["term", "id", "tf", "dl"], s3)
         .localCheckpoint(eager=False)
     )
     # exact per-term document frequencies from the pruned postings: one
@@ -458,17 +518,8 @@ def fts_search_phrase(spark: SparkSession, path: str, phrase: str,
             "create_fts_index(..., with_positions=True)")
     n = info["n_docs"]
     avgdl = info["sum_dl"] / max(n, 1)
-    from .datasource import register_lance_datasource
-
-    register_lance_datasource(spark)
-    rd = spark.read.format("lance")
-    if s3 is not None:
-        rd = rd.options(**s3.to_option_map())
-    post = (
-        rd.load(idx)
-        .filter(F.col("term").isin(list(dict.fromkeys(terms))))
-        .select("term", "id", "dl", "positions")
-    )
+    post = _postings_scan(spark, idx, list(dict.fromkeys(terms)),
+                          ["term", "id", "dl", "positions"], s3)
     # per-document pivot: one positions array per phrase slot (a term
     # appearing twice in the phrase fills both its slots from the same
     # posting). Missing slot -> null -> candidate dropped (AND semantics

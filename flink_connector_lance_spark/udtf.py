@@ -709,18 +709,9 @@ def _fts_prune_fragments(m, idx_path: str, terms: list[str]):
     the SAME conservative predicates the datasource planner uses
     (_fragment_may_match zone maps + _bloom_may_match sidecars), so the
     in-process route cannot drift from the distributed one."""
-    from .sources.datasource import In, _bloom_may_match, _fragment_may_match
+    from .sources.fts import _prune_postings_files
 
-    pushed = [In(("term",), tuple(terms))]
-    keep = []
-    for f in m.fragments:
-        if not all(_fragment_may_match(f.stats or {}, f.row_count, p)
-                   for p in pushed):
-            continue
-        if not _bloom_may_match(idx_path, f, pushed):
-            continue
-        keep.append(os.path.join(idx_path, f.file))
-    return keep
+    return _prune_postings_files(m, idx_path, terms)
 
 
 _FTS_UDTF_MAX_POSTINGS = 5_000_000

@@ -99,6 +99,34 @@ def test_kmeans_assign_empty_input_raises_even_with_dim(spark):
                       dim=2).collect()
 
 
+def test_fts_search_post_hook_matches_internal_scan(spark, sf_dir, tmp_path):
+    """The _post hook (shared pruned-postings relation) must score
+    bit-identically to the internal scan — the vector_search_udtf
+    branches share one scan through it."""
+    from flink_connector_lance_spark.sources.fts import (
+        _postings_scan,
+        analyze_query,
+        create_fts_index,
+        fts_index_path,
+        fts_search,
+    )
+    from flink_connector_lance_spark.sources.writer import write_dataset
+
+    root = str(tmp_path / "ftspost")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_dataset(d, root, mode="overwrite")
+    create_fts_index(spark, root, "text", "doc_id")
+    q = "model data learning"
+    terms = list(dict.fromkeys(analyze_query(q)))
+    post = _postings_scan(spark, fts_index_path(root, "text"), terms,
+                          ["term", "id", "tf", "dl"], None) \
+        .localCheckpoint(eager=False)
+    base = fts_search(spark, root, q, k=10).collect()
+    via_hook = fts_search(spark, root, q, k=10, _post=post).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in via_hook]
+    assert len(base) == 10
+
+
 # --- InferFiltersFromGenerate exclusion guard -------------------------------
 #
 # session.py excludes InferFiltersFromGenerate because every generator in
