@@ -38,7 +38,18 @@ def validate_query_vector(q: Sequence[float]) -> list[float]:
 
 
 def vec_literal(q: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in q])
+    """Literal array<double> in ONE py4j round trip: building it as
+    F.array(*[F.lit(v) ...]) costs a gateway call per element (~50 ms of
+    driver time per 64-dim vector, multiplied by every plane/query literal
+    in a plan). from_json of the repr list is a single node that
+    ConstantFolding collapses to the identical ArrayData literal before
+    codegen (same pattern as the PQ ADC LUT; json repr round-trips doubles
+    exactly, allow_nan=False raises on non-finite input instead of letting
+    PERMISSIVE from_json fold the literal to NULL)."""
+    import json as _json
+
+    return F.expr("from_json('{js}', 'array<double>')".format(
+        js=_json.dumps([float(v) for v in q], allow_nan=False)))
 
 
 def _as_double(col) -> Column:

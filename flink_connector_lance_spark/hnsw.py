@@ -429,12 +429,7 @@ def hnsw_candidates(
     if eff <= 0:
         raise ValueError("ef must be positive")
 
-    if remote:
-        graph = _idx_load_remote(spark, _remote_subdir(idx_dir, "graph"), s3)
-        vecs = _idx_load_remote(spark, _remote_subdir(idx_dir, "vectors"), s3)
-    else:
-        graph = read_parquet_memo(spark, os.path.join(idx_dir, "graph.parquet"))
-        vecs = read_parquet_memo(spark, os.path.join(idx_dir, "vectors.parquet"))
+    chosen = None
     if nprobes is not None:
         if nprobes <= 0:
             raise ValueError("nprobes must be positive")
@@ -454,11 +449,28 @@ def hnsw_candidates(
             for r in cents.select("cell", V.l2_distance("centroid", q).alias("cd"))
             .orderBy("cd", "cell").limit(int(nprobes)).collect()
         ]
-        # static partition pruning: only the probed cells' files are read
-        graph = graph.filter(F.col("cell").isin(chosen))
-        vecs = vecs.filter(F.col("cell").isin(chosen))
 
     qv, pool, met = [float(v) for v in q], max(eff, k), meta.get("metric", "l2")
+
+    if not remote:
+        # Local fast path: the index is partitionBy("cell") on disk, so the
+        # per-cell traversal needs no cogroup — one mapInArrow task per
+        # probed cell reads its OWN cell's graph/vector slabs directly via
+        # pyarrow (the read_native_files pattern: seed relation of cell
+        # ids, each task pulls its partition's slice from storage). This
+        # removes both groupBy("cell") Exchanges and the JVM->Python Arrow
+        # transfer of the corpus-sized slabs from the search path; per-task
+        # memory stays one cell, parallelism stays one task per cell.
+        cand = _local_cell_candidates(spark, idx_dir, chosen, qv, pool, eff,
+                                      met, int(meta["dim"]))
+        return cand, meta
+
+    graph = _idx_load_remote(spark, _remote_subdir(idx_dir, "graph"), s3)
+    vecs = _idx_load_remote(spark, _remote_subdir(idx_dir, "vectors"), s3)
+    if chosen is not None:
+        # fragment pruning: only the probed cells' zone-mapped files read
+        graph = graph.filter(F.col("cell").isin(chosen))
+        vecs = vecs.filter(F.col("cell").isin(chosen))
 
     def search_group(key, gpdf, vpdf):
         import pandas as pd
@@ -481,6 +493,70 @@ def hnsw_candidates(
         .applyInPandas(search_group, schema="id long, _hnsw_d double")
     )
     return cand, meta
+
+
+def _local_cell_candidates(spark, idx_dir: str, cells: "list[int] | None",
+                           qv: list, pool: int, ef: int, metric: str,
+                           dim: int) -> DataFrame:
+    """One task per probed cell; the task reads its cell's graph/vector
+    parquet slabs directly (pyarrow) and runs the traversal — static
+    partition pruning by construction (un-probed cells are never opened).
+    A probed-but-empty cell (a Lloyd centroid with no assigned rows) has
+    no ``cell=N`` directory and contributes nothing, exactly like the
+    cogroup path's empty group."""
+    import pandas as pd
+
+    gdir = os.path.join(idx_dir, "graph.parquet")
+    vdir = os.path.join(idx_dir, "vectors.parquet")
+    on_disk = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(vdir)
+        if d.startswith("cell=") and d.split("=", 1)[1].lstrip("-").isdigit()
+    )
+    probe = on_disk if cells is None else sorted(set(cells) & set(on_disk))
+    if not probe:
+        return spark.createDataFrame([], "id long, _hnsw_d double")
+
+    def scan(iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from flink_connector_lance_spark.hnsw import _traverse_cell
+
+        q = np.asarray(qv, dtype=np.float64)
+        for batch in iterator:
+            for cell in batch.column("cell").to_pylist():
+                vt = pq.read_table(os.path.join(vdir, f"cell={cell}"),
+                                   columns=["id", "vec"])
+                gt = pq.read_table(os.path.join(gdir, f"cell={cell}"),
+                                   columns=["id", "node_level", "layer",
+                                            "neighbors"])
+                ids = vt.column("id").to_numpy()
+                mat = np.asarray(
+                    vt.column("vec").combine_chunks().flatten().to_numpy()
+                ).reshape(-1, dim)
+                gid = gt.column("id").to_pylist()
+                lvl_by_id = dict(zip(gid, gt.column("node_level").to_pylist()))
+                levels = np.array([lvl_by_id.get(int(i), 0) for i in ids],
+                                  dtype=np.int64)
+                adj_by_id = {
+                    (int(i), int(layer)): neigh
+                    for i, layer, neigh in zip(
+                        gid, gt.column("layer").to_pylist(),
+                        gt.column("neighbors").to_pylist())
+                }
+                out = _traverse_cell(ids.astype(np.int64), levels, adj_by_id,
+                                     mat, q, pool, ef, metric)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([i for i, _ in out], pa.int64()),
+                     pa.array([d for _, d in out], pa.float64())],
+                    names=["id", "_hnsw_d"])
+
+    # keyless repartition: len(probe) rows round-robin into len(probe)
+    # partitions = exactly one cell per task (hashing `cell` into so few
+    # partitions would collide, guide §2.5)
+    seed = spark.createDataFrame(
+        pd.DataFrame({"cell": probe})).repartition(len(probe))
+    return seed.mapInArrow(scan, schema="id long, _hnsw_d double")
 
 
 def hnsw_search(

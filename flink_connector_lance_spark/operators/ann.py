@@ -71,7 +71,29 @@ def lsh_signature(vector_col, planes: Sequence[Sequence[float]]) -> Column:
 
     Uses the compact HOF dot on purpose: one dot per plane in a single
     projection — unrolled chains here exceed janino's 64 KB method limit
-    and drop the whole stage out of codegen (see functions.vector)."""
+    and drop the whole stage out of codegen (see functions.vector).
+
+    For a string column the whole signature is assembled as ONE SQL parse:
+    the per-plane Column loop costs ~12 py4j round trips per plane
+    (~0.45 s of driver time at 8 planes), the parse costs one. The SQL
+    form is the same expression tree — CAST(col AS ARRAY<DOUBLE>),
+    from_json plane literal (constant-folded), identical zip_with /
+    aggregate lambdas — so the per-row evaluation and results are
+    unchanged."""
+    import json as _json
+
+    if isinstance(vector_col, str):
+        dots = " + ".join(
+            "(CASE WHEN aggregate(zip_with(CAST(`{c}` AS ARRAY<DOUBLE>), "
+            "from_json('{js}', 'array<double>'), (x, y) -> x * y), 0.0D, "
+            "(acc, v) -> acc + v) > 0 THEN CAST({bit} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)".format(
+                c=vector_col,
+                js=_json.dumps([float(v) for v in plane], allow_nan=False),
+                bit=1 << p)
+            for p, plane in enumerate(planes)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {dots}")
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         dot = V.dot_product_hof(vector_col, plane)

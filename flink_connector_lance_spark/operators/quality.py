@@ -168,7 +168,11 @@ def model_quality_of(ts: Column, model: QualityModel,
     ``tests/test_quality_model.py::test_large_dim_routes_agree`` pins
     them equal on a shared dim-512 model."""
     if model.dim <= max_inline_dim:
-        arr = F.array(*[F.lit(float(w)) for w in model.weights])
+        from ..functions.vector import vec_literal
+
+        # one constant-folded from_json parse instead of a py4j round
+        # trip per weight (identical literal; see vec_literal)
+        arr = vec_literal(model.weights)
         contribs = F.transform(
             ts, lambda t: F.element_at(arr, token_bucket(t, model.dim) + F.lit(1)))
         total = F.aggregate(contribs, F.lit(0.0), lambda a, v: a + v)

@@ -91,7 +91,9 @@ def kmeans_assign(
     if dim is None:
         dim = _first_dim(vecs)
     cents = lloyd_kmeans_centroids(vecs, int(num_clusters), dim, int(iterations))
-    return _assign_cells(vecs, cents, dim).select("rid", "cell")
+    # keep_vd=False: only (rid, cell) leaves this function — the skinny
+    # argmin keeps the vectors out of the SortAggregate + exchange
+    return _assign_cells(vecs, cents, dim, keep_vd=False)
 
 
 def _pair_cosine(dim: int) -> Column:

@@ -91,15 +91,35 @@ def test_ef_is_a_real_traversal_knob(spark, hnsw_ds):
 
 
 def test_nprobes_prunes_graph_partitions(spark, hnsw_ds):
-    import re
+    from flink_connector_lance_spark.hnsw import hnsw_candidates
 
     df = hnsw_search(spark, hnsw_ds, "embedding", QVEC, k=5, nprobes=2,
                      tiebreak_cols=["vec_id"], round_digits=6)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert any("cell" in f for f in filters), plan
+    # local fast path: one mapInArrow task per probed cell reads its own
+    # cell's slabs — no cogroup, no groupBy("cell") exchanges; pruning is
+    # by construction (un-probed cell dirs never opened)
+    assert "MapInArrow" in plan, plan
+    assert "FlatMapCoGroupsInPandas" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert df.count() == 5
+
+    # behavioral pruning pin: with nprobes=2, every candidate id belongs
+    # to one of the 2 centroid-nearest cells' assignments
+    import pyspark.sql.functions as F
+
+    from flink_connector_lance_spark.functions import vector as V
+    idx = os.path.join(hnsw_ds, "_indexes", "embedding", "ivf")
+    cents = spark.read.parquet(os.path.join(idx, "centroids.parquet"))
+    chosen = [r.cell for r in
+              cents.select("cell", V.l2_distance("centroid", QVEC).alias("cd"))
+              .orderBy("cd", "cell").limit(2).collect()]
+    assigns = spark.read.parquet(os.path.join(idx, "assignments.parquet"))
+    allowed = {r.vec_id for r in
+               assigns.filter(F.col("cell").isin(chosen)).collect()}
+    cand, _ = hnsw_candidates(spark, hnsw_ds, "embedding", QVEC, k=5, nprobes=2)
+    got = {r.id for r in cand.collect()}
+    assert got and got <= allowed
 
 
 def test_search_dataset_routes_to_graph(spark, sf_dir, hnsw_ds):
@@ -107,9 +127,10 @@ def test_search_dataset_routes_to_graph(spark, sf_dir, hnsw_ds):
                          ef=400, tiebreak_cols=["vec_id"], round_digits=6)
     assert [r.vec_id for r in out.select("vec_id").collect()] == \
         _exact_ids(spark, sf_dir)
-    # the routed plan reads the hnsw relations, not the PQ codes
+    # the routed plan runs the graph traversal (mapInArrow over the hnsw
+    # cell slabs), not the PQ ADC scan over the codes relation
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "/hnsw/" in plan and "/pq/" not in plan
+    assert "MapInArrow" in plan and "/pq/" not in plan
     with pytest.raises(ValueError, match="metric"):
         search_dataset(spark, hnsw_ds, "embedding", QVEC, k=5, metric="cosine")
 
