@@ -182,3 +182,25 @@ def test_no_registered_query_explodes_a_stored_array_column(spark, sf_dir):
         f"source-side pruning: {offenders} — scope the exclusion or "
         "restructure the query before shipping this"
     )
+
+
+def test_ngram_posts_store_modes_identical(spark, sf_dir):
+    """posts_store is a storage-level knob only: all three modes produce
+    the identical pair set (round-14 A/B pinned the default; disk_only is
+    the lineage-keeping fallback for postings past executor memory)."""
+    from flink_connector_lance_spark.io import load_table
+    from flink_connector_lance_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    out = {}
+    for mode in ("checkpoint", "disk_only", "recompute"):
+        out[mode] = sorted(
+            map(tuple, ngram_jaccard_pairs(
+                d, "text", "doc_id", shingle_k=3, threshold=0.2,
+                max_doc_freq=200, posts_store=mode).collect()))
+    assert out["checkpoint"] == out["disk_only"] == out["recompute"]
+    assert out["checkpoint"]  # non-vacuous: the corpus has near-dup pairs
+    import pytest
+
+    with pytest.raises(ValueError, match="posts_store"):
+        ngram_jaccard_pairs(d, "text", "doc_id", posts_store="bogus")
