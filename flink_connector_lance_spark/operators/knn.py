@@ -166,7 +166,7 @@ def knn_join_lsh(
         raise ValueError("k must be >= 0")
     qv = query_vector_col or vector_col
     qsig = queries.select(
-        F.col(query_id), A.lsh_signature(F.col(qv), planes).alias("sig")
+        F.col(query_id), A.lsh_signature(qv, planes).alias("sig")
     )
     probes = F.array(
         F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))]
@@ -175,7 +175,7 @@ def knn_join_lsh(
     # so a pair within hamming-1 joins exactly once
     qprobe = qsig.select(F.col(query_id), F.explode(probes).alias("bucket"))
     csig = corpus.select(
-        F.col(corpus_id), A.lsh_signature(F.col(vector_col), planes).alias("bucket")
+        F.col(corpus_id), A.lsh_signature(vector_col, planes).alias("bucket")
     )
     cand = qprobe.join(csig, on="bucket").select(query_id, corpus_id)
     qvecs = queries.select(F.col(query_id), F.col(qv).cast("array<double>").alias("__qv"))

@@ -28,6 +28,14 @@ LANG_PROFILES: dict[str, list[str]] = {
 STOPWORDS = ["the", "a", "of", "and"]
 
 
+def _d(v: float) -> str:
+    """Exact double literal for a single-parse SQL expression:
+    CAST('<repr>' AS DOUBLE) constant-folds to the identical double
+    F.lit(v) would create (repr round-trips; Java parseDouble is
+    correctly rounded), without bare-decimal-literal DECIMAL typing."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
 def tokens(text_col) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.split(c, " ")
@@ -97,10 +105,22 @@ def quality_score(text_col) -> Column:
     return quality_score_of(tokens(text_col))
 
 
-def word_ngrams(ws: Column, n: int) -> Column:
+def word_ngrams(ws: "Column | str", n: int) -> Column:
     """All (non-distinct) word n-grams over a token array; empty when the
     document is shorter than n. The when-guard is required because Spark's
-    ``sequence(0, negative)`` counts DOWNWARD instead of returning empty."""
+    ``sequence(0, negative)`` counts DOWNWARD instead of returning empty.
+
+    A string column name takes the single-parse SQL form (identical
+    expression tree, one py4j round trip instead of ~2n+8)."""
+    if isinstance(ws, str):
+        c = f"`{ws}`"
+        cells = ", ".join(
+            f"element_at({c}, CAST(i + {j + 1} AS INT))" for j in range(n))
+        return F.expr(
+            f"CASE WHEN size({c}) >= {n} THEN "
+            f"transform(sequence(0, size({c}) - {n}), "
+            f"i -> concat_ws(' ', {cells})) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END")
     size = F.size(ws)
     grams = F.transform(
         F.sequence(F.lit(0), size - n),
@@ -154,8 +174,8 @@ def repetition_signals(df, text_col: str, id_col: str):
     )
     grams = toks.select(
         F.col(id_col), F.col("__lns"),
-        word_ngrams(F.col("__ws"), 2).alias("__g2"),
-        word_ngrams(F.col("__ws"), 3).alias("__g3"),
+        word_ngrams("__ws", 2).alias("__g2"),
+        word_ngrams("__ws", 3).alias("__g3"),
     )
     return grams.select(
         F.col(id_col),
@@ -434,24 +454,29 @@ def bm25_score_of(tokens_col: str, query_terms, k1: float = BM25_K1,
     (left-to-right term sum, same operator tree), so results are
     bit-identical before rounding.
     """
-    ts = F.col(tokens_col)
-    dl = F.size(ts).cast("double")
-    score: "Column | None" = None
-    for i, t in enumerate(query_terms):
-        # tf as size - size(array_remove): same integer as a filter-count
-        # (array_remove drops ALL occurrences; split yields no NULLs) but
-        # stays in whole-stage codegen — F.filter is a CodegenFallback
-        # HOF, measured ~35% slower for the three-term scoring pass
-        tf = (F.size(ts) - F.size(F.array_remove(ts, t))).cast("double")
-        dfc = F.col(f"__bm25_df{i}")
-        idf = F.log(F.lit(1.0) + (F.col("__bm25_n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
-        contrib = idf * (tf * F.lit(k1 + 1.0)) / (
-            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("__bm25_avgdl"))
-        )
-        score = contrib if score is None else score + contrib
-    if score is None:
+    if not query_terms:
         raise ValueError("bm25 needs at least one query term")
-    return score
+    # ONE SQL parse for the whole score: the per-term Column loop costs
+    # ~15 py4j round trips per term (~0.2 s of driver time per call at 3
+    # terms); the parse costs one. Same operator tree and arithmetic
+    # order (left-to-right term sum), so scores are bit-identical.
+    # tf as size - size(array_remove): same integer as a filter-count
+    # (array_remove drops ALL occurrences; split yields no NULLs) but
+    # stays in whole-stage codegen — F.filter is a CodegenFallback
+    # HOF, measured ~35% slower for the three-term scoring pass
+    ts = f"`{tokens_col}`"
+    dl = f"CAST(size({ts}) AS DOUBLE)"
+    parts = []
+    for i, t in enumerate(query_terms):
+        lit_t = "'" + str(t).replace("\\", "\\\\").replace("'", "\\'") + "'"
+        tf = f"CAST((size({ts}) - size(array_remove({ts}, {lit_t}))) AS DOUBLE)"
+        dfc = f"`__bm25_df{i}`"
+        idf = f"ln({_d(1.0)} + (`__bm25_n` - {dfc} + {_d(0.5)}) / ({dfc} + {_d(0.5)}))"
+        parts.append(
+            f"({idf} * ({tf} * {_d(k1 + 1.0)}) / ({tf} + {_d(k1)} * "
+            f"({_d(1.0 - b)} + {_d(b)} * {dl} / `__bm25_avgdl`)))"
+        )
+    return F.expr(" + ".join(parts))
 
 
 def bm25_search(df, text_col: str, id_col: str, query: str, k: int = 10,

@@ -589,8 +589,8 @@ def text_stats(spark, sf_dir):
         "doc_id", "text", "__ws", "__tre", "__lns",
         "__bm25_n", "__bm25_avgdl",
         *[f"__bm25_df{i}" for i in range(len(_BM25_TERMS))],
-        T.word_ngrams(F.col("__ws"), 2).alias("__g2"),
-        T.word_ngrams(F.col("__ws"), 3).alias("__g3"),
+        T.word_ngrams("__ws", 2).alias("__g2"),
+        T.word_ngrams("__ws", 3).alias("__g3"),
     )
     ws = F.col("__ws")
     return grams.select(
