@@ -434,7 +434,7 @@ def simhash_pairs(
         F.col(id_col),
         F.transform(T.tokens(text_col), lambda t: T.token_hash64(t)).alias("__hs"),
     )
-    sig = hs.select(F.col(id_col), T.simhash_of(F.col("__hs"), bits).alias("sig"))
+    sig = hs.select(F.col(id_col), T.simhash_of("__hs", bits).alias("sig"))
     banded = sig.select(
         F.col(id_col),
         F.col("sig"),
